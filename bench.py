@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: core joins/aggs + the LLM-pipeline operators.
+HEADLINE = [
+    "pricing_summary",
+    "top_orders",
+    "agg_join_customer_orders",
+    "multi_agg_join",
+    "agg_target_events",
+    "datetime_features",
+    "fuzzy_join_customer_supplier",
+    "dedup_exact",
+    "token_stats",
+    "quality_scores",
+    "language_id",
+    "similarity_topk",
+    "session_stats",
+    "ngram_jaccard_pairs",
+    "embedding_dedup_pairs",
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
+]
+
+
+def main() -> None:
+    from skrub_spark import get_session
+    from skrub_spark.queries import queries
+
+    spark = get_session(app_name="skrub_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

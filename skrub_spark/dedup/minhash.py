@@ -1,0 +1,116 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §2).
+
+Physical plan (flat, scale-first — no giant nested expressions):
+
+1. explode distinct word-shingles → (id, gram) rows
+2. one groupBy(id) computes all n_components min-hashes as plain
+   ``min(xxhash64(gram, seed_k))`` aggregates (map-side partial agg,
+   whole-stage codegen keeps the 64 mins in registers)
+3. band key b = variadic ``xxhash64(min_{b*r} .. min_{b*r+r-1}, b)``
+4. equi-join on (band_idx, band_key) → candidate pairs; bucket-size
+   cap guards boilerplate buckets going quadratic
+5. exact Jaccard verify via gram co-occurrence counts restricted to
+   candidate pairs — |∩| is a count, |∪| = n_a + n_b − |∩|; the
+   gram sets themselves never travel through a join.
+
+Reference for semantics (not implementation): skrub's MinHashEncoder
+hashes char n-grams per string (skrub/_minhash_encoder.py,
+_fast_hash.py); document-level near-dedup with banding is the
+standard LSH construction on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def _gram_rows(df: DataFrame, content_col: str, id_col: str, shingle_k: int):
+    sh = F.array_distinct(word_shingles(F.col(content_col), shingle_k))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("gram")
+    )
+
+
+def dedup_minhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    n_components: int = 64,
+    n_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, exact shingle-Jaccard >= threshold).
+    Columns: id_a, id_b, jaccard."""
+    rows_per_band = n_components // n_bands
+    grams = _gram_rows(df, content_col, id_col, shingle_k)
+
+    mins = grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        *[
+            F.min(F.xxhash64(F.col("gram"), F.lit(k))).alias(f"h{k}")
+            for k in range(n_components)
+        ],
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        )
+        for b in range(n_bands)
+    ]
+    banded = mins.select(
+        "id", "n_grams", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    bucket_ok = (
+        banded.groupBy("band_idx", "band_key")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .drop("count")
+    )
+    banded = banded.join(bucket_ok, on=["band_idx", "band_key"], how="left_semi")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verify: count co-occurring grams per candidate pair
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, on="id_a")
+        .join(gb, on=["id_b", "gram"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", **kwargs
+) -> DataFrame:
+    """Cluster near-dup pairs into groups (connected components) and
+    return id → canonical (min id in component)."""
+    from .components import connected_components
+
+    pairs = dedup_minhash_pairs(df, content_col, id_col, **kwargs)
+    return connected_components(pairs, "id_a", "id_b")

@@ -1,0 +1,72 @@
+"""Datetime feature expressions.
+
+Behavior parity: skrub/_datetime_encoder.py (DatetimeEncoder) —
+year/month/day/hour/minute/second resolution ladder, optional
+weekday / day_of_year / total_seconds, and circular (sin/cos)
+periodic encodings. All pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# resolution ladder (skrub: _TIME_LEVELS)
+RESOLUTIONS = ["year", "month", "day", "hour", "minute", "second"]
+
+_EXTRACTORS = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+}
+
+# (period, max count) for circular encodings — same granularities the
+# reference hardcodes (month 12, day 30, hour 24, weekday 7).
+_PERIODS = {"month": 12.0, "day": 30.4375, "hour": 24.0, "weekday": 7.0}
+
+
+def datetime_feature_columns(
+    col: Column | str,
+    prefix: str,
+    resolution: str = "hour",
+    add_weekday: bool = False,
+    add_day_of_year: bool = False,
+    add_total_seconds: bool = True,
+    periodic: str | None = None,  # None | "circular"
+) -> dict[str, Column]:
+    """Ordered {output_name: Column} of datetime features."""
+    c = F.col(col) if isinstance(col, str) else col
+    if resolution not in RESOLUTIONS:
+        raise ValueError(f"resolution must be one of {RESOLUTIONS}")
+    out: dict[str, Column] = {}
+    for level in RESOLUTIONS[: RESOLUTIONS.index(resolution) + 1]:
+        out[f"{prefix}_{level}"] = _EXTRACTORS[level](c).cast("int")
+    if add_weekday:
+        # ISO weekday 1=Monday..7=Sunday (matches pandas dayofweek+1)
+        out[f"{prefix}_weekday"] = F.dayofweek(F.date_add(c.cast("date"), -1)).cast(
+            "int"
+        )
+    if add_day_of_year:
+        out[f"{prefix}_day_of_year"] = F.dayofyear(c).cast("int")
+    if add_total_seconds:
+        out[f"{prefix}_total_seconds"] = F.unix_timestamp(c).cast("double")
+    if periodic == "circular":
+        two_pi = 2.0 * math.pi
+        for level, period in _PERIODS.items():
+            if level == "weekday":
+                if not add_weekday:
+                    continue
+                base = out[f"{prefix}_weekday"].cast("double")
+            elif f"{prefix}_{level}" in out:
+                base = out[f"{prefix}_{level}"].cast("double")
+            else:
+                continue
+            angle = base * (two_pi / period)
+            out[f"{prefix}_{level}_circular_0"] = F.sin(angle)
+            out[f"{prefix}_{level}_circular_1"] = F.cos(angle)
+    return out

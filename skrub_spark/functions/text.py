@@ -1,0 +1,153 @@
+"""Text-analysis column expressions — all JVM-side (no Python UDFs).
+
+Capability parity targets (reference, for behavior only):
+  - token/ngram machinery: skrub/_string_distances.py (get_ngrams,
+    get_unique_ngrams) — reimplemented as Catalyst expressions.
+  - text quality / language-id / fingerprinting are beyond-reference
+    LLM-pipeline operators (SURVEY.md §2).
+
+Everything returns a ``pyspark.sql.Column`` so callers compose these
+inside select/filter and whole-stage codegen fuses them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), _WS), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish subword-boundary tokens: splits on whitespace AND at
+    letter/digit/punctuation boundaries — a cheap proxy for byte-pair
+    tokenizer counts used for corpus token accounting."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Insert break before digit-runs and punctuation, then split.
+    marked = F.regexp_replace(c, r"([0-9]+|[^\sA-Za-z0-9]+)", r" $1 ")
+    return F.filter(F.split(F.trim(marked), _WS), lambda t: t != "")
+
+
+def char_ngrams(col: Column | str, n: int, lowercase: bool = True) -> Column:
+    """Character n-grams as array<string> — JVM-side via
+    sequence+transform+substring (no Python, codegen-friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    seq = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    grams = F.transform(seq, lambda i: F.substring(c, i, n))
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3, lowercase: bool = True) -> Column:
+    """k-word shingles (space-joined) as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    toks = tokens(c)
+    seq = F.sequence(F.lit(0), F.size(toks) - k)
+    shingle = F.transform(seq, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(F.size(toks) >= k, shingle).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def quality_columns(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features for an LLM-data pipeline:
+    length, token stats, alpha/digit/punct/space ratios, stopword
+    ratio, mean token length."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    space = F.length(F.regexp_replace(c, r"[^ \t\n]", ""))
+    punct = n_chars - alpha - digit - space
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda t: F.lower(t).isin(
+                "the", "a", "an", "and", "or", "of", "to", "in", "is", "it"
+            ),
+        )
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio": (alpha / nz).cast("double"),
+        "digit_ratio": (digit / nz).cast("double"),
+        "punct_ratio": (punct / nz).cast("double"),
+        "stopword_ratio": (
+            stop / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).cast("double"),
+        "mean_token_len": (
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).cast("double"),
+    }
+
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small: language ID at corpus scale is a
+# scoring pass, and each marker test is one JVM `array_contains`.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "los", "una"),
+    "zh": (),  # detected via CJK codepoint ratio below
+}
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoint ratio → 'zh'; otherwise the
+    language whose stopword markers appear most often; tie → 'en'."""
+    c = F.col(col) if isinstance(col, str) else col
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        score = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        scores.append((lang, score))
+    # argmax with deterministic tie-break by list order (en first)
+    best = F.lit("en")
+    best_score = F.lit(-1)
+    for lang, score in scores:
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(cjk * 4 > F.length(c), F.lit("zh")).otherwise(best)
+
+
+def rolling_fingerprint(
+    col: Column | str, k: int = 8, mod: int = (1 << 31) - 1
+) -> Column:
+    """Document fingerprint: polynomial rolling hash over k-word
+    shingle hashes, order-sensitive (Rabin-Karp style), as bigint.
+
+    fp = fold(acc * B + hash(shingle_i)) mod p with p = 2^31-1 so the
+    intermediate product stays well inside a 64-bit long under ANSI
+    arithmetic (acc < 2^31, B < 2^20 → product < 2^51).
+    """
+    sh = word_shingles(col, k)
+    B = F.lit(1000003)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(mod)))
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * B + h, F.lit(mod)),
+    ).cast("long")

@@ -1,0 +1,183 @@
+"""Fuzzy (nearest-match) joins.
+
+Behavior parity: skrub/_fuzzy_join.py + _joiner.py + _matching.py —
+every left row joins its single closest right-table match on string
+key columns; matches farther than ``max_dist`` (after optional
+rescaling by a reference distance) are rejected (null columns or
+dropped). The reference vectorizes strings and does an exact
+nearest-neighbor search in-memory; at 100 TB that is impossible, so
+this engine provides two physical strategies:
+
+- ``strategy="levenshtein"`` — exact argmin edit distance via a
+  broadcast cross join. Right side must be broadcastable (dims,
+  vocabularies — the common entity-resolution case). All JVM-side.
+- ``strategy="ngram_lsh"`` — MinHash-LSH banding on char n-grams
+  generates candidate pairs (band-key equi-join, shuffles only
+  candidates, never the full cross product); candidates are scored
+  by exact trigram Jaccard distance and the per-left-row argmin
+  wins. Scales to arbitrarily large right sides.
+
+Distance rescaling (``ref_dist``): "random_pairs" divides by the
+mean distance over a seeded sample of cross pairs (as in the
+reference); "no_rescaling" keeps raw units.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..base import SparkTransformer
+from ..functions.hashing import minhash_band_keys
+from ..functions.text import char_ngrams
+
+_LEFT_ID = "__skrub_left_id"
+_DIST = "skrub_Joiner_distance"
+_RESCALED = "skrub_Joiner_rescaled_distance"
+_ACCEPT = "skrub_Joiner_match_accepted"
+
+
+def _as_list(x):
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _pair_distance(left_cols, right_cols, strategy):
+    if strategy == "levenshtein":
+        d = None
+        for lc, rc in zip(left_cols, right_cols):
+            t = F.levenshtein(lc, rc).cast("double")
+            d = t if d is None else d + t
+        return d
+    # jaccard distance on char trigrams, summed over key columns
+    d = None
+    for lc, rc in zip(left_cols, right_cols):
+        lg = F.array_distinct(char_ngrams(lc, 3))
+        rg = F.array_distinct(char_ngrams(rc, 3))
+        inter = F.size(F.array_intersect(lg, rg)).cast("double")
+        union = F.size(F.array_union(lg, rg)).cast("double")
+        t = 1.0 - inter / F.greatest(union, F.lit(1.0))
+        d = t if d is None else d + t
+    return d
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on=None,
+    right_on=None,
+    on=None,
+    suffix: str = "",
+    max_dist: float = float("inf"),
+    ref_dist: str = "no_rescaling",
+    strategy: str = "levenshtein",
+    drop_unmatched: bool = False,
+    add_match_info: bool = False,
+    tiebreak_cols=None,
+    n_components: int = 24,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Join each left row to its closest right match. See module doc."""
+    if on is not None:
+        left_on = right_on = on
+    left_on, right_on = _as_list(left_on), _as_list(right_on)
+    if len(left_on) != len(right_on) or not left_on:
+        raise ValueError("provide `on` or same-length `left_on`/`right_on`")
+
+    right_renamed = right
+    for c in right.columns:
+        if c in left.columns:
+            right_renamed = right_renamed.withColumnRenamed(c, c + (suffix or "_right"))
+    r_on = [c + (suffix or "_right") if c in left.columns else c for c in right_on]
+
+    lid = F.monotonically_increasing_id()
+    left_t = left.withColumn(_LEFT_ID, lid)
+
+    l_cols = [F.col(c) for c in left_on]
+    r_cols = [F.col(c) for c in r_on]
+
+    if strategy == "levenshtein":
+        pairs = left_t.crossJoin(broadcast(right_renamed))
+    elif strategy == "ngram_lsh":
+        rows_per_band = max(1, n_components // n_bands)
+
+        def with_bands(df, cols, name):
+            grams = None
+            for c in cols:
+                g = F.array_distinct(char_ngrams(F.col(c), 3))
+                grams = g if grams is None else F.array_union(grams, g)
+            return df.withColumn(
+                name,
+                F.explode(minhash_band_keys(grams, n_bands, rows_per_band)),
+            )
+        lb = with_bands(left_t, left_on, "__band")
+        rb = with_bands(right_renamed, r_on, "__band")
+        pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
+            [_LEFT_ID] + r_on
+        )
+    else:
+        raise ValueError("strategy must be 'levenshtein' or 'ngram_lsh'")
+
+    dist_expr = _pair_distance(l_cols, r_cols, strategy)
+    pairs = pairs.withColumn(_DIST, dist_expr)
+
+    tiebreak = [F.col(c) for c in (tiebreak_cols or r_on)]
+    w = Window.partitionBy(_LEFT_ID).orderBy(F.col(_DIST).asc(), *tiebreak)
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    if ref_dist == "random_pairs":
+        ls = left.select(*left_on).orderBy(*left_on).limit(200)
+        rs = right.select(*right_on).orderBy(*right_on).limit(200)
+        rs2 = rs
+        for c in right_on:
+            if c in left.columns:
+                rs2 = rs2.withColumnRenamed(c, c + (suffix or "_right"))
+        sample_pairs = ls.crossJoin(broadcast(rs2)).limit(4000)
+        ref = sample_pairs.select(
+            F.avg(_pair_distance(l_cols, r_cols, strategy)).alias("m")
+        ).collect()[0]["m"] or 1.0
+    elif ref_dist == "no_rescaling":
+        ref = 1.0
+    else:
+        raise ValueError("ref_dist must be 'random_pairs' or 'no_rescaling'")
+
+    best = best.withColumn(_RESCALED, F.col(_DIST) / F.lit(float(ref)))
+    best = best.withColumn(_ACCEPT, F.col(_RESCALED) <= F.lit(float(max_dist)))
+
+    if drop_unmatched:
+        best = best.filter(F.col(_ACCEPT))
+    else:
+        # null out right columns for rejected matches (reference keeps row)
+        for c in right_renamed.columns:
+            best = best.withColumn(
+                c, F.when(F.col(_ACCEPT), F.col(c)).otherwise(F.lit(None))
+            )
+
+    # left rows with no candidate at all (lsh) -> keep with nulls
+    if strategy == "ngram_lsh" and not drop_unmatched:
+        best = left_t.join(best.drop(*[c for c in left.columns]), on=_LEFT_ID, how="left")
+
+    out = best.drop(_LEFT_ID)
+    if not add_match_info:
+        out = out.drop(_DIST, _RESCALED, _ACCEPT)
+    return out
+
+
+class Joiner(SparkTransformer):
+    """Transformer wrapper over :func:`fuzzy_join`
+    (reference: skrub/_joiner.py:80)."""
+
+    def __init__(self, aux_table: DataFrame, **kwargs):
+        self.aux_table = aux_table
+        self.kwargs = kwargs
+
+    def _fit(self, df: DataFrame, y=None):
+        pass
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return fuzzy_join(df, self.aux_table, **self.kwargs)

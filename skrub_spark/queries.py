@@ -1,0 +1,552 @@
+"""Driver-contract query battery: every entry exercises an operator
+from SURVEY.md §2 and has a DuckDB oracle in ``oracle_sql()``.
+
+Float-determinism conventions (Spark and DuckDB must produce
+hash-identical values):
+- All money/value columns in the test data are exact 2-decimal
+  values, so every float agg goes through DECIMAL(12,2) casts →
+  decimal arithmetic is exact and associative in both engines →
+  cast the final result to double. NO rounding of intermediate
+  values anywhere (round() differs between engines exactly at the
+  .5 boundaries that products of 2-decimal values often hit).
+- Averages → exact decimal sum cast to double, divided by count
+  (identical numerator/denominator → identical IEEE result).
+- Durations → integer microseconds (unix_micros / epoch_us).
+- timestamps → µs precision in both engines (Spark native; DuckDB
+  truncates the parquet ns timestamps to µs on read).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup.embedding import embedding_near_duplicates
+from .dedup.exact import dedup_exact
+from .dedup.jaccard import ngram_jaccard_pairs
+from .dedup.minhash import dedup_minhash_pairs
+from .dedup.simhash import dedup_simhash_pairs
+from .functions.datetime import datetime_feature_columns
+from .functions.text import language_id, quality_columns, tokens
+from .operators.agg_joiner import AggJoiner, MultiAggJoiner, aggregate_table
+from .operators.joiner import fuzzy_join
+from .operators.session_encoder import session_features
+from .similarity.topk import topk_cosine
+from .sources import load_table
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    # Driver may hand us a vanilla session; pin the confs correctness
+    # depends on (tz for datetime parts, ns-parquet reads).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _dec(col):
+    """Exact decimal view of a 2-decimal-valued double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+def _dsum(col, alias):
+    """Order-independent double sum: exact decimal addition, cast to
+    double at the end. ``col`` must already be decimal-typed."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------- queries
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (groupBy/agg core engine)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    cnt = F.count(F.lit(1))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + top-k (broadcast dim join)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_agg_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggJoiner: aggregate orders per customer, broadcast-join onto
+    customer (skrub AggJoiner parity)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec", _dec("o_totalprice")
+    )
+    joiner = AggJoiner(
+        orders,
+        operations=["count", "sum", "max"],
+        main_key="c_custkey",
+        aux_key="o_custkey",
+        cols=["o_totalprice", "o_totalprice_dec"],
+    )
+    out = joiner.fit(cust).transform(cust)
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_totalprice_count").alias("n_orders"),
+        (
+            F.col("o_totalprice_dec_sum").cast("double")
+            / F.col("o_totalprice_count")
+        ).alias("avg_order_price"),
+        F.col("o_totalprice_max").alias("max_order_price"),
+    )
+
+
+def q_multi_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiAggJoiner: two aux tables on different keys."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    supp = supp.withColumn("s_acctbal_dec", _dec("s_acctbal"))
+    mj = MultiAggJoiner(
+        [orders, supp],
+        operations=[["count"], ["count", "sum"]],
+        main_keys=["c_custkey", "c_nationkey"],
+        aux_keys=["o_custkey", "s_nationkey"],
+        cols=[["o_orderkey"], ["s_acctbal_dec"]],
+        suffixes=["_ord", "_sup"],
+    )
+    out = mj.fit(cust).transform(cust)
+    return out.select(
+        "c_custkey",
+        F.col("o_orderkey_count_ord").alias("n_orders"),
+        F.col("s_acctbal_dec_count_sup").alias("n_suppliers_in_nation"),
+        (
+            F.col("s_acctbal_dec_sum_sup").cast("double")
+            / F.col("s_acctbal_dec_count_sup")
+        ).alias("avg_supplier_acctbal"),
+    )
+
+
+def q_agg_target_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggTarget-style per-entity target aggregation over events."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    agg = aggregate_table(ev, ["user_id"], ["value"], ["count", "min", "max"], "")
+    extra = ev.groupBy("user_id").agg(
+        _dsum(_dec("value"), "value_sum"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+    )
+    return agg.join(extra, on="user_id").select(
+        "user_id",
+        F.col("value_count").alias("n_events"),
+        F.col("value_min").alias("value_min"),
+        F.col("value_max").alias("value_max"),
+        "value_sum",
+        "n_purchases",
+    )
+
+
+def q_datetime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatetimeEncoder features on orders.o_orderdate."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cols = datetime_feature_columns(
+        "o_orderdate",
+        "o_orderdate",
+        resolution="day",
+        add_weekday=True,
+        add_day_of_year=True,
+        add_total_seconds=True,
+    )
+    return orders.select("o_orderkey", *[v.alias(k) for k, v in cols.items()])
+
+
+def q_fuzzy_join_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join (levenshtein argmin, broadcast right side)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = fuzzy_join(
+        cust,
+        supp,
+        left_on="c_name",
+        right_on="s_name",
+        strategy="levenshtein",
+        add_match_info=True,
+        tiebreak_cols=["s_suppkey"],
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "s_suppkey",
+        "s_name",
+        F.col("skrub_Joiner_distance").cast("double").alias("dist"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents (hash groupBy)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("canonical_id", "n_duplicates")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            .cast("double")
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).alias("mean_token_len"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (alpha/digit/punct ratios, stopword ratio)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over documents."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return topk_cosine(emb, qv, k=10, round_digits=4)
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events (window functions)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from .operators.session_encoder import sessionize
+
+    s = sessionize(ev, "user_id", "ts", 30.0)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.sum(_dec("value")).cast("double").alias("value_sum"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs over documents."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", unit="word", n=3, threshold=0.2
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact mode for the oracle;
+    LSH mode is exercised in tests/bench)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "embedding", "vec_id", threshold=0.35, exact=True
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified.
+    (No SQL oracle: depends on xxhash64 banding; rows-only check.)"""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_minhash_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        n_components=64,
+        n_bands=16,
+        jaccard_threshold=0.2,
+    )
+
+
+def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs. (No SQL oracle; rows-only.)"""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------- oracles
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'MACHINERY'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "agg_join_customer_orders": """
+        SELECT c_custkey, c_mktsegment,
+          agg.n_orders,
+          agg.sum_dec / agg.n_orders AS avg_order_price,
+          agg.max_order_price
+        FROM customer
+        LEFT JOIN (
+          SELECT o_custkey, COUNT(o_totalprice) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec,
+                 MAX(o_totalprice) AS max_order_price
+          FROM orders GROUP BY o_custkey
+        ) agg ON c_custkey = agg.o_custkey
+    """,
+    "multi_agg_join": """
+        SELECT c_custkey, o.n_orders, s.n_suppliers_in_nation, s.avg_supplier_acctbal
+        FROM customer
+        LEFT JOIN (
+          SELECT o_custkey, COUNT(o_orderkey) AS n_orders FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o.o_custkey
+        LEFT JOIN (
+          SELECT s_nationkey, COUNT(s_acctbal) AS n_suppliers_in_nation,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(s_acctbal) AS avg_supplier_acctbal
+          FROM supplier GROUP BY s_nationkey
+        ) s ON c_nationkey = s.s_nationkey
+    """,
+    "agg_target_events": """
+        SELECT user_id, COUNT(value) AS n_events,
+          MIN(value) AS value_min, MAX(value) AS value_max,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        FROM events GROUP BY user_id
+    """,
+    "datetime_features": """
+        SELECT o_orderkey,
+          CAST(date_part('year', o_orderdate) AS INT) AS o_orderdate_year,
+          CAST(date_part('month', o_orderdate) AS INT) AS o_orderdate_month,
+          CAST(date_part('day', o_orderdate) AS INT) AS o_orderdate_day,
+          CAST(date_part('isodow', o_orderdate) AS INT) AS o_orderdate_weekday,
+          CAST(date_part('doy', o_orderdate) AS INT) AS o_orderdate_day_of_year,
+          CAST(epoch(o_orderdate) AS DOUBLE) AS o_orderdate_total_seconds
+        FROM orders
+    """,
+    "fuzzy_join_customer_supplier": """
+        SELECT c_custkey, c_name, s_suppkey, s_name, CAST(dist AS DOUBLE) AS dist
+        FROM (
+          SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name,
+                 levenshtein(c.c_name, s.s_name) AS dist,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY levenshtein(c.c_name, s.s_name) ASC, s.s_suppkey ASC
+                 ) AS rn
+          FROM customer c CROSS JOIN supplier s
+        ) WHERE rn = 1
+    """,
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_duplicates
+        FROM documents GROUP BY text
+    """,
+    "token_stats": """
+        WITH t AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS toks
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / GREATEST(len(toks), 1) AS mean_token_len
+        FROM t
+    """,
+    "quality_scores": """
+        WITH t AS (
+          SELECT doc_id, text, length(text) AS n,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / GREATEST(n, 1) AS alpha_ratio,
+          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / GREATEST(n, 1) AS digit_ratio,
+          CAST(len(list_filter(toks, t -> lower(t) IN
+               ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+            / GREATEST(len(toks), 1) AS stopword_ratio
+        FROM t
+    """,
+    "language_id": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_transform(
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''),
+                   x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text,
+            len(list_filter(toks, t -> t IN ('the','and','of','is','with'))) AS s_en,
+            len(list_filter(toks, t -> t IN ('der','die','und','nicht','ist'))) AS s_de,
+            len(list_filter(toks, t -> t IN ('le','la','et','les','est'))) AS s_fr,
+            len(list_filter(toks, t -> t IN ('el','la','que','los','una'))) AS s_es
+          FROM t
+        )
+        SELECT doc_id,
+          CASE
+            WHEN length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) * 4 > length(text) THEN 'zh'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es'
+          END AS lang_pred
+        FROM s
+    """,
+    "similarity_topk": """
+        SELECT vec_id,
+          ROUND(list_cosine_similarity(
+            CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+          ), 4) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "session_stats": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM s GROUP BY user_id, session_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN generate_series(1, len(toks) - 2)]
+                   ELSE [] END) AS grams
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(grams) AS ng, unnest(grams) AS g FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                 COUNT(*) AS n_inter
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+          ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard
+        FROM inter
+        WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.2
+    """,
+    "embedding_dedup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "agg_join_customer_orders": q_agg_join_customer_orders,
+        "multi_agg_join": q_multi_agg_join,
+        "agg_target_events": q_agg_target_events,
+        "datetime_features": q_datetime_features,
+        "fuzzy_join_customer_supplier": q_fuzzy_join_customer_supplier,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "similarity_topk": q_similarity_topk,
+        "session_stats": q_session_stats,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_dedup_pairs": q_simhash_dedup_pairs,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

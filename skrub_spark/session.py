@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the skrub_spark engine.
+
+Defaults are chosen for scale-out behavior (AQE, skew handling,
+Arrow transfers) while remaining correct on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local test harness; on a real cluster the
+# caller overrides shuffle partitions to ~2-3x total cores.
+_DEFAULTS = {
+    # AQE: runtime partition coalescing + skew-join splitting are the
+    # single biggest win at 100 TB where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any Pandas-UDF path (the slow path, but when used it
+    # must be batched, never row-at-a-time).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep broadcast autodetection on; dims in this schema are small.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # pandas-written parquet may carry TIMESTAMP(NANOS); Spark has no
+    # ns timestamp type, so read as long and convert in load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_session(
+    app_name: str = "skrub_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark

@@ -1,0 +1,164 @@
+"""Tests for joins, sessionization, dedup operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skrub_spark.dedup.components import connected_components
+from skrub_spark.dedup.exact import dedup_exact, drop_exact_duplicates
+from skrub_spark.dedup.jaccard import ngram_jaccard_pairs
+from skrub_spark.dedup.minhash import dedup_minhash_pairs
+from skrub_spark.dedup.simhash import dedup_simhash_pairs
+from skrub_spark.dedup.strings import deduplicate_strings
+from skrub_spark.operators.agg_joiner import AggJoiner, AggTarget
+from skrub_spark.operators.joiner import fuzzy_join
+from skrub_spark.operators.session_encoder import SessionEncoder, sessionize
+from skrub_spark.similarity.topk import topk_cosine, topk_cosine_lsh
+
+
+def test_agg_joiner(spark):
+    main = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    aux = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k int, x double"
+    )
+    out = AggJoiner(
+        aux, operations=["count", "sum"], key="k"
+    ).fit_transform(main)
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["x_count"] == 2 and rows[1]["x_sum"] == 30.0
+    assert rows[2]["x_count"] == 1
+    assert rows[3]["x_count"] is None  # left join keeps unmatched
+
+
+def test_agg_target(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (2, 6.0)], "k int, y double"
+    )
+    out = AggTarget("k", ["mean"], "y").fit_transform(df)
+    rows = out.collect()
+    assert len(rows) == 3
+    by_k = {(r["k"], r["y"]): r["y_mean_target"] for r in rows}
+    assert by_k[(1, 2.0)] == 3.0
+
+
+def test_fuzzy_join_levenshtein(spark):
+    left = spark.createDataFrame(
+        [(1, "appel"), (2, "oranje"), (3, "banana")], "id int, fruit string"
+    )
+    right = spark.createDataFrame(
+        [(10, "apple"), (20, "orange"), (30, "kiwi")], "rid int, name string"
+    )
+    out = fuzzy_join(
+        left, right, left_on="fruit", right_on="name",
+        add_match_info=True, tiebreak_cols=["rid"],
+    ).collect()
+    match = {r["id"]: r["name"] for r in out}
+    # banana is levenshtein-5 from both candidates; rid tiebreak -> apple
+    assert match == {1: "apple", 2: "orange", 3: "apple"}
+    # max_dist rejects far matches
+    out2 = fuzzy_join(
+        left, right, left_on="fruit", right_on="name",
+        max_dist=2.0, tiebreak_cols=["rid"],
+    ).collect()
+    match2 = {r["id"]: r["name"] for r in out2}
+    assert match2[1] == "apple" and match2[3] is None
+
+
+def test_fuzzy_join_lsh(spark):
+    left = spark.createDataFrame(
+        [(1, "the blue whale swims"), (2, "red foxes run fast")], "id int, t string"
+    )
+    right = spark.createDataFrame(
+        [(10, "the blue whale swim"), (20, "red foxes run quick")],
+        "rid int, name string",
+    )
+    out = fuzzy_join(
+        left, right, left_on="t", right_on="name", strategy="ngram_lsh",
+        tiebreak_cols=["rid"],
+    ).collect()
+    match = {r["id"]: r["rid"] for r in out}
+    assert match == {1: 10, 2: 20}
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 01:10:00", 3.0),  # gap > 30min -> new session
+            (2, "2024-01-01 00:00:00", 4.0),
+        ],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, gap_minutes=30.0).collect()
+    sess = {(r["user_id"], str(r["ts"])): r["session_id"] for r in out}
+    assert sess[(1, "2024-01-01 00:00:00")] == 1
+    assert sess[(1, "2024-01-01 00:10:00")] == 1
+    assert sess[(1, "2024-01-01 01:10:00")] == 2
+    assert sess[(2, "2024-01-01 00:00:00")] == 1
+
+    enc = SessionEncoder().fit_transform(df)
+    r = {x["user_id"]: x for x in enc.collect()}
+    assert r[1]["n_sessions"] == 2 and r[1]["n_events"] == 3
+    assert r[2]["n_sessions"] == 1
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id int, text string"
+    )
+    out = dedup_exact(df).collect()
+    assert {(r["canonical_id"], r["n_duplicates"]) for r in out} == {(1, 2), (3, 1)}
+    kept = drop_exact_duplicates(df).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {1, 3}
+
+
+def test_minhash_and_jaccard_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    other = "completely different text about spark engines and data pipelines ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id int, text string"
+    )
+    mh = dedup_minhash_pairs(
+        df, n_components=32, n_bands=16, jaccard_threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in mh] == [(1, 2)]
+    jc = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in jc] == [(1, 2)]
+    sh = dedup_simhash_pairs(df, max_hamming=10).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in sh}
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    out = connected_components(pairs)
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_deduplicate_strings(spark):
+    df = spark.createDataFrame(
+        [("london",), ("london",), ("londonn",), ("paris",)], "city string"
+    )
+    out = deduplicate_strings(df, "city", similarity_threshold=0.5)
+    vals = {r["city"]: r["city_dedup"] for r in out.collect()}
+    assert vals["london"] == "london"
+    assert vals["londonn"] == "london"  # maps to most frequent neighbor
+    assert vals["paris"] == "paris"
+
+
+def test_topk_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = topk_cosine(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    # lsh variant returns a subset ranked the same way
+    out2 = topk_cosine_lsh(df, [1.0, 0.0], k=2, n_planes=2, n_tables=4)
+    ids = [r["vec_id"] for r in out2.collect()]
+    assert 1 in ids
