@@ -12,7 +12,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import dot_product
 
 
 def _hyperplane_bucket(vec_col, planes: np.ndarray):
@@ -53,10 +53,34 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine similarity >= threshold.
     Columns: id_a, id_b, cosine."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from ..functions.vector import l2_norm
+
+    # Precompute the norm per row BEFORE the pair join: the cosine of
+    # a pair then needs a single fold (the dot product) instead of
+    # re-deriving both norms per candidate pair.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
     if exact:
-        banded = base.withColumn("bucket_idx", F.lit(0)).withColumn(
-            "bucket", F.lit(0).cast("long")
+        # broadcast nested-loop cross join keeps every partition of the
+        # left side busy (a constant-key equi-join would funnel all
+        # pairs through a single reducer).
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
+        cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 8))
+            .crossJoin(F.broadcast(b))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
         )
     else:
         if dim is None:
@@ -70,13 +94,26 @@ def embedding_near_duplicates(
         banded = base.select(
             "id", "v", F.posexplode(F.array(*buckets)).alias("bucket_idx", "bucket")
         )
-    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket_idx", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket_idx", "bucket")
+    a = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket_idx",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket_idx",
+        "bucket",
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, on=["bucket_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

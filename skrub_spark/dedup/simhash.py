@@ -1,10 +1,16 @@
 """SimHash near-duplicate detection (SURVEY.md §2).
 
-64-bit simhash per document (pure JVM expression), then candidate
-generation by banding the fingerprint into b chunks — two documents
-within hamming distance (b-1) share at least one identical chunk
-(pigeonhole), so an equi-join on (chunk_idx, chunk_value) finds all
-such pairs without an O(n²) comparison.
+64-bit simhash per document, then candidate generation by banding
+the fingerprint into b chunks — two documents within hamming
+distance (b-1) share at least one identical chunk (pigeonhole), so
+an equi-join on (chunk_idx, chunk_value) finds all such pairs
+without an O(n²) comparison.
+
+Physical plan for the fingerprint: explode shingles → one groupBy
+with 64 plain ``sum(case getbit)`` aggregates → pack the sign bits.
+Flat expressions keep whole-stage codegen happy; the nested
+higher-order-function formulation (functions.hashing.simhash64)
+exists for single-expression use on short strings.
 """
 
 from __future__ import annotations
@@ -12,7 +18,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hamming64, simhash64
+from ..functions.hashing import hamming64
+from ..functions.text import word_shingles
+
+
+def simhash_table(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, simhash) via the flat explode/aggregate plan."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(content_col), shingle_k)).alias("gram"),
+    ).withColumn("h", F.xxhash64("gram"))
+    bit_sums = grams.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        packed = packed + F.when(
+            F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", packed.alias("simhash"))
 
 
 def dedup_simhash_pairs(
@@ -27,8 +64,7 @@ def dedup_simhash_pairs(
     """Pairs (id_a < id_b) with simhash hamming distance <= max_hamming.
     Exact for max_hamming <= n_chunks - 1."""
     bits_per_chunk = 64 // n_chunks
-    sim = simhash64(F.col(content_col), unit="word", shingle_k=shingle_k)
-    base = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    base = simhash_table(df, content_col, id_col, shingle_k)
     chunks = base.select(
         "id",
         "simhash",

@@ -24,7 +24,7 @@ reference); "no_rescaling" keeps raw units.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -122,12 +122,27 @@ def fuzzy_join(
     dist_expr = _pair_distance(l_cols, r_cols, strategy)
     pairs = pairs.withColumn(_DIST, dist_expr)
 
-    tiebreak = [F.col(c) for c in (tiebreak_cols or r_on)]
-    w = Window.partitionBy(_LEFT_ID).orderBy(F.col(_DIST).asc(), *tiebreak)
-    best = (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # Argmin via min(struct(dist, tiebreak…, payload…)) instead of a
+    # row_number window: structs compare lexicographically, and a
+    # hash aggregate gets map-side partial aggregation — per-partition
+    # the candidate set collapses to one row per left row before the
+    # shuffle, where a window would sort-shuffle every candidate pair.
+    tiebreak = [c for c in (tiebreak_cols or r_on)]
+    right_out = [c for c in right_renamed.columns]
+    struct_fields = (
+        [F.col(_DIST).alias("__d")]
+        + [F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)]
+        + [F.col(c).alias(c) for c in right_out]
+    )
+    agg_cols = [F.min(F.struct(*struct_fields)).alias("__best")] + [
+        F.first(c).alias(c) for c in left.columns
+    ]
+    best = pairs.groupBy(_LEFT_ID).agg(*agg_cols)
+    best = best.select(
+        _LEFT_ID,
+        *left.columns,
+        *[F.col(f"__best.{c}").alias(c) for c in right_out],
+        F.col(f"__best.__d").alias(_DIST),
     )
 
     if ref_dist == "random_pairs":
