@@ -3,14 +3,39 @@ encoding / joining capabilities of skrub, plus LLM-scale pipeline
 operators (dedup, similarity search, text analysis, multimodal
 plumbing). See SURVEY.md for the full inventory."""
 
-from .session import get_session  # noqa: F401
+from . import selectors  # noqa: F401
 from .base import SparkTransformer  # noqa: F401
+from .encoders import (  # noqa: F401
+    CleanNullStrings,
+    DatetimeEncoder,
+    DurationToFloat,
+    GapEncoder,
+    MinHashEncoder,
+    SimilarityEncoder,
+    SquashingScaler,
+    StringEncoder,
+    TextEncoder,
+    ToCategorical,
+    ToDatetime,
+    ToFloat,
+    ToStr,
+    to_datetime,
+)
 from .operators.agg_joiner import AggJoiner, AggTarget, MultiAggJoiner  # noqa: F401
+from .operators.cleaner import Cleaner, DropSimilar, DropUninformative  # noqa: F401
 from .operators.joiner import Joiner, fuzzy_join  # noqa: F401
+from .operators.select_cols import (  # noqa: F401
+    ApplyToCols,
+    Drop,
+    DropCols,
+    SelectCols,
+)
 from .operators.session_encoder import (  # noqa: F401
     SessionEncoder,
     session_features,
     sessionize,
 )
+from .session import get_session  # noqa: F401
+from .table_vectorizer import TableVectorizer, tabular_pipeline  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,142 @@
+"""Dtype coercion transformers.
+
+Behavior parity: skrub/_to_datetime.py, _to_float.py, _to_str.py,
+_to_categorical.py, _duration_to_float.py, _clean_null_strings.py.
+All are pure column expressions (try_* casts return null on failure,
+matching skrub's errors='coerce' semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..base import SparkTransformer
+
+# strings skrub treats as missing (skrub/_clean_null_strings.py)
+NULL_STRINGS = ("", "nan", "null", "none", "n/a", "na", "nat", "#n/a", "-", "?")
+
+
+def clean_null_string_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.lower(F.trim(c)).isin(*NULL_STRINGS), F.lit(None)).otherwise(c)
+
+
+# common datetime formats tried in order (skrub/_to_datetime.py guesses
+# a format from a sample; here each format is one try_to_timestamp and
+# coalesce picks the first that parses — still a single projection)
+_DT_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "dd/MM/yyyy",
+    "MM/dd/yyyy",
+    "yyyyMMdd",
+)
+
+
+def to_datetime_col(col: Column | str, fmt: str | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    if fmt is not None:
+        return F.try_to_timestamp(c, F.lit(fmt))
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in _DT_FORMATS])
+
+
+class _SingleColumnCast(SparkTransformer):
+    def __init__(self, cols=None):
+        self.cols = [cols] if isinstance(cols, str) else cols
+
+    def _fit(self, df: DataFrame, y=None):
+        self._cols = self.cols or self._default_cols(df)
+
+    def _default_cols(self, df: DataFrame):
+        return df.columns
+
+    def _expr(self, col: str) -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                self._expr(c).alias(c) if c in self._cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+
+class ToFloat(_SingleColumnCast):
+    """Parse to double; unparseable -> null (skrub ToFloat)."""
+
+    def _expr(self, col):
+        return F.col(col).try_cast("double")
+
+
+class ToStr(_SingleColumnCast):
+    def _expr(self, col):
+        return F.col(col).cast("string")
+
+
+class ToDatetime(_SingleColumnCast):
+    def __init__(self, cols=None, format: str | None = None):
+        super().__init__(cols)
+        self.format = format
+
+    def _expr(self, col):
+        return to_datetime_col(col, self.format)
+
+
+def to_datetime(df: DataFrame, cols=None, format: str | None = None) -> DataFrame:
+    """Functional form (skrub.to_datetime)."""
+    return ToDatetime(cols, format).fit_transform(df)
+
+
+class ToCategorical(SparkTransformer):
+    """Map a string column to dense integer codes; fit collects the
+    (assumed low-cardinality) category list via distinct()."""
+
+    def __init__(self, col: str, out_col: str | None = None):
+        self.col = col
+        self.out_col = out_col or f"{col}_cat"
+
+    def _fit(self, df: DataFrame, y=None):
+        vals = [
+            r[0]
+            for r in df.select(self.col).distinct().orderBy(self.col).collect()
+            if r[0] is not None
+        ]
+        self._categories = vals
+        self._mapping = {v: i for i, v in enumerate(vals)}
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        expr = F.lit(None).cast("int")
+        # build a chained CASE; for big vocabularies use a broadcast join
+        if len(self._categories) > 100:
+            spark = df.sparkSession
+            mapping = spark.createDataFrame(
+                [(v, i) for v, i in self._mapping.items()],
+                f"{self.col} string, {self.out_col} int",
+            )
+            return df.join(F.broadcast(mapping), on=self.col, how="left")
+        for v, i in self._mapping.items():
+            expr = F.when(F.col(self.col) == v, F.lit(i)).otherwise(expr)
+        return df.withColumn(self.out_col, expr)
+
+
+class DurationToFloat(_SingleColumnCast):
+    """Day-time interval -> float seconds (skrub DurationToFloat uses
+    seconds for polars/pandas durations)."""
+
+    def _expr(self, col):
+        # day-time interval casts to its length in microseconds
+        micros = F.col(col).cast("interval day to second").cast("bigint")
+        return micros.cast("double") / F.lit(1_000_000.0)
+
+
+class CleanNullStrings(_SingleColumnCast):
+    """Replace null-meaning strings with real nulls."""
+
+    def _default_cols(self, df: DataFrame):
+        return [c for c, t in df.dtypes if t == "string"]
+
+    def _expr(self, col):
+        return clean_null_string_col(col)

@@ -1,0 +1,80 @@
+"""SimilarityEncoder — parity with skrub/_similarity_encoder.py.
+
+A continuous generalization of one-hot: each output dimension is the
+n-gram string similarity between the value and one vocabulary entry
+(the fitted unique values, like OneHotEncoder categories). The
+reference uses an ngram-count kernel; here the kernel is distinct
+char-3-gram Jaccard (documented divergence — same ordering behavior,
+cheaper to evaluate as a pure expression).
+
+Scale shape: the vocabulary is collected once at fit (it must be
+small, as with one-hot) and compiled into the transform expression —
+no join, no shuffle, vocabulary broadcast inside the plan."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..base import SparkTransformer
+from ..functions.text import char_ngrams
+
+
+def _safe(name: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z_]", "_", name)
+
+
+class SimilarityEncoder(SparkTransformer):
+    def __init__(
+        self,
+        col: str,
+        ngram: int = 3,
+        max_categories: int = 100,
+        drop_original: bool = True,
+    ):
+        self.col = col
+        self.ngram = ngram
+        self.max_categories = max_categories
+        self.drop_original = drop_original
+
+    def _fit(self, df: DataFrame, y=None):
+        vals = [
+            r[0]
+            for r in df.select(self.col)
+            .distinct()
+            .orderBy(self.col)
+            .limit(self.max_categories + 1)
+            .collect()
+            if r[0] is not None
+        ]
+        if len(vals) > self.max_categories:
+            raise ValueError(
+                f"column {self.col!r} has more than {self.max_categories} "
+                "categories; use MinHashEncoder/StringEncoder for "
+                "high-cardinality columns"
+            )
+        self._vocabulary = vals
+
+    def get_feature_names_out(self):
+        return [f"{self.col}_{_safe(v)}" for v in self._vocabulary]
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        grams = F.array_distinct(char_ngrams(F.col(self.col), self.ngram))
+        out = df.withColumn("__g", grams)
+        feats = []
+        for v in self._vocabulary:
+            vg = sorted(
+                {v.lower()[i : i + self.ngram] for i in range(len(v) - self.ngram + 1)}
+            )
+            vg_lit = F.array(*[F.lit(g) for g in vg]) if vg else F.array().cast(
+                "array<string>"
+            )
+            inter = F.size(F.array_intersect(F.col("__g"), vg_lit)).cast("double")
+            union = F.size(F.array_union(F.col("__g"), vg_lit)).cast("double")
+            sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            # exact match always 1.0 (jaccard of identical sets is 1)
+            feats.append(sim.alias(f"{self.col}_{_safe(v)}"))
+        keep = [c for c in df.columns if not (self.drop_original and c == self.col)]
+        return out.select(*keep, *feats)

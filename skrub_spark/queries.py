@@ -35,6 +35,9 @@ from .operators.joiner import fuzzy_join
 from .operators.session_encoder import session_features
 from .similarity.topk import topk_cosine
 from .sources import load_table
+from .encoders.squashing_scaler import SquashingScaler
+from .operators.session_encoder import SessionEncoder
+from .table_vectorizer import TableVectorizer
 
 
 def _prep(spark: SparkSession) -> SparkSession:
@@ -324,6 +327,70 @@ def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_squashing_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SquashingScaler on customer.c_acctbal (robust scale + soft clip)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    sc = SquashingScaler(cols=["c_acctbal"]).fit(cust)
+    return sc.transform(cust).select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal_scaled")
+    )
+
+
+def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableVectorizer low-cardinality one-hot path on customer."""
+    _prep(spark)
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tv = TableVectorizer(cardinality_threshold=10)
+    return tv.fit(base).transform(base)
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropUninformative/TableReport fit statistics: one distributed
+    agg pass -> per-column (nulls, exact distinct) for customer."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    aggs = []
+    for c in cust.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+    row = cust.agg(*aggs).first()
+    data = [
+        (c, int(row[f"{c}__nulls"]), int(row[f"{c}__dist"])) for c in cust.columns
+    ]
+    return spark.createDataFrame(
+        data, "column_name string, n_nulls bigint, n_distinct bigint"
+    )
+
+
+def q_session_encoder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SessionEncoder per-user rollup (sessionize -> two-level agg)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn("value", _dec("value"))
+    enc = SessionEncoder(gap_minutes=30.0).fit(ev)
+    out = enc.transform(ev)
+    return out.select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        F.col("events_per_session").alias("events_per_session"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props -> per-event-type stats."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n"),
+        F.sum(k).alias("k_sum"),
+        (F.sum(k).cast("double") / F.count(k)).alias("k_mean"),
+        F.max(k).alias("k_max"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -523,7 +590,78 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35
     """,
+    "squashing_scaler": """
+        WITH q AS (
+          SELECT quantile_cont(c_acctbal, 0.25) AS lo,
+                 quantile_cont(c_acctbal, 0.5) AS med,
+                 quantile_cont(c_acctbal, 0.75) AS hi
+          FROM customer
+        ), z AS (
+          SELECT c_custkey,
+                 (1.0 / (q.hi - q.lo)) * (c_acctbal - q.med) AS z
+          FROM customer, q
+        )
+        SELECT c_custkey, z / sqrt(1.0 + (z / 3.0) * (z / 3.0)) AS acctbal_scaled
+        FROM z
+    """,
+    "one_hot_mktsegment": """
+        SELECT c_custkey,
+          CAST(c_mktsegment = 'AUTOMOBILE' AS DOUBLE) AS c_mktsegment_AUTOMOBILE,
+          CAST(c_mktsegment = 'BUILDING' AS DOUBLE) AS c_mktsegment_BUILDING,
+          CAST(c_mktsegment = 'FURNITURE' AS DOUBLE) AS c_mktsegment_FURNITURE,
+          CAST(c_mktsegment = 'HOUSEHOLD' AS DOUBLE) AS c_mktsegment_HOUSEHOLD,
+          CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
+        FROM customer
+    """,
+    "table_stats": """
+        SELECT 'c_custkey' AS column_name,
+               COUNT(*) - COUNT(c_custkey) AS n_nulls,
+               COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+        UNION ALL
+        SELECT 'c_name', COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', COUNT(*) - COUNT(c_acctbal), COUNT(DISTINCT c_acctbal) FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+    """,
+    "session_encoder_features": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o
+        ), per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS value_sum
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+          COUNT(*) AS n_sessions,
+          SUM(n_events) AS n_events,
+          CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
+          CAST(SUM(value_sum) AS DOUBLE) AS value_sum
+        FROM per_session GROUP BY user_id
+    """,
+    "json_props": """
+        SELECT event_type,
+          COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
+          SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+            / COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS k_mean,
+          MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+        FROM events GROUP BY event_type
+    """,
 }
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -545,6 +683,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
+        "squashing_scaler": q_squashing_scaler,
+        "one_hot_mktsegment": q_one_hot_mktsegment,
+        "table_stats": q_table_stats,
+        "session_encoder_features": q_session_encoder_features,
+        "json_props": q_json_props,
     }
 
 

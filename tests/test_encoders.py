@@ -1,0 +1,159 @@
+"""Tests for the encoder suite."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from skrub_spark import (
+    Cleaner,
+    DatetimeEncoder,
+    DropSimilar,
+    DropUninformative,
+    GapEncoder,
+    MinHashEncoder,
+    SimilarityEncoder,
+    SquashingScaler,
+    StringEncoder,
+    TextEncoder,
+    ToCategorical,
+    ToDatetime,
+    ToFloat,
+    to_datetime,
+)
+
+
+def test_to_float(spark):
+    df = spark.createDataFrame([("1.5",), ("x",), (None,)], "v string")
+    out = ToFloat("v").fit_transform(df).collect()
+    assert [r["v"] for r in out] == [1.5, None, None]
+
+
+def test_to_datetime(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02",), ("2024-01-02 10:11:12",), ("02/03/2024",), ("junk",)],
+        "d string",
+    )
+    out = to_datetime(df, "d").collect()
+    vals = [r["d"] for r in out]
+    assert vals[0].year == 2024 and vals[0].day == 2
+    assert vals[1].hour == 10
+    assert vals[2].month == 3 and vals[2].day == 2  # dd/MM/yyyy wins
+    assert vals[3] is None
+
+
+def test_to_categorical(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",)], "v string")
+    out = ToCategorical("v").fit_transform(df).collect()
+    m = {r["v"]: r["v_cat"] for r in out}
+    assert m == {"a": 0, "b": 1}
+
+
+def test_datetime_encoder(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-06-15 08:30:00")], "id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    enc = DatetimeEncoder(resolution="hour", add_weekday=True)
+    out = enc.fit_transform(df)
+    r = out.first()
+    assert "ts" not in out.columns
+    assert r["ts_year"] == 2024 and r["ts_hour"] == 8 and r["ts_weekday"] == 6
+    assert set(enc.get_feature_names_out()) <= set(out.columns)
+
+
+def test_minhash_encoder(spark):
+    df = spark.createDataFrame(
+        [(1, "london"), (2, "londonn"), (3, "tokyo")], "id int, city string"
+    )
+    out = MinHashEncoder("city", n_components=8).fit_transform(df)
+    rows = {r["id"]: [r[f"city_{i}"] for i in range(8)] for r in out.collect()}
+    shared12 = sum(a == b for a, b in zip(rows[1], rows[2]))
+    shared13 = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert shared12 > shared13
+
+
+def test_similarity_encoder(spark):
+    df = spark.createDataFrame([("london",), ("paris",)], "city string")
+    enc = SimilarityEncoder("city")
+    out = enc.fit_transform(df)
+    r = {row["city_london"]: row for row in out.collect()}
+    assert 1.0 in r  # exact match similarity 1
+    assert enc.get_feature_names_out() == ["city_london", "city_paris"]
+
+
+def test_squashing_scaler(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (100.0,)], "x double"
+    )
+    out = SquashingScaler("x", max_absolute_value=3.0).fit_transform(df)
+    vals = [r["x"] for r in out.collect()]
+    assert all(abs(v) <= 3.0 for v in vals)
+    assert vals[-1] > vals[0]  # monotone
+
+
+def test_string_encoder(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["apple pie", "apple tart", "steel beam", "steel rod"] * 3)],
+        "id int, t string",
+    )
+    enc = StringEncoder("t", n_components=2, hash_dim=64)
+    out = enc.fit_transform(df)
+    rows = {r["id"]: (r["t_0"], r["t_1"]) for r in out.collect()}
+
+    def dist(a, b):
+        return math.dist(rows[a], rows[b])
+
+    assert dist(0, 1) < dist(0, 2)  # apple* closer than steel*
+
+
+def test_gap_encoder(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["police nyc", "police london", "firefighter nyc", "firefighter la"] * 2)],
+        "id int, t string",
+    )
+    enc = GapEncoder("t", n_components=2, hash_dim=128)
+    out = enc.fit_transform(df)
+    assert len(out.columns) == 3  # id + 2 topics
+    assert out.count() == 8
+
+
+def test_text_encoder_stub(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "hello"), (3, "bye")], "id int, t string")
+    out = TextEncoder("t", n_components=4).fit_transform(df)
+    rows = {r["id"]: [r[f"t_{i}"] for i in range(4)] for r in out.collect()}
+    assert rows[1] == rows[2]  # deterministic
+    assert rows[1] != rows[3]
+
+
+def test_cleaner(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", "1.5", "N/A", "const"),
+            ("2024-02-01", "2.5", "x", "const"),
+        ],
+        "d string, num string, mixed string, c string",
+    )
+    out = Cleaner().fit_transform(df)
+    assert "c" not in out.columns  # constant dropped
+    dt = dict(out.dtypes)
+    assert dt["d"].startswith("timestamp")
+    assert dt["num"] == "double"
+    rows = out.orderBy("num").collect()
+    assert rows[0]["mixed"] is None  # N/A -> null
+
+
+def test_drop_uninformative(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a")], "x int, allnull int, const string"
+    )
+    out = DropUninformative().fit_transform(df)
+    assert out.columns == ["x"]
+
+
+def test_drop_similar(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")], "x int, x_copy int, s string"
+    )
+    out = DropSimilar().fit_transform(df)
+    assert out.columns == ["x", "s"]
