@@ -22,6 +22,27 @@ from .encoders import (  # noqa: F401
     to_datetime,
 )
 from .operators.agg_joiner import AggJoiner, AggTarget, MultiAggJoiner  # noqa: F401
+from .operators.interpolation_joiner import (  # noqa: F401
+    InterpolationJoiner,
+    interpolation_join,
+)
+from .plans import (  # noqa: F401
+    DataOp,
+    ParamSearch,
+    SkrubLearner,
+    X,
+    as_data_op,
+    choose_bool,
+    choose_float,
+    choose_from,
+    choose_int,
+    cross_validate,
+    deferred,
+    optional,
+    var,
+    y,
+)
+from .report import TableReport, column_associations  # noqa: F401
 from .operators.cleaner import Cleaner, DropSimilar, DropUninformative  # noqa: F401
 from .operators.joiner import Joiner, fuzzy_join  # noqa: F401
 from .operators.select_cols import (  # noqa: F401

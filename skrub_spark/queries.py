@@ -38,6 +38,8 @@ from .sources import load_table
 from .encoders.squashing_scaler import SquashingScaler
 from .operators.session_encoder import SessionEncoder
 from .table_vectorizer import TableVectorizer
+from .operators.interpolation_joiner import interpolation_join
+from .streaming.ops import session_window_features
 
 
 def _prep(spark: SparkSession) -> SparkSession:
@@ -391,6 +393,49 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolationJoiner: predict a supplier-acctbal value at each
+    customer's nation key as the mean of the k=3 nearest suppliers."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = interpolation_join(
+        cust,
+        supp,
+        main_key="c_nationkey",
+        aux_key="s_nationkey",
+        targets=["s_acctbal"],
+        k=3,
+        tiebreak="s_suppkey",
+        suffix="_pred",
+    )
+    return out.select(
+        "c_custkey", "c_nationkey", F.round("s_acctbal_pred", 4).alias("acctbal_pred")
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark session windows (streaming-capable sessionizer)
+    on the events table — same semantics as the lag/cumsum variant."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_features(ev, gap="30 minutes").select(
+        "user_id", "session_start", "n_events", "duration_us"
+    )
+
+
+def q_column_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V over customer columns. (No SQL oracle:
+    driver-side chi2 assembly; rows-only check + pytest coverage.)"""
+    _prep(spark)
+    from .report.associations import column_associations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    return column_associations(cust)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -660,7 +705,42 @@ ORACLES: dict[str, str] = {
           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
         FROM events GROUP BY event_type
     """,
+    "interpolation_join": """
+        WITH ranked AS (
+          SELECT c.c_custkey, c.c_nationkey, s.s_acctbal,
+            ROW_NUMBER() OVER (
+              PARTITION BY c.c_custkey
+              ORDER BY (CAST(c.c_nationkey AS DOUBLE) - CAST(s.s_nationkey AS DOUBLE))
+                     * (CAST(c.c_nationkey AS DOUBLE) - CAST(s.s_nationkey AS DOUBLE)) ASC,
+                     s.s_suppkey ASC
+            ) AS rnk
+          FROM customer c CROSS JOIN supplier s
+        )
+        SELECT c_custkey, c_nationkey,
+               ROUND(AVG(s_acctbal), 4) AS acctbal_pred
+        FROM ranked WHERE rnk <= 3
+        GROUP BY c_custkey, c_nationkey
+    """,
+    "session_windows": """
+        WITH o AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        FROM s GROUP BY user_id, session_id
+    """,
 }
+
 
 
 
@@ -688,6 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": q_table_stats,
         "session_encoder_features": q_session_encoder_features,
         "json_props": q_json_props,
+        "interpolation_join": q_interpolation_join,
+        "session_windows": q_session_windows,
+        "column_associations": q_column_associations,
     }
 
 

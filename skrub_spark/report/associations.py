@@ -1,0 +1,88 @@
+"""column_associations — parity with skrub/_column_associations.py.
+
+Pairwise Cramér's V over all column pairs: numerics are discretized
+into up to 10 equal-width bins (one min/max pass), then each pair's
+contingency table is a small groupBy (≤ 10×10 cells collected).
+Returns a DataFrame (left_column_name, right_column_name, cramer_v)
+sorted descending, like the reference."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"double", "float", "int", "bigint", "smallint", "tinyint"}
+
+
+def _binned(df: DataFrame, n_bins: int) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    num_cols = [c for c, t in dtypes.items() if t in _NUMERIC]
+    exprs = []
+    if num_cols:
+        row = df.agg(
+            *[F.min(c).alias(f"{c}__mn") for c in num_cols],
+            *[F.max(c).alias(f"{c}__mx") for c in num_cols],
+        ).first()
+    for c, t in dtypes.items():
+        if t in _NUMERIC:
+            mn, mx = row[f"{c}__mn"], row[f"{c}__mx"]
+            if mn is None or mx is None or mx == mn:
+                exprs.append(F.lit("0").alias(c))
+            else:
+                w = (mx - mn) / n_bins
+                bin_ = F.least(
+                    F.floor((F.col(c) - F.lit(mn)) / F.lit(w)),
+                    F.lit(n_bins - 1),
+                )
+                exprs.append(bin_.cast("string").alias(c))
+        elif t.startswith("timestamp") or t == "date":
+            exprs.append(F.year(c).cast("string").alias(c))
+        else:
+            exprs.append(F.col(c).cast("string").alias(c))
+    return df.select(*exprs)
+
+
+def cramer_v_from_counts(cells: list[tuple], n: int) -> float:
+    """cells: [(a_val, b_val, count)]."""
+    ra = {}
+    cb = {}
+    obs = {}
+    for a, b, cnt in cells:
+        ra[a] = ra.get(a, 0) + cnt
+        cb[b] = cb.get(b, 0) + cnt
+        obs[(a, b)] = cnt
+    chi2 = 0.0
+    # iterate the full cross product: empty cells with nonzero
+    # expectation contribute (0 - exp)^2 / exp
+    for a, na in ra.items():
+        for b, nb in cb.items():
+            exp = na * nb / n
+            if exp > 0:
+                chi2 += (obs.get((a, b), 0) - exp) ** 2 / exp
+    k = min(len(ra), len(cb))
+    if k <= 1 or n == 0:
+        return 0.0
+    return math.sqrt(chi2 / (n * (k - 1)))
+
+
+def column_associations(
+    df: DataFrame, cols: list[str] | None = None, n_bins: int = 10
+) -> DataFrame:
+    cols = cols or df.columns
+    work = _binned(df.select(*cols), n_bins)
+    n = work.count()
+    results = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cells = [
+                (r[a], r[b], r["count"])
+                for r in work.groupBy(a, b).count().collect()
+            ]
+            results.append((a, b, cramer_v_from_counts(cells, n)))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        results, "left_column_name string, right_column_name string, cramer_v double"
+    )
+    return out.orderBy(F.col("cramer_v").desc())

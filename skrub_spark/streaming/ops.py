@@ -1,0 +1,102 @@
+"""Structured Streaming operators (SURVEY.md §2 sources/streaming).
+
+The same event-analytics the batch SessionEncoder provides, as
+streaming plans: tumbling-window counts with watermarked late-data
+handling, and session windows via Spark's native
+``F.session_window`` (which works identically on batch DataFrames —
+``session_window_features`` is the batch/streaming-agnostic
+sessionizer; the lag/cumsum variant in operators/session_encoder.py
+exists for engines-parity with explicit session ids)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema, ts_col: str = "ts"
+) -> DataFrame:
+    """File-source stream over a parquet directory (each new file is
+    a micro-batch) — the standard replay/backfill source shape."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts per group with a watermark bounding
+    state for late data. Works on batch or streaming input."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_window_features(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-(user, session) aggregates using native session windows —
+    state-store backed in streaming, plain agg in batch."""
+    src = events
+    if events.isStreaming and watermark:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            (
+                F.unix_micros(F.col("last_event"))
+                - F.unix_micros(F.col("first_event"))
+            ).alias("duration_us"),
+        )
+    )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    path: str,
+    schema,
+    gap: str = "30 minutes",
+    query_name: str = "sessions",
+):
+    """End-to-end streaming pipeline: parquet dir -> session windows
+    -> in-memory sink, processing everything currently available.
+    Returns the StreamingQuery (caller awaits termination)."""
+    stream = stream_from_parquet_dir(spark, path, schema)
+    sessions = session_window_features(stream, gap=gap)
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,129 @@
+"""Tests for DataOps-lite, report, interpolation join, streaming,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skrub_spark import (
+    ParamSearch,
+    TableReport,
+    choose_from,
+    column_associations,
+    deferred,
+    interpolation_join,
+    var,
+)
+
+
+def test_dataops_eval(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (1, 30.0)], "k int, v double")
+    orders = var("orders")
+    plan = orders.filter("v > 15").groupBy("k").count()
+    out = plan.skb.eval({"orders": df})
+    assert {(r["k"], r["count"]) for r in out.collect()} == {(2, 1), (1, 1)}
+
+
+def test_dataops_deferred_and_choice(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "k int, v double")
+    thresh = choose_from([2.0, 5.0], name="thresh")
+
+    @deferred
+    def above(d, t):
+        return d.filter(F.col("v") >= t)
+
+    plan = above(var("data"), thresh)
+    # default = first outcome
+    assert plan.skb.eval({"data": df}).count() == 8
+    assert plan.skb.eval({"data": df}, {"thresh": 5.0}).count() == 5
+
+    search = ParamSearch(plan.count(), scorer=lambda n: -n).fit({"data": df})
+    assert search.best_params_ == {"thresh": 5.0}
+
+
+def test_dataops_missing_var(spark):
+    plan = var("nope").count()
+    with pytest.raises(KeyError, match="nope"):
+        plan.skb.eval({})
+
+
+def test_table_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None)], "id int, s string, v double"
+    )
+    rep = TableReport(df).summary()
+    assert rep["n_rows"] == 2
+    assert rep["columns"]["v"]["null_count"] == 1
+    assert rep["columns"]["s"]["top_values"][0] == {"value": "a", "count": 2}
+    assert rep["columns"]["id"]["min"] == 1
+
+
+def test_column_associations(spark):
+    # y is a deterministic function of x -> V = 1; z independent-ish
+    rows = [(i % 3, (i % 3) * 10, i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    out = {
+        (r["left_column_name"], r["right_column_name"]): r["cramer_v"]
+        for r in column_associations(df).collect()
+    }
+    assert out[("x", "y")] == pytest.approx(1.0)
+    assert out[("x", "z")] < 0.3
+
+
+def test_interpolation_join(spark):
+    main = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id int, key double")
+    aux = spark.createDataFrame(
+        [(1, 4.0, 100.0), (2, 6.0, 200.0), (3, 49.0, 1000.0), (4, 51.0, 2000.0)],
+        "aid int, key2 double, val double",
+    )
+    out = interpolation_join(
+        main, aux, main_key="key", aux_key="key2", targets=["val"], k=2,
+        tiebreak="aid",
+    )
+    rows = {r["id"]: r["val"] for r in out.collect()}
+    assert rows[1] == 150.0  # mean of 100, 200
+    assert rows[2] == 1500.0
+
+
+def test_multimodal_stubs(spark):
+    from skrub_spark.multimodal import decode_images, extract_image_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgdata1"), "image/png", 8, 8),
+         (2, bytearray(b"imgdata2"), "image/png", 8, 8)],
+        "id int, payload binary, mime string, width int, height int",
+    )
+    out = decode_images(df).collect()
+    assert all(r["decode_ok"] for r in out)
+    assert out[0]["px_mean"] != out[1]["px_mean"]  # payload-dependent
+    # deterministic across runs
+    again = decode_images(df).collect()
+    assert [r["px_mean"] for r in again] == [r["px_mean"] for r in out]
+    feats = extract_image_features(df, n_features=4).collect()
+    assert len(feats[0]["features"]) == 4
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from skrub_spark.streaming import streaming_session_counts
+
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 1.0),
+            (1, "2024-01-01 02:00:00", 1.0),
+            (2, "2024-01-01 00:00:00", 1.0),
+        ],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "events_stream")
+    src.write.parquet(path)
+    q = streaming_session_counts(
+        spark, path, src.schema, gap="30 minutes", query_name="test_sessions"
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from test_sessions").collect()
+    per_user = {}
+    for r in out:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert per_user == {1: 2, 2: 1}  # user 1 has two sessions
