@@ -5,6 +5,19 @@ plumbing). See SURVEY.md for the full inventory."""
 
 from . import selectors  # noqa: F401
 from .base import SparkTransformer  # noqa: F401
+from .config import config_context, get_config, set_config  # noqa: F401
+from .dedup import (  # noqa: F401
+    connected_components,
+    dedup_exact,
+    dedup_minhash_pairs,
+    dedup_simhash_pairs,
+    deduplicate_strings,
+    embedding_near_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from .dedup.strings import deduplicate_strings as deduplicate  # noqa: F401
+from .similarity import topk_cosine, topk_cosine_lsh  # noqa: F401
 from .encoders import (  # noqa: F401
     CleanNullStrings,
     DatetimeEncoder,

@@ -34,17 +34,32 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(marked), _WS), lambda t: t != "")
 
 
+def _shifted_shingles(items: Column, k: int, sep: str) -> Column:
+    """k-grams over an array via zip_with of k shifted slices.
+
+    The naive ``transform(sequence(...), i -> f(items, i))`` form
+    re-evaluates the ``items`` subexpression PER ELEMENT (O(n²) per
+    row when items is a split()); shifted slices evaluate it k times
+    per row and the zip_with lambdas touch only elements."""
+    n = F.size(items)
+    width = n - (k - 1)
+    out = F.slice(items, 1, width)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(items, j + 1, width),
+            lambda a, b: F.concat(a, F.lit(sep), b) if sep else F.concat(a, b),
+        )
+    return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))
+
+
 def char_ngrams(col: Column | str, n: int, lowercase: bool = True) -> Column:
-    """Character n-grams as array<string> — JVM-side via
-    sequence+transform+substring (no Python, codegen-friendly)."""
+    """Character n-grams as array<string> — JVM-side, linear-time."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
-    seq = F.sequence(F.lit(1), F.length(c) - (n - 1))
-    grams = F.transform(seq, lambda i: F.substring(c, i, n))
-    return F.when(F.length(c) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    return _shifted_shingles(chars, n, "")
 
 
 def word_shingles(col: Column | str, k: int = 3, lowercase: bool = True) -> Column:
@@ -52,12 +67,7 @@ def word_shingles(col: Column | str, k: int = 3, lowercase: bool = True) -> Colu
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
-    toks = tokens(c)
-    seq = F.sequence(F.lit(0), F.size(toks) - k)
-    shingle = F.transform(seq, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return F.when(F.size(toks) >= k, shingle).otherwise(
-        F.array().cast("array<string>")
-    )
+    return _shifted_shingles(tokens(c), k, " ")
 
 
 def quality_columns(col: Column | str) -> dict[str, Column]:

@@ -291,8 +291,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard near-dup pairs over documents."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # max_doc_freq=150 is the skew guard: shingles appearing in >150
+    # docs generate candidate pairs quadratically and carry no
+    # near-dup signal. The oracle applies the identical cap, so the
+    # comparison stays exact.
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", unit="word", n=3, threshold=0.2
+        docs, "text", "doc_id", unit="word", n=3, threshold=0.2, max_doc_freq=150
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -421,6 +425,46 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_window_features(ev, gap="30 minutes").select(
         "user_id", "session_start", "n_events", "duration_us"
+    )
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way star join: broadcast dims, one fact
+    shuffle — the core-engine breadth check."""
+    _prep(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-N per group: rank orders per customer."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
 
 
@@ -614,8 +658,12 @@ ORACLES: dict[str, str] = {
                          FOR i IN generate_series(1, len(toks) - 2)]
                    ELSE [] END) AS grams
           FROM t
-        ), e AS (
+        ), e0 AS (
           SELECT doc_id, len(grams) AS ng, unnest(grams) AS g FROM sh
+        ), rare AS (
+          SELECT g FROM e0 GROUP BY g HAVING COUNT(*) <= 150
+        ), e AS (
+          SELECT e0.doc_id, e0.ng, e0.g FROM e0 JOIN rare USING (g)
         ), inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
                  COUNT(*) AS n_inter
@@ -739,7 +787,27 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
         FROM s GROUP BY user_id, session_id
     """,
+    "revenue_by_region": """
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
+    """,
 }
+
 
 
 
@@ -771,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolation_join": q_interpolation_join,
         "session_windows": q_session_windows,
         "column_associations": q_column_associations,
+        "revenue_by_region": q_revenue_by_region,
+        "top_orders_per_customer": q_top_orders_per_customer,
     }
 
 

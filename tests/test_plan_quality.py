@@ -1,0 +1,92 @@
+"""Physical-plan audits: assert the optimizations the 100 TB design
+depends on actually appear in the executed plans.
+
+These catch regressions like a filter that stops reaching the
+parquet scan or a dimension join that silently becomes a
+sort-merge-join — the failures that are invisible at sf0.01 and
+fatal at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from skrub_spark.queries import (
+    q_agg_join_customer_orders,
+    q_pricing_summary,
+    q_revenue_by_region,
+    q_token_stats,
+    q_top_orders,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes (and codegens) the plan only on execution —
+        # and only for THIS DataFrame's QueryExecution (count() would
+        # execute a clone and leave this plan un-finalized)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q_pricing_summary(spark, SF)
+    plan = formatted(df)
+    # the shipdate filter must be pushed into the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning(spark):
+    df = q_token_stats(spark, SF)
+    plan = formatted(df)
+    # scan must read only doc_id + text, not the whole documents schema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_broadcast_joins_used(spark):
+    for q in (q_top_orders, q_agg_join_customer_orders, q_revenue_by_region):
+        plan = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, q
+        # dim joins must not fall back to sort-merge
+    plan = plan_of(q_agg_join_customer_orders(spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = plan_of(q_pricing_summary(spark, SF), execute=True)
+    assert "*(" in plan or "WholeStageCodegen" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # groupBy aggregates must have a partial (map-side) phase
+    plan = plan_of(q_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_in_agg_join(spark):
+    plan = plan_of(q_agg_join_customer_orders(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_aggregates_not_window(spark):
+    from skrub_spark.queries import q_fuzzy_join_customer_supplier
+
+    plan = plan_of(q_fuzzy_join_customer_supplier(spark, SF))
+    # argmin implemented as aggregate (partial-agg capable), not a
+    # row_number window over every candidate pair
+    assert "Window" not in plan
+    assert "Aggregate" in plan  # Hash/Sort/ObjectHashAggregate all fine
+    assert "partial_min" in plan  # map-side combine present
