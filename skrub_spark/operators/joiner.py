@@ -137,12 +137,25 @@ def fuzzy_join(
     agg_cols = [F.min(F.struct(*struct_fields)).alias("__best")] + [
         F.first(c).alias(c) for c in left.columns
     ]
+    if ref_dist == "second_neighbor":
+        # per-row reference: distance to the 2nd nearest candidate
+        # (ties included). collect_list is bounded by the candidate
+        # count per left row (the broadcast right side / LSH bucket).
+        agg_cols.append(
+            F.element_at(F.array_sort(F.collect_list(F.col(_DIST))), 2).alias(
+                "__second"
+            )
+        )
     best = pairs.groupBy(_LEFT_ID).agg(*agg_cols)
+    second = (
+        [F.col("__second")] if ref_dist == "second_neighbor" else []
+    )
     best = best.select(
         _LEFT_ID,
         *left.columns,
         *[F.col(f"__best.{c}").alias(c) for c in right_out],
         F.col(f"__best.__d").alias(_DIST),
+        *second,
     )
 
     if ref_dist == "random_pairs":
@@ -158,10 +171,22 @@ def fuzzy_join(
         ).collect()[0]["m"] or 1.0
     elif ref_dist == "no_rescaling":
         ref = 1.0
+    elif ref_dist == "second_neighbor":
+        ref = None  # per-row, computed above
     else:
-        raise ValueError("ref_dist must be 'random_pairs' or 'no_rescaling'")
+        raise ValueError(
+            "ref_dist must be 'random_pairs', 'second_neighbor' or "
+            "'no_rescaling'"
+        )
 
-    best = best.withColumn(_RESCALED, F.col(_DIST) / F.lit(float(ref)))
+    if ref_dist == "second_neighbor":
+        denom = F.when(
+            F.col("__second").isNotNull() & (F.col("__second") > 0),
+            F.col("__second"),
+        ).otherwise(F.lit(1.0))
+        best = best.withColumn(_RESCALED, F.col(_DIST) / denom).drop("__second")
+    else:
+        best = best.withColumn(_RESCALED, F.col(_DIST) / F.lit(float(ref)))
     best = best.withColumn(_ACCEPT, F.col(_RESCALED) <= F.lit(float(max_dist)))
 
     if drop_unmatched:

@@ -39,7 +39,7 @@ from .encoders.squashing_scaler import SquashingScaler
 from .operators.session_encoder import SessionEncoder
 from .table_vectorizer import TableVectorizer
 from .operators.interpolation_joiner import interpolation_join
-from .streaming.ops import session_window_features
+from .streaming.ops import session_window_features, windowed_event_counts
 
 
 def _prep(spark: SparkSession) -> SparkSession:
@@ -480,6 +480,68 @@ def q_column_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_associations(cust)
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch form of the streaming
+    op — same code path minus the watermark)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn("value", _dec("value"))
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
+def q_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join scale path: minhash-LSH candidate generation +
+    trigram-jaccard scoring. (Approximate candidates: rows-only.)"""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = fuzzy_join(
+        cust,
+        supp,
+        left_on="c_name",
+        right_on="s_name",
+        strategy="ngram_lsh",
+        tiebreak_cols=["s_suppkey"],
+    )
+    return out.select("c_custkey", "s_suppkey")
+
+
+def q_dedup_strings_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skrub.deduplicate parity: canonical spelling per p_brand.
+    (Clustering via connected components: rows-only.)"""
+    _prep(spark)
+    from .dedup.strings import deduplicate_strings
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return deduplicate_strings(part, "p_brand", similarity_threshold=0.8)
+
+
+def q_minhash_encoder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashEncoder features on part.p_name (xxhash-based:
+    rows-only)."""
+    _prep(spark)
+    from .encoders.minhash_encoder import MinHashEncoder
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    enc = MinHashEncoder("p_name", n_components=8)
+    return enc.fit(part).transform(part)
+
+
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN top-k via hyperplane LSH (rows-only)."""
+    _prep(spark)
+    from .similarity.topk import topk_cosine_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return topk_cosine_lsh(emb, qv, k=10, n_planes=4, n_tables=8)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -806,7 +868,14 @@ ORACLES: dict[str, str] = {
           FROM orders
         ) WHERE rnk <= 3
     """,
+    "windowed_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
 }
+
 
 
 
@@ -841,6 +910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_associations": q_column_associations,
         "revenue_by_region": q_revenue_by_region,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "windowed_counts": q_windowed_counts,
+        "fuzzy_join_lsh": q_fuzzy_join_lsh,
+        "dedup_strings_brand": q_dedup_strings_brand,
+        "minhash_encoder_features": q_minhash_encoder_features,
+        "topk_lsh": q_topk_lsh,
     }
 
 
