@@ -29,14 +29,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard >= threshold) by exact n-gram
     Jaccard. Columns: id_a, id_b, jaccard."""
-    grams_expr = (
-        word_shingles(F.col(content_col), n)
-        if unit == "word"
-        else char_ngrams(F.col(content_col), n)
+    def grams_expr_of(c):
+        return word_shingles(c, n) if unit == "word" else char_ngrams(c, n)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__t"))
+        .repartition(par)
+        .select("id", F.array_distinct(grams_expr_of(F.col("__t"))).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
     )
-    docs = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(grams_expr).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
     exploded = docs.select("id", "n_grams", F.explode("grams").alias("gram"))
     if max_doc_freq is not None:
         rare = (

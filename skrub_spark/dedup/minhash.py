@@ -29,8 +29,15 @@ from ..functions.text import word_shingles
 
 def _gram_rows(df: DataFrame, content_col: str, id_col: str, shingle_k: int):
     sh = F.array_distinct(word_shingles(F.col(content_col), shingle_k))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("gram")
+    # single-file inputs arrive as one partition; spread the (cheap)
+    # id+text rows before the expensive shingling projection
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__t"))
+        .repartition(par)
+        .select("id", F.explode(
+            F.array_distinct(word_shingles(F.col("__t"), shingle_k))
+        ).alias("gram"))
     )
 
 

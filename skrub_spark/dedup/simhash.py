@@ -29,10 +29,13 @@ def simhash_table(
     shingle_k: int = 2,
 ) -> DataFrame:
     """(id, simhash) via the flat explode/aggregate plan."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(content_col), shingle_k)).alias("gram"),
-    ).withColumn("h", F.xxhash64("gram"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__t"))
+        .repartition(par)
+        .select("id", F.explode(word_shingles(F.col("__t"), shingle_k)).alias("gram"))
+        .withColumn("h", F.xxhash64("gram"))
+    )
     bit_sums = grams.groupBy("id").agg(
         *[
             F.sum(
