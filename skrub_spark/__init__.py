@@ -63,9 +63,16 @@ from .operators.cleaner import Cleaner, DropSimilar, DropUninformative  # noqa: 
 from .operators.joiner import Joiner, fuzzy_join  # noqa: F401
 from .operators.select_cols import (  # noqa: F401
     ApplyToCols,
+    ApplyToEachCol,
+    ApplyToSubFrame,
     Drop,
     DropCols,
     SelectCols,
+)
+from .sources.bucketing import (  # noqa: F401
+    bucketed_join,
+    join_is_shuffle_free,
+    write_bucketed,
 )
 from .operators.session_encoder import (  # noqa: F401
     SessionEncoder,

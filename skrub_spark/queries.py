@@ -542,6 +542,57 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(emb, qv, k=10, n_planes=4, n_tables=8)
 
 
+def q_similarity_encoder_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimilarityEncoder: trigram-Jaccard similarity of each region
+    name to the fitted 5-value vocabulary."""
+    _prep(spark)
+    from .encoders.similarity_encoder import SimilarityEncoder
+
+    region = load_table(spark, sf_dir, "region")
+    enc = SimilarityEncoder("r_name", drop_original=False)
+    return enc.fit(region).transform(region).select(
+        "r_regionkey",
+        "region_AFRICA" if False else F.col("r_name_AFRICA").alias("sim_africa"),
+        F.col("r_name_AMERICA").alias("sim_america"),
+        F.col("r_name_ASIA").alias("sim_asia"),
+        F.col("r_name_EUROPE").alias("sim_europe"),
+        F.col("r_name_MIDDLE_EAST").alias("sim_middle_east"),
+    )
+
+
+def q_string_encoder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringEncoder (hashed tfidf + distributed-XtX SVD) on part
+    names. (Driver-side eigendecomposition: rows-only.)"""
+    _prep(spark)
+    from .encoders.string_encoder import StringEncoder
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    enc = StringEncoder("p_name", n_components=4, hash_dim=256)
+    return enc.fit(part).transform(part)
+
+
+def q_text_encoder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextEncoder stub: Arrow-batched Pandas-UDF embedding path
+    through the driver contract. (Stubbed model: rows-only.)"""
+    _prep(spark)
+    from .encoders.text_encoder import TextEncoder
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TextEncoder("text", n_components=8).fit(docs).transform(docs)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (order-sensitive).
+    (xxhash-based: rows-only.)"""
+    _prep(spark)
+    from .functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text"), 8).alias("fingerprint")
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -874,11 +925,34 @@ ORACLES: dict[str, str] = {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2
     """,
+    "similarity_encoder_region": """
+        WITH grams AS (
+          SELECT r_name,
+            list_distinct([substr(lower(r_name), i, 3)
+                           FOR i IN generate_series(1, length(r_name) - 2)]) AS g
+          FROM region
+        ), v AS (
+          SELECT
+            (SELECT g FROM grams WHERE r_name = 'AFRICA') AS ga,
+            (SELECT g FROM grams WHERE r_name = 'AMERICA') AS gm,
+            (SELECT g FROM grams WHERE r_name = 'ASIA') AS gs,
+            (SELECT g FROM grams WHERE r_name = 'EUROPE') AS ge,
+            (SELECT g FROM grams WHERE r_name = 'MIDDLE EAST') AS gme
+        )
+        SELECT r.r_regionkey,
+          CAST(len(list_intersect(grams.g, v.ga)) AS DOUBLE)
+            / len(list_distinct(grams.g || v.ga)) AS sim_africa,
+          CAST(len(list_intersect(grams.g, v.gm)) AS DOUBLE)
+            / len(list_distinct(grams.g || v.gm)) AS sim_america,
+          CAST(len(list_intersect(grams.g, v.gs)) AS DOUBLE)
+            / len(list_distinct(grams.g || v.gs)) AS sim_asia,
+          CAST(len(list_intersect(grams.g, v.ge)) AS DOUBLE)
+            / len(list_distinct(grams.g || v.ge)) AS sim_europe,
+          CAST(len(list_intersect(grams.g, v.gme)) AS DOUBLE)
+            / len(list_distinct(grams.g || v.gme)) AS sim_middle_east
+        FROM region r JOIN grams USING (r_name) CROSS JOIN v
+    """,
 }
-
-
-
-
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -915,6 +989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_strings_brand": q_dedup_strings_brand,
         "minhash_encoder_features": q_minhash_encoder_features,
         "topk_lsh": q_topk_lsh,
+        "similarity_encoder_region": q_similarity_encoder_region,
+        "string_encoder_features": q_string_encoder_features,
+        "text_encoder_embeddings": q_text_encoder_embeddings,
+        "fingerprints": q_fingerprints,
     }
 
 

@@ -1,0 +1,45 @@
+"""Bucketed-table helpers (SURVEY.md §4: co-located joins).
+
+Bucketing pre-shuffles a table by key at WRITE time: two tables
+bucketed the same way join with ZERO exchange — at 100 TB this is
+the difference between re-shuffling the fact table on every join
+and never shuffling it at all. These helpers wrap the saveAsTable
+bucketed-write path and verify co-location."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str
+) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucketing Spark
+    plans a shuffle-free sort-merge join."""
+    on = [on] if isinstance(on, str) else on
+    return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def join_is_shuffle_free(df: DataFrame) -> bool:
+    """True if the plan contains no shuffle exchange (co-located
+    bucketed join). A BroadcastExchange doesn't count — it moves the
+    small side only, not the bucketed data."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan

@@ -72,3 +72,27 @@ def test_display_patch(spark):
         assert "TableReport" in html or "<table>" in html
     finally:
         unpatch_display()
+
+
+def test_bucketed_join_shuffle_free(spark, tmp_path):
+    from skrub_spark import bucketed_join, join_is_shuffle_free, write_bucketed
+
+    # spark.sql.warehouse.dir is static; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = left.selectExpr("k", "k * 2 as w")
+    write_bucketed(left, "t_left", "k", n_buckets=4, sort_cols="k")
+    write_bucketed(right, "t_right", "k", n_buckets=4, sort_cols="k")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path so the bucketed scan is used
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_left", "t_right", on="k")
+        assert joined.count() == 1000
+        assert join_is_shuffle_free(joined)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
