@@ -33,6 +33,15 @@ HEADLINE = [
     "embedding_dedup_pairs",
     "minhash_dedup_pairs",
     "simhash_dedup_pairs",
+    "revenue_by_region",
+    "top_orders_per_customer",
+    "windowed_counts",
+    "session_windows",
+    "interpolation_join",
+    "squashing_scaler",
+    "one_hot_mktsegment",
+    "similarity_encoder_region",
+    "json_props",
 ]
 
 

@@ -3,7 +3,7 @@ encoding / joining capabilities of skrub, plus LLM-scale pipeline
 operators (dedup, similarity search, text analysis, multimodal
 plumbing). See SURVEY.md for the full inventory."""
 
-from . import selectors  # noqa: F401
+from . import core, selectors  # noqa: F401
 from .base import SparkTransformer  # noqa: F401
 from . import datasets  # noqa: F401
 from .config import config_context, get_config, set_config  # noqa: F401

@@ -28,9 +28,6 @@ _OPS = {
     "median": lambda c: F.median(c),
     "mode": lambda c: F.mode(c),
     "count_distinct": lambda c: F.count_distinct(c),
-    "hist": lambda c: F.map_from_entries(
-        F.collect_list(F.struct(c, F.lit(1)))
-    ),  # placeholder; value histogram done via groupBy in report module
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
 }

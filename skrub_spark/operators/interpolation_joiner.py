@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from ..base import SparkTransformer
 
-_LID = "__ij_left_id"
+
 
 
 def interpolation_join(
@@ -45,15 +45,23 @@ def interpolation_join(
 
     aux_cols = list(dict.fromkeys(aux_key + targets + [tiebreak]))
     aux_small = aux.select(*aux_cols)
-    left = main.withColumn(_LID, F.monotonically_increasing_id())
-    pairs = left.crossJoin(broadcast(aux_small))
+    # predictions depend only on the key values: compute kNN once per
+    # DISTINCT main key (tiny for categorical/low-card keys), then
+    # broadcast-join predictions back onto the main rows. The main
+    # table is never cross-joined or shuffled.
+    key_points = main.select(*main_key).distinct()
+    pairs = key_points.crossJoin(broadcast(aux_small))
+    main_types = dict(main.dtypes)
     dist = None
     for mk, ak in zip(main_key, aux_key):
-        d = (F.col(mk).cast("double") - F.col(ak).cast("double")) ** 2
+        if main_types.get(mk) == "string":
+            # categorical key: 0/1 mismatch distance (exact-match
+            # neighbors first, like a tree split on the category)
+            d = (F.col(mk) != F.col(ak)).cast("double")
+        else:
+            d = (F.col(mk).cast("double") - F.col(ak).cast("double")) ** 2
         dist = d if dist is None else dist + d
-    w = Window.partitionBy(_LID).orderBy(
-        dist.asc(), F.col(tiebreak).asc()
-    )
+    w = Window.partitionBy(*main_key).orderBy(dist.asc(), F.col(tiebreak).asc())
     topk = pairs.withColumn("__rnk", F.row_number().over(w)).filter(
         F.col("__rnk") <= k
     )
@@ -65,10 +73,8 @@ def interpolation_join(
             aggs.append(F.mode(F.col(t)).alias(out_name))
         else:
             aggs.append(F.avg(F.col(t).cast("double")).alias(out_name))
-    preds = topk.groupBy(_LID).agg(
-        *[F.first(c).alias(c) for c in main.columns], *aggs
-    )
-    return preds.drop(_LID)
+    preds = topk.groupBy(*main_key).agg(*aggs)
+    return main.join(broadcast(preds), on=main_key, how="left")
 
 
 class InterpolationJoiner(SparkTransformer):

@@ -127,3 +127,53 @@ def test_streaming_session_windows(spark, tmp_path):
     for r in out:
         per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
     assert per_user == {1: 2, 2: 1}  # user 1 has two sessions
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from skrub_spark.streaming import stream_from_parquet_dir, windowed_event_counts
+
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", "click", 1.0),
+            (2, "2024-01-01 00:20:00", "click", 2.0),
+            (3, "2024-01-01 01:05:00", "view", 3.0),
+        ],
+        "event_id int, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "wstream")
+    src.write.parquet(path)
+    stream = stream_from_parquet_dir(spark, path, src.schema)
+    assert stream.isStreaming
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    # complete mode: append would hold rows until the watermark passes
+    # each window end, which never happens within one availableNow run
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("test_wcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from test_wcounts").collect()
+    got = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"]) for r in rows}
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_interpolation_join_string_key(spark):
+    from skrub_spark import interpolation_join
+
+    main = spark.createDataFrame([(1, "red"), (2, "blue")], "id int, color string")
+    aux = spark.createDataFrame(
+        [(1, "red", 10.0), (2, "red", 20.0), (3, "blue", 100.0), (4, "green", 7.0)],
+        "aid int, color2 string, val double",
+    )
+    out = interpolation_join(
+        main, aux, main_key="color", aux_key="color2", targets=["val"], k=2,
+        tiebreak="aid",
+    )
+    rows = {r["id"]: r["val"] for r in out.collect()}
+    assert rows[1] == 15.0  # both reds
+    # blue: exact match (100, d=0) + tie at d=1 broken by aid=1 (red, 10)
+    assert rows[2] == 55.0

@@ -103,8 +103,15 @@ def main():
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             continue
         cols = sorted(scols)
-        sset = sorted(tuple(canon(r[c]) for c in cols) for r in (row.asDict() for row in srows))
-        dset = sorted(tuple(canon(r[c]) for c in cols) for r in drows)
+
+        def sort_key(t):
+            return tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
+
+        sset = sorted(
+            (tuple(canon(r[c]) for c in cols) for r in (row.asDict() for row in srows)),
+            key=sort_key,
+        )
+        dset = sorted((tuple(canon(r[c]) for c in cols) for r in drows), key=sort_key)
         if sset != dset:
             failures.append(name)
             ndiff = sum(1 for a, b in zip(sset, dset) if a != b)
