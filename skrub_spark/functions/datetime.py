@@ -28,6 +28,8 @@ _EXTRACTORS = {
 # (period, max count) for circular encodings — same granularities the
 # reference hardcodes (month 12, day 30, hour 24, weekday 7).
 _PERIODS = {"month": 12.0, "day": 30.4375, "hour": 24.0, "weekday": 7.0}
+# spline counts per level (reference hardcodes comparable numbers)
+_SPLINES = {"month": 6, "day": 6, "hour": 6, "weekday": 4}
 
 
 def datetime_feature_columns(
@@ -55,7 +57,7 @@ def datetime_feature_columns(
         out[f"{prefix}_day_of_year"] = F.dayofyear(c).cast("int")
     if add_total_seconds:
         out[f"{prefix}_total_seconds"] = F.unix_timestamp(c).cast("double")
-    if periodic == "circular":
+    if periodic in ("circular", "spline"):
         two_pi = 2.0 * math.pi
         for level, period in _PERIODS.items():
             if level == "weekday":
@@ -66,7 +68,27 @@ def datetime_feature_columns(
                 base = out[f"{prefix}_{level}"].cast("double")
             else:
                 continue
-            angle = base * (two_pi / period)
-            out[f"{prefix}_{level}_circular_0"] = F.sin(angle)
-            out[f"{prefix}_{level}_circular_1"] = F.cos(angle)
+            if periodic == "circular":
+                angle = base * (two_pi / period)
+                out[f"{prefix}_{level}_circular_0"] = F.sin(angle)
+                out[f"{prefix}_{level}_circular_1"] = F.cos(angle)
+            else:
+                # periodic degree-1 B-splines (triangular basis with
+                # wraparound) — the reference uses sklearn's
+                # SplineTransformer with hardcoded knots; linear
+                # splines keep this a closed-form expression.
+                n_splines = _SPLINES.get(level, 4)
+                spacing = period / n_splines
+                for j in range(n_splines):
+                    knot = j * spacing
+                    # circular distance to the knot
+                    delta = base - F.lit(knot)
+                    dist = F.least(
+                        F.abs(delta),
+                        F.abs(delta - F.lit(period)),
+                        F.abs(delta + F.lit(period)),
+                    )
+                    out[f"{prefix}_{level}_spline_{j:02d}"] = F.greatest(
+                        F.lit(0.0), F.lit(1.0) - dist / F.lit(spacing)
+                    )
     return out

@@ -47,6 +47,7 @@ class TableVectorizer(SparkTransformer):
         numeric=None,
         passthrough=(),
         clean: bool = True,
+        specific_transformers=None,
     ):
         self.cardinality_threshold = cardinality_threshold
         self.high_cardinality = high_cardinality  # encoder prototype or None
@@ -54,6 +55,9 @@ class TableVectorizer(SparkTransformer):
         self.numeric = numeric  # e.g. SquashingScaler() or None
         self.passthrough = list(passthrough)
         self.clean = clean
+        # {column_name: encoder} overrides, applied before type routing
+        # (reference: TableVectorizer specific_transformers)
+        self.specific_transformers = dict(specific_transformers or {})
 
     def _fit(self, df: DataFrame, y=None):
         self._cleaner = Cleaner() if self.clean else None
@@ -75,7 +79,15 @@ class TableVectorizer(SparkTransformer):
         self._numeric_cols = []
         self._kind = {}
         for c, t in dtypes.items():
-            if c in self.passthrough:
+            if c in self.specific_transformers:
+                self._kind[c] = "specific"
+                enc = copy.deepcopy(self.specific_transformers[c])
+                if hasattr(enc, "col"):
+                    enc.col = c
+                elif hasattr(enc, "cols"):
+                    enc.cols = [c]
+                self._encoders.append(enc.fit(work))
+            elif c in self.passthrough:
                 self._kind[c] = "passthrough"
             elif t in _NUMERIC or t.startswith("decimal"):
                 self._kind[c] = "numeric"

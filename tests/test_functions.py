@@ -162,3 +162,20 @@ def test_datetime_features(spark):
     assert (r["ts_hour"], r["ts_minute"], r["ts_second"]) == (10, 30, 15)
     assert r["ts_weekday"] == 1  # Monday
     assert r["ts_day_of_year"] == 61
+
+
+def test_datetime_spline_encoding(spark):
+    df = spark.createDataFrame([("2026-06-15 12:00:00",)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    cols = datetime_feature_columns(
+        "ts", "ts", resolution="hour", add_weekday=True, periodic="spline"
+    )
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).first()
+    spline_cols = [k for k in cols if "_spline_" in k]
+    assert len(spline_cols) >= 16  # month/day/hour 6 each? + weekday 4
+    # basis is a partition-of-unity-ish triangular system: values in [0,1]
+    vals = [r[k] for k in spline_cols]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # hour=12 with 6 splines over 24 -> knot at 12 has activation 1
+    assert r["ts_hour_spline_03"] == 1.0

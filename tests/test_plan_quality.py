@@ -90,3 +90,19 @@ def test_fuzzy_join_aggregates_not_window(spark):
     assert "Window" not in plan
     assert "Aggregate" in plan  # Hash/Sort/ObjectHashAggregate all fine
     assert "partial_min" in plan  # map-side combine present
+
+
+def test_minhash_partial_aggregation(spark):
+    from skrub_spark.queries import q_minhash_dedup_pairs
+
+    plan = plan_of(q_minhash_dedup_pairs(spark, SF))
+    # the 64 min-hash aggregates must have a map-side partial phase
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_no_cartesian(spark):
+    from skrub_spark.queries import q_ngram_jaccard_pairs
+
+    plan = plan_of(q_ngram_jaccard_pairs(spark, SF))
+    assert "CartesianProduct" not in plan

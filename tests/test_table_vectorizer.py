@@ -86,3 +86,18 @@ def test_tabular_pipeline(spark):
     out, names = tabular_pipeline(df, target_col=None, numeric=SquashingScaler())
     assert out.count() == 2
     assert len(names) >= 4
+
+
+def test_table_vectorizer_specific_transformers(spark):
+    from skrub_spark import MinHashEncoder
+
+    df = spark.createDataFrame(
+        [(1, "AUTO"), (2, "HOUSE"), (3, "AUTO")], "id int, seg string"
+    )
+    # override: force minhash on a low-cardinality column
+    tv = TableVectorizer(
+        cardinality_threshold=10,
+        specific_transformers={"seg": MinHashEncoder("seg", n_components=4)},
+    )
+    out = tv.fit(df).transform(df)
+    assert "seg_0" in out.columns and "seg_AUTO" not in out.columns
