@@ -42,6 +42,10 @@ HEADLINE = [
     "one_hot_mktsegment",
     "similarity_encoder_region",
     "json_props",
+    "rollup_revenue",
+    "acctbal_percentiles",
+    "customers_without_orders",
+    "orders_moving_avg",
 ]
 
 

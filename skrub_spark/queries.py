@@ -593,6 +593,74 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: revenue by (region, nation) with subtotal and
+    grand-total rows."""
+    _prep(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (the distributed
+    percentile machinery SquashingScaler fits with)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25"),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("p50"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("p75"),
+        F.percentile("c_acctbal", F.lit(0.9)).alias("p90"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders before 1995-09 (the date
+    filter is pushed into the orders scan before the anti join)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-09-01").cast("timestamp")
+    )
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+def q_orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series: daily order counts + 7-day moving average
+    (bounded-frame window)."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        (
+            F.sum("n_orders").over(w).cast("double")
+            / F.count("n_orders").over(w)
+        ).alias("ma7"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -952,7 +1020,45 @@ ORACLES: dict[str, str] = {
             / len(list_distinct(grams.g || v.gme)) AS sim_middle_east
         FROM region r JOIN grams USING (r_name) CROSS JOIN v
     """,
+    "rollup_revenue": """
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "acctbal_percentiles": """
+        SELECT c_mktsegment,
+          quantile_cont(c_acctbal, 0.25) AS p25,
+          quantile_cont(c_acctbal, 0.5) AS p50,
+          quantile_cont(c_acctbal, 0.75) AS p75,
+          quantile_cont(c_acctbal, 0.9) AS p90
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'
+        )
+    """,
+    "orders_moving_avg": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT day, n_orders,
+          CAST(SUM(n_orders) OVER w AS DOUBLE) / COUNT(n_orders) OVER w AS ma7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
 }
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -993,6 +1099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_encoder_features": q_string_encoder_features,
         "text_encoder_embeddings": q_text_encoder_embeddings,
         "fingerprints": q_fingerprints,
+        "rollup_revenue": q_rollup_revenue,
+        "acctbal_percentiles": q_acctbal_percentiles,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_moving_avg": q_orders_moving_avg,
     }
 
 
