@@ -1,17 +1,28 @@
 """Exact n-gram Jaccard duplicate pairs (SURVEY.md §2).
 
-Prefix-filter style: explode each document's distinct n-grams, join
-on shared grams to build candidate pairs with co-occurrence counts,
-then compute Jaccard = |∩| / (|A|+|B|-|∩|) directly from the counts
-— the arrays themselves never travel through the pair join. Shuffle
-volume is O(total grams), with a document-frequency cap dropping
-ubiquitous grams (the skew guard: a gram in every doc would create
-n² candidate rows).
+Two exact candidate-generation strategies:
+
+- default: explode each document's distinct n-grams, join on shared
+  grams to build candidate pairs with co-occurrence counts; Jaccard
+  = |∩| / (|A|+|B|-|∩|) computed from counts — the gram arrays never
+  travel through the pair join. A document-frequency cap drops
+  ubiquitous grams (skew guard: a gram in every doc would create n²
+  candidate rows).
+- ``prefix_filter=True`` (PPJoin-style): tokens get a global total
+  order (ascending document frequency, then lexicographic); a pair
+  with Jaccard ≥ t MUST share a token among each side's first
+  ``|s| − ⌈t·|s|⌉ + 1`` tokens in that order, so only prefix tokens
+  are indexed/joined. A size-ratio filter (min ≥ t·max) prunes
+  further. Both filters are lossless for the threshold, so results
+  are identical to the default path — only the candidate volume
+  shrinks (dramatically for high thresholds).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import char_ngrams, word_shingles
@@ -26,6 +37,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard >= threshold) by exact n-gram
     Jaccard. Columns: id_a, id_b, jaccard."""
@@ -47,18 +59,35 @@ def ngram_jaccard_pairs(
             .drop("count")
         )
         exploded = exploded.join(rare, on="gram", how="left_semi")
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram"
-    )
-    inter = (
-        a.join(b, on="gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+
+    if not prefix_filter:
+        a = exploded.select(
+            F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
+        )
+        b = exploded.select(
+            F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram"
+        )
+        inter = (
+            a.join(b, on="gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        cand = _prefix_candidates(exploded, threshold)
+        # verify candidates only: co-occurrence counts restricted to
+        # the candidate pairs
+        ga = exploded.select(F.col("id").alias("id_a"), "gram")
+        gb = exploded.select(F.col("id").alias("id_b"), "gram")
+        sizes = docs.select("id", "n_grams")
+        inter = (
+            cand.join(ga, on="id_a")
+            .join(gb, on=["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), on="id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), on="id_b")
+        )
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
@@ -66,4 +95,45 @@ def ngram_jaccard_pairs(
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _prefix_candidates(exploded: DataFrame, t: float) -> DataFrame:
+    """Candidate (id_a < id_b) pairs via prefix filtering over the
+    (post-cap) token sets. Lossless for Jaccard >= t.
+
+    NOTE: sizes here are the post-cap set sizes; a pair passing the
+    hybrid threshold (full-set denominators) necessarily has capped-
+    set Jaccard >= t as well, so filtering on capped sizes is safe.
+    """
+    sized = exploded.withColumn(
+        "n_capped", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    dfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+    ranked = (
+        sized.join(dfreq, on="gram")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    # prefix length p = n - ceil(t*n) + 1
+    prefix_len = F.col("n_capped") - F.ceil(F.lit(t) * F.col("n_capped")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "id", "gram", "n_capped"
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n_capped").alias("ca"), "gram"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n_capped").alias("cb"), "gram"
+    )
+    return (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size-ratio filter: J >= t implies min >= t * max
+        .filter(
+            F.least("ca", "cb").cast("double")
+            >= F.lit(t) * F.greatest("ca", "cb").cast("double")
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -661,6 +661,36 @@ def q_orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: customer counts per nation x market segment."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    out = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=segs)
+    )
+    return out.select(
+        "c_nationkey", *[F.col(s).alias(f"n_{s.lower()}") for s in segs]
+    )
+
+
+def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: minhash-LSH pairs -> connected
+    components -> canonical id per document. (xxhash-based banding:
+    rows-only.)"""
+    _prep(spark)
+    from .dedup.minhash import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", shingle_k=3, n_components=64, n_bands=16,
+        jaccard_threshold=0.2,
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -718,7 +748,7 @@ ORACLES: dict[str, str] = {
         SELECT user_id, COUNT(value) AS n_events,
           MIN(value) AS value_min, MAX(value) AS value_max,
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
-          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
         FROM events GROUP BY user_id
     """,
     "datetime_features": """
@@ -920,7 +950,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id,
           COUNT(*) AS n_sessions,
-          SUM(n_events) AS n_events,
+          CAST(SUM(n_events) AS BIGINT) AS n_events,
           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
           CAST(SUM(value_sum) AS DOUBLE) AS value_sum
         FROM per_session GROUP BY user_id
@@ -928,7 +958,7 @@ ORACLES: dict[str, str] = {
     "json_props": """
         SELECT event_type,
           COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
-          SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
             / COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS k_mean,
           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
@@ -1057,7 +1087,17 @@ ORACLES: dict[str, str] = {
         FROM daily
         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
+    "pivot_segment_nation": """
+        SELECT c_nationkey,
+          CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_automobile,
+          CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+          CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS n_furniture,
+          CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS n_household,
+          CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery
+        FROM customer GROUP BY c_nationkey
+    """,
 }
+
 
 
 
@@ -1103,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_percentiles": q_acctbal_percentiles,
         "customers_without_orders": q_customers_without_orders,
         "orders_moving_avg": q_orders_moving_avg,
+        "pivot_segment_nation": q_pivot_segment_nation,
+        "minhash_canonical": q_minhash_canonical,
     }
 
 

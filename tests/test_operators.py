@@ -162,3 +162,24 @@ def test_topk_cosine(spark):
     out2 = topk_cosine_lsh(df, [1.0, 0.0], k=2, n_planes=2, n_tables=4)
     ids = [r["vec_id"] for r in out2.collect()]
     assert 1 in ids
+
+
+def test_jaccard_prefix_filter_exactness(spark):
+    """prefix_filter=True must produce IDENTICAL pairs to the
+    all-pairs path (it is a lossless candidate reducer)."""
+    base_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base_doc),
+        (2, base_doc.replace("kappa", "lambda")),
+        (3, base_doc.replace("alpha beta", "mu nu")),
+        (4, "totally different words over here none shared at all ok"),
+        (5, base_doc + " extra tokens appended here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for thr in (0.3, 0.6):
+        kw = dict(unit="word", n=2, threshold=thr)
+        a = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in ngram_jaccard_pairs(df, **kw).collect()}
+        b = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in ngram_jaccard_pairs(df, **kw, prefix_filter=True).collect()}
+        assert a == b and len(a) > 0

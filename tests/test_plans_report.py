@@ -177,3 +177,20 @@ def test_interpolation_join_string_key(spark):
     assert rows[1] == 15.0  # both reds
     # blue: exact match (100, d=0) + tie at d=1 broken by aid=1 (red, 10)
     assert rows[2] == 55.0
+
+
+def test_cross_validate(spark):
+    from skrub_spark import cross_validate
+
+    df = spark.createDataFrame([(i, float(i % 10)) for i in range(200)], "id int, v double")
+
+    def plan(train, test):
+        # "model" = train mean; score = negative |error| on test mean
+        m = train.agg(F.avg("v")).first()[0]
+        t = test.agg(F.avg("v")).first()[0]
+        return -abs(m - t)
+
+    scores = cross_validate(plan, df, k=3)
+    assert len(scores) == 3
+    assert all(s <= 0 for s in scores)
+    assert all(s > -2.0 for s in scores)  # folds are similar
