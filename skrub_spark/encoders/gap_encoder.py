@@ -1,43 +1,64 @@
-"""GapEncoder-lite — capability parity with skrub/_gap_encoder.py.
+"""GapEncoder — parity with skrub/_gap_encoder.py.
 
-The reference fits a gamma-Poisson (NMF-family) factorization of the
-bag-of-n-grams matrix and outputs per-row topic activations. Here:
+The reference fits a gamma-Poisson (KL/Poisson-NMF family)
+factorization of the bag-of-n-grams matrix and outputs per-row topic
+activations. Spark-first realization:
 
 - fit: hashed n-gram count vectors of a seeded sample of DISTINCT
   values (category columns have few uniques relative to rows) are
-  pulled to the driver, where a small seeded multiplicative-update
-  NMF (numpy) learns ``n_components`` topics W (topics × hash_dim).
-  PARTIAL vs reference: plain NMF, not gamma-Poisson with priors.
-- transform: distributed topic activation = normalized count vector
-  projected on Wᵀ (one explode → broadcast join → groupBy sum),
-  softmax-free; the reference performs per-row NNLS inference, this
-  linear projection is the documented approximation.
+  pulled to the driver, where Poisson-NMF (KL-divergence
+  multiplicative updates — the MAP core of gamma-Poisson without
+  the gamma priors) learns ``n_components`` topics H.
+- transform: per-row activations w solve min KL(x, wH) by the same
+  multiplicative updates, executed distributed in an Arrow-batched
+  Pandas UDF (each batch is a small dense numpy problem; the model
+  H ships once per executor via closure capture). This is true
+  per-row inference, not a linear projection.
+
+PARTIAL vs reference: no gamma priors / online partial_fit; fixed
+iteration counts instead of convergence tolerance.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..base import SparkTransformer
 from ..functions.text import char_ngrams
 
-_RID = "__sk_row_id"
+_EPS = 1e-10
 
 
-def _nmf(X: np.ndarray, k: int, n_iter: int = 100, seed: int = 0):
+def _poisson_nmf(X: np.ndarray, k: int, n_iter: int = 150, seed: int = 0):
+    """KL-divergence NMF: X ≈ WH with multiplicative updates."""
     rng = np.random.default_rng(seed)
     n, d = X.shape
     W = rng.random((n, k)) + 0.1
     H = rng.random((k, d)) + 0.1
-    eps = 1e-9
     for _ in range(n_iter):
-        W *= (X @ H.T) / (W @ (H @ H.T) + eps)
-        H *= (W.T @ X) / ((W.T @ W) @ H + eps)
-    # L1-normalize topics
-    H /= H.sum(axis=1, keepdims=True) + eps
+        WH = W @ H + _EPS
+        W *= ((X / WH) @ H.T) / (H.sum(axis=1)[None, :] + _EPS)
+        WH = W @ H + _EPS
+        H *= (W.T @ (X / WH)) / (W.sum(axis=0)[:, None] + _EPS)
+    H /= H.sum(axis=1, keepdims=True) + _EPS
     return H
+
+
+def _infer_activations(X: np.ndarray, H: np.ndarray, n_iter: int = 30):
+    """Per-row KL-NMF inference with H fixed."""
+    n, _ = X.shape
+    k = H.shape[0]
+    W = np.full((n, k), 1.0 / k)
+    Hsum = H.sum(axis=1)[None, :] + _EPS
+    for _ in range(n_iter):
+        WH = W @ H + _EPS
+        W *= ((X / WH) @ H.T) / Hsum
+    # L1-normalize activations (reference outputs topic proportions)
+    return W / (W.sum(axis=1, keepdims=True) + _EPS)
 
 
 class GapEncoder(SparkTransformer):
@@ -86,44 +107,54 @@ class GapEncoder(SparkTransformer):
         )
         vals = sorted({r[self.col] for r in rows})
         vidx = {v: i for i, v in enumerate(vals)}
-        X = np.zeros((len(vals), self.hash_dim))
+        X = np.zeros((max(len(vals), 1), self.hash_dim))
         for r in rows:
             X[vidx[r[self.col]], r["b"]] = r["count"]
-        X /= X.sum(axis=1, keepdims=True) + 1e-9
-        self._H = _nmf(X, self.n_components, seed=self.random_state)
+        self._H = _poisson_nmf(X, self.n_components, seed=self.random_state)
 
     def get_feature_names_out(self):
         return [f"{self.col}_topic_{i}" for i in range(self.n_components)]
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        spark = df.sparkSession
+        H = self._H
+        hash_dim = self.hash_dim
         k = self.n_components
-        proj = spark.createDataFrame(
-            [
-                (int(b), [float(self._H[t, b]) for t in range(k)])
-                for b in range(self.hash_dim)
-            ],
-            "b int, topics array<double>",
-        )
-        base = df.withColumn(_RID, F.monotonically_increasing_id())
-        counts = (
-            base.select(_RID, F.explode(self._grams(self.col)).alias("g"))
-            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(self.hash_dim)).cast("int"))
-            .groupBy(_RID, "b")
+        rid = "__gap_row_id"
+
+        # hashed bucket counts computed JVM-side with the SAME
+        # xxhash64 bucketing the fit used (a Python-side hash would
+        # misalign with H's columns); the UDF only runs the dense
+        # fixed-H inference per Arrow batch.
+        base = df.withColumn(rid, F.monotonically_increasing_id())
+        sparse = (
+            base.select(rid, F.explode(self._grams(self.col)).alias("g"))
+            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(hash_dim)).cast("int"))
+            .groupBy(rid, "b")
             .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .groupBy(rid)
+            .agg(
+                F.collect_list(F.struct(F.col("b"), F.col("tf"))).alias("__sparse")
+            )
         )
-        contrib = counts.join(F.broadcast(proj), "b").select(
-            _RID,
+
+        @pandas_udf("array<double>")
+        def topics(entries: pd.Series) -> pd.Series:
+            X = np.zeros((len(entries), hash_dim))
+            for i, row in enumerate(entries):
+                if row is None:
+                    continue
+                for e in row:
+                    X[i, int(e["b"])] = float(e["tf"])
+            W = _infer_activations(X, H)
+            return pd.Series([[float(x) for x in r] for r in W])
+
+        joined = base.join(sparse, on=rid, how="left")
+        out = joined.withColumn("__topics", topics(F.col("__sparse")))
+        keep = [c for c in df.columns if not (self.drop_original and c == self.col)]
+        return out.select(
+            *keep,
             *[
-                (F.col("tf") * F.element_at("topics", t + 1)).alias(f"__t{t}")
-                for t in range(k)
+                F.element_at("__topics", i + 1).alias(f"{self.col}_topic_{i}")
+                for i in range(k)
             ],
         )
-        feats = contrib.groupBy(_RID).agg(
-            *[F.sum(f"__t{t}").alias(f"{self.col}_topic_{t}") for t in range(k)]
-        )
-        keep = [c for c in df.columns if not (self.drop_original and c == self.col)]
-        out = base.join(feats, on=_RID, how="left").fillna(
-            {f"{self.col}_topic_{t}": 0.0 for t in range(k)}
-        )
-        return out.select(*keep, *[f"{self.col}_topic_{t}" for t in range(k)])

@@ -691,6 +691,17 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_encoder_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GapEncoder topic activations on part names (Poisson-NMF fit +
+    Pandas-UDF inference; rows-only)."""
+    _prep(spark)
+    from .encoders.gap_encoder import GapEncoder
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    enc = GapEncoder("p_name", n_components=4, hash_dim=128)
+    return enc.fit(part).transform(part)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -1145,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_moving_avg": q_orders_moving_avg,
         "pivot_segment_nation": q_pivot_segment_nation,
         "minhash_canonical": q_minhash_canonical,
+        "gap_encoder_topics": q_gap_encoder_topics,
     }
 
 

@@ -157,3 +157,20 @@ def test_drop_similar(spark):
     )
     out = DropSimilar().fit_transform(df)
     assert out.columns == ["x", "s"]
+
+
+def test_encoders_null_robustness(spark):
+    """Null strings must not crash any string encoder."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "id int, t string"
+    )
+    out = MinHashEncoder("t", n_components=4).fit_transform(df)
+    assert out.count() == 3
+    out2 = TextEncoder("t", n_components=4).fit_transform(df)
+    assert out2.count() == 3
+    enc = GapEncoder("t", n_components=2, hash_dim=64)
+    out3 = enc.fit(df).transform(df)
+    assert out3.count() == 3
+    enc4 = StringEncoder("t", n_components=2, hash_dim=64)
+    out4 = enc4.fit(df).transform(df)
+    assert out4.count() == 3
