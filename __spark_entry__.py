@@ -7,11 +7,19 @@ SURVEY.md §2 with DuckDB oracles (see skrub_spark/queries.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from skrub_spark import queries as _q
+# location-independent import: the driver may load this file from a
+# different working directory
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from skrub_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

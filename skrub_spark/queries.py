@@ -702,6 +702,27 @@ def q_gap_encoder_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.fit(part).transform(part)
 
 
+def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate: revenue from lineitems
+    whose quantity is below 50%% of their part's average quantity
+    (decorrelated into a broadcast join against per-part averages)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -1107,7 +1128,21 @@ ORACLES: dict[str, str] = {
           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery
         FROM customer GROUP BY c_nationkey
     """,
+    "small_quantity_parts": """
+        WITH part_avg AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+          COUNT(*) AS n_lineitems
+        FROM lineitem JOIN part_avg ON l_partkey = pk
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
 }
+
 
 
 
@@ -1157,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_segment_nation": q_pivot_segment_nation,
         "minhash_canonical": q_minhash_canonical,
         "gap_encoder_topics": q_gap_encoder_topics,
+        "small_quantity_parts": q_small_quantity_parts,
     }
 
 
