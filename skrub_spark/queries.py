@@ -723,6 +723,19 @@ def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector analytics: per-label embedding centroid, one row per
+    (label, dimension). posexplode + groupBy is the distributed
+    element-wise mean (no Python, scales with rows x dims)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -1141,7 +1154,14 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN part_avg ON l_partkey = pk
         WHERE l_quantity < 0.5 * avg_qty
     """,
+    "centroid_per_label": """
+        SELECT label, i - 1 AS pos,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+    """,
 }
+
 
 
 
@@ -1193,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_canonical": q_minhash_canonical,
         "gap_encoder_topics": q_gap_encoder_topics,
         "small_quantity_parts": q_small_quantity_parts,
+        "centroid_per_label": q_centroid_per_label,
     }
 
 
