@@ -46,6 +46,10 @@ HEADLINE = [
     "acctbal_percentiles",
     "customers_without_orders",
     "orders_moving_avg",
+    "pivot_segment_nation",
+    "small_quantity_parts",
+    "centroid_per_label",
+    "text_encoder_embeddings",
 ]
 
 
