@@ -127,9 +127,10 @@ class DurationToFloat(_SingleColumnCast):
     seconds for polars/pandas durations)."""
 
     def _expr(self, col):
-        # day-time interval casts to its length in microseconds
-        micros = F.col(col).cast("interval day to second").cast("bigint")
-        return micros.cast("double") / F.lit(1_000_000.0)
+        # casting a day-time interval to a number yields its length in
+        # the interval's end-field unit — seconds for DAY TO SECOND
+        secs = F.col(col).cast("interval day to second").cast("bigint")
+        return secs.cast("double")
 
 
 class CleanNullStrings(_SingleColumnCast):
