@@ -92,7 +92,10 @@ def embedding_near_duplicates(
             planes = rng.standard_normal((n_planes, dim))
             buckets.append(_hyperplane_bucket(F.col("v"), planes))
         banded = base.select(
-            "id", "v", F.posexplode(F.array(*buckets)).alias("bucket_idx", "bucket")
+            "id",
+            "v",
+            "nrm",
+            F.posexplode(F.array(*buckets)).alias("bucket_idx", "bucket"),
         )
     a = banded.select(
         F.col("id").alias("id_a"),

@@ -116,7 +116,11 @@ class ToCategorical(SparkTransformer):
                 [(v, i) for v, i in self._mapping.items()],
                 f"{self.col} string, {self.out_col} int",
             )
-            return df.join(F.broadcast(mapping), on=self.col, how="left")
+            # re-select to the small-vocab branch's exact schema order
+            # (join(on=key) would move the key column first)
+            return df.join(F.broadcast(mapping), on=self.col, how="left").select(
+                *df.columns, self.out_col
+            )
         for v, i in self._mapping.items():
             expr = F.when(F.col(self.col) == v, F.lit(i)).otherwise(expr)
         return df.withColumn(self.out_col, expr)
@@ -127,10 +131,17 @@ class DurationToFloat(_SingleColumnCast):
     seconds for polars/pandas durations)."""
 
     def _expr(self, col):
-        # casting a day-time interval to a number yields its length in
-        # the interval's end-field unit — seconds for DAY TO SECOND
-        secs = F.col(col).cast("interval day to second").cast("bigint")
-        return secs.cast("double")
+        # component-wise extraction: EXTRACT(SECOND FROM interval)
+        # carries the fractional part (decimal seconds), which a cast
+        # to bigint would truncate — skrub's _duration_to_float returns
+        # fractional seconds (timedelta / 1s).
+        i = F.col(col).cast("interval day to second")
+        return (
+            F.extract(F.lit("DAY"), i).cast("double") * 86400.0
+            + F.extract(F.lit("HOUR"), i).cast("double") * 3600.0
+            + F.extract(F.lit("MINUTE"), i).cast("double") * 60.0
+            + F.extract(F.lit("SECOND"), i).cast("double")
+        )
 
 
 class CleanNullStrings(_SingleColumnCast):

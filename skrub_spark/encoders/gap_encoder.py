@@ -125,7 +125,13 @@ class GapEncoder(SparkTransformer):
         # xxhash64 bucketing the fit used (a Python-side hash would
         # misalign with H's columns); the UDF only runs the dense
         # fixed-H inference per Arrow batch.
-        base = df.withColumn(rid, F.monotonically_increasing_id())
+        # localCheckpoint: `base` fans out into two plan branches
+        # (sparse counts + the join back), and mono_id is
+        # nondeterministic — truncate lineage so both branches see the
+        # same ids even under task retries.
+        base = df.withColumn(rid, F.monotonically_increasing_id()).localCheckpoint(
+            eager=False
+        )
         sparse = (
             base.select(rid, F.explode(self._grams(self.col)).alias("g"))
             .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(hash_dim)).cast("int"))

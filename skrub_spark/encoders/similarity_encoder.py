@@ -74,7 +74,13 @@ class SimilarityEncoder(SparkTransformer):
             inter = F.size(F.array_intersect(F.col("__g"), vg_lit)).cast("double")
             union = F.size(F.array_union(F.col("__g"), vg_lit)).cast("double")
             sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-            # exact match always 1.0 (jaccard of identical sets is 1)
+            # exact match always 1.0 — guarded explicitly because a
+            # value shorter than the n-gram size yields an EMPTY gram
+            # set, where the jaccard formula alone would score 0 even
+            # against the identical vocabulary entry.
+            sim = F.when(F.col(self.col).eqNullSafe(F.lit(v)), F.lit(1.0)).otherwise(
+                sim
+            )
             feats.append(sim.alias(f"{self.col}_{_safe(v)}"))
         keep = [c for c in df.columns if not (self.drop_original and c == self.col)]
         return out.select(*keep, *feats)

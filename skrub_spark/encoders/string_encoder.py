@@ -119,7 +119,11 @@ class StringEncoder(SparkTransformer):
         proj = spark.createDataFrame(
             proj_rows, "b int, idf double, comp array<double>"
         )
-        base = df.withColumn(_RID, F.monotonically_increasing_id())
+        # localCheckpoint: base fans out (bucket counts + join back);
+        # mono_id is nondeterministic without it (see ADVICE r1).
+        base = df.withColumn(_RID, F.monotonically_increasing_id()).localCheckpoint(
+            eager=False
+        )
         counts = self._bucket_counts(base)
         contrib = counts.join(F.broadcast(proj), "b").select(
             _RID,

@@ -44,7 +44,12 @@ def interpolation_join(
     tiebreak = tiebreak or aux_key[0]
 
     aux_cols = list(dict.fromkeys(aux_key + targets + [tiebreak]))
-    aux_small = aux.select(*aux_cols)
+    # alias every aux-side column to a unique internal name BEFORE the
+    # crossJoin: main_key and aux_key often share names (key="lat"),
+    # and bare F.col(name) in the distance expression would be
+    # AMBIGUOUS_REFERENCE.
+    _a = "__skrub_aux_"
+    aux_small = aux.select(*[F.col(c).alias(_a + c) for c in aux_cols])
     # predictions depend only on the key values: compute kNN once per
     # DISTINCT main key (tiny for categorical/low-card keys), then
     # broadcast-join predictions back onto the main rows. The main
@@ -57,11 +62,15 @@ def interpolation_join(
         if main_types.get(mk) == "string":
             # categorical key: 0/1 mismatch distance (exact-match
             # neighbors first, like a tree split on the category)
-            d = (F.col(mk) != F.col(ak)).cast("double")
+            d = (F.col(mk) != F.col(_a + ak)).cast("double")
         else:
-            d = (F.col(mk).cast("double") - F.col(ak).cast("double")) ** 2
+            d = (F.col(mk).cast("double") - F.col(_a + ak).cast("double")) ** 2
         dist = d if dist is None else dist + d
-    w = Window.partitionBy(*main_key).orderBy(dist.asc(), F.col(tiebreak).asc())
+    # nulls_last: a null-key aux row has a null distance, which asc()
+    # would rank FIRST (beating every real neighbor) — push it last.
+    w = Window.partitionBy(*main_key).orderBy(
+        dist.asc_nulls_last(), F.col(_a + tiebreak).asc_nulls_last()
+    )
     topk = pairs.withColumn("__rnk", F.row_number().over(w)).filter(
         F.col("__rnk") <= k
     )
@@ -70,9 +79,9 @@ def interpolation_join(
     for t in targets:
         out_name = f"{t}{suffix}"
         if target_types[t] == "string":
-            aggs.append(F.mode(F.col(t)).alias(out_name))
+            aggs.append(F.mode(F.col(_a + t)).alias(out_name))
         else:
-            aggs.append(F.avg(F.col(t).cast("double")).alias(out_name))
+            aggs.append(F.avg(F.col(_a + t).cast("double")).alias(out_name))
     preds = topk.groupBy(*main_key).agg(*aggs)
     return main.join(broadcast(preds), on=main_key, how="left")
 

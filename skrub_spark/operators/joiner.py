@@ -91,8 +91,14 @@ def fuzzy_join(
             right_renamed = right_renamed.withColumnRenamed(c, c + (suffix or "_right"))
     r_on = [c + (suffix or "_right") if c in left.columns else c for c in right_on]
 
-    lid = F.monotonically_increasing_id()
-    left_t = left.withColumn(_LEFT_ID, lid)
+    left_t = left.withColumn(_LEFT_ID, F.monotonically_increasing_id())
+    if strategy == "ngram_lsh" and not drop_unmatched:
+        # the id-stamped frame fans out into two plan branches (the
+        # banded candidates and the keep-unmatched left join at the
+        # bottom); monotonically_increasing_id is nondeterministic, so
+        # truncate lineage once so both branches see the SAME ids even
+        # under task retries / upstream reordering.
+        left_t = left_t.localCheckpoint(eager=False)
 
     l_cols = [F.col(c) for c in left_on]
     r_cols = [F.col(c) for c in r_on]
@@ -141,8 +147,12 @@ def fuzzy_join(
         # per-row reference: distance to the 2nd nearest candidate
         # (ties included). collect_list is bounded by the candidate
         # count per left row (the broadcast right side / LSH bucket).
+        # try_element_at: a left row with exactly ONE candidate (1-row
+        # right table, singleton LSH bucket) has no 2nd neighbor; under
+        # ANSI mode element_at(…, 2) would raise — try_ returns NULL,
+        # which the denom fallback below already maps to 1.0.
         agg_cols.append(
-            F.element_at(F.array_sort(F.collect_list(F.col(_DIST))), 2).alias(
+            F.try_element_at(F.array_sort(F.collect_list(F.col(_DIST))), F.lit(2)).alias(
                 "__second"
             )
         )

@@ -310,6 +310,18 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the hyperplane-LSH scale path
+    (the default mode). 3 planes x 48 tables reaches recall 1.0 on
+    the sf0.01 embeddings (verified: LSH pair set == exact pair set),
+    so the exact-cosine DuckDB oracle applies to this path too."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "embedding", "vec_id", threshold=0.35, n_planes=3, n_tables=48
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified.
     (No SQL oracle: depends on xxhash64 banding; rows-only check.)"""
@@ -897,7 +909,8 @@ ORACLES: dict[str, str] = {
                              ROWS UNBOUNDED PRECEDING) AS session_id
           FROM o
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          COUNT(*) AS n_events,
           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM s GROUP BY user_id, session_id
@@ -932,6 +945,14 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.2
     """,
     "embedding_dedup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+    "embedding_dedup_lsh": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
@@ -1184,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "squashing_scaler": q_squashing_scaler,

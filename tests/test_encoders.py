@@ -174,3 +174,28 @@ def test_encoders_null_robustness(spark):
     enc4 = StringEncoder("t", n_components=2, hash_dim=64)
     out4 = enc4.fit(df).transform(df)
     assert out4.count() == 3
+
+
+def test_similarity_encoder_short_values(spark):
+    """Regression (ADVICE r1): values shorter than the n-gram size
+    have an empty gram set; exact match must still score 1.0."""
+    df = spark.createDataFrame([("ab",), ("cd",), ("london",)], "city string")
+    enc = SimilarityEncoder("city")
+    out = enc.fit_transform(df.select("city").withColumn("c2", F.col("city")))
+    rows = {r["c2"]: r for r in out.collect()}
+    assert rows["ab"]["city_ab"] == 1.0
+    assert rows["cd"]["city_ab"] == 0.0
+    assert rows["london"]["city_london"] == 1.0
+
+
+def test_to_categorical_large_vocab_schema_parity(spark):
+    """Both vocab branches (chained CASE vs broadcast join) must emit
+    identical schemas/orderings; 101 categories takes the join path."""
+    vals = [(f"cat_{i:03d}",) for i in range(101)]
+    big = spark.createDataFrame(vals, "v string")
+    small = spark.createDataFrame(vals[:5], "v string")
+    out_big = ToCategorical("v").fit_transform(big)
+    out_small = ToCategorical("v").fit_transform(small)
+    assert out_big.columns == out_small.columns == ["v", "v_cat"]
+    m = {r["v"]: r["v_cat"] for r in out_big.collect()}
+    assert m["cat_000"] == 0 and m["cat_100"] == 100 and len(m) == 101

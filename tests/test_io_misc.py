@@ -77,3 +77,13 @@ def test_table_report_json(spark):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     j = json.loads(TableReport(df, title="t").to_json())
     assert j["title"] == "t" and j["n_rows"] == 1
+
+
+def test_duration_to_float_fractional_seconds(spark):
+    """Regression (ADVICE r1): sub-second precision must survive
+    (skrub's _duration_to_float returns fractional seconds)."""
+    dur = spark.sql(
+        "select interval '0 00:00:01.5' day to second as d"
+    )
+    r = DurationToFloat("d").fit_transform(dur).first()
+    assert r["d"] == pytest.approx(1.5)

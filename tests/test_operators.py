@@ -183,3 +183,47 @@ def test_jaccard_prefix_filter_exactness(spark):
         b = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
              for r in ngram_jaccard_pairs(df, **kw, prefix_filter=True).collect()}
         assert a == b and len(a) > 0
+
+
+def test_embedding_lsh_default_path(spark):
+    """Regression: the default exact=False (LSH) mode must run (r1 it
+    crashed on UNRESOLVED_COLUMN nrm) and, with enough tables, find
+    the same pairs as the exact mode."""
+    from skrub_spark.dedup.embedding import embedding_near_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.98, 0.2]),
+        (5, [-1.0, 0.0, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, exact=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, n_planes=2, n_tables=24
+        ).collect()
+    }
+    assert exact == {(1, 2), (3, 4)}
+    assert lsh == exact
+
+
+def test_fuzzy_join_second_neighbor_single_candidate(spark):
+    """Regression (ADVICE r1): one-row right table means no 2nd
+    neighbor; element_at(.., 2) raised under ANSI — try_element_at
+    returns NULL and the denominator falls back to 1.0."""
+    left = spark.createDataFrame([(1, "appel")], "id int, fruit string")
+    right = spark.createDataFrame([(10, "apple")], "rid int, name string")
+    out = fuzzy_join(
+        left, right, left_on="fruit", right_on="name",
+        ref_dist="second_neighbor", add_match_info=True,
+    ).first()
+    assert out["name"] == "apple"
+    assert out["skrub_Joiner_rescaled_distance"] == out["skrub_Joiner_distance"]

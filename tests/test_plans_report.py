@@ -194,3 +194,37 @@ def test_cross_validate(spark):
     assert len(scores) == 3
     assert all(s <= 0 for s in scores)
     assert all(s > -2.0 for s in scores)  # folds are similar
+
+
+def test_interpolation_join_shared_key_name(spark):
+    """Regression (ADVICE r1): main_key == aux_key column name used to
+    raise AMBIGUOUS_REFERENCE; aux-side columns are now aliased."""
+    from skrub_spark import interpolation_join
+
+    main = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id int, lat double")
+    aux = spark.createDataFrame(
+        [(1, 4.0, 100.0), (2, 6.0, 200.0), (3, 49.0, 1000.0), (4, 51.0, 2000.0)],
+        "aid int, lat double, val double",
+    )
+    out = interpolation_join(
+        main, aux, main_key="lat", aux_key="lat", targets=["val"], k=2,
+        tiebreak="aid",
+    )
+    rows = {r["id"]: r["val"] for r in out.collect()}
+    assert rows[1] == 150.0 and rows[2] == 1500.0
+
+
+def test_interpolation_join_null_aux_key(spark):
+    """Null-key aux rows must not win (asc_nulls_last ordering)."""
+    from skrub_spark import interpolation_join
+
+    main = spark.createDataFrame([(1, 5.0)], "id int, key double")
+    aux = spark.createDataFrame(
+        [(1, None, 9999.0), (2, 5.0, 10.0)],
+        "aid int, key2 double, val double",
+    )
+    out = interpolation_join(
+        main, aux, main_key="key", aux_key="key2", targets=["val"], k=1,
+        tiebreak="aid",
+    )
+    assert out.first()["val"] == 10.0
