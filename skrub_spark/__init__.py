@@ -43,6 +43,7 @@ from .operators.interpolation_joiner import (  # noqa: F401
     interpolation_join,
 )
 from .plans import (  # noqa: F401
+    NotFittedError,
     DataOp,
     ParamSearch,
     SkrubLearner,

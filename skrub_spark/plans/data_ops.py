@@ -4,20 +4,42 @@ The reference builds a lazy DAG of named inputs (``var``), method
 calls and transformer applications, evaluated with ``.skb.eval``.
 Spark DataFrames are already lazy plans, so this layer only adds the
 pieces Spark lacks: named placeholder inputs, deferred Python calls,
-hyperparameter choice objects, and grid search over them.
+hyperparameter choice objects, grid search over them, and the
+fit/transform asymmetry (reference:
+skrub/_data_ops/_data_ops.py eval modes + _skrub_namespace.py).
 
     >>> orders = var("orders")
     >>> plan = orders.filter("o_totalprice > 100").groupBy(
     ...     "o_custkey").count()
     >>> plan.skb.eval({"orders": orders_df})
 
-PARTIAL vs reference: no optuna backend, no subsampling preview, no
-train/test eval modes (cross_validate does fold splitting directly).
+Eval modes (threaded through the whole DAG, as in the reference's
+``eval_mode``):
+
+- ``fit_transform`` (default): ``.skb.apply(t)`` nodes deep-copy the
+  transformer, fit it on the incoming frame, and RECORD the fitted
+  instance in the eval state.
+- ``transform``: apply nodes reuse the recorded fitted instance and
+  only call ``.transform`` — encoders fit on train are frozen when
+  applied to test data.
+- ``preview``: like fit_transform, but ``.skb.subsample(...)`` nodes
+  actually subsample (they are identity passthroughs in the other
+  modes), mirroring ``.skb.subsample``'s interactive-only default
+  (reference: _data_ops/_skrub_namespace.py:837).
+
+PARTIAL vs reference: no optuna backend.
 """
 
 from __future__ import annotations
 
+import copy
 import itertools
+
+_UID = itertools.count()
+
+
+class NotFittedError(RuntimeError):
+    pass
 
 
 class Choice:
@@ -55,17 +77,34 @@ def optional(value, name: str | None = None):
     return Choice([value, None], name)
 
 
-def _resolve(obj, env, params):
+class _EvalCtx:
+    """Evaluation context: inputs, chosen params, eval mode, fitted
+    state (apply-node uid -> fitted transformer) and per-eval memo so
+    a node shared by two plan branches evaluates (and fits) once."""
+
+    def __init__(self, env, params, mode="fit_transform", state=None,
+                 keep_subsampling=False):
+        if mode not in ("fit_transform", "transform", "preview"):
+            raise ValueError(f"unknown eval mode {mode!r}")
+        self.env = env
+        self.params = params
+        self.mode = mode
+        self.state = state if state is not None else {}
+        self.keep_subsampling = keep_subsampling
+        self.memo: dict[int, object] = {}
+
+
+def _resolve(obj, ctx: _EvalCtx):
     if isinstance(obj, DataOp):
-        return obj._evaluate(env, params)
+        return obj._evaluate(ctx)
     if isinstance(obj, Choice):
-        if obj.name and obj.name in params:
-            return params[obj.name]
+        if obj.name and obj.name in ctx.params:
+            return ctx.params[obj.name]
         return obj.default
     if isinstance(obj, (list, tuple)):
-        return type(obj)(_resolve(x, env, params) for x in obj)
+        return type(obj)(_resolve(x, ctx) for x in obj)
     if isinstance(obj, dict):
-        return {k: _resolve(v, env, params) for k, v in obj.items()}
+        return {k: _resolve(v, ctx) for k, v in obj.items()}
     return obj
 
 
@@ -88,18 +127,32 @@ class _SkbNamespace:
     def __init__(self, op: DataOp):
         self._op = op
 
-    def eval(self, env: dict | None = None, params: dict | None = None):
-        return self._op._evaluate(env or {}, params or {})
+    def eval(self, env: dict | None = None, params: dict | None = None,
+             mode: str = "fit_transform", state: dict | None = None,
+             keep_subsampling: bool = False):
+        ctx = _EvalCtx(env or {}, params or {}, mode, state, keep_subsampling)
+        return self._op._evaluate(ctx)
 
-    def apply(self, transformer):
-        """Apply a SparkTransformer: fit_transform at eval time."""
+    def preview(self, env: dict | None = None, params: dict | None = None):
+        """Evaluate with subsampling active (interactive preview)."""
+        return self.eval(env, params, mode="preview")
 
-        def _apply(df, t=transformer):
-            import copy
+    def apply(self, transformer, y=None):
+        """Apply a SparkTransformer: fit_transform in fit mode, frozen
+        .transform in transform mode (reference .skb.apply)."""
+        kwargs = {} if y is None else {"y": y}
+        return DataOp("apply", transformer, (self._op,), kwargs)
 
-            return copy.deepcopy(t).fit_transform(df)
+    def subsample(self, n: int = 1000, how: str = "head", seed: int = 0):
+        """Subsampling marker: active only in preview mode (or when
+        eval(keep_subsampling=True)); identity otherwise.
+        how='head' -> limit(n); how='random' -> seeded sample."""
+        if how not in ("head", "random"):
+            raise ValueError("how must be 'head' or 'random'")
+        return DataOp("subsample", (int(n), how, int(seed)), (self._op,), {})
 
-        return DataOp("apply", _apply, (self._op,), {})
+    def make_learner(self, params: dict | None = None) -> "SkrubLearner":
+        return SkrubLearner(self._op, params)
 
     def describe(self) -> str:
         return self._op._describe()
@@ -114,10 +167,11 @@ class DataOp:
     """A node in the deferred computation DAG."""
 
     def __init__(self, kind, payload, args=(), kwargs=None):
-        self._kind = kind  # var | literal | call | method | apply
+        self._kind = kind  # var | literal | call | method | apply | subsample
         self._payload = payload
         self._args = tuple(args)
         self._kwargs = kwargs or {}
+        self._uid = next(_UID)
 
     # -- construction -------------------------------------------------
     def __getattr__(self, name):
@@ -137,28 +191,62 @@ class DataOp:
         return _SkbNamespace(self)
 
     # -- evaluation ---------------------------------------------------
-    def _evaluate(self, env: dict, params: dict):
+    def _evaluate(self, ctx: _EvalCtx):
+        if self._uid in ctx.memo:
+            return ctx.memo[self._uid]
+        out = self._evaluate_inner(ctx)
+        ctx.memo[self._uid] = out
+        return out
+
+    def _evaluate_inner(self, ctx: _EvalCtx):
         if self._kind == "var":
-            if self._payload not in env:
+            if self._payload not in ctx.env:
                 raise KeyError(
                     f"no value provided for var {self._payload!r}; "
-                    f"available: {sorted(env)}"
+                    f"available: {sorted(ctx.env)}"
                 )
-            return env[self._payload]
+            return ctx.env[self._payload]
         if self._kind == "literal":
-            return _resolve(self._payload, env, params)
+            return _resolve(self._payload, ctx)
         if self._kind == "method":
             obj, *rest = self._args
-            target = _resolve(obj, env, params)
-            args = [_resolve(a, env, params) for a in rest]
-            kwargs = {k: _resolve(v, env, params) for k, v in self._kwargs.items()}
+            target = _resolve(obj, ctx)
+            args = [_resolve(a, ctx) for a in rest]
+            kwargs = {k: _resolve(v, ctx) for k, v in self._kwargs.items()}
             if self._payload == "__getitem__":
                 return target[args[0]]
             return getattr(target, self._payload)(*args, **kwargs)
-        if self._kind in ("call", "apply"):
-            args = [_resolve(a, env, params) for a in self._args]
-            kwargs = {k: _resolve(v, env, params) for k, v in self._kwargs.items()}
+        if self._kind == "call":
+            args = [_resolve(a, ctx) for a in self._args]
+            kwargs = {k: _resolve(v, ctx) for k, v in self._kwargs.items()}
             return self._payload(*args, **kwargs)
+        if self._kind == "apply":
+            df = _resolve(self._args[0], ctx)
+            y = _resolve(self._kwargs.get("y"), ctx) if self._kwargs else None
+            if ctx.mode == "transform":
+                fitted = ctx.state.get(self._uid)
+                if fitted is None:
+                    raise NotFittedError(
+                        "plan evaluated in transform mode but this apply "
+                        "node has no fitted state — call fit first"
+                    )
+                return fitted.transform(df)
+            t = copy.deepcopy(_resolve(self._payload, ctx))
+            out = t.fit_transform(df, y) if y is not None else t.fit_transform(df)
+            ctx.state[self._uid] = t
+            return out
+        if self._kind == "subsample":
+            df = _resolve(self._args[0], ctx)
+            if ctx.mode != "preview" and not ctx.keep_subsampling:
+                return df
+            n, how, seed = self._payload
+            if how == "head":
+                return df.limit(n)
+            # seeded fraction sample sized via a cheap count
+            total = df.count()
+            if total <= n:
+                return df
+            return df.sample(fraction=min(1.0, n / total * 1.1), seed=seed).limit(n)
         raise ValueError(self._kind)
 
     def _collect_choices(self, acc):
@@ -175,7 +263,7 @@ class DataOp:
         if self._kind == "literal":
             return f"{pad}literal({type(self._payload).__name__})"
         name = self._payload if isinstance(self._payload, str) else getattr(
-            self._payload, "__name__", "fn"
+            self._payload, "__name__", type(self._payload).__name__
         )
         lines = [f"{pad}{self._kind}:{name}"]
         for a in self._args:
@@ -211,17 +299,57 @@ def deferred(fn):
 
 
 class SkrubLearner:
-    """Evaluate a plan as a fit/predict-ish object (minimal parity
-    with skrub's SkrubLearner: the plan IS the model)."""
+    """Fit/transform view of a plan (reference: SkrubLearner in
+    _data_ops/_evaluation.py — the plan IS the model).
+
+    ``fit(env)`` evaluates in fit_transform mode and records every
+    apply-node's fitted transformer; ``transform(env)`` re-evaluates
+    the SAME plan with those transformers frozen, so a
+    TableVectorizer fit on train emits the train vocabulary on test.
+    """
 
     def __init__(self, plan: DataOp, params: dict | None = None):
         self.plan = plan
         self.params = params or {}
+        self.state_: dict | None = None
+
+    def fit(self, env: dict):
+        self.state_ = {}
+        self.result_ = self.plan.skb.eval(
+            env, self.params, mode="fit_transform", state=self.state_
+        )
+        return self
 
     def fit_transform(self, env: dict):
-        return self.plan.skb.eval(env, self.params)
+        self.fit(env)
+        return self.result_
 
-    transform = fit_transform
+    def transform(self, env: dict):
+        if self.state_ is None:
+            # plans with no apply nodes are stateless: evaluating is
+            # fine (matches the old behavior transform=fit_transform)
+            if not _has_apply(self.plan):
+                return self.plan.skb.eval(env, self.params)
+            raise NotFittedError("call fit(env) before transform(env)")
+        return self.plan.skb.eval(
+            env, self.params, mode="transform", state=self.state_
+        )
+
+
+def _has_apply(op) -> bool:
+    if isinstance(op, DataOp):
+        if op._kind == "apply":
+            return True
+        return (
+            any(_has_apply(a) for a in op._args)
+            or any(_has_apply(v) for v in op._kwargs.values())
+            or _has_apply(op._payload)
+        )
+    if isinstance(op, (list, tuple)):
+        return any(_has_apply(x) for x in op)
+    if isinstance(op, dict):
+        return any(_has_apply(v) for v in op.values())
+    return False
 
 
 class ParamSearch:
@@ -249,12 +377,22 @@ class ParamSearch:
         self.results_ = results
         self.best_params_ = best_params
         self.best_score_ = best_score
+        self.best_learner_ = SkrubLearner(self.plan, best_params)
         return self
 
 
-def cross_validate(plan_fn, df, k: int = 3, scorer=None, seed: int = 42):
-    """k-fold CV over a DataFrame: plan_fn(train_df, test_df) -> score
-    (or pass scorer to apply to plan_fn's result)."""
+def cross_validate(plan, df, k: int = 3, scorer=None, seed: int = 42,
+                   var_name: str = "X"):
+    """k-fold CV over a DataFrame.
+
+    Two forms:
+    - ``plan`` is a callable ``plan(train_df, test_df) -> score`` (or
+      result, scored by ``scorer``) — imperative form.
+    - ``plan`` is a :class:`DataOp` — a SkrubLearner is FIT on the
+      train fold (apply nodes record fitted state) and TRANSFORMED on
+      the test fold with that state frozen, the reference's
+      train/test asymmetry (no re-fitting on test data).
+    """
     splits = df.randomSplit([1.0] * k, seed=seed)
     scores = []
     for i in range(k):
@@ -263,6 +401,10 @@ def cross_validate(plan_fn, df, k: int = 3, scorer=None, seed: int = 42):
         for j, s in enumerate(splits):
             if j != i:
                 train = s if train is None else train.union(s)
-        res = plan_fn(train, test)
+        if isinstance(plan, DataOp):
+            learner = SkrubLearner(plan).fit({var_name: train})
+            res = learner.transform({var_name: test})
+        else:
+            res = plan(train, test)
         scores.append(scorer(res) if scorer else res)
     return scores

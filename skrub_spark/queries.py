@@ -323,8 +323,12 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs, Jaccard-verified.
-    (No SQL oracle: depends on xxhash64 banding; rows-only check.)"""
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified. The
+    output is exact-Jaccard-filtered, so with full LSH recall it
+    EQUALS the exact shingle-Jaccard pair set — verified at sf0.01
+    (identical pair set + values), which makes the DuckDB exact-
+    Jaccard oracle applicable. LSH only affects recall, never adds
+    false pairs."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dedup_minhash_pairs(
@@ -335,7 +339,7 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_components=64,
         n_bands=16,
         jaccard_threshold=0.2,
-    )
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +365,24 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     tv = TableVectorizer(cardinality_threshold=10)
     return tv.fit(base).transform(base)
+
+
+def q_learner_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataOps fit/transform asymmetry (reference: _data_ops eval
+    modes): a plan with an applied TableVectorizer is FIT on the
+    train slice (c_custkey % 4 != 0) and the FROZEN state transforms
+    the held-out test slice. Output = encoded test rows; the one-hot
+    columns are the TRAIN vocabulary."""
+    _prep(spark)
+    from .plans import SkrubLearner, var
+    from .table_vectorizer import TableVectorizer
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    train = cust.filter(F.col("c_custkey") % 4 != 0)
+    test = cust.filter(F.col("c_custkey") % 4 == 0)
+    plan = var("X").skb.apply(TableVectorizer(cardinality_threshold=10))
+    learner = SkrubLearner(plan).fit({"X": train})
+    return learner.transform({"X": test})
 
 
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,8 +713,10 @@ def q_pivot_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: minhash-LSH pairs -> connected
-    components -> canonical id per document. (xxhash-based banding:
-    rows-only.)"""
+    components -> canonical id per document. Oracled: the pair set
+    equals the exact-Jaccard pairs at sf0.01 (see
+    q_minhash_dedup_pairs), and DuckDB computes components with a
+    recursive transitive-closure CTE."""
     _prep(spark)
     from .dedup.minhash import minhash_near_duplicates
 
@@ -944,6 +968,64 @@ ORACLES: dict[str, str] = {
         FROM inter
         WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.2
     """,
+    "minhash_dedup_pairs": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN generate_series(1, len(toks) - 2)]
+                   ELSE [] END) AS grams
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(grams) AS ng, unnest(grams) AS g FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                 COUNT(*) AS n_inter
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+          ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard
+        FROM inter
+        WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.2
+    """,
+    "minhash_canonical": """
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN generate_series(1, len(toks) - 2)]
+                   ELSE [] END) AS grams
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(grams) AS ng, unnest(grams) AS g FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                 COUNT(*) AS n_inter
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.2
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), walk(id, reach) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+        )
+        SELECT id, CAST(MIN(reach) AS BIGINT) AS component
+        FROM walk GROUP BY id
+    """,
     "embedding_dedup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -982,6 +1064,15 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'HOUSEHOLD' AS DOUBLE) AS c_mktsegment_HOUSEHOLD,
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
+    """,
+    "learner_train_test": """
+        SELECT c_custkey,
+          CAST(c_mktsegment = 'AUTOMOBILE' AS DOUBLE) AS c_mktsegment_AUTOMOBILE,
+          CAST(c_mktsegment = 'BUILDING' AS DOUBLE) AS c_mktsegment_BUILDING,
+          CAST(c_mktsegment = 'FURNITURE' AS DOUBLE) AS c_mktsegment_FURNITURE,
+          CAST(c_mktsegment = 'HOUSEHOLD' AS DOUBLE) AS c_mktsegment_HOUSEHOLD,
+          CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
+        FROM customer WHERE c_custkey % 4 = 0
     """,
     "table_stats": """
         SELECT 'c_custkey' AS column_name,
@@ -1211,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squashing_scaler": q_squashing_scaler,
         "one_hot_mktsegment": q_one_hot_mktsegment,
         "table_stats": q_table_stats,
+        "learner_train_test": q_learner_train_test,
         "session_encoder_features": q_session_encoder_features,
         "json_props": q_json_props,
         "interpolation_join": q_interpolation_join,

@@ -228,3 +228,77 @@ def test_interpolation_join_null_aux_key(spark):
         tiebreak="aid",
     )
     assert out.first()["val"] == 10.0
+
+
+def test_skrub_learner_fit_transform_split(spark):
+    """Reference parity (_data_ops eval modes): a transformer applied
+    inside a plan is FIT on the train env and FROZEN on the test env —
+    the test frame must come out with the TRAIN vocabulary."""
+    from skrub_spark import NotFittedError, SkrubLearner, var
+    from skrub_spark.table_vectorizer import TableVectorizer
+
+    train = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE"), (3, "BUILDING")], "id int, seg string"
+    )
+    test = spark.createDataFrame(
+        [(4, "MACHINERY"), (5, "BUILDING")], "id int, seg string"
+    )
+    plan = var("X").skb.apply(TableVectorizer(cardinality_threshold=10))
+    learner = SkrubLearner(plan)
+
+    with pytest.raises(NotFittedError):
+        learner.transform({"X": test})
+
+    out_train = learner.fit_transform({"X": train})
+    out_test = learner.transform({"X": test})
+    # same (train-derived) columns on both frames
+    assert out_test.columns == out_train.columns
+    assert any("BUILDING" in c for c in out_test.columns)
+    # MACHINERY was never seen at fit: no column for it, its row is
+    # all-zero across the one-hot block
+    assert not any("MACHINERY" in c for c in out_test.columns)
+    seg_cols = [c for c in out_test.columns if c.startswith("seg_")]
+    row4 = out_test.filter("id = 4").first()
+    assert all(row4[c] == 0.0 for c in seg_cols)
+
+
+def test_dataops_subsample_preview_only(spark):
+    from skrub_spark import var
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id int")
+    plan = var("X").skb.subsample(n=10)
+    assert plan.skb.eval({"X": df}).count() == 100          # identity in fit
+    assert plan.skb.preview({"X": df}).count() == 10         # active in preview
+    assert plan.skb.eval({"X": df}, keep_subsampling=True).count() == 10
+    rnd = var("X").skb.subsample(n=10, how="random")
+    assert rnd.skb.preview({"X": df}).count() <= 10
+
+
+def test_cross_validate_plan_no_test_refit(spark):
+    """DataOp-plan cross_validate must fit each fold's transformers on
+    the train split only (frozen on test)."""
+    from skrub_spark import cross_validate, var
+    from skrub_spark.encoders.squashing_scaler import SquashingScaler
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(90)], "id int, v double"
+    )
+    plan = var("X").skb.apply(SquashingScaler(cols=["v"]))
+    outs = cross_validate(plan, df, k=3)
+    assert len(outs) == 3
+    for o in outs:
+        assert "v" in o.columns and o.count() > 0
+
+
+def test_dataops_shared_node_fits_once(spark):
+    """A subplan referenced by two branches evaluates once per eval
+    (memoized), so its apply node fits a single transformer."""
+    from skrub_spark import SkrubLearner, var
+    from skrub_spark.encoders.squashing_scaler import SquashingScaler
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id int, v double")
+    scaled = var("X").skb.apply(SquashingScaler(cols=["v"]))
+    plan = scaled.join(scaled.select("id"), on="id")
+    learner = SkrubLearner(plan).fit({"X": df})
+    assert len(learner.state_) == 1
+    assert learner.transform({"X": df}).count() == 2
