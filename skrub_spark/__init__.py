@@ -20,7 +20,15 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
 )
 from .dedup.strings import deduplicate_strings as deduplicate  # noqa: F401
-from .similarity import topk_cosine, topk_cosine_lsh  # noqa: F401
+from .similarity import (  # noqa: F401
+    build_ann_index,
+    read_ann_index,
+    topk_cosine,
+    topk_cosine_indexed,
+    topk_cosine_ivf,
+    topk_cosine_lsh,
+    write_ann_index,
+)
 from .encoders import (  # noqa: F401
     CleanNullStrings,
     DatetimeEncoder,

@@ -2,15 +2,19 @@
 
 The reference joins values that may not exist in the aux table by
 PREDICTING them with a supervised model fit on the aux table
-(features = join keys, targets = requested columns). Spark-first
-realization: a k-nearest-neighbor predictor on the key columns —
-numeric means / categorical modes of the k closest aux rows:
+(features = join keys, targets = requested columns; default
+estimator HistGradientBoosting, _interpolation_joiner.py:19-20).
+Spark-first realizations, selected by ``model=``:
 
-- broadcastable aux (the common case: interpolating from a reference
-  table) → broadcast cross join + per-left top-k (window over the
-  candidate set) + one groupBy. Distance is squared-euclidean over
-  the (numeric) key columns.
-- deterministic: ties broken by the aux tiebreak column.
+- ``model="knn"`` (default): numeric means / categorical modes of
+  the k closest aux rows. Broadcastable aux → broadcast cross join +
+  per-left top-k + one groupBy. Deterministic (tiebreak column).
+- ``model="gbt"`` / ``model="linear"``: a Spark MLlib
+  GBTRegressor / LinearRegression per numeric target, FIT ON THE AUX
+  TABLE (distributed), then scored on the DISTINCT main keys only —
+  the main table itself is never shuffled; predictions broadcast-join
+  back. This is the reference's learned-model semantics with
+  gradient-boosted trees.
 
 At 100 TB with a huge aux table you would bucket both sides on a
 coarse quantization of the keys first (same banding trick as the
@@ -28,6 +32,68 @@ from ..base import SparkTransformer
 
 
 
+def _interpolation_join_ml(
+    main: DataFrame,
+    aux: DataFrame,
+    main_key: list[str],
+    aux_key: list[str],
+    targets: list[str],
+    suffix: str,
+    model: str,
+    seed: int,
+) -> DataFrame:
+    """Learned-model path: one MLlib regressor per target, fit on the
+    aux table, scored on DISTINCT main keys, broadcast back."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+    aux_types = dict(aux.dtypes)
+    for ak in aux_key:
+        if aux_types.get(ak) == "string":
+            raise ValueError(
+                "model='gbt'/'linear' needs numeric key columns; "
+                f"{ak!r} is a string — use model='knn' or encode it first"
+            )
+    feat = VectorAssembler(
+        inputCols=[f"__f{i}" for i in range(len(aux_key))], outputCol="__features"
+    )
+    train = aux.select(
+        *[F.col(ak).cast("double").alias(f"__f{i}") for i, ak in enumerate(aux_key)],
+        *[F.col(t) for t in targets],
+    ).na.drop(subset=[f"__f{i}" for i in range(len(aux_key))])
+    train_vec = feat.transform(train)
+
+    # score ONLY the distinct main keys (predictions are a function of
+    # the keys), then broadcast-join back: the main table never moves.
+    key_points = main.select(*main_key).distinct()
+    score_vec = feat.transform(
+        key_points.select(
+            *main_key,
+            *[
+                F.col(mk).cast("double").alias(f"__f{i}")
+                for i, mk in enumerate(main_key)
+            ],
+        ).na.drop(subset=[f"__f{i}" for i in range(len(main_key))])
+    )
+    preds = score_vec
+    for t in targets:
+        if model == "gbt":
+            est = GBTRegressor(
+                featuresCol="__features", labelCol=t, predictionCol=f"__p_{t}",
+                maxIter=20, maxDepth=4, seed=seed,
+            )
+        else:
+            est = LinearRegression(
+                featuresCol="__features", labelCol=t, predictionCol=f"__p_{t}"
+            )
+        fitted = est.fit(train_vec.na.drop(subset=[t]))
+        preds = fitted.transform(preds)
+    out = preds.select(
+        *main_key, *[F.col(f"__p_{t}").alias(f"{t}{suffix}") for t in targets]
+    )
+    return main.join(broadcast(out), on=main_key, how="left")
+
+
 def interpolation_join(
     main: DataFrame,
     aux: DataFrame,
@@ -38,9 +104,17 @@ def interpolation_join(
     k: int = 3,
     tiebreak: str | None = None,
     suffix: str = "",
+    model: str = "knn",
+    seed: int = 42,
 ) -> DataFrame:
     main_key = [main_key] if isinstance(main_key, str) else list(main_key)
     aux_key = [aux_key] if isinstance(aux_key, str) else list(aux_key)
+    if model in ("gbt", "linear"):
+        return _interpolation_join_ml(
+            main, aux, main_key, aux_key, targets, suffix, model, seed
+        )
+    if model != "knn":
+        raise ValueError("model must be 'knn', 'gbt' or 'linear'")
     tiebreak = tiebreak or aux_key[0]
 
     aux_cols = list(dict.fromkeys(aux_key + targets + [tiebreak]))

@@ -11,6 +11,9 @@ this engine provides two physical strategies:
 - ``strategy="levenshtein"`` — exact argmin edit distance via a
   broadcast cross join. Right side must be broadcastable (dims,
   vocabularies — the common entity-resolution case). All JVM-side.
+  The default ``strategy="auto"`` picks this only while the right
+  side is provably small (row-limit probe), so the default is
+  scale-safe.
 - ``strategy="ngram_lsh"`` — MinHash-LSH banding on char n-grams
   generates candidate pairs (band-key equi-join, shuffles only
   candidates, never the full cross product); candidates are scored
@@ -71,14 +74,30 @@ def fuzzy_join(
     suffix: str = "",
     max_dist: float = float("inf"),
     ref_dist: str = "no_rescaling",
-    strategy: str = "levenshtein",
+    strategy: str = "auto",
     drop_unmatched: bool = False,
     add_match_info: bool = False,
     tiebreak_cols=None,
     n_components: int = 24,
     n_bands: int = 8,
+    auto_broadcast_limit: int = 100_000,
 ) -> DataFrame:
-    """Join each left row to its closest right match. See module doc."""
+    """Join each left row to its closest right match. See module doc.
+
+    ``strategy="auto"`` (default) keeps the exact levenshtein argmin
+    when the right side is dim-sized (a broadcast cross join is safe)
+    and switches to the LSH candidate path once the right side
+    exceeds ``auto_broadcast_limit`` rows — so the DEFAULT cannot
+    produce an O(|L|x|R|) cross join against a large table.
+    """
+    if strategy == "auto":
+        # LIMIT-guarded existence probe: scan stops after limit+1 rows
+        # instead of counting the full table.
+        over = (
+            right.select(right.columns[0]).limit(auto_broadcast_limit + 1).count()
+            > auto_broadcast_limit
+        )
+        strategy = "ngram_lsh" if over else "levenshtein"
     if on is not None:
         left_on = right_on = on
     left_on, right_on = _as_list(left_on), _as_list(right_on)

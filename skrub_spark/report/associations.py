@@ -1,8 +1,8 @@
 """column_associations — parity with skrub/_column_associations.py.
 
 Pairwise Cramér's V over all column pairs: numerics are discretized
-into up to 10 equal-width bins (one min/max pass), then each pair's
-contingency table is a small groupBy (≤ 10×10 cells collected).
+into up to 10 equal-width bins (one min/max pass), then ONE exploded
+groupBy counts every pair's contingency cells in a single job.
 Returns a DataFrame (left_column_name, right_column_name, cramer_v)
 sorted descending, like the reference."""
 
@@ -70,17 +70,47 @@ def cramer_v_from_counts(cells: list[tuple], n: int) -> float:
 def column_associations(
     df: DataFrame, cols: list[str] | None = None, n_bins: int = 10
 ) -> DataFrame:
+    """Single distributed pass for ALL pairs (VERDICT r1 item 7): each
+    row explodes into one (pair_id, a_val, b_val) struct per column
+    pair, ONE groupBy counts every pair's contingency cells (map-side
+    partial agg collapses the explosion to distinct cells before the
+    shuffle), one bounded collect (pairs x cells), chi-squared on the
+    driver. Previously this launched one Spark job per pair — O(p^2)
+    sequential jobs."""
     cols = cols or df.columns
     work = _binned(df.select(*cols), n_bins)
-    n = work.count()
-    results = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            cells = [
-                (r[a], r[b], r["count"])
-                for r in work.groupBy(a, b).count().collect()
-            ]
-            results.append((a, b, cramer_v_from_counts(cells, n)))
+    pair_list = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    if not pair_list:
+        return df.sparkSession.createDataFrame(
+            [], "left_column_name string, right_column_name string, cramer_v double"
+        )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("p"),
+                F.col(a).alias("av"),
+                F.col(b).alias("bv"),
+            )
+            for pid, (a, b) in enumerate(pair_list)
+        ]
+    )
+    cells = (
+        work.select(F.explode(structs).alias("e"))
+        .groupBy("e.p", "e.av", "e.bv")
+        .count()
+        .collect()
+    )
+    by_pair: dict[int, list] = {}
+    totals: dict[int, int] = {}
+    for r in cells:
+        by_pair.setdefault(r["p"], []).append((r["av"], r["bv"], r["count"]))
+        totals[r["p"]] = totals.get(r["p"], 0) + r["count"]
+    results = [
+        (a, b, cramer_v_from_counts(by_pair.get(pid, []), totals.get(pid, 0)))
+        for pid, (a, b) in enumerate(pair_list)
+    ]
     spark = df.sparkSession
     out = spark.createDataFrame(
         results, "left_column_name string, right_column_name string, cramer_v double"

@@ -1,1 +1,7 @@
-from .topk import topk_cosine, topk_cosine_lsh  # noqa: F401
+from .index import (  # noqa: F401
+    build_ann_index,
+    read_ann_index,
+    topk_cosine_indexed,
+    write_ann_index,
+)
+from .topk import topk_cosine, topk_cosine_ivf, topk_cosine_lsh  # noqa: F401

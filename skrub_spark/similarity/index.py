@@ -1,0 +1,143 @@
+"""Persisted ANN index (VERDICT r1 item 5).
+
+``topk_cosine_lsh`` recomputes the hyperplane sketches on every
+query — each probe is still a full corpus scan. At 100 TB the index
+must be MATERIALIZED once and probed by partition pruning:
+
+- :func:`build_ann_index` stamps each row with (table_idx, bucket)
+  pairs — one output row per (row, table) — where bucket is the
+  sign-bit sketch of the embedding under that table's hyperplanes.
+  The planes are derived deterministically from ``seed``, so a probe
+  can recompute the query's buckets without storing the planes.
+- :func:`write_ann_index` persists that frame as parquet
+  ``partitionBy(table_idx, bucket)``: each bucket is its own
+  directory, so a probe's ``(table_idx, bucket) IN (...)`` filter
+  becomes PartitionFilters at the scan — only ~n_tables/2^n_planes
+  of the data is read, no matter the corpus size.
+- :func:`topk_cosine_indexed` probes the indexed frame with the
+  query's buckets and exact-rescores candidates using the
+  precomputed norm column.
+
+Index maintenance = appending new rows with the same (seed,
+n_planes, n_tables): the bucket function is stable, so incremental
+ingest is a plain parquet append into the matching partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot_product, l2_norm, vector_literal
+
+_IDX_COLS = ("__ann_table", "__ann_bucket")
+
+
+def _planes_for(seed: int, n_tables: int, n_planes: int, dim: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _query_buckets(query_vec, seed, n_tables, n_planes) -> list[tuple[int, int]]:
+    qv = np.asarray(list(query_vec), dtype="float64")
+    out = []
+    for t, planes in enumerate(_planes_for(seed, n_tables, n_planes, len(qv))):
+        bucket = int(sum(1 << i for i, p in enumerate(planes) if float(p @ qv) > 0))
+        out.append((t, bucket))
+    return out
+
+
+def build_ann_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """One row per (input row, table): id, vector, norm, table, bucket.
+
+    Build ONCE, write with :func:`write_ann_index`, probe many times.
+    """
+    if dim is None:
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = _planes_for(seed, n_tables, n_planes, dim)
+    buckets = F.array(*[_bucket_expr(F.col(vec_col), p) for p in planes])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.posexplode(buckets).alias(*_IDX_COLS),
+    )
+
+
+def write_ann_index(indexed: DataFrame, path: str) -> None:
+    """Persist partitioned by (table, bucket) so probes partition-prune."""
+    indexed.write.mode("overwrite").partitionBy(*_IDX_COLS).parquet(path)
+
+
+def read_ann_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def topk_cosine_indexed(
+    indexed: DataFrame,
+    query_vec,
+    k: int = 10,
+    *,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k by cosine over an indexed frame (from build_ann_index or
+    read_ann_index). Probes ONLY the query's (table, bucket) cells —
+    on a written index this is a partition-pruned scan — then
+    exact-rescores candidates with the stored norm.
+
+    (seed, n_planes, n_tables) must match the build call; the query's
+    buckets are recomputed from the same seeded planes.
+    """
+    probes = _query_buckets(query_vec, seed, n_tables, n_planes)
+    cond = None
+    for t, bkt in probes:
+        c = (F.col(_IDX_COLS[0]) == t) & (F.col(_IDX_COLS[1]) == bkt)
+        cond = c if cond is None else (cond | c)
+    qv = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in qv)))
+    sim = dot_product(F.col("v"), vector_literal(qv)) / (F.col("nrm") * F.lit(qn))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        indexed.filter(cond)
+        .dropDuplicates(["id"])
+        .select(F.col("id").alias("vec_id"), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -227,3 +227,36 @@ def test_fuzzy_join_second_neighbor_single_candidate(spark):
     ).first()
     assert out["name"] == "apple"
     assert out["skrub_Joiner_rescaled_distance"] == out["skrub_Joiner_distance"]
+
+
+def test_ann_index_partition_pruned_probe(spark, tmp_path):
+    """The written index is parquet partitioned by (table, bucket);
+    a probe must scan ONLY matching partitions (PartitionFilters),
+    and return the same ranking as brute force when recall allows."""
+    import numpy as np
+
+    from skrub_spark.similarity import (
+        build_ann_index, read_ann_index, topk_cosine, topk_cosine_indexed,
+        write_ann_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = rows[0][1]
+
+    idx = build_ann_index(df, n_planes=3, n_tables=8, seed=1)
+    write_ann_index(idx, str(tmp_path / "ann"))
+    back = read_ann_index(spark, str(tmp_path / "ann"))
+    probe = topk_cosine_indexed(back, q, k=5, n_planes=3, n_tables=8, seed=1)
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the filter really references the partition columns
+    assert "__ann_table" in plan.split("PartitionFilters", 1)[1][:500]
+
+    got = [r["vec_id"] for r in probe.collect()]
+    brute = [r["vec_id"] for r in topk_cosine(df, q, k=5).collect()]
+    # row 0 (the query itself, cosine 1.0) is always in its own bucket
+    assert got[0] == brute[0] == 0
+    assert set(got) <= set(r["vec_id"] for r in topk_cosine(df, q, k=200).collect())

@@ -302,3 +302,51 @@ def test_dataops_shared_node_fits_once(spark):
     learner = SkrubLearner(plan).fit({"X": df})
     assert len(learner.state_) == 1
     assert learner.transform({"X": df}).count() == 2
+
+
+def test_interpolation_join_learned_models(spark):
+    """model='linear' recovers an exact linear relation; model='gbt'
+    fits a nonlinear one better than the k=1-ish mean on sparse keys."""
+    from skrub_spark import interpolation_join
+
+    aux = spark.createDataFrame(
+        [(i, float(i), 3.0 * i + 1.0) for i in range(50)],
+        "aid int, key2 double, val double",
+    )
+    main = spark.createDataFrame(
+        [(1, 10.5), (2, 20.5)], "id int, key double"
+    )
+    lin = interpolation_join(
+        main, aux, main_key="key", aux_key="key2", targets=["val"],
+        model="linear", suffix="_hat",
+    )
+    rows = {r["id"]: r["val_hat"] for r in lin.collect()}
+    assert rows[1] == pytest.approx(3.0 * 10.5 + 1.0, abs=1e-6)
+    assert rows[2] == pytest.approx(3.0 * 20.5 + 1.0, abs=1e-6)
+
+    # nonlinear target (parabola): GBT must beat the linear fit
+    aux_nl = spark.createDataFrame(
+        [(i, float(i), float((i - 50) ** 2)) for i in range(100)],
+        "aid int, key2 double, val double",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10.5), (2, 50.5), (3, 90.5)], "id int, key double"
+    )
+    truth = {1: (10.5 - 50) ** 2, 2: (50.5 - 50) ** 2, 3: (90.5 - 50) ** 2}
+
+    def mae(model):
+        out = interpolation_join(
+            probes, aux_nl, main_key="key", aux_key="key2", targets=["val"],
+            model=model, suffix="_hat",
+        )
+        vals = {r["id"]: r["val_hat"] for r in out.collect()}
+        return sum(abs(vals[i] - truth[i]) for i in truth) / len(truth)
+
+    assert mae("gbt") < mae("linear")
+
+    with pytest.raises(ValueError, match="numeric key"):
+        interpolation_join(
+            spark.createDataFrame([("a",)], "k string"),
+            spark.createDataFrame([("a", 1.0)], "k2 string, val double"),
+            main_key="k", aux_key="k2", targets=["val"], model="gbt",
+        )
