@@ -45,22 +45,78 @@ def _as_list(x):
     return [x] if isinstance(x, str) else list(x)
 
 
-def _pair_distance(left_cols, right_cols, strategy):
-    if strategy == "levenshtein":
-        d = None
-        for lc, rc in zip(left_cols, right_cols):
-            t = F.levenshtein(lc, rc).cast("double")
-            d = t if d is None else d + t
-        return d
-    # jaccard distance on char trigrams, summed over key columns
+_NUMERIC_T = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _key_kind(dtype: str) -> str:
+    """'string' | 'numeric' | 'datetime' per key column (reference
+    Joiner vectorizes mixed-type keys: strings -> ngram vectors,
+    datetimes -> total-seconds, numerics -> StandardScaler passthrough;
+    skrub/_joiner.py:43-76)."""
+    if dtype == "string":
+        return "string"
+    if dtype.startswith("decimal") or dtype in _NUMERIC_T:
+        return "numeric"
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return "datetime"
+    raise ValueError(f"fuzzy_join key has unsupported dtype {dtype!r}")
+
+
+def _as_seconds(c):
+    """Numeric/datetime key -> double (datetimes as epoch seconds,
+    mirroring DatetimeEncoder(add_total_seconds=True))."""
+    return c.cast("timestamp").cast("double")
+
+
+def _numeric_scales(right: DataFrame, cols_kinds) -> dict[str, float]:
+    """Per-column std of the RIGHT (aux) table — the reference fits
+    its StandardScaler on the aux table (_joiner.py:328-333). In a
+    distance, the mean cancels: ((l-m)/s - (r-m)/s)^2 == ((l-r)/s)^2,
+    so only the scale is needed. One tiny agg job, scalar result."""
+    num = [c for c, k in cols_kinds if k in ("numeric", "datetime")]
+    if not num:
+        return {}
+    kinds = dict(cols_kinds)
+    row = right.agg(
+        *[
+            F.stddev(
+                _as_seconds(F.col(c)) if kinds[c] == "datetime"
+                else F.col(c).cast("double")
+            ).alias(c)
+            for c in num
+        ]
+    ).first()
+    return {c: (row[c] if row[c] else 1.0) for c in num}
+
+
+def _pair_distance(left_cols, right_cols, strategy, kinds=None, scales=None):
+    """Summed per-column distance. Strings: levenshtein (exact
+    strategy) or trigram-jaccard (lsh strategy). Numeric/datetime:
+    euclidean over right-std-standardized values, taken jointly
+    (sqrt of the summed squares) like the reference's euclidean NN."""
+    kinds = kinds or ["string"] * len(left_cols)
+    scales = scales or [1.0] * len(left_cols)
     d = None
-    for lc, rc in zip(left_cols, right_cols):
-        lg = F.array_distinct(char_ngrams(lc, 3))
-        rg = F.array_distinct(char_ngrams(rc, 3))
-        inter = F.size(F.array_intersect(lg, rg)).cast("double")
-        union = F.size(F.array_union(lg, rg)).cast("double")
-        t = 1.0 - inter / F.greatest(union, F.lit(1.0))
+    num_sq = None
+    for lc, rc, kind, scale in zip(left_cols, right_cols, kinds, scales):
+        if kind in ("numeric", "datetime"):
+            lv = _as_seconds(lc) if kind == "datetime" else lc.cast("double")
+            rv = _as_seconds(rc) if kind == "datetime" else rc.cast("double")
+            t = ((lv - rv) / F.lit(float(scale))) ** 2
+            num_sq = t if num_sq is None else num_sq + t
+            continue
+        if strategy == "levenshtein":
+            t = F.levenshtein(lc, rc).cast("double")
+        else:
+            lg = F.array_distinct(char_ngrams(lc, 3))
+            rg = F.array_distinct(char_ngrams(rc, 3))
+            inter = F.size(F.array_intersect(lg, rg)).cast("double")
+            union = F.size(F.array_union(lg, rg)).cast("double")
+            t = 1.0 - inter / F.greatest(union, F.lit(1.0))
         d = t if d is None else d + t
+    if num_sq is not None:
+        n = F.sqrt(num_sq)
+        d = n if d is None else d + n
     return d
 
 
@@ -81,6 +137,7 @@ def fuzzy_join(
     n_components: int = 24,
     n_bands: int = 8,
     auto_broadcast_limit: int = 100_000,
+    numeric_band_width: float = 1.0,
 ) -> DataFrame:
     """Join each left row to its closest right match. See module doc.
 
@@ -122,9 +179,21 @@ def fuzzy_join(
     l_cols = [F.col(c) for c in left_on]
     r_cols = [F.col(c) for c in r_on]
 
+    right_types = dict(right_renamed.dtypes)
+    kinds = [_key_kind(right_types[c]) for c in r_on]
+    scale_map = _numeric_scales(
+        right_renamed, [(c, k) for c, k in zip(r_on, kinds)]
+    )
+    scales = [scale_map.get(c, 1.0) for c in r_on]
+    str_left = [c for c, k in zip(left_on, kinds) if k == "string"]
+    str_right = [c for c, k in zip(r_on, kinds) if k == "string"]
+
     if strategy == "levenshtein":
         pairs = left_t.crossJoin(broadcast(right_renamed))
-    elif strategy == "ngram_lsh":
+    elif strategy == "ngram_lsh" and str_left:
+        # string keys are the selective ones: candidates come from
+        # minhash bands over their grams; numeric/datetime key columns
+        # only contribute to the exact rescoring distance below.
         rows_per_band = max(1, n_components // n_bands)
 
         def with_bands(df, cols, name):
@@ -136,15 +205,44 @@ def fuzzy_join(
                 name,
                 F.explode(minhash_band_keys(grams, n_bands, rows_per_band)),
             )
-        lb = with_bands(left_t, left_on, "__band")
-        rb = with_bands(right_renamed, r_on, "__band")
+        lb = with_bands(left_t, str_left, "__band")
+        rb = with_bands(right_renamed, str_right, "__band")
+        pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
+            [_LEFT_ID] + r_on
+        )
+    elif strategy == "ngram_lsh":
+        # numeric/datetime-only keys: band on a coarse quantization of
+        # the FIRST key's standardized value. The left side probes its
+        # own cell plus both neighbors, so any match within one cell
+        # width (default 1 right-table std) is guaranteed a candidate —
+        # an equi-join range lookup, never a cross join. Matches
+        # farther than `numeric_band_width` stds on that key may be
+        # missed (same approximate contract as the string LSH).
+        k0_l, k0_r, kind0 = left_on[0], r_on[0], kinds[0]
+        w = float(scales[0]) * float(numeric_band_width)
+
+        def cell(c, kind):
+            v = _as_seconds(c) if kind == "datetime" else c.cast("double")
+            return F.floor(v / F.lit(w)).cast("long")
+
+        lb = left_t.withColumn(
+            "__band",
+            F.explode(
+                F.array(
+                    cell(F.col(k0_l), kind0) - 1,
+                    cell(F.col(k0_l), kind0),
+                    cell(F.col(k0_l), kind0) + 1,
+                )
+            ),
+        )
+        rb = right_renamed.withColumn("__band", cell(F.col(k0_r), kind0))
         pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
             [_LEFT_ID] + r_on
         )
     else:
         raise ValueError("strategy must be 'levenshtein' or 'ngram_lsh'")
 
-    dist_expr = _pair_distance(l_cols, r_cols, strategy)
+    dist_expr = _pair_distance(l_cols, r_cols, strategy, kinds, scales)
     pairs = pairs.withColumn(_DIST, dist_expr)
 
     # Argmin via min(struct(dist, tiebreak…, payload…)) instead of a
@@ -196,7 +294,7 @@ def fuzzy_join(
                 rs2 = rs2.withColumnRenamed(c, c + (suffix or "_right"))
         sample_pairs = ls.crossJoin(broadcast(rs2)).limit(4000)
         ref = sample_pairs.select(
-            F.avg(_pair_distance(l_cols, r_cols, strategy)).alias("m")
+            F.avg(_pair_distance(l_cols, r_cols, strategy, kinds, scales)).alias("m")
         ).collect()[0]["m"] or 1.0
     elif ref_dist == "no_rescaling":
         ref = 1.0

@@ -527,15 +527,23 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_column_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Cramér's V over customer columns. (No SQL oracle:
-    driver-side chi2 assembly; rows-only check + pytest coverage.)"""
+    """Pairwise Cramér's V over customer columns. Binning is pure
+    IEEE double arithmetic (identical in DuckDB) and chi2 has the
+    closed form n*sum(obs^2/(ra*cb)) - n over observed cells, so the
+    oracle replays it in SQL; rounded to 6 digits because the two
+    engines sum the chi2 terms in different orders."""
     _prep(spark)
     from .report.associations import column_associations
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_nationkey", "c_mktsegment", "c_acctbal"
     )
-    return column_associations(cust)
+    out = column_associations(cust)
+    return out.select(
+        "left_column_name",
+        "right_column_name",
+        F.round(F.col("cramer_v"), 6).alias("cramer_v"),
+    )
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,7 +585,10 @@ def q_interpolation_join_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fuzzy_join scale path: minhash-LSH candidate generation +
-    trigram-jaccard scoring. (Approximate candidates: rows-only.)"""
+    trigram-jaccard scoring. 24 bands x 1 row maximizes recall; at
+    sf0.01 the candidate set provably contains every true argmin
+    (verified == the exact cross-join trigram argmin), so the exact
+    DuckDB trigram-jaccard ROW_NUMBER oracle applies."""
     _prep(spark)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -587,6 +598,29 @@ def q_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_on="c_name",
         right_on="s_name",
         strategy="ngram_lsh",
+        n_bands=24,
+        n_components=24,
+        tiebreak_cols=["s_suppkey"],
+    )
+    return out.select("c_custkey", "s_suppkey")
+
+
+def q_fuzzy_join_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join on a NUMERIC key (reference Joiner vectorizes
+    numeric keys through a StandardScaler fit on the aux table,
+    _joiner.py:43-76): each customer matched to the supplier with the
+    nearest account balance. Standardization is a positive scalar so
+    the argmin — and every tie — is identical to raw |l - r| order,
+    which the DuckDB oracle replays with a ROW_NUMBER window."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    out = fuzzy_join(
+        cust,
+        supp,
+        left_on="c_acctbal",
+        right_on="s_acctbal",
+        strategy="levenshtein",
         tiebreak_cols=["s_suppkey"],
     )
     return out.select("c_custkey", "s_suppkey")
@@ -897,6 +931,45 @@ ORACLES: dict[str, str] = {
                  ROW_NUMBER() OVER (
                    PARTITION BY c.c_custkey
                    ORDER BY levenshtein(c.c_name, s.s_name) ASC, s.s_suppkey ASC
+                 ) AS rn
+          FROM customer c CROSS JOIN supplier s
+        ) WHERE rn = 1
+    """,
+    "fuzzy_join_lsh": """
+        WITH cg AS (
+          SELECT c_custkey,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(lower(c_name)) - 2, 0)),
+                   i -> substr(lower(c_name), i, 3))) AS g
+          FROM customer
+        ), sg AS (
+          SELECT s_suppkey,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(lower(s_name)) - 2, 0)),
+                   i -> substr(lower(s_name), i, 3))) AS g
+          FROM supplier
+        )
+        SELECT c_custkey, s_suppkey
+        FROM (
+          SELECT cg.c_custkey, sg.s_suppkey,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cg.c_custkey
+                   ORDER BY 1.0 - CAST(len(list_intersect(cg.g, sg.g)) AS DOUBLE)
+                            / greatest(len(list_distinct(list_concat(cg.g, sg.g))), 1),
+                            sg.s_suppkey ASC
+                 ) AS rn
+          FROM cg CROSS JOIN sg
+        ) WHERE rn = 1
+    """,
+    "fuzzy_join_numeric": """
+        SELECT c_custkey, s_suppkey
+        FROM (
+          SELECT c.c_custkey, s.s_suppkey,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY abs(CAST(c.c_acctbal AS DOUBLE)
+                              - CAST(s.s_acctbal AS DOUBLE)) ASC,
+                            s.s_suppkey ASC
                  ) AS rn
           FROM customer c CROSS JOIN supplier s
         ) WHERE rn = 1
@@ -1231,6 +1304,67 @@ ORACLES: dict[str, str] = {
           FROM orders
         ) WHERE rnk <= 3
     """,
+    "column_associations": """
+        WITH stats AS (
+          SELECT min(c_nationkey) AS n_mn, max(c_nationkey) AS n_mx,
+                 min(c_acctbal) AS a_mn, max(c_acctbal) AS a_mx
+          FROM customer
+        ), binned AS (
+          SELECT
+            CAST(CAST(least(floor((c_nationkey - n_mn)
+                 / ((n_mx - n_mn) / 10.0)), 9) AS BIGINT) AS VARCHAR) AS nat,
+            c_mktsegment AS seg,
+            CAST(CAST(least(floor((c_acctbal - a_mn)
+                 / ((a_mx - a_mn) / 10.0)), 9) AS BIGINT) AS VARCHAR) AS bal
+          FROM customer, stats
+        ),
+        c1 AS (SELECT nat AS a, seg AS b, CAST(count(*) AS DOUBLE) AS c
+               FROM binned GROUP BY 1, 2),
+        c2 AS (SELECT nat AS a, bal AS b, CAST(count(*) AS DOUBLE) AS c
+               FROM binned GROUP BY 1, 2),
+        c3 AS (SELECT seg AS a, bal AS b, CAST(count(*) AS DOUBLE) AS c
+               FROM binned GROUP BY 1, 2),
+        v1 AS (
+          SELECT sqrt(((SELECT sum(c) FROM c1)
+                       * (SELECT sum(x.c * x.c / (r.na * s.nb))
+                          FROM c1 x
+                          JOIN (SELECT a, sum(c) AS na FROM c1 GROUP BY a) r USING (a)
+                          JOIN (SELECT b, sum(c) AS nb FROM c1 GROUP BY b) s USING (b))
+                       - (SELECT sum(c) FROM c1))
+                      / ((SELECT sum(c) FROM c1)
+                         * (least((SELECT count(DISTINCT a) FROM c1),
+                                  (SELECT count(DISTINCT b) FROM c1)) - 1))) AS v
+        ),
+        v2 AS (
+          SELECT sqrt(((SELECT sum(c) FROM c2)
+                       * (SELECT sum(x.c * x.c / (r.na * s.nb))
+                          FROM c2 x
+                          JOIN (SELECT a, sum(c) AS na FROM c2 GROUP BY a) r USING (a)
+                          JOIN (SELECT b, sum(c) AS nb FROM c2 GROUP BY b) s USING (b))
+                       - (SELECT sum(c) FROM c2))
+                      / ((SELECT sum(c) FROM c2)
+                         * (least((SELECT count(DISTINCT a) FROM c2),
+                                  (SELECT count(DISTINCT b) FROM c2)) - 1))) AS v
+        ),
+        v3 AS (
+          SELECT sqrt(((SELECT sum(c) FROM c3)
+                       * (SELECT sum(x.c * x.c / (r.na * s.nb))
+                          FROM c3 x
+                          JOIN (SELECT a, sum(c) AS na FROM c3 GROUP BY a) r USING (a)
+                          JOIN (SELECT b, sum(c) AS nb FROM c3 GROUP BY b) s USING (b))
+                       - (SELECT sum(c) FROM c3))
+                      / ((SELECT sum(c) FROM c3)
+                         * (least((SELECT count(DISTINCT a) FROM c3),
+                                  (SELECT count(DISTINCT b) FROM c3)) - 1))) AS v
+        )
+        SELECT 'c_nationkey' AS left_column_name,
+               'c_mktsegment' AS right_column_name,
+               round((SELECT v FROM v1), 6) AS cramer_v
+        UNION ALL
+        SELECT 'c_nationkey', 'c_acctbal', round((SELECT v FROM v2), 6)
+        UNION ALL
+        SELECT 'c_mktsegment', 'c_acctbal', round((SELECT v FROM v3), 6)
+    """,
     "windowed_counts": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
           COUNT(*) AS n_events,
@@ -1371,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "windowed_counts": q_windowed_counts,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
+        "fuzzy_join_numeric": q_fuzzy_join_numeric,
         "dedup_strings_brand": q_dedup_strings_brand,
         "minhash_encoder_features": q_minhash_encoder_features,
         "topk_lsh": q_topk_lsh,

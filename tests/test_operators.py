@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from skrub_spark.dedup.components import connected_components
@@ -260,3 +261,58 @@ def test_ann_index_partition_pruned_probe(spark, tmp_path):
     # row 0 (the query itself, cosine 1.0) is always in its own bucket
     assert got[0] == brute[0] == 0
     assert set(got) <= set(r["vec_id"] for r in topk_cosine(df, q, k=200).collect())
+
+
+def test_fuzzy_join_numeric_keys(spark):
+    """Numeric keys: standardized euclidean distance, argmin exact in
+    the broadcast path and recovered by the quantized-band LSH path."""
+    left = spark.createDataFrame(
+        [(1, 10.2), (2, 55.0), (3, 99.9)], "id int, x double"
+    )
+    right = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 101, 5)], "rid int, rx double"
+    )
+    exact = fuzzy_join(left, right, left_on="x", right_on="rx",
+                       strategy="levenshtein")
+    got = {r["id"]: r["rid"] for r in exact.collect()}
+    assert got == {1: 10, 2: 55, 3: 100}
+
+    banded = fuzzy_join(left, right, left_on="x", right_on="rx",
+                        strategy="ngram_lsh")
+    got_b = {r["id"]: r["rid"] for r in banded.collect()}
+    assert got_b == got
+
+
+def test_fuzzy_join_mixed_and_datetime_keys(spark):
+    """String+numeric keys combine levenshtein with the standardized
+    numeric component; datetime keys compare as epoch seconds."""
+    import datetime as dt
+
+    l2 = spark.createDataFrame(
+        [(1, "appel", 10.0)], "id int, name string, x double"
+    )
+    r2 = spark.createDataFrame(
+        [("apple", 9.0), ("apple", 5000.0), ("banana", 10.0)],
+        "rname string, rx double",
+    )
+    out = fuzzy_join(
+        l2, r2, left_on=["name", "x"], right_on=["rname", "rx"],
+        strategy="levenshtein",
+    ).first()
+    assert out["rname"] == "apple" and out["rx"] == 9.0
+
+    l3 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 30))], "id int, t timestamp"
+    )
+    r3 = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1)), (20, dt.datetime(2024, 1, 2))],
+        "rid int, rt timestamp",
+    )
+    assert fuzzy_join(l3, r3, left_on="t", right_on="rt").first()["rid"] == 10
+
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        fuzzy_join(
+            l3.withColumn("b", F.lit(True)),
+            r3.withColumn("rb", F.lit(False)),
+            left_on="b", right_on="rb",
+        )
