@@ -1,22 +1,35 @@
 """GapEncoder — parity with skrub/_gap_encoder.py.
 
-The reference fits a gamma-Poisson (KL/Poisson-NMF family)
-factorization of the bag-of-n-grams matrix and outputs per-row topic
-activations. Spark-first realization:
+The reference fits a gamma-Poisson factorization of the bag-of-n-grams
+matrix (KL-NMF with a Gamma(a, b) prior on the activations,
+_gap_encoder.py:46-54) and outputs per-row topic activations. Its
+update rules (_multiplicative_update_h:856 / _multiplicative_update_w:819)
+are implemented here verbatim-in-math, in two physical layouts:
 
-- fit: hashed n-gram count vectors of a seeded sample of DISTINCT
-  values (category columns have few uniques relative to rows) are
-  pulled to the driver, where Poisson-NMF (KL-divergence
-  multiplicative updates — the MAP core of gamma-Poisson without
-  the gamma priors) learns ``n_components`` topics H.
-- transform: per-row activations w solve min KL(x, wH) by the same
-  multiplicative updates, executed distributed in an Arrow-batched
-  Pandas UDF (each batch is a small dense numpy problem; the model
-  H ships once per executor via closure capture). This is true
-  per-row inference, not a linear projection.
+- ``fit_strategy="sample"`` (default): hashed n-gram count vectors of
+  a seeded sample of DISTINCT values are pulled to the driver, where
+  the gamma-Poisson multiplicative updates learn ``n_components``
+  topics H. Right call for categorical columns (few uniques).
+- ``fit_strategy="distributed"``: ALL distinct values participate.
+  Topics stay driver-side (k x hash_dim, tiny); activations stay IN
+  the cluster as an array column. Each iteration is (1) a per-row
+  activation update in an Arrow-batched pandas UDF (no shuffle) and
+  (2) the two M-step matrix products expressed as posexplode +
+  groupBy aggregations over the (row, bucket, count) triples — the
+  collected result is k x hash_dim, independent of row count. This is
+  the long-tail-text path the sampled fit can't cover.
+- ``partial_fit``: online topic updates with the reference's
+  rho-discounted A/B accumulators (A <- rho*A + ..., W = A/B), so
+  streaming batches refine the topics exactly like the reference's
+  minibatch loop (_gap_encoder.py:620-698).
 
-PARTIAL vs reference: no gamma priors / online partial_fit; fixed
-iteration counts instead of convergence tolerance.
+transform: per-row activations solve min KL(x, wH) + gamma prior by
+the same multiplicative updates, executed distributed in an
+Arrow-batched pandas UDF (the model H ships once per executor).
+
+PARTIAL vs reference: init is the gamma draw (init='random'); the
+k-means++ init needs sklearn. Fixed iteration counts instead of the
+EWA-cost early stop.
 """
 
 from __future__ import annotations
@@ -33,32 +46,53 @@ from ..functions.text import char_ngrams
 _EPS = 1e-10
 
 
-def _poisson_nmf(X: np.ndarray, k: int, n_iter: int = 150, seed: int = 0):
-    """KL-divergence NMF: X ≈ WH with multiplicative updates."""
+def _init_topics(k: int, d: int, a: float, b: float, rng) -> np.ndarray:
+    """Reference init='random': Gamma(shape=a, scale=b) draw,
+    row-L1-normalized (_gap_encoder.py:312-317,345)."""
+    H = rng.gamma(shape=a, scale=b, size=(k, d)) + _EPS
+    return H / H.sum(axis=1, keepdims=True)
+
+
+def _update_activations(
+    X: np.ndarray, H: np.ndarray, W: np.ndarray, a: float, b: float,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Reference _multiplicative_update_h (rescale_W=True branch):
+    w <- w * ((x / wH) @ (H / WT1).T) + (a - 1) / WT1, WT1 = 1 + 1/b.
+    (H rows are L1-normalized, so the per-topic normalizer is the
+    scalar 1 + 1/b.)"""
+    WT1 = 1.0 + 1.0 / b
+    HT = (H / WT1).T
+    const = (a - 1.0) / WT1
+    for _ in range(n_iter):
+        WH = W @ H + _EPS
+        W = W * ((X / WH) @ HT) + const
+    return W
+
+
+def _fit_full_batch(
+    X: np.ndarray, k: int, a: float, b: float, rho: float,
+    n_iter: int, seed: int,
+):
+    """Driver-side gamma-Poisson fit: full-batch analogue of the
+    reference minibatch loop. Returns (H, W, A, B) so partial_fit can
+    keep accumulating."""
     rng = np.random.default_rng(seed)
     n, d = X.shape
-    W = rng.random((n, k)) + 0.1
-    H = rng.random((k, d)) + 0.1
-    for _ in range(n_iter):
-        WH = W @ H + _EPS
-        W *= ((X / WH) @ H.T) / (H.sum(axis=1)[None, :] + _EPS)
-        WH = W @ H + _EPS
-        H *= (W.T @ (X / WH)) / (W.sum(axis=0)[:, None] + _EPS)
-    H /= H.sum(axis=1, keepdims=True) + _EPS
-    return H
-
-
-def _infer_activations(X: np.ndarray, H: np.ndarray, n_iter: int = 30):
-    """Per-row KL-NMF inference with H fixed."""
-    n, _ = X.shape
-    k = H.shape[0]
+    H = _init_topics(k, d, a, b, rng)
     W = np.full((n, k), 1.0 / k)
-    Hsum = H.sum(axis=1)[None, :] + _EPS
+    A = np.full((k, d), 1e-10)
+    B = np.full((k, d), 1e-10)
     for _ in range(n_iter):
+        W = _update_activations(X, H, W, a, b, n_iter=1)
         WH = W @ H + _EPS
-        W *= ((X / WH) @ H.T) / Hsum
-    # L1-normalize activations (reference outputs topic proportions)
-    return W / (W.sum(axis=1, keepdims=True) + _EPS)
+        A = rho * A + H * (W.T @ (X / WH))
+        B = rho * B + W.sum(axis=0)[:, None]
+        H = A / B
+        norm = H.sum(axis=1, keepdims=True) + _EPS
+        H /= norm
+        A /= norm  # reference _rescale_W rescales the accumulator too
+    return H, W, A, B
 
 
 class GapEncoder(SparkTransformer):
@@ -71,6 +105,11 @@ class GapEncoder(SparkTransformer):
         fit_sample: int = 5000,
         drop_original: bool = True,
         random_state: int = 0,
+        gamma_shape_prior: float = 1.1,
+        gamma_scale_prior: float = 1.0,
+        rho: float = 0.95,
+        max_iter: int = 100,
+        fit_strategy: str = "sample",
     ):
         self.col = col
         self.n_components = n_components
@@ -79,6 +118,11 @@ class GapEncoder(SparkTransformer):
         self.fit_sample = fit_sample
         self.drop_original = drop_original
         self.random_state = random_state
+        self.gamma_shape_prior = gamma_shape_prior
+        self.gamma_scale_prior = gamma_scale_prior
+        self.rho = rho
+        self.max_iter = max_iter
+        self.fit_strategy = fit_strategy
 
     def _grams(self, col):
         lo, hi = self.ngram_range
@@ -87,7 +131,31 @@ class GapEncoder(SparkTransformer):
             g = F.concat(g, char_ngrams(F.col(col), n))
         return g
 
+    def _bucketed(self, df: DataFrame, key: str) -> DataFrame:
+        """(key, b, tf) hashed n-gram count triples, JVM-side."""
+        return (
+            df.select(F.col(key), F.explode(self._grams(key)).alias("g"))
+            .withColumn(
+                "b", F.pmod(F.xxhash64("g"), F.lit(self.hash_dim)).cast("int")
+            )
+            .groupBy(key, "b")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        )
+
+    # ---------------- sampled (driver) fit ----------------
+
+    def _collect_matrix(self, uniq: DataFrame):
+        rows = self._bucketed(uniq, self.col).collect()
+        vals = sorted({r[self.col] for r in rows})
+        vidx = {v: i for i, v in enumerate(vals)}
+        X = np.zeros((max(len(vals), 1), self.hash_dim))
+        for r in rows:
+            X[vidx[r[self.col]], r["b"]] = r["count"] if "count" in r else r["tf"]
+        return X
+
     def _fit(self, df: DataFrame, y=None):
+        if self.fit_strategy == "distributed":
+            return self._fit_distributed(df)
         uniq = (
             df.select(self.col)
             .where(F.col(self.col).isNotNull())
@@ -95,22 +163,162 @@ class GapEncoder(SparkTransformer):
             .orderBy(self.col)
             .limit(self.fit_sample)
         )
-        rows = (
-            uniq.select(
-                F.col(self.col),
-                F.explode(self._grams(self.col)).alias("g"),
-            )
-            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(self.hash_dim)).cast("int"))
-            .groupBy(self.col, "b")
-            .count()
-            .collect()
+        X = self._collect_matrix(uniq)
+        self._H, _, self._A, self._B = _fit_full_batch(
+            X,
+            self.n_components,
+            self.gamma_shape_prior,
+            self.gamma_scale_prior,
+            self.rho,
+            self.max_iter,
+            self.random_state,
         )
-        vals = sorted({r[self.col] for r in rows})
-        vidx = {v: i for i, v in enumerate(vals)}
-        X = np.zeros((max(len(vals), 1), self.hash_dim))
-        for r in rows:
-            X[vidx[r[self.col]], r["b"]] = r["count"]
-        self._H = _poisson_nmf(X, self.n_components, seed=self.random_state)
+
+    def partial_fit(self, df: DataFrame, y=None):
+        """Online topic update from one batch (reference
+        partial_fit, _gap_encoder.py:620): one activation E-step on
+        the batch's distinct values, then one rho-discounted A/B
+        topic update. First call initializes the topics."""
+        uniq = (
+            df.select(self.col)
+            .where(F.col(self.col).isNotNull())
+            .distinct()
+            .orderBy(self.col)
+            .limit(self.fit_sample)
+        )
+        X = self._collect_matrix(uniq)
+        a, b = self.gamma_shape_prior, self.gamma_scale_prior
+        if not hasattr(self, "_H"):
+            rng = np.random.default_rng(self.random_state)
+            self._H = _init_topics(self.n_components, self.hash_dim, a, b, rng)
+            self._A = np.full((self.n_components, self.hash_dim), 1e-10)
+            self._B = np.full((self.n_components, self.hash_dim), 1e-10)
+        W = np.full((X.shape[0], self.n_components), 1.0 / self.n_components)
+        W = _update_activations(X, self._H, W, a, b, n_iter=10)
+        WH = W @ self._H + _EPS
+        self._A = self.rho * self._A + self._H * (W.T @ (X / WH))
+        self._B = self.rho * self._B + W.sum(axis=0)[:, None]
+        H = self._A / self._B
+        norm = H.sum(axis=1, keepdims=True) + _EPS
+        self._H = H / norm
+        self._A /= norm
+        self._fitted = True
+        return self
+
+    # ---------------- distributed full-data fit ----------------
+
+    def _fit_distributed(self, df: DataFrame, n_iter: int | None = None):
+        """Every distinct value participates; no driver-side X.
+
+        Per iteration: (1) activation update per row in a pandas UDF
+        (rows independent — no shuffle); (2) M-step products
+        N[k, bucket] = sum_r w[r, k] * x[r, bucket] / (wH)[r, bucket]
+        and B[k] = sum_r w[r, k] via posexplode + groupBy — the
+        collect is k x hash_dim scalars regardless of row count.
+        Lineage is truncated each iteration (localCheckpoint) so the
+        UDF chain doesn't re-execute from scratch."""
+        n_iter = n_iter or max(5, self.max_iter // 10)
+        k, d = self.n_components, self.hash_dim
+        a, b, rho = self.gamma_shape_prior, self.gamma_scale_prior, self.rho
+
+        triples = self._bucketed(
+            df.select(self.col).where(F.col(self.col).isNotNull()).distinct(),
+            self.col,
+        )
+        state = (
+            triples.groupBy(self.col)
+            .agg(F.collect_list(F.struct("b", "tf")).alias("__sparse"))
+            .withColumn(
+                "__w", F.array(*[F.lit(1.0 / k) for _ in range(k)])
+            )
+            .localCheckpoint()
+        )
+
+        rng = np.random.default_rng(self.random_state)
+        H = _init_topics(k, d, a, b, rng)
+        A = np.full((k, d), 1e-10)
+        B = np.full((k, d), 1e-10)
+
+        for _ in range(n_iter):
+            Hb = H  # closure-captured; re-created each iter
+
+            @pandas_udf("array<double>")
+            def e_step(sparse: pd.Series, w: pd.Series) -> pd.Series:
+                WT1 = 1.0 + 1.0 / b
+                HT = (Hb / WT1).T
+                const = (a - 1.0) / WT1
+                out = []
+                for row, wv in zip(sparse, w):
+                    wv = np.asarray(wv, dtype="float64")
+                    if row is None or len(row) == 0:
+                        out.append([float(x) for x in wv])
+                        continue
+                    idx = np.array([int(e["b"]) for e in row])
+                    x = np.array([float(e["tf"]) for e in row])
+                    Hs = Hb[:, idx]
+                    for _ in range(3):
+                        wh = wv @ Hs + _EPS
+                        wv = wv * ((x / wh) @ HT[idx]) + const
+                    out.append([float(v) for v in wv])
+                return pd.Series(out)
+
+            @pandas_udf("array<double>")
+            def contribs(sparse: pd.Series, w: pd.Series) -> pd.Series:
+                """Flattened per-row M-step contribution:
+                [k*i + t] = w[t] * tf_i / wh_i for the i-th bucket."""
+                out = []
+                for row, wv in zip(sparse, w):
+                    wv = np.asarray(wv, dtype="float64")
+                    if row is None or len(row) == 0:
+                        out.append([])
+                        continue
+                    idx = np.array([int(e["b"]) for e in row])
+                    x = np.array([float(e["tf"]) for e in row])
+                    wh = wv @ Hb[:, idx] + _EPS
+                    c = np.outer(x / wh, wv)  # (n_buckets, k)
+                    out.append([float(v) for v in c.ravel()])
+                return pd.Series(out)
+
+            state = state.withColumn(
+                "__w", e_step(F.col("__sparse"), F.col("__w"))
+            ).localCheckpoint()
+
+            # N[k, bucket]: posexplode the flattened contributions and
+            # aggregate JVM-side; one shuffle of (bucket, topic) keys.
+            flat = state.select(
+                F.col("__sparse"), contribs(F.col("__sparse"), F.col("__w")).alias("__c")
+            )
+            n_rows = (
+                flat.select(
+                    F.posexplode(F.col("__c")).alias("i", "v"),
+                    F.col("__sparse"),
+                )
+                .select(
+                    F.col("__sparse")[(F.col("i") / k).cast("int")]["b"].alias("bkt"),
+                    F.pmod(F.col("i"), F.lit(k)).alias("t"),
+                    F.col("v"),
+                )
+                .groupBy("bkt", "t")
+                .agg(F.sum("v").alias("s"))
+                .collect()
+            )
+            N = np.zeros((k, d))
+            for r in n_rows:
+                N[int(r["t"]), int(r["bkt"])] = r["s"]
+            b_row = state.select(
+                F.posexplode(F.col("__w")).alias("t", "v")
+            ).groupBy("t").agg(F.sum("v").alias("s")).collect()
+            Bvec = np.zeros(k)
+            for r in b_row:
+                Bvec[int(r["t"])] = r["s"]
+
+            A = rho * A + H * N
+            B = rho * B + Bvec[:, None]
+            H = A / B
+            norm = H.sum(axis=1, keepdims=True) + _EPS
+            H /= norm
+            A /= norm
+        self._H, self._A, self._B = H, A, B
 
     def get_feature_names_out(self):
         return [f"{self.col}_topic_{i}" for i in range(self.n_components)]
@@ -119,6 +327,7 @@ class GapEncoder(SparkTransformer):
         H = self._H
         hash_dim = self.hash_dim
         k = self.n_components
+        a, b = self.gamma_shape_prior, self.gamma_scale_prior
         rid = "__gap_row_id"
 
         # hashed bucket counts computed JVM-side with the SAME
@@ -151,7 +360,11 @@ class GapEncoder(SparkTransformer):
                     continue
                 for e in row:
                     X[i, int(e["b"])] = float(e["tf"])
-            W = _infer_activations(X, H)
+            W = np.full((len(entries), k), 1.0 / k)
+            W = _update_activations(X, H, W, a, b, n_iter=30)
+            # L1-normalize (reference outputs topic proportions via
+            # _rescale_h)
+            W = W / (W.sum(axis=1, keepdims=True) + _EPS)
             return pd.Series([[float(x) for x in r] for r in W])
 
         joined = base.join(sparse, on=rid, how="left")

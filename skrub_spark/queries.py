@@ -819,6 +819,23 @@ def q_gap_encoder_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.fit(part).transform(part)
 
 
+def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GapEncoder fit_strategy='distributed': gamma-Poisson topics
+    learned over ALL distinct values with the M-step matrix products
+    as Spark aggregations (long-tail-text path; no 5000-value sample
+    cap). Rows-only: iterative NMF isn't SQL-expressible."""
+    _prep(spark)
+    from .encoders.gap_encoder import GapEncoder
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    enc = GapEncoder(
+        "p_name", n_components=4, hash_dim=128, fit_strategy="distributed"
+    )
+    enc._fit_distributed(part, n_iter=3)
+    enc._fitted = True
+    return enc.transform(part)
+
+
 def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style correlated aggregate: revenue from lineitems
     whose quantity is below 50%% of their part's average quantity
@@ -1520,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_segment_nation": q_pivot_segment_nation,
         "minhash_canonical": q_minhash_canonical,
         "gap_encoder_topics": q_gap_encoder_topics,
+        "gap_encoder_distributed": q_gap_encoder_distributed,
         "small_quantity_parts": q_small_quantity_parts,
         "centroid_per_label": q_centroid_per_label,
     }

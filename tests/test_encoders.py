@@ -199,3 +199,72 @@ def test_to_categorical_large_vocab_schema_parity(spark):
     assert out_big.columns == out_small.columns == ["v", "v_cat"]
     m = {r["v"]: r["v_cat"] for r in out_big.collect()}
     assert m["cat_000"] == 0 and m["cat_100"] == 100 and len(m) == 101
+
+
+def test_gap_encoder_topics_separate(spark):
+    """Gamma-Poisson fit separates two obvious topic families: values
+    sharing a word must land on the same dominant topic."""
+    words = ["police nyc", "police london", "police paris",
+             "firefighter nyc", "firefighter la", "firefighter rio"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words * 3)], "id int, t string"
+    )
+    enc = GapEncoder("t", n_components=2, hash_dim=128, random_state=3)
+    out = enc.fit_transform(df)
+    dom = {
+        r["id"]: max(range(2), key=lambda i: r[f"t_topic_{i}"])
+        for r in out.collect()
+    }
+    assert dom[0] == dom[1] == dom[2]      # police cluster
+    assert dom[3] == dom[4] == dom[5]      # firefighter cluster
+    assert dom[0] != dom[3]
+
+
+def test_gap_encoder_distributed_fit_matches_partitioning(spark):
+    """fit_strategy='distributed': topic matrix must not depend on the
+    input partitioning (aggregation order is commutative)."""
+    words = ["police nyc", "police london", "firefighter nyc",
+             "firefighter la"] * 5
+    df1 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id int, t string"
+    ).repartition(1)
+    df8 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id int, t string"
+    ).repartition(8)
+
+    import numpy as np
+
+    e1 = GapEncoder("t", n_components=2, hash_dim=64,
+                    fit_strategy="distributed", random_state=1)
+    e1.fit(df1)
+    e8 = GapEncoder("t", n_components=2, hash_dim=64,
+                    fit_strategy="distributed", random_state=1)
+    e8.fit(df8)
+    assert np.allclose(e1._H, e8._H, atol=1e-9)
+
+    out = e8.transform(df8)
+    assert out.count() == 20
+    # proportions sum to ~1
+    r = out.first()
+    assert abs(r["t_topic_0"] + r["t_topic_1"] - 1.0) < 1e-6
+
+
+def test_gap_encoder_partial_fit(spark):
+    """partial_fit accumulates topics across batches (reference
+    online loop): after two disjoint batches the encoder transforms
+    values from both."""
+    b1 = spark.createDataFrame(
+        [(i, "police precinct") for i in range(4)], "id int, t string"
+    )
+    b2 = spark.createDataFrame(
+        [(i, "firefighter station") for i in range(4)], "id int, t string"
+    )
+    enc = GapEncoder("t", n_components=2, hash_dim=64, random_state=0)
+    enc.partial_fit(b1)
+    H1 = enc._H.copy()
+    enc.partial_fit(b2)
+    import numpy as np
+
+    assert not np.allclose(H1, enc._H)  # second batch moved the topics
+    out = enc.transform(b1.union(b2))
+    assert out.count() == 8
