@@ -350,3 +350,23 @@ def test_interpolation_join_learned_models(spark):
             spark.createDataFrame([("a", 1.0)], "k2 string, val double"),
             main_key="k", aux_key="k2", targets=["val"], model="gbt",
         )
+
+
+def test_table_report_html_and_histograms(spark, tmp_path):
+    """HTML report is self-contained; numeric histograms come from ONE
+    exploded pass; string cards carry top values; associations render."""
+    rows = [(i, float(i % 20), ["a", "b", "c"][i % 3]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, x double, cat string")
+    rep = TableReport(df, title="t&c")
+    s = rep.summary()
+    assert "histogram" in s["columns"]["x"]
+    assert sum(h["count"] for h in s["columns"]["x"]["histogram"]) == 200
+    assert s["columns"]["x"]["quantiles"]["50%"] is not None
+    assert s["columns"]["cat"]["top_values"][0]["count"] >= 66
+
+    html = rep.to_html()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "t&amp;c" in html            # escaping
+    assert "Cram" in html               # associations section
+    assert html.count("class='card'") == 3
+    (tmp_path / "r.html").write_text(html)
