@@ -820,6 +820,38 @@ def q_gap_encoder_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.fit(part).transform(part)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    unbounded-history exact dedup, keep-first per (lang, source).
+    Runs the REAL streaming pipeline (file source -> state store ->
+    memory sink, availableNow). One input file = one micro-batch, so
+    the emitted row per key is deterministically the min doc_id —
+    exactly the SQL group-min the oracle computes."""
+    import uuid
+
+    from .streaming import streaming_dedup
+
+    name = "strdedup_" + uuid.uuid4().hex[:8]
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file source wants a directory: point it at sf_dir and glob
+    # down to the one table file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_dedup(stream, ["lang", "source"], "doc_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id", "lang", "source")
+
+
 def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GapEncoder fit_strategy='distributed': gamma-Poisson topics
     learned over ALL distinct values with the M-step matrix products
@@ -952,6 +984,10 @@ ORACLES: dict[str, str] = {
                  ) AS rn
           FROM customer c CROSS JOIN supplier s
         ) WHERE rn = 1
+    """,
+    "streaming_dedup": """
+        SELECT min(doc_id) AS doc_id, lang, source
+        FROM documents GROUP BY lang, source
     """,
     "fuzzy_join_lsh": """
         WITH cg AS (
@@ -1539,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_canonical": q_minhash_canonical,
         "gap_encoder_topics": q_gap_encoder_topics,
         "gap_encoder_distributed": q_gap_encoder_distributed,
+        "streaming_dedup": q_streaming_dedup,
         "small_quantity_parts": q_small_quantity_parts,
         "centroid_per_label": q_centroid_per_label,
     }

@@ -100,3 +100,54 @@ def streaming_session_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    dedup_cols: list[str],
+    id_col: str,
+):
+    """Streaming exact deduplication with UNBOUNDED-history state —
+    a custom stateful operator over ``applyInPandasWithState``
+    (the LLM-ingest primitive: keep the first document per key
+    across ALL micro-batches, not just within a watermark like
+    ``dropDuplicates`` on a stream).
+
+    State per key = one boolean (seen); each group emits at most one
+    row ever: the min-``id_col`` row of the first batch that carries
+    the key. Emission is deterministic given batch contents (the
+    batch's rows are reduced by min id), so with a single input file
+    the result equals the batch rule "row whose id is the group min".
+
+    At scale: state is one tiny tuple per distinct key in the state
+    store (RocksDB-backed on a real cluster); the grouped shuffle is
+    the same hash partitioning a batch groupBy would do.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+    id_idx = [f.name for f in out_schema.fields].index(id_col)
+
+    def keep_first(key, pdfs, state):
+        import pandas as pd
+
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[[pdf[id_col].idxmin()]]
+            if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                best = cand
+        if (not state.exists) and best is not None:
+            state.update((True,))
+            yield best
+        elif best is not None:
+            yield pd.DataFrame(columns=best.columns).astype(best.dtypes)
+
+    return stream.groupBy(*dedup_cols).applyInPandasWithState(
+        keep_first,
+        out_schema,
+        "seen boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -370,3 +370,40 @@ def test_table_report_html_and_histograms(spark, tmp_path):
     assert "Cram" in html               # associations section
     assert html.count("class='card'") == 3
     (tmp_path / "r.html").write_text(html)
+
+
+def test_streaming_dedup_cross_batch_state(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state ACROSS micro-batches:
+    with maxFilesPerTrigger=1, a key already emitted in batch 1 must
+    not be emitted again from batch 2."""
+    from skrub_spark.streaming import streaming_dedup
+
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id bigint, k string"
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [(4, "a"), (5, "c")], "id bigint, k string"
+    ).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema("id bigint, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    q = (
+        streaming_dedup(stream, ["k"], "id")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["id"], r["k"]) for r in spark.table("dedup_test").collect()}
+    # 'a' emitted once (min id of its first batch), 'b' once, 'c' once
+    assert ("b" in {k for _, k in rows}) and ("c" in {k for _, k in rows})
+    a_rows = [i for i, k in rows if k == "a"]
+    assert len(a_rows) == 1
+    assert len(rows) == 3
