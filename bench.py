@@ -52,6 +52,13 @@ HEADLINE = [
     "text_encoder_embeddings",
     "fuzzy_join_numeric",
     "column_associations",
+    "forecast_revenue",
+    "order_priority",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "promo_revenue",
+    "discounted_revenue",
     # streaming_dedup runs in the correctness battery but not here:
     # its wall time is state-store/checkpoint fixed overhead (19s for
     # 5000 rows), not a throughput signal at bench scale.

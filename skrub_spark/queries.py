@@ -869,6 +869,230 @@ def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.transform(part)
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filtered aggregate — every predicate
+    must reach the parquet scan (pushdown/pruning breadth check)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join
+    (orders in a quarter having at least one lineitem shipped after
+    the order date), counted by priority."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (o.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension in two roles (supplier
+    nation vs customer nation) — two broadcast copies of nation,
+    revenue by (supp_nation, cust_nation, year)."""
+    _prep(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sd = supp.join(F.broadcast(n1), supp.s_nationkey == n1.sn_key).select(
+        "s_suppkey", "supp_nation"
+    )
+    cd = cust.join(F.broadcast(n2), cust.c_nationkey == n2.cn_key).select(
+        "c_custkey", "cust_nation"
+    )
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cd), orders.o_custkey == cd.c_custkey)
+        .join(F.broadcast(sd), li.l_suppkey == sd.s_suppkey)
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(revenue, "revenue"))
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    revenue per year — conditional aggregate over a 5-way star."""
+    _prep(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    # customers in ASIA (the market)
+    asia_cust = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    sn = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    vol = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), orders.o_custkey == asia_cust.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            revenue.alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev")))
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.coalesce(F.col("nation_revenue"), F.lit(0.0))
+            / F.col("total_revenue"),
+        )
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in
+    a quarter (fact filter -> broadcast dims -> agg -> TakeOrdered)."""
+    _prep(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cd = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cd), o.o_custkey == cd.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO revenue share for one month — ratio of two
+    conditional exact-decimal sums."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", revenue)).cast("double")
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates — Catalyst must push the OR-of-ANDs into the join."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.filter(cond).agg(
+        _dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
 def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style correlated aggregate: revenue from lineitems
     whose quantity is below 50%% of their part's average quantity
@@ -1350,6 +1574,111 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
+    "forecast_revenue": """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    "volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND n1.n_name < n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "market_share": """
+        WITH vol AS (
+          SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+                 n1.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        )
+        SELECT o_year,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev END) AS DOUBLE)
+            AS nation_revenue,
+          CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+          COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev END)
+                        AS DOUBLE), 0.0)
+            / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+            AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "promo_revenue": """
+        SELECT 100.0
+          * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "discounted_revenue": """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+            AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 5
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#13' AND p_size <= 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#20' AND p_size <= 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
     "top_orders_per_customer": """
         SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1577,6 +1906,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_encoder_distributed": q_gap_encoder_distributed,
         "streaming_dedup": q_streaming_dedup,
         "small_quantity_parts": q_small_quantity_parts,
+        "forecast_revenue": q_forecast_revenue,
+        "order_priority": q_order_priority,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
+        "promo_revenue": q_promo_revenue,
+        "discounted_revenue": q_discounted_revenue,
         "centroid_per_label": q_centroid_per_label,
     }
 

@@ -106,3 +106,32 @@ def test_jaccard_no_cartesian(spark):
 
     plan = plan_of(q_ngram_jaccard_pairs(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_pushdown(spark):
+    """TPC-H Q6 shape: the date/discount/quantity predicates must
+    reach the parquet scan as PushedFilters."""
+    from skrub_spark.queries import q_forecast_revenue
+
+    plan = formatted(q_forecast_revenue(spark, SF))
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_volume_shipping_broadcasts_dims(spark):
+    """TPC-H Q7 shape: both nation roles and the customer/supplier
+    dims broadcast — only the fact tables shuffle."""
+    from skrub_spark.queries import q_volume_shipping
+
+    plan = plan_of(q_volume_shipping(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_order_priority_semi_join(spark):
+    """TPC-H Q4 shape: the EXISTS runs as a (left) semi join, no
+    aggregation-based dedup of lineitem."""
+    from skrub_spark.queries import q_order_priority
+
+    plan = plan_of(q_order_priority(spark, SF))
+    assert "LeftSemi" in plan
