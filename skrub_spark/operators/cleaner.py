@@ -15,6 +15,19 @@ from ..base import SparkTransformer
 from ..encoders.dtypes import clean_null_string_col, to_datetime_col
 
 
+def _seeded_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """~k rows drawn uniformly from EVERY partition (seeded Bernoulli
+    sample) — a head ``limit(k)`` reads only the first partitions,
+    which is partition-biased (e.g. time-ordered data would fit
+    detection rules on the oldest rows only). Costs one columnar
+    count of the input."""
+    n = df.count()
+    if n <= k:
+        return df
+    frac = min(1.0, 1.2 * k / n)
+    return df.sample(withReplacement=False, fraction=frac, seed=seed).limit(k)
+
+
 class DropUninformative(SparkTransformer):
     """Drop all-null, constant, and (optionally) all-unique string
     columns (reference: _drop_uninformative.py)."""
@@ -66,7 +79,7 @@ class DropSimilar(SparkTransformer):
         self.sample_rows = sample_rows
 
     def _fit(self, df: DataFrame, y=None):
-        sample = df.limit(self.sample_rows).cache()
+        sample = _seeded_sample(df, self.sample_rows).cache()
         by_type: dict[str, list[str]] = {}
         for c, t in df.dtypes:
             by_type.setdefault(t, []).append(c)
@@ -124,7 +137,9 @@ class Cleaner(SparkTransformer):
         self._to_datetime: list[str] = []
         self._to_number: list[str] = []
         if str_cols and (self.parse_datetimes or self.parse_numbers):
-            sample = df.select(str_cols).limit(self.datetime_detect_sample)
+            sample = _seeded_sample(
+                df.select(str_cols), self.datetime_detect_sample
+            )
             aggs = []
             for c in str_cols:
                 cleaned = clean_null_string_col(c)

@@ -1,6 +1,8 @@
 from .ops import (  # noqa: F401
     session_window_features,
     stream_from_parquet_dir,
+    stream_static_enrich,
+    stream_stream_interval_join,
     streaming_dedup,
     streaming_session_counts,
     windowed_event_counts,

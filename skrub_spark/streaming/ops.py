@@ -151,3 +151,47 @@ def streaming_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the
+    static dimension (re-read per batch, so slowly-changing dims are
+    picked up). The dim side is broadcast — no stateful join state,
+    no watermark needed; this is the scale-correct shape for
+    fact-stream x dim-table enrichment."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right rows within [left_ts - interval, left_ts + interval] on the
+    same key. BOTH sides carry watermarks so the state store can
+    evict rows older than watermark + interval — the join state stays
+    bounded no matter how long the streams run (the unbounded-state
+    trap is a stream-stream join with no time bound)."""
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    r = r.withColumnRenamed(key, f"__r_{key}")
+    if right_ts == left_ts:
+        r = r.withColumnRenamed(right_ts, f"__r_{right_ts}")
+        rt = F.col(f"__r_{right_ts}")
+    cond = (
+        (F.col(key) == F.col(f"__r_{key}"))
+        & (rt >= lt - F.expr(f"INTERVAL {interval}"))
+        & (rt <= lt + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner")

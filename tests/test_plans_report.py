@@ -407,3 +407,74 @@ def test_streaming_dedup_cross_batch_state(spark, tmp_path):
     a_rows = [i for i, k in rows if k == "a"]
     assert len(a_rows) == 1
     assert len(rows) == 3
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: facts stream in, dim is static."""
+    import datetime as dt
+
+    from skrub_spark.streaming import stream_static_enrich
+
+    d = tmp_path / "facts"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1)), (2, "b", dt.datetime(2024, 1, 1))],
+        "id bigint, k string, ts timestamp",
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    dim = spark.createDataFrame([("a", "Alpha"), ("b", "Beta")], "k string, label string")
+
+    stream = spark.readStream.schema("id bigint, k string, ts timestamp").parquet(
+        str(d / "*")
+    )
+    q = (
+        stream_static_enrich(stream, dim, on="k")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["id"], r["label"]) for r in spark.table("enrich_test").collect()}
+    assert rows == {(1, "Alpha"), (2, "Beta")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks: only right rows within the
+    interval of a left row on the same key come through; state stays
+    bounded (both sides watermarked)."""
+    import datetime as dt
+
+    from skrub_spark.streaming import stream_stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    ld = tmp_path / "l"
+    rd = tmp_path / "r"
+    ld.mkdir(); rd.mkdir()
+    spark.createDataFrame(
+        [("u1", base), ("u2", base)], "user string, ts timestamp"
+    ).coalesce(1).write.parquet(str(ld / "f"))
+    spark.createDataFrame(
+        [
+            ("u1", base + dt.timedelta(minutes=30), "near"),
+            ("u1", base + dt.timedelta(hours=5), "far"),
+            ("u3", base, "otherkey"),
+        ],
+        "user string, ts timestamp, tag string",
+    ).coalesce(1).write.parquet(str(rd / "f"))
+
+    ls = spark.readStream.schema("user string, ts timestamp").parquet(str(ld / "*"))
+    rs = spark.readStream.schema("user string, ts timestamp, tag string").parquet(
+        str(rd / "*")
+    )
+    out = stream_stream_interval_join(ls, rs, key="user", interval="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["user"], r["tag"]) for r in spark.table("ssj_test").collect()}
+    assert rows == {("u1", "near")}
