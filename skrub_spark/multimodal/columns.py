@@ -1,12 +1,21 @@
 """Multimodal column plumbing (SURVEY.md §2, beyond-reference).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata. The Spark-side machinery — schemas, Arrow-batched
-``mapInPandas`` over payload batches, partition sizing — is real and
-tested; the actual codec calls are STUBBED (no imaging/audio libs in
-this container): ``use_stub=True`` (default) produces deterministic
-fake outputs derived from payload bytes, ``use_stub=False`` raises
-NotImplementedError where the real decoder (PIL/ffmpeg) would go.
+metadata, processed in Arrow-batched ``mapInPandas`` passes.
+
+Codec status:
+
+- REAL decoders (no external libs needed): 24-bit uncompressed BMP
+  (pure numpy header+pixel parsing) for images, PCM WAV (stdlib
+  ``wave``) for audio — ``use_stub=False`` on those paths does a
+  genuine decode and emits real pixel/sample statistics; payloads
+  that aren't valid BMP/WAV get ``decode_ok=False`` + null stats
+  (never a crash mid-job).
+- STUBBED codecs (libs absent in this container): JPEG/PNG decode,
+  image resize re-encode, video frame extraction — ``use_stub=True``
+  (default) produces deterministic fake outputs derived from payload
+  bytes; ``use_stub=False`` raises NotImplementedError where the
+  real decoder (PIL/ffmpeg) would go.
 """
 
 from __future__ import annotations
@@ -43,6 +52,75 @@ def _stub_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """REAL 24-bit uncompressed BMP decode, pure numpy: returns an
+    (h, w, 3) RGB array or None if the payload isn't such a BMP.
+    Rows are 4-byte padded and stored bottom-up, pixels are BGR."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * h:
+        return None
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` (test/fixture helper): (h, w, 3)
+    RGB uint8 -> 24-bit bottom-up BMP bytes."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    img[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    size = 54 + stride * h
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + img.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL PCM WAV decode via the stdlib ``wave`` module: returns
+    (samples int16 array flattened over channels, sample_rate) or
+    None if the payload isn't PCM WAV."""
+    import io
+    import wave
+
+    if payload is None:
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            frames = wf.readframes(wf.getnframes())
+            return np.frombuffer(frames, dtype="<i2"), wf.getframerate()
+    except Exception:
+        return None
+
+
 def decode_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -67,19 +145,93 @@ def decode_images(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:
-                raise NotImplementedError(
-                    "real image decode requires an imaging library "
-                    "(PIL/opencv) on the executors"
-                )
             oks, means, stds = [], [], []
             for payload in pdf[payload_col]:
-                px = _stub_pixels(payload, width, height)
-                oks.append(payload is not None)
+                if use_stub:
+                    px = _stub_pixels(payload, width, height)
+                    oks.append(payload is not None)
+                else:
+                    # REAL decode path: 24-bit BMP (pure numpy).
+                    # JPEG/PNG would slot in here behind an
+                    # import-try of PIL; absent in this container.
+                    px = decode_bmp(bytes(payload) if payload is not None else None)
+                    oks.append(px is not None)
+                    if px is None:
+                        means.append(None)
+                        stds.append(None)
+                        continue
                 means.append(float(px.mean()))
                 stds.append(float(px.std()))
             pdf = pdf.assign(decode_ok=oks, px_mean=means, px_std=stds)
             yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    use_stub: bool = False,
+) -> DataFrame:
+    """binary payload -> decoded audio stats (mapInPandas).
+
+    ``use_stub=False`` (default) REALLY decodes PCM-16 WAV payloads
+    (stdlib wave module — no external libs): duration, RMS, peak and
+    zero-crossing rate from the actual samples. Non-WAV payloads get
+    decode_ok=False. ``use_stub=True`` emits deterministic fakes for
+    synthetic payloads.
+    """
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("decode_ok", BooleanType()),
+            StructField("duration_s", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", DoubleType()),
+            StructField("zero_crossing_rate", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("decode_ok", "duration_s", "rms", "peak", "zero_crossing_rate")}
+            for payload in pdf[payload_col]:
+                if use_stub:
+                    seed = int.from_bytes(
+                        hashlib.sha256(payload or b"").digest()[:4], "big"
+                    )
+                    rng = np.random.default_rng(seed)
+                    samples = (rng.standard_normal(1600) * 8192).astype("<i2")
+                    rate = 16000
+                    dec = (samples, rate)
+                else:
+                    dec = decode_wav(payload)
+                if dec is None:
+                    cols["decode_ok"].append(False)
+                    for k in ("duration_s", "rms", "peak", "zero_crossing_rate"):
+                        cols[k].append(None)
+                    continue
+                samples, rate = dec
+                x = samples.astype("float64") / 32768.0
+                cols["decode_ok"].append(True)
+                cols["duration_s"].append(len(x) / rate if rate else None)
+                cols["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                cols["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+                cols["zero_crossing_rate"].append(zc)
+            yield pdf.assign(**cols)
 
     return df.mapInPandas(fn, out_schema)
 

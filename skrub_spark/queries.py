@@ -869,6 +869,101 @@ def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.transform(part)
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline with the REAL codec path: synthesize a
+    24-bit BMP per document (pixels seeded by doc_id), then
+    decode_images(use_stub=False) actually parses the BMP bytes in
+    the Arrow-batched mapInPandas pass and emits true pixel stats.
+    (Payload synthesis isn't SQL-expressible: rows-only.)"""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import decode_images, encode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                rng = np.random.default_rng(int(i))
+                payloads.append(
+                    encode_bmp(rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        make_payloads, "doc_id bigint, payload binary"
+    )
+    out = decode_images(with_payload, use_stub=False)
+    return out.select(
+        "doc_id",
+        "decode_ok",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream (view -> click ->
+    purchase, each stage strictly after the previous one for that
+    user): per-user furthest stage. Three conditional-min aggs — the
+    event table shuffles once per stage on user_id, no windows."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    allu = ev.select("user_id").distinct()
+    return (
+        allu.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("s1"), F.lit(0))
+                + F.coalesce(F.col("s2"), F.lit(0))
+                + F.coalesce(F.col("s3"), F.lit(0))
+            ).alias("funnel_stage"),
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in each week they were active (the standard cohort
+    triangle). Two aggs + one broadcast join back."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), on="user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: single-table filtered aggregate — every predicate
     must reach the parquet scan (pushdown/pruning breadth check)."""
@@ -1574,6 +1669,42 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
+    "funnel_conversion": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+          (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    "retention_cohorts": """
+        WITH first AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id
+        ), active AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+          FROM events
+        )
+        SELECT cohort_week, active_week, COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY cohort_week, active_week
+    """,
     "forecast_revenue": """
         SELECT
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1907,6 +2038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "small_quantity_parts": q_small_quantity_parts,
         "forecast_revenue": q_forecast_revenue,
+        "funnel_conversion": q_funnel_conversion,
+        "image_decode_stats": q_image_decode_stats,
+        "retention_cohorts": q_retention_cohorts,
         "order_priority": q_order_priority,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
