@@ -63,6 +63,7 @@ from .plans import (  # noqa: F401
     choose_int,
     cross_validate,
     deferred,
+    eval_mode,
     optional,
     var,
     y,

@@ -235,6 +235,8 @@ class DataOp:
             out = t.fit_transform(df, y) if y is not None else t.fit_transform(df)
             ctx.state[self._uid] = t
             return out
+        if self._kind == "eval_mode":
+            return ctx.mode
         if self._kind == "subsample":
             df = _resolve(self._args[0], ctx)
             if ctx.mode != "preview" and not ctx.keep_subsampling:
@@ -285,6 +287,14 @@ y = var("y")
 
 def as_data_op(value) -> DataOp:
     return DataOp("literal", value)
+
+
+def eval_mode() -> DataOp:
+    """DataOp evaluating to the current mode string ('preview',
+    'fit_transform' or 'transform') — reference
+    `_data_ops/_data_ops.py:2060`. Lets a plan branch on train vs
+    test time, e.g. `.skb.apply` a transformer only when fitting."""
+    return DataOp("eval_mode", None)
 
 
 def deferred(fn):

@@ -537,3 +537,16 @@ def test_real_wav_decode(spark):
     x = samples.astype("float64") / 32768.0
     assert rows[1]["rms"] == pytest.approx(float(np.sqrt((x * x).mean())), rel=1e-9)
     assert rows[1]["peak"] == pytest.approx(float(np.abs(x).max()), rel=1e-9)
+
+
+def test_eval_mode_dataop(spark):
+    """eval_mode() evaluates to the current mode string (reference
+    _data_ops.py:2060): 'preview' under .skb.preview(), then
+    'fit_transform' / 'transform' through a learner."""
+    from skrub_spark import SkrubLearner, eval_mode
+
+    mode = eval_mode()
+    assert mode.skb.preview() == "preview"
+    assert mode.skb.eval({}) == "fit_transform"
+    learner = SkrubLearner(mode).fit({})
+    assert learner.transform({}) == "transform"
