@@ -49,9 +49,12 @@ def auto_bands(n_components: int, threshold: float, min_recall: float = 0.95) ->
     correct construction, not a fallback)."""
     best = 1
     for r in range(1, 9):
+        # only divisors: callers derive rows-per-band as
+        # n_components // n_bands, so a non-divisor r would silently
+        # round-trip to a LARGER r with lower recall
+        if n_components % r != 0:
+            continue
         b = n_components // r
-        if b < 1:
-            break
         recall = 1.0 - (1.0 - threshold**r) ** b
         if recall >= min_recall:
             best = r

@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) for the invariants that matter
+at scale: partitioning-independence, output-set equality against
+plain-Python reference implementations, and statistical bounds.
+
+Pure-Python properties run hundreds of examples; Spark-backed ones
+run a handful (each example is a job)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from skrub_spark.dedup.minhash import auto_bands
+from skrub_spark.report.associations import cramer_v_from_counts
+
+# ---------------- pure python, many examples ----------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5), st.integers(0, 5), st.integers(1, 50)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200)
+def test_cramer_v_bounds(cells):
+    """Cramér's V from any contingency table lies in [0, 1] (up to
+    float noise) and is 0 for single-row/col tables."""
+    merged = {}
+    for a, b, c in cells:
+        merged[(a, b)] = merged.get((a, b), 0) + c
+    flat = [(a, b, c) for (a, b), c in merged.items()]
+    n = sum(c for _, _, c in flat)
+    v = cramer_v_from_counts(flat, n)
+    assert -1e-9 <= v <= 1.0 + 1e-9
+    if len({a for a, _, _ in flat}) == 1 or len({b for _, b, _ in flat}) == 1:
+        assert v == 0.0
+
+
+@given(
+    st.integers(8, 256),
+    st.floats(0.05, 0.95),
+)
+@settings(max_examples=200)
+def test_auto_bands_recall_floor(n_components, threshold):
+    """auto_bands picks the largest rows-per-band meeting the 0.95
+    recall floor at J=threshold; when even OR-only r=1 can't reach it
+    (few components x low threshold), it falls back to r=1 — the
+    maximum-recall banding that exists."""
+    b = auto_bands(n_components, threshold)
+    r = n_components // b
+    assert b >= 1 and r >= 1
+
+    def recall(r_):
+        b_ = n_components // r_
+        return 1.0 - (1.0 - threshold**r_) ** b_
+
+    if recall(1) >= 0.95:
+        assert recall(r) >= 0.95 - 1e-9
+    else:
+        assert r == 1  # best achievable
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=100)
+def test_bmp_codec_rejects_or_roundtrips(payload):
+    """decode_bmp never raises on arbitrary bytes: it returns None or
+    a valid array (fuzz guard for the mapInPandas hot path)."""
+    from skrub_spark.multimodal import decode_bmp
+
+    out = decode_bmp(payload)
+    assert out is None or out.ndim == 3
+
+
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+)
+@settings(max_examples=50)
+def test_bmp_roundtrip_any_shape(w, h):
+    import numpy as np
+
+    from skrub_spark.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(w * 31 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+# ---------------- spark-backed, few examples ----------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed label propagation == plain union-find on any edge
+    list: same partition of nodes into components."""
+    from skrub_spark.dedup.components import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for a, b in edges:
+        for x in (a, b):
+            want.setdefault(find(x), set()).add(x)
+    want_sets = {frozenset(s) for s in want.values()}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {}
+    for r in connected_components(df, "id_a", "id_b").collect():
+        got.setdefault(r["component"], set()).add(r["id"])
+    got_sets = {frozenset(s) for s in got.values()}
+    assert got_sets == want_sets
+
+
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=12),
+    st.floats(-100, 100, allow_nan=False),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_join_numeric_matches_bruteforce(spark, rights, probe):
+    """fuzzy_join on a numeric key returns exactly the nearest right
+    value (ties -> smallest tiebreak), matching a python argmin."""
+    from skrub_spark import fuzzy_join
+
+    left = spark.createDataFrame([(0, float(probe))], "id int, x double")
+    right = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rights)], "rid int, rx double"
+    )
+    out = fuzzy_join(
+        left, right, left_on="x", right_on="rx",
+        strategy="levenshtein", tiebreak_cols=["rx", "rid"],
+    ).first()
+    best = min(range(len(rights)), key=lambda i: (abs(rights[i] - probe), rights[i], i))
+    assert out["rx"] == rights[best]
