@@ -22,6 +22,7 @@ from .dedup import (  # noqa: F401
 from .dedup.strings import deduplicate_strings as deduplicate  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ann_index,
+    cosine_knn_join,
     read_ann_index,
     topk_cosine,
     topk_cosine_indexed,

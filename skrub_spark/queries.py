@@ -295,6 +295,29 @@ def q_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding k-NN self-join (exact broadcast mode): each vector's
+    5 nearest neighbors by cosine. Oracle = DuckDB brute-force with a
+    ROW_NUMBER window."""
+    _prep(spark)
+    from .similarity import cosine_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_knn_join(emb, emb, k=5, method="exact", round_digits=4)
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding k-NN join, LSH-bucketed scale mode (candidates =
+    shared hyperplane buckets; approximate recall: rows-only)."""
+    _prep(spark)
+    from .similarity import cosine_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_knn_join(
+        emb, emb, k=5, method="lsh", n_planes=4, n_tables=8, round_digits=4
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over events (window functions)."""
     _prep(spark)
@@ -1422,6 +1445,23 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
     """,
+    "knn_join": """
+        SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+        FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) DESC,
+                   b.vec_id ASC
+                 ) AS rank
+          FROM embeddings a CROSS JOIN embeddings b
+          WHERE a.vec_id != b.vec_id
+        ) WHERE rank <= 5
+    """,
     "session_stats": """
         WITH o AS (
           SELECT user_id, ts, value,
@@ -1999,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "similarity_topk": q_similarity_topk,
         "topk_indexed": q_topk_indexed,
+        "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
         "session_stats": q_session_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,

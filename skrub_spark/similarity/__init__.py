@@ -1,3 +1,4 @@
+from .knn_join import cosine_knn_join  # noqa: F401
 from .index import (  # noqa: F401
     build_ann_index,
     read_ann_index,

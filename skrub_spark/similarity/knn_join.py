@@ -1,0 +1,103 @@
+"""Embedding k-NN JOIN: every left row matched to its k most-cosine-
+similar right rows (the all-pairs generalization of the single-query
+``topk_cosine`` — the shape of retrieval-augmentation / dedup-
+candidate / label-propagation jobs over embedding tables).
+
+Two physical modes:
+
+- ``method="exact"``: broadcast cross join + per-left top-k window.
+  Exact; right side must be dimension-sized (it is broadcast). This
+  is also the oracle baseline.
+- ``method="lsh"``: both sides bucketed by seeded random-hyperplane
+  sketches over ``n_tables`` tables (the same construction as
+  similarity/index.py — at scale the right side's buckets would be
+  the PERSISTED index); candidates = pairs sharing any (table,
+  bucket), exact-rescored, per-left top-k. Shuffles candidates
+  only — never the cross product.
+
+The top-k step is a window over the candidate set, bounded by the
+broadcast size (exact) or bucket co-occupancy (lsh) — never over
+n_left x n_right.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.vector import dot_product, l2_norm
+from .index import _bucket_expr, _planes_for
+
+
+def cosine_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    *,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    method: str = "exact",
+    exclude_self: bool = True,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — k nearest right rows
+    per left row. ``exclude_self`` drops identical-id pairs (the
+    self-match in a self-join)."""
+    l = left.select(
+        F.col(left_id).alias("query_id"),
+        F.col(left_vec).alias("__lv"),
+        l2_norm(F.col(left_vec)).alias("__ln"),
+    )
+    r = right.select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col(right_vec).alias("__rv"),
+        l2_norm(F.col(right_vec)).alias("__rn"),
+    )
+
+    if method == "exact":
+        pairs = l.crossJoin(broadcast(r))
+    elif method == "lsh":
+        dim = int(
+            left.select(F.size(left_vec).alias("d")).first()["d"]
+        )
+        planes = _planes_for(seed, n_tables, n_planes, dim)
+
+        def banded(df, vec):
+            buckets = F.array(*[_bucket_expr(F.col(vec), p) for p in planes])
+            return df.select(
+                "*", F.posexplode(buckets).alias("__t", "__b")
+            )
+        lb = banded(l, "__lv")
+        rb = banded(r, "__rv")
+        pairs = (
+            lb.join(rb, on=["__t", "__b"])
+            .drop("__t", "__b")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    else:
+        raise ValueError("method must be 'exact' or 'lsh'")
+
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = dot_product(F.col("__lv"), F.col("__rv")) / (
+        F.col("__ln") * F.col("__rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        pairs.withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    c = F.col("__cos")
+    if round_digits is not None:
+        c = F.round(c, round_digits)
+    return out.select("query_id", "neighbor_id", "rank", c.alias("cosine"))

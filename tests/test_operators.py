@@ -316,3 +316,40 @@ def test_fuzzy_join_mixed_and_datetime_keys(spark):
             r3.withColumn("rb", F.lit(False)),
             left_on="b", right_on="rb",
         )
+
+
+def test_cosine_knn_join_exact_and_lsh(spark):
+    """Exact knn join returns the true neighbors; the LSH mode's
+    pairs are a subset with identical cosines (candidates only
+    affect recall, never scores)."""
+    import numpy as np
+
+    from skrub_spark import cosine_knn_join
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    exact = cosine_knn_join(df, df, k=3, method="exact").collect()
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 60 and all(len(v) == 3 for v in by_q.values())
+
+    # python brute-force check for one query
+    import math
+    q = dict(rows)[0]
+    def cos(a, b):
+        da = sum(x*y for x, y in zip(a, b))
+        return da / (math.sqrt(sum(x*x for x in a)) * math.sqrt(sum(x*x for x in b)))
+    want = sorted(((cos(q, v), i) for i, v in rows if i != 0),
+                  key=lambda t: (-t[0], t[1]))[:3]
+    got = sorted(by_q[0], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in got] == [i for _, i in want]
+
+    lsh = cosine_knn_join(df, df, k=3, method="lsh", n_planes=3, n_tables=6)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    allpairs = cosine_knn_join(df, df, k=60, method="exact").collect()
+    all_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in allpairs}
+    for r in lsh.collect():
+        assert all_scores[(r["query_id"], r["neighbor_id"])] == r["cosine"]
