@@ -652,7 +652,10 @@ def q_fuzzy_join_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_strings_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skrub.deduplicate parity: canonical spelling per p_brand.
-    (Clustering via connected components: rows-only.)"""
+    The pair set is EXACT (shared-gram candidates are lossless for
+    jaccard > 0, then exact-thresholded), and connected components =
+    reachability, which DuckDB replays with a recursive CTE — so the
+    full clustering oracles exactly."""
     _prep(spark)
     from .dedup.strings import deduplicate_strings
 
@@ -1510,6 +1513,40 @@ ORACLES: dict[str, str] = {
           ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard
         FROM inter
         WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.2
+    """,
+    "dedup_strings_brand": """
+        WITH RECURSIVE counts AS (
+          SELECT p_brand AS s, count(*) AS freq FROM part GROUP BY 1
+        ), g AS (
+          SELECT s, freq,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(lower(s)) - 2, 0)),
+                   i -> substr(lower(s), i, 3))) AS grams
+          FROM counts
+        ), pairs AS (
+          SELECT a.s AS s_a, b.s AS s_b FROM g a JOIN g b ON a.s < b.s
+          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1)
+                >= 0.8
+        ), edges AS (
+          SELECT s_a AS x, s_b AS y FROM pairs
+          UNION ALL SELECT s_b, s_a FROM pairs
+          UNION ALL SELECT s, s FROM counts
+        ), reach(x, y) AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        ), labels AS (
+          SELECT x AS s, min(y) AS component FROM reach GROUP BY x
+        ), canon AS (
+          SELECT c.s,
+                 first_value(c.s) OVER (
+                   PARTITION BY l.component ORDER BY c.freq DESC, c.s ASC
+                 ) AS p_brand_dedup
+          FROM counts c JOIN labels l ON c.s = l.s
+        )
+        SELECT p.p_brand, p.p_partkey, canon.p_brand_dedup
+        FROM part p JOIN canon ON p.p_brand = canon.s
     """,
     "minhash_dedup_pairs": """
         WITH t AS (
