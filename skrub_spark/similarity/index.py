@@ -141,3 +141,106 @@ def topk_cosine_indexed(
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# ---------------- IVF variant ----------------
+#
+# LSH buckets derive from the seed, so probes can recompute them.
+# IVF cells derive from DATA (sampled centroids), so the index must
+# persist the centroids next to the cells: <path>/cells is the
+# partitioned corpus, <path>/centroids the (cell, centroid) lookup
+# (n_cells x dim doubles — tiny).
+
+
+def _cell_assign_expr(vec_col, cents: np.ndarray):
+    """argmin-over-centroids assignment as a pure Column expression
+    (same construction as topk_cosine_ivf, similarity/topk.py)."""
+    best_idx = F.lit(0)
+    best_d = None
+    for i, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = dist
+        else:
+            cond = dist < best_d
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_d = F.when(cond, dist).otherwise(best_d)
+    return best_idx
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """Returns (indexed_df, centroids). Centroids are a seeded sample
+    of corpus vectors; every row is stamped with its nearest cell."""
+    sample = [
+        list(r[0])
+        for r in df.select(vec_col).sample(False, 0.5, seed).limit(n_cells).collect()
+    ]
+    cents = np.asarray(sample, dtype="float64")
+    indexed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        _cell_assign_expr(vec_col, cents).alias("__ivf_cell"),
+    )
+    return indexed, cents
+
+
+def write_ivf_index(indexed: DataFrame, cents: np.ndarray, path: str) -> None:
+    indexed.write.mode("overwrite").partitionBy("__ivf_cell").parquet(
+        f"{path}/cells"
+    )
+    spark = indexed.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark: SparkSession, path: str):
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.asarray([list(r["centroid"]) for r in cents_rows], dtype="float64")
+    return spark.read.parquet(f"{path}/cells"), cents
+
+
+def topk_cosine_ivf_indexed(
+    indexed: DataFrame,
+    cents: np.ndarray,
+    query_vec,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Probe the ``n_probe`` cells nearest the query — on a written
+    index the cell filter is a partition-pruned scan — then
+    exact-rescore with the stored norms."""
+    qv = np.asarray(list(query_vec), dtype="float64")
+    d = ((cents - qv) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    qn = float(np.sqrt((qv * qv).sum()))
+    sim = dot_product(F.col("v"), vector_literal([float(x) for x in qv])) / (
+        F.col("nrm") * F.lit(qn)
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        indexed.filter(F.col("__ivf_cell").isin(*probe))
+        .select(F.col("id").alias("vec_id"), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -353,3 +353,38 @@ def test_cosine_knn_join_exact_and_lsh(spark):
     all_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in allpairs}
     for r in lsh.collect():
         assert all_scores[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """IVF persisted index: centroids stored next to the cells; a
+    probe scans only matching cell partitions; probing ALL cells
+    equals brute force exactly."""
+    import numpy as np
+
+    from skrub_spark.similarity import (
+        build_ivf_index, read_ivf_index, topk_cosine,
+        topk_cosine_ivf_indexed, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = rows[3][1]
+
+    idx, cents = build_ivf_index(df, n_cells=8, seed=2)
+    write_ivf_index(idx, cents, str(tmp_path / "ivf"))
+    back, cents2 = read_ivf_index(spark, str(tmp_path / "ivf"))
+    assert np.allclose(cents, cents2)
+
+    probe = topk_cosine_ivf_indexed(back, cents2, q, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__ivf_cell" in plan.split("PartitionFilters", 1)[1][:500]
+    ids = [r["vec_id"] for r in probe.collect()]
+    assert ids[0] == 3  # the query vector itself is in a probed cell
+
+    full = topk_cosine_ivf_indexed(back, cents2, q, k=5, n_probe=len(cents2))
+    brute = topk_cosine(df, q, k=5)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]

@@ -145,3 +145,38 @@ def test_column_associations_single_job(spark):
     vals = {(r["left_column_name"], r["right_column_name"]): r["cramer_v"]
             for r in out}
     assert vals[("a", "b")] == pytest.approx(1.0)
+
+
+def test_salting_spreads_hot_key(spark):
+    """A planted hot key (90% of rows) must be spread across salts in
+    stage 1: no single (key, salt) partial exceeds ~hot/n_salts x 3,
+    where unsalted it would be one reducer with ALL hot rows."""
+    from skrub_spark.operators.salting import salted_groupby_agg
+
+    hot_n, n_salts = 9000, 16
+    rows = [("hot", float(i)) for i in range(hot_n)] + [
+        (f"k{i}", float(i)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+
+    # stage-1 spread: replicate the op's salting and measure buckets
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    spread = (
+        df.withColumn("__salt", salt)
+        .groupBy("k", "__salt")
+        .count()
+        .filter(F.col("k") == "hot")
+        .collect()
+    )
+    assert len(spread) == n_salts               # hot key hits every salt
+    assert max(r["count"] for r in spread) < (hot_n / n_salts) * 3
+
+    # correctness: salted two-stage == plain aggregation
+    out = salted_groupby_agg(
+        df, ["k"],
+        {"n": F.count(F.lit(1)), "s": F.sum("v")},
+        n_salts=n_salts,
+    ).collect()
+    got = {r["k"]: (r["n"], r["s"]) for r in out}
+    assert got["hot"] == (hot_n, float(sum(range(hot_n))))
+    assert got["k7"] == (1, 7.0)
