@@ -52,6 +52,12 @@ HEADLINE = [
     "text_encoder_embeddings",
     "fuzzy_join_numeric",
     "column_associations",
+    "asof_join",
+    "funnel_conversion",
+    "retention_cohorts",
+    # knn_join (exact mode) is the O(n²) oracle baseline — 30s at
+    # sf0.1; the bucketed scale mode is what belongs in a bench:
+    "knn_join_lsh",
     "forecast_revenue",
     "order_priority",
     "volume_shipping",

@@ -308,13 +308,16 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding k-NN join, LSH-bucketed scale mode (candidates =
-    shared hyperplane buckets; approximate recall: rows-only)."""
+    shared hyperplane buckets; approximate recall: rows-only).
+    8 planes = 256 buckets/table keeps candidate volume ~n²/256 per
+    table — selectivity that holds as the corpus grows (add planes
+    with log₂(n))."""
     _prep(spark)
     from .similarity import cosine_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_knn_join(
-        emb, emb, k=5, method="lsh", n_planes=4, n_tables=8, round_digits=4
+        emb, emb, k=5, method="lsh", n_planes=8, n_tables=8, round_digits=4
     )
 
 
@@ -928,6 +931,30 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_ok",
         F.round("px_mean", 4).alias("px_mean"),
         F.round("px_std", 4).alias("px_std"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-tag + last-ignorenulls window — one sort
+    shuffle per key, no range-join pair explosion): each purchase
+    event enriched with the user's most recent prior-or-equal view
+    event. Oracle = DuckDB's native ASOF JOIN."""
+    _prep(spark)
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_right").alias("view_ts"),
+        "view_value",
     )
 
 
@@ -1746,6 +1773,19 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
+    "asof_join": """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        ), views AS (
+          SELECT user_id, ts, value AS view_value FROM events
+          WHERE event_type = 'view'
+        )
+        SELECT p.event_id, p.user_id, v.ts AS view_ts, v.view_value
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
     "funnel_conversion": """
         WITH v AS (
           SELECT user_id, min(ts) AS t_view FROM events
@@ -2117,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "small_quantity_parts": q_small_quantity_parts,
         "forecast_revenue": q_forecast_revenue,
+        "asof_join": q_asof_join,
         "funnel_conversion": q_funnel_conversion,
         "image_decode_stats": q_image_decode_stats,
         "retention_cohorts": q_retention_cohorts,

@@ -26,8 +26,10 @@ ingest is a plain parquet append into the matching partitions.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vector import dot_product, l2_norm, vector_literal
 
@@ -71,6 +73,28 @@ def _query_buckets(query_vec, seed, n_tables, n_planes) -> list[tuple[int, int]]
     return out
 
 
+def _buckets_udf(planes_list):
+    """Vectorized all-tables bucket computation: ONE numpy matmul per
+    Arrow batch per table. The pure-Column alternative (n_tables x
+    n_planes fold expressions, each with dim literals) builds a
+    4096-literal expression tree that Catalyst plans for seconds and
+    executes interpreted (higher-order functions skip codegen) — the
+    same expression-blowup trap as the round-1 minhash aggs."""
+    stacked = [np.asarray(p, dtype="float64") for p in planes_list]
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        cols = []
+        for planes in stacked:
+            S = (M @ planes.T) > 0  # (n, n_planes) sign bits
+            cols.append(S @ (1 << np.arange(planes.shape[0], dtype="int64")))
+        arr = np.stack(cols, axis=1)
+        return pd.Series([[int(x) for x in row] for row in arr])
+
+    return buckets
+
+
 def build_ann_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -88,12 +112,12 @@ def build_ann_index(
     if dim is None:
         dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
     planes = _planes_for(seed, n_tables, n_planes, dim)
-    buckets = F.array(*[_bucket_expr(F.col(vec_col), p) for p in planes])
+    buckets = _buckets_udf(planes)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        F.posexplode(buckets).alias(*_IDX_COLS),
+        F.posexplode(buckets(F.col(vec_col))).alias(*_IDX_COLS),
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.vector import dot_product, l2_norm
-from .index import _bucket_expr, _planes_for
+from .index import _buckets_udf, _planes_for
 
 
 def cosine_knn_join(
@@ -68,11 +68,11 @@ def cosine_knn_join(
             left.select(F.size(left_vec).alias("d")).first()["d"]
         )
         planes = _planes_for(seed, n_tables, n_planes, dim)
+        buckets = _buckets_udf(planes)
 
         def banded(df, vec):
-            buckets = F.array(*[_bucket_expr(F.col(vec), p) for p in planes])
             return df.select(
-                "*", F.posexplode(buckets).alias("__t", "__b")
+                "*", F.posexplode(buckets(F.col(vec))).alias("__t", "__b")
             )
         lb = banded(l, "__lv")
         rb = banded(r, "__rv")

@@ -388,3 +388,57 @@ def test_ivf_index_partition_pruned_probe(spark, tmp_path):
     assert [r["vec_id"] for r in full.collect()] == [
         r["vec_id"] for r in brute.collect()
     ]
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """merge_asof semantics: backward picks the latest right <= left
+    ts, forward the earliest >= ; tolerance nulls far matches;
+    allow_exact_matches=False excludes equal timestamps."""
+    import datetime as dt
+
+    from skrub_spark import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [("u", ts(10), 1), ("u", ts(30), 2), ("u", ts(5), 3), ("v", ts(10), 4)],
+        "user string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(7), 100.0), ("u", ts(10), 200.0), ("u", ts(31), 300.0)],
+        "user string, ts timestamp, price double",
+    )
+
+    back = {
+        r["lid"]: (r["price"], r["ts_right"])
+        for r in asof_join(left, right, by="user").collect()
+    }
+    assert back[1] == (200.0, ts(10))   # exact match allowed
+    assert back[2] == (200.0, ts(10))   # latest <= 30
+    assert back[3] == (None, None)      # nothing before 5
+    assert back[4] == (None, None)      # other key
+
+    noexact = {
+        r["lid"]: r["price"]
+        for r in asof_join(
+            left, right, by="user", allow_exact_matches=False
+        ).collect()
+    }
+    assert noexact[1] == 100.0          # equal ts excluded -> 7min row
+
+    fwd = {
+        r["lid"]: r["price"]
+        for r in asof_join(left, right, by="user", direction="forward").collect()
+    }
+    assert fwd[3] == 100.0 and fwd[2] == 300.0
+
+    tol = {
+        r["lid"]: r["price"]
+        for r in asof_join(
+            left, right, by="user", tolerance_s=5 * 60
+        ).collect()
+    }
+    assert tol[1] == 200.0 and tol[2] is None  # 20min gap > 5min tol
