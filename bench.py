@@ -65,6 +65,10 @@ HEADLINE = [
     "returned_items",
     "promo_revenue",
     "discounted_revenue",
+    "customer_distribution",
+    "top_supplier",
+    "large_volume_customers",
+    "sales_opportunity",
     # streaming_dedup runs in the correctness battery but not here:
     # its wall time is state-store/checkpoint fixed overhead (19s for
     # 5000 rows), not a throughput signal at bench scale.

@@ -728,7 +728,8 @@ def q_text_encoder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (order-sensitive).
-    (xxhash-based: rows-only.)"""
+    md5-derived shingle hashes are bit-identical across engines, so
+    the DuckDB oracle replays the exact fold."""
     _prep(spark)
     from .functions.text import rolling_fingerprint
 
@@ -1258,6 +1259,113 @@ def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+    Aggregate ORDERS first (one shuffle of the narrow fact on its
+    key), then left-join customer onto the counts — not
+    join-then-double-groupBy, which would shuffle full customer rows
+    twice."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.ck, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The scalar max is a one-row aggregate broadcast back
+    over the per-supplier revenues (decimal-exact sums make the
+    equality deterministic) — no window over the whole table."""
+    _prep(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed 300
+    units — HAVING on a fact aggregate, then semi-enrichment joins.
+    The per-order aggregate (map-side partial on l_orderkey) filters
+    to a tiny set BEFORE any join touches customer/orders."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: churn-risk accounts — customers with an
+    above-average positive balance and no orders since a cutoff,
+    counted per nation. Scalar-subquery average (one-row broadcast) +
+    anti-join against the filtered fact."""
+    _prep(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
 
@@ -2094,6 +2202,81 @@ ORACLES: dict[str, str] = {
         FROM embeddings, generate_series(1, 64) AS t(i)
         GROUP BY label, i
     """,
+    "customer_distribution": """
+        WITH per_cust AS (
+          SELECT o_custkey AS ck, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(n, 0) AS c_count, COUNT(*) AS custdist
+        FROM customer LEFT JOIN per_cust ON c_custkey = ck
+        GROUP BY COALESCE(n, 0)
+    """,
+    "top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    "large_volume_customers": """
+        WITH big AS (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(qty AS DOUBLE) AS total_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "sales_opportunity": """
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, avg_bal
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY n_name
+    """,
+    "fingerprints": """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+            CASE WHEN len(words) >= 8 THEN
+              list_transform(range(1, len(words) - 6),
+                i -> array_to_string(list_slice(words, i, i + 7), ' '))
+            ELSE [] END AS shingles
+          FROM w
+        )
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(shingles,
+                g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647)),
+            (acc, h) -> (acc * 1000003 + h) % 2147483647
+          ) AS fingerprint
+        FROM s
+    """,
 }
 
 
@@ -2167,6 +2350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "promo_revenue": q_promo_revenue,
         "discounted_revenue": q_discounted_revenue,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "large_volume_customers": q_large_volume_customers,
+        "sales_opportunity": q_sales_opportunity,
         "centroid_per_label": q_centroid_per_label,
     }
 
