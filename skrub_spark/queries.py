@@ -1370,6 +1370,74 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit salting: event_type has only
+    5 distinct values, so a plain groupBy lands ~20% of a 100 TB
+    stream on ONE reducer each. salted_groupby_agg spreads every key
+    over 16 salts (stage 1) and merges partials (stage 2) — the
+    decimal partial sums are associative, so the result is
+    bit-identical to the unsalted aggregation (the oracle)."""
+    _prep(spark)
+    from .operators.salting import salted_groupby_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_groupby_agg(
+        ev,
+        ["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_dec": F.sum(_dec("value")),
+            "max_value": F.max("value"),
+        },
+        n_salts=16,
+        reaggs={
+            "n_events": F.sum("n_events"),
+            "total_dec": F.sum("total_dec"),
+            "max_value": F.max("max_value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: customer and orders are written
+    bucketed by custkey (the write-time shuffle), then joined with
+    ZERO exchange on either side — asserted on the executed plan.
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every join and never shuffling it at all."""
+    _prep(spark)
+    from .sources.bucketing import (
+        bucketed_join,
+        join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tl, tr = f"skb_orders_{tag}", f"skb_cust_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        tl, "custkey", n_buckets=8, sort_cols="custkey",
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "custkey"),
+        tr, "custkey", n_buckets=8, sort_cols="custkey",
+    )
+    joined = bucketed_join(spark, tl, tr, on="custkey", force_sortmerge=True)
+    joined.count()  # materialize so the executed plan is final
+    assert join_is_shuffle_free(joined), "bucketed join shuffled"
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector analytics: per-label embedding centroid, one row per
     (label, dimension). posexplode + groupBy is the distributed
@@ -2254,6 +2322,18 @@ ORACLES: dict[str, str] = {
           )
         GROUP BY n_name
     """,
+    "skew_salted_agg": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "bucketed_join_revenue": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "fingerprints": """
         WITH w AS (
           SELECT doc_id,
@@ -2354,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "large_volume_customers": q_large_volume_customers,
         "sales_opportunity": q_sales_opportunity,
+        "skew_salted_agg": q_skew_salted_agg,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
         "centroid_per_label": q_centroid_per_label,
     }
 

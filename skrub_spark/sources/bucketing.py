@@ -29,12 +29,25 @@ def write_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str] | str,
+    force_sortmerge: bool = False,
 ) -> DataFrame:
     """Join two same-bucketed tables; with matching bucketing Spark
-    plans a shuffle-free sort-merge join."""
+    plans a shuffle-free sort-merge join.
+
+    ``force_sortmerge`` adds a merge-join hint so a broadcast-sized
+    right table still exercises the co-located path (the point of
+    bucketing is the 100 TB case where nothing is broadcastable) —
+    a hint, unlike flipping autoBroadcastJoinThreshold on the shared
+    session, can't leak into later queries."""
     on = [on] if isinstance(on, str) else on
-    return spark.table(left_table).join(spark.table(right_table), on=on)
+    right = spark.table(right_table)
+    if force_sortmerge:
+        right = right.hint("merge")
+    return spark.table(left_table).join(right, on=on)
 
 
 def join_is_shuffle_free(df: DataFrame) -> bool:
