@@ -40,7 +40,12 @@ def minhash_signature(
 _MAX_LONG = (1 << 63) - 1
 
 
-def minhash_from_grams(grams: Column, n_components: int) -> Column:
+_MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_from_grams(
+    grams: Column, n_components: int, hash: str = "md5"
+) -> Column:
     """Signature in ONE aggregate pass over the gram array.
 
     A naive per-component ``array_min(transform(...))`` duplicates the
@@ -48,17 +53,41 @@ def minhash_from_grams(grams: Column, n_components: int) -> Column:
     projection collapse — expression-tree blowup that stalls codegen.
     One fold with an n-wide accumulator keeps the tree linear in
     n_components and reads the gram array once.
+
+    ``hash='md5'`` (default): double hashing h_k = (h1 + k·h2) mod
+    2^31-1, with h1/h2 the two 60-bit halves of ONE md5 per gram —
+    engine-portable (the DuckDB oracle replays signatures exactly)
+    and only one cryptographic hash per gram; the per-component work
+    is substr/conv arithmetic on the materialized hex string.
+    ``hash='xxhash'``: n_components seeded xxhash64s per gram,
+    full 64-bit range, Spark-only.
     """
-    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), n_components)
-    return F.aggregate(
-        grams,
-        init,
-        lambda acc, g: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(g, F.lit(k)) for k in range(n_components)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
+    if hash == "xxhash":
+        init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), n_components)
+        return F.aggregate(
+            grams,
+            init,
+            lambda acc, g: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(g, F.lit(k)) for k in range(n_components)]),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+    p = F.lit(_MERSENNE_P).cast("long")
+    ks = F.sequence(F.lit(0).cast("long"), F.lit(n_components - 1).cast("long"))
+    # materialize the hex digest once per gram; the fold then only
+    # does substr/conv arithmetic per component (h1 + k*h2 < 2^37,
+    # safe under ANSI long math).
+    hexes = F.transform(grams, lambda g: F.md5(g))
+    init = F.array_repeat(p, n_components)
+
+    def _step(acc, m):
+        h1 = F.pmod(F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), p)
+        h2 = F.pmod(F.conv(F.substring(m, 16, 15), 16, 10).cast("long"), p)
+        comps = F.transform(ks, lambda k: F.pmod(h1 + k * h2, p))
+        return F.zip_with(acc, comps, lambda a, b: F.least(a, b))
+
+    return F.aggregate(hexes, init, _step)
 
 
 def minhash_band_keys(

@@ -394,7 +394,10 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 near-dup pairs. (No SQL oracle; rows-only.)"""
+    """SimHash hamming<=3 near-dup pairs. The md5-derived 60-bit gram
+    hash is engine-portable, so the DuckDB oracle recomputes the
+    exact simhashes and checks the pair set all-pairs (the Spark
+    side's chunk-banding is lossless for hamming <= n_chunks-1)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dedup_simhash_pairs(docs, "text", "doc_id", max_hamming=3)
@@ -667,8 +670,10 @@ def q_dedup_strings_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_encoder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashEncoder features on part.p_name (xxhash-based:
-    rows-only)."""
+    """MinHashEncoder features on part.p_name. Double-hashing
+    signature over the two 60-bit halves of one md5 per gram —
+    engine-portable, so the DuckDB oracle recomputes the exact
+    8-component signatures."""
     _prep(spark)
     from .encoders.minhash_encoder import MinHashEncoder
 
@@ -2333,6 +2338,66 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "minhash_encoder_features": """
+        WITH base AS (
+          SELECT p_partkey, lower(p_name) AS s FROM part
+        ), g AS (
+          SELECT p_partkey, unnest(list_concat(list_concat(
+            list_transform(range(1, len(s)),     i -> substr(s, i, 2)),
+            list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))),
+            list_transform(range(1, len(s) - 2), i -> substr(s, i, 4))
+          )) AS gram
+          FROM base
+        ), h AS (
+          SELECT p_partkey,
+            ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS h1,
+            ('0x' || substr(md5(gram), 16, 15))::BIGINT % 2147483647 AS h2
+          FROM g
+        )
+        SELECT p_partkey,
+          CAST(MIN(h1 % 2147483647) AS DOUBLE) AS p_name_0,
+          CAST(MIN((h1 + 1 * h2) % 2147483647) AS DOUBLE) AS p_name_1,
+          CAST(MIN((h1 + 2 * h2) % 2147483647) AS DOUBLE) AS p_name_2,
+          CAST(MIN((h1 + 3 * h2) % 2147483647) AS DOUBLE) AS p_name_3,
+          CAST(MIN((h1 + 4 * h2) % 2147483647) AS DOUBLE) AS p_name_4,
+          CAST(MIN((h1 + 5 * h2) % 2147483647) AS DOUBLE) AS p_name_5,
+          CAST(MIN((h1 + 6 * h2) % 2147483647) AS DOUBLE) AS p_name_6,
+          CAST(MIN((h1 + 7 * h2) % 2147483647) AS DOUBLE) AS p_name_7
+        FROM h GROUP BY p_partkey
+    """,
+    "simhash_dedup_pairs": """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS words
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(words) >= 2 THEN
+              list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1])
+            ELSE [] END) AS gram
+          FROM w
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv
+          FROM g
+        ), bits AS (
+          SELECT doc_id, b.i AS i,
+                 SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, generate_series(0, 59) AS b(i)
+          GROUP BY doc_id, b.i
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                      AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "fingerprints": """
         WITH w AS (
