@@ -887,6 +887,90 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", "lang", "source")
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (file source wants a
+    directory: glob down to the one parquet). ts arrives as raw
+    nanos (legacy long read) and is truncated to Spark's native
+    microsecond timestamps exactly like load_table does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins a static
+    per-user profile dim (broadcast per micro-batch, no join state,
+    no watermark — the scale-correct fact-stream × dim shape).
+    Real pipeline: file source -> broadcast join -> memory sink,
+    availableNow. The oracle is the equivalent batch join."""
+    import uuid
+
+    from .streaming import stream_static_enrich
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias(
+            "user_avg"
+        ),
+    )
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+    name = "strenrich_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_static_enrich(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "user_id", "value", "user_events", "user_avg"
+    )
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases × views on user_id
+    within ±1 hour of event time, both sides watermarked so join
+    state stays bounded. availableNow single-batch makes the emitted
+    set exactly the batch range join (the oracle)."""
+    import uuid
+
+    from .streaming import stream_stream_interval_join
+
+    _prep(spark)
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    views = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(F.col("event_id").alias("view_id"), "user_id", "ts")
+    joined = stream_stream_interval_join(
+        purchases, views, key="user_id", interval="1 hour",
+        watermark="2 hours",
+    )
+    name = "strijoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select("event_id", "user_id", "view_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GapEncoder fit_strategy='distributed': gamma-Poisson topics
     learned over ALL distinct values with the M-step matrix products
@@ -2327,6 +2411,25 @@ ORACLES: dict[str, str] = {
           )
         GROUP BY n_name
     """,
+    "streaming_enrich": """
+        WITH dim AS (
+          SELECT user_id, COUNT(*) AS user_events,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) AS user_avg
+          FROM events GROUP BY user_id
+        )
+        SELECT event_id, e.user_id, value, user_events, user_avg
+        FROM events e JOIN dim ON e.user_id = dim.user_id
+        WHERE event_type = 'purchase'
+    """,
+    "streaming_interval_join": """
+        SELECT p.event_id, p.user_id, v.event_id AS view_id
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts <= p.ts + INTERVAL 1 HOUR
+    """,
     "skew_salted_agg": """
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
@@ -2483,6 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_encoder_topics": q_gap_encoder_topics,
         "gap_encoder_distributed": q_gap_encoder_distributed,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_interval_join": q_streaming_interval_join,
         "small_quantity_parts": q_small_quantity_parts,
         "forecast_revenue": q_forecast_revenue,
         "asof_join": q_asof_join,
