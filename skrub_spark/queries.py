@@ -295,6 +295,31 @@ def q_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF persisted-index probe: data-dependent centroids, cells
+    written partitionBy(__ivf_cell), probes read only the matching
+    partitions. n_probe = n_cells makes the probe exhaustive, so the
+    exact brute-force oracle applies while the query still exercises
+    the real build→write→read→prune path."""
+    _prep(spark)
+    import tempfile
+
+    from .similarity.index import (
+        build_ivf_index, read_ivf_index, topk_cosine_ivf_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    idx, cents = build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    path = tempfile.mkdtemp(prefix="skrub_ivf_") + "/index"
+    write_ivf_index(idx, cents, path)
+    back, cents2 = read_ivf_index(spark, path)
+    return topk_cosine_ivf_indexed(
+        back, cents2, qv, k=10, n_probe=8, round_digits=4
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding k-NN self-join (exact broadcast mode): each vector's
     5 nearest neighbors by cosine. Oracle = DuckDB brute-force with a
@@ -1740,6 +1765,16 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
     """,
+    "topk_ivf": """
+        SELECT vec_id,
+          ROUND(list_cosine_similarity(
+            CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+          ), 4) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
     "knn_join": """
         SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
         FROM (
@@ -2547,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "similarity_topk": q_similarity_topk,
         "topk_indexed": q_topk_indexed,
+        "topk_ivf": q_topk_ivf,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "session_stats": q_session_stats,

@@ -200,6 +200,27 @@ def _cell_assign_expr(vec_col, cents: np.ndarray):
     return best_idx
 
 
+def _cell_udf(cents: np.ndarray):
+    """Vectorized nearest-centroid assignment: one numpy matmul per
+    Arrow batch. The pure-Column argmin (_cell_assign_expr) nests
+    each cell's distance inside every later WHEN comparison — the
+    when-chain re-evaluates distances and planning time grows
+    superlinearly in n_cells; fine for ad-hoc topk_cosine_ivf, wrong
+    for indexing a whole corpus."""
+    C = np.asarray(cents, dtype="float64")
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        # argmin ||x-c||^2 == argmin c*c - 2*x.c ; ties -> first index,
+        # matching the strict-< when-chain.
+        d = c2[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return cell
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -215,11 +236,12 @@ def build_ivf_index(
         for r in df.select(vec_col).sample(False, 0.5, seed).limit(n_cells).collect()
     ]
     cents = np.asarray(sample, dtype="float64")
+    assign = _cell_udf(cents)
     indexed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        _cell_assign_expr(vec_col, cents).alias("__ivf_cell"),
+        assign(F.col(vec_col)).alias("__ivf_cell"),
     )
     return indexed, cents
 
