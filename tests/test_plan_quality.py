@@ -135,3 +135,49 @@ def test_order_priority_semi_join(spark):
 
     plan = plan_of(q_order_priority(spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-tag asof plan must shuffle ONCE (the window's
+    hashpartitioning on the key) — no range-join pair explosion, no
+    extra exchange for the union."""
+    from skrub_spark.queries import q_asof_join
+
+    df = q_asof_join(spark, SF)
+    # AQE prints final + initial plans; count shuffles in the final only
+    plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_lsh_no_cartesian(spark):
+    """LSH-bucketed k-NN join must be an equi-join on (table, bucket)
+    — never a cross join of the two sides."""
+    from skrub_spark.queries import q_knn_join_lsh
+
+    df = q_knn_join_lsh(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_partition_pruned(spark, tmp_path):
+    """A written IVF index is probed with partition filters on the
+    cell column — the scan must not read all cells."""
+    from skrub_spark.similarity.index import (
+        build_ivf_index, read_ivf_index, topk_cosine_ivf_indexed,
+        write_ivf_index,
+    )
+    from skrub_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    idx, cents = build_ivf_index(emb, "embedding", "vec_id", n_cells=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(idx, cents, path)
+    back, c2 = read_ivf_index(spark, path)
+    probe = topk_cosine_ivf_indexed(back, c2, qv, k=5, n_probe=1)
+    plan = formatted(probe)
+    assert "PartitionFilters" in plan and "__ivf_cell" in plan
