@@ -19,7 +19,24 @@ def write_bucketed(
     sort_cols: list[str] | str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table."""
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    ``mode='overwrite'`` really overwrites: saveAsTable refuses a
+    managed-table location left on disk by a PREVIOUS session (the
+    catalog forgot the table but the directory survived), so drop
+    the catalog entry and clear the stale location first."""
+    if mode == "overwrite":
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(wh).path or wh
+        shutil.rmtree(
+            os.path.join(wh_path, table_name.lower()), ignore_errors=True
+        )
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
