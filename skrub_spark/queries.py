@@ -1484,6 +1484,50 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip: nation+region written as CSV with
+    explicit schemas, read back through the CSV reader, broadcast
+    join + count per region. Oracle reads the parquet originals —
+    the round-trip must be lossless for the result to hash-match."""
+    _prep(spark)
+    import tempfile
+
+    from .sources import read_csv
+
+    tmp = tempfile.mkdtemp(prefix="skrub_csv_")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation.write.mode("overwrite").option("header", "true").csv(f"{tmp}/nation")
+    region.write.mode("overwrite").option("header", "true").csv(f"{tmp}/region")
+    n = read_csv(spark, f"{tmp}/nation", schema=nation.schema)
+    r = read_csv(spark, f"{tmp}/region", schema=region.schema)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: orders written as ORC, read back,
+    aggregated by priority with exact decimal sums. Schema (incl.
+    timestamps) survives ORC natively, so the parquet-based oracle
+    must hash-match."""
+    _prep(spark)
+    import tempfile
+
+    from .sources import read_orc, write_orc
+
+    tmp = tempfile.mkdtemp(prefix="skrub_orc_")
+    orders = load_table(spark, sf_dir, "orders")
+    write_orc(orders, f"{tmp}/orders")
+    back = read_orc(spark, f"{tmp}/orders")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation via explicit salting: event_type has only
     5 distinct values, so a plain groupBy lands ~20% of a 100 TB
@@ -2465,6 +2509,16 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "csv_source": """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "orc_source": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderpriority
+    """,
     "skew_salted_agg": """
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
@@ -2642,6 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_opportunity": q_sales_opportunity,
         "skew_salted_agg": q_skew_salted_agg,
         "bucketed_join_revenue": q_bucketed_join_revenue,
+        "csv_source": q_csv_source,
+        "orc_source": q_orc_source,
         "centroid_per_label": q_centroid_per_label,
     }
 

@@ -70,6 +70,16 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (ORC
+    carries min/max stripe stats Catalyst uses for predicate skip)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
