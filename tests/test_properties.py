@@ -170,3 +170,72 @@ def test_fuzzy_join_numeric_matches_bruteforce(spark, rights, probe):
     ).first()
     best = min(range(len(rights)), key=lambda i: (abs(rights[i] - probe), rights[i], i))
     assert out["rx"] == rights[best]
+
+
+@given(
+    st.lists(  # left: (key 0-2, ts-minute 0-120)
+        st.tuples(st.integers(0, 2), st.integers(0, 120)),
+        min_size=1, max_size=10,
+    ),
+    st.lists(  # right: (key, ts-minute, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(0, 99)),
+        min_size=1, max_size=10,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),
+    st.sampled_from([None, 600.0]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, lrows, rrows, direction, exact, tol
+):
+    """asof_join == pandas.merge_asof for every (direction,
+    allow_exact_matches, tolerance) combination on random keyed
+    time series — pandas defines the reference semantics."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from skrub_spark import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lpd = pd.DataFrame(
+        [(k, t0 + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(lrows)],
+        columns=["k", "ts", "lid"],
+    )
+    # merge_asof forbids duplicate right keys at identical ts only in
+    # some modes; dedupe (k, ts) to keep the reference well-defined
+    rpd = pd.DataFrame(
+        [(k, t0 + dt.timedelta(minutes=m), p) for (k, m, p) in rrows],
+        columns=["k", "ts", "price"],
+    ).drop_duplicates(subset=["k", "ts"])
+
+    want = pd.merge_asof(
+        lpd.sort_values("ts", kind="stable"),
+        rpd.sort_values("ts", kind="stable"),
+        on="ts", by="k",
+        direction=direction,
+        allow_exact_matches=exact,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    want_map = {
+        int(r.lid): (None if pd.isna(r.price) else int(r.price))
+        for r in want.itertuples()
+    }
+
+    left = spark.createDataFrame(lpd, "k int, ts timestamp, lid int")
+    right = spark.createDataFrame(rpd, "k int, ts timestamp, price int")
+    got = {
+        r["lid"]: r["price"]
+        for r in asof_join(
+            left, right, by="k",
+            direction=direction,
+            allow_exact_matches=exact,
+            tolerance_s=tol,
+        ).collect()
+    }
+    assert got == want_map
