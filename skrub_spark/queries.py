@@ -1484,6 +1484,42 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time bucketing (no nested-loop
+    join): per-user daily activity windows x error-storm hours
+    (hours with >= 6 error events). Candidates come from a plain
+    equi-join on the hour bucket; a naive range join here would be
+    a broadcast nested loop. Oracle = DuckDB inequality join."""
+    _prep(spark)
+    from .operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__d"))
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .drop("__d")
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("inc_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 6)
+        .withColumn(
+            "inc_end",
+            F.col("inc_start")
+            + F.expr("INTERVAL 1 HOUR")
+            - F.expr("INTERVAL 1 MICROSECOND"),
+        )
+    )
+    out = range_join(
+        act, inc,
+        left_start="start", left_end="end",
+        right_start="inc_start", right_end="inc_end",
+        bucket="1 hour",
+    )
+    return out.select("user_id", "start", "end", "inc_start", "n_errors")
+
+
 def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink round-trip: nation+region written as CSV with
     explicit schemas, read back through the CSV reader, broadcast
@@ -2509,6 +2545,21 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "range_join_incidents": """
+        WITH act AS (
+          SELECT user_id, MIN(ts) AS start, MAX(ts) AS "end"
+          FROM events GROUP BY user_id, date_trunc('day', ts)
+        ), inc AS (
+          SELECT date_trunc('hour', ts) AS inc_start,
+                 COUNT(*) AS n_errors
+          FROM events WHERE event_type = 'error'
+          GROUP BY 1 HAVING COUNT(*) >= 6
+        )
+        SELECT user_id, start, "end", inc_start, n_errors
+        FROM act JOIN inc
+          ON start <= inc_start + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND
+         AND inc_start <= "end"
+    """,
     "csv_source": """
         SELECT r_name, COUNT(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -2698,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "csv_source": q_csv_source,
         "orc_source": q_orc_source,
+        "range_join_incidents": q_range_join_incidents,
         "centroid_per_label": q_centroid_per_label,
     }
 

@@ -442,3 +442,45 @@ def test_asof_join_directions_and_tolerance(spark):
         ).collect()
     }
     assert tol[1] == 200.0 and tol[2] is None  # 20min gap > 5min tol
+
+
+def test_range_join_overlap_semantics(spark):
+    """Closed-interval overlap incl. touching endpoints; pairs
+    sharing several buckets are emitted once; `by` keys must match;
+    and the plan is an equi-join, never a nested loop."""
+    import datetime as dt
+
+    from skrub_spark import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    left = spark.createDataFrame(
+        [  # id, key, [start, end]
+            (1, "k", ts(0), ts(5)),    # spans 6 buckets
+            (2, "k", ts(10), ts(10, 30)),
+            (3, "x", ts(0), ts(5)),    # other key
+        ],
+        "lid int, k string, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k", ts(2), ts(8)),       # overlaps 1 across 4 shared buckets
+            (20, "k", ts(10, 30), ts(11)), # touches 2's endpoint exactly
+            (30, "k", ts(6), ts(7)),       # overlaps nothing
+        ],
+        "rid int, k string, start timestamp, end timestamp",
+    )
+    out = range_join(
+        left, right,
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        by="k", bucket="1 hour",
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert pairs == [(1, 10), (2, 20)]  # deduped, touching counts, key respected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
