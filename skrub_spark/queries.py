@@ -1484,6 +1484,33 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill: hourly purchase metrics per event_type
+    with a DENSE bucket spine — empty hours appear with count
+    zero-filled and revenue carried forward (locf). The spine is a
+    JVM-side sequence explode per key (two narrow shuffles,
+    independent of fact size). Oracle: DuckDB generate_series +
+    last_value IGNORE NULLS."""
+    _prep(spark)
+    from .operators.gapfill import time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    out = time_bucket_gapfill(
+        ev,
+        "ts",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(_dec("value")).cast("double"),
+        },
+        bucket="1 hour",
+        by="event_type",
+        fill={"n_events": "zero", "total_value": "locf"},
+    )
+    return out.select("event_type", "bucket", "n_events", "total_value")
+
+
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join via time bucketing (no nested-loop
     join): per-user daily activity windows x error-storm hours
@@ -2545,6 +2572,31 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "gapfill_hourly": """
+        WITH agg AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tot
+          FROM events WHERE event_type IN ('purchase', 'error')
+          GROUP BY 1, 2
+        ), rng AS (
+          SELECT event_type, MIN(bucket) AS s, MAX(bucket) AS e
+          FROM agg GROUP BY 1
+        ), spine AS (
+          SELECT event_type,
+                 unnest(generate_series(s, e, INTERVAL 1 HOUR)) AS bucket
+          FROM rng
+        )
+        SELECT s.event_type, s.bucket,
+               COALESCE(n, 0) AS n_events,
+               last_value(tot IGNORE NULLS) OVER (
+                 PARTITION BY s.event_type ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS total_value
+        FROM spine s
+        LEFT JOIN agg a
+          ON s.event_type = a.event_type AND s.bucket = a.bucket
+    """,
     "range_join_incidents": """
         WITH act AS (
           SELECT user_id, MIN(ts) AS start, MAX(ts) AS "end"
@@ -2750,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source": q_csv_source,
         "orc_source": q_orc_source,
         "range_join_incidents": q_range_join_incidents,
+        "gapfill_hourly": q_gapfill_hourly,
         "centroid_per_label": q_centroid_per_label,
     }
 

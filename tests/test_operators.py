@@ -484,3 +484,36 @@ def test_range_join_overlap_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_time_bucket_gapfill_modes(spark):
+    """Dense spine per key between that key's min/max bucket; zero
+    fills counts, locf carries metrics, null leaves gaps."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from skrub_spark import time_bucket_gapfill
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    df = spark.createDataFrame(
+        [("a", ts(0, 5), 10.0), ("a", ts(3, 9), 40.0), ("b", ts(1), 7.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = time_bucket_gapfill(
+        df, "ts",
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v"), "m": F.max("v")},
+        bucket="1 hour", by="k",
+        fill={"n": "zero", "s": "locf", "m": "null"},
+    )
+    rows = {(r["k"], r["bucket"].hour): r for r in out.collect()}
+    # key a spans hours 0..3 (4 spine rows), key b only hour 1
+    assert {(k, h) for (k, h) in rows} == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 1)}
+    assert rows[("a", 1)]["n"] == 0          # zero-filled count
+    assert rows[("a", 1)]["s"] == 10.0       # locf from hour 0
+    assert rows[("a", 2)]["m"] is None       # null mode leaves the gap
+    assert rows[("a", 3)]["s"] == 40.0       # real value resumes
