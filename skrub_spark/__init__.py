@@ -10,6 +10,11 @@ from .config import config_context, get_config, set_config  # noqa: F401
 from .display import OptunaParamSearch, patch_display, unpatch_display  # noqa: F401
 from .operators.asof import asof_join  # noqa: F401
 from .operators.gapfill import time_bucket_gapfill  # noqa: F401
+from .operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
 from .operators.range_join import range_join  # noqa: F401
 from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
 from .dedup import (  # noqa: F401

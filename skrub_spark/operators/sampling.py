@@ -1,0 +1,78 @@
+"""Deterministic hash-based sampling & splitting.
+
+Large training pipelines need sampling that is REPRODUCIBLE — the
+same row lands in the same split on every run, engine, and cluster
+size — which rules out RNG-based ``df.sample``/``sampleBy`` (seeded
+Spark sampling is partition-layout-dependent). Content-addressed
+membership instead: a row is in the sample iff
+``md5(key) mod 10000 < frac * 10000``. Pure Catalyst expressions,
+trivially parallel, no shuffle, stable under repartitioning — and
+bit-identical in any engine that has md5 (the DuckDB oracle replays
+membership exactly).
+
+``salt`` decorrelates independent samples over the same keys (e.g.
+a 1% audit sample independent of the train/test split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000): 60 md5 bits -> mod buckets."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(_BUCKETS),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str | Column, frac: float, salt: str = ""
+) -> DataFrame:
+    """Rows whose key hashes below ``frac`` — a stable ~frac sample."""
+    key = F.col(key) if isinstance(key, str) else key
+    return df.filter(_hash_bucket(key, salt) < int(round(frac * _BUCKETS)))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    test_frac: float = 0.2,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds ``split_col`` ('train' | 'test') by key hash. Same key →
+    same side, always; downstream fit/transform asymmetry (DataOps
+    eval_mode) relies on exactly this stability."""
+    key = F.col(key) if isinstance(key, str) else key
+    is_test = _hash_bucket(key, salt) < int(round(test_frac * _BUCKETS))
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fracs: dict[str, float],
+    key: str | Column,
+    salt: str = "",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps ~fracs[s]
+    of its rows (rebalancing source mixes for training corpora).
+    Strata absent from ``fracs`` keep ``default_frac``."""
+    key = F.col(key) if isinstance(key, str) else key
+    thresh = F.lit(int(round(default_frac * _BUCKETS)))
+    for s, f in fracs.items():
+        thresh = F.when(
+            F.col(strata_col) == s, F.lit(int(round(f * _BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(_hash_bucket(key, salt) < thresh)

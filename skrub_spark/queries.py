@@ -1484,6 +1484,48 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by key hash (content-addressed
+    membership — stable across runs, engines and partitionings,
+    unlike seeded RNG sampling). Per-split row counts and exact
+    acctbal sums; the DuckDB oracle replays the md5 bucketing."""
+    _prep(spark)
+    from .operators.sampling import hash_split
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        hash_split(cust, "c_custkey", test_frac=0.2, salt="v1")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("acctbal_sum"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: rebalance the event mix
+    (keep 50% of purchases, 10% of views, drop the rest) — the
+    corpus-mixing primitive for training-data pipelines. Oracle
+    replays membership exactly."""
+    _prep(spark)
+    from .operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        stratified_sample(
+            ev, "event_type",
+            {"purchase": 0.5, "view": 0.1},
+            key="event_id", salt="mix",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
+        )
+    )
+
+
 def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_bucket_gapfill: hourly purchase metrics per event_type
     with a DENSE bucket spine — empty hours appear with count
@@ -2572,6 +2614,28 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "hash_split": """
+        WITH tagged AS (
+          SELECT c_acctbal,
+            CASE WHEN ('0x' || substr(md5('v1' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                      % 10000 < 2000
+                 THEN 'test' ELSE 'train' END AS split
+          FROM customer
+        )
+        SELECT split, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum
+        FROM tagged GROUP BY split
+    """,
+    "stratified_sample": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE ('0x' || substr(md5('mix' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 <
+              CASE event_type WHEN 'purchase' THEN 5000
+                              WHEN 'view' THEN 1000 ELSE 0 END
+        GROUP BY event_type
+    """,
     "gapfill_hourly": """
         WITH agg AS (
           SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -2803,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_source": q_orc_source,
         "range_join_incidents": q_range_join_incidents,
         "gapfill_hourly": q_gapfill_hourly,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "centroid_per_label": q_centroid_per_label,
     }
 

@@ -517,3 +517,30 @@ def test_time_bucket_gapfill_modes(spark):
     assert rows[("a", 1)]["s"] == 10.0       # locf from hour 0
     assert rows[("a", 2)]["m"] is None       # null mode leaves the gap
     assert rows[("a", 3)]["s"] == 40.0       # real value resumes
+
+
+def test_sampling_determinism_and_independence(spark):
+    """Hash sampling is stable under repartitioning (same rows every
+    time), fractions land near target, and different salts give
+    (nearly) independent membership."""
+    from skrub_spark import deterministic_sample, hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 0.3).collect()}
+    s2 = {
+        r["k"]
+        for r in deterministic_sample(df.repartition(17), "k", 0.3).collect()
+    }
+    assert s1 == s2                       # layout-independent
+    assert 0.25 < len(s1) / 5000 < 0.35   # near target
+
+    sa = {r["k"] for r in deterministic_sample(df, "k", 0.3, salt="a").collect()}
+    overlap = len(s1 & sa) / 5000
+    assert 0.04 < overlap < 0.14          # ~0.09 expected if independent
+
+    split = hash_split(df, "k", test_frac=0.2)
+    counts = {r["split"]: r["cnt"] for r in split.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("k").alias("cnt")
+    ).collect()}
+    assert counts["train"] + counts["test"] == 5000
+    assert 0.15 < counts["test"] / 5000 < 0.25
