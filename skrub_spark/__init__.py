@@ -10,6 +10,7 @@ from .config import config_context, get_config, set_config  # noqa: F401
 from .display import OptunaParamSearch, patch_display, unpatch_display  # noqa: F401
 from .operators.asof import asof_join  # noqa: F401
 from .operators.gapfill import time_bucket_gapfill  # noqa: F401
+from .operators.packing import pack_training_chunks  # noqa: F401
 from .operators.sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,

@@ -1484,6 +1484,22 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per-language shards, docs ordered
+    by doc_id, corpus cut into 512-token chunks with docs straddling
+    cut points — chunk spans from ONE running-sum window per shard
+    in exact integer arithmetic. Oracle replays the cumsum."""
+    _prep(spark)
+    from .operators.packing import pack_training_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_training_chunks(
+        docs, "n_tokens", chunk_tokens=512, order_col="doc_id", by="lang"
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/test split by key hash (content-addressed
     membership — stable across runs, engines and partitionings,
@@ -2614,6 +2630,24 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "pack_chunks": """
+        WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x != '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+          CAST((cum - n_tokens) // 512 AS BIGINT) AS start_chunk,
+          CAST(GREATEST(cum - 1, cum - n_tokens) // 512 AS BIGINT) AS end_chunk,
+          CAST((cum - n_tokens) % 512 AS BIGINT) AS chunk_offset
+        FROM c
+    """,
     "hash_split": """
         WITH tagged AS (
           SELECT c_acctbal,
@@ -2869,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly": q_gapfill_hourly,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "pack_chunks": q_pack_chunks,
         "centroid_per_label": q_centroid_per_label,
     }
 

@@ -544,3 +544,26 @@ def test_sampling_determinism_and_independence(spark):
     ).collect()}
     assert counts["train"] + counts["test"] == 5000
     assert 0.15 < counts["test"] / 5000 < 0.25
+
+
+def test_pack_training_chunks_invariants(spark):
+    """Chunk spans are contiguous across docs within a shard: doc i+1
+    starts where doc i ended (same chunk when straddling), offsets are
+    the cumsum mod chunk size, zero-token docs span no tokens."""
+    from skrub_spark import pack_training_chunks
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 1100), (5, 24)],
+        "doc int, n int",
+    )
+    out = {
+        r["doc"]: (r["start_chunk"], r["end_chunk"], r["chunk_offset"])
+        for r in pack_training_chunks(
+            df, "n", chunk_tokens=512, order_col="doc"
+        ).collect()
+    }
+    assert out[1] == (0, 0, 0)      # tokens 0..299
+    assert out[2] == (0, 1, 300)    # 300..599 straddles chunk 0/1
+    assert out[3] == (1, 1, 88)     # zero-width at offset 600
+    assert out[4] == (1, 3, 88)     # 600..1699 spans chunks 1-3
+    assert out[5] == (3, 3, 164)    # 1700..1723
