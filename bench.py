@@ -69,6 +69,16 @@ HEADLINE = [
     "top_supplier",
     "large_volume_customers",
     "sales_opportunity",
+    "range_join_incidents",
+    "gapfill_hourly",
+    "hash_split",
+    "stratified_sample",
+    "pack_chunks",
+    "skew_salted_agg",
+    # excluded by design: bucketed_join_revenue / csv_source /
+    # orc_source / topk_ivf (sink-write cost dominates, not a
+    # throughput signal) and streaming_* (state-store fixed
+    # overhead, see note below).
     # streaming_dedup runs in the correctness battery but not here:
     # its wall time is state-store/checkpoint fixed overhead (19s for
     # 5000 rows), not a throughput signal at bench scale.
