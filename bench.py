@@ -74,6 +74,7 @@ HEADLINE = [
     "hash_split",
     "stratified_sample",
     "pack_chunks",
+    "training_pipeline",
     "skew_salted_agg",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / topk_ivf (sink-write cost dominates, not a

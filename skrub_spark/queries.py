@@ -1484,6 +1484,37 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline, every stage exact: quality
+    filter (alpha ratio + token floor) → exact dedup (keep min
+    doc_id per distinct text) → deterministic 50% hash sample →
+    per-language 512-token sequence packing. One Spark plan, no
+    Python, each stage the scale-safe form; the oracle replays the
+    whole pipeline in SQL."""
+    _prep(spark)
+    from .dedup.exact import drop_exact_duplicates
+    from .functions.text import quality_columns
+    from .operators.packing import pack_training_chunks
+    from .operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    filtered = docs.select(
+        "doc_id", "lang", "text",
+        q["alpha_ratio"].alias("__alpha"),
+        q["n_tokens"].alias("n_tokens"),
+    ).filter((F.col("__alpha") >= 0.6) & (F.col("n_tokens") >= 20))
+    unique = drop_exact_duplicates(filtered, "text", "doc_id")
+    sampled = deterministic_sample(unique, "doc_id", 0.5, salt="pipe")
+    packed = pack_training_chunks(
+        sampled.select("doc_id", "lang", "n_tokens"),
+        "n_tokens", chunk_tokens=512, order_col="doc_id", by="lang",
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "start_chunk", "end_chunk"
+    )
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: per-language shards, docs ordered
     by doc_id, corpus cut into 512-token chunks with docs straddling
@@ -2630,6 +2661,36 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "training_pipeline": """
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) AS alpha,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x != '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), filtered AS (
+          SELECT * FROM scored WHERE alpha >= 0.6 AND n_tokens >= 20
+        ), unique_docs AS (
+          SELECT * FROM filtered
+          WHERE doc_id IN (
+            SELECT MIN(doc_id) FROM filtered GROUP BY text
+          )
+        ), sampled AS (
+          SELECT doc_id, lang, n_tokens FROM unique_docs
+          WHERE ('0x' || substr(md5('pipe' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 10000 < 5000
+        ), packed AS (
+          SELECT doc_id, lang, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM sampled
+        )
+        SELECT doc_id, lang, n_tokens,
+          CAST((cum - n_tokens) // 512 AS BIGINT) AS start_chunk,
+          CAST(GREATEST(cum - 1, cum - n_tokens) // 512 AS BIGINT) AS end_chunk
+        FROM packed
+    """,
     "pack_chunks": """
         WITH t AS (
           SELECT doc_id, lang,
@@ -2904,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "training_pipeline": q_training_pipeline,
         "centroid_per_label": q_centroid_per_label,
     }
 
