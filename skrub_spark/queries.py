@@ -1603,9 +1603,11 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join via time bucketing (no nested-loop
     join): per-user daily activity windows x error-storm hours
-    (hours with >= 6 error events). Candidates come from a plain
-    equi-join on the hour bucket; a naive range join here would be
-    a broadcast nested loop. Oracle = DuckDB inequality join."""
+    (hours with >= 2x the average hourly error count — a
+    data-dependent threshold that stays meaningful at every scale
+    factor). Candidates come from a plain equi-join on the hour
+    bucket; a naive range join here would be a broadcast nested
+    loop. Oracle = DuckDB inequality join."""
     _prep(spark)
     from .operators.range_join import range_join
 
@@ -1615,11 +1617,22 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
         .drop("__d")
     )
-    inc = (
+    hourly = (
         ev.filter(F.col("event_type") == "error")
         .groupBy(F.date_trunc("hour", "ts").alias("inc_start"))
         .agg(F.count(F.lit(1)).alias("n_errors"))
-        .filter(F.col("n_errors") >= 6)
+    )
+    thresh = hourly.agg(
+        (
+            F.lit(2.0)
+            * F.sum("n_errors").cast("double")
+            / F.count(F.lit(1))
+        ).alias("__t")
+    )
+    inc = (
+        hourly.join(F.broadcast(thresh))
+        .filter(F.col("n_errors") >= F.col("__t"))
+        .drop("__t")
         .withColumn(
             "inc_end",
             F.col("inc_start")
@@ -2760,11 +2773,17 @@ ORACLES: dict[str, str] = {
         WITH act AS (
           SELECT user_id, MIN(ts) AS start, MAX(ts) AS "end"
           FROM events GROUP BY user_id, date_trunc('day', ts)
-        ), inc AS (
+        ), hourly AS (
           SELECT date_trunc('hour', ts) AS inc_start,
                  COUNT(*) AS n_errors
           FROM events WHERE event_type = 'error'
-          GROUP BY 1 HAVING COUNT(*) >= 6
+          GROUP BY 1
+        ), inc AS (
+          SELECT * FROM hourly
+          WHERE n_errors >= (
+            SELECT 2.0 * CAST(SUM(n_errors) AS DOUBLE) / COUNT(*)
+            FROM hourly
+          )
         )
         SELECT user_id, start, "end", inc_start, n_errors
         FROM act JOIN inc
