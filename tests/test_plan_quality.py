@@ -181,3 +181,28 @@ def test_ivf_probe_partition_pruned(spark, tmp_path):
     probe = topk_cosine_ivf_indexed(back, c2, qv, k=5, n_probe=1)
     plan = formatted(probe)
     assert "PartitionFilters" in plan and "__ivf_cell" in plan
+
+
+def test_hash_sampling_no_shuffle(spark):
+    """Deterministic sampling is a pure filter: zero exchanges, and
+    the projection still prunes at the scan."""
+    from skrub_spark import deterministic_sample
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = deterministic_sample(docs, "doc_id", 0.25)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "FileScan" in plan
+
+
+def test_gapfill_two_narrow_shuffles(spark):
+    """Gapfill = aggregate shuffle + spine/join/window shuffles on
+    the KEY only — the spine never re-shuffles fact-sized data. The
+    final plan must contain no more than 3 hash exchanges (agg,
+    bounds, join/window share partitioning)."""
+    from skrub_spark.queries import q_gapfill_hourly
+
+    df = q_gapfill_hourly(spark, SF)
+    plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
