@@ -59,7 +59,7 @@ def asof_join(
             for i, c in enumerate(payload)
         ],
     )
-    r_part = right.select(
+    r_part = right.filter(F.col(right_ts).isNotNull()).select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             if c not in by
@@ -78,12 +78,26 @@ def asof_join(
     # row first. backward without exact: right must be strictly
     # earlier -> (ts asc, side desc... ) — flip the side order so an
     # equal-ts right row lands AFTER the left row and is not seen.
-    ts_ord = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # NULL handling: null-ts right rows are dropped above (no valid
+    # ordering); null-ts LEFT rows must match nothing, so they sort
+    # FIRST in both directions (frame contains only themselves).
+    # The trailing __p* keys make last() deterministic when several
+    # right rows share (key, ts): the greatest payload tuple wins.
+    ts_ord = (
+        F.col("__ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
+    )
     side_first = allow_exact_matches
     side_ord = F.col("__side").asc() if side_first else F.col("__side").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(ts_ord, side_ord, F.col("__rts").asc_nulls_first())
+        .orderBy(
+            ts_ord,
+            side_ord,
+            F.col("__rts").asc_nulls_first(),
+            *[F.col(f"__p{i}").asc_nulls_first() for i in range(len(payload))],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = both.select(

@@ -55,6 +55,9 @@ def time_bucket_gapfill(
     fills = (
         {n: fill for n in aggs} if isinstance(fill, str) else dict(fill)
     )
+    unknown = set(fills) - set(aggs)
+    if unknown:
+        raise ValueError(f"fill refers to unknown outputs: {sorted(unknown)}")
     w = (
         Window.partitionBy(*by)
         .orderBy(bucket_col)

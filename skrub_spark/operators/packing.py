@@ -29,7 +29,10 @@ def pack_training_chunks(
     """Adds ``start_chunk`` / ``end_chunk`` (0-based, inclusive) and
     ``chunk_offset`` (token offset of the doc inside its first
     chunk). Zero-token docs get start_chunk = end_chunk = the chunk
-    they fall at, offset included, spanning no tokens."""
+    they fall at, offset included, spanning no tokens.
+
+    ``order_col`` must be unique within each shard — ties make the
+    running sum (and thus the packing) order-ambiguous."""
     by = [by] if isinstance(by, str) else list(by or [])
     w = (
         Window.partitionBy(*by)

@@ -5,11 +5,12 @@ that only works while one side is broadcastable.
 
 Physical plan here — the TIME-BUCKET construction:
 
-1. explode each interval into the fixed-width buckets it covers
-   (``sequence(date_trunc(bucket, start), ..., step)``);
+1. explode each interval into the epoch-aligned fixed-width bucket
+   INDEXES it covers (``unix_micros(t) div width``);
 2. equi-join on (by-keys, bucket) — a plain shuffle join Catalyst
    handles like any other, AQE-skew-splittable;
-3. filter to true overlap, dedupe pairs that shared several buckets.
+3. filter to true overlap AND to the pair's first shared bucket
+   (one row per match, no dropDuplicates pass).
 
 Candidate volume is sum(interval_len / bucket_width) per side, not
 |L|·|R|: pick ``bucket`` near the typical interval length. Very long
@@ -22,14 +23,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UNITS = ("week", "day", "hour", "minute", "second")
+_UNIT_US = {
+    "week": 7 * 86_400_000_000,
+    "day": 86_400_000_000,
+    "hour": 3_600_000_000,
+    "minute": 60_000_000,
+    "second": 1_000_000,
+}
 
 
-def _trunc_unit(bucket: str) -> str:
-    unit = bucket.strip().split()[-1].rstrip("s").lower()
-    if unit not in _UNITS:
-        raise ValueError(f"bucket unit must be one of {_UNITS}, got {bucket!r}")
-    return unit
+def _bucket_width_us(bucket: str) -> int:
+    """'2 hours' -> microseconds. Widths must be epoch-aligned
+    multiples — truncating each row's own start and stepping from
+    there would phase-shift multi-unit buckets per row, silently
+    dropping overlaps whose intervals never share a bucket."""
+    parts = bucket.strip().split()
+    if len(parts) == 1:
+        n, unit = 1, parts[0]
+    else:
+        n, unit = int(parts[0]), parts[1]
+    unit = unit.rstrip("s").lower()
+    if unit not in _UNIT_US or n < 1:
+        raise ValueError(
+            f"bucket must be 'N {list(_UNIT_US)}', got {bucket!r}"
+        )
+    return n * _UNIT_US[unit]
 
 
 def range_join(
@@ -60,13 +78,15 @@ def range_join(
     r_start = rename.get(right_start, right_start)
     r_end = rename.get(right_end, right_end)
 
-    unit = _trunc_unit(bucket)
+    width = _bucket_width_us(bucket)
+
+    def aligned(col: str):
+        # epoch-aligned bucket index: identical phase on both sides
+        # for any width, unlike per-row date_trunc + stepping.
+        return F.expr(f"unix_micros({col}) div {width}")
 
     def banded(df: DataFrame, start: str, end: str) -> DataFrame:
-        seq = F.expr(
-            f"sequence(date_trunc('{unit}', {start}),"
-            f" date_trunc('{unit}', {end}), interval {bucket})"
-        )
+        seq = F.sequence(aligned(start), aligned(end))
         return df.withColumn("__rj_bucket", F.explode(seq))
 
     lb = banded(left, left_start, left_end)
@@ -74,9 +94,13 @@ def range_join(
     overlap = (F.col(left_start) <= F.col(r_end)) & (
         F.col(r_start) <= F.col(left_end)
     )
+    # A pair overlapping k shared buckets appears k times; keep only
+    # the overlap's FIRST bucket — exactly one row per matching pair
+    # without a dropDuplicates() (which would both collapse genuinely
+    # duplicate input rows and force a full-width shuffle).
+    first_shared = F.greatest(aligned(left_start), aligned(r_start))
     return (
         lb.join(rb, on=by + ["__rj_bucket"])
-        .filter(overlap)
+        .filter(overlap & (F.col("__rj_bucket") == first_shared))
         .drop("__rj_bucket")
-        .dropDuplicates()
     )

@@ -18,6 +18,7 @@ hash-identical values):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -287,7 +288,7 @@ def q_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     idx = build_ann_index(emb, "embedding", "vec_id", n_planes=4, n_tables=24)
-    path = tempfile.mkdtemp(prefix="skrub_ann_") + "/index"
+    path = os.path.join(tempfile.gettempdir(), "skrub_q_ann", "index")
     write_ann_index(idx, path)
     back = read_ann_index(spark, path)
     return topk_cosine_indexed(
@@ -312,7 +313,7 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     idx, cents = build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
-    path = tempfile.mkdtemp(prefix="skrub_ivf_") + "/index"
+    path = os.path.join(tempfile.gettempdir(), "skrub_q_ivf", "index")
     write_ivf_index(idx, cents, path)
     back, cents2 = read_ivf_index(spark, path)
     return topk_cosine_ivf_indexed(
@@ -1061,8 +1062,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value")
+    # dedupe views per (user, ts): µs-truncated timestamps can
+    # collide, and which duplicate an ASOF join picks is engine-
+    # unspecified — max(value) makes both sides deterministic.
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
     )
     out = asof_join(purchases, views, by="user_id")
     return out.select(
@@ -1659,7 +1665,7 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources import read_csv
 
-    tmp = tempfile.mkdtemp(prefix="skrub_csv_")
+    tmp = os.path.join(tempfile.gettempdir(), "skrub_q_csv")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     nation.write.mode("overwrite").option("header", "true").csv(f"{tmp}/nation")
@@ -1683,7 +1689,7 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources import read_orc, write_orc
 
-    tmp = tempfile.mkdtemp(prefix="skrub_orc_")
+    tmp = os.path.join(tempfile.gettempdir(), "skrub_q_orc")
     orders = load_table(spark, sf_dir, "orders")
     write_orc(orders, f"{tmp}/orders")
     back = read_orc(spark, f"{tmp}/orders")
@@ -2287,8 +2293,8 @@ ORACLES: dict[str, str] = {
           SELECT event_id, user_id, ts, value FROM events
           WHERE event_type = 'purchase'
         ), views AS (
-          SELECT user_id, ts, value AS view_value FROM events
-          WHERE event_type = 'view'
+          SELECT user_id, ts, MAX(value) AS view_value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts
         )
         SELECT p.event_id, p.user_id, v.ts AS view_ts, v.view_value
         FROM purchases p

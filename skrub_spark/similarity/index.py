@@ -176,37 +176,12 @@ def topk_cosine_indexed(
 # (n_cells x dim doubles — tiny).
 
 
-def _cell_assign_expr(vec_col, cents: np.ndarray):
-    """argmin-over-centroids assignment as a pure Column expression
-    (same construction as topk_cosine_ivf, similarity/topk.py)."""
-    best_idx = F.lit(0)
-    best_d = None
-    for i, c in enumerate(cents):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        dist = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = dist
-        else:
-            cond = dist < best_d
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_d = F.when(cond, dist).otherwise(best_d)
-    return best_idx
-
-
 def _cell_udf(cents: np.ndarray):
     """Vectorized nearest-centroid assignment: one numpy matmul per
-    Arrow batch. The pure-Column argmin (_cell_assign_expr) nests
-    each cell's distance inside every later WHEN comparison — the
-    when-chain re-evaluates distances and planning time grows
-    superlinearly in n_cells; fine for ad-hoc topk_cosine_ivf, wrong
-    for indexing a whole corpus."""
+    Arrow batch. A pure-Column argmin (nested WHEN-chain of per-cell
+    distance expressions, as topk_cosine_ivf builds for ad-hoc use)
+    re-evaluates distances per comparison and its planning time
+    grows superlinearly in n_cells — wrong for indexing a corpus."""
     C = np.asarray(cents, dtype="float64")
     c2 = (C * C).sum(axis=1)
 

@@ -31,12 +31,20 @@ def write_bucketed(
         from urllib.parse import urlparse
 
         spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        parts = table_name.split(".")
+        if len(parts) == 2:
+            db, tbl = parts
+            quoted = f"`{db}`.`{tbl}`"
+            rel = os.path.join(f"{db.lower()}.db", tbl.lower())
+        elif len(parts) == 1:
+            quoted = f"`{table_name}`"
+            rel = table_name.lower()
+        else:
+            raise ValueError(f"unsupported table name {table_name!r}")
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
         wh = spark.conf.get("spark.sql.warehouse.dir")
         wh_path = urlparse(wh).path or wh
-        shutil.rmtree(
-            os.path.join(wh_path, table_name.lower()), ignore_errors=True
-        )
+        shutil.rmtree(os.path.join(wh_path, rel), ignore_errors=True)
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

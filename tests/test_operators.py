@@ -567,3 +567,61 @@ def test_pack_training_chunks_invariants(spark):
     assert out[3] == (1, 1, 88)     # zero-width at offset 600
     assert out[4] == (1, 3, 88)     # 600..1699 spans chunks 1-3
     assert out[5] == (3, 3, 164)    # 1700..1723
+
+
+def test_range_join_multiunit_bucket_alignment(spark):
+    """Regression: multi-unit widths ('2 hours') must use epoch-
+    aligned bucket indexes — per-row truncated stepping phase-shifts
+    the sequences and silently drops overlaps. Also: duplicate input
+    rows keep their multiplicity (no blanket dropDuplicates)."""
+    import datetime as dt
+
+    from skrub_spark import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(1, 50), ts(2, 10)), (1, ts(1, 50), ts(2, 10))],  # duplicate row
+        "lid int, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, ts(2, 5), ts(2, 6))],
+        "rid int, start timestamp, end timestamp",
+    )
+    out = range_join(
+        left, right,
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        bucket="2 hours",
+    ).collect()
+    assert len(out) == 2  # overlap found despite crossing a 2h boundary,
+    #                       and both duplicate left rows matched
+
+
+def test_asof_join_null_timestamps(spark):
+    """Null left ts matches nothing (both directions); null right ts
+    rows are ignored, not carried into real rows."""
+    import datetime as dt
+
+    from skrub_spark import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u", t, 1), ("u", None, 2)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("u", None, 666.0), ("u", t, 42.0)],
+        "k string, ts timestamp, price double",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["price"]
+            for r in asof_join(
+                left, right, by="k", direction=direction
+            ).collect()
+        }
+        assert got[1] == 42.0
+        assert got[2] is None, direction

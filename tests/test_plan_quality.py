@@ -141,9 +141,19 @@ def test_asof_join_single_shuffle(spark):
     """The union-tag asof plan must shuffle ONCE (the window's
     hashpartitioning on the key) — no range-join pair explosion, no
     extra exchange for the union."""
-    from skrub_spark.queries import q_asof_join
+    from pyspark.sql import functions as F
 
-    df = q_asof_join(spark, SF)
+    from skrub_spark import asof_join
+    from skrub_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    df = asof_join(purchases, views, by="user_id")
     # AQE prints final + initial plans; count shuffles in the final only
     plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
     n_exchanges = plan.count("Exchange hashpartitioning")
