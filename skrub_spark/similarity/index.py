@@ -121,9 +121,13 @@ def build_ann_index(
     )
 
 
-def write_ann_index(indexed: DataFrame, path: str) -> None:
-    """Persist partitioned by (table, bucket) so probes partition-prune."""
-    indexed.write.mode("overwrite").partitionBy(*_IDX_COLS).parquet(path)
+def write_ann_index(indexed: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist partitioned by (table, bucket) so probes partition-prune.
+
+    ``mode='append'`` is the incremental-ingest path: new rows
+    bucketed with the SAME (seed, n_tables, n_planes) land in the
+    matching partitions — no rebuild, probes see old + new rows."""
+    indexed.write.mode(mode).partitionBy(*_IDX_COLS).parquet(path)
 
 
 def read_ann_index(spark: SparkSession, path: str) -> DataFrame:

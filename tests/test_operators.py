@@ -625,3 +625,37 @@ def test_asof_join_null_timestamps(spark):
         }
         assert got[1] == 42.0
         assert got[2] is None, direction
+
+
+def test_ann_index_incremental_append(spark, tmp_path):
+    """Incremental ingest: indexing corpus half B with the same seed
+    and appending into half A's index probes identically to an index
+    built over the full corpus at once."""
+    from skrub_spark.similarity import (
+        build_ann_index, read_ann_index, topk_cosine_indexed,
+        write_ann_index,
+    )
+    from skrub_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    kw = dict(n_planes=4, n_tables=8)
+    a, b = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+
+    inc = str(tmp_path / "inc")
+    write_ann_index(build_ann_index(a, "embedding", "vec_id", **kw), inc)
+    write_ann_index(
+        build_ann_index(b, "embedding", "vec_id", **kw), inc, mode="append"
+    )
+    full = str(tmp_path / "full")
+    write_ann_index(build_ann_index(emb, "embedding", "vec_id", **kw), full)
+
+    got_inc = topk_cosine_indexed(
+        read_ann_index(spark, inc), qv, k=10, round_digits=6, **kw
+    ).collect()
+    got_full = topk_cosine_indexed(
+        read_ann_index(spark, full), qv, k=10, round_digits=6, **kw
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got_inc] == [
+        (r["vec_id"], r["cosine"]) for r in got_full
+    ]
