@@ -100,28 +100,34 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the matched right row is carried as ONE struct so its fields
+    # arrive verbatim: carrying each payload column independently
+    # with last(ignorenulls) would backfill a NULL field of the
+    # matched row from an OLDER right row — a mixed-row result no
+    # real right row ever had (and with tolerance, the stale field
+    # could come from outside the window the __m_ts check passes).
+    rowstruct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rts").alias("t"),
+            *[F.col(f"__p{i}").alias(f"p{i}") for i in range(len(payload))],
+        ),
+    )
     carried = both.select(
-        "*",
-        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(f"__p{i}", ignorenulls=True).over(w).alias(f"__m{i}")
-            for i in range(len(payload))
-        ],
+        "*", F.last(rowstruct, ignorenulls=True).over(w).alias("__m")
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_s is not None:
         gap = F.abs(
-            F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
+            F.col("__ts").cast("double") - F.col("__m.t").cast("double")
         )
-        ok = F.col("__m_ts").isNotNull() & (gap <= float(tolerance_s))
-        out = out.withColumn("__m_ts", F.when(ok, F.col("__m_ts")))
-        for i in range(len(payload)):
-            out = out.withColumn(f"__m{i}", F.when(ok, F.col(f"__m{i}")))
+        ok = F.col("__m").isNotNull() & (gap <= float(tolerance_s))
+        out = out.withColumn("__m", F.when(ok, F.col("__m")))
     return out.select(
         *[F.col(c) for c in left.columns],
-        F.col("__m_ts").alias(matched_ts),
+        F.col("__m.t").alias(matched_ts),
         *[
-            F.col(f"__m{i}").alias(out_names[c])
+            F.col(f"__m.p{i}").alias(out_names[c])
             for i, c in enumerate(payload)
         ],
     )

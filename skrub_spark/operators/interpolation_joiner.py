@@ -54,6 +54,15 @@ def _interpolation_join_ml(
                 "model='gbt'/'linear' needs numeric key columns; "
                 f"{ak!r} is a string — use model='knn' or encode it first"
             )
+    _num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    for t in targets:
+        dt = aux_types.get(t, "")
+        if not (dt in _num or dt.startswith("decimal")):
+            raise ValueError(
+                "model='gbt'/'linear' are regressors and need numeric "
+                f"targets; {t!r} is {dt!r} — use model='knn' (mode "
+                "aggregation) for categorical targets"
+            )
     feat = VectorAssembler(
         inputCols=[f"__f{i}" for i in range(len(aux_key))], outputCol="__features"
     )

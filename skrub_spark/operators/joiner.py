@@ -36,6 +36,7 @@ from ..functions.hashing import minhash_band_keys
 from ..functions.text import char_ngrams
 
 _LEFT_ID = "__skrub_left_id"
+_RIGHT_ID = "__skrub_right_id"
 _DIST = "skrub_Joiner_distance"
 _RESCALED = "skrub_Joiner_rescaled_distance"
 _ACCEPT = "skrub_Joiner_match_accepted"
@@ -175,6 +176,16 @@ def fuzzy_join(
         # truncate lineage once so both branches see the SAME ids even
         # under task retries / upstream reordering.
         left_t = left_t.localCheckpoint(eager=False)
+    if strategy == "ngram_lsh":
+        # band-candidate dedup must key on right-row IDENTITY: keying
+        # on the right key VALUES would collapse distinct right rows
+        # that share a key into one arbitrary survivor, making the
+        # tiebreak (and second_neighbor rescaling) see fewer rows
+        # than the exact strategy does. Checkpoint so the id is
+        # stable across the plan.
+        right_renamed = right_renamed.withColumn(
+            _RIGHT_ID, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
 
     l_cols = [F.col(c) for c in left_on]
     r_cols = [F.col(c) for c in r_on]
@@ -208,7 +219,7 @@ def fuzzy_join(
         lb = with_bands(left_t, str_left, "__band")
         rb = with_bands(right_renamed, str_right, "__band")
         pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
-            [_LEFT_ID] + r_on
+            [_LEFT_ID, _RIGHT_ID]
         )
     elif strategy == "ngram_lsh":
         # numeric/datetime-only keys: band on a coarse quantization of
@@ -237,7 +248,7 @@ def fuzzy_join(
         )
         rb = right_renamed.withColumn("__band", cell(F.col(k0_r), kind0))
         pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
-            [_LEFT_ID] + r_on
+            [_LEFT_ID, _RIGHT_ID]
         )
     else:
         raise ValueError("strategy must be 'levenshtein' or 'ngram_lsh'")
@@ -251,7 +262,7 @@ def fuzzy_join(
     # the candidate set collapses to one row per left row before the
     # shuffle, where a window would sort-shuffle every candidate pair.
     tiebreak = [c for c in (tiebreak_cols or r_on)]
-    right_out = [c for c in right_renamed.columns]
+    right_out = [c for c in right_renamed.columns if c != _RIGHT_ID]
     struct_fields = (
         [F.col(_DIST).alias("__d")]
         + [F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)]
@@ -321,6 +332,8 @@ def fuzzy_join(
     else:
         # null out right columns for rejected matches (reference keeps row)
         for c in right_renamed.columns:
+            if c == _RIGHT_ID:
+                continue
             best = best.withColumn(
                 c, F.when(F.col(_ACCEPT), F.col(c)).otherwise(F.lit(None))
             )

@@ -909,7 +909,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
     return spark.table(name).select("doc_id", "lang", "source")
 
 
@@ -958,7 +960,9 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
     return spark.table(name).select(
         "event_id", "user_id", "value", "user_events", "user_avg"
     )
@@ -993,7 +997,9 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
     return spark.table(name)
 
 

@@ -41,29 +41,6 @@ def _planes_for(seed: int, n_tables: int, n_planes: int, dim: int) -> list[np.nd
     return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
 
 
-def _bucket_expr(vec_col, planes: np.ndarray):
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def _query_buckets(query_vec, seed, n_tables, n_planes) -> list[tuple[int, int]]:
     qv = np.asarray(list(query_vec), dtype="float64")
     out = []
@@ -208,12 +185,21 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 42,
 ):
-    """Returns (indexed_df, centroids). Centroids are a seeded sample
-    of corpus vectors; every row is stamped with its nearest cell."""
+    """Returns (indexed_df, centroids). Centroids are a deterministic
+    hash-ordered pick of corpus vectors — ``sample().limit()`` would
+    read only the first partition(s), so a time-ordered corpus would
+    put every centroid in its oldest slice and n_probe recall would
+    collapse (the partition-bias trap). TakeOrdered over a content
+    hash touches all partitions but returns only n_cells rows."""
     sample = [
-        list(r[0])
-        for r in df.select(vec_col).sample(False, 0.5, seed).limit(n_cells).collect()
+        list(r[vec_col])
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
     ]
+    if not sample:
+        raise ValueError("build_ivf_index: input has no vectors")
     cents = np.asarray(sample, dtype="float64")
     assign = _cell_udf(cents)
     indexed = df.select(

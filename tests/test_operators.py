@@ -659,3 +659,28 @@ def test_ann_index_incremental_append(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in got_inc] == [
         (r["vec_id"], r["cosine"]) for r in got_full
     ]
+
+
+def test_asof_join_matched_row_verbatim(spark):
+    """A NULL field in the matched right row stays NULL — it must not
+    be backfilled from an older right row (the matched row is carried
+    as a unit, like merge_asof/ASOF JOIN return it)."""
+    import datetime as dt
+
+    from skrub_spark import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [("u", ts(30), 1)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("u", ts(10), 5.0), ("u", ts(20), None)],
+        "k string, ts timestamp, price double",
+    )
+    row = asof_join(left, right, by="k").first()
+    assert row["ts_right"] == ts(20)   # matched the ts=20 row...
+    assert row["price"] is None        # ...and took its NULL verbatim
