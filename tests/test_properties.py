@@ -239,3 +239,56 @@ def test_asof_join_matches_pandas_merge_asof(
         ).collect()
     }
     assert got == want_map
+
+
+@given(
+    st.lists(  # (start-minute, duration-minutes) pairs
+        st.tuples(st.integers(0, 600), st.integers(0, 240)),
+        min_size=1, max_size=8,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 600), st.integers(0, 240)),
+        min_size=1, max_size=8,
+    ),
+    st.sampled_from(["1 hour", "2 hours", "45 minutes", "1 day"]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_matches_bruteforce(spark, lints, rints, bucket):
+    """Bucketed range join == brute-force closed-interval overlap for
+    every bucket width, including widths that don't divide the
+    truncation unit evenly — with correct per-pair multiplicity."""
+    import datetime as dt
+
+    from skrub_spark import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(rows):
+        return [
+            (i, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+
+    lrows, rrows = iv(lints), iv(rints)
+    left = spark.createDataFrame(lrows, "lid int, s timestamp, e timestamp")
+    right = spark.createDataFrame(rrows, "rid int, s timestamp, e timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right,
+            left_start="s", left_end="e",
+            right_start="s", right_end="e",
+            bucket=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls <= re and rs <= le
+    )
+    assert got == want
