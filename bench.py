@@ -75,6 +75,7 @@ HEADLINE = [
     "stratified_sample",
     "pack_chunks",
     "training_pipeline",
+    "contamination",
     "skew_salted_agg",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / topk_ivf (sink-write cost dominates, not a

@@ -26,6 +26,7 @@ from .dedup import (  # noqa: F401
     deduplicate_strings,
     embedding_near_duplicates,
     minhash_near_duplicates,
+    ngram_contamination,
     ngram_jaccard_pairs,
 )
 from .dedup.strings import deduplicate_strings as deduplicate  # noqa: F401

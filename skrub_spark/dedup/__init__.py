@@ -1,3 +1,4 @@
+from .contamination import ngram_contamination  # noqa: F401
 from .exact import dedup_exact  # noqa: F401
 from .minhash import dedup_minhash_pairs, minhash_near_duplicates  # noqa: F401
 from .simhash import dedup_simhash_pairs  # noqa: F401

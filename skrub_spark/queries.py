@@ -1496,6 +1496,23 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: 13-gram overlap of eval docs
+    (sources src0/src1) against the train corpus (all other
+    sources) via an inverted-index semi-join — never an all-pairs
+    comparison. Oracle replays shingling and the distinct-gram
+    intersection in SQL."""
+    _prep(spark)
+    from .dedup.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    return ngram_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), "text", "doc_id",
+        ngram=13,
+    )
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline, every stage exact: quality
     filter (alpha ratio + token floor) → exact dedup (keep min
@@ -2686,6 +2703,39 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "contamination": """
+        WITH w AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id, source,
+            CASE WHEN len(words) >= 13 THEN
+              list_distinct(list_transform(range(1, len(words) - 11),
+                i -> array_to_string(list_slice(words, i, i + 12), ' ')))
+            ELSE [] END AS sh
+          FROM w
+        ), train_grams AS (
+          SELECT DISTINCT unnest(sh) AS g FROM s
+          WHERE source NOT IN ('src0', 'src1')
+        ), e AS (
+          SELECT doc_id, unnest(sh) AS g FROM s
+          WHERE source IN ('src0', 'src1')
+        ), counts AS (
+          SELECT e.doc_id, COUNT(*) AS n_sh,
+            SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+          FROM e LEFT JOIN train_grams tg ON e.g = tg.g
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_shingles,
+          CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+          CAST(COALESCE(c.n_cont, 0) AS DOUBLE)
+            / GREATEST(COALESCE(c.n_sh, 0), 1) AS contamination
+        FROM (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')) d
+        LEFT JOIN counts c ON d.doc_id = c.doc_id
+    """,
     "training_pipeline": """
         WITH scored AS (
           SELECT doc_id, lang, text,
@@ -2997,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
         "training_pipeline": q_training_pipeline,
+        "contamination": q_contamination,
         "centroid_per_label": q_centroid_per_label,
     }
 
