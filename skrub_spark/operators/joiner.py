@@ -18,7 +18,13 @@ this engine provides two physical strategies:
   generates candidate pairs (band-key equi-join, shuffles only
   candidates, never the full cross product); candidates are scored
   by exact trigram Jaccard distance and the per-left-row argmin
-  wins. Scales to arbitrarily large right sides.
+  wins. Scales to arbitrarily large right sides. Candidates stay
+  NARROW (ids + carried hashed-gram arrays; payloads join back
+  after the argmin). Degenerate-similarity keys (every value
+  sharing most grams, e.g. templated ids) still candidate-explode
+  at r=1 banding — raise ``n_bands``' divisor (rows_per_band) to
+  trade recall for candidate volume there, exactly like the dedup
+  family's banding knobs.
 
 Distance rescaling (``ref_dist``): "random_pairs" divides by the
 mean distance over a seeded sample of cross pairs (as in the
@@ -121,6 +127,43 @@ def _pair_distance(left_cols, right_cols, strategy, kinds=None, scales=None):
     return d
 
 
+def _carried_gram_distance(left_on, r_on, kinds, scales):
+    """LSH rescoring distance from the carried hashed-gram arrays
+    (string keys) + raw values (numeric/datetime keys). Identical to
+    _pair_distance up to xxhash64 gram collisions (~|grams|**2/2**64,
+    negligible — same argument as dedup/jaccard.py)."""
+    d = None
+    num_sq = None
+    si = 0
+    for lc, rc, kind, scale in zip(left_on, r_on, kinds, scales):
+        if kind in ("numeric", "datetime"):
+            lv = (
+                _as_seconds(F.col(lc))
+                if kind == "datetime"
+                else F.col(lc).cast("double")
+            )
+            rv = (
+                _as_seconds(F.col(rc))
+                if kind == "datetime"
+                else F.col(rc).cast("double")
+            )
+            t = ((lv - rv) / F.lit(float(scale))) ** 2
+            num_sq = t if num_sq is None else num_sq + t
+            continue
+        lg, rg = F.col(f"__lg{si}"), F.col(f"__rg{si}")
+        si += 1
+        inter = F.size(F.array_intersect(lg, rg)).cast("double")
+        union = (
+            F.size(lg).cast("double") + F.size(rg).cast("double") - inter
+        )
+        t = 1.0 - inter / F.greatest(union, F.lit(1.0))
+        d = t if d is None else d + t
+    if num_sq is not None:
+        n = F.sqrt(num_sq)
+        d = n if d is None else d + n
+    return d
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -199,28 +242,49 @@ def fuzzy_join(
     str_left = [c for c, k in zip(left_on, kinds) if k == "string"]
     str_right = [c for c, k in zip(r_on, kinds) if k == "string"]
 
+    # LSH candidates are kept NARROW: ids + key columns + tiebreaks.
+    # Payload columns join back AFTER the argmin — carrying full-width
+    # rows through tens of millions of banded candidates (and the
+    # first(left_col) aggregates) dominated runtime on low-selectivity
+    # key distributions (self-similar synthetic names: ~90M candidate
+    # rows for a 15k x 1.5k join at sf0.1).
+    tiebreak = [c for c in (tiebreak_cols or r_on)]
+    narrow = strategy == "ngram_lsh"
+    if narrow:
+        rb_keep = [_RIGHT_ID] + list(dict.fromkeys(r_on + tiebreak))
+        lb_base = left_t.select(_LEFT_ID, *left_on)
+        rb_base = right_renamed.select(*rb_keep)
+
     if strategy == "levenshtein":
         pairs = left_t.crossJoin(broadcast(right_renamed))
     elif strategy == "ngram_lsh" and str_left:
         # string keys are the selective ones: candidates come from
         # minhash bands over their grams; numeric/datetime key columns
         # only contribute to the exact rescoring distance below.
+        # Each side ALSO carries its hashed gram array (one xxhash64
+        # per gram per ROW): the jaccard rescoring then intersects two
+        # small long arrays per candidate. Recomputing char_ngrams
+        # inside the pair-level distance expression is O(candidates x
+        # strlen) in interpreted HOF code — measured 9x slower than
+        # this carried-array form on a 90M-candidate join.
         rows_per_band = max(1, n_components // n_bands)
 
-        def with_bands(df, cols, name):
+        def with_bands(df, cols, prefix):
             grams = None
-            for c in cols:
+            for i, c in enumerate(cols):
                 g = F.array_distinct(char_ngrams(F.col(c), 3))
+                df = df.withColumn(
+                    f"{prefix}{i}",
+                    F.transform(g, lambda x: F.xxhash64(x)),
+                )
                 grams = g if grams is None else F.array_union(grams, g)
             return df.withColumn(
-                name,
+                "__band",
                 F.explode(minhash_band_keys(grams, n_bands, rows_per_band)),
             )
-        lb = with_bands(left_t, str_left, "__band")
-        rb = with_bands(right_renamed, str_right, "__band")
-        pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
-            [_LEFT_ID, _RIGHT_ID]
-        )
+        lb = with_bands(lb_base, str_left, "__lg")
+        rb = with_bands(rb_base, str_right, "__rg")
+        pairs = lb.join(rb, on="__band").drop("__band")
     elif strategy == "ngram_lsh":
         # numeric/datetime-only keys: band on a coarse quantization of
         # the FIRST key's standardized value. The left side probes its
@@ -236,7 +300,7 @@ def fuzzy_join(
             v = _as_seconds(c) if kind == "datetime" else c.cast("double")
             return F.floor(v / F.lit(w)).cast("long")
 
-        lb = left_t.withColumn(
+        lb = lb_base.withColumn(
             "__band",
             F.explode(
                 F.array(
@@ -246,14 +310,27 @@ def fuzzy_join(
                 )
             ),
         )
-        rb = right_renamed.withColumn("__band", cell(F.col(k0_r), kind0))
-        pairs = lb.join(rb, on="__band").drop("__band").dropDuplicates(
-            [_LEFT_ID, _RIGHT_ID]
-        )
+        rb = rb_base.withColumn("__band", cell(F.col(k0_r), kind0))
+        pairs = lb.join(rb, on="__band").drop("__band")
     else:
         raise ValueError("strategy must be 'levenshtein' or 'ngram_lsh'")
 
-    dist_expr = _pair_distance(l_cols, r_cols, strategy, kinds, scales)
+    if strategy == "ngram_lsh" and ref_dist == "second_neighbor":
+        # candidate pairs repeat once per shared band. The argmin is
+        # duplicate-insensitive, so pairs normally flow straight into
+        # the aggregate (the dedup shuffle costs more than the extra
+        # distance evaluations it saves). second_neighbor is the one
+        # consumer that MUST see each right row exactly once
+        # (duplicates would corrupt the 2nd-smallest distance), so
+        # only that path pays for the pair dedup — keyed on row
+        # IDENTITY (_RIGHT_ID), never on key values, which would
+        # collapse distinct right rows sharing a key.
+        pairs = pairs.dropDuplicates([_LEFT_ID, _RIGHT_ID])
+
+    if strategy == "ngram_lsh" and str_left:
+        dist_expr = _carried_gram_distance(left_on, r_on, kinds, scales)
+    else:
+        dist_expr = _pair_distance(l_cols, r_cols, strategy, kinds, scales)
     pairs = pairs.withColumn(_DIST, dist_expr)
 
     # Argmin via min(struct(dist, tiebreak…, payload…)) instead of a
@@ -261,16 +338,19 @@ def fuzzy_join(
     # hash aggregate gets map-side partial aggregation — per-partition
     # the candidate set collapses to one row per left row before the
     # shuffle, where a window would sort-shuffle every candidate pair.
-    tiebreak = [c for c in (tiebreak_cols or r_on)]
     right_out = [c for c in right_renamed.columns if c != _RIGHT_ID]
     struct_fields = (
         [F.col(_DIST).alias("__d")]
         + [F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)]
-        + [F.col(c).alias(c) for c in right_out]
+        + (
+            [F.col(_RIGHT_ID).alias("__rid")]
+            if narrow
+            else [F.col(c).alias(c) for c in right_out]
+        )
     )
-    agg_cols = [F.min(F.struct(*struct_fields)).alias("__best")] + [
-        F.first(c).alias(c) for c in left.columns
-    ]
+    agg_cols = [F.min(F.struct(*struct_fields)).alias("__best")] + (
+        [] if narrow else [F.first(c).alias(c) for c in left.columns]
+    )
     if ref_dist == "second_neighbor":
         # per-row reference: distance to the 2nd nearest candidate
         # (ties included). collect_list is bounded by the candidate
@@ -288,13 +368,21 @@ def fuzzy_join(
     second = (
         [F.col("__second")] if ref_dist == "second_neighbor" else []
     )
-    best = best.select(
-        _LEFT_ID,
-        *left.columns,
-        *[F.col(f"__best.{c}").alias(c) for c in right_out],
-        F.col(f"__best.__d").alias(_DIST),
-        *second,
-    )
+    if narrow:
+        best = best.select(
+            _LEFT_ID,
+            F.col("__best.__rid").alias(_RIGHT_ID),
+            F.col("__best.__d").alias(_DIST),
+            *second,
+        ).join(right_renamed, on=_RIGHT_ID, how="left").drop(_RIGHT_ID)
+    else:
+        best = best.select(
+            _LEFT_ID,
+            *left.columns,
+            *[F.col(f"__best.{c}").alias(c) for c in right_out],
+            F.col(f"__best.__d").alias(_DIST),
+            *second,
+        )
 
     if ref_dist == "random_pairs":
         ls = left.select(*left_on).orderBy(*left_on).limit(200)
@@ -338,9 +426,13 @@ def fuzzy_join(
                 c, F.when(F.col(_ACCEPT), F.col(c)).otherwise(F.lit(None))
             )
 
-    # left rows with no candidate at all (lsh) -> keep with nulls
-    if strategy == "ngram_lsh" and not drop_unmatched:
-        best = left_t.join(best.drop(*[c for c in left.columns]), on=_LEFT_ID, how="left")
+    # narrow path: recover left columns; keep-unmatched uses a left
+    # join so left rows with no candidate at all survive with nulls
+    if narrow:
+        how = "inner" if drop_unmatched else "left"
+        best = left_t.join(
+            best.drop(*[c for c in left.columns]), on=_LEFT_ID, how=how
+        )
 
     out = best.drop(_LEFT_ID)
     if not add_match_info:
