@@ -714,3 +714,51 @@ def test_ngram_contamination(spark):
     assert out[10][0] == 4 and out[10][1] == 4   # all 4 shingles leaked
     assert out[11][1] == 0
     assert out[12] == (0, 0)
+
+
+def test_fuzzy_join_lsh_narrow_path_options(spark):
+    """The narrow LSH path (payload join-back after argmin) honors
+    max_dist/drop_unmatched/add_match_info/second_neighbor exactly
+    like the exact strategy."""
+    from skrub_spark import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "apple pie"), (2, "zzz qqq vvv")], "lid int, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "apple pies", 5.0), (20, "apple tart", 7.0)],
+        "rid int, rname string, price double",
+    )
+    kw = dict(
+        left_on="name", right_on="rname", strategy="ngram_lsh",
+        n_components=24, n_bands=24, tiebreak_cols=["rid"],
+    )
+    out = {
+        r["lid"]: r
+        for r in fuzzy_join(
+            left, right, add_match_info=True, max_dist=0.5, **kw
+        ).collect()
+    }
+    # close match accepted with payload; far/no-candidate row kept with nulls
+    assert out[1]["rid"] == 10 and out[1]["price"] == 5.0
+    assert out[1]["skrub_Joiner_match_accepted"] is True
+    assert 2 in out and out[2]["rid"] is None and out[2]["price"] is None
+
+    kept = fuzzy_join(
+        left, right, drop_unmatched=True, max_dist=0.5, **kw
+    ).collect()
+    assert [r["lid"] for r in kept] == [1]
+
+    sn = {
+        r["lid"]: r
+        for r in fuzzy_join(
+            left, right, ref_dist="second_neighbor", add_match_info=True, **kw
+        ).collect()
+    }
+    d, resc = (
+        sn[1]["skrub_Joiner_distance"],
+        sn[1]["skrub_Joiner_rescaled_distance"],
+    )
+    # rescaled = best_dist / 2nd-neighbor dist, in (0, 1) when the
+    # best is strictly closer than the runner-up
+    assert sn[1]["rid"] == 10 and 0 < resc < 1 and resc != d
