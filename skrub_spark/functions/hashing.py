@@ -22,6 +22,7 @@ def minhash_signature(
     ngram_range: tuple[int, int] = (2, 4),
     unit: str = "char",
     shingle_k: int = 3,
+    hash: str = "md5",
 ) -> Column:
     """array<bigint> of length ``n_components``; component k is
     min over grams of xxhash64(gram, seed=k)."""
@@ -34,7 +35,7 @@ def minhash_signature(
         grams = word_shingles(col, shingle_k)
     else:
         raise ValueError("unit must be 'char' or 'word'")
-    return minhash_from_grams(grams, n_components)
+    return minhash_from_grams(grams, n_components, hash=hash)
 
 
 _MAX_LONG = (1 << 63) - 1
