@@ -2,10 +2,12 @@
 
 Behavior parity: skrub/_fast_hash.py (ngram_min_hash) and
 skrub/_minhash_encoder.py compute per-string min-hashes over char
-n-grams with k independent hash functions. Here each hash function
-is ``xxhash64(gram, seed_k)`` and the whole signature is a single
-JVM expression (transform + array_min) — zero Python per row.
-SimHash is a beyond-reference near-dup sketch (SURVEY.md §2).
+n-grams with k independent hash functions. Here the k functions are
+double-hashed from one md5 per gram by default (engine-portable, so
+the DuckDB oracle replays signatures exactly; ``hash='xxhash'``
+switches to seeded xxhash64s), and the whole signature is a single
+JVM expression — zero Python per row. SimHash is a beyond-reference
+near-dup sketch (SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ def minhash_signature(
     hash: str = "md5",
 ) -> Column:
     """array<bigint> of length ``n_components``; component k is
-    min over grams of xxhash64(gram, seed=k)."""
+    min over grams of the k-th double-hashed gram hash (see
+    minhash_from_grams for the ``hash`` choice)."""
     if unit == "char":
         grams_parts = [char_ngrams(col, n) for n in range(ngram_range[0], ngram_range[1] + 1)]
         grams = grams_parts[0]
