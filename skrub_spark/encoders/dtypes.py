@@ -91,14 +91,37 @@ def to_datetime(df: DataFrame, cols=None, format: str | None = None) -> DataFram
 
 
 class ToCategorical(SparkTransformer):
-    """Map a string column to dense integer codes; fit collects the
-    (assumed low-cardinality) category list via distinct()."""
+    """Map a string column to dense integer codes.
 
-    def __init__(self, col: str, out_col: str | None = None):
+    Fit collects the distinct category list to the driver, so it is
+    guarded by ``max_categories``: the cardinality is counted FIRST
+    (one distributed agg, nothing collected) and fit raises above the
+    cap instead of OOM-ing the driver on an accidentally
+    high-cardinality column. Route such columns through
+    ``TableVectorizer`` (which hash-encodes past its cardinality
+    threshold) or raise the cap explicitly.
+    """
+
+    def __init__(
+        self,
+        col: str,
+        out_col: str | None = None,
+        max_categories: int = 100_000,
+    ):
         self.col = col
         self.out_col = out_col or f"{col}_cat"
+        self.max_categories = max_categories
 
     def _fit(self, df: DataFrame, y=None):
+        n = df.select(self.col).distinct().count()
+        if n > self.max_categories:
+            raise ValueError(
+                f"ToCategorical: column {self.col!r} has {n} distinct "
+                f"values (> max_categories={self.max_categories}); "
+                "collecting them would not be driver-safe. Use "
+                "TableVectorizer (hash-encodes high-cardinality "
+                "columns) or raise max_categories."
+            )
         vals = [
             r[0]
             for r in df.select(self.col).distinct().orderBy(self.col).collect()

@@ -56,7 +56,10 @@ def datetime_feature_columns(
     if add_day_of_year:
         out[f"{prefix}_day_of_year"] = F.dayofyear(c).cast("int")
     if add_total_seconds:
-        out[f"{prefix}_total_seconds"] = F.unix_timestamp(c).cast("double")
+        # cast-to-timestamp first: unix_timestamp rejects TIMESTAMP_NTZ
+        out[f"{prefix}_total_seconds"] = F.unix_timestamp(
+            c.cast("timestamp")
+        ).cast("double")
     if periodic in ("circular", "spline"):
         two_pi = 2.0 * math.pi
         for level, period in _PERIODS.items():

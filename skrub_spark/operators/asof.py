@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutils import epoch_s
+
 
 def asof_join(
     left: DataFrame,
@@ -118,9 +120,8 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_s is not None:
-        gap = F.abs(
-            F.col("__ts").cast("double") - F.col("__m.t").cast("double")
-        )
+        # epoch_s: NTZ-safe and works for numeric ts columns too
+        gap = F.abs(epoch_s("__ts") - epoch_s(F.col("__m.t")))
         ok = F.col("__m").isNotNull() & (gap <= float(tolerance_s))
         out = out.withColumn("__m", F.when(ok, F.col("__m")))
     return out.select(

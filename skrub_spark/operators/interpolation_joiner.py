@@ -9,12 +9,18 @@ Spark-first realizations, selected by ``model=``:
 - ``model="knn"`` (default): numeric means / categorical modes of
   the k closest aux rows. Broadcastable aux → broadcast cross join +
   per-left top-k + one groupBy. Deterministic (tiebreak column).
-- ``model="gbt"`` / ``model="linear"``: a Spark MLlib
-  GBTRegressor / LinearRegression per numeric target, FIT ON THE AUX
-  TABLE (distributed), then scored on the DISTINCT main keys only —
-  the main table itself is never shuffled; predictions broadcast-join
-  back. This is the reference's learned-model semantics with
-  gradient-boosted trees.
+- ``model="gbt"`` / ``model="linear"``: one Spark MLlib model per
+  target, FIT ON THE AUX TABLE (distributed), then scored on the
+  DISTINCT main keys only — the main table itself is never shuffled;
+  predictions broadcast-join back. Numeric targets get a
+  GBTRegressor / LinearRegression; string targets get a classifier
+  (the reference defaults to HistGradientBoostingClassifier for
+  categorical targets, _interpolation_joiner.py:19-20): binary →
+  GBTClassifier, multiclass → RandomForestClassifier (MLlib's GBT is
+  binary-only; the forest is its multiclass tree-ensemble analog),
+  ``model="linear"`` → multinomial LogisticRegression. Labels round-
+  trip through StringIndexer/IndexToString so predictions come back
+  as the original strings.
 
 At 100 TB with a huge aux table you would bucket both sides on a
 coarse quantization of the keys first (same banding trick as the
@@ -42,10 +48,10 @@ def _interpolation_join_ml(
     model: str,
     seed: int,
 ) -> DataFrame:
-    """Learned-model path: one MLlib regressor per target, fit on the
-    aux table, scored on DISTINCT main keys, broadcast back."""
+    """Learned-model path: one MLlib model per target (regressor for
+    numeric targets, classifier for string targets), fit on the aux
+    table, scored on DISTINCT main keys, broadcast back."""
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import GBTRegressor, LinearRegression
 
     aux_types = dict(aux.dtypes)
     for ak in aux_key:
@@ -57,11 +63,10 @@ def _interpolation_join_ml(
     _num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
     for t in targets:
         dt = aux_types.get(t, "")
-        if not (dt in _num or dt.startswith("decimal")):
+        if not (dt in _num or dt.startswith("decimal") or dt == "string"):
             raise ValueError(
-                "model='gbt'/'linear' are regressors and need numeric "
-                f"targets; {t!r} is {dt!r} — use model='knn' (mode "
-                "aggregation) for categorical targets"
+                "model='gbt'/'linear' needs numeric (regression) or "
+                f"string (classification) targets; {t!r} is {dt!r}"
             )
     feat = VectorAssembler(
         inputCols=[f"__f{i}" for i in range(len(aux_key))], outputCol="__features"
@@ -86,21 +91,75 @@ def _interpolation_join_ml(
     )
     preds = score_vec
     for t in targets:
+        tr = train_vec.na.drop(subset=[t])
+        if aux_types.get(t) == "string":
+            preds = _fit_predict_classifier(tr, preds, t, model, seed)
+            continue
         if model == "gbt":
+            from pyspark.ml.regression import GBTRegressor
+
             est = GBTRegressor(
                 featuresCol="__features", labelCol=t, predictionCol=f"__p_{t}",
                 maxIter=20, maxDepth=4, seed=seed,
             )
         else:
+            from pyspark.ml.regression import LinearRegression
+
             est = LinearRegression(
                 featuresCol="__features", labelCol=t, predictionCol=f"__p_{t}"
             )
-        fitted = est.fit(train_vec.na.drop(subset=[t]))
+        fitted = est.fit(tr)
         preds = fitted.transform(preds)
     out = preds.select(
         *main_key, *[F.col(f"__p_{t}").alias(f"{t}{suffix}") for t in targets]
     )
     return main.join(broadcast(out), on=main_key, how="left")
+
+
+def _fit_predict_classifier(
+    train: DataFrame, preds: DataFrame, t: str, model: str, seed: int
+) -> DataFrame:
+    """Classification branch for one string target: index labels,
+    fit the classifier on the aux rows, score the key points, map
+    predicted indexes back to the original label strings."""
+    from pyspark.ml.feature import IndexToString, StringIndexer
+
+    idx = StringIndexer(
+        inputCol=t, outputCol=f"__y_{t}", handleInvalid="skip"
+    ).fit(train)
+    tr = idx.transform(train)
+    n_classes = len(idx.labels)
+    common = dict(
+        featuresCol="__features",
+        labelCol=f"__y_{t}",
+        predictionCol=f"__pi_{t}",
+    )
+    if model == "gbt":
+        if n_classes <= 2:
+            from pyspark.ml.classification import GBTClassifier
+
+            est = GBTClassifier(maxIter=20, maxDepth=4, seed=seed, **common)
+        else:
+            # MLlib's GBTClassifier is binary-only; the random forest
+            # is its multiclass tree-ensemble counterpart.
+            from pyspark.ml.classification import RandomForestClassifier
+
+            est = RandomForestClassifier(
+                numTrees=50, maxDepth=6, seed=seed, **common
+            )
+    else:
+        from pyspark.ml.classification import LogisticRegression
+
+        est = LogisticRegression(**common)
+    scored = est.fit(tr).transform(preds)
+    back = IndexToString(
+        inputCol=f"__pi_{t}", outputCol=f"__p_{t}", labels=idx.labels
+    )
+    # default-named score columns would clash on the next target's
+    # transform — drop them along with the index-space prediction
+    return back.transform(scored).drop(
+        f"__pi_{t}", "rawPrediction", "probability"
+    )
 
 
 def interpolation_join(

@@ -83,7 +83,8 @@ def range_join(
     def aligned(col: str):
         # epoch-aligned bucket index: identical phase on both sides
         # for any width, unlike per-row date_trunc + stepping.
-        return F.expr(f"unix_micros({col}) div {width}")
+        # cast-to-timestamp first: unix_micros rejects TIMESTAMP_NTZ.
+        return F.expr(f"unix_micros(cast({col} as timestamp)) div {width}")
 
     def banded(df: DataFrame, start: str, end: str) -> DataFrame:
         seq = F.sequence(aligned(start), aligned(end))

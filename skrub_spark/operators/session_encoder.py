@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..base import SparkTransformer
+from ..functions.timeutils import epoch_s
 
 
 def sessionize(
@@ -29,10 +30,10 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = F.lit(gap_minutes * 60.0)
     prev_ts = F.lag(ts_col).over(w)
-    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+    # epoch_s keeps sub-second precision (unix_timestamp truncates)
+    # and is TIMESTAMP_NTZ/DATE-safe (a bare double cast is not).
     new_session = (
-        prev_ts.isNull()
-        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_s)
+        prev_ts.isNull() | ((epoch_s(ts_col) - epoch_s(prev_ts)) > gap_s)
     ).cast("long")
     return df.withColumn(
         session_col,
@@ -56,9 +57,7 @@ def session_features(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(ts_col).cast("double") - F.min(ts_col).cast("double"))
-        .cast("double")
-        .alias("duration_s"),
+        (epoch_s(F.max(ts_col)) - epoch_s(F.min(ts_col))).alias("duration_s"),
     ]
     if value_col:
         aggs += [

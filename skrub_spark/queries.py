@@ -639,6 +639,34 @@ def q_interpolation_join_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolation_join_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolationJoiner classification path (the reference's
+    default estimator for categorical targets is
+    HistGradientBoostingClassifier, _interpolation_joiner.py:19-20):
+    a GBTClassifier fit on supplier (s_nationkey -> acctbal sign
+    class), scored at each customer's nation key, labels round-
+    tripped through StringIndexer/IndexToString. (MLlib predictions
+    are not SQL-expressible: rows-only.)"""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").withColumn(
+        "bal_class",
+        F.when(F.col("s_acctbal") > 0, "pos").otherwise("nonpos"),
+    )
+    out = interpolation_join(
+        cust,
+        supp,
+        main_key="c_nationkey",
+        aux_key="s_nationkey",
+        targets=["bal_class"],
+        model="gbt",
+        suffix="_pred",
+    )
+    return out.select("c_custkey", "c_nationkey", "bal_class_pred")
+
+
 def q_fuzzy_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fuzzy_join scale path: minhash-LSH candidate generation +
     trigram-jaccard scoring. 24 bands x 1 row maximizes recall; at
@@ -917,17 +945,24 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table (file source wants a
-    directory: glob down to the one parquet). ts arrives as raw
-    nanos (legacy long read) and is truncated to Spark's native
-    microsecond timestamps exactly like load_table does."""
+    directory: glob down to the one parquet). Normalize ``ts`` to a
+    session-tz TIMESTAMP exactly like ``load_table`` does, branching
+    on the type the parquet actually carries: raw nanos read as long
+    (legacy generations), TIMESTAMP_NTZ (``timestamp[us]`` with no
+    tz), or already-TIMESTAMP (passthrough)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    ts_type = raw_schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2972,12 +3007,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill), sampling/packing/pipeline, all five dedup families, ANN
     # similarity, every encoder, whole-table ops, text analysis, multimodal,
     # streaming (windows/dedup/joins), and the scale demos (bucketed join,
-    # salted agg) plus CSV/ORC sources. Entries past position 50 are either
-    # redundant TPC-H-shape analogs whose join/agg coverage is already proven
-    # by pricing_summary/top_orders inside the window, or extra variants of a
+    # salted agg) plus CSV/ORC sources. Entries past position 50 are mostly
+    # TPC-H-shape analogs whose join/agg coverage is already proven by
+    # pricing_summary/top_orders inside the window, or extra variants of a
     # family already represented (e.g. embedding_dedup_pairs is the exact
     # oracle twin of embedding_dedup_lsh; topk_ivf is the third persisted-
-    # index variant). All 83 queries remain registered and runnable.
+    # index variant) — but a few are the ONLY check on their path
+    # (knn_join_lsh, topk_lsh, text_encoder_embeddings,
+    # interpolation_join_gbt have no exact oracle by nature). All 83 are
+    # registered; tools/check_correctness.py runs the FULL battery and its
+    # committed output (CORRECTNESS_full_rN.json) is the verification for
+    # positions 51+ each round — the driver window alone is not.
     return {
         # --- joins & temporal joins ---
         "pricing_summary": q_pricing_summary,
@@ -3055,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "pivot_segment_nation": q_pivot_segment_nation,
         "interpolation_join_gbt": q_interpolation_join_gbt,
+        "interpolation_join_clf": q_interpolation_join_clf,
         "knn_join_lsh": q_knn_join_lsh,
         "topk_lsh": q_topk_lsh,
         "text_encoder_embeddings": q_text_encoder_embeddings,

@@ -8,6 +8,11 @@ Two physical modes:
 - ``method="exact"``: broadcast cross join + per-left top-k window.
   Exact; right side must be dimension-sized (it is broadcast). This
   is also the oracle baseline.
+- ``method="auto"`` (default): exact while the right side fits the
+  broadcast budget, LSH once it exceeds ``auto_broadcast_limit``
+  rows — the same guard ``fuzzy_join(strategy="auto")`` has, so the
+  DEFAULT call can never plan an O(|L|·|R|) cross join against a
+  large table.
 - ``method="lsh"``: both sides bucketed by seeded random-hyperplane
   sketches over ``n_tables`` tables (the same construction as
   similarity/index.py — at scale the right side's buckets would be
@@ -40,16 +45,25 @@ def cosine_knn_join(
     right_vec: str = "embedding",
     left_id: str = "vec_id",
     right_id: str = "vec_id",
-    method: str = "exact",
+    method: str = "auto",
     exclude_self: bool = True,
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
     round_digits: int | None = None,
+    auto_broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — k nearest right rows
     per left row. ``exclude_self`` drops identical-id pairs (the
     self-match in a self-join)."""
+    if method == "auto":
+        # LIMIT-guarded existence probe (mirrors operators/joiner.py):
+        # the scan stops after limit+1 rows, never counts the table.
+        over = (
+            right.select(right_id).limit(auto_broadcast_limit + 1).count()
+            > auto_broadcast_limit
+        )
+        method = "lsh" if over else "exact"
     l = left.select(
         F.col(left_id).alias("query_id"),
         F.col(left_vec).alias("__lv"),
@@ -82,7 +96,7 @@ def cosine_knn_join(
             .dropDuplicates(["query_id", "neighbor_id"])
         )
     else:
-        raise ValueError("method must be 'exact' or 'lsh'")
+        raise ValueError("method must be 'auto', 'exact' or 'lsh'")
 
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -28,18 +28,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Plain parquet scan — filters/projections
     applied by callers are pushed into this scan by Catalyst.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; we read nanos as long (session conf) and
-    truncate to a microsecond timestamp (Spark's native precision).
-    Oracles must mirror with date_trunc('microseconds', ts).
+    ``events.ts`` has drifted across test-data generations:
+    TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
+    nanos as long via session conf and truncate to microseconds),
+    then plain ``timestamp[us]`` with no timezone (reads as
+    TIMESTAMP_NTZ). Normalize every variant to a session-tz
+    TIMESTAMP here so downstream epoch arithmetic
+    (``functions.timeutils``) sees one type. The cast is metadata-only
+    in the scan — it does not block pushdown on other columns.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        dtype = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if dtype == "bigint":  # legacy nanos-as-long read
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

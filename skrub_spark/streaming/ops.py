@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutils import epoch_us
+
 
 def stream_from_parquet_dir(
     spark: SparkSession, path: str, schema, ts_col: str = "ts"
@@ -74,8 +76,7 @@ def session_window_features(
             F.col("session_window.start").alias("session_start"),
             "n_events",
             (
-                F.unix_micros(F.col("last_event"))
-                - F.unix_micros(F.col("first_event"))
+                epoch_us("last_event") - epoch_us("first_event")
             ).alias("duration_us"),
         )
     )

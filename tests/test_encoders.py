@@ -201,6 +201,21 @@ def test_to_categorical_large_vocab_schema_parity(spark):
     assert m["cat_000"] == 0 and m["cat_100"] == 100 and len(m) == 101
 
 
+def test_to_categorical_cardinality_guard(spark):
+    """Fit counts distinct BEFORE collecting and raises above
+    max_categories (driver-OOM guard); at the boundary it still fits."""
+    import pytest
+
+    vals = [(f"cat_{i:03d}",) for i in range(101)]
+    df = spark.createDataFrame(vals, "v string")
+    # boundary: exactly max_categories distinct -> fits
+    ok = ToCategorical("v", max_categories=101).fit_transform(df)
+    assert ok.count() == 101
+    # one over -> clear error, nothing collected
+    with pytest.raises(ValueError, match="max_categories"):
+        ToCategorical("v", max_categories=100).fit(df)
+
+
 def test_gap_encoder_topics_separate(spark):
     """Gamma-Poisson fit separates two obvious topic families: values
     sharing a word must land on the same dominant topic."""

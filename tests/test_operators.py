@@ -355,6 +355,37 @@ def test_cosine_knn_join_exact_and_lsh(spark):
         assert all_scores[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+def test_cosine_knn_join_auto_switch(spark):
+    """method='auto' (the default) stays exact below the broadcast
+    budget and flips to LSH above it — the default can never plan a
+    cross join against a large right side."""
+    import numpy as np
+
+    from skrub_spark import cosine_knn_join
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def plan(out):
+        return out._jdf.queryExecution().analyzed().toString()
+
+    # under the limit -> exact (no LSH banding in the plan)
+    small = cosine_knn_join(df, df, k=2, auto_broadcast_limit=100)
+    assert "posexplode" not in plan(small)
+    # over the limit -> lsh (banded candidates, no cross join)
+    big = cosine_knn_join(df, df, k=2, auto_broadcast_limit=20)
+    p = plan(big)
+    assert "posexplode" in p and "Join Cross" not in p
+    # and the LSH scores it does return are true cosines
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_knn_join(df, df, k=50, method="exact").collect()
+    }
+    for r in big.collect():
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
 def test_ivf_index_partition_pruned_probe(spark, tmp_path):
     """IVF persisted index: centroids stored next to the cells; a
     probe scans only matching cell partitions; probing ALL cells

@@ -86,6 +86,56 @@ def test_interpolation_join(spark):
     assert rows[2] == 1500.0
 
 
+def test_interpolation_join_classification(spark):
+    """String targets under model='gbt'/'linear' fit a classifier
+    (reference defaults to HistGradientBoostingClassifier for
+    categorical targets) and predictions come back as the original
+    label strings, matching kNN-mode categorical semantics on a
+    cleanly-separable key space."""
+    main = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate([1.0, 2.0, 3.0, 41.0, 42.0])],
+        "id int, key double",
+    )
+    aux_rows = [(i, float(i % 5), "low") for i in range(20)] + [
+        (i + 20, 40.0 + float(i % 5), "high") for i in range(20)
+    ]
+    aux = spark.createDataFrame(aux_rows, "aid int, key2 double, label string")
+    for model in ("gbt", "linear"):
+        out = interpolation_join(
+            main, aux, main_key="key", aux_key="key2",
+            targets=["label"], model=model, suffix="_pred",
+        )
+        got = {r["id"]: r["label_pred"] for r in out.collect()}
+        assert got == {0: "low", 1: "low", 2: "low", 3: "high", 4: "high"}, model
+    # kNN mode agrees on the same data (mode aggregation)
+    knn = interpolation_join(
+        main, aux, main_key="key", aux_key="key2",
+        targets=["label"], model="knn", k=3, tiebreak="aid", suffix="_pred",
+    )
+    got = {r["id"]: r["label_pred"] for r in knn.collect()}
+    assert got == {0: "low", 1: "low", 2: "low", 3: "high", 4: "high"}
+
+
+def test_interpolation_join_classification_multiclass(spark):
+    """3+ classes route gbt to the multiclass tree ensemble (MLlib
+    GBTClassifier is binary-only) — still returns label strings."""
+    main = spark.createDataFrame(
+        [(0, 1.0), (1, 11.0), (2, 21.0)], "id int, key double"
+    )
+    aux_rows = (
+        [(i, float(i % 4), "a") for i in range(12)]
+        + [(i + 12, 10.0 + float(i % 4), "b") for i in range(12)]
+        + [(i + 24, 20.0 + float(i % 4), "c") for i in range(12)]
+    )
+    aux = spark.createDataFrame(aux_rows, "aid int, key2 double, label string")
+    out = interpolation_join(
+        main, aux, main_key="key", aux_key="key2",
+        targets=["label"], model="gbt", suffix="_pred",
+    )
+    got = {r["id"]: r["label_pred"] for r in out.collect()}
+    assert got == {0: "a", 1: "b", 2: "c"}
+
+
 def test_multimodal_stubs(spark):
     from skrub_spark.multimodal import decode_images, extract_image_features
 

@@ -17,6 +17,10 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# optional third arg: path to dump a per-query JSON record (the
+# committed CORRECTNESS_full_rN.json artifact for positions 51+,
+# which the driver's 50-entry window never reaches)
+JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else None
 
 
 def canon(v):
@@ -68,6 +72,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -78,10 +83,15 @@ def main():
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            records[name] = {"status": "spark_error", "err": str(e)[:500]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         elapsed = time.time() - t0
         if name not in oracles:
+            records[name] = {
+                "status": "rows_only", "rows": len(srows),
+                "sec": round(elapsed, 2),
+            }
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {elapsed:.1f}s)")
             if len(srows) == 0:
                 print(f"     WARNING {name}: 0 rows")
@@ -122,7 +132,22 @@ def main():
                     print(f"  duckdb: {b}")
                     break
         else:
+            records[name] = {
+                "status": "pass", "rows": len(srows), "sec": round(elapsed, 2),
+            }
             print(f"PASS {name} ({len(srows)} rows, {elapsed:.1f}s)")
+    for name in failures:
+        records.setdefault(name, {"status": "fail"})
+        if records[name].get("status") == "pass":
+            records[name]["status"] = "fail"
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "results": records}, f, indent=1,
+                sort_keys=True,
+            )
     print()
     if failures:
         print("FAILURES:", failures)
