@@ -737,13 +737,15 @@ def q_minhash_encoder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN top-k via hyperplane LSH (rows-only)."""
+    """Approximate ANN top-k via hyperplane LSH (rows-only).
+    planes=4/tables=16 is the measured >=0.9-recall setting on this
+    isotropic test data (tests/test_recall.py documents the sweep)."""
     _prep(spark)
     from .similarity.topk import topk_cosine_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return topk_cosine_lsh(emb, qv, k=10, n_planes=4, n_tables=8)
+    return topk_cosine_lsh(emb, qv, k=10, n_planes=4, n_tables=16)
 
 
 def q_similarity_encoder_region(spark: SparkSession, sf_dir: str) -> DataFrame:

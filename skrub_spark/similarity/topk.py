@@ -43,28 +43,6 @@ def topk_cosine(
     )
 
 
-def _bucket_expr(vec_col, planes: np.ndarray):
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col, F.array(*[F.lit(float(x)) for x in p]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def topk_cosine_lsh(
     df: DataFrame,
     query_vec,
@@ -77,18 +55,27 @@ def topk_cosine_lsh(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: only rows sharing an LSH bucket with the
-    query (any of ``n_tables`` sign-sketches) are rescored."""
+    query (any of ``n_tables`` sign-sketches) are rescored.
+
+    Buckets come from the SAME Arrow-batched ``_buckets_udf`` the
+    persisted index uses — one numpy matmul per batch per table. The
+    pure-Column alternative (n_tables × n_planes fold expressions,
+    each carrying dim literals) builds a multi-thousand-literal tree
+    that Catalyst takes seconds to plan and executes interpreted —
+    per PROBE, which is the hot path of an ANN service.
+    """
+    from .index import _buckets_udf, _planes_for, _query_buckets
+
     qv = np.asarray(list(query_vec), dtype="float64")
-    rng = np.random.default_rng(seed)
-    cond = None
-    for _ in range(n_tables):
-        planes = rng.standard_normal((n_planes, len(qv)))
-        qbucket = int(
-            sum(1 << i for i, p in enumerate(planes) if float(np.dot(p, qv)) > 0)
-        )
-        c = _bucket_expr(F.col(vec_col), planes) == F.lit(qbucket)
-        cond = c if cond is None else (cond | c)
-    return topk_cosine(df.filter(cond), query_vec, k, vec_col, id_col)
+    planes_list = _planes_for(seed, n_tables, n_planes, len(qv))
+    qbuckets = [b for _, b in _query_buckets(query_vec, seed, n_tables, n_planes)]
+    row_buckets = _buckets_udf(planes_list)(F.col(vec_col))
+    qlit = F.array(*[F.lit(int(b)).cast("long") for b in qbuckets])
+    # candidate iff ANY table's row-bucket equals the query's bucket
+    cand = F.exists(
+        F.zip_with(row_buckets, qlit, lambda a, b: a == b), lambda x: x
+    )
+    return topk_cosine(df.filter(cand), query_vec, k, vec_col, id_col)
 
 
 def topk_cosine_ivf(
@@ -104,7 +91,12 @@ def topk_cosine_ivf(
 ) -> DataFrame:
     """IVF: centroids = seeded sample of corpus vectors; probe the
     ``n_probe`` centroids nearest the query. One corpus pass to
-    assign + filter, then exact rescore of the probed cells."""
+    assign + filter, then exact rescore of the probed cells.
+    Assignment reuses the index's Arrow-batched ``_cell_udf`` (one
+    numpy matmul per batch) — the pure-Column WHEN-chain argmin
+    plans superlinearly in n_centroids."""
+    from .index import _cell_udf
+
     sample = [
         row[0]
         for row in df.select(vec_col).sample(False, 0.5, seed).limit(n_centroids).collect()
@@ -114,24 +106,8 @@ def topk_cosine_ivf(
     cents = np.asarray([list(v) for v in sample], dtype="float64")
     qv = np.asarray(list(query_vec), dtype="float64")
     d = ((cents - qv) ** 2).sum(axis=1)
-    probe = set(int(i) for i in np.argsort(d)[:n_probe])
-    # assignment expression: argmin over centroid distances
-    best_idx = F.lit(0)
-    best_d = None
-    for i, c in enumerate(cents):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        dist = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = dist
-        else:
-            cond = dist < best_d
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_d = F.when(cond, dist).otherwise(best_d)
-    probed = df.withColumn("__cell", best_idx).filter(
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    probed = df.withColumn("__cell", _cell_udf(cents)(F.col(vec_col))).filter(
         F.col("__cell").isin(*probe)
     )
     return topk_cosine(probed, query_vec, k, vec_col, id_col)
