@@ -87,6 +87,101 @@ HEADLINE = [
 ]
 
 
+def scale_demos(spark) -> dict:
+    """Paired A/B timings proving the scale techniques pay off.
+
+    1. Planted-hot-key join (10M-row fact, 70% of rows on ONE key,
+       broadcast disabled so the join must shuffle): naive
+       sort-merge (skew split off) vs AQE skew-join split vs explicit
+       salting (operators/salting.py). All three legs compute the
+       same aggregate and are asserted row-identical.
+    2. Bucketed join on the real sf tables: plain shuffle join vs
+       zero-Exchange bucketed read (write-time shuffle untimed, as in
+       production where the fact table is written bucketed ONCE and
+       joined many times).
+    """
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.salting import salted_join
+    from skrub_spark.sources import load_table
+    from skrub_spark.sources.bucketing import (
+        bucketed_join,
+        join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    out: dict[str, float] = {}
+
+    def timed(tag, df):
+        t0 = time.time()
+        n = df.count()
+        out[tag] = round(time.time() - t0, 3)
+        print(f"# demo {tag}: {out[tag]:.2f}s ({n} rows)", file=sys.stderr)
+        return n
+
+    def with_conf(skew_on, fn):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "true" if skew_on else "false",
+        )
+        try:
+            return fn()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    # --- 1. skewed join ---
+    n_fact, n_dim, hot = 10_000_000, 200_000, 0.7
+    fact = spark.range(n_fact).select(
+        F.when(F.rand(7) < hot, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(n_dim)))
+        .alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("w")
+    )
+
+    def agg(j):
+        return j.groupBy("w").agg(F.sum("v").alias("sv"))
+
+    n1 = with_conf(False, lambda: timed("skew_join_naive_s", agg(fact.join(dim, "k"))))
+    n2 = with_conf(True, lambda: timed("skew_join_aqe_s", agg(fact.join(dim, "k"))))
+    n3 = with_conf(
+        False, lambda: timed("skew_join_salted_s", agg(salted_join(fact, dim, "k")))
+    )
+    assert n1 == n2 == n3, (n1, n2, n3)
+
+    # --- 2. bucketed join vs plain shuffle join ---
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    tag = "".join(c if c.isalnum() else "_" for c in SF_DIR.strip("/"))
+    tl, tr = f"bench_li_{tag}", f"bench_ord_{tag}"
+    write_bucketed(lineitem, tl, "orderkey", n_buckets=16, sort_cols="orderkey")
+    write_bucketed(orders, tr, "orderkey", n_buckets=16, sort_cols="orderkey")
+
+    def agg2(j):
+        return j.groupBy("o_orderpriority").agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+
+    n4 = with_conf(
+        False, lambda: timed("plain_join_s", agg2(lineitem.join(orders, "orderkey")))
+    )
+    bj = bucketed_join(spark, tl, tr, "orderkey")
+    assert join_is_shuffle_free(bj), "bucketed join plan has an Exchange"
+    n5 = with_conf(False, lambda: timed("bucketed_join_s", agg2(bj)))
+    assert n4 == n5, (n4, n5)
+    return out
+
+
 def main() -> None:
     from skrub_spark import get_session
     from skrub_spark.queries import queries
@@ -111,6 +206,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    demos = scale_demos(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +215,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "scale_demos": demos,
                 "sf": sf_val,
             }
         )
