@@ -16,7 +16,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+ONLY = (
+    sys.argv[2].split(",") if len(sys.argv) > 2 and sys.argv[2] else None
+)
 # optional third arg: path to dump a per-query JSON record (the
 # committed CORRECTNESS_full_rN.json artifact for positions 51+,
 # which the driver's 50-entry window never reaches)
