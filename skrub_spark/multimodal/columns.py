@@ -6,16 +6,18 @@ metadata, processed in Arrow-batched ``mapInPandas`` passes.
 Codec status:
 
 - REAL decoders (no external libs needed): 24-bit uncompressed BMP
-  (pure numpy header+pixel parsing) for images, PCM WAV (stdlib
-  ``wave``) for audio — ``use_stub=False`` on those paths does a
-  genuine decode and emits real pixel/sample statistics; payloads
-  that aren't valid BMP/WAV get ``decode_ok=False`` + null stats
-  (never a crash mid-job).
-- STUBBED codecs (libs absent in this container): JPEG/PNG decode,
-  image resize re-encode, video frame extraction — ``use_stub=True``
-  (default) produces deterministic fake outputs derived from payload
-  bytes; ``use_stub=False`` raises NotImplementedError where the
-  real decoder (PIL/ffmpeg) would go.
+  (pure numpy header+pixel parsing) and PNG (stdlib zlib inflate +
+  numpy filter inversion, ``multimodal/png.py``) for images, PCM
+  WAV (stdlib ``wave``) for audio — ``use_stub=False`` on those
+  paths does a genuine decode and emits real pixel/sample
+  statistics; payloads that aren't valid BMP/PNG/WAV get
+  ``decode_ok=False`` + null stats (never a crash mid-job). Real
+  nearest-neighbor resize + PNG re-encode for decodable payloads.
+- STUBBED codecs (libs genuinely absent in this container): JPEG
+  (Huffman+DCT needs libjpeg/PIL) and video frame extraction
+  (ffmpeg) — ``use_stub=True`` (default) produces deterministic
+  fake outputs derived from payload bytes; ``use_stub=False``
+  raises NotImplementedError where the real decoder would go.
 """
 
 from __future__ import annotations
@@ -102,6 +104,17 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + img.tobytes()
 
 
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Dispatch over the REAL image decoders by container signature:
+    BMP, then PNG. Returns (h, w, 3) uint8 RGB or None."""
+    px = decode_bmp(payload)
+    if px is not None:
+        return px
+    from .png import decode_png
+
+    return decode_png(payload)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     """REAL PCM WAV decode via the stdlib ``wave`` module: returns
     (samples int16 array flattened over channels, sample_rate) or
@@ -151,10 +164,10 @@ def decode_images(
                     px = _stub_pixels(payload, width, height)
                     oks.append(payload is not None)
                 else:
-                    # REAL decode path: 24-bit BMP (pure numpy).
-                    # JPEG/PNG would slot in here behind an
+                    # REAL decode path: BMP (pure numpy) or PNG
+                    # (zlib+numpy). JPEG would slot in here behind an
                     # import-try of PIL; absent in this container.
-                    px = decode_bmp(bytes(payload) if payload is not None else None)
+                    px = decode_image(bytes(payload) if payload is not None else None)
                     oks.append(px is not None)
                     if px is None:
                         means.append(None)
@@ -240,13 +253,51 @@ def resize_images(
     df: DataFrame, payload_col: str = "payload", size: tuple[int, int] = (64, 64),
     use_stub: bool = True,
 ) -> DataFrame:
-    """Resize stub: passes payload through, updates width/height
-    metadata (a real implementation re-encodes the payload)."""
-    if not use_stub:
-        raise NotImplementedError("real resize requires an imaging library")
-    return df.withColumn("width", F.lit(size[0])).withColumn(
-        "height", F.lit(size[1])
-    )
+    """Image resize.
+
+    ``use_stub=False``: REAL path — decode each payload (BMP/PNG),
+    nearest-neighbor resample in numpy (index arithmetic, no interp
+    lib), re-encode as PNG; undecodable payloads pass through with
+    null payload and width/height unchanged. Arrow-batched
+    mapInPandas, like every codec pass.
+    ``use_stub=True``: metadata-only passthrough (payload untouched).
+    """
+    w_new, h_new = int(size[0]), int(size[1])
+    if use_stub:
+        return df.withColumn("width", F.lit(w_new)).withColumn(
+            "height", F.lit(h_new)
+        )
+    from .png import encode_png
+
+    out_schema = df.schema
+    names = [f.name for f in out_schema.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for i, payload in enumerate(pdf[payload_col]):
+                px = decode_image(
+                    bytes(payload) if payload is not None else None
+                )
+                if px is None:
+                    payloads.append(None)
+                    ws.append(pdf["width"].iloc[i] if "width" in pdf else None)
+                    hs.append(pdf["height"].iloc[i] if "height" in pdf else None)
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(h_new) * h) // h_new
+                xi = (np.arange(w_new) * w) // w_new
+                payloads.append(encode_png(px[yi][:, xi]))
+                ws.append(w_new)
+                hs.append(h_new)
+            pdf = pdf.assign(**{payload_col: payloads})
+            if "width" in names:
+                pdf = pdf.assign(width=ws)
+            if "height" in names:
+                pdf = pdf.assign(height=hs)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
 
 
 def extract_image_features(

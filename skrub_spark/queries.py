@@ -1059,15 +1059,17 @@ def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline with the REAL codec path: synthesize a
-    24-bit BMP per document (pixels seeded by doc_id), then
-    decode_images(use_stub=False) actually parses the BMP bytes in
-    the Arrow-batched mapInPandas pass and emits true pixel stats.
-    (Payload synthesis isn't SQL-expressible: rows-only.)"""
+    24-bit BMP (even doc_ids) or a PNG (odd doc_ids — sub-filtered,
+    zlib-compressed) per document, pixels seeded by doc_id; then
+    decode_images(use_stub=False) actually parses the container
+    bytes in the Arrow-batched mapInPandas pass and emits true pixel
+    stats. (Payload synthesis isn't SQL-expressible: rows-only.)"""
     _prep(spark)
     import numpy as np
     import pandas as pd
 
     from .multimodal import decode_images, encode_bmp
+    from .multimodal.png import encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -1076,8 +1078,11 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["doc_id"]:
                 rng = np.random.default_rng(int(i))
+                px = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
                 payloads.append(
-                    encode_bmp(rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8))
+                    encode_bmp(px)
+                    if int(i) % 2 == 0
+                    else encode_png(px, filter_type=1)
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
