@@ -6,18 +6,20 @@ metadata, processed in Arrow-batched ``mapInPandas`` passes.
 Codec status:
 
 - REAL decoders (no external libs needed): 24-bit uncompressed BMP
-  (pure numpy header+pixel parsing) and PNG (stdlib zlib inflate +
-  numpy filter inversion, ``multimodal/png.py``) for images, PCM
-  WAV (stdlib ``wave``) for audio — ``use_stub=False`` on those
-  paths does a genuine decode and emits real pixel/sample
-  statistics; payloads that aren't valid BMP/PNG/WAV get
-  ``decode_ok=False`` + null stats (never a crash mid-job). Real
-  nearest-neighbor resize + PNG re-encode for decodable payloads.
-- STUBBED codecs (libs genuinely absent in this container): JPEG
-  (Huffman+DCT needs libjpeg/PIL) and video frame extraction
-  (ffmpeg) — ``use_stub=True`` (default) produces deterministic
-  fake outputs derived from payload bytes; ``use_stub=False``
-  raises NotImplementedError where the real decoder would go.
+  (pure numpy header+pixel parsing), PNG (stdlib zlib inflate +
+  numpy filter inversion, ``multimodal/png.py``) and baseline JPEG
+  (numpy Huffman + exact basis-matrix IDCT, any chroma subsampling,
+  restart markers, ``multimodal/jpeg.py``) for images, PCM WAV
+  (stdlib ``wave``) for audio — ``use_stub=False`` on those paths
+  does a genuine decode and emits real pixel/sample statistics;
+  payloads that aren't decodable (including progressive/arithmetic
+  JPEG) get ``decode_ok=False`` + null stats (never a crash
+  mid-job). Real nearest-neighbor resize + PNG re-encode for
+  decodable payloads.
+- STUBBED: video frame extraction (ffmpeg genuinely absent) —
+  ``use_stub=True`` (default) produces deterministic fake outputs;
+  ``use_stub=False`` raises NotImplementedError where ffmpeg would
+  go.
 """
 
 from __future__ import annotations
@@ -106,10 +108,16 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch over the REAL image decoders by container signature:
-    BMP, then PNG. Returns (h, w, 3) uint8 RGB or None."""
-    px = decode_bmp(payload)
-    if px is not None:
-        return px
+    BMP ('BM'), PNG (8-byte signature), baseline JPEG (FFD8).
+    Returns (h, w, 3) uint8 RGB or None."""
+    if payload is None:
+        return None
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     from .png import decode_png
 
     return decode_png(payload)

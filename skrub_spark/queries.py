@@ -1059,9 +1059,9 @@ def q_gap_encoder_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline with the REAL codec path: synthesize a
-    24-bit BMP (even doc_ids) or a PNG (odd doc_ids — sub-filtered,
-    zlib-compressed) per document, pixels seeded by doc_id; then
-    decode_images(use_stub=False) actually parses the container
+    24-bit BMP (doc_id%3==0), a sub-filtered PNG (%3==1) or a
+    baseline JPEG (%3==2) per document, pixels seeded by doc_id;
+    then decode_images(use_stub=False) actually parses the container
     bytes in the Arrow-batched mapInPandas pass and emits true pixel
     stats. (Payload synthesis isn't SQL-expressible: rows-only.)"""
     _prep(spark)
@@ -1069,6 +1069,7 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .multimodal import decode_images, encode_bmp
+    from .multimodal.jpeg import encode_jpeg
     from .multimodal.png import encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1079,11 +1080,13 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 rng = np.random.default_rng(int(i))
                 px = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
-                payloads.append(
-                    encode_bmp(px)
-                    if int(i) % 2 == 0
-                    else encode_png(px, filter_type=1)
-                )
+                m = int(i) % 3
+                if m == 0:
+                    payloads.append(encode_bmp(px))
+                elif m == 1:
+                    payloads.append(encode_png(px, filter_type=1))
+                else:
+                    payloads.append(encode_jpeg(px, quality=95))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     with_payload = docs.mapInPandas(

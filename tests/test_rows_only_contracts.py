@@ -100,12 +100,18 @@ def test_image_decode_stats_matches_hand_decode(spark, sf_dir):
     the Arrow batch must not alter the pixel multiset)."""
     from skrub_spark.queries import q_image_decode_stats
 
-    rows = q_image_decode_stats(spark, sf_dir).take(8)
-    assert len(rows) == 8
+    from skrub_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rows = q_image_decode_stats(spark, sf_dir).take(9)
+    assert len(rows) == 9
     for r in rows:
         doc_id = r["doc_id"]
         rng = np.random.default_rng(int(doc_id))
         px = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+        if int(doc_id) % 3 == 2:
+            # JPEG docs: lossy but DETERMINISTIC — the hand decode of
+            # the same encode must match the pipeline's stats exactly
+            px = decode_jpeg(encode_jpeg(px, quality=95))
         assert r["decode_ok"] is True
         assert abs(r["px_mean"] - float(px.mean())) < 1e-3
         assert abs(r["px_std"] - float(px.std())) < 1e-3
