@@ -308,6 +308,24 @@ def resize_images(
     return df.mapInPandas(fn, out_schema)
 
 
+def _grid_features(px: np.ndarray, n_features: int) -> list[float]:
+    """(h, w, 3) -> n_features pooled-grid features: grayscale the
+    image, block-mean onto a g x g grid (g² >= n_features), scale to
+    [0, 1]. The classic pre-deep-learning image fingerprint — enough
+    structure for near-dup detection, computed in pure numpy."""
+    g = int(np.ceil(np.sqrt(n_features)))
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = (np.arange(h) * g) // max(h, 1)
+    xi = (np.arange(w) * g) // max(w, 1)
+    sums = np.zeros((g, g))
+    counts = np.zeros((g, g))
+    np.add.at(sums, (yi[:, None], xi[None, :]), gray)
+    np.add.at(counts, (yi[:, None], xi[None, :]), 1.0)
+    cell = sums / np.maximum(counts, 1.0)
+    return [float(x) / 255.0 for x in cell.ravel()[:n_features]]
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -315,7 +333,16 @@ def extract_image_features(
     use_stub: bool = True,
 ) -> DataFrame:
     """payload -> fixed-size feature vector via mapInPandas (the
-    shape a vision-model embedding job takes on Spark)."""
+    shape a vision-model embedding job takes on Spark).
+
+    ``use_stub=False``: REAL path — decode the payload (BMP/PNG/
+    JPEG) and pool a grayscale g x g grid into ``n_features`` values
+    in [0, 1]; near-identical pixels give near-identical vectors, so
+    the output feeds straight into the embedding dedup/ANN stack.
+    Undecodable payloads get null features. ``use_stub=True``:
+    deterministic digest-derived fake (payload-sensitive, not
+    pixel-sensitive).
+    """
     from pyspark.sql.types import ArrayType, DoubleType
 
     out_schema = StructType(
@@ -324,15 +351,19 @@ def extract_image_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:
-                raise NotImplementedError("real features require a vision model")
             feats = []
             for payload in pdf[payload_col]:
-                digest = hashlib.sha256(payload or b"").digest()
-                vec = np.frombuffer(digest[: n_features * 2], dtype=np.uint16)[
-                    :n_features
-                ]
-                feats.append([float(x) / 65535.0 for x in vec])
+                if use_stub:
+                    digest = hashlib.sha256(payload or b"").digest()
+                    vec = np.frombuffer(digest[: n_features * 2], dtype=np.uint16)[
+                        :n_features
+                    ]
+                    feats.append([float(x) / 65535.0 for x in vec])
+                    continue
+                px = decode_image(
+                    bytes(payload) if payload is not None else None
+                )
+                feats.append(None if px is None else _grid_features(px, n_features))
             yield pdf.assign(features=feats)
 
     return df.mapInPandas(fn, out_schema)

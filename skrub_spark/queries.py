@@ -1101,6 +1101,69 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal near-dup pipeline over REAL codecs: each
+    document gets a synthesized high-entropy image (a doc_id-seeded
+    random 6x6 grid upsampled to 24x24; containers rotate BMP /
+    sub-filtered PNG / JPEG q95), and docs with doc_id%10==1 carry a
+    +-3-noise near-duplicate of the PREVIOUS doc's image. decode ->
+    extract_image_features real path (pooled grayscale grid) ->
+    mean-center -> hyperplane-LSH cosine pairs at 0.995 returns
+    exactly the planted (d-1, d) pairs (measured at 500 docs:
+    planted cosine >= 0.99996, max non-planted 0.68) — the image
+    analog of MinHash text dedup, on actually-decoded pixels.
+    (Codec synthesis isn't SQL-expressible: rows-only.)"""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from .dedup.embedding import embedding_near_duplicates
+    from .multimodal import encode_bmp, extract_image_features
+    from .multimodal.jpeg import encode_jpeg
+    from .multimodal.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_px(seed: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        cells = rng.integers(0, 256, (6, 6), dtype=np.uint8)
+        return np.repeat(np.repeat(cells, 4, axis=0), 4, axis=1)
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                px = make_px(d - 1 if d % 10 == 1 else d)
+                if d % 10 == 1:
+                    noise = np.random.default_rng(d).integers(-3, 4, px.shape)
+                    px = (px.astype(int) + noise).clip(0, 255).astype(np.uint8)
+                px3 = np.stack([px] * 3, axis=2)
+                m = d % 3
+                if m == 0:
+                    payloads.append(encode_bmp(px3))
+                elif m == 1:
+                    payloads.append(encode_png(px3, filter_type=2))
+                else:
+                    payloads.append(encode_jpeg(px3, quality=95))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        make_payloads, "doc_id bigint, payload binary"
+    )
+    feats = extract_image_features(
+        with_payload, n_features=36, use_stub=False
+    )
+    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(36.0)
+    centered = feats.select(
+        "doc_id", F.transform("features", lambda x: x - mean).alias("f")
+    )
+    pairs = embedding_near_duplicates(
+        centered, vec_col="f", id_col="doc_id", threshold=0.995
+    )
+    return pairs.select("id_a", "id_b").orderBy("id_a")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union-tag + last-ignorenulls window — one sort
     shuffle per key, no range-join pair explosion): each purchase
@@ -3124,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "sales_opportunity": q_sales_opportunity,
         "centroid_per_label": q_centroid_per_label,
+        "image_near_dup": q_image_near_dup,
     }
 
 

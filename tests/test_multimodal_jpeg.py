@@ -80,6 +80,51 @@ def test_jpeg_rejects_junk_and_nonbaseline():
     assert decode_jpeg(bytes(prog)) is None
 
 
+def test_image_near_dup_pipeline_finds_planted_pairs(spark, sf_dir):
+    """q_image_near_dup: decode (3 containers) -> grid features ->
+    centered-cosine LSH pairs == exactly the planted (d-1, d) pairs."""
+    from skrub_spark.queries import q_image_near_dup
+    from skrub_spark.sources import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = {(d - 1, d) for d in ids if d % 10 == 1 and (d - 1) in set(ids)}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in q_image_near_dup(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_extract_image_features_real_path(spark):
+    """Real features: near-identical pixels -> near-identical
+    vectors; different structure -> different vectors; junk -> null."""
+    from skrub_spark.multimodal import encode_bmp, extract_image_features
+
+    base = _smooth(24, 24)
+    near = (base.astype(int) + 2).clip(0, 255).astype(np.uint8)
+    other = (255 - base.astype(int)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(base))),
+            (2, bytearray(encode_bmp(near))),
+            (3, bytearray(encode_bmp(other))),
+            (4, bytearray(b"junk")),
+        ],
+        "id int, payload binary",
+    )
+    out = {
+        r["id"]: r["features"]
+        for r in extract_image_features(df, n_features=16, use_stub=False).collect()
+    }
+    assert out[4] is None
+    a, b, c = (np.array(out[i]) for i in (1, 2, 3))
+    assert np.abs(a - b).max() < 0.02
+    assert np.abs(a - c).max() > 0.1
+
+
 def test_decode_image_dispatch_jpeg(spark):
     """decode_images(use_stub=False) handles a JPEG payload through
     the same Arrow-batched pass as BMP/PNG."""
