@@ -3,10 +3,15 @@ from .columns import (  # noqa: F401
     IMAGE_SCHEMA,
     decode_audio,
     decode_bmp,
+    decode_image,
     decode_images,
     decode_wav,
     encode_bmp,
+    encode_wav,
+    extract_audio_features,
     extract_image_features,
     frame_sample_videos,
     resize_images,
 )
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from .png import decode_png, encode_png  # noqa: F401
