@@ -13,5 +13,6 @@ from .columns import (  # noqa: F401
     frame_sample_videos,
     resize_images,
 )
+from .avi import decode_avi_frames, encode_avi  # noqa: F401
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
 from .png import decode_png, encode_png  # noqa: F401

@@ -16,10 +16,12 @@ Codec status:
   JPEG) get ``decode_ok=False`` + null stats (never a crash
   mid-job). Real nearest-neighbor resize + PNG re-encode for
   decodable payloads.
-- STUBBED: video frame extraction (ffmpeg genuinely absent) —
-  ``use_stub=True`` (default) produces deterministic fake outputs;
-  ``use_stub=False`` raises NotImplementedError where ffmpeg would
-  go.
+- Video: REAL demuxer for uncompressed-DIB AVI (RIFF chunk walk,
+  ``multimodal/avi.py``) — frame sampling emits BMP frame payloads
+  + true per-frame stats; COMPRESSED video streams are the one
+  remaining gap (codec libraries / ffmpeg genuinely absent) and
+  return null-frame rows where ffmpeg would slot in.
+- Audio features: real windowed-FFT log band energies (numpy DSP).
 """
 
 from __future__ import annotations
@@ -448,12 +450,68 @@ def frame_sample_videos(
     n_frames: int = 4,
     use_stub: bool = True,
 ) -> DataFrame:
-    """video payload -> exploded per-frame rows (frame_idx + fake
-    frame payload slice). Real impl: ffmpeg keyframe extraction."""
-    if not use_stub:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
-    frames = F.sequence(F.lit(0), F.lit(n_frames - 1))
-    return df.withColumn("frame_idx", F.explode(frames)).withColumn(
-        "frame_payload",
-        F.sha2(F.concat(F.col(payload_col).cast("string"), F.col("frame_idx").cast("string")), 256),
+    """video payload -> exploded per-frame rows.
+
+    ``use_stub=False``: REAL path for uncompressed-DIB AVI payloads
+    (``multimodal/avi.py`` — RIFF demux, no ffmpeg): sample up to
+    ``n_frames`` evenly-spaced frames, emit each as a BMP-encoded
+    ``frame_payload`` (feeds straight back into decode_images /
+    extract_image_features) plus its true ``frame_px_mean``.
+    Undecodable payloads (including compressed AVI — that's where
+    ffmpeg would slot in) emit a single row with null frame fields.
+    ``use_stub=True``: deterministic digest rows, payload untouched.
+    """
+    if use_stub:
+        frames = F.sequence(F.lit(0), F.lit(n_frames - 1))
+        return df.withColumn("frame_idx", F.explode(frames)).withColumn(
+            "frame_payload",
+            F.sha2(
+                F.concat(
+                    F.col(payload_col).cast("string"),
+                    F.col("frame_idx").cast("string"),
+                ),
+                256,
+            ).cast("binary"),
+        )
+    from pyspark.sql.types import BinaryType, DoubleType
+
+    from .avi import decode_avi_frames
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_payload", BinaryType()),
+            StructField("frame_px_mean", DoubleType()),
+        ]
     )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                frames = decode_avi_frames(
+                    bytes(payload) if payload is not None else None
+                )
+                if not frames:
+                    out_rows.append(
+                        {**row, "frame_idx": None, "frame_payload": None,
+                         "frame_px_mean": None}
+                    )
+                    continue
+                k = min(n_frames, len(frames))
+                picks = [(i * len(frames)) // k for i in range(k)]
+                for fi in picks:
+                    px = frames[fi]
+                    out_rows.append(
+                        {
+                            **row,
+                            "frame_idx": fi,
+                            "frame_payload": encode_bmp(px),
+                            "frame_px_mean": float(px.mean()),
+                        }
+                    )
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(fn, out_schema)

@@ -1223,6 +1223,47 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").orderBy("id_a")
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline over the REAL uncompressed-AVI demuxer (RIFF
+    chunk walk, no ffmpeg): synthesize a 6-frame AVI per document
+    (frames seeded by doc_id), sample 3 evenly-spaced frames in the
+    Arrow-batched pass, return per-doc frame count and mean frame
+    brightness. (Container synthesis isn't SQL-expressible:
+    rows-only.)"""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import encode_avi, frame_sample_videos
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                rng = np.random.default_rng(int(i))
+                frames = [
+                    rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                    for _ in range(6)
+                ]
+                payloads.append(encode_avi(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        make_payloads, "doc_id bigint, payload binary"
+    )
+    sampled = frame_sample_videos(with_payload, n_frames=3, use_stub=False)
+    return (
+        sampled.groupBy("doc_id")
+        .agg(
+            F.count("frame_idx").alias("n_frames"),
+            F.round(F.avg("frame_px_mean"), 4).alias("mean_brightness"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union-tag + last-ignorenulls window — one sort
     shuffle per key, no range-join pair explosion): each purchase
@@ -3248,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_per_label": q_centroid_per_label,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
+        "video_frame_stats": q_video_frame_stats,
     }
 
 

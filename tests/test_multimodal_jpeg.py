@@ -138,3 +138,37 @@ def test_decode_image_dispatch_jpeg(spark):
     row = decode_images(df, use_stub=False).first()
     assert row["decode_ok"]
     assert abs(row["px_mean"] - float(img.mean())) < 2.0
+
+
+def test_frame_sample_videos_real_avi(spark):
+    """Uncompressed-AVI demux in the Spark pass: evenly-spaced frames
+    come back as BMP payloads that re-enter decode_images; junk
+    payloads produce one null-frame row."""
+    from skrub_spark.multimodal import decode_images, encode_avi, frame_sample_videos
+
+    rng = np.random.default_rng(4)
+    frames = [
+        rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8) for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(frames))), (2, bytearray(b"junk"))],
+        "id int, payload binary",
+    )
+    out = frame_sample_videos(df, n_frames=4, use_stub=False)
+    rows = out.collect()
+    vid = sorted(
+        (r for r in rows if r["id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in vid] == [0, 2, 5, 7]
+    for r in vid:
+        assert abs(r["frame_px_mean"] - float(frames[r["frame_idx"]].mean())) < 1e-9
+    junk = [r for r in rows if r["id"] == 2]
+    assert len(junk) == 1 and junk[0]["frame_idx"] is None
+    # frame payloads are decodable BMPs: run them through decode_images
+    redec = decode_images(
+        out.filter(out.frame_idx.isNotNull()).select(
+            "id", "frame_idx", out.frame_payload.alias("payload")
+        ),
+        use_stub=False,
+    ).collect()
+    assert len(redec) == 4 and all(r["decode_ok"] for r in redec)
