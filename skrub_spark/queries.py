@@ -967,6 +967,42 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator with an EXACT SQL oracle:
+    the events stream runs through streaming_sessionize
+    (applyInPandasWithState; explicit session ids carried across
+    micro-batches in the state store) into a memory sink, then
+    per-(user, session) aggregates are taken over the sink. With the
+    single availableNow batch the emitted ids equal batch lag/cumsum
+    sessionization, so the DuckDB oracle is the same SQL as
+    session_stats — a bit-exact check on a stateful streaming plan."""
+    import uuid
+
+    from .streaming import streaming_sessionize
+
+    _prep(spark)
+    stream = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    name = "strsess_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    return spark.table(name).groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.sum(_dec("value")).cast("double").alias("value_sum"),
+    )
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the purchase stream joins a static
     per-user profile dim (broadcast per micro-batch, no join state,
@@ -2258,6 +2294,27 @@ ORACLES: dict[str, str] = {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM s GROUP BY user_id, session_id
     """,
+    "streaming_session_stats": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          COUNT(*) AS n_events,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM s GROUP BY user_id, session_id
+    """,
+
     "ngram_jaccard_pairs": """
         WITH t AS (
           SELECT doc_id,
@@ -3290,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "video_frame_stats": q_video_frame_stats,
+        "streaming_session_stats": q_streaming_session_stats,
     }
 
 

@@ -5,5 +5,6 @@ from .ops import (  # noqa: F401
     stream_stream_interval_join,
     streaming_dedup,
     streaming_session_counts,
+    streaming_sessionize,
     windowed_event_counts,
 )

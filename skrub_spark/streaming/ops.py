@@ -154,6 +154,71 @@ def streaming_dedup(
     )
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+):
+    """Custom stateful streaming sessionization with EXPLICIT session
+    ids that CONTINUE across micro-batches — the property native
+    ``session_window`` aggregation doesn't give you (it emits window
+    structs, not stable ids on rows).
+
+    ``applyInPandasWithState`` keeps (last_event_us, last_session_id)
+    per key; each batch's rows are sorted by event time within the
+    group, ids assigned by the gap rule, and the state carried
+    forward — so an event in a later micro-batch that falls within
+    ``gap_minutes`` of the previous batch's last event joins the SAME
+    session, where any stateless per-batch sessionizer would restart
+    at 1. On a single ``availableNow`` batch the output is exactly
+    batch ``sessionize`` (the SQL oracle). Late rows ordered before
+    already-emitted state are a fundamental append-mode limit — at
+    scale you put a watermark upstream.
+
+    State per key is two longs in the state store (RocksDB-backed on
+    a cluster); the grouped shuffle is the same hash partitioning a
+    batch groupBy does.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        stream.schema.fields + [StructField("session_id", LongType())]
+    )
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def assign(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        last_ts, sid = state.get if state.exists else (None, 0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(ts_col, kind="mergesort")
+        tsv = pdf[ts_col]
+        if getattr(tsv.dtype, "tz", None) is not None:
+            tsv = tsv.dt.tz_localize(None)
+        ts_us = np.asarray(tsv, dtype="datetime64[ns]").astype("int64") // 1000
+        sids = np.empty(len(ts_us), dtype="int64")
+        for i, t in enumerate(ts_us):
+            if last_ts is None or t - last_ts > gap_us:
+                sid += 1
+            last_ts = int(t)
+            sids[i] = sid
+        state.update((int(last_ts), int(sid)))
+        yield pdf.assign(session_id=sids)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        assign,
+        out_schema,
+        "last_ts long, sid long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

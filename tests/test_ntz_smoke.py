@@ -195,3 +195,49 @@ def test_epoch_helpers_accept_all_types(spark):
         else:
             assert row["us"] == expect_us
             assert row["s"] == expect_us / 1e6
+
+
+def test_streaming_sessionize_continues_across_batches(spark, tmp_path):
+    """The stateful property itself: an event in a LATER micro-batch
+    within the gap of the previous batch's last event joins the SAME
+    session (state-store carry); past the gap it opens a new one. A
+    stateless per-batch sessionizer would restart ids at 1 and fail
+    this."""
+    import pandas as pd
+
+    from skrub_spark.streaming import streaming_sessionize
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows],
+             "ts": [base + datetime.timedelta(minutes=r[1]) for r in rows]}
+        ).to_parquet(d / name, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    # batch 1: two events 10 min apart (one session)
+    mk("b1.parquet", [(1, 0.0), (1, 10.0)])
+    # batch 2: +11 min (same session: gap 1 min) and +120 min (new)
+    mk("b2.parquet", [(1, 11.0), (1, 120.0)])
+    schema = "user_id bigint, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    name = "sess_cont_test"
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = sorted(
+        spark.table(name).collect(), key=lambda r: r["ts"]
+    )
+    assert [r["session_id"] for r in rows] == [1, 1, 1, 2]
