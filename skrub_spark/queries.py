@@ -1223,8 +1223,11 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def make_samples(seed: int) -> np.ndarray:
         rng = np.random.default_rng(seed)
-        env = rng.uniform(0.05, 1.0, 16)
-        bins = np.repeat(env, (n // 2 + 1 + 15) // 16)[: n // 2 + 1]
+        # 32 independent envelope values: at 5000 docs the max
+        # non-planted centered cosine is ~0.81 (vs ~0.95 with 16),
+        # keeping the 0.99 threshold collision-safe at 10x this SF
+        env = rng.uniform(0.05, 1.0, 32)
+        bins = np.repeat(env, (n // 2 + 1 + 31) // 32)[: n // 2 + 1]
         phase = rng.uniform(0, 2 * np.pi, n // 2 + 1)
         x = np.fft.irfft(bins * np.exp(1j * phase), n=n)
         return (x / np.abs(x).max() * 20000).astype("<i2")
@@ -1248,8 +1251,8 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = docs.mapInPandas(
         make_payloads, "doc_id bigint, payload binary"
     )
-    feats = extract_audio_features(with_payload, n_features=16)
-    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(16.0)
+    feats = extract_audio_features(with_payload, n_features=32)
+    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(32.0)
     centered = feats.select(
         "doc_id", F.transform("features", lambda x: x - mean).alias("f")
     )
