@@ -3247,7 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle twin of embedding_dedup_lsh; topk_ivf is the third persisted-
     # index variant) — but a few are the ONLY check on their path
     # (knn_join_lsh, topk_lsh, text_encoder_embeddings,
-    # interpolation_join_gbt have no exact oracle by nature). All 83 are
+    # interpolation_join_gbt have no exact oracle by nature). All 88 are
     # registered; tools/check_correctness.py runs the FULL battery and its
     # committed output (CORRECTNESS_full_rN.json) is the verification for
     # positions 51+ each round — the driver window alone is not.
