@@ -79,8 +79,12 @@ HEADLINE = [
     "skew_salted_agg",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / topk_ivf (sink-write cost dominates, not a
-    # throughput signal) and streaming_* (state-store fixed
-    # overhead, see note below).
+    # throughput signal); streaming_* (state-store fixed overhead,
+    # see note below); image_decode_stats / image_near_dup /
+    # audio_near_dup / video_frame_stats (payload SYNTHESIS — python
+    # codec encode loops — dominates wall time, so they'd measure
+    # fixture generation, not the engine; their timings live in
+    # CORRECTNESS_full_*.json).
     # streaming_dedup runs in the correctness battery but not here:
     # its wall time is state-store/checkpoint fixed overhead (19s for
     # 5000 rows), not a throughput signal at bench scale.
