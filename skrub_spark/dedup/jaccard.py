@@ -37,6 +37,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import char_ngrams, word_shingles
 
@@ -76,6 +77,10 @@ def ngram_jaccard_pairs(
             .drop("count")
         )
         exploded = exploded.join(rare, on="gram", how="left_semi")
+    # The (post-cap) token frame feeds the doc-freq ranking, the
+    # prefix index AND the verify stage — persist so the shingle
+    # explode + hash runs once per action, not three times.
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
 
     if not prefix_filter:
         a = exploded.select(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import word_shingles
 
@@ -78,7 +79,14 @@ def dedup_minhash_pairs(
     if n_bands is None:
         n_bands = auto_bands(n_components, jaccard_threshold)
     rows_per_band = n_components // n_bands
-    grams = _gram_rows(df, content_col, id_col, shingle_k)
+    # The gram frame feeds BOTH the minhash aggregation and the exact
+    # verify stage; without a persist the shingling projection runs
+    # twice in one action. MEMORY_AND_DISK so a 100 TB gram frame
+    # spills instead of OOMing; blocks are LRU-managed by Spark and
+    # small relative to the input (distinct shingles only).
+    grams = _gram_rows(df, content_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # Double-hashing minhash (Kirsch–Mitzenmacher): the k-th hash is
     # h1 + k*h2 from TWO string hashes instead of k independent
@@ -112,23 +120,33 @@ def dedup_minhash_pairs(
     banded = mins.select(
         "id", "n_grams", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
-    bucket_ok = (
-        banded.groupBy("band_idx", "band_key")
-        .count()
-        .filter(F.col("count") <= max_bucket)
-        .drop("count")
-    )
-    banded = banded.join(bucket_ok, on=["band_idx", "band_key"], how="left_semi")
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "band_idx", "band_key"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "band_idx", "band_key"
+    # Within-bucket pairs in ONE shuffle: collect each bucket's members
+    # and expand ordered pairs JVM-side with nested `transform` — the
+    # former self-join + count-then-semi-join bucket cap cost three
+    # extra exchanges for the same result. The cap (and a >=2 floor)
+    # becomes a plain size() filter; collect_list stays bounded because
+    # capped buckets hold <= max_bucket (id, n_grams) structs.
+    members = F.array_sort(F.col("members"))
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     cand = (
-        a.join(b, on=["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "na", "nb")
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.collect_list(F.struct("id", "n_grams")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n_grams").alias("na"),
+            F.col("p.b.n_grams").alias("nb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact verify: count co-occurring grams per candidate pair
