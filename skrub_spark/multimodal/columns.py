@@ -16,11 +16,12 @@ Codec status:
   JPEG) get ``decode_ok=False`` + null stats (never a crash
   mid-job). Real nearest-neighbor resize + PNG re-encode for
   decodable payloads.
-- Video: REAL demuxer for uncompressed-DIB AVI (RIFF chunk walk,
-  ``multimodal/avi.py``) — frame sampling emits BMP frame payloads
-  + true per-frame stats; COMPRESSED video streams are the one
-  remaining gap (codec libraries / ffmpeg genuinely absent) and
-  return null-frame rows where ffmpeg would slot in.
+- Video: REAL demuxer for AVI (RIFF chunk walk with per-stream
+  binding, ``multimodal/avi.py``) covering uncompressed-DIB and
+  MJPEG streams (MJPEG frames decode through the repo's own
+  baseline-JPEG codec) — frame sampling emits BMP frame payloads +
+  true per-frame stats; other compressed codecs (H.264 etc., where
+  ffmpeg would slot in) return null-frame rows.
 - Audio features: real windowed-FFT log band energies (numpy DSP).
 """
 
@@ -49,6 +50,20 @@ IMAGE_SCHEMA = StructType(
         StructField("height", IntegerType()),
     ]
 )
+
+
+def _stub_features(payload: bytes, n_features: int) -> list[float]:
+    """Deterministic fake feature vector: counter-extended SHA-256 so
+    any n_features is covered (a single 32-byte digest only yields 16
+    uint16s — slicing it silently truncated n_features > 16)."""
+    base = payload or b""
+    buf = hashlib.sha256(base).digest()  # block 0 == the old digest,
+    ctr = 1                              # so n_features <= 16 is unchanged
+    while len(buf) < n_features * 2:
+        buf += hashlib.sha256(base + ctr.to_bytes(4, "big")).digest()
+        ctr += 1
+    vec = np.frombuffer(buf[: n_features * 2], dtype=np.uint16)
+    return [float(v) / 65535.0 for v in vec]
 
 
 def _stub_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
@@ -317,11 +332,7 @@ def extract_audio_features(
             feats = []
             for payload in pdf[payload_col]:
                 if use_stub:
-                    digest = hashlib.sha256(payload or b"").digest()
-                    vec = np.frombuffer(digest[: n_features * 2], dtype=np.uint16)[
-                        :n_features
-                    ]
-                    feats.append([float(v) / 65535.0 for v in vec])
+                    feats.append(_stub_features(payload, n_features))
                     continue
                 dec = decode_wav(payload)
                 feats.append(
@@ -429,11 +440,7 @@ def extract_image_features(
             feats = []
             for payload in pdf[payload_col]:
                 if use_stub:
-                    digest = hashlib.sha256(payload or b"").digest()
-                    vec = np.frombuffer(digest[: n_features * 2], dtype=np.uint16)[
-                        :n_features
-                    ]
-                    feats.append([float(x) / 65535.0 for x in vec])
+                    feats.append(_stub_features(payload, n_features))
                     continue
                 px = decode_image(
                     bytes(payload) if payload is not None else None
@@ -452,13 +459,15 @@ def frame_sample_videos(
 ) -> DataFrame:
     """video payload -> exploded per-frame rows.
 
-    ``use_stub=False``: REAL path for uncompressed-DIB AVI payloads
-    (``multimodal/avi.py`` — RIFF demux, no ffmpeg): sample up to
-    ``n_frames`` evenly-spaced frames, emit each as a BMP-encoded
-    ``frame_payload`` (feeds straight back into decode_images /
-    extract_image_features) plus its true ``frame_px_mean``.
-    Undecodable payloads (including compressed AVI — that's where
-    ffmpeg would slot in) emit a single row with null frame fields.
+    ``use_stub=False``: REAL path for uncompressed-DIB and MJPEG AVI
+    payloads (``multimodal/avi.py`` — RIFF demux with per-stream
+    binding; MJPEG frames decode via ``multimodal/jpeg.py``, no
+    ffmpeg): sample up to ``n_frames`` evenly-spaced frames, emit
+    each as a BMP-encoded ``frame_payload`` (feeds straight back into
+    decode_images / extract_image_features) plus its true
+    ``frame_px_mean``. Undecodable payloads (other compressed codecs
+    — that's where ffmpeg would slot in) emit a single row with null
+    frame fields.
     ``use_stub=True``: deterministic digest rows, payload untouched.
     """
     if use_stub:
@@ -488,30 +497,34 @@ def frame_sample_videos(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            # column-array build: replicate passthrough columns by
+            # positional index instead of rebuilding a dict per frame
+            rep_idx: list[int] = []
+            fidx: list[int | None] = []
+            fpay: list[bytes | None] = []
+            fmean: list[float | None] = []
+            for i, payload in enumerate(pdf[payload_col]):
                 frames = decode_avi_frames(
                     bytes(payload) if payload is not None else None
                 )
                 if not frames:
-                    out_rows.append(
-                        {**row, "frame_idx": None, "frame_payload": None,
-                         "frame_px_mean": None}
-                    )
+                    rep_idx.append(i)
+                    fidx.append(None)
+                    fpay.append(None)
+                    fmean.append(None)
                     continue
                 k = min(n_frames, len(frames))
-                picks = [(i * len(frames)) // k for i in range(k)]
-                for fi in picks:
+                for j in range(k):
+                    fi = (j * len(frames)) // k
                     px = frames[fi]
-                    out_rows.append(
-                        {
-                            **row,
-                            "frame_idx": fi,
-                            "frame_payload": encode_bmp(px),
-                            "frame_px_mean": float(px.mean()),
-                        }
-                    )
-            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+                    rep_idx.append(i)
+                    fidx.append(fi)
+                    fpay.append(encode_bmp(px))
+                    fmean.append(float(px.mean()))
+            out = pdf.iloc[rep_idx].reset_index(drop=True)
+            out["frame_idx"] = fidx
+            out["frame_payload"] = fpay
+            out["frame_px_mean"] = fmean
+            yield out
 
     return df.mapInPandas(fn, out_schema)

@@ -9,7 +9,7 @@ arithmetic coding and 12-bit depth return None — never raise.
 
 Encoder (test/fixture path): baseline 4:4:4 with a FLAT quality-
 controlled quantization table and fixed-length canonical Huffman
-tables (DC: 12 symbols @ 4 bits, AC: 256 @ 9 bits). Both tables are
+tables (DC: 12 symbols @ 4 bits, AC: 162 @ 8 bits). Both tables are
 written into DQT/DHT, so the output is a conforming JPEG any decoder
 reads; fixed-length codes trade compression ratio for simplicity —
 fine for fixtures, and the flat table makes round-trip error

@@ -1263,12 +1263,13 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video pipeline over the REAL uncompressed-AVI demuxer (RIFF
-    chunk walk, no ffmpeg): synthesize a 6-frame AVI per document
-    (frames seeded by doc_id), sample 3 evenly-spaced frames in the
-    Arrow-batched pass, return per-doc frame count and mean frame
-    brightness. (Container synthesis isn't SQL-expressible:
-    rows-only.)"""
+    """Video pipeline over the REAL AVI demuxer (RIFF chunk walk, no
+    ffmpeg): synthesize a 6-frame AVI per document (frames seeded by
+    doc_id) — uncompressed DIB for even doc_ids, MJPEG (per-frame
+    baseline JPEG via the repo's own pure-numpy codec) for odd ones —
+    sample 3 evenly-spaced frames in the Arrow-batched pass, return
+    per-doc frame count and mean frame brightness. (Container
+    synthesis isn't SQL-expressible: rows-only.)"""
     _prep(spark)
     import numpy as np
     import pandas as pd
@@ -1286,7 +1287,8 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
                     for _ in range(6)
                 ]
-                payloads.append(encode_avi(frames))
+                codec = "dib" if int(i) % 2 == 0 else "mjpg"
+                payloads.append(encode_avi(frames, codec=codec, quality=95))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     with_payload = docs.mapInPandas(

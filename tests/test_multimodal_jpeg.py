@@ -172,3 +172,110 @@ def test_frame_sample_videos_real_avi(spark):
         use_stub=False,
     ).collect()
     assert len(redec) == 4 and all(r["decode_ok"] for r in redec)
+
+
+def test_frame_sample_videos_mjpeg_avi(spark):
+    """MJPEG-in-AVI: the demuxer binds the MJPG video stream and
+    decodes each frame chunk through the repo's baseline-JPEG
+    decoder — real frame stats, no ffmpeg. Unsupported compressed
+    codecs still yield the single null-frame row."""
+    import struct
+
+    from skrub_spark.multimodal import encode_avi, frame_sample_videos
+
+    rng = np.random.default_rng(11)
+    frames = [
+        np.clip(rng.normal(128, 25, (16, 12, 3)), 0, 255).astype(np.uint8)
+        for _ in range(6)
+    ]
+    mjpg = encode_avi(frames, codec="mjpg", quality=95)
+    # fake an unsupported codec: same file with biCompression/handler
+    # rewritten to H264 (decoder must null it, not crash or mis-read)
+    h264 = mjpg.replace(b"MJPG", struct.pack("<4s", b"H264"))
+    df = spark.createDataFrame(
+        [(1, bytearray(mjpg)), (2, bytearray(h264))],
+        "id int, payload binary",
+    )
+    rows = frame_sample_videos(df, n_frames=3, use_stub=False).collect()
+    vid = sorted((r for r in rows if r["id"] == 1), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in vid] == [0, 2, 4]
+    for r in vid:
+        # JPEG at q=95 with a flat quant table: mean within ~2 levels
+        assert abs(r["frame_px_mean"] - float(frames[r["frame_idx"]].mean())) < 2.0
+    unsup = [r for r in rows if r["id"] == 2]
+    assert len(unsup) == 1 and unsup[0]["frame_idx"] is None
+
+
+def test_avi_multistream_binding():
+    """An audio stream listed before the video stream must not be
+    mis-bound: frame chunks are matched by the bound stream's 2-digit
+    prefix (ADVICE r4: avi.py multi-stream mis-parse)."""
+    import struct
+
+    from skrub_spark.multimodal.avi import decode_avi_frames
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8) for _ in range(2)
+    ]
+
+    def chunk(fcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc, body):
+        return chunk(b"LIST", fourcc + body)
+
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    fbs = []
+    for f in frames:
+        img = np.zeros((h, stride), np.uint8)
+        img[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        fbs.append(img.tobytes())
+    # audio strl FIRST, with a >=40-byte strf whose fake dims (9999)
+    # the old first-strf binding would have picked up
+    a_strh = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 100, 64, 0, 0, 0
+    )
+    a_strf = struct.pack("<IiiHHIIiiII", 40, 9999, 9999, 1, 16, 1, 0, 0, 0, 0, 0)
+    v_strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, len(frames), stride * h, 0, 0, 0
+    )
+    v_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    avih = struct.pack(
+        "<14I", 100000, stride * h * 10, 0, 0x10, len(frames), 0, 2,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+        + lst(b"strl", chunk(b"strh", v_strh) + chunk(b"strf", v_strf)),
+    )
+    movi = lst(
+        b"movi",
+        chunk(b"01wb", b"\x00" * 64)  # audio data must be ignored
+        + b"".join(chunk(b"01db", fb) for fb in fbs),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = decode_avi_frames(payload)
+    assert out is not None and len(out) == 2
+    assert all((a == b).all() for a, b in zip(out, frames))
+
+
+def test_stub_features_wide():
+    """Stub feature vectors honor n_features > 16 (counter-extended
+    digest; ADVICE r4: a single SHA-256 digest silently truncated to
+    16) and stay unchanged for n_features <= 16."""
+    import hashlib
+
+    from skrub_spark.multimodal.columns import _stub_features
+
+    v32 = _stub_features(b"abc", 32)
+    assert len(v32) == 32 and len(set(v32)) > 16
+    v16 = _stub_features(b"abc", 16)
+    old = np.frombuffer(hashlib.sha256(b"abc").digest(), dtype=np.uint16)
+    assert v16 == [float(x) / 65535.0 for x in old]
+    assert v32[:16] == v16
