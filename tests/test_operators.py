@@ -141,6 +141,38 @@ def test_connected_components(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_long_chain(spark):
+    """A 60-node chain (diameter 59) — the old min-label propagation
+    needed 59 rounds and silently returned split components after its
+    max_iter=20; large-star/small-star converges in O(log n) rounds.
+    Also: shuffled edge order, a cross-link, and a self-pair node."""
+    chain = [(i, i + 1) for i in range(60)]
+    chain = chain[1::2] + chain[0::2]  # interleave so order can't help
+    pairs = spark.createDataFrame(
+        chain + [(200, 100), (300, 300)], "id_a int, id_b int"
+    )
+    out = connected_components(pairs, max_iter=10)
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert all(comp[i] == 0 for i in range(61))
+    assert comp[100] == comp[200] == 100
+    assert comp[300] == 300  # self-pair node labels itself
+    assert len(comp) == 64
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter too small must raise (or warn), never silently return
+    partial labels (VERDICT r4 finding)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iter=1, on_nonconverged="warn").collect()
+
+
 def test_deduplicate_strings(spark):
     df = spark.createDataFrame(
         [("london",), ("london",), ("londonn",), ("paris",)], "city string"
