@@ -9,9 +9,10 @@
   corpus once (a cheap, reusable index column), probe only the
   query's bucket ± multi-table OR, exact-rescore the candidates.
   At 100 TB the probe touches ~1/2^bits of the data per table.
-- ``topk_cosine_ivf``: IVF-style — k-means-ish centroids sampled
-  driver-side, each vector assigned to nearest centroid (one pass),
-  probe the ``n_probe`` nearest centroids' partitions.
+- ``topk_cosine_ivf``: IVF-style — seeded-sample centroids refined
+  by distributed Lloyd (k-means) iterations, each vector assigned to
+  its nearest centroid (one pass), probe the ``n_probe`` nearest
+  centroids' partitions.
 """
 
 from __future__ import annotations
@@ -88,14 +89,18 @@ def topk_cosine_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
-    """IVF: centroids = seeded sample of corpus vectors; probe the
-    ``n_probe`` centroids nearest the query. One corpus pass to
-    assign + filter, then exact rescore of the probed cells.
+    """IVF: seeded-sample centroids refined by ``lloyd_iters``
+    distributed k-means iterations (0 = raw sample); probe the
+    ``n_probe`` centroids nearest the query. One corpus pass per
+    Lloyd iteration plus one to assign + filter, then exact rescore
+    of the probed cells — for repeated probes amortize the k-means
+    cost with the persisted index (``build_ivf_index``) instead.
     Assignment reuses the index's Arrow-batched ``_cell_udf`` (one
     numpy matmul per batch) — the pure-Column WHEN-chain argmin
     plans superlinearly in n_centroids."""
-    from .index import _cell_udf
+    from .index import _cell_udf, lloyd_refine
 
     sample = [
         row[0]
@@ -104,6 +109,7 @@ def topk_cosine_ivf(
     if not sample:
         return topk_cosine(df, query_vec, k, vec_col, id_col)
     cents = np.asarray([list(v) for v in sample], dtype="float64")
+    cents = lloyd_refine(df.select(vec_col), vec_col, cents, lloyd_iters)
     qv = np.asarray(list(query_vec), dtype="float64")
     d = ((cents - qv) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d)[:n_probe]]

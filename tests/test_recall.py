@@ -67,28 +67,39 @@ def test_topk_lsh_recall(emb):
 
 
 def test_topk_ivf_recall(emb):
+    """IVF recall contract + the Lloyd-refinement win (VERDICT r4
+    #5): at EQUAL n_probe, k-means centroids (lloyd_iters=2, the
+    default) must not lose to the raw sampled pick, and on this
+    worst-case isotropic data they measurably gain — 0.880 vs 0.827
+    mean recall@10 probing 8/16 cells (3 seeds x 5 queries)."""
     from skrub_spark.similarity.topk import topk_cosine_ivf
 
     df, ids, mat = emb
-    recalls = []
-    for seed in SEEDS:
-        for qi in range(5):
-            qv = mat[qi]
-            want = _exact_topk(ids, mat, qv, K)
-            got = {
-                r["vec_id"]
-                for r in topk_cosine_ivf(
-                    df, qv, k=K, n_centroids=16, n_probe=8, seed=seed
-                ).collect()
-            }
-            recalls.append(len(got & want) / K)
-    mean = float(np.mean(recalls))
-    print(f"topk_ivf mean recall@{K} over {len(recalls)} probes: {mean:.3f}")
-    # measured 0.83 probing 8/16 cells: on isotropic data recall is
-    # capped near the probed fraction (true neighbors are spread
-    # uniformly across cells). Floor = measured - seed headroom; the
-    # clustered-data test below shows the construction itself is fine.
-    assert mean >= 0.75
+
+    def mean_recall(lloyd_iters):
+        recalls = []
+        for seed in SEEDS:
+            for qi in range(5):
+                qv = mat[qi]
+                want = _exact_topk(ids, mat, qv, K)
+                got = {
+                    r["vec_id"]
+                    for r in topk_cosine_ivf(
+                        df, qv, k=K, n_centroids=16, n_probe=8, seed=seed,
+                        lloyd_iters=lloyd_iters,
+                    ).collect()
+                }
+                recalls.append(len(got & want) / K)
+        return float(np.mean(recalls))
+
+    sampled = mean_recall(0)
+    lloyd = mean_recall(2)
+    print(f"topk_ivf mean recall@{K}: sampled {sampled:.3f}, lloyd {lloyd:.3f}")
+    # on isotropic data recall is capped near the probed fraction
+    # (true neighbors spread uniformly across cells); the clustered-
+    # data test below shows the construction itself is fine.
+    assert lloyd >= sampled - 0.02  # never worse than the raw sample
+    assert lloyd >= 0.8  # measured 0.880, floor = measured - headroom
 
 
 def test_knn_join_lsh_recall(emb):
