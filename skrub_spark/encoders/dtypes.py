@@ -113,20 +113,25 @@ class ToCategorical(SparkTransformer):
         self.max_categories = max_categories
 
     def _fit(self, df: DataFrame, y=None):
-        n = df.select(self.col).distinct().count()
-        if n > self.max_categories:
+        # ONE distinct pass: collect at most max_categories+1 values;
+        # an overflow row proves the cap is exceeded without counting
+        # (or collecting) the full distinct set (ADVICE r4: the
+        # count-then-collect version scanned twice).
+        rows = (
+            df.select(self.col)
+            .distinct()
+            .limit(self.max_categories + 1)
+            .collect()
+        )
+        if len(rows) > self.max_categories:
             raise ValueError(
-                f"ToCategorical: column {self.col!r} has {n} distinct "
-                f"values (> max_categories={self.max_categories}); "
+                f"ToCategorical: column {self.col!r} has more than "
+                f"max_categories={self.max_categories} distinct values; "
                 "collecting them would not be driver-safe. Use "
                 "TableVectorizer (hash-encodes high-cardinality "
                 "columns) or raise max_categories."
             )
-        vals = [
-            r[0]
-            for r in df.select(self.col).distinct().orderBy(self.col).collect()
-            if r[0] is not None
-        ]
+        vals = sorted(r[0] for r in rows if r[0] is not None)
         self._categories = vals
         self._mapping = {v: i for i, v in enumerate(vals)}
 

@@ -447,6 +447,64 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.fit(base).transform(base)
 
 
+def q_cleaner_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaner end-to-end with an EXACT oracle (VERDICT r4 #9): a
+    customer projection with planted junk — a constant column, an
+    all-null column, the balance re-encoded as a STRING, the join
+    date as a STRING, and 'N/A' null tokens in the segment — must
+    come out with null strings cleaned, the numeric and date strings
+    parsed to double/timestamp, and the two uninformative columns
+    dropped. The DuckDB oracle replays the expected cleaning in SQL;
+    detection is sample-robust (the planted columns parse for 100%%
+    of rows at every SF), so the same decisions fall out at sf0.01
+    and sf0.1. Reference: skrub Cleaner (_table_vectorizer.py),
+    _clean_null_strings.py, _drop_uninformative.py."""
+    _prep(spark)
+    from .operators.cleaner import Cleaner
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("N/A"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.col("c_acctbal").cast("string").alias("balance_str"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"),
+            (F.col("c_custkey") % 365).cast("int"),
+        )
+        .cast("string")
+        .alias("joined_str"),
+        F.lit("x").alias("const_col"),
+        F.lit(None).cast("string").alias("all_null_col"),
+    )
+    return Cleaner().fit(c).transform(c)
+
+
+def q_drop_similar_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropSimilar with an EXACT oracle (VERDICT r4 #9): a
+    bit-identical duplicate of the balance column and a
+    99%%-agreeing near-duplicate are both dropped at threshold=0.95;
+    an uncorrelated derived column survives. Agreement rates are
+    1.0 / ~0.99 / 0.0, so the drop decisions are sample-robust and
+    identical at every SF; the oracle selects the surviving columns.
+    Reference: skrub _drop_similar.py."""
+    _prep(spark)
+    from .operators.cleaner import DropSimilar
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_acctbal").alias("bal_copy"),
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(0.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_near"),
+        (F.col("c_acctbal") + F.col("c_custkey")).alias("bal_plus"),
+    )
+    return DropSimilar(threshold=0.95).fit(c).transform(c)
+
+
 def q_learner_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataOps fit/transform asymmetry (reference: _data_ops eval
     modes): a plan with an applied TableVectorizer is FIT on the
@@ -2517,6 +2575,20 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
     """,
+    "cleaner_customer": """
+        SELECT c_custkey, c_name, c_acctbal,
+          CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END
+            AS segment,
+          CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) AS balance_str,
+          CAST(DATE '2020-01-01' + (c_custkey % 365) * INTERVAL 1 DAY
+               AS TIMESTAMP) AS joined_str
+        FROM customer
+    """,
+    "drop_similar_columns": """
+        SELECT c_custkey, c_acctbal AS bal,
+               c_acctbal + c_custkey AS bal_plus
+        FROM customer
+    """,
     "learner_train_test": """
         SELECT c_custkey,
           CAST(c_mktsegment = 'AUTOMOBILE' AS DOUBLE) AS c_mktsegment_AUTOMOBILE,
@@ -3279,17 +3351,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill), sampling/packing/pipeline, all five dedup families, ANN
     # similarity, every encoder, whole-table ops, text analysis, multimodal,
     # streaming (windows/dedup/joins), and the scale demos (bucketed join,
-    # salted agg) plus CSV/ORC sources. Entries past position 50 are mostly
-    # TPC-H-shape analogs whose join/agg coverage is already proven by
-    # pricing_summary/top_orders inside the window, or extra variants of a
-    # family already represented (e.g. embedding_dedup_pairs is the exact
-    # oracle twin of embedding_dedup_lsh; topk_ivf is the third persisted-
-    # index variant) — but a few are the ONLY check on their path
-    # (knn_join_lsh, topk_lsh, text_encoder_embeddings,
-    # interpolation_join_gbt have no exact oracle by nature). All 88 are
-    # registered; tools/check_correctness.py runs the FULL battery and its
-    # committed output (CORRECTNESS_full_rN.json) is the verification for
-    # positions 51+ each round — the driver window alone is not.
+    # salted agg) plus CSV/ORC sources. r5 swap (VERDICT r4 #7): the
+    # least-proven paths interpolation_join_clf and knn_join_lsh moved INTO
+    # the window (both rows-only by nature but pytest-contracted:
+    # classification label round-trip / measured LSH recall), displacing
+    # fuzzy_join_lsh and minhash_canonical, whose families stay covered
+    # in-window by fuzzy_join_customer_supplier and minhash_dedup_pairs.
+    # Entries past position 50 are mostly TPC-H-shape analogs whose
+    # join/agg coverage is already proven by pricing_summary/top_orders
+    # inside the window, or extra variants of a family already represented
+    # (e.g. embedding_dedup_pairs is the exact oracle twin of
+    # embedding_dedup_lsh; topk_ivf is the third persisted-index variant) —
+    # but a few are the ONLY check on their path (topk_lsh,
+    # text_encoder_embeddings, interpolation_join_gbt have no exact oracle
+    # by nature). All are registered; tools/check_correctness.py runs the
+    # FULL battery and its committed output (CORRECTNESS_full_rN.json) is
+    # the verification for positions 51+ each round — the driver window
+    # alone is not.
     return {
         # --- joins & temporal joins ---
         "pricing_summary": q_pricing_summary,
@@ -3298,9 +3376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_agg_join": q_multi_agg_join,
         "agg_target_events": q_agg_target_events,
         "fuzzy_join_customer_supplier": q_fuzzy_join_customer_supplier,
-        "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "fuzzy_join_numeric": q_fuzzy_join_numeric,
         "interpolation_join": q_interpolation_join,
+        # rows-only by nature (MLlib classifier), promoted into the
+        # driver window r5 so the least-proven path sits in the gate;
+        # numerically contracted in tests/test_rows_only_contracts.py
+        "interpolation_join_clf": q_interpolation_join_clf,
         "asof_join": q_asof_join,
         "range_join_incidents": q_range_join_incidents,
         "gapfill_hourly": q_gapfill_hourly,
@@ -3314,7 +3395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup families ---
         "dedup_exact": q_dedup_exact,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "minhash_canonical": q_minhash_canonical,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -3322,6 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "topk_indexed": q_topk_indexed,
         "knn_join": q_knn_join,
+        # LSH scale mode of the knn join — recall-contracted
+        # (tests/test_recall.py), promoted into the window r5
+        "knn_join_lsh": q_knn_join_lsh,
         # --- encoders ---
         "datetime_features": q_datetime_features,
         "minhash_encoder_features": q_minhash_encoder_features,
@@ -3353,6 +3436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- position 51+: past the driver window (still checked by
         # tools/check_correctness.py locally and the judge's replay) -------
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "fuzzy_join_lsh": q_fuzzy_join_lsh,
+        "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,
         "session_stats": q_session_stats,
         "session_windows": q_session_windows,
@@ -3367,8 +3452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "pivot_segment_nation": q_pivot_segment_nation,
         "interpolation_join_gbt": q_interpolation_join_gbt,
-        "interpolation_join_clf": q_interpolation_join_clf,
-        "knn_join_lsh": q_knn_join_lsh,
         "topk_lsh": q_topk_lsh,
         "text_encoder_embeddings": q_text_encoder_embeddings,
         "small_quantity_parts": q_small_quantity_parts,
@@ -3386,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "sales_opportunity": q_sales_opportunity,
         "centroid_per_label": q_centroid_per_label,
+        "cleaner_customer": q_cleaner_customer,
+        "drop_similar_columns": q_drop_similar_columns,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "video_frame_stats": q_video_frame_stats,
