@@ -212,23 +212,19 @@ def fuzzy_join(
     r_on = [c + (suffix or "_right") if c in left.columns else c for c in right_on]
 
     left_t = left.withColumn(_LEFT_ID, F.monotonically_increasing_id())
-    if strategy == "ngram_lsh" and not drop_unmatched:
-        # the id-stamped frame fans out into two plan branches (the
-        # banded candidates and the keep-unmatched left join at the
-        # bottom); monotonically_increasing_id is nondeterministic, so
-        # truncate lineage once so both branches see the SAME ids even
-        # under task retries / upstream reordering.
-        left_t = left_t.localCheckpoint(eager=False)
-    if strategy == "ngram_lsh":
-        # band-candidate dedup must key on right-row IDENTITY: keying
-        # on the right key VALUES would collapse distinct right rows
-        # that share a key into one arbitrary survivor, making the
-        # tiebreak (and second_neighbor rescaling) see fewer rows
-        # than the exact strategy does. Checkpoint so the id is
-        # stable across the plan.
-        right_renamed = right_renamed.withColumn(
-            _RIGHT_ID, F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+    # the id-stamped frames fan out into two plan branches (the
+    # candidate pairs and the payload/keep-unmatched joins at the
+    # bottom); monotonically_increasing_id is nondeterministic, so
+    # truncate lineage once so both branches see the SAME ids even
+    # under task retries / upstream reordering. Right ids also key the
+    # band-candidate dedup on row IDENTITY: keying on the right key
+    # VALUES would collapse distinct right rows that share a key into
+    # one arbitrary survivor, making the tiebreak (and
+    # second_neighbor rescaling) see fewer rows.
+    left_t = left_t.localCheckpoint(eager=False)
+    right_renamed = right_renamed.withColumn(
+        _RIGHT_ID, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
 
     l_cols = [F.col(c) for c in left_on]
     r_cols = [F.col(c) for c in r_on]
@@ -242,21 +238,27 @@ def fuzzy_join(
     str_left = [c for c, k in zip(left_on, kinds) if k == "string"]
     str_right = [c for c, k in zip(r_on, kinds) if k == "string"]
 
-    # LSH candidates are kept NARROW: ids + key columns + tiebreaks.
-    # Payload columns join back AFTER the argmin — carrying full-width
-    # rows through tens of millions of banded candidates (and the
-    # first(left_col) aggregates) dominated runtime on low-selectivity
-    # key distributions (self-similar synthetic names: ~90M candidate
-    # rows for a 15k x 1.5k join at sf0.1).
+    # Candidates are kept NARROW on BOTH strategies: ids + key columns
+    # + tiebreaks. Payload columns join back AFTER the argmin —
+    # carrying full-width rows through millions of candidate pairs
+    # (and first(left_col) aggregates) dominated runtime: ~90M banded
+    # candidate rows on low-selectivity LSH keys, and a measured
+    # 49s -> ~7s on the 15k x 1k broadcast levenshtein argmin at
+    # sf0.1, where the old min(struct(dist, payload...)) compared
+    # full supplier rows lexicographically 15M times.
     tiebreak = [c for c in (tiebreak_cols or r_on)]
-    narrow = strategy == "ngram_lsh"
-    if narrow:
-        rb_keep = [_RIGHT_ID] + list(dict.fromkeys(r_on + tiebreak))
-        lb_base = left_t.select(_LEFT_ID, *left_on)
-        rb_base = right_renamed.select(*rb_keep)
+    rb_keep = [_RIGHT_ID] + list(dict.fromkeys(r_on + tiebreak))
+    # spread the left side across the cluster BEFORE the expensive
+    # per-pair work: a small single-file left arrives as one
+    # partition, and both the broadcast cross join and the gram/band
+    # projection would otherwise run the entire O(|L| x |R|) distance
+    # evaluation on ONE core (measured 40s -> ~4s at sf0.1).
+    par = left.sparkSession.sparkContext.defaultParallelism
+    lb_base = left_t.select(_LEFT_ID, *left_on).repartition(par)
+    rb_base = right_renamed.select(*rb_keep)
 
     if strategy == "levenshtein":
-        pairs = left_t.crossJoin(broadcast(right_renamed))
+        pairs = lb_base.crossJoin(broadcast(rb_base))
     elif strategy == "ngram_lsh" and str_left:
         # string keys are the selective ones: candidates come from
         # minhash bands over their grams; numeric/datetime key columns
@@ -338,19 +340,12 @@ def fuzzy_join(
     # hash aggregate gets map-side partial aggregation — per-partition
     # the candidate set collapses to one row per left row before the
     # shuffle, where a window would sort-shuffle every candidate pair.
-    right_out = [c for c in right_renamed.columns if c != _RIGHT_ID]
     struct_fields = (
         [F.col(_DIST).alias("__d")]
         + [F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)]
-        + (
-            [F.col(_RIGHT_ID).alias("__rid")]
-            if narrow
-            else [F.col(c).alias(c) for c in right_out]
-        )
+        + [F.col(_RIGHT_ID).alias("__rid")]
     )
-    agg_cols = [F.min(F.struct(*struct_fields)).alias("__best")] + (
-        [] if narrow else [F.first(c).alias(c) for c in left.columns]
-    )
+    agg_cols = [F.min(F.struct(*struct_fields)).alias("__best")]
     if ref_dist == "second_neighbor":
         # per-row reference: distance to the 2nd nearest candidate
         # (ties included). collect_list is bounded by the candidate
@@ -368,21 +363,12 @@ def fuzzy_join(
     second = (
         [F.col("__second")] if ref_dist == "second_neighbor" else []
     )
-    if narrow:
-        best = best.select(
-            _LEFT_ID,
-            F.col("__best.__rid").alias(_RIGHT_ID),
-            F.col("__best.__d").alias(_DIST),
-            *second,
-        ).join(right_renamed, on=_RIGHT_ID, how="left").drop(_RIGHT_ID)
-    else:
-        best = best.select(
-            _LEFT_ID,
-            *left.columns,
-            *[F.col(f"__best.{c}").alias(c) for c in right_out],
-            F.col(f"__best.__d").alias(_DIST),
-            *second,
-        )
+    best = best.select(
+        _LEFT_ID,
+        F.col("__best.__rid").alias(_RIGHT_ID),
+        F.col("__best.__d").alias(_DIST),
+        *second,
+    ).join(right_renamed, on=_RIGHT_ID, how="left").drop(_RIGHT_ID)
 
     if ref_dist == "random_pairs":
         ls = left.select(*left_on).orderBy(*left_on).limit(200)
@@ -426,13 +412,12 @@ def fuzzy_join(
                 c, F.when(F.col(_ACCEPT), F.col(c)).otherwise(F.lit(None))
             )
 
-    # narrow path: recover left columns; keep-unmatched uses a left
-    # join so left rows with no candidate at all survive with nulls
-    if narrow:
-        how = "inner" if drop_unmatched else "left"
-        best = left_t.join(
-            best.drop(*[c for c in left.columns]), on=_LEFT_ID, how=how
-        )
+    # recover left columns; keep-unmatched uses a left join so left
+    # rows with no candidate at all survive with nulls
+    how = "inner" if drop_unmatched else "left"
+    best = left_t.join(
+        best.drop(*[c for c in left.columns]), on=_LEFT_ID, how=how
+    )
 
     out = best.drop(_LEFT_ID)
     if not add_match_info:

@@ -1360,10 +1360,12 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pipeline over the REAL AVI demuxer (RIFF chunk walk, no
     ffmpeg): synthesize a 6-frame AVI per document (frames seeded by
-    doc_id) — uncompressed DIB for even doc_ids, MJPEG (per-frame
-    baseline JPEG via the repo's own pure-numpy codec) for odd ones —
-    sample 3 evenly-spaced frames in the Arrow-batched pass, return
-    per-doc frame count and mean frame brightness. (Container
+    doc_id) — uncompressed DIB for most doc_ids, MJPEG (per-frame
+    baseline JPEG via the repo's own pure-numpy codec) for every
+    fifth — sample 3 evenly-spaced frames in the Arrow-batched pass,
+    return per-doc frame count and mean frame brightness. The MJPG
+    fraction is 1-in-5 because the python-side JPEG ENCODE of the
+    fixture dominates wall time, not the engine. (Container
     synthesis isn't SQL-expressible: rows-only.)"""
     _prep(spark)
     import numpy as np
@@ -1382,7 +1384,7 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
                     for _ in range(6)
                 ]
-                codec = "dib" if int(i) % 2 == 0 else "mjpg"
+                codec = "mjpg" if int(i) % 5 == 1 else "dib"
                 payloads.append(encode_avi(frames, codec=codec, quality=95))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
