@@ -15,30 +15,6 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot_product
 
 
-def _hyperplane_bucket(vec_col, planes: np.ndarray):
-    """Sign-bit sketch: bit i = (v · plane_i) > 0, packed to a long."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -82,40 +58,48 @@ def embedding_near_duplicates(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
-    else:
-        if dim is None:
-            first = df.select(F.size(vec_col).alias("d")).first()
-            dim = int(first["d"])
-        rng = np.random.default_rng(seed)
-        buckets = []
-        for t in range(n_tables):
-            planes = rng.standard_normal((n_planes, dim))
-            buckets.append(_hyperplane_bucket(F.col("v"), planes))
-        banded = base.select(
-            "id",
-            "v",
-            "nrm",
-            F.posexplode(F.array(*buckets)).alias("bucket_idx", "bucket"),
-        )
-    a = banded.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "bucket_idx",
-        "bucket",
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes_list = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+    # Arrow-batched all-tables bucketing (one numpy matmul per batch
+    # per table) — the former per-table fold expressions carried
+    # n_tables x n_planes x dim literals through an interpreted HOF
+    # tree (the same expression-blowup trap the ANN index fixed in
+    # r4). Repartition first: a single-file corpus arrives as one
+    # partition and would bucket on one core.
+    from ..similarity.index import _buckets_udf
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(par).persist()
+    banded = base.select(
+        "id",
+        F.posexplode(_buckets_udf(planes_list)(F.col("v"))).alias(
+            "bucket_idx", "bucket"
+        ),
     )
-    b = banded.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "bucket_idx",
-        "bucket",
+    # Candidates stay NARROW (ids only) through the bucket self-join
+    # and the pair dedup; the 2x dim-double vectors join back per
+    # SURVIVING pair only, not per banded candidate row.
+    a = banded.select(F.col("id").alias("id_a"), "bucket_idx", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "bucket_idx", "bucket")
+    cand = (
+        a.join(b, on=["bucket_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, on=["bucket_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
