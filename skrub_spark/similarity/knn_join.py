@@ -75,8 +75,12 @@ def cosine_knn_join(
         l2_norm(F.col(right_vec)).alias("__rn"),
     )
 
+    # spread the left (and lsh right) side before the per-pair work:
+    # a small single-file table arrives as one partition and the
+    # whole O(candidates) dot-product evaluation would run one core
+    par = left.sparkSession.sparkContext.defaultParallelism
     if method == "exact":
-        pairs = l.crossJoin(broadcast(r))
+        pairs = l.repartition(par).crossJoin(broadcast(r))
     elif method == "lsh":
         dim = int(
             left.select(F.size(left_vec).alias("d")).first()["d"]
@@ -85,7 +89,7 @@ def cosine_knn_join(
         buckets = _buckets_udf(planes)
 
         def banded(df, vec):
-            return df.select(
+            return df.repartition(par).select(
                 "*", F.posexplode(buckets(F.col(vec))).alias("__t", "__b")
             )
         lb = banded(l, "__lv")
@@ -107,7 +111,11 @@ def cosine_knn_join(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
     )
     out = (
+        # project the cosine and DROP the vectors before the top-k
+        # window: the sort shuffle then carries 3 scalars per pair
+        # instead of two dim-double arrays
         pairs.withColumn("__cos", cos)
+        .select("query_id", "neighbor_id", "__cos")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
