@@ -1203,7 +1203,14 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal.jpeg import encode_jpeg
     from .multimodal.png import encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the synthesis mapInPandas: the single-file
+    # table arrives as one partition and the python-side codec
+    # encode would otherwise run on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make_payloads(batches):
         for pdf in batches:
@@ -1253,7 +1260,14 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal.jpeg import encode_jpeg
     from .multimodal.png import encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the synthesis mapInPandas: the single-file
+    # table arrives as one partition and the python-side codec
+    # encode would otherwise run on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make_px(seed: int) -> np.ndarray:
         rng = np.random.default_rng(seed)
@@ -1313,7 +1327,14 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.embedding import embedding_near_duplicates
     from .multimodal import encode_wav, extract_audio_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the synthesis mapInPandas: the single-file
+    # table arrives as one partition and the python-side codec
+    # encode would otherwise run on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     n = 4096
 
     def make_samples(seed: int) -> np.ndarray:
@@ -1373,7 +1394,14 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal import encode_avi, frame_sample_videos
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the synthesis mapInPandas: the single-file
+    # table arrives as one partition and the python-side codec
+    # encode would otherwise run on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make_payloads(batches):
         for pdf in batches:
