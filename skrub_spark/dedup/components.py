@@ -99,19 +99,20 @@ def connected_components(
     # invariant: e is the symmetrized edge set entering each phase
     e = _symmetrize(edges).localCheckpoint(eager=True)
     converged = False
+    before = _fingerprint(e)
     for _ in range(max_iter):
-        before = _fingerprint(e)
         e2 = _symmetrize(
             _small_star(_symmetrize(_large_star(e)))
         ).localCheckpoint(eager=True)
-        if _fingerprint(e2) == before:
+        after = _fingerprint(e2)
+        e = e2
+        if after == before:
             # one full round left the (symmetrized) edge set unchanged
             # -> fixpoint of L∘S; stars are the only such fixpoints
             # (Kiveris et al. Thm 1-2), so labels below are exact.
-            e = e2
             converged = True
             break
-        e = e2
+        before = after
     if not converged:
         msg = (
             f"connected_components did not converge in {max_iter} "

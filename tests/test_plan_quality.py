@@ -216,3 +216,50 @@ def test_gapfill_two_narrow_shuffles(spark):
     df = q_gapfill_hourly(spark, SF)
     plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_fuzzy_join_narrow_argmin_plan(spark):
+    """r5 perf shapes must not regress: the exact fuzzy join spreads
+    the left side (RoundRobin repartition) before the broadcast cross
+    join, and the argmin aggregate carries NO first() payload
+    aggregates (payload joins back by right-row id after the min)."""
+    from skrub_spark.queries import q_fuzzy_join_customer_supplier
+
+    df = q_fuzzy_join_customer_supplier(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "RoundRobinPartitioning" in plan
+    assert "first(" not in plan  # old wide-argmin shape
+    assert plan.count("min(") >= 1
+
+
+def test_knn_join_window_sheds_vectors(spark):
+    """The top-k window's sort shuffle must carry scalars only: the
+    embedding arrays may not appear in any operator at or above the
+    Window (they are consumed by the cosine projection below it)."""
+    from skrub_spark.sources import load_table
+    from skrub_spark.similarity.knn_join import cosine_knn_join
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    df = cosine_knn_join(emb, emb, k=3, method="exact")
+    plan = plan_of(df)
+    window_part = plan.split("Window")[0]  # text ABOVE the Window op
+    assert "__lv" not in window_part and "__rv" not in window_part
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_embedding_lsh_narrow_candidates(spark):
+    """Embedding LSH dedup: the pair dedup (id_a, id_b) must not
+    carry the vectors — they join back after (two extra joins in the
+    plan below the final projection)."""
+    from skrub_spark.dedup.embedding import embedding_near_duplicates
+    from skrub_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    df = embedding_near_duplicates(
+        emb, "embedding", "vec_id", threshold=0.35, n_planes=3, n_tables=4
+    )
+    plan = plan_of(df)
+    # the dedup aggregate groups on ids only, above the vector joins
+    dedup_part = plan.split("HashAggregate")[1] if "HashAggregate" in plan else ""
+    assert "va" not in dedup_part.split("Join")[0]
