@@ -17,6 +17,11 @@ from .operators.sampling import (  # noqa: F401
     stratified_sample,
 )
 from .operators.range_join import range_join  # noqa: F401
+from .operators.repetition import (  # noqa: F401
+    repetition_filter,
+    repetition_stats,
+)
+from .functions.text import redact_pii  # noqa: F401
 from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,

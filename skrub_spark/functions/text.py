@@ -178,3 +178,43 @@ def rolling_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, hv: F.pmod(acc * B + hv, F.lit(mod)),
     ).cast("long")
+
+
+def lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def words_az09(col: Column | str) -> Column:
+    """Lowercased [a-z0-9]+ word tokens as array<string> — the split
+    regex is RE2-compatible so a DuckDB oracle can replay it
+    exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+_PII_PATTERNS = (
+    # order matters: emails first (their local parts contain dots and
+    # digits an IP/phone pattern could partially claim)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d \-]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / IPv4 addresses / phone-shaped digit runs to
+    typed placeholder tokens — the standard pre-training privacy
+    pass, as a pure Catalyst regexp_replace chain (beyond-reference
+    LLM-pipeline operator, SURVEY.md §2). Patterns are deliberately
+    RE2-compatible, so the DuckDB oracle replays them bit-exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -447,6 +447,48 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.fit(base).transform(base)
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021,
+    Appendix A1) over documents: duplicate-line fraction,
+    duplicate-line CHARACTER fraction and top-word share as two
+    explode+groupBy pipelines (no UDFs, no per-row O(n^2) HOFs) plus
+    the keep flag. Exact oracle: DuckDB replays the same
+    unnest/group-by relational algebra; split regexes are
+    RE2-compatible by construction."""
+    _prep(spark)
+    from .operators.repetition import repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_filter(docs, "text", "doc_id")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (beyond-reference LLM-pipeline op): plant a
+    deterministic email + phone + IPv4 per document (pure SQL concat,
+    so the oracle can replay it), then redact with the Catalyst
+    regexp_replace chain. Exact string-level oracle — the patterns
+    are deliberately RE2-compatible so DuckDB produces byte-identical
+    redactions."""
+    _prep(spark)
+    from .functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0.0.1"),
+        ).alias("text2"),
+    )
+    return planted.select(
+        "doc_id", redact_pii(F.col("text2")).alias("redacted")
+    )
+
+
 def q_cleaner_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleaner end-to-end with an EXACT oracle (VERDICT r4 #9): a
     customer projection with planted junk — a constant column, an
@@ -2605,6 +2647,58 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
     """,
+    "repetition_filter": """
+        WITH l AS (
+          SELECT doc_id, trim(line) AS line
+          FROM documents, UNNEST(string_split(text, chr(10))) AS t(line)
+          WHERE trim(line) <> ''
+        ),
+        lc AS (SELECT doc_id, line, COUNT(*) c FROM l GROUP BY 1, 2),
+        la AS (
+          SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+            SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+            SUM(c * length(line)) AS tot_chars
+          FROM lc GROUP BY 1
+        ),
+        w AS (
+          SELECT doc_id, w FROM documents,
+            UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(w)
+          WHERE w <> ''
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c
+               FROM wc GROUP BY 1)
+        SELECT d.doc_id,
+          COALESCE(la.n_lines, 0) AS n_lines,
+          COALESCE(1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_lines, 0.0)
+            AS dup_line_frac,
+          COALESCE(CAST(la.dup_chars AS DOUBLE) / la.tot_chars, 0.0)
+            AS dup_line_char_frac,
+          COALESCE(wa.n_words, 0) AS n_words,
+          COALESCE(CAST(wa.top_c AS DOUBLE) / wa.n_words, 0.0)
+            AS top_word_frac,
+          (COALESCE(1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_lines, 0.0)
+             <= 0.30
+           AND COALESCE(CAST(la.dup_chars AS DOUBLE) / la.tot_chars, 0.0)
+             <= 0.20
+           AND COALESCE(CAST(wa.top_c AS DOUBLE) / wa.n_words, 0.0)
+             <= 0.20) AS keep
+        FROM documents d
+        LEFT JOIN la USING (doc_id)
+        LEFT JOIN wa USING (doc_id)
+    """,
+    "pii_redaction": """
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1 555-000'
+                 || CAST(doc_id AS VARCHAR) || ' ip 10.0.0.1',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g'),
+            '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+            '\\+?\\d[\\d \\-]{6,}\\d', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """,
     "cleaner_customer": """
         SELECT c_custkey, c_name, c_acctbal,
           CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END
@@ -3501,6 +3595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_per_label": q_centroid_per_label,
         "cleaner_customer": q_cleaner_customer,
         "drop_similar_columns": q_drop_similar_columns,
+        "repetition_filter": q_repetition_filter,
+        "pii_redaction": q_pii_redaction,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "video_frame_stats": q_video_frame_stats,

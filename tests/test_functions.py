@@ -179,3 +179,48 @@ def test_datetime_spline_encoding(spark):
     assert all(0.0 <= v <= 1.0 for v in vals)
     # hour=12 with 6 splines over 24 -> knot at 12 has activation 1
     assert r["ts_hour_spline_03"] == 1.0
+
+
+def test_repetition_filter_planted(spark):
+    """Gopher-style repetition signals on planted documents: a
+    boilerplate-heavy doc (repeated lines + dominant word) is
+    rejected; normal prose passes."""
+    from skrub_spark.operators.repetition import repetition_filter
+
+    spam = "buy now\n" * 8 + "limited offer today\n"
+    prose = "the quick brown fox\njumps over a lazy dog\nand runs away\n"
+    df = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+    assert out[1]["n_lines"] == 9
+    assert abs(out[1]["dup_line_frac"] - (1 - 2 / 9)) < 1e-12
+    assert out[1]["top_word_frac"] > 0.2  # 'buy'/'now' dominate
+    assert not out[1]["keep"]
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["keep"]
+    assert out[3]["n_lines"] == 0 and out[3]["n_words"] == 0
+    assert out[3]["keep"]  # empty doc: all fractions 0
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from skrub_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk please"),
+            (2, "server at 192.168.0.17 went down"),
+            (3, "call +44 20 7946-0958 now"),
+            (4, "no pii here, just v1.2 and 42"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r["red"] for r in df.select(
+        "id", redact_pii(F.col("text")).alias("red")
+    ).collect()}
+    assert out[1] == "mail me at <EMAIL> please"
+    assert out[2] == "server at <IP> went down"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "no pii here, just v1.2 and 42"
