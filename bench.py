@@ -27,6 +27,8 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "language_id",
+    "repetition_filter",
+    "pii_redaction",
     "similarity_topk",
     "session_stats",
     "ngram_jaccard_pairs",

@@ -292,3 +292,94 @@ def test_range_join_matches_bruteforce(spark, lints, rints, bucket):
         if ls <= re and rs <= le
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                list("abcz 019.@-+\n") + ["\n\n", "word ", "dup line\n"]
+            ),
+            max_size=40,
+        ).map("".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_stats_match_python(spark, texts):
+    """repetition_stats == a pure-Python reference on arbitrary text
+    (same line/word tokenization rules), regardless of content."""
+    import re
+
+    from skrub_spark.operators.repetition import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        ls = [x.strip() for x in t.split("\n")]
+        ls = [x for x in ls if x]
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        from collections import Counter
+
+        lc, wc = Counter(ls), Counter(ws)
+        n_lines, n_words = len(ls), len(ws)
+        dup_line = 1 - len(lc) / n_lines if n_lines else 0.0
+        tot = sum(c * len(x) for x, c in lc.items())
+        dup_chars = sum(c * len(x) for x, c in lc.items() if c > 1)
+        dup_char_frac = dup_chars / tot if tot else 0.0
+        top_word = max(wc.values()) / n_words if n_words else 0.0
+        r = got[i]
+        assert r["n_lines"] == n_lines and r["n_words"] == n_words
+        assert abs(r["dup_line_frac"] - dup_line) < 1e-12
+        assert abs(r["dup_line_char_frac"] - dup_char_frac) < 1e-12
+        assert abs(r["top_word_frac"] - top_word) < 1e-12
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                list("ab2 .@-+")
+                + ["x@y.com ", "10.0.0.1 ", "+1 5550001234 ", "a.b@c.io"]
+            ),
+            max_size=25,
+        ).map("".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_redact_pii_matches_python_re(spark, texts):
+    """redact_pii == the same pattern chain via Python re (the
+    patterns avoid engine-specific constructs by design)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from skrub_spark.functions.text import _PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = t
+        for pat, repl in _PII_PATTERNS:
+            want = re.sub(pat, repl, want)
+        assert got[i] == want, (t, got[i], want)
