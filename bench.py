@@ -185,6 +185,39 @@ def scale_demos(spark) -> dict:
     assert join_is_shuffle_free(bj), "bucketed join plan has an Exchange"
     n5 = with_conf(False, lambda: timed("bucketed_join_s", agg2(bj)))
     assert n4 == n5, (n4, n5)
+
+    # --- 3. LLM dedup at 40x the battery corpus: 200k synthetic docs
+    # (40-word texts, JVM-synthesized — no python in the data path),
+    # 4000 planted duplicate pairs. Asserts the MinHash-LSH pipeline
+    # returns exactly the planted pairs at this scale and records the
+    # wall time — the demo the 100 TB claim rests on: gram explode ->
+    # 64 double-hashed min aggs -> banding -> bucket-capped pair
+    # expansion -> exact verify, all shuffle-bounded.
+    from skrub_spark.dedup.minhash import dedup_minhash_pairs
+
+    n_docs = 200_000
+    base = F.when(F.col("id") % 50 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base, F.lit(j)), F.lit(5000)).cast("string"),
+        )
+        for j in range(40)
+    ]
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    t0 = time.time()
+    n_pairs = dedup_minhash_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.8
+    ).count()
+    out["minhash_200k_docs_s"] = round(time.time() - t0, 3)
+    print(
+        f"# demo minhash_200k_docs: {out['minhash_200k_docs_s']:.2f}s "
+        f"({n_pairs} pairs, {n_docs / out['minhash_200k_docs_s']:.0f} docs/s)",
+        file=sys.stderr,
+    )
+    assert n_pairs == n_docs // 50, n_pairs
     return out
 
 

@@ -447,6 +447,27 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.fit(base).transform(base)
 
 
+def q_selectors_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """selectors DSL resolved against a real table with an EXACT
+    oracle: numeric() minus cols() union glob() boolean algebra picks
+    exactly (l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    l_discount, l_shipdate-via-glob) — the oracle simply selects
+    those columns, so a mis-resolved selector changes the schema and
+    fails the compare. Rows restricted by a deterministic key filter
+    (LIMIT would pick engine-dependent rows).
+    Reference: skrub/selectors/."""
+    _prep(spark)
+    from . import selectors as s
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 31 == 0
+    )
+    sel = (s.numeric() & ~s.cols("l_partkey", "l_suppkey", "l_tax")) | s.glob(
+        "l_ship*"
+    )
+    return s.select(li, sel)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter (Rae et al. 2021,
     Appendix A1) over documents: duplicate-line fraction,
@@ -2647,6 +2668,11 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
     """,
+    "selectors_projection": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_shipdate
+        FROM lineitem WHERE l_orderkey % 31 = 0
+    """,
     "repetition_filter": """
         WITH l AS (
           SELECT doc_id, trim(line) AS line
@@ -3597,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_similar_columns": q_drop_similar_columns,
         "repetition_filter": q_repetition_filter,
         "pii_redaction": q_pii_redaction,
+        "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "video_frame_stats": q_video_frame_stats,
