@@ -21,6 +21,7 @@ from .operators.repetition import (  # noqa: F401
     repetition_filter,
     repetition_stats,
 )
+from .operators.span_dedup import dedup_spans  # noqa: F401
 from .functions.text import redact_pii  # noqa: F401
 from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
 from .dedup import (  # noqa: F401

@@ -1,0 +1,72 @@
+"""C4-style global span deduplication (beyond-reference LLM-pipeline
+operator, SURVEY.md §2).
+
+Raffel et al. (C4, arXiv:1910.10683 §2.2) deduplicate the corpus at
+SUB-document granularity: any span (they use three-sentence windows;
+here the unit is a non-empty line) that occurs more than once in the
+whole corpus is kept only at its FIRST occurrence (document order,
+then position) and removed everywhere else — the standard weapon
+against boilerplate (cookie banners, nav bars, license headers) that
+document-level near-dedup cannot see.
+
+Plan shape: posexplode lines -> one groupBy(normalized span) keeps
+the min (doc, pos) occurrence -> semi-join back -> per-doc rebuild
+via array_sort(collect_list(struct(pos, line))). Two key-shuffles +
+one doc-shuffle, all with map-side partial aggregation; collect_list
+is bounded by a single document's line count. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import lines
+
+
+def dedup_spans(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Returns (id_col, clean_text, n_lines, n_removed): the document
+    rebuilt from its surviving lines (first global occurrence per
+    normalized line), with empty string when nothing survives.
+    Normalization = trim + lowercase for the dedup KEY; the emitted
+    text keeps the original (trimmed) line."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines(content_col)).alias("pos", "line"),
+    ).withColumn("key", F.lower(F.col("line")))
+    # first global occurrence per span: min (doc, pos) — one shuffle
+    # on the span key with partial aggregation
+    keeper = exploded.groupBy("key").agg(
+        F.min(F.struct("id", "pos")).alias("k")
+    )
+    survivors = (
+        exploded.join(keeper, on="key")
+        .filter((F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos")))
+        .select("id", "pos", "line")
+    )
+    rebuilt = survivors.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(lines(content_col)).alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

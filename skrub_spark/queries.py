@@ -447,6 +447,19 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.fit(base).transform(base)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup (Raffel et al. 2019 §2.2): every
+    repeated (trimmed, lowercased) line across the whole documents
+    corpus survives only at its first (doc, pos) occurrence; docs are
+    rebuilt from their surviving lines. Exact oracle: DuckDB replays
+    the same first-occurrence window + string_agg rebuild."""
+    _prep(spark)
+    from .operators.span_dedup import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_spans(docs, "text", "doc_id")
+
+
 def q_selectors_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """selectors DSL resolved against a real table with an EXACT
     oracle: numeric() minus cols() union glob() boolean algebra picks
@@ -2668,6 +2681,42 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
     """,
+    "span_dedup": """
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS rawline,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS ord
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                   AS pos,
+                 trim(rawline) AS line
+          FROM raw WHERE trim(rawline) <> ''
+        ),
+        ranked AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY lower(line)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM l
+        ),
+        surv AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM surv GROUP BY 1
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               COALESCE(t.n_lines, 0) AS n_lines,
+               COALESCE(t.n_lines, 0) - COALESCE(a.n_kept, 0) AS n_removed
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN tot t USING (doc_id)
+    """,
     "selectors_projection": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                l_discount, l_shipdate
@@ -3623,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_similar_columns": q_drop_similar_columns,
         "repetition_filter": q_repetition_filter,
         "pii_redaction": q_pii_redaction,
+        "span_dedup": q_span_dedup,
         "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,

@@ -825,3 +825,29 @@ def test_fuzzy_join_lsh_narrow_path_options(spark):
     # rescaled = best_dist / 2nd-neighbor dist, in (0, 1) when the
     # best is strictly closer than the runner-up
     assert sn[1]["rid"] == 10 and 0 < resc < 1 and resc != d
+
+
+def test_dedup_spans_c4_rule(spark):
+    """C4 line dedup: a line repeated across (and within) documents
+    survives only at its first (doc, pos) occurrence; docs rebuild in
+    original order; a fully-boilerplate doc becomes empty."""
+    from skrub_spark.operators.span_dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nCOOKIE banner\nunique two"),
+            (2, "cookie banner\nfresh text\ncookie banner"),
+            (3, "Cookie Banner"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df).collect()}
+    # doc 1 keeps everything (its banner is the first occurrence)
+    assert out[1]["clean_text"] == "unique one\nCOOKIE banner\nunique two"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses both banner copies (case-insensitive key), keeps order
+    assert out[2]["clean_text"] == "fresh text"
+    assert out[2]["n_removed"] == 2
+    # doc 3 is pure boilerplate -> empty
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[3]["n_lines"] == 1
