@@ -57,7 +57,11 @@ def dedup_spans(
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
-        F.col(id_col).alias("id"), F.size(lines(content_col)).alias("n_lines")
+        F.col(id_col).alias("id"),
+        # size(NULL) is -1, not NULL: a null document must count 0 lines
+        F.when(F.col(content_col).isNull(), F.lit(0))
+        .otherwise(F.size(lines(content_col)))
+        .alias("n_lines"),
     )
     return (
         totals.join(rebuilt, on="id", how="left")
