@@ -29,6 +29,7 @@ HEADLINE = [
     "language_id",
     "repetition_filter",
     "pii_redaction",
+    "span_dedup",
     "similarity_topk",
     "session_stats",
     "ngram_jaccard_pairs",
