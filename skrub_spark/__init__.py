@@ -22,6 +22,11 @@ from .operators.repetition import (  # noqa: F401
     repetition_stats,
 )
 from .operators.span_dedup import dedup_spans  # noqa: F401
+from .operators.domains import (  # noqa: F401
+    domain_stats,
+    drop_blocked_domains,
+    extract_url_domains,
+)
 from .functions.text import redact_pii  # noqa: F401
 from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
 from .dedup import (  # noqa: F401

@@ -1,0 +1,83 @@
+"""URL / domain analysis for web-corpus curation (beyond-reference
+LLM-pipeline operator, SURVEY.md §2).
+
+Web-scale training pipelines score and filter documents by SOURCE
+DOMAIN (C4's badwords/domain filters, RefinedWeb's URL filtering):
+extract every URL's host, aggregate per-domain document counts, and
+drop documents citing blocklisted domains. All pure Catalyst —
+`regexp_extract_all` with an RE2-compatible pattern (so a DuckDB
+oracle replays it exactly), explode, groupBy; the blocklist filter
+is a broadcast anti-semi-join, never a scan of the blocklist per
+row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# group 1 = the host; deliberately RE2-compatible (no lookarounds)
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_url_domains(col: Column | str) -> Column:
+    """array<string> of lowercased URL hosts appearing in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(URL_HOST_PATTERN), 1),
+        lambda h: F.lower(h),
+    )
+
+
+def domain_stats(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain (domain, n_docs, n_occurrences): how many distinct
+    documents cite the domain and how many times it appears in
+    total. One explode + one groupBy with map-side partial
+    aggregation (distinct doc counting via a pre-deduped frame, not
+    count(distinct) over the raw explode)."""
+    hits = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(extract_url_domains(content_col)).alias("domain"),
+    )
+    occ = hits.groupBy("domain").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    docs = (
+        hits.dropDuplicates(["id", "domain"])
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return docs.join(occ, on="domain")
+
+
+def drop_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents citing ANY blocklisted domain. ``blocklist`` is
+    a list of hosts or a 1-column DataFrame; it is broadcast into the
+    semi-join side, so the corpus is scanned once regardless of
+    blocklist size (dim-sized, the realistic shape)."""
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist], "domain string"
+        )
+    else:
+        blocklist = blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias("domain")
+        )
+    hits = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(extract_url_domains(content_col)).alias("domain"),
+    )
+    blocked_ids = (
+        hits.join(F.broadcast(blocklist), on="domain", how="left_semi")
+        .select("__id")
+        .distinct()
+    )
+    return df.join(
+        blocked_ids.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
+    )

@@ -447,6 +447,34 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.fit(base).transform(base)
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation domain analysis with an EXACT oracle: plant
+    deterministic URLs per document (SQL concat the oracle replays),
+    extract hosts with an RE2-compatible regexp_extract_all, and
+    aggregate per-domain distinct-doc and occurrence counts, minus
+    blocklisted docs: the final count excludes documents citing the
+    blocked domain (broadcast semi-join)."""
+    _prep(spark)
+    from .operators.domains import domain_stats, drop_blocked_domains
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/page and http://cdn.example.net/x"),
+        ).alias("text2"),
+    )
+    kept = drop_blocked_domains(
+        planted, ["site3.example.org"], content_col="text2", id_col="doc_id"
+    )
+    return domain_stats(kept, content_col="text2", id_col="doc_id").orderBy(
+        "domain"
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global line dedup (Raffel et al. 2019 §2.2): every
     repeated (trimmed, lowercased) line across the whole documents
@@ -2681,6 +2709,38 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
     """,
+    "domain_stats": """
+        WITH t2 AS (
+          SELECT doc_id,
+                 text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.org/page and http://cdn.example.net/x'
+                   AS text2
+          FROM documents
+        ),
+        hits AS (
+          SELECT doc_id, lower(u.h) AS domain
+          FROM t2, UNNEST(
+            regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1)
+          ) AS u(h)
+        ),
+        blocked AS (
+          SELECT DISTINCT doc_id FROM hits WHERE domain = 'site3.example.org'
+        ),
+        kept AS (
+          SELECT * FROM hits
+          WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+        ),
+        occ AS (
+          SELECT domain, COUNT(*) AS n_occurrences FROM kept GROUP BY 1
+        ),
+        dd AS (
+          SELECT domain, COUNT(*) AS n_docs
+          FROM (SELECT DISTINCT doc_id, domain FROM kept) GROUP BY 1
+        )
+        SELECT dd.domain, dd.n_docs, occ.n_occurrences
+        FROM dd JOIN occ USING (domain)
+        ORDER BY domain
+    """,
     "span_dedup": """
         WITH raw AS (
           SELECT doc_id,
@@ -3673,6 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
+        "domain_stats": q_domain_stats,
         "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,

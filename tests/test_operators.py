@@ -851,3 +851,34 @@ def test_dedup_spans_c4_rule(spark):
     # doc 3 is pure boilerplate -> empty
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
     assert out[3]["n_lines"] == 1
+
+
+def test_domain_stats_and_blocklist(spark):
+    from skrub_spark.operators.domains import (
+        domain_stats,
+        drop_blocked_domains,
+        extract_url_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro http://A.com/x then https://b.org/y and http://a.com/z"),
+            (2, "only https://b.org/page here"),
+            (3, "no urls at all"),
+            (4, "bad https://spam.example/p link"),
+        ],
+        "doc_id int, text string",
+    )
+    doms = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id", F.col("text").alias("t")
+    ).select("doc_id", extract_url_domains("t").alias("d")).collect()}
+    assert doms[1] == ["a.com", "b.org", "a.com"]  # lowercased, in order
+    assert doms[3] == []
+    stats = {r["domain"]: (r["n_docs"], r["n_occurrences"])
+             for r in domain_stats(df).collect()}
+    assert stats["a.com"] == (1, 2)
+    assert stats["b.org"] == (2, 2)
+    assert stats["spam.example"] == (1, 1)
+    kept = {r["doc_id"] for r in
+            drop_blocked_domains(df, ["SPAM.example"]).collect()}
+    assert kept == {1, 2, 3}  # blocklist matching is case-insensitive
