@@ -447,6 +447,35 @@ def q_one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.fit(base).transform(base)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CURATION pipeline in ONE lazy Spark plan, chaining
+    the round-5 operator family: Gopher repetition filter (keep) ->
+    PII redaction -> exact dedup on the REDACTED text (min doc_id
+    canonical) -> per-language summary. The DuckDB oracle replays
+    the entire chain as composed CTEs, so every stage is exact and
+    the composition itself (filters feeding joins feeding groupBys,
+    all fused by Catalyst) is what's verified."""
+    _prep(spark)
+    from .functions.text import redact_pii
+    from .operators.repetition import repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = repetition_filter(docs, "text", "doc_id").select("doc_id", "keep")
+    kept = docs.join(keep, on="doc_id").filter(F.col("keep"))
+    red = kept.select(
+        "doc_id", "lang", redact_pii(F.col("text")).alias("clean")
+    )
+    # min(lang): deterministic even if exact-duplicate texts ever
+    # carried different lang tags
+    canon = red.groupBy("clean").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    return canon.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("clean")).alias("total_chars"),
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-curation domain analysis with an EXACT oracle: plant
     deterministic URLs per document (SQL concat the oracle replays),
@@ -2709,6 +2738,57 @@ ORACLES: dict[str, str] = {
           CAST(c_mktsegment = 'MACHINERY' AS DOUBLE) AS c_mktsegment_MACHINERY
         FROM customer
     """,
+    "curation_pipeline": """
+        WITH l AS (
+          SELECT doc_id, trim(line) AS line
+          FROM documents, UNNEST(string_split(text, chr(10))) AS t(line)
+          WHERE trim(line) <> ''
+        ),
+        lc AS (SELECT doc_id, line, COUNT(*) c FROM l GROUP BY 1, 2),
+        la AS (
+          SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+            SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+            SUM(c * length(line)) AS tot_chars
+          FROM lc GROUP BY 1
+        ),
+        w AS (
+          SELECT doc_id, w FROM documents,
+            UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(w)
+          WHERE w <> ''
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c
+               FROM wc GROUP BY 1),
+        kept AS (
+          SELECT d.doc_id, d.lang, d.text
+          FROM documents d
+          LEFT JOIN la USING (doc_id)
+          LEFT JOIN wa USING (doc_id)
+          WHERE
+            COALESCE(1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_lines, 0.0)
+              <= 0.30
+            AND COALESCE(CAST(la.dup_chars AS DOUBLE) / la.tot_chars, 0.0)
+              <= 0.20
+            AND COALESCE(CAST(wa.top_c AS DOUBLE) / wa.n_words, 0.0)
+              <= 0.20
+        ),
+        red AS (
+          SELECT doc_id, lang,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+              '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+              '\\+?\\d[\\d \\-]{6,}\\d', '<PHONE>', 'g') AS clean
+          FROM kept
+        ),
+        canon AS (
+          SELECT clean, MIN(doc_id) AS doc_id, MIN(lang) AS lang
+          FROM red GROUP BY 1
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(length(clean)) AS total_chars
+        FROM canon GROUP BY 1
+    """,
     "domain_stats": """
         WITH t2 AS (
           SELECT doc_id,
@@ -3734,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
         "domain_stats": q_domain_stats,
+        "curation_pipeline": q_curation_pipeline,
         "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
