@@ -25,27 +25,85 @@ from ..functions.text import lines
 
 
 def dedup_spans(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 1,
 ) -> DataFrame:
     """Returns (id_col, clean_text, n_lines, n_removed): the document
-    rebuilt from its surviving lines (first global occurrence per
-    normalized line), with empty string when nothing survives.
-    Normalization = trim + lowercase for the dedup KEY; the emitted
-    text keeps the original (trimmed) line."""
+    rebuilt from its surviving lines, with empty string when nothing
+    survives. Normalization = trim + lowercase for the dedup KEY; the
+    emitted text keeps the original (trimmed) line.
+
+    ``window=1`` (default): any individual line occurring more than
+    once in the corpus survives only at its first (doc, pos)
+    occurrence. ``window=w>1``: the faithful C4 rule at w-line
+    granularity — every w CONSECUTIVE lines form a span; every
+    non-first occurrence of a repeated span deletes its w lines
+    (first occurrence = min (doc, pos) over the span key). Documents
+    shorter than ``window`` lines carry no spans and pass through
+    untouched. The window path builds one bounded per-doc line array
+    (collect_list of a single document's lines), expands span keys
+    JVM-side with slice/concat_ws, and resolves first occurrences
+    with the same single key-shuffle as the line path.
+    """
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(lines(content_col)).alias("pos", "line"),
     ).withColumn("key", F.lower(F.col("line")))
-    # first global occurrence per span: min (doc, pos) — one shuffle
-    # on the span key with partial aggregation
-    keeper = exploded.groupBy("key").agg(
-        F.min(F.struct("id", "pos")).alias("k")
-    )
-    survivors = (
-        exploded.join(keeper, on="key")
-        .filter((F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos")))
-        .select("id", "pos", "line")
-    )
+    if window <= 1:
+        # first global occurrence per line: min (doc, pos) — one
+        # shuffle on the span key with partial aggregation
+        keeper = exploded.groupBy("key").agg(
+            F.min(F.struct("id", "pos")).alias("k")
+        )
+        survivors = (
+            exploded.join(keeper, on="key")
+            .filter(
+                (F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos"))
+            )
+            .select("id", "pos", "line")
+        )
+    else:
+        w = int(window)
+        arr = exploded.groupBy("id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: F.lower(x["line"]),
+            ).alias("keys")
+        )
+        # span keys: windows of w consecutive normalized lines,
+        # joined with \x01 (cannot occur inside a line). sequence()
+        # counts DOWN when start > stop, so guard short docs.
+        win_keys = F.when(
+            F.size("keys") >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size("keys") - F.lit(w)),
+                lambda i: F.concat_ws("\x01", F.slice("keys", i + 1, w)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        wk = arr.select("id", F.posexplode(win_keys).alias("wpos", "wkey"))
+        first = wk.groupBy("wkey").agg(F.min(F.struct("id", "wpos")).alias("k"))
+        dup = (
+            wk.join(first, on="wkey")
+            .filter(
+                ~(
+                    (F.col("id") == F.col("k.id"))
+                    & (F.col("wpos") == F.col("k.wpos"))
+                )
+            )
+            .select("id", "wpos")
+        )
+        deleted = dup.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(w - 1))
+            ).alias("pos"),
+        ).distinct()
+        survivors = exploded.join(
+            deleted, on=["id", "pos"], how="left_anti"
+        ).select("id", "pos", "line")
     rebuilt = survivors.groupBy("id").agg(
         F.concat_ws(
             "\n",

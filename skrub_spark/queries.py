@@ -517,6 +517,19 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(docs, "text", "doc_id")
 
 
+def q_span_dedup_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful C4 granularity: 3-consecutive-line spans — every
+    non-first occurrence of a repeated span deletes its 3 lines.
+    Exact oracle: DuckDB builds the same windows with
+    list_slice/range over per-doc ordered line lists and replays the
+    first-occurrence rule."""
+    _prep(spark)
+    from .operators.span_dedup import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_spans(docs, "text", "doc_id", window=3)
+
+
 def q_selectors_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """selectors DSL resolved against a real table with an EXACT
     oracle: numeric() minus cols() union glob() boolean algebra picks
@@ -2857,6 +2870,62 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "span_dedup_w3": """
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS rawline,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS ord
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                   AS pos,
+                 trim(rawline) AS line
+          FROM raw WHERE trim(rawline) <> ''
+        ),
+        arr AS (
+          SELECT doc_id, list(lower(line) ORDER BY pos) AS ks
+          FROM l GROUP BY 1
+        ),
+        wk AS (
+          SELECT doc_id, t.i AS wpos,
+                 array_to_string(list_slice(ks, t.i + 1, t.i + 3), chr(1))
+                   AS wkey
+          FROM arr, UNNEST(range(0, len(ks) - 2)) AS t(i)
+          WHERE len(ks) >= 3
+        ),
+        ranked AS (
+          SELECT doc_id, wpos,
+                 row_number() OVER (PARTITION BY wkey
+                                    ORDER BY doc_id, wpos) AS rn
+          FROM wk
+        ),
+        del AS (
+          SELECT DISTINCT doc_id, wpos + t.j AS pos
+          FROM ranked, UNNEST(range(0, 3)) AS t(j)
+          WHERE rn > 1
+        ),
+        surv AS (
+          SELECT l.doc_id, l.pos, l.line FROM l
+          LEFT JOIN del ON l.doc_id = del.doc_id AND l.pos = del.pos
+          WHERE del.doc_id IS NULL
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM surv GROUP BY 1
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               COALESCE(t.n_lines, 0) AS n_lines,
+               COALESCE(t.n_lines, 0) - COALESCE(a.n_kept, 0) AS n_removed
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN tot t USING (doc_id)
+    """,
     "selectors_projection": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                l_discount, l_shipdate
@@ -3815,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "domain_stats": q_domain_stats,
         "curation_pipeline": q_curation_pipeline,
+        "span_dedup_w3": q_span_dedup_w3,
         "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,

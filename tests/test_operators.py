@@ -882,3 +882,25 @@ def test_domain_stats_and_blocklist(spark):
     kept = {r["doc_id"] for r in
             drop_blocked_domains(df, ["SPAM.example"]).collect()}
     assert kept == {1, 2, 3}  # blocklist matching is case-insensitive
+
+
+def test_dedup_spans_window3(spark):
+    """window=3: a repeated 3-consecutive-line span deletes its lines
+    at every non-first occurrence; single repeated lines do NOT
+    trigger removal; docs shorter than the window pass through."""
+    from skrub_spark.operators.span_dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "A\nB\nC\nD"),
+            (2, "X\na\nb\nc\nY"),  # span (a,b,c) dups doc1 (case-insensitive)
+            (3, "A\nsolo repeat of one line only\nB"),  # no 3-line span dup
+            (4, "tiny\ndoc"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup_spans(df, window=3).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "X\nY" and out[2]["n_removed"] == 3
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tiny\ndoc" and out[4]["n_removed"] == 0
