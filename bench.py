@@ -30,6 +30,9 @@ HEADLINE = [
     "repetition_filter",
     "pii_redaction",
     "span_dedup",
+    "span_dedup_w3",
+    "domain_stats",
+    "curation_pipeline",
     "similarity_topk",
     "session_stats",
     "ngram_jaccard_pairs",

@@ -54,12 +54,23 @@ def canon(v):
 
 
 def main():
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
-    from skrub_spark import get_session
 
-    spark = get_session(shuffle_partitions=16, master="local[16]")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # mimic the DRIVER's environment: a plain SparkSession with
+        # stock defaults (200 shuffle partitions, no engine conf) —
+        # every query must self-prepare via _prep()
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from skrub_spark import get_session
+
+        spark = get_session(shuffle_partitions=16, master="local[16]")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
