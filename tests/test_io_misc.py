@@ -87,3 +87,42 @@ def test_duration_to_float_fractional_seconds(spark):
     )
     r = DurationToFloat("d").fit_transform(dur).first()
     assert r["d"] == pytest.approx(1.5)
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Pack -> shard-write -> read-back: per-shard directories exist,
+    files are internally ordered by packing position, and a
+    single-shard read partition-prunes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.packing import pack_training_chunks
+    from skrub_spark.sources.sharding import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(4))).alias("shard"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tokens"),
+    )
+    packed = pack_training_chunks(
+        df, "n_tokens", chunk_tokens=256, order_col="doc_id", by="shard"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, shard_cols="shard",
+                          order_col="start_chunk")
+    # one directory per shard
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = read_training_shards(spark, path)
+    assert back.count() == 200
+    # single-shard read prunes partitions and preserves file order
+    one = read_training_shards(spark, path, shard=2)
+    rows = one.collect()  # no explicit sort: file order must hold
+    assert [r["doc_id"] for r in rows] == sorted(r["doc_id"] for r in rows)
+    assert all(r["shard"] == 2 for r in rows)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
