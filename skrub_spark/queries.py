@@ -530,6 +530,56 @@ def q_span_dedup_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(docs, "text", "doc_id", window=3)
 
 
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2019,
+    beyond-reference LLM-pipeline op): train an add-one-smoothed
+    bigram LM over the documents corpus (model = DataFrames of
+    gram/context counts, never collected), score every document's
+    mean negative log-likelihood via explode + left-join + groupBy,
+    flag the low-perplexity head. Exact oracle: DuckDB replays
+    tokenization (RE2 words), counts, the smoothed -ln rounded to 6
+    decimals, and the exact DECIMAL(28,6) per-doc sum."""
+    _prep(spark)
+    from .operators.lm_filter import score_ngram_perplexity, train_ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs, "text", n=2)
+    scored = score_ngram_perplexity(docs, lm, alpha=1.0)
+    return scored.select(
+        "doc_id",
+        "n_ngrams",
+        "avg_nll",
+        (F.col("avg_nll").isNotNull() & (F.col("avg_nll") <= 3.5)).alias("keep"),
+    )
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-lite boilerplate line removal (beyond-reference
+    LLM-pipeline op): plant deterministic nav/copyright lines plus a
+    punctuation-terminated sentence around each document (pure SQL
+    concat, so the oracle replays the input), then strip lines that
+    are short-without-terminal-punctuation or SHOUTING. Pure array
+    higher-order functions — no explode, no shuffle. Exact oracle:
+    DuckDB list_filter replays the rule byte-exactly."""
+    _prep(spark)
+    from .operators.boilerplate import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT US\n"),
+            F.col("text"),
+            F.lit("\nCopyright 2020 site"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nThis short line is a proper sentence."),
+        ).alias("text2"),
+    )
+    return remove_boilerplate_lines(
+        planted, "text2", min_words=20, max_upper_ratio=0.5
+    ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
+
+
 def q_selectors_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """selectors DSL resolved against a real table with an EXACT
     oracle: numeric() minus cols() union glob() boolean algebra picks
@@ -2926,6 +2976,79 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "lm_perplexity_filter": """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x != '') AS words
+          FROM documents
+        ), occ AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(words) >= 2 THEN
+              list_transform(range(1, len(words)),
+                i -> struct_pack(gram := words[i] || ' ' || words[i+1],
+                                 ctx := words[i]))
+            ELSE [] END) AS p
+          FROM w
+        ), pairs AS (
+          SELECT doc_id, p.gram AS gram, p.ctx AS ctx FROM occ
+        ), cnt AS (
+          SELECT gram, count(*) AS c FROM pairs GROUP BY gram
+        ), ctxc AS (
+          SELECT ctx, count(*) AS ctx_c FROM pairs GROUP BY ctx
+        ), v AS (
+          SELECT count(DISTINCT x) AS vs
+          FROM (SELECT unnest(words) AS x FROM w)
+        ), sc AS (
+          SELECT p.doc_id,
+            CAST(round(-ln((cnt.c + 1.0) / (ctxc.ctx_c + 1.0 * v.vs)), 6)
+                 AS DECIMAL(28,6)) AS nll_q
+          FROM pairs p JOIN cnt USING (gram) JOIN ctxc USING (ctx)
+          CROSS JOIN v
+        ), per AS (
+          SELECT doc_id, count(*) AS n_ngrams,
+                 CAST(sum(nll_q) AS DOUBLE) / count(*) AS avg_nll
+          FROM sc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_ngrams, 0) AS n_ngrams,
+               per.avg_nll,
+               (per.avg_nll IS NOT NULL AND per.avg_nll <= 3.5) AS keep
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per USING (doc_id)
+    """,
+    "boilerplate_removal": """
+        WITH planted AS (
+          SELECT doc_id,
+            'HOME | ABOUT | CONTACT US' || chr(10) || text || chr(10) ||
+            'Copyright 2020 site' || CAST(doc_id AS VARCHAR) || chr(10) ||
+            'This short line is a proper sentence.' AS text2
+          FROM documents
+        ), l AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text2, chr(10)),
+                                       x -> trim(x)),
+                        x -> x != '') AS ls
+          FROM planted
+        ), k AS (
+          SELECT doc_id, ls,
+            list_filter(ls, ln ->
+              list_contains(['.', '!', '?', '"', ''''], right(ln, 1))
+              OR (
+                len(list_filter(string_split_regex(ln, '\\s+'),
+                                t -> t != '')) >= 20
+                AND CAST(len(regexp_replace(ln, '[^A-Z]', '', 'g')) AS DOUBLE)
+                    / greatest(len(regexp_replace(ln, '[^A-Za-z]', '', 'g')),
+                               1) <= 0.5
+              )) AS kept
+          FROM l
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines_total,
+               CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               array_to_string(kept, chr(10)) AS clean_text
+        FROM k
+    """,
     "selectors_projection": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                l_discount, l_shipdate
@@ -3885,6 +4008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
+        "lm_perplexity_filter": q_lm_perplexity_filter,
+        "boilerplate_removal": q_boilerplate_removal,
         "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
