@@ -580,6 +580,22 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE tokenizer (Sennrich et al. 2015): learn 200
+    merges from the documents corpus (distributed word count → top-k
+    collect → driver merge loop), then re-encode every document with
+    the Arrow-batched encoder and report per-doc token accounting.
+    A merge loop isn't SQL-expressible — rows-only here; the trainer
+    and encoder are pinned by tests/test_bpe.py (reference recount
+    equality, hand-worked merges, round-trip)."""
+    _prep(spark)
+    from .operators.bpe import bpe_token_stats, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs, "text", n_merges=200)
+    return bpe_token_stats(docs, model)
+
+
 def q_selectors_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """selectors DSL resolved against a real table with an EXACT
     oracle: numeric() minus cols() union glob() boolean algebra picks
@@ -4010,6 +4026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_w3": q_span_dedup_w3,
         "lm_perplexity_filter": q_lm_perplexity_filter,
         "boilerplate_removal": q_boilerplate_removal,
+        # rows-only by nature (a BPE merge loop isn't SQL-expressible);
+        # contracted in tests/test_bpe.py against a from-scratch
+        # reference trainer + hand-worked merges + round-trip props
+        "bpe_token_stats": q_bpe_token_stats,
         "selectors_projection": q_selectors_projection,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
