@@ -58,6 +58,43 @@ def hash_split(
     )
 
 
+def sample_to_targets(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, int],
+    key: str | Column,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture sampling: stratum ``s`` keeps ~``targets[s]``
+    rows (training-mixture rebalancing: "2B tokens of web, 1B of
+    books" as per-source row targets).
+
+    Per-stratum keep thresholds are derived from the OBSERVED stratum
+    sizes — one small groupBy count broadcast-joined back — entirely
+    in int64 arithmetic (``(10000 * target) DIV count``, capped at
+    10000), so membership is the same content-addressed md5 rule as
+    the other samplers and bit-replayable by a SQL oracle (battery
+    query ``mixture_sample``). Strata without a target are dropped.
+    No shuffle of the data itself: the counts side of the join is
+    |strata| rows, always broadcast."""
+    key = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    tgt = F.lit(None).cast("long")
+    for s, t in targets.items():
+        tgt = F.when(F.col(strata_col) == s, F.lit(int(t))).otherwise(tgt)
+    thresh = F.least(
+        F.lit(_BUCKETS).cast("long"),
+        F.expr(f"CAST({_BUCKETS} AS BIGINT) * __tgt DIV __n"),
+    )
+    return (
+        df.join(F.broadcast(counts), strata_col, "inner")
+        .withColumn("__tgt", tgt)
+        .filter(F.col("__tgt").isNotNull())
+        .filter(_hash_bucket(key, salt) < thresh)
+        .drop("__n", "__tgt")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

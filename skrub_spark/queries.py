@@ -580,6 +580,28 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling (beyond-reference
+    LLM-pipeline op): per-source row targets converted to
+    content-addressed md5 keep thresholds from the OBSERVED source
+    sizes — pure int64 arithmetic ((10000*target) DIV count, capped),
+    so the oracle replays membership bit-exactly at every SF. Covers
+    the cap branch (a target above the stratum size keeps the whole
+    stratum) and dropped strata (no target)."""
+    _prep(spark)
+    from .operators.sampling import sample_to_targets
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_to_targets(
+        docs,
+        "source",
+        {"src0": 10, "src1": 5, "src2": 2000, "src3": 100},
+        key="doc_id",
+        salt="mix5",
+    )
+    return kept.select("doc_id", "source")
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE tokenizer (Sennrich et al. 2015): learn 200
     merges from the documents corpus (distributed word count → top-k
@@ -2992,6 +3014,21 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "mixture_sample": """
+        WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        t AS (
+          SELECT d.doc_id, d.source, n.cnt,
+            CASE d.source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+                          WHEN 'src2' THEN 2000 WHEN 'src3' THEN 100
+                          ELSE NULL END AS tgt
+          FROM documents d JOIN n USING (source)
+        )
+        SELECT doc_id, source FROM t
+        WHERE tgt IS NOT NULL
+          AND ('0x' || substr(md5('mix5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000
+              < least(10000, (10000 * tgt) // cnt)
+    """,
     "lm_perplexity_filter": """
         WITH w AS (
           SELECT doc_id,
@@ -4026,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_w3": q_span_dedup_w3,
         "lm_perplexity_filter": q_lm_perplexity_filter,
         "boilerplate_removal": q_boilerplate_removal,
+        "mixture_sample": q_mixture_sample,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch
         # reference trainer + hand-worked merges + round-trip props

@@ -609,6 +609,35 @@ def test_sampling_determinism_and_independence(spark):
     assert 0.15 < counts["test"] / 5000 < 0.25
 
 
+def test_sample_to_targets(spark):
+    """Mixture sampling hits each stratum's target within hash noise,
+    caps over-large targets at the whole stratum, drops untargeted
+    strata, and is layout-independent."""
+    from skrub_spark.operators.sampling import sample_to_targets
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "src",
+            F.concat(F.lit("s"), (F.col("k") % 3).cast("string")),
+        )
+    )  # s0/s1/s2 x 1000 rows each
+    targets = {"s0": 100, "s1": 5000}
+    out = sample_to_targets(df, "src", targets, key="k", salt="z")
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("k").alias("n")).collect()
+    }
+    assert 60 <= counts["s0"] <= 140        # ~100 of 1000
+    assert counts["s1"] == 1000             # capped: keep everything
+    assert "s2" not in counts               # no target -> dropped
+    again = sample_to_targets(
+        df.repartition(13), "src", targets, key="k", salt="z"
+    )
+    assert {r["k"] for r in out.collect()} == {r["k"] for r in again.collect()}
+
+
 def test_pack_training_chunks_invariants(spark):
     """Chunk spans are contiguous across docs within a shard: doc i+1
     starts where doc i ended (same chunk when straddling), offsets are
