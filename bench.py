@@ -33,6 +33,10 @@ HEADLINE = [
     "span_dedup_w3",
     "domain_stats",
     "curation_pipeline",
+    "lm_perplexity_filter",
+    "boilerplate_removal",
+    "mixture_sample",
+    "bpe_token_stats",
     "similarity_topk",
     "session_stats",
     "ngram_jaccard_pairs",

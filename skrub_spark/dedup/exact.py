@@ -33,6 +33,38 @@ def dedup_exact(
     ).agg(*aggs)
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: rows of ``new_df`` that survive
+    against an already-ingested corpus.
+
+    Two conditions: the content must not appear in ``seen_df`` (hash
+    anti-join — both sides reduced to 8-byte ``xxhash64`` keys and
+    the seen side pre-deduplicated, so the shuffle carries one row
+    per DISTINCT seen content, not the corpus), and within the new
+    batch itself only the canonical (min id) row per content
+    survives. This is the per-snapshot shape of CommonCrawl-style
+    pipelines: each crawl dedups against all previous crawls without
+    re-reading their payloads — at 100 TB ``seen_df`` is just the
+    persisted hash column of prior snapshots."""
+    seen_hashes = seen_df.select(
+        F.xxhash64(F.col(content_col)).alias("content_hash")
+    ).distinct()
+    new_h = new_df.withColumn("content_hash", F.xxhash64(F.col(content_col)))
+    fresh = new_h.join(seen_hashes, "content_hash", "left_anti")
+    canon = fresh.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return (
+        fresh.join(canon, ["content_hash", id_col], "left_semi")
+        .drop("content_hash")
+    )
+
+
 def drop_exact_duplicates(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

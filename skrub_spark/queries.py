@@ -580,6 +580,49 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order
+    (beyond-reference LLM-pipeline op): every document gets a
+    reproducible (shard, shard_pos) from the content-addressed md5
+    rule — one hash shuffle + per-shard sort. Exact oracle: DuckDB
+    replays the md5 bucketing and the within-shard hex ordering."""
+    _prep(spark)
+    from .sources.sharding import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_order(docs, key="doc_id", n_shards=16, salt="ord5").select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (beyond-reference LLM-pipeline op):
+    a 'new crawl' — the odd documents plus planted copies of seen
+    texts (shifted ids) and planted within-batch duplicates — is
+    deduplicated against the even documents via the 8-byte-hash
+    anti-join. Every planted copy must vanish and every original odd
+    row survive. Exact oracle: DuckDB replays the same construction
+    with NOT EXISTS + min-id canonicalization on text equality."""
+    _prep(spark)
+    from .dedup.exact import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    new = (
+        odd
+        .unionByName(
+            seen.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            odd.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup_incremental(new, seen).select("doc_id")
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mixture sampling (beyond-reference
     LLM-pipeline op): per-source row targets converted to
@@ -3014,6 +3057,40 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "corpus_shuffle": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('ord5' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ), b AS (
+          SELECT doc_id, h,
+                 ('0x' || substr(h, 1, 15))::BIGINT % 16 AS shard
+          FROM h
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY h, doc_id) AS BIGINT)
+                 AS shard_pos
+        FROM b
+    """,
+    "incremental_dedup": """
+        WITH seen AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ), odd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        ), new_batch AS (
+          SELECT doc_id, text FROM odd
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM seen
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM odd WHERE doc_id < 100
+        ), fresh AS (
+          SELECT * FROM new_batch n
+          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+        )
+        SELECT doc_id FROM fresh f
+        WHERE doc_id = (SELECT min(doc_id) FROM fresh g WHERE g.text = f.text)
+    """,
     "mixture_sample": """
         WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         t AS (
@@ -4064,6 +4141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_filter": q_lm_perplexity_filter,
         "boilerplate_removal": q_boilerplate_removal,
         "mixture_sample": q_mixture_sample,
+        "corpus_shuffle": q_corpus_shuffle,
+        "incremental_dedup": q_incremental_dedup,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch
         # reference trainer + hand-worked merges + round-trip props

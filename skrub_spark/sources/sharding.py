@@ -23,6 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def shuffle_order(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training order.
+
+    Pre-training wants documents in a reproducible pseudorandom order
+    decoupled from ingest order. Content-addressed, like the
+    samplers: ``shard = md5_bucket(key) mod n_shards`` and
+    ``shard_pos = rank of md5 hex within the shard`` — the same row
+    lands at the same (shard, pos) on any cluster size or partition
+    layout, and a SQL oracle replays the order bit-exactly (battery
+    query ``corpus_shuffle``). Physically this is ONE hash shuffle +
+    per-shard sort (the window is partitioned on the shard key), then
+    feeds ``write_training_shards`` with ``order_col='shard_pos'``.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    out = df.withColumn("__h", h).withColumn("shard", bucket.cast("long"))
+    win = Window.partitionBy("shard").orderBy("__h", key)
+    return out.withColumn(
+        "shard_pos", F.row_number().over(win).cast("long")
+    ).drop("__h")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -91,6 +91,52 @@ def test_unigram_lm(spark):
     assert abs(out["avg_nll"] - exp) < 1e-9
 
 
+def test_shuffle_order(spark):
+    from skrub_spark.sources.sharding import shuffle_order
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = shuffle_order(df, key="doc_id", n_shards=8, salt="s")
+    rows = out.collect()
+    # positions are 1..n contiguous within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # layout-independent: same (shard, pos) after repartitioning
+    again = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shuffle_order(
+            df.repartition(13), key="doc_id", n_shards=8, salt="s"
+        ).collect()
+    }
+    assert {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in rows} == again
+    # order is decoupled from key order: doc 0..7 not all at pos 1
+    first = [k for k, (s, p) in again.items() if p == 1]
+    assert sorted(first) != list(range(8))
+
+
+def test_dedup_incremental(spark):
+    from skrub_spark.dedup.exact import dedup_incremental
+
+    seen = spark.createDataFrame(
+        [(1, "old doc"), (2, "other old")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "old doc"),     # dup of seen -> dropped
+            (11, "brand new"),   # survives
+            (12, "brand new"),   # within-batch dup -> dropped (11 < 12)
+            (13, "also new"),    # survives
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in dedup_incremental(new, seen).collect())
+    assert out == [11, 13]
+    # schema passthrough: original columns, no helper hash column
+    assert dedup_incremental(new, seen).columns == ["doc_id", "text"]
+
+
 def test_boilerplate_removal(spark):
     df = _docs(
         spark,
