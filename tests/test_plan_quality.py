@@ -263,3 +263,78 @@ def test_embedding_lsh_narrow_candidates(spark):
     # the dedup aggregate groups on ids only, above the vector joins
     dedup_part = plan.split("HashAggregate")[1] if "HashAggregate" in plan else ""
     assert "va" not in dedup_part.split("Join")[0]
+
+
+def test_boilerplate_removal_map_only(spark):
+    """Boilerplate line removal is a pure map stage: zero exchanges,
+    straight Project over the scan (the HOF lambdas themselves sit
+    outside codegen, which is expected for array lambdas)."""
+    from skrub_spark.operators.boilerplate import remove_boilerplate_lines
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = remove_boilerplate_lines(docs, "text")
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "FileScan" in plan
+
+
+def test_mixture_sample_broadcasts_counts(spark):
+    """The strata-counts side of the mixture-sample join is |strata|
+    rows and must broadcast — the data itself never shuffles for the
+    join (the only exchange is the counts aggregation's own)."""
+    from skrub_spark.operators.sampling import sample_to_targets
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    df = sample_to_targets(docs, "source", {"src0": 5, "src1": 5}, key="doc_id")
+    plan = plan_of(df, execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_scoring_no_cartesian_and_partial_agg(spark):
+    """LM training/scoring is explode -> groupBy -> join -> groupBy:
+    no cartesian/nested-loop anywhere, and both count aggregations
+    partial-aggregate before their shuffle."""
+    from skrub_spark.operators.lm_filter import (
+        score_ngram_perplexity,
+        train_ngram_lm,
+    )
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    lm = train_ngram_lm(docs, n=2)
+    df = score_ngram_perplexity(docs, lm)
+    plan = plan_of(df, execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before shuffle
+
+
+def test_incremental_dedup_hash_antijoin(spark):
+    """The seen side travels as distinct 8-byte hashes and the join
+    is a hash anti-join — no payload comparison, no nested loop."""
+    from skrub_spark.dedup.exact import dedup_incremental
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    seen = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    df = dedup_incremental(new, seen)
+    plan = plan_of(df, execute=True)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    """shuffle_order is ONE hash exchange (the shard partitioning)
+    feeding the per-shard window sort — no second data shuffle."""
+    from skrub_spark.sources.sharding import shuffle_order
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    df = shuffle_order(docs, key="doc_id", n_shards=8)
+    plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
