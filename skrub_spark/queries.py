@@ -580,6 +580,66 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_streaming_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup flagging with an EXACT SQL
+    oracle, across >= 2 REAL micro-batches: documents split at the
+    id median into two files, streamed with maxFilesPerTrigger=1;
+    band buckets are claimed in the state store across batches
+    (min-merged, so the fixpoint equals the batch min-id rule) and
+    every doc sharing a band with an earlier one is flagged. The md5
+    double-hash sketch is engine-portable, so DuckDB replays
+    signatures, band keys, claims and flags bit-exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import near_dup_summary, streaming_near_dedup
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("c")).first()["c"]
+    src = os.path.join(
+        tempfile.gettempdir(), "skrub_strndd_src_" + uuid.uuid4().hex[:8]
+    )
+    os.makedirs(src)
+    halves = [
+        docs.filter(F.col("doc_id") <= F.lit(cut)),
+        docs.filter(F.col("doc_id") > F.lit(cut)),
+    ]
+    for i, part in enumerate(halves):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "strndd_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    return near_dup_summary(spark.table(name), ids=docs)
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training order
     (beyond-reference LLM-pipeline op): every document gets a
@@ -3057,6 +3117,68 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "streaming_near_dup_flags": """
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               FOR i IN generate_series(1, len(toks) - 2)]
+            ELSE [] END AS grams
+          FROM t
+        ), e AS (
+          SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) >= 1
+        ), h AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h1,
+            ('0x' || substr(md5(g), 16, 15))::BIGINT % 2147483647 AS h2
+          FROM e
+        ), sig AS (
+          SELECT doc_id,
+                 MIN((h1 + 0*h2) % 2147483647) AS c0,
+                 MIN((h1 + 1*h2) % 2147483647) AS c1,
+                 MIN((h1 + 2*h2) % 2147483647) AS c2,
+                 MIN((h1 + 3*h2) % 2147483647) AS c3,
+                 MIN((h1 + 4*h2) % 2147483647) AS c4,
+                 MIN((h1 + 5*h2) % 2147483647) AS c5,
+                 MIN((h1 + 6*h2) % 2147483647) AS c6,
+                 MIN((h1 + 7*h2) % 2147483647) AS c7,
+                 MIN((h1 + 8*h2) % 2147483647) AS c8,
+                 MIN((h1 + 9*h2) % 2147483647) AS c9,
+                 MIN((h1 + 10*h2) % 2147483647) AS c10,
+                 MIN((h1 + 11*h2) % 2147483647) AS c11,
+                 MIN((h1 + 12*h2) % 2147483647) AS c12,
+                 MIN((h1 + 13*h2) % 2147483647) AS c13,
+                 MIN((h1 + 14*h2) % 2147483647) AS c14,
+                 MIN((h1 + 15*h2) % 2147483647) AS c15
+          FROM h GROUP BY doc_id
+        ), s2 AS (
+          SELECT doc_id, [c0,c1,c2,c3,c4,c5,c6,c7,c8,c9,c10,c11,c12,c13,c14,c15] AS s FROM sig
+        ), bk AS (
+          SELECT doc_id, t.i AS band_idx,
+            md5(CAST(s[2*t.i + 1] AS VARCHAR) || '-' ||
+                CAST(s[2*t.i + 2] AS VARCHAR) || '-' ||
+                CAST(t.i AS VARCHAR)) AS band_key
+          FROM s2, generate_series(0, 7) AS t(i)
+        ), fb AS (
+          SELECT band_key, MIN(doc_id) AS first_id FROM bk GROUP BY band_key
+        ), per AS (
+          SELECT bk.doc_id,
+            MAX(CASE WHEN fb.first_id < bk.doc_id THEN 1 ELSE 0 END) = 1
+              AS is_dup,
+            MIN(fb.first_id) AS canonical_id
+          FROM bk JOIN fb USING (band_key) GROUP BY bk.doc_id
+        )
+        SELECT d.doc_id,
+          COALESCE(per.is_dup, FALSE) AS is_dup,
+          COALESCE(per.canonical_id, d.doc_id) AS canonical_id
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per USING (doc_id)
+    """,
     "corpus_shuffle": """
         WITH h AS (
           SELECT doc_id,
@@ -4143,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,
         "incremental_dedup": q_incremental_dedup,
+        "streaming_near_dup_flags": q_streaming_near_dup_flags,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch
         # reference trainer + hand-worked merges + round-trip props

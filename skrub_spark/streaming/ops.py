@@ -261,3 +261,133 @@ def stream_stream_interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {interval}"))
     )
     return l.join(r, cond, "inner")
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_components: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+):
+    """Streaming MinHash-LSH near-duplicate flagging across
+    micro-batches — the ingest-time twin of the batch
+    ``dedup_minhash_pairs``.
+
+    Each document's portable md5 minhash signature (one JVM
+    expression, see functions/hashing.py) is split into ``n_bands``
+    band keys; the stream is exploded to (band_key, doc, band_idx)
+    rows and grouped by band key under ``applyInPandasWithState``.
+    State per bucket = ONE long (the bucket's canonical claimant,
+    min-merged across batches so arrival order doesn't change the
+    fixpoint); every row is emitted back annotated with the bucket's
+    canonical id. A document in a LATER micro-batch that shares any
+    band with an earlier one surfaces with ``first_id < doc_id`` —
+    the downstream per-doc summary (one groupBy in the consumer's
+    foreachBatch, or a batch query over the sink) flags it.
+
+    LSH-only (no exact-Jaccard verify): verification would need gram
+    sets in state — unbounded. At 100 TB: state = 8 bytes per
+    DISTINCT band bucket in the state store (RocksDB on a cluster),
+    the shuffle is the band-key hash partitioning, and the sketch
+    is engine-portable so a SQL oracle replays every band key and
+    canonical id bit-exactly (battery query
+    ``streaming_near_dup_flags``).
+
+    Documents with fewer than ``shingle_k`` words have no shingles
+    (their signature would be the degenerate all-P constant) and are
+    filtered out of banding — the consumer treats absence as
+    not-a-duplicate.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions.hashing import minhash_signature
+    from ..functions.text import word_shingles
+
+    rows_per_band = n_components // n_bands
+    sig = minhash_signature(
+        F.col(text_col), n_components, unit="word",
+        shingle_k=shingle_k, hash="md5",
+    )
+    band_keys = F.array(*[
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
+                    .cast("string")
+                    for r in range(rows_per_band)
+                ],
+                F.lit(str(b)),
+            )
+        )
+        for b in range(n_bands)
+    ])
+    exploded = (
+        stream.filter(F.size(word_shingles(F.col(text_col), shingle_k)) >= 1)
+        .withColumn("__sig", sig)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(band_keys).alias("band_idx", "band_key"),
+        )
+    )
+
+    out_schema = StructType([
+        StructField("band_key", StringType()),
+        StructField("band_idx", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("first_id", LongType()),
+    ])
+
+    def claim(key, pdfs, state):
+        import pandas as pd
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        batch_min = int(pdf["doc_id"].min())
+        first = int(state.get[0]) if state.exists else batch_min
+        first = min(first, batch_min)
+        state.update((first,))
+        yield pd.DataFrame({
+            "band_key": pdf["band_key"].astype(str),
+            "band_idx": pdf["band_idx"].astype("int64"),
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "first_id": first,
+        })
+
+    return exploded.groupBy("band_key").applyInPandasWithState(
+        claim,
+        out_schema,
+        "first long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_summary(flags: DataFrame, ids: DataFrame | None = None,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document view over ``streaming_near_dedup`` output (run it
+    batch-side over the sink, or in foreachBatch): ``is_dup`` when
+    any band bucket was claimed by an earlier document, plus the
+    minimal canonical id over all its buckets. ``ids`` (optional)
+    re-attaches documents that had no shingles as non-duplicates."""
+    per_doc = flags.groupBy("doc_id").agg(
+        F.max((F.col("first_id") < F.col("doc_id")).cast("int"))
+        .cast("boolean")
+        .alias("is_dup"),
+        F.min("first_id").alias("canonical_id"),
+    )
+    if ids is None:
+        return per_doc
+    base = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+    )

@@ -137,6 +137,44 @@ def test_dedup_incremental(spark):
     assert dedup_incremental(new, seen).columns == ["doc_id", "text"]
 
 
+def test_streaming_near_dedup_cross_batch(spark, tmp_path):
+    """A document in a LATER micro-batch sharing bands with one from
+    an EARLIER batch is flagged against the earlier claimant — the
+    state-store carry a stateless per-batch LSH would fail."""
+    import pandas as pd
+
+    from skrub_spark.streaming import near_dup_summary, streaming_near_dedup
+
+    d = tmp_path / "ndd_src"
+    d.mkdir()
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    pd.DataFrame({"doc_id": [1, 2], "text": [text, "completely different words here now"]}).to_parquet(d / "b1.parquet")
+    pd.DataFrame({"doc_id": [5], "text": [text]}).to_parquet(d / "b2.parquet")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("ndd_cont_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sum(1 for p in q.recentProgress if p.numInputRows > 0) >= 2
+    ids = spark.createDataFrame([(1,), (2,), (5,)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["is_dup"], r["canonical_id"])
+        for r in near_dup_summary(spark.table("ndd_cont_test"), ids=ids).collect()
+    }
+    assert out[1] == (False, 1)
+    assert out[2] == (False, 2)
+    assert out[5] == (True, 1)   # claimed in batch 1, flagged in batch 2
+
+
 def test_boilerplate_removal(spark):
     df = _docs(
         spark,
