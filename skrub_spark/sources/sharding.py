@@ -40,6 +40,11 @@ def shuffle_order(
     query ``corpus_shuffle``). Physically this is ONE hash shuffle +
     per-shard sort (the window is partitioned on the shard key), then
     feeds ``write_training_shards`` with ``order_col='shard_pos'``.
+
+    Each shard sorts in a single task — size ``n_shards`` so a shard
+    fits one executor's working set (at 100 TB that means tens of
+    thousands of shards, which is also what a data-parallel trainer
+    wants; 64 is a local-mode default, not a scale recommendation).
     """
     from pyspark.sql import Window
 
