@@ -31,6 +31,7 @@ HEADLINE = [
     "pii_redaction",
     "span_dedup",
     "span_dedup_w3",
+    "substring_dedup",
     "domain_stats",
     "curation_pipeline",
     "lm_perplexity_filter",

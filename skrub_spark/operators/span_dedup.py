@@ -132,3 +132,89 @@ def dedup_spans(
             ),
         )
     )
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 50,
+) -> DataFrame:
+    """Exact substring deduplication at TOKEN granularity (the Lee et
+    al. 2021 arXiv:2107.06499 "ExactSubstr" shape, at w-token-window
+    resolution): every window of ``window`` consecutive whitespace
+    tokens that occurs more than once in the corpus is removed except
+    at its first (doc, pos) occurrence; documents are rebuilt from
+    surviving tokens. Because windows overlap at stride 1, any
+    duplicated run of >= window tokens is fully covered — the paper's
+    suffix-array construction finds the same spans; this windowed
+    form trades the suffix array (hard to distribute) for one
+    groupBy on window keys, which is ordinary map-side-combined
+    relational algebra at 100 TB.
+
+    Returns (id_col, clean_text, n_tokens, n_removed). Documents
+    shorter than ``window`` tokens carry no windows and pass through.
+    Normalization = lowercase for the window KEY; emitted tokens keep
+    their original form. Plan: bounded per-doc token array ->
+    JVM-side slice/concat_ws window keys -> one key-shuffle for first
+    occurrences -> anti-join on deleted positions -> per-doc rebuild
+    (collect_list bounded by one document's tokens).
+    """
+    from ..functions.text import tokens
+
+    w = int(window)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(content_col).alias("toks")
+    )
+    keys = F.transform(F.col("toks"), lambda t: F.lower(t))
+    # shuffle 8-byte hashed window keys, not ~w*token_len strings —
+    # the groupBy only needs equality; a 64-bit collision (odds
+    # ~n_windows²/2⁶⁴) would delete one extra window, same failure
+    # budget as the jaccard module's hashed grams
+    win_keys = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - F.lit(w)),
+            lambda i: F.xxhash64(F.concat_ws("\x01", F.slice(keys, i + 1, w))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wk = toks.select("id", F.posexplode(win_keys).alias("wpos", "wkey"))
+    first = wk.groupBy("wkey").agg(F.min(F.struct("id", "wpos")).alias("k"))
+    dup = (
+        wk.join(first, on="wkey")
+        .filter(
+            ~((F.col("id") == F.col("k.id")) & (F.col("wpos") == F.col("k.wpos")))
+        )
+        .select("id", "wpos")
+    )
+    deleted = dup.select(
+        "id",
+        F.explode(F.sequence(F.col("wpos"), F.col("wpos") + F.lit(w - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    exploded = toks.select("id", F.posexplode("toks").alias("pos", "tok"))
+    survivors = exploded.join(deleted, on=["id", "pos"], how="left_anti")
+    rebuilt = survivors.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col(content_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(content_col)))
+        .alias("n_tokens"),
+    )
+    return totals.join(rebuilt, on="id", how="left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

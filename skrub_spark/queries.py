@@ -580,6 +580,20 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level exact substring dedup (Lee et al. 2021
+    'ExactSubstr' shape at 20-token windows): repeated 20-token runs
+    survive only at their first corpus occurrence, documents rebuilt
+    from surviving tokens. Exact oracle: DuckDB builds the same
+    window keys with list_slice/range and replays the
+    first-occurrence + position-delete rule."""
+    _prep(spark)
+    from .operators.span_dedup import dedup_token_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_token_spans(docs, "text", "doc_id", window=20)
+
+
 def q_streaming_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup flagging with an EXACT SQL
     oracle, across >= 2 REAL micro-batches: documents split at the
@@ -3117,6 +3131,54 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "substring_dedup": """
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x != '') AS toks
+          FROM documents
+        ), k AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, x -> lower(x)) AS ks
+          FROM t
+        ), wk AS (
+          SELECT doc_id, w.i AS wpos,
+                 array_to_string(list_slice(ks, w.i + 1, w.i + 20), chr(1))
+                   AS wkey
+          FROM k, UNNEST(range(0, len(ks) - 19)) AS w(i)
+          WHERE len(ks) >= 20
+        ), ranked AS (
+          SELECT doc_id, wpos,
+                 row_number() OVER (PARTITION BY wkey
+                                    ORDER BY doc_id, wpos) AS rn
+          FROM wk
+        ), del AS (
+          SELECT DISTINCT doc_id, wpos + d.j AS pos
+          FROM ranked, UNNEST(range(0, 20)) AS d(j)
+          WHERE rn > 1
+        ), pos AS (
+          SELECT doc_id, t.i AS pos, toks[t.i + 1] AS tok
+          FROM k, UNNEST(range(0, len(toks))) AS t(i)
+        ), surv AS (
+          SELECT p.doc_id, p.pos, p.tok FROM pos p
+          LEFT JOIN del ON p.doc_id = del.doc_id AND p.pos = del.pos
+          WHERE del.doc_id IS NULL
+        ), agg AS (
+          SELECT doc_id,
+                 string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM surv GROUP BY 1
+        ), tot AS (
+          SELECT doc_id, len(toks) AS n_tokens FROM t
+        )
+        SELECT d.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               tot.n_tokens,
+               tot.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN tot USING (doc_id)
+    """,
     "streaming_near_dup_flags": """
         WITH t AS (
           SELECT doc_id,
@@ -4265,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,
         "incremental_dedup": q_incremental_dedup,
+        "substring_dedup": q_substring_dedup,
         "streaming_near_dup_flags": q_streaming_near_dup_flags,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch

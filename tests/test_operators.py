@@ -933,3 +933,30 @@ def test_dedup_spans_window3(spark):
     assert out[2]["clean_text"] == "X\nY" and out[2]["n_removed"] == 3
     assert out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "tiny\ndoc" and out[4]["n_removed"] == 0
+
+
+def test_dedup_token_spans(spark):
+    """Planted duplicated token run: every window of it in the later
+    doc is removed (overlap at stride 1 covers the whole run), an
+    identical doc empties entirely, and short docs pass through."""
+    from skrub_spark.operators.span_dedup import dedup_token_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 s1 s2 s3 s4 s5"),
+            (2, "s1 s2 s3 s4 s5 b1 b2"),   # shares the 5-token run
+            (3, "a1 a2 s1 s2 s3 s4 s5"),   # exact copy of doc 1
+            (4, "x y"),                     # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_token_spans(df, "text", "doc_id", window=3).collect()
+    }
+    assert out[1]["clean_text"] == "a1 a2 s1 s2 s3 s4 s5"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "b1 b2"
+    assert out[2]["n_removed"] == 5
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 7
+    assert out[4]["clean_text"] == "x y" and out[4]["n_removed"] == 0
