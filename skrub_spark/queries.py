@@ -580,6 +580,32 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_jsonl_gz_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped-JSONL source/sink round-trip — the standard web-corpus
+    interchange format: documents written as .json.gz lines, read
+    back with an explicit schema, aggregated per (lang, source) with
+    a token sum. The oracle reads the parquet originals, so the
+    round-trip (including JSON string escaping) must be lossless for
+    the hash to match."""
+    _prep(spark)
+    import tempfile
+
+    from .sources import read_json
+
+    tmp = os.path.join(tempfile.gettempdir(), "skrub_q_jsonl")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
+    back = read_json(spark, tmp, schema=docs.schema)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level exact substring dedup (Lee et al. 2021
     'ExactSubstr' shape at 20-token windows): repeated 20-token runs
@@ -3131,6 +3157,14 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "jsonl_gz_source": """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   x -> x != ''))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang, source
+    """,
     "substring_dedup": """
         WITH t AS (
           SELECT doc_id,
@@ -4328,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "incremental_dedup": q_incremental_dedup,
         "substring_dedup": q_substring_dedup,
+        "jsonl_gz_source": q_jsonl_gz_source,
         "streaming_near_dup_flags": q_streaming_near_dup_flags,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch
