@@ -34,6 +34,7 @@ HEADLINE = [
     "substring_dedup",
     "domain_stats",
     "curation_pipeline",
+    "pretraining_pipeline",
     "lm_perplexity_filter",
     "boilerplate_removal",
     "mixture_sample",

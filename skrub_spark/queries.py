@@ -580,6 +580,87 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-data path in ONE lazy Spark plan —
+    boilerplate line removal -> Gopher repetition filter -> PII
+    redaction (planted) -> exact dedup -> token-window substring
+    dedup -> mixture sampling to per-source targets -> deterministic
+    corpus shuffle -> sequence packing — eight stages fused by
+    Catalyst, emitting each surviving document's final training
+    placement (shard, position, chunk span). The DuckDB oracle
+    replays every stage as composed CTEs, so the COMPOSITION is
+    verified exactly, not just the stages in isolation."""
+    _prep(spark)
+    from .dedup.exact import drop_exact_duplicates
+    from .functions.text import redact_pii
+    from .operators.boilerplate import remove_boilerplate_lines
+    from .operators.packing import pack_training_chunks
+    from .operators.repetition import repetition_filter
+    from .operators.sampling import sample_to_targets
+    from .operators.span_dedup import dedup_token_spans
+    from .sources.sharding import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # 1. boilerplate: drop short/shouting lines, rebuild
+    b = remove_boilerplate_lines(docs, "text", min_words=20)
+    b = (
+        b.filter(F.col("n_lines_kept") >= 1)
+        .select("doc_id", "source", F.col("clean_text").alias("text"))
+        # each downstream self-join (filter-by-stats, dedup
+        # canonical, sampling counts) re-consumes its input; without
+        # persists the upstream chain re-executes per branch —
+        # 2^branches work. Same MEMORY_AND_DISK discipline as the
+        # minhash gram frame.
+        .persist()
+    )
+    # 2. Gopher repetition thresholds
+    rep = repetition_filter(b, "text", "doc_id").select("doc_id", "keep")
+    kept = b.join(rep, "doc_id").filter(F.col("keep")).drop("keep")
+    # 3. PII redaction (planted deterministic email, like pii_redaction)
+    red = kept.select(
+        "doc_id",
+        "source",
+        redact_pii(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            )
+        ).alias("text"),
+    )
+    # 4. exact dedup (min-id canonical survives)
+    red = red.persist()
+    d = drop_exact_duplicates(red, "text", "doc_id").persist()
+    # 5. substring dedup at 20-token windows; rebuild, drop emptied
+    sd = dedup_token_spans(d, "text", "doc_id", window=20)
+    sd = (
+        sd.filter(F.col("n_tokens") - F.col("n_removed") >= 1)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.col("clean_text").alias("text"))
+        .persist()
+    )
+    # 6. mixture sampling: equal per-source row targets
+    targets = {f"src{i}": 15 for i in range(20)}
+    m = sample_to_targets(sd, "source", targets, key="doc_id", salt="pp5")
+    # 7. deterministic training order
+    o = shuffle_order(m, key="doc_id", n_shards=8, salt="pp5")
+    # 8. pack into 1024-token chunks per shard
+    packed = pack_training_chunks(
+        o.withColumn("n_tokens", F.size(tokens("text")).cast("long")),
+        "n_tokens",
+        1024,
+        order_col="shard_pos",
+        by="shard",
+    )
+    return packed.select(
+        "doc_id", "source", "shard", "shard_pos", "n_tokens",
+        "start_chunk", "end_chunk", "chunk_offset",
+    )
+
+
 def q_jsonl_gz_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gzipped-JSONL source/sink round-trip — the standard web-corpus
     interchange format: documents written as .json.gz lines, read
@@ -3157,6 +3238,154 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
     """,
+    "pretraining_pipeline": """
+        WITH b0 AS (
+          SELECT doc_id, source,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       x -> trim(x)),
+                        x -> x != '') AS ls
+          FROM documents
+        ), b1 AS (
+          SELECT doc_id, source,
+            list_filter(ls, ln ->
+              list_contains(['.', '!', '?', '"', ''''], right(ln, 1))
+              OR (
+                len(list_filter(string_split_regex(ln, '\\s+'),
+                                t -> t != '')) >= 20
+                AND CAST(len(regexp_replace(ln, '[^A-Z]', '', 'g')) AS DOUBLE)
+                    / greatest(len(regexp_replace(ln, '[^A-Za-z]', '', 'g')),
+                               1) <= 0.5
+              )) AS kept
+          FROM b0
+        ), b AS (
+          SELECT doc_id, source, array_to_string(kept, chr(10)) AS text
+          FROM b1 WHERE len(kept) >= 1
+        ),
+        l AS (
+          SELECT doc_id, trim(line) AS line
+          FROM b, UNNEST(string_split(text, chr(10))) AS t(line)
+          WHERE trim(line) <> ''
+        ),
+        lc AS (SELECT doc_id, line, COUNT(*) c FROM l GROUP BY 1, 2),
+        la AS (
+          SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+            SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+            SUM(c * length(line)) AS tot_chars
+          FROM lc GROUP BY 1
+        ),
+        w AS (
+          SELECT doc_id, w FROM b,
+            UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(w)
+          WHERE w <> ''
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c
+               FROM wc GROUP BY 1),
+        kept AS (
+          SELECT b.doc_id, b.source, b.text FROM b
+          LEFT JOIN la USING (doc_id)
+          LEFT JOIN wa USING (doc_id)
+          WHERE
+            COALESCE(1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_lines, 0.0)
+              <= 0.30
+            AND COALESCE(CAST(la.dup_chars AS DOUBLE) / la.tot_chars, 0.0)
+              <= 0.20
+            AND COALESCE(CAST(wa.top_c AS DOUBLE) / wa.n_words, 0.0)
+              <= 0.20
+        ),
+        red AS (
+          SELECT doc_id, source,
+            regexp_replace(regexp_replace(regexp_replace(
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com',
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+              '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+              '\\+?\\d[\\d \\-]{6,}\\d', '<PHONE>', 'g') AS text
+          FROM kept
+        ),
+        canon AS (
+          SELECT * FROM red r
+          WHERE doc_id = (SELECT MIN(doc_id) FROM red r2
+                          WHERE r2.text = r.text)
+        ),
+        st AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x != '') AS toks
+          FROM canon
+        ), sk AS (
+          SELECT doc_id, source, toks,
+                 list_transform(toks, x -> lower(x)) AS ks
+          FROM st
+        ), swk AS (
+          SELECT doc_id, w.i AS wpos,
+                 array_to_string(list_slice(ks, w.i + 1, w.i + 20), chr(1))
+                   AS wkey
+          FROM sk, UNNEST(range(0, len(ks) - 19)) AS w(i)
+          WHERE len(ks) >= 20
+        ), sr AS (
+          SELECT doc_id, wpos,
+                 row_number() OVER (PARTITION BY wkey
+                                    ORDER BY doc_id, wpos) AS rn
+          FROM swk
+        ), sdel AS (
+          SELECT DISTINCT doc_id, wpos + d.j AS pos
+          FROM sr, UNNEST(range(0, 20)) AS d(j)
+          WHERE rn > 1
+        ), spos AS (
+          SELECT doc_id, t.i AS pos, toks[t.i + 1] AS tok
+          FROM sk, UNNEST(range(0, len(toks))) AS t(i)
+        ), ssurv AS (
+          SELECT p.doc_id, p.pos, p.tok FROM spos p
+          LEFT JOIN sdel ON p.doc_id = sdel.doc_id AND p.pos = sdel.pos
+          WHERE sdel.doc_id IS NULL
+        ), sagg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+          FROM ssurv GROUP BY 1
+        ), sfinal AS (
+          SELECT s.doc_id, k.source, s.text
+          FROM sagg s JOIN sk k USING (doc_id)
+        ),
+        cnt AS (SELECT source, COUNT(*) AS n FROM sfinal GROUP BY source),
+        mx AS (
+          SELECT f.doc_id, f.source, f.text
+          FROM sfinal f JOIN cnt USING (source)
+          WHERE ('0x' || substr(md5('pp5' || CAST(f.doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % 10000
+                < least(10000, (10000 * 15) // cnt.n)
+        ),
+        sh AS (
+          SELECT doc_id, source, text,
+                 md5('pp5' || CAST(doc_id AS VARCHAR)) AS h
+          FROM mx
+        ), sh2 AS (
+          SELECT doc_id, source, text,
+                 ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard,
+                 row_number() OVER (
+                   PARTITION BY ('0x' || substr(h, 1, 15))::BIGINT % 8
+                   ORDER BY h, doc_id) AS shard_pos
+          FROM sh
+        ), tk AS (
+          SELECT doc_id, source, shard, shard_pos,
+            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '')) AS BIGINT) AS n_tokens
+          FROM sh2
+        ), pk AS (
+          SELECT *, SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY shard_pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tk
+        )
+        SELECT doc_id, source,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(shard_pos AS BIGINT) AS shard_pos,
+               n_tokens,
+               (cum - n_tokens) // 1024 AS start_chunk,
+               greatest(cum - 1, cum - n_tokens) // 1024 AS end_chunk,
+               (cum - n_tokens) % 1024 AS chunk_offset
+        FROM pk
+    """,
     "jsonl_gz_source": """
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(len(list_filter(
@@ -4363,6 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "substring_dedup": q_substring_dedup,
         "jsonl_gz_source": q_jsonl_gz_source,
+        "pretraining_pipeline": q_pretraining_pipeline,
         "streaming_near_dup_flags": q_streaming_near_dup_flags,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch
