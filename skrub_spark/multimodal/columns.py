@@ -135,6 +135,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     from .png import decode_png
 
     return decode_png(payload)
