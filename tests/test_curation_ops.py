@@ -79,6 +79,22 @@ def test_perplexity_filter_separates_in_domain(spark):
     assert flags == {1: True, 2: False}
 
 
+def test_trigram_lm(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    lm = train_ngram_lm(df, n=3)
+    assert lm.vocab_size == 4
+    assert {r["gram"]: r["c"] for r in lm.ngram_counts.collect()} == {
+        "a b c": 1, "b c d": 1
+    }
+    assert {r["ctx"]: r["ctx_c"] for r in lm.ctx_counts.collect()} == {
+        "a b": 1, "b c": 1
+    }
+    out = score_ngram_perplexity(df, lm).collect()[0]
+    # both trigrams: p = (1+1)/(1+4) = 0.4
+    assert out["n_ngrams"] == 2
+    assert abs(out["avg_nll"] - round(-math.log(0.4), 6)) < 1e-9
+
+
 def test_unigram_lm(spark):
     df = _docs(spark, [(1, "a a b")])
     lm = train_ngram_lm(df, n=1)
