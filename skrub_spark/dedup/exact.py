@@ -60,7 +60,11 @@ def dedup_incremental(
         F.min(id_col).alias(id_col)
     )
     return (
-        fresh.join(canon, ["content_hash", id_col], "left_semi")
+        # dropDuplicates first: identical (id, content) rows repeated
+        # within the batch would otherwise BOTH match the canonical
+        # (hash, id) pair and both survive
+        fresh.dropDuplicates(["content_hash", id_col])
+        .join(canon, ["content_hash", id_col], "left_semi")
         .drop("content_hash")
     )
 

@@ -137,8 +137,10 @@ def decode_gif(payload: bytes) -> np.ndarray | None:
                             de[r] = frame[src]
                             src += 1
                     frame = de
+                # background index refers to the GLOBAL color table,
+                # never a frame's local one
                 bg = (
-                    pal[bg_idx]
+                    gct[bg_idx]
                     if gct is not None and bg_idx < len(gct)
                     else np.zeros(3, dtype=np.uint8)
                 )

@@ -54,6 +54,22 @@ class BPEModel:
         return {pair: i for i, pair in enumerate(self.merges)}
 
 
+def _apply_merge(syms: list[str], pair: tuple[str, str], joined: str) -> list[str]:
+    """Replace every non-overlapping left-to-right occurrence of
+    ``pair`` in ``syms`` with ``joined`` — the single merge rule both
+    training and encoding must share."""
+    out: list[str] = []
+    j = 0
+    while j < len(syms):
+        if j + 1 < len(syms) and syms[j] == pair[0] and syms[j + 1] == pair[1]:
+            out.append(joined)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
 def _train_merges(
     word_freq: dict[str, int], n_merges: int
 ) -> list[tuple[str, str]]:
@@ -102,20 +118,7 @@ def _train_merges(
                     s.discard(i)
                     if not s:
                         where.pop(p, None)
-            # apply the merge left-to-right
-            out: list[str] = []
-            j = 0
-            while j < len(syms):
-                if (
-                    j + 1 < len(syms)
-                    and syms[j] == pair[0]
-                    and syms[j + 1] == pair[1]
-                ):
-                    out.append(joined)
-                    j += 2
-                else:
-                    out.append(syms[j])
-                    j += 1
+            out = _apply_merge(syms, pair, joined)
             words[i] = out
             # re-add contributions
             for p in zip(out, out[1:]):
@@ -158,17 +161,7 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
         if best_rank is None:
             break
         pair = (syms[best_i], syms[best_i + 1])
-        joined = pair[0] + pair[1]
-        out: list[str] = []
-        j = 0
-        while j < len(syms):
-            if j + 1 < len(syms) and syms[j] == pair[0] and syms[j + 1] == pair[1]:
-                out.append(joined)
-                j += 2
-            else:
-                out.append(syms[j])
-                j += 1
-        syms = out
+        syms = _apply_merge(syms, pair, pair[0] + pair[1])
     return syms
 
 

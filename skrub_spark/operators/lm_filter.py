@@ -50,29 +50,21 @@ class NgramLM:
 def _gram_cols(text_col: str, n: int) -> tuple[Column, Column]:
     """(grams, ctxs) arrays for a document: ``grams[i]`` is the
     space-joined window of n words starting at i, ``ctxs[i]`` its
-    n-1-word prefix ('' for unigrams). Built from shifted slices —
-    linear per row, JVM-side."""
+    n-1-word prefix ('' for unigrams). Reuses the shared
+    shifted-slice shingle builder (functions/text.py) — linear per
+    row, JVM-side."""
+    from ..functions.text import _shifted_shingles
+
     words = words_az09(text_col)
     n_words = F.size(words)
     width = n_words - (n - 1)
-    gram = F.slice(words, 1, width)
-    for j in range(1, n):
-        gram = F.zip_with(
-            gram,
-            F.slice(words, j + 1, width),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+    gram = _shifted_shingles(words, n, " ")
     if n == 1:
         ctx = F.transform(gram, lambda _: F.lit(""))
     else:
-        ctx_full = F.slice(words, 1, n_words - (n - 2))
-        for j in range(1, n - 1):
-            ctx_full = F.zip_with(
-                ctx_full,
-                F.slice(words, j + 1, n_words - (n - 2)),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ctx = F.slice(ctx_full, 1, width)
+        # n-1-gram prefixes, truncated to align index-for-index with
+        # the n-grams (one fewer window exists at the tail)
+        ctx = F.slice(_shifted_shingles(words, n - 1, " "), 1, width)
     empty = F.array().cast("array<string>")
     has = n_words >= n
     return (
@@ -92,8 +84,15 @@ def train_ngram_lm(df: DataFrame, text_col: str = "text", n: int = 2) -> NgramLM
     pairs = df.select(
         F.explode(F.arrays_zip(grams.alias("gram"), ctxs.alias("ctx"))).alias("p")
     ).select(F.col("p.gram").alias("gram"), F.col("p.ctx").alias("ctx"))
-    ngram_counts = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
-    ctx_counts = pairs.groupBy("ctx").agg(F.count(F.lit(1)).alias("ctx_c"))
+    # persist the model: scoring left-joins BOTH count frames, and
+    # without this each join re-executes the training explode+groupBy
+    # lineage from the source scan
+    ngram_counts = pairs.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    ctx_counts = pairs.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("ctx_c")
+    ).persist()
     vocab = (
         df.select(F.explode(words_az09(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))

@@ -20,16 +20,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000
+# sample_to_targets needs finer resolution than the 1/10000 the other
+# samplers use: with 10^4 buckets, any target below count/10^4 floors
+# to a zero threshold and silently empties the stratum
+_FINE_BUCKETS = 100_000_000
 
 
-def _hash_bucket(key: Column, salt: str) -> Column:
-    """Stable bucket in [0, 10000): 60 md5 bits -> mod buckets."""
+def _hash_bucket(key: Column, salt: str, buckets: int = _BUCKETS) -> Column:
+    """Stable bucket in [0, buckets): 60 md5 bits -> mod buckets."""
     return F.pmod(
         F.conv(
             F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
             16, 10,
         ).cast("long"),
-        F.lit(_BUCKETS),
+        F.lit(buckets),
     )
 
 
@@ -71,26 +75,40 @@ def sample_to_targets(
 
     Per-stratum keep thresholds are derived from the OBSERVED stratum
     sizes — one small groupBy count broadcast-joined back — entirely
-    in int64 arithmetic (``(10000 * target) DIV count``, capped at
-    10000), so membership is the same content-addressed md5 rule as
-    the other samplers and bit-replayable by a SQL oracle (battery
-    query ``mixture_sample``). Strata without a target are dropped.
-    No shuffle of the data itself: the counts side of the join is
-    |strata| rows, always broadcast."""
+    in int64 arithmetic (``(10^8 * target) DIV count``, capped at
+    10^8 and floored at one bucket), so membership is the same
+    content-addressed md5 rule as the other samplers and
+    bit-replayable by a SQL oracle (battery query
+    ``mixture_sample``). Strata without a target are dropped. No
+    shuffle of the data itself: the counts side of the join is
+    |strata| rows, always broadcast.
+
+    Resolution: 10^8 buckets, so the smallest nonzero keep ratio is
+    1e-8 — a stratum keeps at least ~count/10^8 rows rather than
+    silently zero when the target is tiny relative to the stratum
+    (overshoot bounded by count/10^8). int64 headroom caps stratum
+    sizes at ~9.2e10 rows; beyond that, widen to the full 60-bit md5
+    space."""
     key = F.col(key) if isinstance(key, str) else key
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     tgt = F.lit(None).cast("long")
     for s, t in targets.items():
         tgt = F.when(F.col(strata_col) == s, F.lit(int(t))).otherwise(tgt)
-    thresh = F.least(
-        F.lit(_BUCKETS).cast("long"),
-        F.expr(f"CAST({_BUCKETS} AS BIGINT) * __tgt DIV __n"),
+    fine = _FINE_BUCKETS
+    thresh = F.when(F.col("__tgt") <= 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(fine).cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST({fine} AS BIGINT) * least(__tgt, __n) DIV __n"),
+            ),
+        )
     )
     return (
         df.join(F.broadcast(counts), strata_col, "inner")
         .withColumn("__tgt", tgt)
         .filter(F.col("__tgt").isNotNull())
-        .filter(_hash_bucket(key, salt) < thresh)
+        .filter(_hash_bucket(key, salt, fine) < thresh)
         .drop("__n", "__tgt")
     )
 

@@ -611,8 +611,10 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each downstream self-join (filter-by-stats, dedup
         # canonical, sampling counts) re-consumes its input; without
         # persists the upstream chain re-executes per branch —
-        # 2^branches work. Same MEMORY_AND_DISK discipline as the
-        # minhash gram frame.
+        # 2^branches work. Blocks stay cached for the session and
+        # are LRU-evicted under pressure; a consumer that needs them
+        # gone immediately can spark.catalog.clearCache() after
+        # materializing.
         .persist()
     )
     # 2. Gopher repetition thresholds
@@ -670,10 +672,15 @@ def q_jsonl_gz_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash to match."""
     _prep(spark)
     import tempfile
+    import uuid
 
     from .sources import read_json
 
-    tmp = os.path.join(tempfile.gettempdir(), "skrub_q_jsonl")
+    # unique path: concurrent battery/bench runs must not clobber
+    # each other's round-trip data mid-read
+    tmp = os.path.join(
+        tempfile.gettempdir(), "skrub_q_jsonl_" + uuid.uuid4().hex[:8]
+    )
     docs = load_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
     back = read_json(spark, tmp, schema=docs.schema)
@@ -705,11 +712,12 @@ def q_streaming_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup flagging with an EXACT SQL
     oracle, across >= 2 REAL micro-batches: documents split at the
     id median into two files, streamed with maxFilesPerTrigger=1;
-    band buckets are claimed in the state store across batches
-    (min-merged, so the fixpoint equals the batch min-id rule) and
-    every doc sharing a band with an earlier one is flagged. The md5
-    double-hash sketch is engine-portable, so DuckDB replays
-    signatures, band keys, claims and flags bit-exactly."""
+    band buckets are claimed first-arrival in the state store (ids
+    arrive in ascending order here, so arrival order EQUALS the
+    batch min-id rule the oracle replays) and every doc sharing a
+    band with an earlier one is flagged. The md5 double-hash sketch
+    is engine-portable, so DuckDB replays signatures, band keys,
+    claims and flags bit-exactly."""
     import glob
     import os
     import shutil
@@ -3352,8 +3360,9 @@ ORACLES: dict[str, str] = {
           SELECT f.doc_id, f.source, f.text
           FROM sfinal f JOIN cnt USING (source)
           WHERE ('0x' || substr(md5('pp5' || CAST(f.doc_id AS VARCHAR)),
-                                1, 15))::BIGINT % 10000
-                < least(10000, (10000 * 15) // cnt.n)
+                                1, 15))::BIGINT % 100000000
+                < least(100000000,
+                        greatest(1, (100000000 * least(15, cnt.n)) // cnt.n))
         ),
         sh AS (
           SELECT doc_id, source, text,
@@ -3550,8 +3559,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, source FROM t
         WHERE tgt IS NOT NULL
           AND ('0x' || substr(md5('mix5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              % 10000
-              < least(10000, (10000 * tgt) // cnt)
+              % 100000000
+              < CASE WHEN tgt <= 0 THEN 0 ELSE
+                  least(100000000,
+                        greatest(1, (100000000 * least(tgt, cnt)) // cnt))
+                END
     """,
     "lm_perplexity_filter": """
         WITH w AS (

@@ -279,13 +279,24 @@ def streaming_near_dedup(
     expression, see functions/hashing.py) is split into ``n_bands``
     band keys; the stream is exploded to (band_key, doc, band_idx)
     rows and grouped by band key under ``applyInPandasWithState``.
-    State per bucket = ONE long (the bucket's canonical claimant,
-    min-merged across batches so arrival order doesn't change the
-    fixpoint); every row is emitted back annotated with the bucket's
-    canonical id. A document in a LATER micro-batch that shares any
-    band with an earlier one surfaces with ``first_id < doc_id`` —
-    the downstream per-doc summary (one groupBy in the consumer's
+    State per bucket = ONE long: the FIRST-ARRIVED claimant (min id
+    within the claiming batch) — the same keep-first semantics as
+    ``streaming_dedup``. Every row is emitted back annotated with
+    its bucket's claimant, so a document whose bucket was claimed by
+    a DIFFERENT document (an earlier batch, or a smaller id in the
+    same batch) surfaces with ``first_id != doc_id`` — the
+    downstream per-doc summary (one groupBy in the consumer's
     foreachBatch, or a batch query over the sink) flags it.
+
+    Ingest-time semantics, stated honestly: flags follow ARRIVAL
+    order. When ids arrive in ascending order (the battery fixture,
+    and any ingest keyed by monotonically increasing ids) this
+    equals the batch min-id rule, which is what the SQL oracle
+    replays. If a smaller id arrives AFTER its bucket was claimed,
+    the late row is flagged against the earlier claimant, but
+    already-emitted rows are never retro-flagged — append-mode
+    output is immutable, the same fundamental limit documented for
+    ``streaming_sessionize``'s late rows.
 
     LSH-only (no exact-Jaccard verify): verification would need gram
     sets in state — unbounded. At 100 TB: state = 8 bytes per
@@ -305,14 +316,10 @@ def streaming_near_dedup(
         LongType, StringType, StructField, StructType,
     )
 
-    from ..functions.hashing import minhash_signature
+    from ..functions.hashing import minhash_from_grams
     from ..functions.text import word_shingles
 
     rows_per_band = n_components // n_bands
-    sig = minhash_signature(
-        F.col(text_col), n_components, unit="word",
-        shingle_k=shingle_k, hash="md5",
-    )
     band_keys = F.array(*[
         F.md5(
             F.concat_ws(
@@ -327,9 +334,16 @@ def streaming_near_dedup(
         )
         for b in range(n_bands)
     ])
+    # materialize the shingle array ONCE per row: both the
+    # has-shingles filter and the signature read the same column
     exploded = (
-        stream.filter(F.size(word_shingles(F.col(text_col), shingle_k)) >= 1)
-        .withColumn("__sig", sig)
+        stream.withColumn(
+            "__grams", word_shingles(F.col(text_col), shingle_k)
+        )
+        .filter(F.size("__grams") >= 1)
+        .withColumn(
+            "__sig", minhash_from_grams(F.col("__grams"), n_components, hash="md5")
+        )
         .select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(band_keys).alias("band_idx", "band_key"),
@@ -350,9 +364,13 @@ def streaming_near_dedup(
         if not frames:
             return
         pdf = pd.concat(frames)
-        batch_min = int(pdf["doc_id"].min())
-        first = int(state.get[0]) if state.exists else batch_min
-        first = min(first, batch_min)
+        # first ARRIVAL wins (keep-first, like streaming_dedup);
+        # min-merging across batches would desync emitted rows from
+        # state, since append-mode output can't be retro-flagged
+        first = (
+            int(state.get[0]) if state.exists
+            else int(pdf["doc_id"].min())
+        )
         state.update((first,))
         yield pd.DataFrame({
             "band_key": pdf["band_key"].astype(str),
@@ -374,11 +392,12 @@ def near_dup_summary(flags: DataFrame, ids: DataFrame | None = None,
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document view over ``streaming_near_dedup`` output (run it
     batch-side over the sink, or in foreachBatch): ``is_dup`` when
-    any band bucket was claimed by an earlier document, plus the
-    minimal canonical id over all its buckets. ``ids`` (optional)
-    re-attaches documents that had no shingles as non-duplicates."""
+    any band bucket was claimed by a DIFFERENT document (earlier
+    arrival, or smaller id within the same batch), plus the minimal
+    canonical id over all its buckets. ``ids`` (optional) re-attaches
+    documents that had no shingles as non-duplicates."""
     per_doc = flags.groupBy("doc_id").agg(
-        F.max((F.col("first_id") < F.col("doc_id")).cast("int"))
+        F.max((F.col("first_id") != F.col("doc_id")).cast("int"))
         .cast("boolean")
         .alias("is_dup"),
         F.min("first_id").alias("canonical_id"),

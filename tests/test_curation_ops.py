@@ -151,6 +151,13 @@ def test_dedup_incremental(spark):
     assert out == [11, 13]
     # schema passthrough: original columns, no helper hash column
     assert dedup_incremental(new, seen).columns == ["doc_id", "text"]
+    # a row repeated VERBATIM (same id, same text) within the batch
+    # must survive exactly once
+    doubled = new.unionByName(
+        spark.createDataFrame([(11, "brand new")], "doc_id long, text string")
+    )
+    out2 = sorted(r["doc_id"] for r in dedup_incremental(doubled, seen).collect())
+    assert out2 == [11, 13]
 
 
 def test_streaming_near_dedup_cross_batch(spark, tmp_path):
@@ -189,6 +196,42 @@ def test_streaming_near_dedup_cross_batch(spark, tmp_path):
     assert out[1] == (False, 1)
     assert out[2] == (False, 2)
     assert out[5] == (True, 1)   # claimed in batch 1, flagged in batch 2
+
+
+def test_streaming_near_dedup_out_of_order_arrival(spark, tmp_path):
+    """Arrival-order semantics, stated in the docstring: a SMALLER id
+    arriving after its bucket was claimed is flagged against the
+    earlier claimant — emitted rows are never retro-flagged."""
+    import pandas as pd
+
+    from skrub_spark.streaming import near_dup_summary, streaming_near_dedup
+
+    d = tmp_path / "ndd_ooo"
+    d.mkdir()
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    pd.DataFrame({"doc_id": [9], "text": [text]}).to_parquet(d / "b1.parquet")
+    pd.DataFrame({"doc_id": [3], "text": [text]}).to_parquet(d / "b2.parquet")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("ndd_ooo_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    ids = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["is_dup"], r["canonical_id"])
+        for r in near_dup_summary(spark.table("ndd_ooo_test"), ids=ids).collect()
+    }
+    assert out[9] == (False, 9)  # claimed first; never retro-flagged
+    assert out[3] == (True, 9)   # late smaller id flags against claimant
 
 
 def test_boilerplate_removal(spark):

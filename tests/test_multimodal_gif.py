@@ -107,6 +107,34 @@ def test_interlaced():
     assert np.array_equal(out, px)
 
 
+def test_local_color_table_and_gct_background():
+    """A frame with a small LOCAL color table must decode, and the
+    canvas background must come from the GLOBAL table even when
+    bg_idx is out of range for the LCT (regression: bg was read from
+    the active palette)."""
+    gct = np.array([[9, 9, 9], [1, 1, 1], [2, 2, 2], [7, 7, 7]], np.uint8)
+    lct = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.array([0, 1, 1, 0])
+    data = _lzw_compress(idx.tolist(), 2)
+    sub = bytes([len(data)]) + data + b"\x00"
+    b = (
+        b"GIF89a"
+        + (4).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        # GCT present (4 entries), bg_idx = 3
+        + bytes([0x80 | 0x01, 3, 0]) + gct.tobytes()
+        # frame 2x1 at (1,0) with a 2-entry LCT
+        + b"\x2c" + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80]) + lct.tobytes() + bytes([2]) + sub + b"\x3b"
+    )
+    # stored idx has 4 values but frame is 2x1 -> decoder takes first 2
+    out = decode_gif(b)
+    assert out is not None and out.shape == (2, 4, 3)
+    assert np.array_equal(out[0, 1], lct[0]) and np.array_equal(out[0, 2], lct[1])
+    # everything else = GCT background color 7,7,7
+    assert np.array_equal(out[1, 0], gct[3]) and np.array_equal(out[0, 0], gct[3])
+
+
 def test_junk_and_truncation_return_none():
     img = np.zeros((5, 5, 3), np.uint8)
     good = encode_gif(img)
