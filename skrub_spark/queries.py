@@ -4477,6 +4477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # classification label round-trip / measured LSH recall), displacing
     # fuzzy_join_lsh and minhash_canonical, whose families stay covered
     # in-window by fuzzy_join_customer_supplier and minhash_dedup_pairs.
+    # Late-r5 swap: the round's three strongest new paths moved INTO the
+    # window — lm_perplexity_filter (the quality-filtering family had no
+    # in-window row), pretraining_pipeline (the eight-stage composition),
+    # streaming_near_dup_flags (stateful streaming with a bit-exact SQL
+    # oracle) — displacing stratified_sample (sampling stays covered by
+    # hash_split + the pipeline's mixture stage), gap_encoder_topics
+    # (gap_encoder_distributed remains) and fingerprints (text stays
+    # covered by language_id).
     # Entries past position 50 are mostly TPC-H-shape analogs whose
     # join/agg coverage is already proven by pricing_summary/top_orders
     # inside the window, or extra variants of a family already represented
@@ -4508,7 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_strings_brand": q_dedup_strings_brand,
         # --- training-data pipeline ops ---
         "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
+        "lm_perplexity_filter": q_lm_perplexity_filter,
         "pack_chunks": q_pack_chunks,
         "training_pipeline": q_training_pipeline,
         "contamination": q_contamination,
@@ -4530,7 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_encoder_features": q_minhash_encoder_features,
         "similarity_encoder_region": q_similarity_encoder_region,
         "string_encoder_features": q_string_encoder_features,
-        "gap_encoder_topics": q_gap_encoder_topics,
+        "pretraining_pipeline": q_pretraining_pipeline,
         "gap_encoder_distributed": q_gap_encoder_distributed,
         "squashing_scaler": q_squashing_scaler,
         "session_encoder_features": q_session_encoder_features,
@@ -4541,7 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_associations": q_column_associations,
         # --- text analysis & multimodal ---
         "language_id": q_language_id,
-        "fingerprints": q_fingerprints,
+        "streaming_near_dup_flags": q_streaming_near_dup_flags,
         "image_decode_stats": q_image_decode_stats,
         # --- streaming ---
         "windowed_counts": q_windowed_counts,
@@ -4597,15 +4605,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
-        "lm_perplexity_filter": q_lm_perplexity_filter,
+        "stratified_sample": q_stratified_sample,
         "boilerplate_removal": q_boilerplate_removal,
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,
         "incremental_dedup": q_incremental_dedup,
         "substring_dedup": q_substring_dedup,
         "jsonl_gz_source": q_jsonl_gz_source,
-        "pretraining_pipeline": q_pretraining_pipeline,
-        "streaming_near_dup_flags": q_streaming_near_dup_flags,
+        "gap_encoder_topics": q_gap_encoder_topics,
+        "fingerprints": q_fingerprints,
         # rows-only by nature (a BPE merge loop isn't SQL-expressible);
         # contracted in tests/test_bpe.py against a from-scratch
         # reference trainer + hand-worked merges + round-trip props
