@@ -102,3 +102,38 @@ def ngram_contamination(
             / F.greatest(F.col("n_shingles"), F.lit(1))
         ).cast("double").alias("contamination"),
     )
+
+
+def decontaminate_train(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 13,
+    max_contamination: float = 0.0,
+    max_eval_doc_freq: int | None = None,
+) -> DataFrame:
+    """Remove TRAIN documents that overlap the eval set — the
+    GPT-3/CCNet-style decontamination applied at corpus-build time
+    (detection flags eval docs; this removes the train side so eval
+    numbers stay honest without touching the benchmark itself).
+
+    A train doc survives when its contaminated-shingle fraction
+    against the eval corpus is <= ``max_contamination`` (default:
+    any shared ``ngram``-gram removes it; docs too short to shingle
+    always survive). Same inverted-index plan as
+    :func:`ngram_contamination` with the roles swapped, followed by
+    one semi-join back to the train payloads."""
+    stats = ngram_contamination(
+        eval_df,
+        train,
+        content_col,
+        id_col,
+        ngram=ngram,
+        max_train_doc_freq=max_eval_doc_freq,
+    )
+    keep = stats.filter(
+        F.col("contamination") <= F.lit(float(max_contamination))
+    ).select(id_col)
+    return train.join(keep, id_col, "left_semi")

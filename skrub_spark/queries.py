@@ -580,6 +580,24 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build-time decontamination (GPT-3/CCNet style): train
+    documents sharing ANY 13-gram with the eval sources are removed;
+    the planted cross-source near-dups must vanish and everything
+    else survive. Exact oracle: DuckDB replays shingling and the
+    no-shared-gram survival rule."""
+    _prep(spark)
+    from .dedup.contamination import decontaminate_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    out = decontaminate_train(
+        docs.filter(~is_eval), docs.filter(is_eval), "text", "doc_id",
+        ngram=13, max_contamination=0.0,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE pretraining-data path in ONE lazy Spark plan —
     boilerplate line removal -> Gopher repetition filter -> PII
@@ -4202,6 +4220,33 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "decontaminate": """
+        WITH w AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id, source,
+            CASE WHEN len(words) >= 13 THEN
+              list_distinct(list_transform(range(1, len(words) - 11),
+                i -> array_to_string(list_slice(words, i, i + 12), ' ')))
+            ELSE [] END AS sh
+          FROM w
+        ), eval_grams AS (
+          SELECT DISTINCT unnest(sh) AS g FROM s
+          WHERE source IN ('src0', 'src1')
+        ), t AS (
+          SELECT doc_id, unnest(sh) AS g FROM s
+          WHERE source NOT IN ('src0', 'src1')
+        ), cont AS (
+          SELECT DISTINCT t.doc_id
+          FROM t JOIN eval_grams eg ON t.g = eg.g
+        )
+        SELECT s.doc_id, s.source FROM s
+        WHERE source NOT IN ('src0', 'src1')
+          AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
     "contamination": """
         WITH w AS (
           SELECT doc_id, source,
@@ -4606,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "boilerplate_removal": q_boilerplate_removal,
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,

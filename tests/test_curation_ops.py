@@ -107,6 +107,31 @@ def test_unigram_lm(spark):
     assert abs(out["avg_nll"] - exp) < 1e-9
 
 
+def test_decontaminate_train(spark):
+    from skrub_spark.dedup.contamination import decontaminate_train
+
+    base = " ".join(f"w{i}" for i in range(13))
+    train = _docs(
+        spark,
+        [
+            (1, base + " trailing words here"),   # shares a 13-gram -> removed
+            (2, "totally different set of words " * 4),
+            (3, "short doc"),                      # unshingleable -> survives
+        ],
+    )
+    ev = _docs(spark, [(100, base + " benchmark continuation")])
+    out = sorted(
+        r["doc_id"] for r in decontaminate_train(train, ev).collect()
+    )
+    assert out == [2, 3]
+    # threshold > 0 lets the partially-overlapping doc back in
+    out2 = sorted(
+        r["doc_id"]
+        for r in decontaminate_train(train, ev, max_contamination=1.0).collect()
+    )
+    assert out2 == [1, 2, 3]
+
+
 def test_shuffle_order(spark):
     from skrub_spark.sources.sharding import shuffle_order
 
