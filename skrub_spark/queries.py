@@ -580,6 +580,38 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_lines_total", "n_lines_kept", "clean_text")
 
 
+def q_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot ingest (beyond-reference sources op): even
+    documents land as snapshot v1; a second batch (odd docs + planted
+    copies of v1 content and within-batch dups) ingests against the
+    history's content hashes and lands as v2. The returned v2
+    survivors must equal the incremental-dedup rule, which the
+    oracle replays; the read path is a direct v=2 directory read."""
+    import tempfile
+    import uuid
+
+    from .sources.snapshots import ingest_snapshot
+
+    _prep(spark)
+    root = os.path.join(
+        tempfile.gettempdir(), "skrub_q_snap_" + uuid.uuid4().hex[:8]
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    batch2 = odd.unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        odd.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    _, survivors = ingest_snapshot(batch2, root)
+    return survivors.select("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-build-time decontamination (GPT-3/CCNet style): train
     documents sharing ANY 13-gram with the eval sources are removed;
@@ -4220,6 +4252,24 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts + INTERVAL 1 HOUR
     """,
+    "snapshot_ingest": """
+        WITH seen AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ), odd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        ), new_batch AS (
+          SELECT doc_id, text FROM odd
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM seen
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM odd WHERE doc_id < 100
+        ), fresh AS (
+          SELECT * FROM new_batch n
+          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+        )
+        SELECT doc_id FROM fresh f
+        WHERE doc_id = (SELECT min(doc_id) FROM fresh g WHERE g.text = f.text)
+    """,
     "decontaminate": """
         WITH w AS (
           SELECT doc_id, source,
@@ -4652,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "snapshot_ingest": q_snapshot_ingest,
         "boilerplate_removal": q_boilerplate_removal,
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,

@@ -1,0 +1,107 @@
+"""Versioned corpus snapshots — the storage side of incremental
+ingest (SURVEY.md §2, beyond-reference).
+
+A crawl pipeline lands one immutable SNAPSHOT per run; downstream
+consumers read "latest" (or pin a version), and each new batch
+dedups against all prior snapshots without re-reading their
+payloads. Plain partitioned parquet under ``root/v=N/`` — no table
+format dependency, works on any object store:
+
+- ``write_snapshot``: next version = max existing + 1, written
+  atomically-enough for a single writer (the directory only becomes
+  visible to ``snapshot_versions`` when the parquet commit finishes).
+- ``read_snapshot``: one version's directory — a direct path read,
+  so nothing else is even listed.
+- ``read_all_snapshots``: the whole history with a ``v`` column
+  (partition pruning applies to any ``v`` filter).
+- ``ingest_snapshot``: the composition this module exists for —
+  dedup the incoming batch against every prior snapshot's content
+  hashes (column-pruned scan: only the content column is read from
+  history) via :func:`~skrub_spark.dedup.exact.dedup_incremental`,
+  then write the survivors as the next snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_V_RE = re.compile(r"^v=(\d+)$")
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Sorted existing snapshot versions under ``root``."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _V_RE.match(name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, root: str, version: int | None = None) -> int:
+    """Write ``df`` as the next (or given) snapshot version; returns
+    the version written. Refuses to overwrite an existing version."""
+    if version is None:
+        existing = snapshot_versions(root)
+        version = (existing[-1] + 1) if existing else 1
+    path = os.path.join(root, f"v={version}")
+    if os.path.isdir(path):
+        raise ValueError(f"snapshot v={version} already exists at {root}")
+    df.write.mode("errorifexists").parquet(path)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """One snapshot (default: latest). Direct path read — other
+    versions are never listed or scanned."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"snapshot v={version} not under {root}")
+    return spark.read.parquet(os.path.join(root, f"v={version}"))
+
+
+def read_all_snapshots(spark: SparkSession, root: str) -> DataFrame:
+    """Every snapshot with its ``v`` column (hive-partition
+    discovery, so ``filter(v == k)`` prunes at the scan)."""
+    if not snapshot_versions(root):
+        raise FileNotFoundError(f"no snapshots under {root}")
+    return spark.read.option("basePath", root).parquet(
+        *[
+            os.path.join(root, f"v={v}")
+            for v in snapshot_versions(root)
+        ]
+    )
+
+
+def ingest_snapshot(
+    new_df: DataFrame,
+    root: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[int, DataFrame]:
+    """Dedup ``new_df`` against ALL prior snapshots (hash anti-join;
+    only ``content_col`` is read from history — column pruning keeps
+    the historical scan narrow) and write the survivors as the next
+    snapshot. Returns (version, survivors)."""
+    from ..dedup.exact import dedup_incremental, drop_exact_duplicates
+
+    spark = new_df.sparkSession
+    if snapshot_versions(root):
+        seen = read_all_snapshots(spark, root).select(content_col)
+        fresh = dedup_incremental(new_df, seen, content_col, id_col)
+    else:
+        fresh = drop_exact_duplicates(new_df, content_col, id_col)
+    version = write_snapshot(fresh, root)
+    return version, read_snapshot(spark, root, version)

@@ -126,3 +126,56 @@ def test_write_training_shards(spark, tmp_path):
     assert all(r["shard"] == 2 for r in rows)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+
+
+def test_snapshot_lifecycle(spark, tmp_path):
+    """Versioned snapshots: monotone versions, latest/pinned reads,
+    all-snapshot union with v, refusal to overwrite."""
+    import pytest
+
+    from skrub_spark.sources.snapshots import (
+        read_all_snapshots,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snaps")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(3, "c")], "doc_id long, text string")
+    assert write_snapshot(d1, root) == 1
+    assert write_snapshot(d2, root) == 2
+    assert snapshot_versions(root) == [1, 2]
+    assert read_snapshot(spark, root).count() == 1          # latest = v2
+    assert read_snapshot(spark, root, 1).count() == 2
+    allv = read_all_snapshots(spark, root)
+    assert {(r["v"], r["doc_id"]) for r in allv.collect()} == {
+        (1, 1), (1, 2), (2, 3)
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        write_snapshot(d1, root, version=2)
+
+
+def test_ingest_snapshot_dedups_against_history(spark, tmp_path):
+    """ingest_snapshot: batch 2's repeats of batch 1 content vanish,
+    within-batch dups collapse to the min id, history is append-only."""
+    from skrub_spark.sources.snapshots import (
+        ingest_snapshot,
+        read_all_snapshots,
+    )
+
+    root = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "beta")], "doc_id long, text string"
+    )
+    v1, s1 = ingest_snapshot(b1, root)
+    assert v1 == 1
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]  # 3 is dup of 2
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],
+        "doc_id long, text string",
+    )
+    v2, s2 = ingest_snapshot(b2, root)
+    assert v2 == 2
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]  # alpha seen, 12 dup
+    assert read_all_snapshots(spark, root).count() == 3
