@@ -88,10 +88,11 @@ HEADLINE = [
     "pack_chunks",
     "training_pipeline",
     "contamination",
+    "decontaminate",
     "skew_salted_agg",
     # excluded by design: bucketed_join_revenue / csv_source /
-    # orc_source / topk_ivf (sink-write cost dominates, not a
-    # throughput signal); streaming_* (state-store fixed overhead,
+    # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
+    # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,
     # see note below); image_decode_stats / image_near_dup /
     # audio_near_dup / video_frame_stats (payload SYNTHESIS — python
     # codec encode loops — dominates wall time, so they'd measure
