@@ -638,6 +638,21 @@ def test_sample_to_targets(spark):
     assert {r["k"] for r in out.collect()} == {r["k"] for r in again.collect()}
 
 
+def test_sample_to_targets_tiny_target_not_emptied(spark):
+    """Resolution regression (review finding): a target far below
+    count/10^4 must keep ~target rows, not zero; target 0 keeps 0."""
+    from skrub_spark.operators.sampling import sample_to_targets
+
+    df = (
+        spark.range(0, 200_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("src", F.lit("web"))
+    )
+    n = sample_to_targets(df, "src", {"web": 5}, key="k", salt="t").count()
+    assert 1 <= n <= 25  # ~5 expected, hash noise allowed, never 0
+    assert sample_to_targets(df, "src", {"web": 0}, key="k").count() == 0
+
+
 def test_pack_training_chunks_invariants(spark):
     """Chunk spans are contiguous across docs within a shard: doc i+1
     starts where doc i ended (same chunk when straddling), offsets are
