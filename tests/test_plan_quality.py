@@ -338,3 +338,39 @@ def test_corpus_shuffle_single_exchange(spark):
     df = shuffle_order(docs, key="doc_id", n_shards=8)
     plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decontaminate_semi_join_no_cartesian(spark):
+    """Decontamination is inverted-index relational algebra: the
+    survivors come back via a semi-join, with no cartesian or
+    nested-loop join anywhere."""
+    from skrub_spark.dedup.contamination import decontaminate_train
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ev = docs.filter("source IN ('src0','src1')")
+    tr = docs.filter("source NOT IN ('src0','src1')")
+    df = decontaminate_train(tr, ev)
+    plan = plan_of(df, execute=True)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_read_prunes_to_one_version(spark, tmp_path):
+    """A pinned-version filter over the snapshot history reaches the
+    scan as a partition filter — other versions are pruned, not
+    read-and-discarded."""
+    from skrub_spark.sources.snapshots import (
+        read_all_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snaps")
+    d = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    write_snapshot(d, root)
+    write_snapshot(d, root)
+    df = read_all_snapshots(spark, root).filter("v = 2")
+    plan = formatted(df)
+    part = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "v" in part
