@@ -144,21 +144,62 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     return decode_png(payload)
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
-    """REAL PCM WAV decode via the stdlib ``wave`` module: returns
-    (samples int16 array flattened over channels, sample_rate) or
-    None if the payload isn't PCM WAV."""
-    import io
-    import wave
+# G.711 mu-law expansion table (ITU-T: invert bits, split
+# sign/exponent/mantissa, reconstruct the biased-linear magnitude)
+_ULAW_TABLE = None
 
+
+def _ulaw_table() -> np.ndarray:
+    global _ULAW_TABLE
+    if _ULAW_TABLE is None:
+        u = np.arange(256, dtype=np.int64) ^ 0xFF
+        sign = (u & 0x80) != 0
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84 << exp) - 0x84
+        _ULAW_TABLE = np.where(sign, -mag, mag).astype(np.int16)
+    return _ULAW_TABLE
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL WAV decode — hand-parsed RIFF (the stdlib ``wave`` module
+    rejects anything but PCM): 16-bit PCM (format tag 1), 8-bit
+    unsigned PCM (rescaled to int16), and G.711 mu-law (format tag
+    7, table expansion). Returns (samples int16 flattened over
+    channels, sample_rate) or None for anything else/malformed."""
     if payload is None:
         return None
     try:
-        with wave.open(io.BytesIO(bytes(payload))) as wf:
-            if wf.getsampwidth() != 2:
-                return None
-            frames = wf.readframes(wf.getnframes())
-            return np.frombuffer(frames, dtype="<i2"), wf.getframerate()
+        b = bytes(payload)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        tag = int.from_bytes(fmt[0:2], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if rate <= 0:
+            return None
+        if tag == 1 and bits == 16:
+            return np.frombuffer(data[: len(data) & ~1], dtype="<i2"), rate
+        if tag == 1 and bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+            return ((x - 128) << 8).astype(np.int16), rate
+        if tag == 7 and bits == 8:
+            return _ulaw_table()[np.frombuffer(data, dtype=np.uint8)], rate
+        return None
     except Exception:
         return None
 

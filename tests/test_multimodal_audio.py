@@ -70,3 +70,59 @@ def test_audio_near_dup_pipeline_finds_planted_pairs(spark, sf_dir):
         for r in q_audio_near_dup(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _wav_bytes(tag, bits, rate, data):
+    fmt = (
+        tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * bits // 8).to_bytes(4, "little")
+        + (bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_wav_pcm8():
+    import numpy as np
+
+    # unsigned 8-bit: 128 -> 0, 255 -> 32512, 0 -> -32768
+    out = decode_wav(_wav_bytes(1, 8, 8000, bytes([128, 255, 0])))
+    assert out is not None
+    samples, rate = out
+    assert rate == 8000
+    assert samples.tolist() == [0, (255 - 128) << 8, -32768]
+    assert samples.dtype == np.int16
+
+
+def test_decode_wav_ulaw():
+    import numpy as np
+
+    # G.711 landmarks: 0xFF -> 0, 0x7F -> -0 region... use known pairs:
+    # encoded 0xFF decodes to 0; 0x7F decodes to -8031? Standard table:
+    # 0xFF->0, 0x00->-8031? Check sign symmetry and magnitudes instead.
+    enc = bytes([0xFF, 0x7F, 0x80, 0x00])
+    out = decode_wav(_wav_bytes(7, 8, 8000, enc))
+    assert out is not None
+    samples, rate = out
+    assert samples.dtype == np.int16
+    # 0xFF is +0, 0x7F is -0 in mu-law
+    assert samples[0] == 0 and samples[1] == 0
+    # 0x80 / 0x00 are the extremes +-32124 (8031 << 2, the standard
+    # 16-bit-scaled decode table), sign-symmetric
+    assert samples[2] == 32124 and samples[3] == -32124
+
+
+def test_decode_wav_rejects_unknown_format():
+    assert decode_wav(_wav_bytes(3, 32, 8000, b"\x00" * 8)) is None  # float
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+    assert decode_wav(b"junk") is None
+
+
+def test_decode_wav_pcm16_still_roundtrips():
+    import numpy as np
+
+    s = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    out = decode_wav(_wav_bytes(1, 16, 16000, s.tobytes()))
+    assert out is not None and np.array_equal(out[0], s) and out[1] == 16000
