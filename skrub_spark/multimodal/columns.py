@@ -199,6 +199,20 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
             return ((x - 128) << 8).astype(np.int16), rate
         if tag == 7 and bits == 8:
             return _ulaw_table()[np.frombuffer(data, dtype=np.uint8)], rate
+        if tag == 0x11 and bits == 4:
+            # IMA ADPCM (mono): block align + samples-per-block from
+            # the fmt extension
+            channels = int.from_bytes(fmt[2:4], "little")
+            block_align = int.from_bytes(fmt[12:14], "little")
+            if channels != 1 or len(fmt) < 20:
+                return None
+            spb = int.from_bytes(fmt[18:20], "little")
+            from .adpcm import decode_ima_blocks
+
+            samples = decode_ima_blocks(data, block_align, spb)
+            if samples is None:
+                return None
+            return samples, rate
         return None
     except Exception:
         return None

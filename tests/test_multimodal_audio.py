@@ -99,9 +99,7 @@ def test_decode_wav_pcm8():
 def test_decode_wav_ulaw():
     import numpy as np
 
-    # G.711 landmarks: 0xFF -> 0, 0x7F -> -0 region... use known pairs:
-    # encoded 0xFF decodes to 0; 0x7F decodes to -8031? Standard table:
-    # 0xFF->0, 0x00->-8031? Check sign symmetry and magnitudes instead.
+    # G.711 landmark codes: the two zero codes and the two extremes.
     enc = bytes([0xFF, 0x7F, 0x80, 0x00])
     out = decode_wav(_wav_bytes(7, 8, 8000, enc))
     assert out is not None
@@ -126,3 +124,59 @@ def test_decode_wav_pcm16_still_roundtrips():
     s = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
     out = decode_wav(_wav_bytes(1, 16, 16000, s.tobytes()))
     assert out is not None and np.array_equal(out[0], s) and out[1] == 16000
+
+
+def _ima_wav_bytes(rate, blocks, block_align, spb):
+    fmt = (
+        (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate // 2).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")       # cbSize
+        + spb.to_bytes(2, "little")       # samples per block
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(blocks).to_bytes(4, "little") + blocks
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_wav_ima_adpcm_tracks_signal():
+    """IMA ADPCM round trip: a slow sine encoded with the standard
+    quantizer must decode CLOSE to the original (4-bit ADPCM is
+    lossy; the adaptive step keeps error small on smooth signals),
+    across multiple independently-seeded blocks."""
+    import numpy as np
+
+    from skrub_spark.multimodal.adpcm import encode_ima
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    blocks, align = encode_ima(sig, samples_per_block=505)
+    out = decode_wav(_ima_wav_bytes(8000, blocks, align, 505))
+    assert out is not None
+    dec, rate = out
+    assert rate == 8000
+    assert len(dec) >= len(sig) - 505  # final block zero-padded
+    err = np.abs(dec[: len(sig)].astype(np.int64) - sig[: len(dec)].astype(np.int64))
+    assert float(np.mean(err)) < 200          # tracks the waveform
+    assert float(np.max(err)) < 4000          # no runaway divergence
+
+
+def test_decode_wav_ima_adpcm_block_header_exact():
+    """Each block's first sample is the stored predictor verbatim."""
+    import numpy as np
+
+    from skrub_spark.multimodal.adpcm import encode_ima
+
+    sig = np.array([1234] + [1234] * 504 + [-4321] + [-4321] * 504, np.int16)
+    blocks, align = encode_ima(sig, samples_per_block=505)
+    dec, _ = decode_wav(_ima_wav_bytes(8000, blocks, align, 505))
+    assert dec[0] == 1234 and dec[505] == -4321
+
+
+def test_decode_wav_ima_adpcm_rejects_short_and_junk():
+    # data shorter than one block -> no decodable samples
+    assert decode_wav(_ima_wav_bytes(8000, b"\x00" * 3, 256, 505)) is None
+    bad = bytearray(_ima_wav_bytes(8000, b"\x00\x00\x60\x00" + b"\x00" * 252, 256, 505))
+    # step index 0x60 = 96 > 88 -> malformed
+    assert decode_wav(bytes(bad)) is None
