@@ -348,6 +348,54 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def _wav_container(fmt_tag: int, bits: int, rate: int, data: bytes,
+                   block_align: int | None = None,
+                   extra: bytes = b"") -> bytes:
+    """Minimal mono WAV container around pre-encoded sample data."""
+    if block_align is None:
+        block_align = max(1, bits // 8)
+    fmt = (
+        fmt_tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        + extra
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def encode_wav_ulaw(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> G.711 mu-law WAV (nearest-level
+    quantization against the decode table; fixture/round-trip
+    helper for the format-tag-7 decode path)."""
+    table = _ulaw_table().astype(np.int64)
+    order = np.argsort(table, kind="stable")
+    levels = table[order]
+    x = np.asarray(samples, dtype=np.int64)
+    idx = np.searchsorted(levels, x)
+    idx = np.clip(idx, 1, 255)
+    left_closer = (x - levels[idx - 1]) <= (levels[np.minimum(idx, 255)] - x)
+    nearest = np.where(left_closer, idx - 1, np.minimum(idx, 255))
+    codes = order[nearest].astype(np.uint8)
+    return _wav_container(7, 8, rate, codes.tobytes())
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int = 16000, samples_per_block: int = 505
+) -> bytes:
+    """int16 mono samples -> IMA ADPCM WAV (format tag 0x11;
+    fixture/round-trip helper for the compressed decode path)."""
+    from .adpcm import encode_ima
+
+    blocks, align = encode_ima(
+        np.asarray(samples, dtype=np.int16), samples_per_block
+    )
+    extra = (2).to_bytes(2, "little") + samples_per_block.to_bytes(2, "little")
+    return _wav_container(0x11, 4, rate, blocks, block_align=align, extra=extra)
+
+
 def _band_features(samples: np.ndarray, n_features: int) -> list[float]:
     """REAL spectral fingerprint, pure numpy: Hann-windowed 512-pt
     FFT frames (hop 256) -> mean magnitude spectrum -> log energies

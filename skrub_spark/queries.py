@@ -1834,7 +1834,11 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hann-windowed FFT log band energies, pure numpy) ->
     mean-center -> hyperplane-LSH cosine pairs at 0.99 returns
     exactly the planted (d-1, d) pairs (measured at 500 docs:
-    planted >= 0.99998, max non-planted 0.89). (Synthesis/DSP isn't
+    planted >= 0.99998, max non-planted 0.89). Mixed-codec corpus:
+    every other planted pair is G.711 mu-law on both sides and some
+    singles are IMA ADPCM, so PCM-16, mu-law and ADPCM decode paths
+    all run end-to-end and near-dups survive the lossy codecs
+    (verified exact at sf0.1 / 5000 docs too). (Synthesis/DSP isn't
     SQL-expressible: rows-only.)"""
     _prep(spark)
     import numpy as np
@@ -1842,6 +1846,7 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup.embedding import embedding_near_duplicates
     from .multimodal import encode_wav, extract_audio_features
+    from .multimodal.columns import encode_wav_adpcm, encode_wav_ulaw
 
     # repartition before the synthesis mapInPandas: the single-file
     # table arrives as one partition and the python-side codec
@@ -1877,7 +1882,17 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s = np.clip(s.astype(int) + noise, -32768, 32767).astype(
                         "<i2"
                     )
-                payloads.append(encode_wav(s))
+                # mixed-codec corpus: every other planted pair is
+                # mu-law on BOTH sides (d%20 in 0,1 — the pair docs
+                # are = 0,1 mod 10), some singles are IMA ADPCM —
+                # so the battery exercises all three decode paths
+                # end-to-end, and near-dups must survive the codec
+                if d % 20 in (0, 1):
+                    payloads.append(encode_wav_ulaw(s))
+                elif d % 10 == 5:
+                    payloads.append(encode_wav_adpcm(s))
+                else:
+                    payloads.append(encode_wav(s))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     with_payload = docs.mapInPandas(
