@@ -29,13 +29,18 @@ from pyspark.sql import functions as F
 
 def _fingerprint(e: DataFrame) -> tuple:
     """Order-independent edge-set fingerprint: (count, xor of row
-    hashes). Edges are kept distinct, so xor cancellation of
-    duplicate rows cannot occur."""
+    hashes, xor of independently-seeded row hashes). Edges are kept
+    distinct, so xor cancellation of duplicate rows cannot occur;
+    the second, independently-seeded xor closes the residual window
+    where two DIFFERENT equal-count edge sets collide on one 64-bit
+    xor (r6, VERDICT r5 #6) — a false convergence now needs a
+    simultaneous collision in two independent 64-bit spaces."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        F.expr("bit_xor(xxhash64(u, v, 1))").alias("x2"),
     ).first()
-    return (row["n"], row["x"])
+    return (row["n"], row["x"], row["x2"])
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
@@ -84,26 +89,53 @@ def connected_components(
     col_b: str = "id_b",
     max_iter: int = 20,
     on_nonconverged: str = "raise",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Input: undirected edges (col_a, col_b). Output: (id, component)
     where component = min id reachable, for every id appearing in the
     input. ``on_nonconverged``: "raise" (default) or "warn" when the
     edge set is still moving after ``max_iter`` large+small-star
     rounds (convergence is O(log n) rounds, so the default 20 covers
-    graphs far beyond any real near-dup pair list)."""
+    graphs far beyond any real near-dup pair list).
+
+    ``checkpoint`` truncates the per-round lineage (without it the
+    plan doubles every round): "local" (default) uses executor-local
+    ``localCheckpoint`` — fine in local mode and fastest, but blocks
+    are lost with an executor, so a cluster job would restart from
+    round 0 on failure; "reliable" uses ``DataFrame.checkpoint()``
+    to the configured ``spark.sparkContext.setCheckpointDir`` (HDFS/
+    object store), the fault-tolerant choice for the 100 TB cluster
+    run (r6, VERDICT r5 #4)."""
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
+    if checkpoint == "reliable":
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     # invariant: e is the symmetrized edge set entering each phase
-    e = _symmetrize(edges).localCheckpoint(eager=True)
+    e = _ckpt(_symmetrize(edges))
     converged = False
     before = _fingerprint(e)
     for _ in range(max_iter):
-        e2 = _symmetrize(
-            _small_star(_symmetrize(_large_star(e)))
-        ).localCheckpoint(eager=True)
+        e2 = _ckpt(_symmetrize(_small_star(_symmetrize(_large_star(e)))))
         after = _fingerprint(e2)
         e = e2
         if after == before:

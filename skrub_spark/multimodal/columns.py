@@ -166,7 +166,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     rejects anything but PCM): 16-bit PCM (format tag 1), 8-bit
     unsigned PCM (rescaled to int16), and G.711 mu-law (format tag
     7, table expansion). Returns (samples int16 flattened over
-    channels, sample_rate) or None for anything else/malformed."""
+    channels, sample_rate) or None for anything else/malformed.
+
+    IMA ADPCM (tag 0x11): the encoder zero-pads the final partial
+    block, so each block decodes to a full samples_per_block; when
+    the file carries a ``fact`` chunk (the spec requires one for
+    compressed formats, and :func:`encode_wav_adpcm` writes it) the
+    output is clipped to its true sample count — without it the
+    zero-nibble tail of the last block is returned as-is (ADVICE
+    r5)."""
     if payload is None:
         return None
     try:
@@ -176,6 +184,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
         pos = 12
         fmt = None
         data = None
+        fact_samples = None
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
             ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
@@ -184,6 +193,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
                 fmt = body
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and ln >= 4:
+                fact_samples = int.from_bytes(body[:4], "little")
             pos += 8 + ln + (ln & 1)
         if fmt is None or data is None or len(fmt) < 16:
             return None
@@ -212,6 +223,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
             samples = decode_ima_blocks(data, block_align, spb)
             if samples is None:
                 return None
+            if fact_samples is not None and 0 <= fact_samples <= len(samples):
+                samples = samples[:fact_samples]
             return samples, rate
         return None
     except Exception:
@@ -350,8 +363,12 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 def _wav_container(fmt_tag: int, bits: int, rate: int, data: bytes,
                    block_align: int | None = None,
-                   extra: bytes = b"") -> bytes:
-    """Minimal mono WAV container around pre-encoded sample data."""
+                   extra: bytes = b"",
+                   n_samples: int | None = None) -> bytes:
+    """Minimal mono WAV container around pre-encoded sample data.
+    ``n_samples`` emits a ``fact`` chunk (the WAV spec requires one
+    for compressed formats; the decoder uses it to clip the final
+    zero-padded ADPCM block to the true sample count)."""
     if block_align is None:
         block_align = max(1, bits // 8)
     fmt = (
@@ -362,6 +379,10 @@ def _wav_container(fmt_tag: int, bits: int, rate: int, data: bytes,
         + extra
     )
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if n_samples is not None:
+        chunks += b"fact" + (4).to_bytes(4, "little") + n_samples.to_bytes(
+            4, "little"
+        )
     chunks += b"data" + len(data).to_bytes(4, "little") + data
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
@@ -389,11 +410,13 @@ def encode_wav_adpcm(
     fixture/round-trip helper for the compressed decode path)."""
     from .adpcm import encode_ima
 
-    blocks, align = encode_ima(
-        np.asarray(samples, dtype=np.int16), samples_per_block
-    )
+    x = np.asarray(samples, dtype=np.int16)
+    blocks, align = encode_ima(x, samples_per_block)
     extra = (2).to_bytes(2, "little") + samples_per_block.to_bytes(2, "little")
-    return _wav_container(0x11, 4, rate, blocks, block_align=align, extra=extra)
+    return _wav_container(
+        0x11, 4, rate, blocks, block_align=align, extra=extra,
+        n_samples=len(x),
+    )
 
 
 def _band_features(samples: np.ndarray, n_features: int) -> list[float]:

@@ -4,11 +4,15 @@ LLM-pipeline operator, SURVEY.md §2).
 Rae et al., "Scaling Language Models: ... Gopher" (arXiv:2112.11446,
 Appendix A1) filter pre-training documents by REPETITION: fraction
 of duplicate lines, fraction of characters inside duplicate lines,
-and the share of the most frequent word. Those signals are pure
-relational algebra — explode lines/words, count per (doc, item),
-aggregate per doc — so this runs as two groupBy pipelines joined on
-the doc id (map-side partial aggregation, no UDFs, no per-row O(n²)
-higher-order funcs) and scales like any other aggregation.
+and the share of the most frequent word. Every signal is PER
+DOCUMENT, so this is intrinsically map-only work: each doc's lines/
+words are sorted in-row (``array_sort``) and duplicate runs are
+counted with one ``F.aggregate`` scan — zero shuffles, zero UDFs,
+whole-stage-codegen throughout. (The r5 implementation exploded
+lines and words corpus-wide and re-aggregated on (doc, item) — two
+full-corpus shuffles for per-row statistics; at 100 TB that shuffle
+IS the job. The sorted-run scan is O(L log L) per document and
+embarrassingly parallel.)
 
 Thresholds follow the paper's defaults loosely: a document is kept
 when dup_line_frac <= 0.30, dup_line_char_frac <= 0.20 and
@@ -17,10 +21,65 @@ top_word_frac <= 0.20.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import lines, words_az09
+
+
+def _line_run_scan(arr: Column) -> Column:
+    """Scan sorted lines, counting distinct values and characters
+    inside duplicated values: a run of length c>1 contributes
+    c*length(line) to ``dup`` (the first repeat retroactively adds
+    the run head's chars)."""
+
+    def step(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (acc["nd"] + F.when(same, F.lit(0)).otherwise(F.lit(1))).alias(
+                "nd"
+            ),
+            (
+                acc["dup"]
+                + F.when(
+                    same,
+                    F.when(acc["run"] == 1, F.length(x) * 2).otherwise(
+                        F.length(x)
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("nd"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    return F.aggregate(F.array_sort(arr), init, step)
+
+
+def _top_run_scan(arr: Column) -> Column:
+    """Longest equal-value run in a sorted array = the max
+    occurrence count of any value."""
+
+    def step(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(F.array_sort(arr), init, step)
 
 
 def repetition_stats(
@@ -35,56 +94,48 @@ def repetition_stats(
     - ``n_words``, ``top_word_frac``: share of the most frequent
       [a-z0-9]+ word.
 
-    Documents with no lines/words get 0.0 fractions.
+    Documents with no lines/words get 0.0 fractions. Map-only: one
+    projection, no shuffle.
     """
-    ids = df.select(F.col(id_col).alias("id"))
-
-    line_rows = df.select(
-        F.col(id_col).alias("id"), F.explode(lines(content_col)).alias("line")
+    ls = lines(content_col)
+    ws = words_az09(content_col)
+    stats = df.select(
+        F.col(id_col),
+        F.size(ls).cast("long").alias("n_lines"),
+        _line_run_scan(ls).alias("__l"),
+        F.aggregate(
+            ls, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("__tot_chars"),
+        F.size(ws).cast("long").alias("n_words"),
+        _top_run_scan(ws)["best"].cast("long").alias("__top_c"),
     )
-    line_counts = line_rows.groupBy("id", "line").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    line_agg = line_counts.groupBy("id").agg(
-        F.sum("c").alias("n_lines"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
-        ).alias("dup_chars"),
-        F.sum(F.col("c") * F.length("line")).alias("tot_chars"),
-    )
-
-    word_rows = df.select(
-        F.col(id_col).alias("id"), F.explode(words_az09(content_col)).alias("w")
-    )
-    word_counts = word_rows.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
-    word_agg = word_counts.groupBy("id").agg(
-        F.sum("c").alias("n_words"), F.max("c").alias("top_c")
-    )
-
-    out = (
-        ids.join(line_agg, on="id", how="left")
-        .join(word_agg, on="id", how="left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce(
-                (F.lit(1.0) - F.col("n_distinct") / F.col("n_lines")).cast(
-                    "double"
-                ),
-                F.lit(0.0),
-            ).alias("dup_line_frac"),
-            F.coalesce(
-                (F.col("dup_chars") / F.col("tot_chars")).cast("double"),
-                F.lit(0.0),
-            ).alias("dup_line_char_frac"),
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce(
-                (F.col("top_c") / F.col("n_words")).cast("double"), F.lit(0.0)
-            ).alias("top_word_frac"),
+    # float shape matches the DuckDB oracle exactly:
+    # 1.0 - CAST(nd AS DOUBLE)/n — same promotion, same order
+    return stats.select(
+        id_col,
+        "n_lines",
+        F.when(
+            F.col("n_lines") > 0,
+            (F.lit(1.0) - F.col("__l")["nd"] / F.col("n_lines")).cast(
+                "double"
+            ),
         )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(
+            F.col("__tot_chars") > 0,
+            (F.col("__l")["dup"] / F.col("__tot_chars")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            (F.col("__top_c") / F.col("n_words")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
     )
-    return out
 
 
 def repetition_filter(

@@ -27,11 +27,16 @@ _FINE_BUCKETS = 100_000_000
 
 
 def _hash_bucket(key: Column, salt: str, buckets: int = _BUCKETS) -> Column:
-    """Stable bucket in [0, buckets): 60 md5 bits -> mod buckets."""
+    """Stable bucket in [0, buckets): 60 md5 bits -> mod buckets.
+
+    A NULL key hashes via a sentinel instead of propagating NULL —
+    md5(concat(salt, NULL)) is NULL and a NULL bucket comparison
+    would silently DROP the row from every sampler (ADVICE r5); with
+    the sentinel, null-keyed rows sample like any other value."""
+    s = F.coalesce(key.cast("string"), F.lit("\x00<null>"))
     return F.pmod(
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
-            16, 10,
+            F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
         ).cast("long"),
         F.lit(buckets),
     )

@@ -9,11 +9,11 @@ then position) and removed everywhere else — the standard weapon
 against boilerplate (cookie banners, nav bars, license headers) that
 document-level near-dedup cannot see.
 
-Plan shape: posexplode lines -> one groupBy(normalized span) keeps
-the min (doc, pos) occurrence -> semi-join back -> per-doc rebuild
-via array_sort(collect_list(struct(pos, line))). Two key-shuffles +
-one doc-shuffle, all with map-side partial aggregation; collect_list
-is bounded by a single document's line count. No UDFs.
+Plan shape: posexplode lines -> one row_number window over the
+8-byte hashed span key keeps the min (doc, pos) occurrence -> per-
+doc rebuild via array_sort(collect_list(struct(pos, line))). One
+key-shuffle + one doc-shuffle; collect_list is bounded by a single
+document's line count. No UDFs.
 """
 
 from __future__ import annotations
@@ -48,21 +48,29 @@ def dedup_spans(
     JVM-side with slice/concat_ws, and resolves first occurrences
     with the same single key-shuffle as the line path.
     """
+    from pyspark.sql import Window
+
+    # the span key shuffles as an 8-byte xxhash64, never the line
+    # strings (r6, VERDICT r5 #5: the old w-line path shuffled raw
+    # \x01-concatenated line strings — ~w x line-length bytes per
+    # window at corpus scale). A 64-bit collision deletes one extra
+    # span; odds ~n_spans²/2⁶⁴, the same accepted failure budget as
+    # the token-window and jaccard modules. First-occurrence
+    # resolution is ONE row_number window (hash shuffle + in-
+    # partition sort) instead of the old groupBy(min) + re-join,
+    # which shuffled the exploded frame twice.
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(lines(content_col)).alias("pos", "line"),
-    ).withColumn("key", F.lower(F.col("line")))
+    )
     if window <= 1:
-        # first global occurrence per line: min (doc, pos) — one
-        # shuffle on the span key with partial aggregation
-        keeper = exploded.groupBy("key").agg(
-            F.min(F.struct("id", "pos")).alias("k")
+        key = F.xxhash64(F.lower(F.col("line")))
+        rn = F.row_number().over(
+            Window.partitionBy(key).orderBy("id", "pos")
         )
         survivors = (
-            exploded.join(keeper, on="key")
-            .filter(
-                (F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos"))
-            )
+            exploded.withColumn("__rn", rn)
+            .filter(F.col("__rn") == 1)
             .select("id", "pos", "line")
         )
     else:
@@ -74,25 +82,26 @@ def dedup_spans(
             ).alias("keys")
         )
         # span keys: windows of w consecutive normalized lines,
-        # joined with \x01 (cannot occur inside a line). sequence()
-        # counts DOWN when start > stop, so guard short docs.
+        # hashed directly from the array slice (array hashing walks
+        # the elements — equality is exact sequence equality, with
+        # no \x01-separator edge case). sequence() counts DOWN when
+        # start > stop, so guard short docs.
         win_keys = F.when(
             F.size("keys") >= w,
             F.transform(
                 F.sequence(F.lit(0), F.size("keys") - F.lit(w)),
-                lambda i: F.concat_ws("\x01", F.slice("keys", i + 1, w)),
+                lambda i: F.xxhash64(F.slice("keys", i + 1, w)),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<bigint>"))
         wk = arr.select("id", F.posexplode(win_keys).alias("wpos", "wkey"))
-        first = wk.groupBy("wkey").agg(F.min(F.struct("id", "wpos")).alias("k"))
         dup = (
-            wk.join(first, on="wkey")
-            .filter(
-                ~(
-                    (F.col("id") == F.col("k.id"))
-                    & (F.col("wpos") == F.col("k.wpos"))
-                )
+            wk.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("wkey").orderBy("id", "wpos")
+                ),
             )
+            .filter(F.col("__rn") > 1)
             .select("id", "wpos")
         )
         deleted = dup.select(
@@ -140,6 +149,7 @@ def dedup_token_spans(
     id_col: str = "doc_id",
     *,
     window: int = 50,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Exact substring deduplication at TOKEN granularity (the Lee et
     al. 2021 arXiv:2107.06499 "ExactSubstr" shape, at w-token-window
@@ -160,6 +170,16 @@ def dedup_token_spans(
     JVM-side slice/concat_ws window keys -> one key-shuffle for first
     occurrences -> anti-join on deleted positions -> per-doc rebuild
     (collect_list bounded by one document's tokens).
+
+    ``counts_only=True`` skips the rebuild: returns (id_col, all
+    other input columns, n_tokens, n_removed) where ``n_removed`` is
+    the count of deleted token positions — identical to the full
+    path's value (deleted positions are a distinct subset of
+    ``[0, n_tokens)``) without exploding every surviving token or
+    the anti-join/rebuild shuffles. Pipelines that only route on
+    survivor counts (mixture sampling, packing) use this mode; the
+    deleted-position frame it aggregates holds only DUPLICATED
+    windows, typically orders of magnitude smaller than the corpus.
     """
     from ..functions.text import tokens
 
@@ -168,24 +188,32 @@ def dedup_token_spans(
         F.col(id_col).alias("id"), tokens(content_col).alias("toks")
     )
     keys = F.transform(F.col("toks"), lambda t: F.lower(t))
+    from pyspark.sql import Window
+
     # shuffle 8-byte hashed window keys, not ~w*token_len strings —
-    # the groupBy only needs equality; a 64-bit collision (odds
+    # the shuffle only needs equality; a 64-bit collision (odds
     # ~n_windows²/2⁶⁴) would delete one extra window, same failure
-    # budget as the jaccard module's hashed grams
+    # budget as the jaccard module's hashed grams. r6: hash the
+    # array SLICE directly (no \x01 string build — array hashing
+    # walks elements, equality is exact sequence equality) and
+    # resolve first occurrences with ONE row_number window instead
+    # of groupBy(min) + re-join (two shuffles of the same frame).
     win_keys = F.when(
         F.size("toks") >= w,
         F.transform(
             F.sequence(F.lit(0), F.size("toks") - F.lit(w)),
-            lambda i: F.xxhash64(F.concat_ws("\x01", F.slice(keys, i + 1, w))),
+            lambda i: F.xxhash64(F.slice(keys, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     wk = toks.select("id", F.posexplode(win_keys).alias("wpos", "wkey"))
-    first = wk.groupBy("wkey").agg(F.min(F.struct("id", "wpos")).alias("k"))
     dup = (
-        wk.join(first, on="wkey")
-        .filter(
-            ~((F.col("id") == F.col("k.id")) & (F.col("wpos") == F.col("k.wpos")))
+        wk.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("wkey").orderBy("id", "wpos")
+            ),
         )
+        .filter(F.col("__rn") > 1)
         .select("id", "wpos")
     )
     deleted = dup.select(
@@ -194,6 +222,24 @@ def dedup_token_spans(
             "pos"
         ),
     ).distinct()
+    if counts_only:
+        removed = deleted.groupBy("id").agg(
+            F.count(F.lit(1)).alias("__n_removed")
+        )
+        carry = [c for c in df.columns if c not in (id_col, content_col)]
+        wide = df.select(
+            F.col(id_col).alias("id"),
+            *carry,
+            F.when(F.col(content_col).isNull(), F.lit(0))
+            .otherwise(F.size(tokens(content_col)))
+            .alias("n_tokens"),
+        )
+        return wide.join(removed, on="id", how="left").select(
+            F.col("id").alias(id_col),
+            *carry,
+            "n_tokens",
+            F.coalesce("__n_removed", F.lit(0)).alias("n_removed"),
+        )
     exploded = toks.select("id", F.posexplode("toks").alias("pos", "tok"))
     survivors = exploded.join(deleted, on=["id", "pos"], how="left_anti")
     rebuilt = survivors.groupBy("id").agg(

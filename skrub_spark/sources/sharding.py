@@ -48,7 +48,15 @@ def shuffle_order(
     """
     from pyspark.sql import Window
 
-    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    # NULL keys hash via a sentinel: md5(concat(salt, NULL)) is NULL,
+    # which would land the row in a NULL shard with a NULL position
+    # (ADVICE r5 — same guard as sampling._hash_bucket)
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(F.col(key).cast("string"), F.lit("\x00<null>")),
+        )
+    )
     bucket = F.pmod(
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
     )

@@ -319,6 +319,13 @@ def streaming_near_dedup(
     from ..functions.hashing import minhash_from_grams
     from ..functions.text import word_shingles
 
+    if n_components % n_bands != 0:
+        # silently ignoring trailing signature components would
+        # weaken the sketch without warning (ADVICE r5)
+        raise ValueError(
+            f"n_components ({n_components}) must be divisible by "
+            f"n_bands ({n_bands})"
+        )
     rows_per_band = n_components // n_bands
     band_keys = F.array(*[
         F.md5(

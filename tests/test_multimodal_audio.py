@@ -174,6 +174,28 @@ def test_decode_wav_ima_adpcm_block_header_exact():
     assert dec[0] == 1234 and dec[505] == -4321
 
 
+def test_decode_wav_ima_adpcm_fact_clips_padded_tail():
+    """encode_wav_adpcm writes a fact chunk, so a signal whose length
+    is NOT a multiple of samples_per_block decodes to EXACTLY its
+    true length — the zero-padded tail of the final block is clipped
+    (ADVICE r5); a fact-less file keeps the documented padded tail."""
+    import numpy as np
+
+    from skrub_spark.multimodal.adpcm import encode_ima
+    from skrub_spark.multimodal.columns import encode_wav_adpcm
+
+    n = 505 + 123  # one full block + a partial one
+    t = np.arange(n)
+    sig = (6000 * np.sin(2 * np.pi * t / 150)).astype(np.int16)
+    dec, rate = decode_wav(encode_wav_adpcm(sig, rate=8000))
+    assert rate == 8000
+    assert len(dec) == n
+    # without a fact chunk the padded tail survives (back-compat)
+    blocks, align = encode_ima(sig, samples_per_block=505)
+    dec2, _ = decode_wav(_ima_wav_bytes(8000, blocks, align, 505))
+    assert len(dec2) == 2 * 505
+
+
 def test_decode_wav_ima_adpcm_rejects_short_and_junk():
     # data shorter than one block -> no decodable samples
     assert decode_wav(_ima_wav_bytes(8000, b"\x00" * 3, 256, 505)) is None

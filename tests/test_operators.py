@@ -159,6 +159,59 @@ def test_connected_components_long_chain(spark):
     assert len(comp) == 64
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' round-trips through a configured
+    checkpoint dir (the cluster fault-tolerance path); without a
+    configured dir it refuses with a clear error."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    if old is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(pairs, checkpoint="reliable")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out = connected_components(pairs, checkpoint="reliable")
+        comp = {r["id"]: r["component"] for r in out.collect()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+        with pytest.raises(ValueError, match="checkpoint"):
+            connected_components(pairs, checkpoint="bogus")
+    finally:
+        if old is not None:
+            sc.setCheckpointDir(old)
+
+
+def test_fingerprint_distinguishes_equal_count_sets(spark):
+    """Adversarial fingerprint check: equal-count edge sets must
+    fingerprint differently (the convergence test compares
+    fingerprints, so a collision would declare false convergence).
+    With (count, xor, independently-seeded xor) a collision needs
+    two simultaneous 64-bit hits; spot-check a family of equal-count
+    3-edge sets pairwise."""
+    from itertools import combinations
+
+    from skrub_spark.dedup.components import _fingerprint
+
+    sets = [
+        [(1, 2), (3, 4), (5, 6)],
+        [(1, 3), (2, 4), (5, 6)],
+        [(1, 4), (2, 3), (5, 6)],
+        [(1, 2), (3, 5), (4, 6)],
+        [(2, 1), (4, 3), (6, 5)],  # direction matters pre-symmetrize
+    ]
+    fps = [
+        _fingerprint(spark.createDataFrame(s, "u int, v int")) for s in sets
+    ]
+    assert all(len(fp) == 3 for fp in fps)
+    for (i, a), (j, b) in combinations(enumerate(fps), 2):
+        assert a != b, (sets[i], sets[j])
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """max_iter too small must raise (or warn), never silently return
     partial labels (VERDICT r4 finding)."""
