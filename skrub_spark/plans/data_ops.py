@@ -162,6 +162,61 @@ class _SkbNamespace:
         self._op._collect_choices(acc)
         return acc
 
+    def draw_graph(self) -> str:
+        """Graphviz DOT source for the plan DAG (reference
+        ``.skb.draw_graph``, skrub/_data_ops/_inspection.py — the
+        reference renders SVG via pydot; this environment has no
+        graphviz, so the DOT text itself is the artifact: every node
+        labeled kind:name, every data dependency an edge, shared
+        subplans appearing once). Paste into any DOT renderer."""
+        nodes: dict[int, str] = {}
+        edges: list[tuple[int, int]] = []
+        self._op._collect_graph(nodes, edges, set())
+        lines = ["digraph dataops_plan {", "  rankdir=TB;"]
+        for uid, label in nodes.items():
+            esc = label.replace('"', '\\"')
+            shape = "oval" if label.startswith("var(") else "box"
+            lines.append(f'  n{uid} [label="{esc}", shape={shape}];')
+        for a, b in edges:
+            lines.append(f"  n{a} -> n{b};")
+        lines.append("}")
+        return "\n".join(lines)
+
+    def full_report(self) -> dict:
+        """Structured plan report (reference ``.skb.full_report``
+        without the HTML shell): per-node kind/name/argument counts
+        in topological (dependency-first) order, plus the plan's
+        declared variables and hyperparameter choices. JSON-able."""
+        nodes: dict[int, str] = {}
+        edges: list[tuple[int, int]] = []
+        order: list[DataOp] = []
+        self._op._collect_graph(nodes, edges, set(), order)
+        return {
+            "n_nodes": len(nodes),
+            "nodes": [
+                {
+                    "uid": op._uid,
+                    "kind": op._kind,
+                    "label": nodes[op._uid],
+                    "n_inputs": sum(
+                        1 for a in op._args if isinstance(a, DataOp)
+                    ),
+                }
+                for op in order
+            ],
+            "vars": sorted(
+                {
+                    op._payload
+                    for op in order
+                    if op._kind == "var"
+                }
+            ),
+            "choices": [
+                {"name": c.name, "outcomes": list(c.outcomes)}
+                for c in self.choices()
+            ],
+        }
+
 
 class DataOp:
     """A node in the deferred computation DAG."""
@@ -257,6 +312,35 @@ class DataOp:
             _collect_choices(a, acc)
         for v in self._kwargs.values():
             _collect_choices(v, acc)
+
+    def _node_label(self) -> str:
+        if self._kind == "var":
+            return f"var({self._payload!r})"
+        if self._kind == "literal":
+            return f"literal({type(self._payload).__name__})"
+        name = self._payload if isinstance(self._payload, str) else getattr(
+            self._payload, "__name__", type(self._payload).__name__
+        )
+        return f"{self._kind}:{name}"
+
+    def _collect_graph(self, nodes, edges, seen, order=None):
+        """Dependency-first DAG walk: fills ``nodes`` (uid -> label),
+        ``edges`` (input uid -> consumer uid); shared subplans are
+        visited once (memoized on uid, like evaluation)."""
+        if self._uid in seen:
+            return
+        seen.add(self._uid)
+        for a in self._args:
+            if isinstance(a, DataOp):
+                a._collect_graph(nodes, edges, seen, order)
+                edges.append((a._uid, self._uid))
+        for v in self._kwargs.values():
+            if isinstance(v, DataOp):
+                v._collect_graph(nodes, edges, seen, order)
+                edges.append((v._uid, self._uid))
+        nodes[self._uid] = self._node_label()
+        if order is not None:
+            order.append(self)
 
     def _describe(self, depth=0) -> str:
         pad = "  " * depth

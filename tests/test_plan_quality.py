@@ -279,6 +279,34 @@ def test_boilerplate_removal_map_only(spark):
     assert "FileScan" in plan
 
 
+def test_span_dedup_shuffles_hashed_keys(spark):
+    """Both span-dedup paths shuffle 8-byte xxhash64 window keys —
+    never the w-line / w-token strings (at corpus scale a raw w-item
+    string key multiplies shuffle bytes by ~w x item length), and
+    per-doc repetition stats add ZERO exchanges of their own
+    (map-only array scans)."""
+    from skrub_spark.operators.repetition import repetition_stats
+    from skrub_spark.operators.span_dedup import dedup_spans, dedup_token_spans
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    for df in (
+        dedup_spans(docs, "text", "doc_id", window=3),
+        dedup_token_spans(docs, "text", "doc_id", window=20),
+        dedup_token_spans(docs, "text", "doc_id", window=20, counts_only=True),
+    ):
+        plan = plan_of(df)
+        # the window-key partitioning column is the bigint hash
+        assert "hashpartitioning(wkey#" in plan
+        assert "xxhash64" in plan
+        # first-occurrence resolution is a window rank, not a
+        # groupBy(min-struct) + self-join on the key frame
+        assert "row_number" in plan
+
+    stats = repetition_stats(docs, "text", "doc_id")
+    assert "Exchange" not in plan_of(stats)
+
+
 def test_mixture_sample_broadcasts_counts(spark):
     """The strata-counts side of the mixture-sample join is |strata|
     rows and must broadcast — the data itself never shuffles for the

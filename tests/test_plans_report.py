@@ -42,6 +42,49 @@ def test_dataops_deferred_and_choice(spark):
     assert search.best_params_ == {"thresh": 5.0}
 
 
+def test_dataops_draw_graph_and_full_report(spark):
+    """DOT export + structured report of the plan DAG (reference
+    skrub/_data_ops/_inspection.py): every node appears once (shared
+    subplans are memoized), edges follow data dependencies, vars and
+    choices are listed."""
+    thresh = choose_from([15.0, 25.0], name="thresh")
+
+    @deferred
+    def above(d, t):
+        return d.filter(F.col("v") >= t)
+
+    orders = var("orders")
+    filtered = above(orders, thresh)
+    # orders consumed TWICE (join back) — must appear once in the DAG
+    plan = filtered.join(orders.select("k"), "k")
+
+    dot = plan.skb.draw_graph()
+    assert dot.startswith("digraph")
+    assert dot.count('var(\'orders\')') + dot.count('var("orders")') == 1
+    assert "call:above" in dot and "method:join" in dot
+    assert "->" in dot
+
+    rep = plan.skb.full_report()
+    assert rep["vars"] == ["orders"]
+    assert [c["name"] for c in rep["choices"]] == ["thresh"]
+    kinds = [n["kind"] for n in rep["nodes"]]
+    assert kinds.count("var") == 1
+    # dependency-first order: the var precedes its consumers
+    labels = [n["label"] for n in rep["nodes"]]
+    assert labels.index("var('orders')") < labels.index("method:join")
+    join_node = next(n for n in rep["nodes"] if n["label"] == "method:join")
+    assert join_node["n_inputs"] == 2
+    # the report is JSON-able
+    import json
+
+    json.dumps(rep)
+    # and the plan still evaluates
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    assert plan.skb.eval({"orders": df}).count() == 2
+
+
 def test_dataops_missing_var(spark):
     plan = var("nope").count()
     with pytest.raises(KeyError, match="nope"):
