@@ -353,6 +353,25 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized cosine top-10 (r6): per-dim min/max fit
+    over the corpus, embeddings mapped to uint8 codes, ranking over
+    the DEQUANTIZED codes with the query pushed through the same
+    grid — what a 4x-compressed 100 TB vector store actually
+    serves. The oracle replays fit -> codes -> dequantize -> cosine
+    entirely in SQL (integer codes bit-exact, cosine to 4dp like
+    the other top-k oracles)."""
+    _prep(spark)
+    from .similarity import fit_scalar_quantizer, topk_cosine_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    quant = fit_scalar_quantizer(emb, "embedding")
+    return topk_cosine_quantized(emb, quant, qv, k=10, round_digits=4)
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding k-NN self-join (exact broadcast mode): each vector's
     5 nearest neighbors by cosine. Oracle = DuckDB brute-force with a
@@ -2966,6 +2985,37 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
     """,
+    "topk_quantized": """
+        WITH e AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        ), mm AS (
+          SELECT dim, CAST(MIN(x) AS DOUBLE) AS lo,
+                 CAST(MAX(x) AS DOUBLE) - CAST(MIN(x) AS DOUBLE) AS span
+          FROM e GROUP BY dim
+        ), c AS (
+          SELECT e.vec_id, e.dim, mm.lo, mm.span,
+            CASE WHEN mm.span = 0 THEN 0
+                 ELSE least(255, greatest(0, CAST(round(
+                   (CAST(e.x AS DOUBLE) - mm.lo) * 255.0 / mm.span
+                 ) AS INT)))
+            END AS code
+          FROM e JOIN mm USING (dim)
+        ), xh AS (
+          SELECT vec_id, dim,
+                 lo + CAST(code AS DOUBLE) * span / 255.0 AS xh
+          FROM c
+        ), xarr AS (
+          SELECT vec_id, list(xh ORDER BY dim) AS v FROM xh GROUP BY vec_id
+        )
+        SELECT x.vec_id,
+          ROUND(list_cosine_similarity(
+            x.v, (SELECT v FROM xarr WHERE vec_id = 0)), 4) AS cosine
+        FROM xarr x
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
     "knn_join": """
         SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
         FROM (
@@ -4747,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,
+        "topk_quantized": q_topk_quantized,
         "session_stats": q_session_stats,
         "session_windows": q_session_windows,
         "token_stats": q_token_stats,

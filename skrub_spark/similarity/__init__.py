@@ -10,3 +10,9 @@ from .index import (  # noqa: F401
     write_ann_index,
 )
 from .topk import topk_cosine, topk_cosine_ivf, topk_cosine_lsh  # noqa: F401
+from .quantize import (  # noqa: F401
+    dequantize_expr,
+    fit_scalar_quantizer,
+    quantize_embeddings,
+    topk_cosine_quantized,
+)

@@ -177,3 +177,43 @@ def test_lsh_recall_on_clustered_data(spark):
           f"knn_join recall {knn_recall:.3f} (selective 6x8)")
     assert topk_recall >= 0.9
     assert knn_recall >= 0.95
+
+
+def test_scalar_quantizer_reconstruction_and_recall(emb):
+    """SQ8 contracts: (a) codes are ints in [0,255]; (b) per-dim
+    reconstruction error <= span/510 + eps (the grid's half-step);
+    (c) cosine top-10 over dequantized codes recovers >= 8/10 of the
+    exact float top-10 — 8-bit scalar quantization barely moves a
+    64-dim cosine ranking."""
+    from skrub_spark.similarity import (
+        dequantize_expr, fit_scalar_quantizer, quantize_embeddings,
+        topk_cosine_quantized,
+    )
+
+    df, ids, mat = emb
+    quant = fit_scalar_quantizer(df, "embedding")
+    lo = np.array(quant["lo"])
+    hi = np.array(quant["hi"])
+    assert np.allclose(lo, mat.min(axis=0), atol=1e-6)
+    assert np.allclose(hi, mat.max(axis=0), atol=1e-6)
+
+    coded = quantize_embeddings(df, quant, "embedding", "codes")
+    deq = coded.withColumn("xhat", dequantize_expr(quant, "codes"))
+    rows = deq.select("vec_id", "codes", "xhat").collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    span = hi - lo
+    half_step = span / 255.0 / 2.0 + 1e-6
+    for r in rows:
+        codes = np.array(list(r["codes"]))
+        assert codes.min() >= 0 and codes.max() <= 255
+        orig = mat[list(ids).index(r["vec_id"])]
+        err = np.abs(np.array(list(r["xhat"])) - orig)
+        assert (err <= half_step).all()
+
+    qv = mat[list(ids).index(0)]
+    exact = _exact_topk(ids, mat, qv, K)
+    got = {
+        r["vec_id"]
+        for r in topk_cosine_quantized(df, quant, list(qv), k=K).collect()
+    }
+    assert len(exact & got) >= 8, (exact, got)
