@@ -37,6 +37,7 @@ from .dedup import (  # noqa: F401
     deduplicate_strings,
     embedding_near_duplicates,
     minhash_near_duplicates,
+    semantic_dedup,
     ngram_contamination,
     ngram_jaccard_pairs,
 )

@@ -104,3 +104,98 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    k-means-cluster the embedding space, find cosine>=threshold
+    pairs ONLY within each cluster, and keep one canonical document
+    per duplicate group.
+
+    Returns (id_col, component, keep): component = min id reachable
+    through within-cluster near-dup pairs, keep = is-canonical.
+
+    Scale shape: candidate pairs are bounded by sum(cell_i²) instead
+    of n² — ``n_clusters`` scales so the largest cell fits an
+    executor (the paper used 50k clusters for LAION); centroids come
+    from the same deterministic hash-ordered pick + distributed
+    Lloyd refinement as the IVF index (per-iteration driver state is
+    n_clusters x dim, corpus-independent), assignment is one
+    Arrow-batched matmul pass, and the within-cell self-join carries
+    ids only — vectors join back per candidate pair, exactly like
+    the LSH path above. Like the paper, a near-dup pair SPLIT by the
+    clustering is missed — that recall loss is the price of the
+    n²->sum(cell²) bound and shrinks as clusters localize.
+    """
+    from ..functions.vector import l2_norm
+    from ..similarity.index import _cell_udf, lloyd_refine
+    from .components import connected_components
+
+    sample = [
+        list(r[vec_col])
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(n_clusters)
+        .collect()
+    ]
+    if not sample:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, component long, keep boolean"
+        )
+    cents = lloyd_refine(
+        df.select(vec_col), vec_col, np.asarray(sample, "float64"), lloyd_iters
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            _cell_udf(cents)(F.col(vec_col)).alias("cell"),
+        )
+        .persist()
+    )
+    a = base.select(F.col("id").alias("id_a"), "cell")
+    b = base.select(F.col("id").alias("id_b"), "cell")
+    cand = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(comp, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+            (
+                F.coalesce("component", F.col("id")) == F.col("id")
+            ).alias("keep"),
+        )
+    )

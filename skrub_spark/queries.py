@@ -449,6 +449,24 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r6): k-means-bounded semantic dedup over the
+    embeddings table — every vector labeled with its near-dup
+    component and a keep flag. Rows-only by nature (the cluster
+    assignment is a numpy-k-means argmin, not SQL-expressible);
+    contracted in tests/test_operators.py: planted near-identical
+    groups are recovered exactly, and every merged pair is verified
+    cosine>=threshold against numpy."""
+    _prep(spark)
+    from .dedup.embedding import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.35, n_clusters=4,
+        lloyd_iters=1,
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified. The
     output is exact-Jaccard-filtered, so with full LSH recall it
@@ -4798,6 +4816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,
         "topk_quantized": q_topk_quantized,
+        # rows-only by nature (numpy k-means cells); planted-pair +
+        # no-false-merge contracts in tests/test_operators.py
+        "semantic_dedup": q_semantic_dedup,
         "session_stats": q_session_stats,
         "session_windows": q_session_windows,
         "token_stats": q_token_stats,

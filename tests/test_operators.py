@@ -1028,3 +1028,46 @@ def test_dedup_token_spans(spark):
     assert out[2]["n_removed"] == 5
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 7
     assert out[4]["clean_text"] == "x y" and out[4]["n_removed"] == 0
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup contract: three planted groups of near-identical
+    vectors (plus separated singletons) are each merged into one
+    component with the min id canonical, singletons keep themselves,
+    and — verified against numpy — every pair the operator merges
+    truly has cosine >= threshold (clustering can only LOSE pairs,
+    never invent them)."""
+    import numpy as np
+
+    from skrub_spark.dedup.embedding import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((3, 16))
+    rows = []
+    # groups: ids 0-2 ~ base0, 10-11 ~ base1, 20-23 ~ base2
+    for gid, ids in zip(range(3), ([0, 1, 2], [10, 11], [20, 21, 22, 23])):
+        for i in ids:
+            rows.append((i, (base[gid] + rng.standard_normal(16) * 1e-3).tolist()))
+    # far-apart singletons
+    for i in (30, 31):
+        rows.append((i, (rng.standard_normal(16) * 5).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.99, n_clusters=3,
+        lloyd_iters=2, seed=1,
+    )
+    comp = {r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    assert len(comp) == len(rows)
+    assert comp[0] == (0, True) and comp[1] == (0, False) and comp[2] == (0, False)
+    assert comp[10] == (10, True) and comp[11] == (10, False)
+    assert all(comp[i] == (20, i == 20) for i in (20, 21, 22, 23))
+    for i in (30, 31):
+        assert comp[i] == (i, True)
+    # no false merges: every non-canonical row is truly >= threshold
+    # similar to SOME member of its component (here: the canonical)
+    vecs = {i: np.array(v) for i, v in rows}
+    for i, (c, keep) in comp.items():
+        if not keep:
+            a, b = vecs[i], vecs[c]
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos >= 0.99 - 1e-9, (i, c, cos)
