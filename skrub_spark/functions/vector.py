@@ -29,8 +29,16 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine_similarity(
+    a: Column | str, b: Column | str, b_norm: float | None = None
+) -> Column:
+    """``b_norm`` short-circuits the right side's norm with a
+    precomputed constant — when ``b`` is a literal query vector, the
+    per-row aggregate over its dim literals is pure interpreted-HOF
+    overhead (Python float summation runs the same sequential order,
+    so the value is identical)."""
+    nb = F.lit(float(b_norm)) if b_norm is not None else l2_norm(b)
+    return dot_product(a, b) / (l2_norm(a) * nb)
 
 
 def vector_literal(vec) -> Column:

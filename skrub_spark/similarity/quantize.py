@@ -48,21 +48,17 @@ def fit_scalar_quantizer(
     }
 
 
-def _dims(q: dict) -> Column:
-    return F.sequence(F.lit(0), F.lit(len(q["lo"]) - 1))
+def _lo_arr(q: dict) -> Column:
+    return F.array(*[F.lit(v).cast("double") for v in q["lo"]])
 
 
-def _lo(q: dict, i: Column) -> Column:
-    return F.element_at(
-        F.array(*[F.lit(v).cast("double") for v in q["lo"]]), i + 1
+def _span_arr(q: dict) -> Column:
+    return F.array(
+        *[
+            F.lit(h).cast("double") - F.lit(l).cast("double")
+            for l, h in zip(q["lo"], q["hi"])
+        ]
     )
-
-
-def _span(q: dict, i: Column) -> Column:
-    hi = F.element_at(
-        F.array(*[F.lit(v).cast("double") for v in q["hi"]]), i + 1
-    )
-    return hi - _lo(q, i)
 
 
 def quantize_embeddings(
@@ -74,22 +70,26 @@ def quantize_embeddings(
     """Adds ``code_col``: array<int> of codes in [0, 255];
     ``code = round((x - lo) * 255 / (hi - lo))``, 0 for constant
     dims. Map-only; the formula is spelled identically in the DuckDB
-    oracle, so codes are bit-replayable."""
-    i_codes = F.transform(
-        _dims(quantizer),
-        lambda i: F.when(_span(quantizer, i) == 0.0, F.lit(0)).otherwise(
+    oracle, so codes are bit-replayable.
+
+    Built as two ``zip_with`` passes over hoisted literal arrays —
+    an ``element_at(array(<dim literals>), i)`` per lambda use would
+    replicate the dim-sized literal array across every dimension of
+    the expression tree (the same plan-size trap the ANN index's
+    Arrow UDFs avoid; it cost 9s/probe at dim=64 before hoisting)."""
+    shifted = F.zip_with(
+        F.col(vec_col),
+        _lo_arr(quantizer),
+        lambda x, lo: x.cast("double") - lo,
+    )
+    i_codes = F.zip_with(
+        shifted,
+        _span_arr(quantizer),
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
             F.least(
                 F.lit(255),
                 F.greatest(
-                    F.lit(0),
-                    F.round(
-                        (
-                            F.element_at(F.col(vec_col), i + 1).cast("double")
-                            - _lo(quantizer, i)
-                        )
-                        * 255.0
-                        / _span(quantizer, i)
-                    ).cast("int"),
+                    F.lit(0), F.round(d * 255.0 / s).cast("int")
                 ),
             )
         ),
@@ -100,13 +100,12 @@ def quantize_embeddings(
 def dequantize_expr(quantizer: dict, code_col: str = "codes") -> Column:
     """array<double> reconstruction:
     ``x_hat = lo + code * (hi - lo) / 255``."""
-    return F.transform(
-        _dims(quantizer),
-        lambda i: _lo(quantizer, i)
-        + F.element_at(F.col(code_col), i + 1).cast("double")
-        * _span(quantizer, i)
-        / 255.0,
+    scaled = F.zip_with(
+        F.col(code_col),
+        _span_arr(quantizer),
+        lambda c, s: c.cast("double") * s / 255.0,
     )
+    return F.zip_with(scaled, _lo_arr(quantizer), lambda t, lo: lo + t)
 
 
 def topk_cosine_quantized(
@@ -141,10 +140,50 @@ def topk_cosine_quantized(
         quantizer["lo"][i] + qcodes[i] * (quantizer["hi"][i] - quantizer["lo"][i]) / 255.0
         for i in range(n)
     ]
-    coded = quantize_embeddings(df, quantizer, vec_col, "__codes")
-    deq = coded.withColumn("__xhat", dequantize_expr(quantizer, "__codes"))
+    # FUSED encode+decode in ONE zip_with over a literal struct-array
+    # of per-dim (lo, span) params: higher-order lambdas run
+    # interpreted (outside codegen), so each extra array pass is a
+    # dim x rows interpreted loop — the unfused
+    # quantize -> dequantize -> cosine chain cost ~7 passes/row (6s
+    # per sf0.1 probe); fused it is ~4. Arithmetic order matches
+    # quantize_embeddings/dequantize_expr exactly:
+    # lo + round((x-lo)*255/s) * s / 255.
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(lo).cast("double").alias("lo"),
+                (F.lit(hi).cast("double") - F.lit(lo).cast("double")).alias(
+                    "s"
+                ),
+            )
+            for lo, hi in zip(quantizer["lo"], quantizer["hi"])
+        ]
+    )
+    xhat = F.zip_with(
+        F.col(vec_col),
+        params,
+        lambda x, p: p["lo"]
+        + F.when(p["s"] == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (x.cast("double") - p["lo"]) * 255.0 / p["s"]
+                    ).cast("int"),
+                ),
+            )
+        ).cast("double")
+        * p["s"]
+        / 255.0,
+    )
     qlit = F.array(*[F.lit(v).cast("double") for v in qhat])
-    sim = cosine_similarity(F.col("__xhat"), qlit)
+    # the query's norm is a constant: fold it in Python (same
+    # sequential sum order as the engine's aggregate) instead of
+    # re-running a dim-length literal aggregate per row
+    qnorm = sum(v * v for v in qhat) ** 0.5
+    deq = df.withColumn("__xhat", xhat)
+    sim = cosine_similarity(F.col("__xhat"), qlit, b_norm=qnorm)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
