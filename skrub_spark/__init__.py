@@ -36,6 +36,8 @@ from .dedup import (  # noqa: F401
     dedup_simhash_pairs,
     deduplicate_strings,
     embedding_near_duplicates,
+    minhash_buckets,
+    minhash_incremental,
     minhash_near_duplicates,
     semantic_dedup,
     ngram_contamination,

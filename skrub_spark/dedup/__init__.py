@@ -1,6 +1,11 @@
 from .contamination import ngram_contamination  # noqa: F401
 from .exact import dedup_exact  # noqa: F401
-from .minhash import dedup_minhash_pairs, minhash_near_duplicates  # noqa: F401
+from .minhash import (  # noqa: F401
+    dedup_minhash_pairs,
+    minhash_buckets,
+    minhash_incremental,
+    minhash_near_duplicates,
+)
 from .simhash import dedup_simhash_pairs  # noqa: F401
 from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .embedding import embedding_near_duplicates, semantic_dedup  # noqa: F401

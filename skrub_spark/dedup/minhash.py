@@ -177,3 +177,103 @@ def minhash_near_duplicates(
 
     pairs = dedup_minhash_pairs(df, content_col, id_col, **kwargs)
     return connected_components(pairs, "id_a", "id_b")
+
+
+def minhash_buckets(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_components: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document LSH band buckets with the ENGINE-PORTABLE md5
+    sketch: (id_col, band_idx, band_key) — one row per (doc, band).
+
+    This is the persistable form of a near-dup index: store
+    ``.select("band_idx", "band_key").distinct()`` next to each
+    corpus snapshot (one 32-hex string + a long per DISTINCT bucket —
+    payloads never re-read) and feed it to
+    :func:`minhash_incremental` when the next crawl lands. The
+    bucket identity is ``functions.hashing.md5_band_keys`` — the
+    SAME construction ``streaming_near_dedup`` claims buckets with,
+    so batch-incremental and streaming ingest agree on what counts
+    as a near-duplicate. Documents with fewer than ``shingle_k``
+    words carry no shingles and emit no rows (they can never collide).
+    """
+    if n_components % n_bands != 0:
+        raise ValueError(
+            f"n_components ({n_components}) must be divisible by "
+            f"n_bands ({n_bands})"
+        )
+    from ..functions.hashing import md5_band_keys, minhash_from_grams
+    from ..functions.text import word_shingles
+
+    rows_per_band = n_components // n_bands
+    return (
+        df.withColumn("__grams", word_shingles(F.col(content_col), shingle_k))
+        .filter(F.size("__grams") >= 1)
+        .withColumn(
+            "__sig",
+            minhash_from_grams(F.col("__grams"), n_components, hash="md5"),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                md5_band_keys(F.col("__sig"), n_bands, rows_per_band)
+            ).alias("band_idx", "band_key"),
+        )
+    )
+
+
+def minhash_incremental(
+    new_df: DataFrame,
+    seen_buckets: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_components: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental ingest NEAR-dedup: rows of ``new_df`` that are not
+    near-duplicates of the already-ingested corpus, nor of a
+    smaller-id row in the batch — the MinHash twin of
+    ``dedup_incremental`` (exact hashes) and the batch twin of
+    ``streaming_near_dedup`` (same bucket rule, min-id in place of
+    first-arrival).
+
+    ``seen_buckets``: the distinct (band_idx, band_key) buckets of
+    all prior snapshots (from :func:`minhash_buckets`). A document
+    is dropped when ANY of its band buckets appears in history (LSH
+    collision with some prior document) or is claimed by a smaller
+    id within the batch. Like the streaming op — and unlike the
+    verified pair path — bucket collision IS the dup criterion (no
+    Jaccard verification against history: that would need prior
+    payloads, defeating the index). Shingle-less documents survive.
+    At 100 TB: both sides of each join are narrow (id/band rows),
+    history enters as one semi-join against its distinct buckets,
+    and the batch claim is a single groupBy(band_key) min.
+    """
+    bands = minhash_buckets(
+        new_df, content_col, id_col,
+        n_components=n_components, n_bands=n_bands, shingle_k=shingle_k,
+    )
+    hist_hit = (
+        bands.join(
+            seen_buckets.select("band_key").distinct(),
+            on="band_key", how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    claims = bands.groupBy("band_key").agg(F.min(id_col).alias("__first"))
+    batch_hit = (
+        bands.join(claims, on="band_key")
+        .filter(F.col("__first") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    flagged = hist_hit.union(batch_hit).distinct()
+    return new_df.join(flagged, on=id_col, how="left_anti")

@@ -94,6 +94,33 @@ def minhash_from_grams(
     return F.aggregate(hexes, init, _step)
 
 
+def md5_band_keys(
+    sig: Column, n_bands: int, rows_per_band: int
+) -> Column:
+    """array<string> of ENGINE-PORTABLE LSH band keys over an md5
+    minhash signature (``minhash_from_grams(..., hash='md5')``):
+    band b's key = md5 of its ``rows_per_band`` signature components
+    joined with '-' plus the band index. A DuckDB oracle replays
+    every key bit-exactly; both ``streaming_near_dedup`` and the
+    batch ``minhash_incremental`` derive their bucket identity from
+    THIS function, so their dedup semantics are identical."""
+    return F.array(*[
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(rows_per_band)
+                ],
+                F.lit(str(b)),
+            )
+        )
+        for b in range(n_bands)
+    ])
+
+
 def minhash_band_keys(
     grams: Column, n_bands: int, rows_per_band: int
 ) -> Column:

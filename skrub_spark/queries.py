@@ -948,6 +948,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(new, seen).select("doc_id")
 
 
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup (r6): odd-id docs ingest against the
+    persisted band buckets of the even-id 'prior snapshot' — the
+    MinHash twin of `incremental_dedup`, with the same portable md5
+    bucket rule as `streaming_near_dup_flags`, so the oracle replays
+    signatures, buckets, history hits and within-batch min-id claims
+    bit-exactly."""
+    _prep(spark)
+    from .dedup.minhash import minhash_buckets, minhash_incremental
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = minhash_buckets(hist).select("band_idx", "band_key").distinct()
+    return minhash_incremental(batch, seen).select("doc_id")
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mixture sampling (beyond-reference
     LLM-pipeline op): per-source row targets converted to
@@ -3695,6 +3712,72 @@ ORACLES: dict[str, str] = {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per USING (doc_id)
     """,
+    "incremental_near_dedup": """
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               FOR i IN generate_series(1, len(toks) - 2)]
+            ELSE [] END AS grams
+          FROM t
+        ), e AS (
+          SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) >= 1
+        ), h AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h1,
+            ('0x' || substr(md5(g), 16, 15))::BIGINT % 2147483647 AS h2
+          FROM e
+        ), sig AS (
+          SELECT doc_id,
+                 MIN((h1 + 0*h2) % 2147483647) AS c0,
+                 MIN((h1 + 1*h2) % 2147483647) AS c1,
+                 MIN((h1 + 2*h2) % 2147483647) AS c2,
+                 MIN((h1 + 3*h2) % 2147483647) AS c3,
+                 MIN((h1 + 4*h2) % 2147483647) AS c4,
+                 MIN((h1 + 5*h2) % 2147483647) AS c5,
+                 MIN((h1 + 6*h2) % 2147483647) AS c6,
+                 MIN((h1 + 7*h2) % 2147483647) AS c7,
+                 MIN((h1 + 8*h2) % 2147483647) AS c8,
+                 MIN((h1 + 9*h2) % 2147483647) AS c9,
+                 MIN((h1 + 10*h2) % 2147483647) AS c10,
+                 MIN((h1 + 11*h2) % 2147483647) AS c11,
+                 MIN((h1 + 12*h2) % 2147483647) AS c12,
+                 MIN((h1 + 13*h2) % 2147483647) AS c13,
+                 MIN((h1 + 14*h2) % 2147483647) AS c14,
+                 MIN((h1 + 15*h2) % 2147483647) AS c15
+          FROM h GROUP BY doc_id
+        ), s2 AS (
+          SELECT doc_id, [c0,c1,c2,c3,c4,c5,c6,c7,c8,c9,c10,c11,c12,c13,c14,c15] AS s FROM sig
+        ), bk AS (
+          SELECT doc_id, t.i AS band_idx,
+            md5(CAST(s[2*t.i + 1] AS VARCHAR) || '-' ||
+                CAST(s[2*t.i + 2] AS VARCHAR) || '-' ||
+                CAST(t.i AS VARCHAR)) AS band_key
+          FROM s2, generate_series(0, 7) AS t(i)
+        ), hist AS (
+          SELECT DISTINCT band_key FROM bk WHERE doc_id % 2 = 0
+        ), batch AS (
+          SELECT doc_id, band_key FROM bk WHERE doc_id % 2 = 1
+        ), claims AS (
+          SELECT band_key, MIN(doc_id) AS first_id
+          FROM batch GROUP BY band_key
+        ), flagged AS (
+          SELECT DISTINCT b.doc_id FROM batch b
+          JOIN claims c USING (band_key)
+          WHERE c.first_id < b.doc_id
+             OR EXISTS (SELECT 1 FROM hist h2
+                        WHERE h2.band_key = b.band_key)
+        )
+        SELECT doc_id
+        FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
     "corpus_shuffle": """
         WITH h AS (
           SELECT doc_id,
@@ -4859,6 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_near_dedup": q_incremental_near_dedup,
         "jsonl_gz_source": q_jsonl_gz_source,
         "gap_encoder_topics": q_gap_encoder_topics,
         "fingerprints": q_fingerprints,

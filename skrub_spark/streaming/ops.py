@@ -326,21 +326,10 @@ def streaming_near_dedup(
             f"n_components ({n_components}) must be divisible by "
             f"n_bands ({n_bands})"
         )
+    from ..functions.hashing import md5_band_keys
+
     rows_per_band = n_components // n_bands
-    band_keys = F.array(*[
-        F.md5(
-            F.concat_ws(
-                "-",
-                *[
-                    F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
-                    .cast("string")
-                    for r in range(rows_per_band)
-                ],
-                F.lit(str(b)),
-            )
-        )
-        for b in range(n_bands)
-    ])
+    band_keys = md5_band_keys(F.col("__sig"), n_bands, rows_per_band)
     # materialize the shingle array ONCE per row: both the
     # has-shingles filter and the signature read the same column
     exploded = (

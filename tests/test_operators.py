@@ -1071,3 +1071,47 @@ def test_semantic_dedup_planted_groups(spark):
             a, b = vecs[i], vecs[c]
             cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
             assert cos >= 0.99 - 1e-9, (i, c, cos)
+
+
+def test_minhash_incremental_against_history(spark):
+    """Incremental near-dedup: a new batch ingests against the
+    persisted band buckets of a prior snapshot — near-copies of
+    history are dropped, within-batch near-dup groups keep the min
+    id, distinct and shingle-less docs survive. Bucket identity is
+    the SAME md5 construction the streaming op claims with."""
+    from skrub_spark.dedup.minhash import minhash_buckets, minhash_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "today across the wide open field"
+    )
+    other = (
+        "completely different text about spark engines and data "
+        "pipelines processing large corpora at scale every day"
+    )
+    hist = spark.createDataFrame(
+        [(0, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, base.replace("today", "tonight")),   # near-dup of history
+            (13, "fresh unique content with many novel words appearing "
+                 "nowhere else in any batch of this corpus"),
+            (15, "fresh unique content with many novel words appearing "
+                 "nowhere else in any batch of that corpus"),  # near-dup of 13
+            (17, "tiny"),                              # shingle-less
+        ],
+        "doc_id long, text string",
+    )
+    seen = minhash_buckets(hist).select("band_idx", "band_key").distinct()
+    out = minhash_incremental(batch, seen)
+    assert {r["doc_id"] for r in out.collect()} == {13, 17}
+    # empty history: everything but the within-batch dup survives
+    empty = seen.filter("1=0")
+    out2 = minhash_incremental(batch, empty)
+    assert {r["doc_id"] for r in out2.collect()} == {11, 13, 17}
+    # divisibility guard
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_buckets(hist, n_components=10, n_bands=4)
