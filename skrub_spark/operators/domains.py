@@ -81,3 +81,57 @@ def drop_blocked_domains(
     return df.join(
         blocked_ids.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
     )
+
+
+# query parameters that never change the resource: tracking/campaign
+# ids (the CCNet/RefinedWeb URL-dedup prerequisite). RE2-compatible.
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|ref)="
+)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL for URL-level deduplication:
+
+    - scheme and host lowercased,
+    - default ports dropped (:80 for http, :443 for https),
+    - fragment dropped,
+    - tracking query params removed (``TRACKING_PARAM_PATTERN``),
+      remaining params sorted bytewise,
+    - empty path normalized to ``/``.
+
+    Two crawls of ``HTTP://Site.com:80/a?utm_source=x&b=1#frag`` and
+    ``http://site.com/a?b=1`` collide — the standard first step of
+    web-corpus URL dedup (crawl frontiers revisit the same resource
+    through decorated links). Pure Catalyst regexp/array expressions,
+    spelled identically in the DuckDB oracle (``url_canonical``)."""
+    u = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
+    )
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qpart)
+    )

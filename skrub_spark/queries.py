@@ -573,6 +573,37 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for URL-level dedup (r6): per-doc planted
+    URLs carrying every decoration a crawl frontier produces —
+    uppercase scheme/host, default ports, tracking params, unsorted
+    query, fragments — collapse to canonical resources; output is
+    docs-per-canonical-URL. The oracle replays the planting AND the
+    full canonicalization (same RE2 regexes, list sort, tracking
+    filter) in SQL."""
+    _prep(spark)
+    from .operators.domains import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("Site"), (d % 5).cast("string"), F.lit(".Example.org"),
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.when(d % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p"), (d % 4).cast("string"))
+        ),
+        F.lit("?utm_source=feed&b="), (d % 3).cast("string"),
+        F.lit("&a=1&fbclid=xyz"),
+        F.lit("#sec"), d.cast("string"),
+    )
+    return (
+        docs.select(canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global line dedup (Raffel et al. 2019 §2.2): every
     repeated (trimmed, lowercased) line across the whole documents
@@ -3712,6 +3743,53 @@ ORACLES: dict[str, str] = {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per USING (doc_id)
     """,
+    "url_canonical": """
+        WITH u0 AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+            || 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.org'
+            || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN ''
+                     ELSE '/p' || CAST(doc_id % 4 AS VARCHAR) END)
+            || '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+            || '&a=1&fbclid=xyz'
+            || '#sec' || CAST(doc_id AS VARCHAR) AS u
+          FROM documents
+        ), nf AS (
+          SELECT doc_id, regexp_replace(u, '#.*$', '') AS nofrag FROM u0
+        ), parts AS (
+          SELECT doc_id,
+            lower(regexp_extract(nofrag,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(nofrag,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostport,
+            regexp_extract(nofrag,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1) AS path0,
+            regexp_extract(nofrag, '\\?(.*)$', 1) AS q
+          FROM nf
+        ), ps AS (
+          SELECT *, list_sort(list_filter(string_split(q, '&'),
+            p -> p != '' AND NOT regexp_matches(p,
+              '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|ref)=')))
+            AS qs
+          FROM parts
+        ), canon AS (
+          SELECT doc_id,
+            scheme || '://'
+            || (CASE WHEN scheme = 'http'
+                     THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END)
+            || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+            || (CASE WHEN len(qs) > 0
+                     THEN '?' || array_to_string(qs, '&') ELSE '' END)
+              AS canonical_url
+          FROM ps
+        )
+        SELECT canonical_url, COUNT(*) AS n_docs
+        FROM canon GROUP BY canonical_url
+    """,
     "incremental_near_dedup": """
         WITH t AS (
           SELECT doc_id,
@@ -4938,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
         "domain_stats": q_domain_stats,
+        "url_canonical": q_url_canonical,
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,

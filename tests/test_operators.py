@@ -1115,3 +1115,23 @@ def test_minhash_incremental_against_history(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         minhash_buckets(hist, n_components=10, n_bands=4)
+
+
+def test_canonical_url(spark):
+    """URL canonicalization rules: case, default ports, fragments,
+    tracking params, query sort, empty path; non-default ports and
+    real params survive; schemeless strings pass through unchanged."""
+    from skrub_spark.operators.domains import canonical_url
+
+    cases = [
+        ("HTTP://Site.com:80/a?utm_source=x&b=1#frag", "http://site.com/a?b=1"),
+        ("https://Site.com:443/", "https://site.com/"),
+        ("https://site.com", "https://site.com/"),
+        ("http://site.com:8080/x", "http://site.com:8080/x"),
+        ("https://site.com/p?z=2&a=1&fbclid=k&ref=tw", "https://site.com/p?a=1&z=2"),
+        ("https://site.com/p?utm_campaign=c", "https://site.com/p"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
