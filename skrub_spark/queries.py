@@ -461,8 +461,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.embedding import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # 8 cells keeps the within-cell pair count ~n²/8 at every SF
+    # (the operator's whole point); 1 Lloyd iteration is enough for
+    # a stable partition on this table
     return semantic_dedup(
-        emb, "embedding", "vec_id", threshold=0.35, n_clusters=4,
+        emb, "embedding", "vec_id", threshold=0.35, n_clusters=8,
         lloyd_iters=1,
     )
 
