@@ -402,3 +402,39 @@ def test_snapshot_read_prunes_to_one_version(spark, tmp_path):
     plan = formatted(df)
     part = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "v" in part
+
+
+def test_minhash_buckets_batch_shape(spark):
+    """Incremental near-dedup signatures are batch-shaped: the
+    n_components mins run as HashAggregates WITH a map-side partial
+    phase (the shuffle carries partially-combined rows, not raw
+    grams), and no interpreted per-row aggregate fold appears."""
+    from skrub_spark.dedup.minhash import minhash_buckets
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(minhash_buckets(docs))
+    assert "partial_min" in plan
+    assert plan.count("HashAggregate") >= 2
+    # the signature math stays in codegen'd min() aggregates — the
+    # streaming op's interpreted fold ('aggregate(') never appears
+    assert "aggregate(" not in plan.lower().replace("hashaggregate(", "")
+
+
+def test_canonical_url_map_only(spark):
+    """URL canonicalization is a pure projection: zero exchanges."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.domains import canonical_url
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://Site.com:443/p?b="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=x&a=1#f"),
+    )
+    df = docs.select(canonical_url(url).alias("c"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "FileScan" in plan
