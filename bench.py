@@ -91,6 +91,9 @@ HEADLINE = [
     "decontaminate",
     "skew_salted_agg",
     "topk_quantized",
+    "incremental_near_dedup",
+    "semantic_dedup",
+    "url_canonical",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

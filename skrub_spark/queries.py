@@ -4888,7 +4888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi_agg_join (agg_join + agg_target cover the family),
     # topk_indexed (similarity keeps topk/knn/knn_lsh; the index path is
     # plan-audited + full battery), streaming_enrich (streaming keeps
-    # windows/dedup/interval-join/near-dup in-window).
+    # windows/dedup/interval-join/near-dup in-window). Late-r6 swap:
+    # incremental_near_dedup (flagship r6 dedup addition, exact-oracled)
+    # moved IN, displacing windowed_counts (streaming still holds
+    # dedup/interval-join/near-dup gate rows; windowed aggs stay in the
+    # full battery + pytest).
     # Entries past position 50 are mostly TPC-H-shape analogs whose
     # join/agg coverage is already proven by pricing_summary/top_orders
     # inside the window, or extra variants of a family already represented
@@ -4926,6 +4930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # --- dedup families ---
         "dedup_exact": q_dedup_exact,
+        # r6: incremental near-dedup vs persisted band buckets — the
+        # round's flagship dedup addition, exact-oracled, in-window
+        # (displacing windowed_counts; streaming keeps dedup/
+        # interval-join/near-dup rows in the gate)
+        "incremental_near_dedup": q_incremental_near_dedup,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -4960,7 +4969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup_flags": q_streaming_near_dup_flags,
         "image_decode_stats": q_image_decode_stats,
         # --- streaming ---
-        "windowed_counts": q_windowed_counts,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         # --- scale demos & sources ---
@@ -4975,6 +4983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "topk_indexed": q_topk_indexed,
         "streaming_enrich": q_streaming_enrich,
+        "windowed_counts": q_windowed_counts,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
@@ -5024,7 +5033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,
         "incremental_dedup": q_incremental_dedup,
-        "incremental_near_dedup": q_incremental_near_dedup,
         "jsonl_gz_source": q_jsonl_gz_source,
         "gap_encoder_topics": q_gap_encoder_topics,
         "fingerprints": q_fingerprints,
