@@ -131,3 +131,64 @@ def ingest_snapshot(
         fresh = drop_exact_duplicates(new_df, content_col, id_col)
     version = write_snapshot(fresh, root)
     return version, read_snapshot(spark, root, version)
+
+
+def ingest_snapshot_near(
+    new_df: DataFrame,
+    root: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_components: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+) -> tuple[int, DataFrame]:
+    """NEAR-dedup ingest: drop new rows whose MinHash band bucket is
+    already claimed by ANY prior snapshot (or by a smaller id within
+    the batch), write the survivors as the next snapshot, and
+    persist the batch's distinct band buckets under
+    ``root/_buckets/v=N`` — so the NEXT crawl reads only bucket keys
+    (one 32-hex string per distinct bucket), never prior payloads.
+    This is the storage loop :func:`~skrub_spark.dedup.minhash.
+    minhash_incremental` exists for; the exact-hash twin is
+    :func:`ingest_snapshot`. Returns (version, survivors-as-read).
+
+    The bucket index is derived from the SURVIVORS (post-dedup), so
+    it never grows with duplicate content; history reads prune to
+    the ``_buckets`` subtree only.
+    """
+    from ..dedup.minhash import minhash_buckets, minhash_incremental
+
+    spark = new_df.sparkSession
+    broot = root.rstrip("/") + "/_buckets"
+    if snapshot_versions(root, spark):
+        seen = read_all_snapshots(spark, broot).select(
+            "band_idx", "band_key"
+        )
+        fresh = minhash_incremental(
+            new_df, seen, content_col, id_col,
+            n_components=n_components, n_bands=n_bands,
+            shingle_k=shingle_k,
+        )
+    else:
+        # first snapshot: within-batch near-dedup only
+        empty = spark.createDataFrame(
+            [], "band_idx long, band_key string"
+        )
+        fresh = minhash_incremental(
+            new_df, empty, content_col, id_col,
+            n_components=n_components, n_bands=n_bands,
+            shingle_k=shingle_k,
+        )
+    version = write_snapshot(fresh, root)
+    buckets = (
+        minhash_buckets(
+            read_snapshot(spark, root, version), content_col, id_col,
+            n_components=n_components, n_bands=n_bands,
+            shingle_k=shingle_k,
+        )
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    buckets.write.mode("errorifexists").parquet(broot + f"/v={version}")
+    return version, read_snapshot(spark, root, version)

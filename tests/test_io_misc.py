@@ -179,3 +179,43 @@ def test_ingest_snapshot_dedups_against_history(spark, tmp_path):
     assert v2 == 2
     assert sorted(r["doc_id"] for r in s2.collect()) == [11]  # alpha seen, 12 dup
     assert read_all_snapshots(spark, root).count() == 3
+
+
+def test_ingest_snapshot_near_dedups_against_bucket_index(spark, tmp_path):
+    """ingest_snapshot_near: crawl 2's NEAR-copies of crawl 1 content
+    are dropped using only the persisted band-bucket index (prior
+    payloads never read); distinct content lands; the bucket index
+    grows append-only under root/_buckets/v=N."""
+    from skrub_spark.sources.snapshots import (
+        ingest_snapshot_near,
+        read_all_snapshots,
+        snapshot_versions,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "today across the wide open field"
+    )
+    other = (
+        "completely different text about spark engines and data "
+        "pipelines processing large corpora at scale every day"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    v1, s1 = ingest_snapshot_near(b1, str(tmp_path / "c"))
+    assert v1 == 1 and {r["doc_id"] for r in s1.collect()} == {1, 2}
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tonight")),  # near-dup of v1
+            (11, "entirely novel words that share no shingles with "
+                 "anything ingested before in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    v2, s2 = ingest_snapshot_near(b2, str(tmp_path / "c"))
+    assert v2 == 2 and {r["doc_id"] for r in s2.collect()} == {11}
+    # bucket index is versioned parquet next to the snapshots
+    assert snapshot_versions(str(tmp_path / "c" / "_buckets")) == [1, 2]
+    hist = read_all_snapshots(spark, str(tmp_path / "c"))
+    assert {r["doc_id"] for r in hist.collect()} == {1, 2, 11}
