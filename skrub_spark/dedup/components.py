@@ -90,6 +90,7 @@ def connected_components(
     max_iter: int = 20,
     on_nonconverged: str = "raise",
     checkpoint: str = "local",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Input: undirected edges (col_a, col_b). Output: (id, component)
     where component = min id reachable, for every id appearing in the
@@ -97,6 +98,15 @@ def connected_components(
     edge set is still moving after ``max_iter`` large+small-star
     rounds (convergence is O(log n) rounds, so the default 20 covers
     graphs far beyond any real near-dup pair list).
+
+    ``local_threshold``: edge sets at or below this size are solved
+    on the DRIVER with union-find — the broadcast-join analogy: each
+    large/small-star round costs ~10 shuffle stages plus two actions
+    regardless of data size, so a thousand-edge graph pays seconds
+    of pure scheduling for microseconds of work. A million edges is
+    ~16 MB collected; identical labels (min reachable id) either
+    way, and the distributed path is untouched for anything larger.
+    Pass 0 to force the distributed path.
 
     ``checkpoint`` truncates the per-round lineage (without it the
     plan doubles every round): "local" (default) uses executor-local
@@ -130,6 +140,22 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if local_threshold:
+        # one cheap count gates the fast path; limit()+count keeps
+        # the probe bounded even when the pair list is huge
+        probe = edges.limit(local_threshold + 1).count()
+        if probe <= local_threshold:
+            rows = edges.collect()
+            if rows:
+                labels = _union_find_local(pairs.sparkSession, rows)
+            else:
+                # no non-self edges: empty labels with the input's
+                # id type so the singleton union stays type-stable
+                labels = pairs.select(
+                    F.col(col_a).alias("id"),
+                    F.col(col_a).alias("component"),
+                ).limit(0)
+            return _with_singletons(pairs, col_a, col_b, labels)
     # invariant: e is the symmetrized edge set entering each phase
     e = _ckpt(_symmetrize(edges))
     converged = False
@@ -160,8 +186,46 @@ def connected_components(
         .agg(F.min("v").alias("mv"))
         .select(F.col("u").alias("id"), F.least("u", "mv").alias("component"))
     )
-    # nodes whose only edge was a self-pair were dropped by the
-    # u != v filter but must still be labeled (as their own component)
+    return _with_singletons(pairs, col_a, col_b, labels)
+
+
+def _union_find_local(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over a collected edge list; returns the
+    same (id, component=min reachable id) frame as the distributed
+    path. Path compression + union by attaching the larger root id
+    under the smaller keeps the min at the root throughout."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for row in edge_rows:
+        nodes.add(row["u"])
+        nodes.add(row["v"])
+    data = [(n, find(n)) for n in sorted(nodes)]
+    if isinstance(data[0][0], int):
+        return spark.createDataFrame(data, "id long, component long")
+    return spark.createDataFrame(data)  # infer (string ids etc.)
+
+
+def _with_singletons(
+    pairs: DataFrame, col_a: str, col_b: str, labels: DataFrame
+) -> DataFrame:
+    """Nodes whose only edge was a self-pair were dropped by the
+    u != v filter but must still be labeled (as their own
+    component)."""
+    labels = labels.toDF("id", "component")
     singletons = (
         pairs.select(F.col(col_a).alias("id"))
         .union(pairs.select(F.col(col_b).alias("id")))

@@ -151,7 +151,7 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame(
         chain + [(200, 100), (300, 300)], "id_a int, id_b int"
     )
-    out = connected_components(pairs, max_iter=10)
+    out = connected_components(pairs, max_iter=10, local_threshold=0)
     comp = {r["id"]: r["component"] for r in out.collect()}
     assert all(comp[i] == 0 for i in range(61))
     assert comp[100] == comp[200] == 100
@@ -172,10 +172,14 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     old = sc.getCheckpointDir()
     if old is None:
         with pytest.raises(ValueError, match="setCheckpointDir"):
-            connected_components(pairs, checkpoint="reliable")
+            connected_components(
+                pairs, checkpoint="reliable", local_threshold=0
+            )
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
-        out = connected_components(pairs, checkpoint="reliable")
+        out = connected_components(
+            pairs, checkpoint="reliable", local_threshold=0
+        )
         comp = {r["id"]: r["component"] for r in out.collect()}
         assert comp[1] == comp[2] == comp[3] == 1
         assert comp[10] == comp[11] == 10
@@ -221,9 +225,11 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(200)], "id_a int, id_b int"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, local_threshold=0)
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(pairs, max_iter=1, on_nonconverged="warn").collect()
+        connected_components(
+            pairs, max_iter=1, on_nonconverged="warn", local_threshold=0
+        ).collect()
 
 
 def test_deduplicate_strings(spark):
@@ -1135,3 +1141,29 @@ def test_canonical_url(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The driver-side union-find fast path returns EXACTLY the
+    distributed star algorithm's labels (id -> min reachable id),
+    including chains, cross-links, self-pairs and singletons."""
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(
+        chain + [(200, 100), (300, 300), (7, 30)], "id_a int, id_b int"
+    )
+    local = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    # threshold boundary: a pair list larger than the threshold takes
+    # the distributed path (same labels)
+    over = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, local_threshold=3).collect()
+    }
+    assert over == dist

@@ -131,8 +131,15 @@ def test_connected_components_match_union_find(spark, edges):
     want_sets = {frozenset(s) for s in want.values()}
 
     df = spark.createDataFrame(edges, "id_a int, id_b int")
+    # local_threshold=0 forces the DISTRIBUTED star algorithm — the
+    # driver-side fast path IS union-find, so testing it against
+    # union-find would be vacuous; its equivalence to the distributed
+    # labels is pinned by test_connected_components_local_matches.
     got = {}
-    for r in connected_components(df, "id_a", "id_b").collect():
+    rows = connected_components(
+        df, "id_a", "id_b", local_threshold=0
+    ).collect()
+    for r in rows:
         got.setdefault(r["component"], set()).add(r["id"])
     got_sets = {frozenset(s) for s in got.values()}
     assert got_sets == want_sets
