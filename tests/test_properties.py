@@ -390,3 +390,129 @@ def test_redact_pii_matches_python_re(spark, texts):
         for pat, repl in _PII_PATTERNS:
             want = re.sub(pat, repl, want)
         assert got[i] == want, (t, got[i], want)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                whitelist_characters="\n&?#:/=.",
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_canonical_url_idempotent(spark, texts):
+    """canonical_url is idempotent on arbitrary strings — including
+    junk that isn't a URL at all (passthrough) and decorated URLs
+    built from random fragments: canonical(canonical(u)) ==
+    canonical(u). A non-idempotent canonicalizer would make URL
+    dedup depend on how many times a pipeline stage ran."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.domains import canonical_url
+
+    urls = list(texts) + [
+        "https://Host.Example.com:443/" + (texts[0] or "x").replace("\n", "")
+        + "?b=2&utm_source=" + (texts[-1] or "y").replace("\n", "")[:10]
+        + "&a=1#frag"
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonical_url("u").alias("c1"),
+    ).withColumn("c2", canonical_url("c1")).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=120),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_span_counts_only_matches_full(spark, texts, window):
+    """dedup_token_spans(counts_only=True) returns EXACTLY the full
+    path's (n_tokens, n_removed) on adversarial tiny-alphabet texts
+    (maximal window collisions) — the pretraining pipeline's narrow
+    mode must never drift from the rebuild path."""
+    from skrub_spark.operators.span_dedup import dedup_token_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in dedup_token_spans(df, window=window).collect()
+    }
+    fast = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in dedup_token_spans(df, window=window, counts_only=True).collect()
+    }
+    assert full == fast
+    # and the full path's clean_text re-splits to exactly the
+    # surviving token count
+    for r in dedup_token_spans(df, window=window).collect():
+        kept = len([t for t in r["clean_text"].split() if t])
+        assert kept == r["n_tokens"] - r["n_removed"]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scalar_quantizer_roundtrip_bound_property(spark, vecs):
+    """For ANY float32 vectors: codes land in [0,255] and per-dim
+    reconstruction error <= (hi-lo)/510 + eps — the grid's
+    half-step, the SQ8 contract independent of data distribution."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.similarity.quantize import (
+        dequantize_expr, fit_scalar_quantizer, quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    quant = fit_scalar_quantizer(df, "embedding")
+    out = (
+        quantize_embeddings(df, quant, "embedding", "codes")
+        .withColumn("xhat", dequantize_expr(quant, "codes"))
+        .collect()
+    )
+    spans = [h - l for l, h in zip(quant["lo"], quant["hi"])]
+    orig = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for r in out:
+        for j, (c, xh) in enumerate(zip(r["codes"], r["xhat"])):
+            assert 0 <= c <= 255
+            bound = spans[j] / 510.0 + 1e-5 + abs(orig[r["vec_id"]][j]) * 1e-6
+            assert abs(xh - orig[r["vec_id"]][j]) <= bound
