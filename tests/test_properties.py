@@ -516,3 +516,56 @@ def test_scalar_quantizer_roundtrip_bound_property(spark, vecs):
             assert 0 <= c <= 255
             bound = spans[j] / 510.0 + 1e-5 + abs(orig[r["vec_id"]][j]) * 1e-6
             assert abs(xh - orig[r["vec_id"]][j]) <= bound
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=80),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_incremental_invariants(spark, texts):
+    """Two invariants of incremental near-dedup on arbitrary
+    tiny-alphabet texts (maximal shingle collisions): (a) a batch
+    doc IDENTICAL to a history doc is always dropped when it has
+    shingles (same signature -> same buckets -> history hit), and
+    (b) growing the history never lets MORE docs survive
+    (monotonicity — the bucket set only grows)."""
+    from skrub_spark.dedup.minhash import minhash_buckets, minhash_incremental
+
+    hist = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)]
+        + [(500, "zz qq ww ee rr tt yy uu")],
+        "doc_id long, text string",
+    )
+    seen_full = minhash_buckets(hist).select("band_idx", "band_key").distinct()
+    seen_half = (
+        minhash_buckets(hist.filter("doc_id % 2 = 0"))
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    surv_full = {
+        r["doc_id"] for r in minhash_incremental(batch, seen_full).collect()
+    }
+    surv_half = {
+        r["doc_id"] for r in minhash_incremental(batch, seen_half).collect()
+    }
+    # (a) identical-to-history docs with shingles never survive the
+    # full history (shingle-less docs always survive by contract)
+    shingled = {
+        r["doc_id"] for r in minhash_buckets(batch).select("doc_id").distinct().collect()
+    }
+    for i, t in enumerate(texts):
+        if 100 + i in shingled:
+            assert 100 + i not in surv_full, t
+    # (b) monotonic: more history -> never more survivors
+    assert surv_full <= surv_half
