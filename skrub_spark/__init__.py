@@ -14,6 +14,8 @@ from .operators.packing import pack_training_chunks  # noqa: F401
 from .operators.sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,
+    sample_to_targets,
+    sample_weighted,
     stratified_sample,
 )
 from .operators.range_join import range_join  # noqa: F401

@@ -136,3 +136,36 @@ def stratified_sample(
             F.col(strata_col) == s, F.lit(int(round(f * _BUCKETS)))
         ).otherwise(thresh)
     return df.filter(_hash_bucket(key, salt) < thresh)
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str | Column,
+    key: str | Column,
+    salt: str = "",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED sampling: each row survives
+    with probability ``clamp(weight * scale, 0, 1)`` — the
+    FineWeb-Edu / classifier-score shape ("keep documents in
+    proportion to their quality score") made reproducible: same
+    (key, salt, weight) -> same decision on any cluster, any
+    partitioning, any run.
+
+    Membership rule: ``md5_bucket(key) < floor(weight * scale *
+    10^8)`` over the same content-addressed hash as every other
+    sampler, so a SQL oracle replays decisions bit-exactly (battery
+    query ``weighted_sample``) and raising ``scale`` strictly grows
+    the kept set (monotone: a row kept at scale s is kept at every
+    s' >= s). NULL or negative weights drop the row; weights >=
+    1/scale always keep it. No shuffle — a map-only filter."""
+    key = F.col(key) if isinstance(key, str) else key
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    fine = _FINE_BUCKETS
+    thresh = F.least(
+        F.lit(float(fine)),
+        F.greatest(
+            F.lit(0.0), w.cast("double") * F.lit(float(scale)) * fine
+        ),
+    ).cast("long")
+    return df.filter(_hash_bucket(key, salt, fine) < thresh)

@@ -982,6 +982,40 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(new, seen).select("doc_id")
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition report (r6): per-stage surviving
+    document/token counts through boilerplate -> repetition -> exact
+    dedup -> substring dedup. The oracle replays the whole cascade
+    (the same CTE building blocks as the pretraining-pipeline
+    oracle, minus PII/mixture/shuffle/pack) so every count is exact
+    — the observability surface a production pipeline watches for
+    silent over-/under-filtering."""
+    _prep(spark)
+    from .report.funnel import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation_funnel(docs, "text", "doc_id", min_words=20, window=20)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (r6): each document
+    survives with probability proportional to its length score
+    n_tokens/100 (a stand-in for a classifier quality score) — the
+    FineWeb-Edu shape, content-addressed so the oracle replays every
+    keep decision bit-exactly. scale=1.2 exercises BOTH branches:
+    docs over ~83 tokens clamp to certainty, short docs face real
+    odds (sf0.01: keeps ~290/500)."""
+    _prep(spark)
+    from .operators.sampling import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    score = F.size(tokens("text")).cast("double") / F.lit(100.0)
+    weighted = docs.withColumn("score", score)
+    return sample_weighted(
+        weighted, "score", key="doc_id", salt="wq6", scale=1.2
+    ).select("doc_id", "score")
+
+
 def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup (r6): odd-id docs ingest against the
     persisted band buckets of the even-id 'prior snapshot' — the
@@ -3746,6 +3780,142 @@ ORACLES: dict[str, str] = {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per USING (doc_id)
     """,
+    "curation_funnel": """
+        WITH b0 AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       x -> trim(x)),
+                        x -> x != '') AS ls
+          FROM documents
+        ), b1 AS (
+          SELECT doc_id,
+            list_filter(ls, ln ->
+              right(ln, 1) IN ('.', '!', '?', '"', '''')
+              OR (
+                len(list_filter(regexp_split_to_array(ln, '\\s+'),
+                                t -> t != '')) >= 20
+                AND CAST(len(regexp_replace(ln, '[^A-Z]', '', 'g')) AS DOUBLE)
+                    / greatest(len(regexp_replace(ln, '[^A-Za-z]', '', 'g')),
+                               1) <= 0.5
+              )) AS kept
+          FROM b0
+        ), b AS (
+          SELECT doc_id, array_to_string(kept, chr(10)) AS text
+          FROM b1 WHERE len(kept) >= 1
+        ),
+        l AS (
+          SELECT doc_id, trim(line) AS line
+          FROM b, UNNEST(string_split(text, chr(10))) AS t(line)
+          WHERE trim(line) <> ''
+        ),
+        lc AS (SELECT doc_id, line, COUNT(*) c FROM l GROUP BY 1, 2),
+        la AS (
+          SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+            SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+            SUM(c * length(line)) AS tot_chars
+          FROM lc GROUP BY 1
+        ),
+        w AS (
+          SELECT doc_id, w FROM b,
+            UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(w)
+          WHERE w <> ''
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c
+               FROM wc GROUP BY 1),
+        kept AS (
+          SELECT b.doc_id, b.text FROM b
+          LEFT JOIN la USING (doc_id)
+          LEFT JOIN wa USING (doc_id)
+          WHERE
+            COALESCE(1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_lines, 0.0)
+              <= 0.30
+            AND COALESCE(CAST(la.dup_chars AS DOUBLE) / la.tot_chars, 0.0)
+              <= 0.20
+            AND COALESCE(CAST(wa.top_c AS DOUBLE) / wa.n_words, 0.0)
+              <= 0.20
+        ),
+        canon AS (
+          SELECT * FROM kept k
+          WHERE doc_id = (SELECT MIN(doc_id) FROM kept k2
+                          WHERE k2.text = k.text)
+        ),
+        st AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> x != '') AS toks
+          FROM canon
+        ), sk AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, x -> lower(x)) AS ks
+          FROM st
+        ), swk AS (
+          SELECT doc_id, w.i AS wpos,
+                 array_to_string(list_slice(ks, w.i + 1, w.i + 20), chr(1))
+                   AS wkey
+          FROM sk, UNNEST(range(0, len(ks) - 19)) AS w(i)
+          WHERE len(ks) >= 20
+        ), sr AS (
+          SELECT doc_id, wpos,
+                 row_number() OVER (PARTITION BY wkey
+                                    ORDER BY doc_id, wpos) AS rn
+          FROM swk
+        ), sdel AS (
+          SELECT DISTINCT doc_id, wpos + d.j AS pos
+          FROM sr, UNNEST(range(0, 20)) AS d(j)
+          WHERE rn > 1
+        ), delcnt AS (
+          SELECT doc_id, COUNT(*) AS n_removed FROM sdel GROUP BY 1
+        ), sc AS (
+          SELECT s.doc_id, len(s.toks) AS n_tokens,
+                 COALESCE(d.n_removed, 0) AS n_removed
+          FROM st s LEFT JOIN delcnt d USING (doc_id)
+        ),
+        ntok AS (
+          SELECT doc_id,
+            len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x != '')) AS n
+          FROM documents
+        ), btok AS (
+          SELECT doc_id,
+            len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x != '')) AS n
+          FROM b
+        )
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+               COUNT(*) AS n_docs,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tokens
+        FROM ntok
+        UNION ALL
+        SELECT 1, 'boilerplate', COUNT(*),
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM btok
+        UNION ALL
+        SELECT 2, 'repetition', COUNT(*),
+               CAST(COALESCE(SUM(b2.n), 0) AS BIGINT)
+        FROM kept k JOIN btok b2 USING (doc_id)
+        UNION ALL
+        SELECT 3, 'exact_dedup', COUNT(*),
+               CAST(COALESCE(SUM(b2.n), 0) AS BIGINT)
+        FROM canon c JOIN btok b2 USING (doc_id)
+        UNION ALL
+        SELECT 4, 'substring_dedup', COUNT(*),
+               CAST(COALESCE(SUM(n_tokens - n_removed), 0) AS BIGINT)
+        FROM sc WHERE n_tokens - n_removed >= 1
+    """,
+    "weighted_sample": """
+        WITH w AS (
+          SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x != '')) AS DOUBLE) / 100.0 AS score
+          FROM documents
+        )
+        SELECT doc_id, score FROM w
+        WHERE ('0x' || substr(md5('wq6' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 100000000
+              < CAST(least(100000000.0,
+                           greatest(0.0, score * 1.2 * 100000000))
+                     AS BIGINT)
+    """,
     "url_canonical": """
         WITH u0 AS (
           SELECT doc_id,
@@ -5029,6 +5199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "domain_stats": q_domain_stats,
         "url_canonical": q_url_canonical,
+        "weighted_sample": q_weighted_sample,
+        "curation_funnel": q_curation_funnel,
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,

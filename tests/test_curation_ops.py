@@ -294,3 +294,42 @@ def test_boilerplate_upper_ratio_boundary(spark):
     df = _docs(spark, [(1, "AAAAA aaaaa\nAAAAAA aaaa")])
     out = remove_boilerplate_lines(df, "text", min_words=2).collect()[0]
     assert out["clean_text"] == "AAAAA aaaaa"
+
+
+def test_curation_funnel_monotone(spark):
+    """Funnel invariants: five ordered stages, counts non-increasing
+    stage-over-stage (each stage only removes), planted duplicates
+    visibly drop at the dedup stages."""
+    from skrub_spark.report.funnel import curation_funnel
+
+    good = (
+        "This is a perfectly reasonable sentence about data engineering "
+        "that ends with punctuation and continues for long enough to "
+        "pass every filter in the stack without any trouble at all."
+    )
+    rows = [
+        (1, good),
+        (2, good),                     # exact dup of 1
+        (3, good + " Extra closing line here."),  # shares a 20-token run
+        (4, "SHOUTY NAV LINK\nCOOKIE BANNER"),    # boilerplate-only
+        (5, ("spam " * 40).strip()),   # top-word repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["stage"]: (r["stage_idx"], r["n_docs"], r["n_tokens"])
+        for r in curation_funnel(df, min_words=10, window=20).collect()
+    }
+    assert [out[s][0] for s in (
+        "raw", "boilerplate", "repetition", "exact_dedup", "substring_dedup"
+    )] == [0, 1, 2, 3, 4]
+    seq = [out[s][1:] for s in (
+        "raw", "boilerplate", "repetition", "exact_dedup", "substring_dedup"
+    )]
+    for (d1, t1), (d2, t2) in zip(seq, seq[1:]):
+        assert d2 <= d1 and t2 <= t1
+    assert out["raw"][1] == 5
+    assert out["boilerplate"][1] == 4      # doc 4 emptied
+    assert out["repetition"][1] == 3       # doc 5 top-word filtered
+    assert out["exact_dedup"][1] == 2      # doc 2 collapsed into 1
+    # doc 3's shared 20-token run with doc 1 is removed at stage 4
+    assert out["substring_dedup"][2] < out["exact_dedup"][2]

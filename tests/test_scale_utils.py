@@ -180,3 +180,30 @@ def test_salting_spreads_hot_key(spark):
     got = {r["k"]: (r["n"], r["s"]) for r in out}
     assert got["hot"] == (hot_n, float(sum(range(hot_n))))
     assert got["k7"] == (1, 7.0)
+
+
+def test_sample_weighted(spark):
+    """Weighted sampling contracts: weight>=1/scale is certain,
+    weight<=0 or NULL never survives, raising scale is monotone
+    (kept sets only grow), and the kept fraction tracks the weight
+    for middling scores."""
+    from skrub_spark.operators.sampling import sample_weighted
+
+    rows = (
+        [(i, 1.0) for i in range(100)]            # certain
+        + [(100 + i, 0.0) for i in range(50)]     # never
+        + [(200 + i, None) for i in range(10)]    # never (NULL)
+        + [(300 + i, 0.5) for i in range(2000)]   # ~half
+    )
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept1 = {r["id"] for r in sample_weighted(df, "w", "id", salt="t").collect()}
+    assert all(i in kept1 for i in range(100))
+    assert not any(100 + i in kept1 for i in range(60))
+    mid = sum(1 for i in kept1 if i >= 300)
+    assert 800 <= mid <= 1200  # ~0.5 of 2000, generous band
+    kept2 = {
+        r["id"]
+        for r in sample_weighted(df, "w", "id", salt="t", scale=1.6).collect()
+    }
+    assert kept1 <= kept2  # monotone in scale
+    assert sum(1 for i in kept2 if i >= 300) >= mid
