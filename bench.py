@@ -94,6 +94,8 @@ HEADLINE = [
     "incremental_near_dedup",
     "semantic_dedup",
     "url_canonical",
+    "weighted_sample",
+    "curation_funnel",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,
