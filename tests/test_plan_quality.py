@@ -438,3 +438,32 @@ def test_canonical_url_map_only(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan
     assert "FileScan" in plan
+
+
+def test_weighted_sample_no_shuffle(spark):
+    """Weighted sampling is a pure filter over the scan: zero
+    exchanges (the per-row threshold is a map-side expression)."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.sampling import sample_weighted
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    w = docs.withColumn("w", F.length("text").cast("double") / 1000.0)
+    df = sample_weighted(w, "w", "doc_id")
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "FileScan" in plan
+
+
+def test_curation_funnel_partial_aggs(spark):
+    """Every funnel stage aggregate has a map-side partial phase, and
+    the cascade never degenerates into a cartesian product."""
+    from skrub_spark.report.funnel import curation_funnel
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(curation_funnel(docs))
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
