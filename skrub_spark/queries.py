@@ -5089,8 +5089,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolation_join_clf": q_interpolation_join_clf,
         "asof_join": q_asof_join,
         "range_join_incidents": q_range_join_incidents,
-        "gapfill_hourly": q_gapfill_hourly,
-        "dedup_strings_brand": q_dedup_strings_brand,
+        # r7 swap (VERDICT r6 #6): the three unguarded r6 flagships
+        # move INTO the window — url_canonical (URL family's only
+        # canonicalization path), weighted_sample (the
+        # classifier-score sampling rung), curation_funnel (the
+        # observability surface) — displacing gapfill_hourly
+        # (temporal family keeps asof_join + range_join in-window),
+        # dedup_strings_brand (string-clustering family kept by the
+        # four dedup gate rows + full battery) and one_hot_mktsegment
+        # (encoder family keeps datetime/minhash/similarity/gap/
+        # squashing/session rows in-window).
+        "url_canonical": q_url_canonical,
+        "weighted_sample": q_weighted_sample,
+        "curation_funnel": q_curation_funnel,
         # --- training-data pipeline ops ---
         "hash_split": q_hash_split,
         "lm_perplexity_filter": q_lm_perplexity_filter,
@@ -5130,7 +5141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squashing_scaler": q_squashing_scaler,
         "session_encoder_features": q_session_encoder_features,
         # --- whole-table / plans / report ---
-        "one_hot_mktsegment": q_one_hot_mktsegment,
         "learner_train_test": q_learner_train_test,
         "table_stats": q_table_stats,
         "column_associations": q_column_associations,
@@ -5149,6 +5159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py locally and the judge's replay) -------
         "csv_source": q_csv_source,
         "orc_source": q_orc_source,
+        # r7: rotated OUT of the window for the three r6 flagships
+        # (still exact-oracled in the full battery every round)
+        "gapfill_hourly": q_gapfill_hourly,
+        "dedup_strings_brand": q_dedup_strings_brand,
+        "one_hot_mktsegment": q_one_hot_mktsegment,
         "multi_agg_join": q_multi_agg_join,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "topk_indexed": q_topk_indexed,
@@ -5198,9 +5213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
         "domain_stats": q_domain_stats,
-        "url_canonical": q_url_canonical,
-        "weighted_sample": q_weighted_sample,
-        "curation_funnel": q_curation_funnel,
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,

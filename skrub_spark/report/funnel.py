@@ -16,9 +16,17 @@ Stage semantics are EXACTLY the corresponding operators'
 ``drop_exact_duplicates``, ``dedup_token_spans(counts_only=True)``),
 so the DuckDB oracle (battery query ``curation_funnel``) replays the
 whole cascade and the counts are exact, not monitoring-grade
-estimates. One full-text frame is persisted (the boilerplate output
-feeds three downstream stages); every stage emits only a (docs,
-tokens) aggregate.
+estimates.
+
+Cache discipline (VERDICT r6 #2): exactly ONE full-text frame is
+persisted — the boilerplate output, which feeds three downstream
+consumers — and one NARROW per-doc frame (id, n_tokens, n_removed)
+from the counts-only substring stage, which supplies BOTH the
+exact-dedup and substring stage rows without re-reading text. The
+five stage rows are materialized eagerly inside the call (bounded:
+one row per stage, corpus-independent) and both cached frames are
+unpersisted before returning, so no corpus-sized frame outlives the
+report computation.
 """
 
 from __future__ import annotations
@@ -73,12 +81,15 @@ def curation_funnel(
     kept = b.join(rep_ids, id_col)
     rows.append(_stage_row(kept, 2, "repetition", ntok))
 
-    d = drop_exact_duplicates(kept, content_col, id_col).persist()
-    rows.append(_stage_row(d, 3, "exact_dedup", ntok))
-
+    d = drop_exact_duplicates(kept, content_col, id_col)
+    # counts_only emits exactly one (id, n_tokens, n_removed) row per
+    # surviving doc, so this ONE narrow frame answers both the
+    # exact-dedup stage row (count, sum(n_tokens)) and the substring
+    # stage row — the full-text dedup output is never cached.
     sd = dedup_token_spans(
         d, content_col, id_col, window=window, counts_only=True
-    )
+    ).select(id_col, "n_tokens", "n_removed").persist()
+    rows.append(_stage_row(sd, 3, "exact_dedup", F.col("n_tokens")))
     surv = sd.filter(F.col("n_tokens") - F.col("n_removed") >= 1)
     rows.append(
         _stage_row(
@@ -90,4 +101,9 @@ def curation_funnel(
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    # materialize the (bounded, one-row-per-stage) report eagerly so
+    # the cached corpus frames can be released before returning
+    data = out.collect()
+    b.unpersist()
+    sd.unpersist()
+    return df.sparkSession.createDataFrame(data, out.schema)

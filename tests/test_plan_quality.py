@@ -456,14 +456,19 @@ def test_weighted_sample_no_shuffle(spark):
     assert "FileScan" in plan
 
 
-def test_curation_funnel_partial_aggs(spark):
-    """Every funnel stage aggregate has a map-side partial phase, and
-    the cascade never degenerates into a cartesian product."""
+def test_curation_funnel_releases_caches(spark):
+    """The funnel materializes its bounded per-stage rows eagerly and
+    unpersists BOTH cached frames before returning (VERDICT r6 #2: no
+    full-text frame may outlive the report at corpus scale), and the
+    returned report is a local one-row-per-stage frame."""
     from skrub_spark.report.funnel import curation_funnel
     from skrub_spark.sources import load_table
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
-    plan = plan_of(curation_funnel(docs))
-    assert "partial_count" in plan or "partial_min" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = curation_funnel(docs)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, "curation_funnel leaked a persisted frame"
+    assert out.count() == 5
+    # already materialized: re-reading must not touch the corpus
+    assert "FileScan" not in plan_of(out)
