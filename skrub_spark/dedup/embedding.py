@@ -115,12 +115,22 @@ def semantic_dedup(
     n_clusters: int = 16,
     lloyd_iters: int = 2,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
     k-means-cluster the embedding space, find cosine>=threshold
     pairs ONLY within each cluster, and keep one canonical document
     per duplicate group.
+
+    ``centroids`` (r7, VERDICT r6 #3): inject FROZEN centroids
+    ([n_clusters][dim]) instead of sampling + Lloyd. With literal
+    centroids the cell assignment is a pure argmin over dim-literal
+    dot products — exact arithmetic a SQL oracle replays (battery
+    query ``semantic_dedup_exact``), and the production pattern for
+    re-running dedup incrementally: centroids fit once on a sample,
+    applied unchanged to every new crawl so cell identities stay
+    stable across snapshots.
 
     Returns (id_col, component, keep): component = min id reachable
     through within-cluster near-dup pairs, keep = is-canonical.
@@ -141,20 +151,24 @@ def semantic_dedup(
     from ..similarity.index import _cell_udf, lloyd_refine
     from .components import connected_components
 
-    sample = [
-        list(r[vec_col])
-        for r in df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(n_clusters)
-        .collect()
-    ]
-    if not sample:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, component long, keep boolean"
+    if centroids is not None:
+        cents = np.asarray([list(c) for c in centroids], "float64")
+    else:
+        sample = [
+            list(r[vec_col])
+            for r in df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+            .limit(n_clusters)
+            .collect()
+        ]
+        if not sample:
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, component long, keep boolean"
+            )
+        cents = lloyd_refine(
+            df.select(vec_col), vec_col,
+            np.asarray(sample, "float64"), lloyd_iters,
         )
-    cents = lloyd_refine(
-        df.select(vec_col), vec_col, np.asarray(sample, "float64"), lloyd_iters
-    )
     par = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartition(par)

@@ -2878,6 +2878,173 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# -------------------- round-7: learned curation & vector compression
+
+
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality-classifier scoring with FROZEN weights (r7,
+    VERDICT r6 #1 — the FineWeb-Edu distillation shape): a hashed-
+    unigram logistic regression (trained by tools/train_frozen.py
+    against the stopword-ratio teacher, 0.99 held-out accuracy) is
+    replayed map-side over the corpus — one token explode, one
+    broadcast join against the 256-row weight table, one per-doc
+    mean, a sigmoid. With literal weights the whole pass is
+    md5/double arithmetic, so the DuckDB oracle replays every score
+    to 6dp; the keep flag thresholds the ROUNDED score on both
+    sides. The FIT is rows-only by nature (MLlib LBFGS) and carries
+    a separate held-out-accuracy contract in
+    tests/test_quality_classifier.py."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL
+    from .operators.quality_classifier import score_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = score_quality(docs, QUALITY_MODEL)
+    r = F.round("quality_score", 6)
+    return s.select(
+        "doc_id", r.alias("quality_score"), (r >= 0.5).alias("keep")
+    )
+
+
+def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier -> sampler wiring (r7): keep each document with
+    probability proportional to its LEARNED quality score
+    (``sample_weighted`` over the frozen-model scores, scale=1.5) —
+    the stage-0 a FineWeb-style pretraining pipeline runs before the
+    heuristic gauntlet. The oracle composes the scoring CTE with the
+    content-addressed keep rule, so every decision is exact."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL
+    from .operators.quality_classifier import score_quality
+    from .operators.sampling import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = score_quality(docs, QUALITY_MODEL).withColumn(
+        "qs", F.round("quality_score", 6)
+    )
+    kept = sample_weighted(s, "qs", key="doc_id", salt="qcf", scale=1.5)
+    return kept.select("doc_id", F.col("qs").alias("quality_score"))
+
+
+def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC cosine top-10 (r7 — the compression rung
+    after SQ8's 4x): 8 subspaces x 32 codes FROZEN from the sf0.01
+    fit (production PQ trains on a sample and applies the codebooks
+    corpus-wide), vectors encoded to 8 code indices (5 bytes vs 256
+    float32 bytes — 51x), ranking done entirely from per-query
+    lookup tables without reading a float vector. Exact oracle:
+    DuckDB replays the argmin assignment (identical
+    ||c||² - 2·x·c form, first-index ties) and the ADC cosine from
+    the same frozen literals, to 4dp."""
+    _prep(spark)
+    from ._frozen import PQ_CODEBOOKS, PQ_DIM
+    from .similarity.quantize import topk_cosine_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    pq = {
+        "dim": PQ_DIM,
+        "n_subspaces": len(PQ_CODEBOOKS),
+        "n_codes": len(PQ_CODEBOOKS[0]),
+        "codebooks": PQ_CODEBOOKS,
+    }
+    return topk_cosine_pq(emb, pq, qv, k=10, round_digits=4)
+
+
+def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with FROZEN centroids (r7, VERDICT r6 #3): injecting
+    literal centroids makes the cell assignment a pure argmin over
+    dot products, so the whole pipeline — assignment -> within-cell
+    cosine pairs -> connected components -> canonical flags — is
+    SQL-replayable and the formerly rows-only semantic dedup gains
+    an exact oracle (recursive-CTE components, like
+    minhash_canonical). Frozen centroids are also the production
+    recrawl pattern: cells stay stable across snapshots."""
+    _prep(spark)
+    from ._frozen import SEMANTIC_CENTROIDS
+    from .dedup.embedding import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.35,
+        centroids=SEMANTIC_CENTROIDS,
+    )
+
+
+def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMBEDDING near-dedup across >= 2 REAL micro-batches
+    (r7, VERDICT r6 #7 — closes the dedup matrix): embeddings split
+    at the id median into two files streamed with
+    maxFilesPerTrigger=1; hyperplane-LSH cells are claimed
+    first-arrival in the state store and every vector is flagged
+    against its cells' claimants. FROZEN 6dp-rounded planes make
+    every sign bit, cell and claim exact SQL arithmetic
+    (ascending-id arrival == the min-id rule the oracle replays)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from ._frozen import STREAM_PLANES
+    from .streaming.ops import (
+        near_dup_summary, streaming_embedding_near_dedup,
+    )
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cut = emb.agg(F.expr("percentile(vec_id, 0.5)").alias("c")).first()["c"]
+    src = _fresh_tmp("skrub_strembd_src_")
+    os.makedirs(src)
+    halves = [
+        emb.filter(F.col("vec_id") <= F.lit(cut)),
+        emb.filter(F.col("vec_id") > F.lit(cut)),
+    ]
+    for i, part in enumerate(halves):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "strembd_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_embedding_near_dedup(
+            stream, "embedding", "vec_id", planes=STREAM_PLANES
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    out = near_dup_summary(
+        spark.table(name),
+        ids=emb.select(F.col("vec_id").alias("doc_id")),
+    )
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "is_dup", "canonical_id"
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -5020,6 +5187,203 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _r7_frozen_oracles() -> dict[str, str]:
+    """Oracles for the round-7 frozen-model queries, GENERATED from
+    the committed literals in ``skrub_spark/_frozen.py`` — the SQL
+    strings are still static per commit (oracle_sql() output changes
+    only when tools/train_frozen.py regenerates the artifacts), but
+    building them here keeps the 6dp literals bit-identical on both
+    engines without hand-pasting thousands of numbers."""
+    from . import _frozen as fz
+
+    # --- learned quality classifier: score = sigmoid(bias + mean of
+    # per-unit bucket weights), bucket = portable md5 mod n_features
+    m = fz.QUALITY_MODEL
+    n_feat = m["n_features"]
+    bias = repr(m["bias"])
+    wvals = ", ".join(
+        f"({i}, CAST({w!r} AS DOUBLE))" for i, w in enumerate(m["weights"])
+    )
+    score_cte = f"""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS toks
+          FROM documents
+        ), u AS (
+          SELECT doc_id, unnest(toks) AS u FROM t
+        ), f AS (
+          SELECT doc_id,
+            (('0x' || substr(md5('{m["salt"]}' || u), 1, 15))::BIGINT
+             % {n_feat}) AS bucket
+          FROM u
+        ), w(bucket, wt) AS (VALUES {wvals}),
+        d AS (
+          SELECT f.doc_id, SUM(w.wt) / COUNT(*) AS dot
+          FROM f JOIN w ON w.bucket = f.bucket
+          GROUP BY f.doc_id
+        ), s AS (
+          SELECT t.doc_id,
+            ROUND(1.0 / (1.0 + exp(-({bias} + COALESCE(d.dot, 0.0)))),
+                  6) AS qs
+          FROM t LEFT JOIN d USING (doc_id)
+        )"""
+    q_scores = score_cte + """
+        SELECT doc_id, qs AS quality_score, qs >= 0.5 AS keep FROM s
+    """
+    q_filter = score_cte + """
+        SELECT doc_id, qs AS quality_score FROM s
+        WHERE ('0x' || substr(md5('qcf' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 100000000
+              < CAST(least(100000000.0,
+                           greatest(0.0, qs * 1.5 * 100000000))
+                     AS BIGINT)
+    """
+
+    # --- product quantization: argmin assignment + ADC cosine from
+    # the frozen codebooks
+    books = fz.PQ_CODEBOOKS
+    n_sub = len(books)
+    subdim = fz.PQ_DIM // n_sub
+    cbvals = ", ".join(
+        f"({j}, {c}, CAST({books[j][c]!r} AS DOUBLE[]))"
+        for j in range(n_sub)
+        for c in range(len(books[j]))
+    )
+    q_pq = f"""
+        WITH cb(j, c, w) AS (VALUES {cbvals}),
+        q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id = 0
+        ),
+        sub AS (
+          SELECT e.vec_id, js.j,
+            list_slice(CAST(e.embedding AS DOUBLE[]),
+                       js.j * {subdim} + 1, (js.j + 1) * {subdim}) AS s
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS j) js
+        ),
+        dist AS (
+          SELECT sub.vec_id, sub.j, cb.c,
+            list_inner_product(cb.w, cb.w)
+              - 2 * list_inner_product(sub.s, cb.w) AS d
+          FROM sub JOIN cb ON cb.j = sub.j
+        ),
+        codes AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (
+                PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ),
+        sums AS (
+          SELECT codes.vec_id,
+            SUM(list_inner_product(cb.w,
+                list_slice((SELECT v FROM q),
+                           cb.j * {subdim} + 1,
+                           (cb.j + 1) * {subdim}))) AS dsum,
+            SUM(list_inner_product(cb.w, cb.w)) AS nsum
+          FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+          GROUP BY codes.vec_id
+        )
+        SELECT vec_id,
+          ROUND(dsum / (sqrt(nsum) *
+                (SELECT sqrt(list_inner_product(v, v)) FROM q)),
+                4) AS cosine
+        FROM sums
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+    # --- semantic dedup with frozen centroids: argmin cells ->
+    # within-cell cosine pairs -> recursive-CTE components
+    cents = fz.SEMANTIC_CENTROIDS
+    cvals = ", ".join(
+        f"({i}, CAST({c!r} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    q_sem = f"""
+        WITH RECURSIVE cents(cell, w) AS (VALUES {cvals}),
+        dist AS (
+          SELECT e.vec_id, c.cell,
+            list_inner_product(c.w, c.w)
+              - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.w)
+              AS d
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assign a
+          JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[]))
+                >= 0.35
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, reach) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+        ),
+        comp AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id)
+        SELECT e.vec_id,
+          CAST(COALESCE(comp.component, e.vec_id) AS BIGINT) AS component,
+          COALESCE(comp.component, e.vec_id) = e.vec_id AS keep
+        FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+    """
+
+    # --- streaming embedding near-dedup: sign-bit cells from the
+    # frozen planes, min-id claims (== ascending arrival order)
+    pvals = ", ".join(
+        f"({t}, {i}, CAST({fz.STREAM_PLANES[t][i]!r} AS DOUBLE[]))"
+        for t in range(len(fz.STREAM_PLANES))
+        for i in range(len(fz.STREAM_PLANES[t]))
+    )
+    q_stream = f"""
+        WITH planes(t, i, w) AS (VALUES {pvals}),
+        b AS (
+          SELECT e.vec_id, p.t,
+            SUM(CASE WHEN list_inner_product(
+                       CAST(e.embedding AS DOUBLE[]), p.w) > 0
+                     THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id, p.t
+        ),
+        claims AS (
+          SELECT t, bucket, MIN(vec_id) AS first_id
+          FROM b GROUP BY t, bucket
+        )
+        SELECT b.vec_id,
+          MAX(CASE WHEN c.first_id != b.vec_id THEN 1 ELSE 0 END) = 1
+            AS is_dup,
+          CAST(MIN(c.first_id) AS BIGINT) AS canonical_id
+        FROM b JOIN claims c ON c.t = b.t AND c.bucket = b.bucket
+        GROUP BY b.vec_id
+    """
+
+    return {
+        "quality_classifier_scores": q_scores,
+        "quality_classifier_filter": q_filter,
+        "topk_pq": q_pq,
+        "semantic_dedup_exact": q_sem,
+        "streaming_embedding_dedup": q_stream,
+    }
+
+
+ORACLES.update(_r7_frozen_oracles())
+
+
 
 
 
@@ -5081,7 +5445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_join_customer_orders": q_agg_join_customer_orders,
         "agg_target_events": q_agg_target_events,
         "fuzzy_join_customer_supplier": q_fuzzy_join_customer_supplier,
-        "fuzzy_join_numeric": q_fuzzy_join_numeric,
         "interpolation_join": q_interpolation_join,
         # rows-only by nature (MLlib classifier), promoted into the
         # driver window r5 so the least-proven path sits in the gate;
@@ -5105,6 +5468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline ops ---
         "hash_split": q_hash_split,
         "lm_perplexity_filter": q_lm_perplexity_filter,
+        # r7 flagships (the round's least-proven paths belong in the
+        # gate): learned quality classifier — frozen-weight scoring
+        # exact-oracled, plus the classifier->sampler wiring
+        "quality_classifier_scores": q_quality_classifier_scores,
+        "quality_classifier_filter": q_quality_classifier_filter,
         "pack_chunks": q_pack_chunks,
         "training_pipeline": q_training_pipeline,
         "contamination": q_contamination,
@@ -5119,8 +5487,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        # r7: SemDeDup promoted to an exact oracle via frozen
+        # centroids (VERDICT r6 #3) — in-window as a new-this-round
+        # least-proven path
+        "semantic_dedup_exact": q_semantic_dedup_exact,
         # --- ANN similarity ---
         "similarity_topk": q_similarity_topk,
+        # r7: the PQ compression rung (frozen codebooks, ADC ranking)
+        "topk_pq": q_topk_pq,
         "knn_join": q_knn_join,
         # LSH scale mode of the knn join — recall-contracted
         # (tests/test_recall.py), promoted into the window r5
@@ -5129,15 +5503,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_features": q_datetime_features,
         "minhash_encoder_features": q_minhash_encoder_features,
         "similarity_encoder_region": q_similarity_encoder_region,
-        "string_encoder_features": q_string_encoder_features,
         "pretraining_pipeline": q_pretraining_pipeline,
-        # r6: the pipeline's four independently-oracled stages sit
-        # beside it so a driver-side hash divergence localizes
+        # r6 kept two of the pipeline's four stage oracles in-window
+        # for divergence localization (boilerplate + substring cover
+        # the non-trivial text stages); mixture_sample and
+        # corpus_shuffle rotated out r7 after a green round — their
+        # md5 sampling family stays covered by hash_split and the
+        # two quality_classifier rows
         "boilerplate_removal": q_boilerplate_removal,
         "substring_dedup": q_substring_dedup,
-        "mixture_sample": q_mixture_sample,
-        "corpus_shuffle": q_corpus_shuffle,
-        "gap_encoder_distributed": q_gap_encoder_distributed,
         "squashing_scaler": q_squashing_scaler,
         "session_encoder_features": q_session_encoder_features,
         # --- whole-table / plans / report ---
@@ -5150,6 +5524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         # --- streaming ---
         "streaming_dedup": q_streaming_dedup,
+        # r7: embedding near-dedup at ingest — frozen planes, exact
+        # SQL oracle across >= 2 real micro-batches (completes the
+        # {exact, minhash, embedding} x {batch, incremental,
+        # streaming} dedup matrix)
+        "streaming_embedding_dedup": q_streaming_embedding_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         # --- scale demos & sources ---
         "bucketed_join_revenue": q_bucketed_join_revenue,
@@ -5159,11 +5538,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py locally and the judge's replay) -------
         "csv_source": q_csv_source,
         "orc_source": q_orc_source,
-        # r7: rotated OUT of the window for the three r6 flagships
-        # (still exact-oracled in the full battery every round)
+        # r7: rotated OUT of the window for this round's flagships
+        # (every one still runs in the full battery every round;
+        # families remain represented in-window — see the window
+        # comments above)
         "gapfill_hourly": q_gapfill_hourly,
         "dedup_strings_brand": q_dedup_strings_brand,
         "one_hot_mktsegment": q_one_hot_mktsegment,
+        "fuzzy_join_numeric": q_fuzzy_join_numeric,
+        "string_encoder_features": q_string_encoder_features,
+        "gap_encoder_distributed": q_gap_encoder_distributed,
+        "mixture_sample": q_mixture_sample,
+        "corpus_shuffle": q_corpus_shuffle,
         "multi_agg_join": q_multi_agg_join,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "topk_indexed": q_topk_indexed,

@@ -1,0 +1,138 @@
+"""Product-quantization contracts (r7, VERDICT r6 #2).
+
+``topk_pq`` exact-oracles the frozen-codebook ADC ranking; these
+tests pin what the oracle can't: the FIT (per-subspace Lloyd must
+reduce quantization error), the recall of PQ ranking against the
+exact float ranking, the bytes-per-vector compression claim, and
+encode/LUT internal consistency against numpy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skrub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    rows = df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    return df, ids, mat
+
+
+def _frozen_pq():
+    from skrub_spark._frozen import PQ_CODEBOOKS, PQ_DIM
+
+    return {
+        "dim": PQ_DIM,
+        "n_subspaces": len(PQ_CODEBOOKS),
+        "n_codes": len(PQ_CODEBOOKS[0]),
+        "codebooks": PQ_CODEBOOKS,
+    }
+
+
+def test_bytes_per_vector_claim(spark):
+    """The compression rung the module's docstring claims: 8
+    subspaces x 32 codes = 8 * log2(32) = 40 bits = 5 bytes per
+    vector vs 256 bytes of float32 — 51.2x."""
+    pq = _frozen_pq()
+    bits = pq["n_subspaces"] * math.log2(pq["n_codes"])
+    assert bits == 40
+    raw_bytes = pq["dim"] * 4
+    assert raw_bytes / (bits / 8) > 50
+
+
+def test_encode_matches_numpy_argmin(spark, emb):
+    """Spark-side codes == numpy per-subspace argmin over the same
+    frozen codebooks (the UDF is a batch-shaped reimplementation;
+    any drift breaks the SQL oracle silently)."""
+    from skrub_spark.similarity.quantize import encode_pq
+
+    df, ids, mat = emb
+    pq = _frozen_pq()
+    m, sd = pq["n_subspaces"], pq["dim"] // pq["n_subspaces"]
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in encode_pq(df, pq).select("vec_id", "pq_codes").collect()
+    }
+    books = [np.asarray(b) for b in pq["codebooks"]]
+    for row_i in range(0, len(ids), 97):  # spot-check a spread
+        vid = int(ids[row_i])
+        x = mat[row_i]
+        want = [
+            int(
+                np.argmin(
+                    ((books[j] - x[j * sd : (j + 1) * sd]) ** 2).sum(axis=1)
+                )
+            )
+            for j in range(m)
+        ]
+        assert got[vid] == want
+
+
+def test_fit_reduces_quantization_error(spark, emb):
+    """Lloyd iterations must not increase mean reconstruction error
+    (k-means monotonicity), and the fitted codebooks must beat the
+    raw init sample."""
+    from skrub_spark.similarity.quantize import fit_product_quantizer
+
+    df, ids, mat = emb
+
+    def recon_err(pq):
+        m = pq["n_subspaces"]
+        sd = pq["dim"] // m
+        books = [np.asarray(b) for b in pq["codebooks"]]
+        err = 0.0
+        for j in range(m):
+            X = mat[:, j * sd : (j + 1) * sd]
+            d = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).mean()
+        return err
+
+    pq0 = fit_product_quantizer(df, n_subspaces=8, n_codes=16, lloyd_iters=0)
+    pq2 = fit_product_quantizer(df, n_subspaces=8, n_codes=16, lloyd_iters=2)
+    assert recon_err(pq2) < recon_err(pq0)
+
+
+def test_pq_topk_recall(spark, emb):
+    """recall@10 of the frozen codebooks vs the exact float ranking,
+    averaged over 5 query vectors, in BOTH operating modes. Pure ADC
+    at 51x compression on this isotropic table (LSH-worst-case data,
+    per tests/test_recall.py) measures ~0.4 — asserted >= 0.25 as a
+    keep-honest floor. The production mode is the two-stage
+    ``rerank=100`` path (ADC shortlist -> exact rescore of 100 float
+    rows): >= 0.9. The honest trade across the rungs: SQ8 = 4x at
+    ~exact recall, PQ = 51x storage with recall bought back by
+    rerank reads."""
+    from skrub_spark.similarity.quantize import topk_cosine_pq
+
+    df, ids, mat = emb
+    pq = _frozen_pq()
+    norms = np.linalg.norm(mat, axis=1)
+    adc_recalls, rr_recalls = [], []
+    for qi in range(5):
+        qv = mat[qi * 19]
+        sims = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact10 = set(int(ids[i]) for i in order[:10])
+        adc = [
+            int(r["vec_id"])
+            for r in topk_cosine_pq(df, pq, qv, k=10).collect()
+        ]
+        rr = [
+            int(r["vec_id"])
+            for r in topk_cosine_pq(df, pq, qv, k=10, rerank=100).collect()
+        ]
+        adc_recalls.append(len(exact10 & set(adc)) / 10.0)
+        rr_recalls.append(len(exact10 & set(rr)) / 10.0)
+    assert sum(adc_recalls) / 5 >= 0.25, adc_recalls
+    assert sum(rr_recalls) / 5 >= 0.9, rr_recalls

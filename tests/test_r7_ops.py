@@ -1,0 +1,147 @@
+"""Round-7 operator contracts: streaming embedding near-dedup
+cross-batch continuity and the frozen-centroid semantic-dedup twin.
+(The exact-oracle battery queries cover value correctness; these pin
+behavior an SQL replay can't — state carried ACROSS micro-batches,
+and agreement between the frozen-centroid path and a from-scratch
+numpy replay of the SemDeDup pipeline.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skrub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _planes(dim=4, n_planes=6, n_tables=2, seed=7):
+    rng = np.random.default_rng(seed)
+    return [
+        [[round(float(x), 6) for x in p]
+         for p in rng.standard_normal((n_planes, dim))]
+        for _ in range(n_tables)
+    ]
+
+
+def test_streaming_embedding_dedup_cross_batch(spark, tmp_path):
+    """A vector in a LATER micro-batch landing in cells claimed by an
+    EARLIER batch is flagged against the earlier claimant — the
+    state-store carry a stateless per-batch LSH would miss."""
+    import pandas as pd
+
+    from skrub_spark.streaming.ops import (
+        near_dup_summary, streaming_embedding_near_dedup,
+    )
+
+    d = tmp_path / "sed_src"
+    d.mkdir()
+    v = [1.0, 0.5, -0.25, 2.0]
+    far = [-1.0, 2.0, 0.5, -0.75]
+    pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [v, far]}
+    ).to_parquet(d / "b1.parquet")
+    pd.DataFrame({"vec_id": [5], "embedding": [v]}).to_parquet(
+        d / "b2.parquet"
+    )
+    os.utime(d / "b1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "b2.parquet", (1_700_000_060, 1_700_000_060))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        streaming_embedding_near_dedup(
+            stream, "embedding", "vec_id", planes=_planes()
+        )
+        .writeStream.format("memory")
+        .queryName("sed_cont_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sum(1 for p in q.recentProgress if p.numInputRows > 0) >= 2
+    ids = spark.createDataFrame([(1,), (2,), (5,)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["is_dup"], r["canonical_id"])
+        for r in near_dup_summary(
+            spark.table("sed_cont_test"), ids=ids
+        ).collect()
+    }
+    # identical vectors share every cell; id 5 arrived after 1
+    assert out[1] == (False, 1)
+    assert out[5] == (True, 1)
+    # the far vector may share SOME cell with v at 6 planes/4 dims;
+    # the hard contract is the cross-batch flag above, so for id 2
+    # only assert its canonical is not itself-after-1 nonsense
+    assert out[2][1] in (1, 2)
+
+
+def test_streaming_embedding_dedup_requires_planes(spark, tmp_path):
+    from skrub_spark.streaming.ops import streaming_embedding_near_dedup
+
+    d = tmp_path / "empty_src"
+    d.mkdir()
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .parquet(str(d))
+    )
+    with pytest.raises(ValueError, match="planes"):
+        streaming_embedding_near_dedup(stream, planes=None)
+
+
+def test_semantic_dedup_frozen_matches_numpy_replay(spark):
+    """The frozen-centroid path must agree with a from-scratch numpy
+    replay of SemDeDup (argmin cells -> within-cell cosine pairs ->
+    union-find components -> min-id canonicals) on the real sf0.01
+    embeddings — the same pipeline the SQL oracle replays, verified
+    here through an independent third implementation."""
+    from skrub_spark._frozen import SEMANTIC_CENTROIDS
+    from skrub_spark.dedup.embedding import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(
+            emb, "embedding", "vec_id", threshold=0.35,
+            centroids=SEMANTIC_CENTROIDS,
+        ).collect()
+    }
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    C = np.asarray(SEMANTIC_CENTROIDS, dtype="float64")
+    d = ((C * C).sum(axis=1)[None, :] - 2.0 * (mat @ C.T))
+    cell = d.argmin(axis=1)
+    norms = np.linalg.norm(mat, axis=1)
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    order = np.argsort(ids)
+    for c in range(C.shape[0]):
+        members = [i for i in order if cell[i] == c]
+        for a_i in range(len(members)):
+            for b_i in range(a_i + 1, len(members)):
+                a, b = members[a_i], members[b_i]
+                cos = mat[a] @ mat[b] / (norms[a] * norms[b])
+                if cos >= 0.35:
+                    ra, rb = find(int(ids[a])), find(int(ids[b]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    for i in ids:
+        comp = find(int(i))
+        assert got[int(i)] == (comp, comp == int(i))
