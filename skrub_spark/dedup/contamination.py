@@ -36,13 +36,27 @@ def ngram_contamination(
     *,
     ngram: int = 13,
     max_train_doc_freq: int | None = None,
+    bloom: bool = False,
 ) -> DataFrame:
     """Per-eval-doc contamination stats against the train corpus.
 
     Returns (id, n_shingles, n_contaminated, contamination) — docs
     shorter than ``ngram`` words have zero shingles and report
     contamination 0.0.
-    """
+
+    ``bloom=True`` (r7, VERDICT r6 #9): a Bloom filter built
+    DISTRIBUTED over the index side's distinct gram hashes (a
+    bounded ``m_bits/64``-long collect, never the keys) pre-filters
+    the scored side's grams MAP-SIDE before the equi-join — in the
+    common no-hit case the join shuffle carries only the ~fp% of
+    grams the Bloom passes instead of the whole corpus's. Exactness
+    is preserved by construction: per-doc shingle TOTALS are
+    aggregated before the filter (map-side-combined, one tiny row
+    per doc), Bloom false positives are removed by the exact
+    semi-join that follows, and false negatives are impossible — so
+    the output is bit-identical to ``bloom=False`` (asserted in
+    tests/test_plan_quality.py) and the ``decontaminate`` battery
+    oracle is unchanged."""
     par = train.sparkSession.sparkContext.defaultParallelism
 
     def grams(df):
@@ -78,21 +92,55 @@ def ngram_contamination(
     train_grams = tg.select("h").distinct()
 
     eg = grams(eval_df)  # explode_outer keeps zero-shingle docs
-    hit = F.when(F.col("__hit").isNotNull() & F.col("h").isNotNull(), 1).otherwise(0)
-    scored = (
-        eg.join(
-            train_grams.withColumn("__hit", F.lit(1)),
-            on="h",
-            how="left",
+    if bloom:
+        from ..functions.bloom import (
+            bloom_maybe_contains, bloom_size_bits, build_bloom_bits,
         )
-        .groupBy("id")
-        .agg(
+
+        # the index side is the SMALL corpus by the operator's
+        # contract (an eval benchmark, or the eval set in
+        # decontaminate_train's role swap); persist it across the
+        # count + bitset build + exact confirm joins
+        train_grams = train_grams.persist()
+        m_bits = bloom_size_bits(train_grams.count())
+        bits = build_bloom_bits(train_grams, "h", m_bits)
+        totals = eg.groupBy("id").agg(
             F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).alias(
                 "n_shingles"
-            ),
-            F.sum(hit).alias("n_contaminated"),
+            )
         )
-    )
+        cand = eg.filter(
+            F.col("h").isNotNull()
+            & bloom_maybe_contains(F.col("h"), bits, m_bits)
+        )
+        hits = (
+            cand.join(train_grams, on="h", how="left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__n_hit"))
+        )
+        scored = totals.join(hits, on="id", how="left").select(
+            "id",
+            "n_shingles",
+            F.coalesce("__n_hit", F.lit(0)).alias("n_contaminated"),
+        )
+    else:
+        hit = F.when(
+            F.col("__hit").isNotNull() & F.col("h").isNotNull(), 1
+        ).otherwise(0)
+        scored = (
+            eg.join(
+                train_grams.withColumn("__hit", F.lit(1)),
+                on="h",
+                how="left",
+            )
+            .groupBy("id")
+            .agg(
+                F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).alias(
+                    "n_shingles"
+                ),
+                F.sum(hit).alias("n_contaminated"),
+            )
+        )
     return scored.select(
         F.col("id").alias(id_col),
         F.col("n_shingles").cast("long").alias("n_shingles"),
@@ -113,6 +161,7 @@ def decontaminate_train(
     ngram: int = 13,
     max_contamination: float = 0.0,
     max_eval_doc_freq: int | None = None,
+    bloom: bool = False,
 ) -> DataFrame:
     """Remove TRAIN documents that overlap the eval set — the
     GPT-3/CCNet-style decontamination applied at corpus-build time
@@ -132,6 +181,10 @@ def decontaminate_train(
         id_col,
         ngram=ngram,
         max_train_doc_freq=max_eval_doc_freq,
+        # the Bloom bitset builds over the EVAL side's grams (the
+        # small corpus in this role swap) and pre-filters the TRAIN
+        # side's — the 100 TB asymmetry the r6 verdict asked for
+        bloom=bloom,
     )
     keep = stats.filter(
         F.col("contamination") <= F.lit(float(max_contamination))

@@ -1,0 +1,100 @@
+"""Distributed-build Bloom filter over a key column (r7, VERDICT r6
+#9 — the decontamination pre-filter).
+
+PySpark exposes no Column-level Bloom surface (the Scala
+``stat.bloomFilter`` object can't be applied from Python, and the
+runtime ``bloom_filter_agg`` is internal), so this is a DataFrame-
+native one: the BUILD never collects keys — each key row emits k
+(word_index, bit_mask) pairs and a ``groupBy(word).bit_or(mask)``
+aggregation (map-side combined) reduces them to the final bitset, so
+the driver collects exactly ``m_bits/64`` longs no matter how many
+keys went in. The TEST is a pure Column expression over the bitset
+as a constant-folded literal array: k xxhash64 probes,
+``shiftright``/``pmod`` index math, ``element_at`` + bitwiseAND —
+all codegen, no Python.
+
+False positives pass the filter (callers must confirm with an exact
+join — the decontamination flow does); false negatives are
+impossible, which is the property that keeps pre-filtered semantics
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEED0 = 1000003
+
+
+def bloom_size_bits(n_keys: int, bits_per_key: int = 16, cap: int = 1 << 22) -> int:
+    """Power-of-two sizing: ~``bits_per_key`` bits per distinct key
+    (16 bits/key with k=3 probes ≈ 0.6% false positives), capped so
+    the literal bitset stays a bounded plan constant (2^22 bits =
+    64k longs = 512 KB; past the cap the filter stays correct, just
+    less selective)."""
+    want = max(64, n_keys * bits_per_key)
+    m = 64
+    while m < want and m < cap:
+        m <<= 1
+    return m
+
+
+def _probe_positions(key: Column, m_bits: int, k: int):
+    return [
+        F.pmod(F.xxhash64(key, F.lit(_SEED0 + i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def build_bloom_bits(
+    keys: DataFrame, key_col: str, m_bits: int, k: int = 3
+) -> list[int]:
+    """Bitset as ``m_bits/64`` longs. One union of k probe frames,
+    one map-side-combined bit_or aggregation, a bounded collect."""
+    words = None
+    for pos in _probe_positions(F.col(key_col), m_bits, k):
+        w = keys.select(
+            F.shiftright(pos, 6).alias("w"),
+            # shiftleft's python binding takes only int literals for
+            # the bit count; call_function reaches the column form
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(pos, F.lit(64)).cast("int"),
+            ).alias("m"),
+        )
+        words = w if words is None else words.unionByName(w)
+    arr = [0] * (m_bits // 64)
+    for r in words.groupBy("w").agg(F.bit_or("m").alias("bits")).collect():
+        arr[int(r["w"])] = int(r["bits"])
+    return arr
+
+
+def bloom_maybe_contains(
+    key: Column, bits: list[int], m_bits: int, k: int = 3
+) -> Column:
+    """True when ``key`` MAY be in the set (all k probe bits set);
+    guaranteed true for every key the bitset was built from.
+
+    The bitset literal is built as ONE ``F.expr`` string — a
+    per-element ``F.array(*map(F.lit, ...))`` costs one py4j round
+    trip per word (~28s for 64k words, measured); the parsed form
+    costs ~0.3s and constant-folds to the same array Literal."""
+    lit_arr = F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in bits) + ")"
+    )
+    cond = None
+    for pos in _probe_positions(key, m_bits, k):
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(pos, F.lit(64)).cast("int"),
+        )
+        test = (
+            F.element_at(lit_arr, F.shiftright(pos, 6).cast("int") + 1)
+            .bitwiseAND(mask)
+            != 0
+        )
+        cond = test if cond is None else (cond & test)
+    return cond

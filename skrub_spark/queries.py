@@ -718,7 +718,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing ANY 13-gram with the eval sources are removed;
     the planted cross-source near-dups must vanish and everything
     else survive. Exact oracle: DuckDB replays shingling and the
-    no-shared-gram survival rule."""
+    no-shared-gram survival rule. r7: runs the Bloom-prefiltered
+    path (VERDICT r6 #9) — the bitset over eval grams cuts the
+    train-side join shuffle to Bloom survivors; the ORACLE is
+    unchanged because the exact semi-join confirms every hit
+    (bit-identical to bloom=False, also pinned in
+    tests/test_plan_quality.py)."""
     _prep(spark)
     from .dedup.contamination import decontaminate_train
 
@@ -726,7 +731,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("source").isin("src0", "src1")
     out = decontaminate_train(
         docs.filter(~is_eval), docs.filter(is_eval), "text", "doc_id",
-        ngram=13, max_contamination=0.0,
+        ngram=13, max_contamination=0.0, bloom=True,
     )
     return out.select("doc_id", "source")
 

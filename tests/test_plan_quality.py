@@ -472,3 +472,54 @@ def test_curation_funnel_releases_caches(spark):
     assert out.count() == 5
     # already materialized: re-reading must not touch the corpus
     assert "FileScan" not in plan_of(out)
+
+
+def test_bloom_prefilter_exact_and_selective(spark):
+    """The Bloom-prefiltered decontamination path (r7) must be
+    bit-identical to the plain path — false positives die at the
+    exact semi-join, false negatives are impossible — while the
+    bitset BUILD collects only m_bits/64 longs and the membership
+    test is a constant-folded Column (no Python, no key collect)."""
+    from skrub_spark.dedup.contamination import decontaminate_train
+    from skrub_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    plain = sorted(
+        r["doc_id"]
+        for r in decontaminate_train(
+            train, ev, "text", "doc_id", ngram=13
+        ).select("doc_id").collect()
+    )
+    bloomed = sorted(
+        r["doc_id"]
+        for r in decontaminate_train(
+            train, ev, "text", "doc_id", ngram=13, bloom=True
+        ).select("doc_id").collect()
+    )
+    assert plain == bloomed
+
+
+def test_bloom_bits_roundtrip(spark):
+    """Every inserted key tests positive; a disjoint key set tests
+    mostly negative (measured fp ~0.6% at 16 bits/key; assert a
+    generous < 10% so the prefilter is actually selective)."""
+    from skrub_spark.functions.bloom import (
+        bloom_maybe_contains, bloom_size_bits, build_bloom_bits,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 2000).select(
+        (F.col("id") * 2654435761).alias("h")
+    )
+    m = bloom_size_bits(2000)
+    bits = build_bloom_bits(keys, "h", m)
+    hit = keys.filter(bloom_maybe_contains(F.col("h"), bits, m)).count()
+    assert hit == 2000  # no false negatives, ever
+    probe = spark.range(0, 2000).select(
+        (F.col("id") * 2654435761 + 1).alias("h")
+    )
+    fp = probe.filter(bloom_maybe_contains(F.col("h"), bits, m)).count()
+    assert fp < 200, fp
