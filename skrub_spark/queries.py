@@ -2888,6 +2888,28 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------- round-7: learned curation & vector compression
 
 
+def q_bpe_stats_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE token accounting under the FROZEN merge list (r7, VERDICT
+    r6 #10 — the rows-only tokenizer path promoted to an exact
+    oracle): with a committed rank-ordered merge list the greedy
+    encode is deterministic string rewriting, and DuckDB replays it
+    exactly — each word's symbols are wrapped as ``|sym|`` and one
+    ``replace('|a||b|' -> '|ab|')`` per recursive-CTE step applies
+    the lowest-ranked present pair to every non-overlapping
+    occurrence left-to-right, which is precisely ``_apply_merge``'s
+    rule (string replace resumes after each match, so ``aaa`` with
+    pair (a,a) merges once — verified both sides). Training itself
+    stays rows-only by nature in ``bpe_token_stats``; this query
+    pins the ENCODER + accounting end-to-end."""
+    _prep(spark)
+    from ._frozen import BPE_MERGES
+    from .operators.bpe import BPEModel, bpe_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = BPEModel(merges=[tuple(m) for m in BPE_MERGES])
+    return bpe_token_stats(docs, model)
+
+
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality-classifier scoring with FROZEN weights (r7,
     VERDICT r6 #1 — the FineWeb-Edu distillation shape): a hashed-
@@ -5348,6 +5370,60 @@ def _r7_frozen_oracles() -> dict[str, str]:
         FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
     """
 
+    # --- frozen-merge BPE: greedy encode as recursive string
+    # rewriting (wrap symbols as |sym|; one replace() per step
+    # applies the best-ranked pair at every non-overlapping
+    # occurrence, matching _apply_merge exactly)
+    mvals = ", ".join(
+        f"({r}, '|{a}||{b}|', '|{a}{b}|')"
+        for r, (a, b) in enumerate(fz.BPE_MERGES)
+    )
+    q_bpe = f"""
+        WITH RECURSIVE m(r, pat, rep) AS (VALUES {mvals}),
+        dw AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents
+        ),
+        words AS (SELECT DISTINCT w FROM dw),
+        enc(w, s) AS (
+          SELECT w, array_to_string(list_transform(
+                   list_append(string_split(w, ''), '</w>'),
+                   c -> '|' || c || '|'), '')
+          FROM words
+          UNION ALL
+          SELECT e.w, replace(e.s, mm.pat, mm.rep)
+          FROM enc e
+          JOIN m mm ON mm.r = (SELECT MIN(m2.r) FROM m m2
+                               WHERE contains(e.s, m2.pat))
+        ),
+        final AS (
+          SELECT w, s FROM enc e
+          WHERE NOT EXISTS (SELECT 1 FROM m m2 WHERE contains(e.s, m2.pat))
+        ),
+        wstats AS (
+          SELECT w,
+            len(list_filter(string_split(s, '|'), x -> x != '')) AS nt,
+            list_sum(list_transform(
+              list_filter(string_split(s, '|'), x -> x != ''),
+              t -> len(replace(t, '</w>', '')))) AS nc
+          FROM final
+        ),
+        agg AS (
+          SELECT dw.doc_id, COUNT(*) AS n_words,
+                 SUM(ws.nt) AS n_bpe, SUM(ws.nc) AS n_chars
+          FROM dw JOIN wstats ws ON ws.w = dw.w
+          GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+          CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+          ROUND(CAST(COALESCE(a.n_chars, 0) AS DOUBLE)
+                / greatest(CAST(COALESCE(a.n_bpe, 0) AS BIGINT), 1), 6)
+            AS chars_per_token
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
     # --- streaming embedding near-dedup: sign-bit cells from the
     # frozen planes, min-id claims (== ascending arrival order)
     pvals = ", ".join(
@@ -5383,6 +5459,7 @@ def _r7_frozen_oracles() -> dict[str, str]:
         "topk_pq": q_pq,
         "semantic_dedup_exact": q_sem,
         "streaming_embedding_dedup": q_stream,
+        "bpe_stats_frozen": q_bpe,
     }
 
 
@@ -5480,7 +5557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_filter": q_quality_classifier_filter,
         "pack_chunks": q_pack_chunks,
         "training_pipeline": q_training_pipeline,
-        "contamination": q_contamination,
+        # r7: frozen-merge BPE (the tokenizer path's first exact
+        # oracle) replaces contamination in-window — decontaminate
+        # keeps the same inverted-index + skew-guard machinery (now
+        # Bloom-prefiltered) in the gate
+        "bpe_stats_frozen": q_bpe_stats_frozen,
         "decontaminate": q_decontaminate,
         # --- dedup families ---
         "dedup_exact": q_dedup_exact,
@@ -5607,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "span_dedup_w3": q_span_dedup_w3,
         "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
         "incremental_dedup": q_incremental_dedup,
         "jsonl_gz_source": q_jsonl_gz_source,
         "gap_encoder_topics": q_gap_encoder_topics,
