@@ -96,6 +96,12 @@ HEADLINE = [
     "url_canonical",
     "weighted_sample",
     "curation_funnel",
+    # r7 additions
+    "quality_classifier_scores",
+    "quality_classifier_filter",
+    "topk_pq",
+    "semantic_dedup_exact",
+    "bpe_stats_frozen",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

@@ -216,8 +216,13 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     lloyd_iters: int = 3,
+    centroids=None,
 ):
-    """Returns (indexed_df, centroids). Initial centroids are a
+    """Returns (indexed_df, centroids). ``centroids`` (r7) injects a
+    FROZEN coarse quantizer ([n_cells][dim]) — skips the pick +
+    Lloyd entirely; cells stay stable across index rebuilds and the
+    assignment is replayable arithmetic (the ``topk_ivfpq`` oracle
+    relies on this). Otherwise initial centroids are a
     deterministic hash-ordered pick of corpus vectors —
     ``sample().limit()`` would read only the first partition(s), so a
     time-ordered corpus would put every centroid in its oldest slice
@@ -226,17 +231,20 @@ def build_ivf_index(
     returns only n_cells rows. The pick is then refined with
     ``lloyd_iters`` distributed k-means iterations
     (:func:`lloyd_refine`); pass 0 to keep the raw sample."""
-    sample = [
-        list(r[vec_col])
-        for r in df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    ]
-    if not sample:
-        raise ValueError("build_ivf_index: input has no vectors")
-    cents = np.asarray(sample, dtype="float64")
-    cents = lloyd_refine(df, vec_col, cents, lloyd_iters)
+    if centroids is not None:
+        cents = np.asarray([list(c) for c in centroids], dtype="float64")
+    else:
+        sample = [
+            list(r[vec_col])
+            for r in df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+            .limit(n_cells)
+            .collect()
+        ]
+        if not sample:
+            raise ValueError("build_ivf_index: input has no vectors")
+        cents = np.asarray(sample, dtype="float64")
+        cents = lloyd_refine(df, vec_col, cents, lloyd_iters)
     assign = _cell_udf(cents)
     indexed = df.select(
         F.col(id_col).alias("id"),

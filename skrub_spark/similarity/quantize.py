@@ -426,3 +426,120 @@ def topk_cosine_pq(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------- persisted IVF-PQ index (r7) ----------------
+#
+# The serving shape a 100 TB vector store actually deploys (FAISS
+# IndexIVFPQ): coarse k-means cells bound WHICH partitions a probe
+# reads (partition pruning on disk), PQ codes bound WHAT it reads
+# (5 bytes/vector instead of 256 — and parquet column pruning skips
+# the float vectors entirely on the ADC pass), and an optional
+# exact-rescore pass re-reads float vectors for only the shortlist.
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_cells: int = 16,
+    pq: dict | None = None,
+    n_subspaces: int = 8,
+    n_codes: int = 32,
+    seed: int = 42,
+    lloyd_iters: int = 3,
+    centroids=None,
+):
+    """Returns ``(indexed_df, centroids, pq)`` where indexed_df =
+    (id, v, pq_codes, __ivf_cell). Pass a pre-fit ``pq`` (e.g. the
+    frozen codebooks) and/or frozen coarse ``centroids`` to skip the
+    fits; otherwise the coarse cells come from the same
+    deterministic pick + Lloyd as ``build_ivf_index``."""
+    from .index import build_ivf_index
+
+    indexed, cents = build_ivf_index(
+        df, vec_col, id_col,
+        n_cells=n_cells, seed=seed, lloyd_iters=lloyd_iters,
+        centroids=centroids,
+    )
+    if pq is None:
+        pq = fit_product_quantizer(
+            df, vec_col,
+            n_subspaces=n_subspaces, n_codes=n_codes,
+            lloyd_iters=lloyd_iters, seed=seed,
+        )
+    encoded = encode_pq(indexed, pq, "v", "pq_codes").select(
+        "id", "v", "pq_codes", "__ivf_cell"
+    )
+    return encoded, cents, pq
+
+
+def write_ivfpq_index(indexed: DataFrame, cents, pq: dict, path: str) -> None:
+    """cells/ partitioned by __ivf_cell (probes partition-prune),
+    centroids/ + pq/ as tiny parquet sidecars (the pq codebooks ride
+    as one JSON string row — engine-agnostic, no local-FS write)."""
+    import json as _json
+
+    import numpy as np
+
+    spark = indexed.sparkSession
+    indexed.write.mode("overwrite").partitionBy("__ivf_cell").parquet(
+        f"{path}/cells"
+    )
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(np.asarray(cents))
+    ]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(_json.dumps(pq),)], "pq_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq")
+
+
+def read_ivfpq_index(spark, path: str):
+    import json as _json
+
+    import numpy as np
+
+    cents_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    cents = np.asarray(
+        [list(r["centroid"]) for r in cents_rows], dtype="float64"
+    )
+    pq = _json.loads(spark.read.parquet(f"{path}/pq").first()["pq_json"])
+    return spark.read.parquet(f"{path}/cells"), cents, pq
+
+
+def topk_cosine_ivfpq(
+    indexed: DataFrame,
+    cents,
+    pq: dict,
+    query_vec,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Probe the ``n_probe`` cells nearest the query (on a written
+    index: a partition-pruned scan, plan-audited in
+    tests/test_plan_quality.py), rank candidates by ADC over their
+    5-byte codes (parquet column pruning skips the float vectors),
+    optionally exact-rescore a ``rerank`` shortlist. Cell ties break
+    by cell id — the same (distance, cell) order the SQL oracle
+    replays."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype="float64")
+    qv = np.asarray(list(query_vec), dtype="float64")
+    d = ((C - qv) ** 2).sum(axis=1)
+    probe = sorted(range(C.shape[0]), key=lambda i: (d[i], i))[:n_probe]
+    cand = indexed.filter(F.col("__ivf_cell").isin(*[int(p) for p in probe]))
+    return topk_cosine_pq(
+        cand, pq, qv, k=k,
+        vec_col="v", id_col="id", code_col="pq_codes",
+        round_digits=round_digits, rerank=rerank,
+    )

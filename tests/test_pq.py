@@ -136,3 +136,69 @@ def test_pq_topk_recall(spark, emb):
         rr_recalls.append(len(exact10 & set(rr)) / 10.0)
     assert sum(adc_recalls) / 5 >= 0.25, adc_recalls
     assert sum(rr_recalls) / 5 >= 0.9, rr_recalls
+
+
+def test_ivfpq_probe_partition_pruned_and_column_pruned(spark, tmp_path, emb):
+    """A written IVF-PQ index probe must (a) partition-prune to the
+    probed cells and (b) NOT read the float vector column on the ADC
+    pass — codes only. Both properties are what make the index a
+    100 TB shape: disk reads bounded by n_probe cells x 5 bytes/row."""
+    import contextlib
+    import io
+
+    from skrub_spark._frozen import SEMANTIC_CENTROIDS
+    from skrub_spark.similarity.quantize import (
+        build_ivfpq_index, read_ivfpq_index, topk_cosine_ivfpq,
+        write_ivfpq_index,
+    )
+
+    df, ids, mat = emb
+    pq_f = _frozen_pq()
+    idx, cents, pq = build_ivfpq_index(
+        df, "embedding", "vec_id", pq=pq_f, centroids=SEMANTIC_CENTROIDS
+    )
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(idx, cents, pq, path)
+    back, c2, pq2 = read_ivfpq_index(spark, path)
+    probe = topk_cosine_ivfpq(back, c2, pq2, mat[0], k=5, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "__ivf_cell" in plan
+    # ADC pass reads only id + codes from the cells scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_codes" in read_schema
+    assert '"v"' not in read_schema and "v:array" not in read_schema
+
+
+def test_ivfpq_rerank_recall(spark, tmp_path, emb):
+    """Two-stage IVF-PQ (probe 4/8 cells, ADC shortlist 100, exact
+    rescore) against the full exact ranking: the compound recall
+    floor (cell pruning CAN drop true neighbors in unprobed cells;
+    ADC + rerank recovers ranking within probed ones)."""
+    from skrub_spark._frozen import SEMANTIC_CENTROIDS
+    from skrub_spark.similarity.quantize import (
+        build_ivfpq_index, topk_cosine_ivfpq,
+    )
+
+    df, ids, mat = emb
+    idx, cents, pq = build_ivfpq_index(
+        df, "embedding", "vec_id", pq=_frozen_pq(),
+        centroids=SEMANTIC_CENTROIDS,
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    recalls = []
+    for qi in range(5):
+        qv = mat[qi * 23]
+        sims = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact10 = set(int(ids[i]) for i in order[:10])
+        got = set(
+            int(r["id"])
+            for r in topk_cosine_ivfpq(
+                idx, cents, pq, qv, k=10, n_probe=4, rerank=100
+            ).collect()
+        )
+        recalls.append(len(exact10 & got) / 10.0)
+    assert sum(recalls) / 5 >= 0.5, recalls
