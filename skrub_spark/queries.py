@@ -3020,6 +3020,27 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
+def q_topk_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN probe with FROZEN planes (r7): candidates
+    = rows sharing ANY table's sign-bucket with the query, exact
+    cosine rescore of candidates only. The formerly rows-only
+    `topk_lsh` path gains an exact oracle — with 6dp-committed
+    planes the bucket of every row AND the query's buckets are
+    replayable sign-of-dot arithmetic (the same construction the
+    streaming embedding dedup oracle proves out)."""
+    _prep(spark)
+    from ._frozen import STREAM_PLANES
+    from .similarity.topk import topk_cosine_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    return topk_cosine_lsh(
+        emb, qv, k=10, planes=STREAM_PLANES, round_digits=4
+    )
+
+
 def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with FROZEN centroids (r7, VERDICT r6 #3): injecting
     literal centroids makes the cell assignment a pure argmin over
@@ -5488,6 +5509,42 @@ def _r7_frozen_oracles() -> dict[str, str]:
         FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
     """
 
+    # --- frozen-plane LSH ANN probe: query + row buckets replayed
+    # as sign-of-dot sums, exact cosine rescore of shared-bucket
+    # candidates (pvals defined with the streaming oracle below,
+    # same frozen planes)
+    q_lsh = """
+        WITH planes(t, i, w) AS (VALUES {pvals}),
+        q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id = 0
+        ),
+        qb AS (
+          SELECT p.t,
+            SUM(CASE WHEN list_inner_product((SELECT v FROM q), p.w) > 0
+                     THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+          FROM planes p GROUP BY p.t
+        ),
+        b AS (
+          SELECT e.vec_id, p.t,
+            SUM(CASE WHEN list_inner_product(
+                       CAST(e.embedding AS DOUBLE[]), p.w) > 0
+                     THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id, p.t
+        ),
+        cand AS (
+          SELECT DISTINCT b.vec_id
+          FROM b JOIN qb ON qb.t = b.t AND qb.bucket = b.bucket
+        )
+        SELECT e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       (SELECT v FROM q)), 4) AS cosine
+        FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """
+
     # --- frozen-merge BPE: greedy encode as recursive string
     # rewriting (wrap symbols as |sym|; one replace() per step
     # applies the best-ranked pair at every non-overlapping
@@ -5576,6 +5633,7 @@ def _r7_frozen_oracles() -> dict[str, str]:
         "quality_classifier_filter": q_filter,
         "topk_pq": q_pq,
         "topk_ivfpq": q_ivfpq,
+        "topk_lsh_frozen": q_lsh.format(pvals=pvals),
         "semantic_dedup_exact": q_sem,
         "streaming_embedding_dedup": q_stream,
         "bpe_stats_frozen": q_bpe,
@@ -5696,8 +5754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # centroids (VERDICT r6 #3) — in-window as a new-this-round
         # least-proven path
         "semantic_dedup_exact": q_semantic_dedup_exact,
-        # --- ANN similarity ---
-        "similarity_topk": q_similarity_topk,
+        # --- ANN similarity --- (similarity_topk, the brute-force
+        # exact scan, rotates to 51+: the family now holds four
+        # in-window rows — PQ, IVF-PQ, frozen-LSH, knn_join_lsh)
         # r7: the PQ compression rung (frozen codebooks, ADC ranking)
         # and the persisted IVF-PQ serving index (partition-pruned
         # probe + ADC, plan-audited) — knn_join rotates to 51+
@@ -5705,6 +5764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps similarity_topk + knn_join_lsh in-window)
         "topk_pq": q_topk_pq,
         "topk_ivfpq": q_topk_ivfpq,
+        # r7: the rows-only LSH probe's exact twin (frozen planes)
+        "topk_lsh_frozen": q_topk_lsh_frozen,
         # LSH scale mode of the knn join — recall-contracted
         # (tests/test_recall.py), promoted into the window r5
         "knn_join_lsh": q_knn_join_lsh,
@@ -5766,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "knn_join": q_knn_join,
+        "similarity_topk": q_similarity_topk,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,

@@ -54,6 +54,8 @@ def topk_cosine_lsh(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    planes=None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only rows sharing an LSH bucket with the
     query (any of ``n_tables`` sign-sketches) are rescored.
@@ -64,19 +66,37 @@ def topk_cosine_lsh(
     each carrying dim literals) builds a multi-thousand-literal tree
     that Catalyst takes seconds to plan and executes interpreted —
     per PROBE, which is the hot path of an ANN service.
+
+    ``planes`` (r7): FROZEN [n_tables][n_planes][dim] literals
+    override the seed derivation — with 6dp-rounded committed
+    planes every bucket is replayable sign-of-dot arithmetic and
+    the whole probe gains an exact SQL oracle (battery query
+    ``topk_lsh_frozen``); a bucket flip would need a dot within
+    float-summation error of 0.
     """
     from .index import _buckets_udf, _planes_for, _query_buckets
 
     qv = np.asarray(list(query_vec), dtype="float64")
-    planes_list = _planes_for(seed, n_tables, n_planes, len(qv))
-    qbuckets = [b for _, b in _query_buckets(query_vec, seed, n_tables, n_planes)]
+    if planes is not None:
+        planes_list = [np.asarray(p, dtype="float64") for p in planes]
+        qbuckets = [
+            int(sum(1 << i for i, p in enumerate(tbl) if float(p @ qv) > 0))
+            for tbl in planes_list
+        ]
+    else:
+        planes_list = _planes_for(seed, n_tables, n_planes, len(qv))
+        qbuckets = [
+            b for _, b in _query_buckets(query_vec, seed, n_tables, n_planes)
+        ]
     row_buckets = _buckets_udf(planes_list)(F.col(vec_col))
     qlit = F.array(*[F.lit(int(b)).cast("long") for b in qbuckets])
     # candidate iff ANY table's row-bucket equals the query's bucket
     cand = F.exists(
         F.zip_with(row_buckets, qlit, lambda a, b: a == b), lambda x: x
     )
-    return topk_cosine(df.filter(cand), query_vec, k, vec_col, id_col)
+    return topk_cosine(
+        df.filter(cand), query_vec, k, vec_col, id_col, round_digits
+    )
 
 
 def topk_cosine_ivf(
