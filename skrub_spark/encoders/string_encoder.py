@@ -45,6 +45,7 @@ class StringEncoder(SparkTransformer):
         hash_dim: int = 1024,
         drop_original: bool = True,
         fit_sample: int | None = 100_000,
+        hash: str = "xxhash",
     ):
         self.col = col
         self.n_components = n_components
@@ -52,12 +53,57 @@ class StringEncoder(SparkTransformer):
         self.hash_dim = hash_dim
         self.drop_original = drop_original
         self.fit_sample = fit_sample
+        if hash not in ("xxhash", "md5"):
+            raise ValueError("hash must be 'xxhash' or 'md5'")
+        self.hash = hash
+
+    @classmethod
+    def from_frozen(
+        cls,
+        col: str,
+        idf,
+        components,
+        ngram_range: tuple[int, int] = (3, 4),
+        hash: str = "md5",
+        drop_original: bool = True,
+    ) -> "StringEncoder":
+        """A fitted encoder from FROZEN (idf, components) literals —
+        the r7 exact-oracle path: with ``hash='md5'`` (the
+        engine-portable bucket rule) and committed 6dp parameters,
+        ``transform`` is pure explode/join/sum arithmetic a SQL
+        oracle replays (battery query ``string_encoder_frozen``).
+        Also the production serve shape: fit once on a sample,
+        transform any corpus with stable features."""
+        comp = np.asarray([list(r) for r in components], dtype="float64")
+        enc = cls(
+            col,
+            n_components=comp.shape[1],
+            ngram_range=ngram_range,
+            hash_dim=len(list(idf)),
+            drop_original=drop_original,
+            hash=hash,
+        )
+        enc._idf = np.asarray(list(idf), dtype="float64")
+        enc._components = comp
+        enc._k = comp.shape[1]
+        enc._fitted = True
+        return enc
+
+    def _bucket_expr(self):
+        if self.hash == "md5":
+            # engine-portable: DuckDB replays it as
+            # ('0x' || substr(md5(g),1,15))::BIGINT % hash_dim
+            return F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"),
+                F.lit(self.hash_dim),
+            ).cast("int")
+        return F.pmod(F.xxhash64("g"), F.lit(self.hash_dim)).cast("int")
 
     def _bucket_counts(self, df: DataFrame) -> DataFrame:
         grams = _gram_expr(self.col, self.ngram_range)
         return (
             df.select(F.col(_RID), F.explode(grams).alias("g"))
-            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(self.hash_dim)).cast("int"))
+            .withColumn("b", self._bucket_expr())
             .groupBy(_RID, "b")
             .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         )

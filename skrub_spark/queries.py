@@ -3020,6 +3020,30 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
+def q_string_encoder_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringEncoder transform with FROZEN fit state (r7): committed
+    idf + SVD components over md5-hashed char 3+4-grams make the
+    transform pure explode/broadcast-join/sum arithmetic — the
+    formerly rows-only encoder family gains an exact oracle (the
+    FIT's driver-side eigendecomposition stays rows-only by nature
+    in `string_encoder_features`). Also the production serve shape:
+    fit once on a sample, transform any corpus with stable
+    features."""
+    _prep(spark)
+    from ._frozen import STRING_ENCODER
+    from .encoders.string_encoder import StringEncoder
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    enc = StringEncoder.from_frozen(
+        "p_name", STRING_ENCODER["idf"], STRING_ENCODER["components"]
+    )
+    out = enc.transform(part)
+    return out.select(
+        "p_partkey",
+        *[F.round(f"p_name_{i}", 6).alias(f"p_name_{i}") for i in range(4)],
+    )
+
+
 def q_topk_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN probe with FROZEN planes (r7): candidates
     = rows sharing ANY table's sign-bucket with the query, exact
@@ -5509,6 +5533,53 @@ def _r7_frozen_oracles() -> dict[str, str]:
         FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
     """
 
+    # --- frozen StringEncoder transform: tf over md5-bucketed char
+    # 3+4-grams x idf x SVD components, per-row sums to 6dp
+    se = fz.STRING_ENCODER
+    k_se = len(se["components"][0])
+    projvals = ", ".join(
+        f"({b}, CAST({se['idf'][b]!r} AS DOUBLE), "
+        f"CAST({se['components'][b]!r} AS DOUBLE[]))"
+        for b in range(len(se["idf"]))
+    )
+    comp_sums = ", ".join(
+        f"SUM(f.tf * p.idf * p.comp[{i + 1}]) AS c{i}" for i in range(k_se)
+    )
+    out_cols = ", ".join(
+        f"ROUND(COALESCE(o.c{i}, 0.0), 6) AS p_name_{i}"
+        for i in range(k_se)
+    )
+    q_strenc = f"""
+        WITH base AS (
+          SELECT p_partkey, lower(p_name) AS s FROM part
+        ),
+        g AS (
+          SELECT p_partkey, unnest(list_concat(
+            CASE WHEN len(s) >= 3
+              THEN [substr(s, i, 3) FOR i IN generate_series(1, len(s) - 2)]
+              ELSE [] END,
+            CASE WHEN len(s) >= 4
+              THEN [substr(s, i, 4) FOR i IN generate_series(1, len(s) - 3)]
+              ELSE [] END)) AS gr
+          FROM base
+        ),
+        f AS (
+          SELECT p_partkey,
+            (('0x' || substr(md5(gr), 1, 15))::BIGINT
+             % {len(se["idf"])}) AS b,
+            CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM g GROUP BY 1, 2
+        ),
+        proj(b, idf, comp) AS (VALUES {projvals}),
+        o AS (
+          SELECT f.p_partkey, {comp_sums}
+          FROM f JOIN proj p ON p.b = f.b
+          GROUP BY f.p_partkey
+        )
+        SELECT base.p_partkey, {out_cols}
+        FROM base LEFT JOIN o USING (p_partkey)
+    """
+
     # --- frozen-plane LSH ANN probe: query + row buckets replayed
     # as sign-of-dot sums, exact cosine rescore of shared-bucket
     # candidates (pvals defined with the streaming oracle below,
@@ -5634,6 +5705,7 @@ def _r7_frozen_oracles() -> dict[str, str]:
         "topk_pq": q_pq,
         "topk_ivfpq": q_ivfpq,
         "topk_lsh_frozen": q_lsh.format(pvals=pvals),
+        "string_encoder_frozen": q_strenc,
         "semantic_dedup_exact": q_sem,
         "streaming_embedding_dedup": q_stream,
         "bpe_stats_frozen": q_bpe,
@@ -5828,6 +5900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "knn_join": q_knn_join,
         "similarity_topk": q_similarity_topk,
+        "string_encoder_frozen": q_string_encoder_frozen,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,
