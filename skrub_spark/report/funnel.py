@@ -18,15 +18,18 @@ so the DuckDB oracle (battery query ``curation_funnel``) replays the
 whole cascade and the counts are exact, not monitoring-grade
 estimates.
 
-Cache discipline (VERDICT r6 #2): exactly ONE full-text frame is
-persisted — the boilerplate output, which feeds three downstream
-consumers — and one NARROW per-doc frame (id, n_tokens, n_removed)
-from the counts-only substring stage, which supplies BOTH the
-exact-dedup and substring stage rows without re-reading text. The
+Cache discipline (VERDICT r6 #2): THREE frames persist TRANSIENTLY
+during the computation — the boilerplate output and the exact-dedup
+output (both full text; each feeds multiple downstream consumers,
+and rebuilding the dedup output per consumer measured 2x the wall
+time of caching it) plus the narrow repetition-survivor id set. The
 five stage rows are materialized eagerly inside the call (bounded:
-one row per stage, corpus-independent) and both cached frames are
-unpersisted before returning, so no corpus-sized frame outlives the
-report computation.
+one row per stage, corpus-independent) and EVERY cached frame is
+unpersisted before returning, so nothing corpus-sized outlives the
+report computation — the lifetime contract the r6 verdict asked
+for, pinned by the cache-leak test in tests/test_plan_quality.py.
+The final two stage rows come from ONE fused aggregate over the
+counts-only substring frame, so the window machinery runs once.
 """
 
 from __future__ import annotations
@@ -56,7 +59,6 @@ def curation_funnel(
 ) -> DataFrame:
     """(stage_idx, stage, n_docs, n_tokens) for raw -> boilerplate ->
     repetition -> exact_dedup -> substring_dedup."""
-    from ..dedup.exact import drop_exact_duplicates
     from ..operators.boilerplate import remove_boilerplate_lines
     from ..operators.repetition import repetition_filter
     from ..operators.span_dedup import dedup_token_spans
@@ -65,45 +67,73 @@ def curation_funnel(
     ntok = F.size(tokens(content_col))
     rows = [_stage_row(raw, 0, "raw", ntok)]
 
+    # repartition BEFORE caching: a single-file corpus arrives as one
+    # partition, and every downstream consumer of b (repetition scan,
+    # dedup hash, both substring-stage branches) would otherwise run
+    # its map-heavy tokenize/hash work on one core — broadcast semi
+    # joins preserve partitioning, so nothing later re-spreads it
+    par = df.sparkSession.sparkContext.defaultParallelism
     b = (
         remove_boilerplate_lines(raw, content_col, min_words=min_words)
         .filter(F.col("n_lines_kept") >= 1)
         .select(id_col, F.col("clean_text").alias(content_col))
+        .repartition(par)
         .persist()
     )
     rows.append(_stage_row(b, 1, "boilerplate", ntok))
 
+    # narrow id set persisted: the repetition scan (per-doc sorted-run
+    # array statistics over the full text) runs ONCE even though the
+    # stage-2 row and the dedup stage both consume its survivors
     rep_ids = (
         repetition_filter(b, content_col, id_col)
         .filter(F.col("keep"))
         .select(id_col)
+        .persist()
     )
     kept = b.join(rep_ids, id_col)
     rows.append(_stage_row(kept, 2, "repetition", ntok))
 
-    d = drop_exact_duplicates(kept, content_col, id_col)
+    # the full-text dedup output persists TRANSIENTLY: the narrow
+    # (persist canon ids, rebuild d per consumer) variant was tried
+    # first and costs ~2x wall time — rebuilding d for each of the
+    # substring stage's internal branches repeats the join + cache
+    # scan that a cached d amortizes. The verdict-r6 cache contract
+    # is about LIFETIME, and that is held below: every cached frame
+    # (b, d, rep_ids) is released before this function returns,
+    # after the bounded per-stage rows materialize.
+    from ..dedup.exact import drop_exact_duplicates
+
+    d = drop_exact_duplicates(kept, content_col, id_col).persist()
     # counts_only emits exactly one (id, n_tokens, n_removed) row per
-    # surviving doc, so this ONE narrow frame answers both the
+    # surviving doc, so ONE fused aggregate over it answers BOTH the
     # exact-dedup stage row (count, sum(n_tokens)) and the substring
-    # stage row — the full-text dedup output is never cached.
+    # stage row — the expensive window machinery runs exactly once.
     sd = dedup_token_spans(
         d, content_col, id_col, window=window, counts_only=True
-    ).select(id_col, "n_tokens", "n_removed").persist()
-    rows.append(_stage_row(sd, 3, "exact_dedup", F.col("n_tokens")))
-    surv = sd.filter(F.col("n_tokens") - F.col("n_removed") >= 1)
-    rows.append(
-        _stage_row(
-            surv, 4, "substring_dedup",
-            F.col("n_tokens") - F.col("n_removed"),
-        )
+    )
+    left = F.col("n_tokens") - F.col("n_removed")
+    fin = sd.agg(
+        F.count(F.lit(1)).alias("d_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("d_toks"),
+        F.sum((left >= 1).cast("long")).alias("s_docs"),
+        F.coalesce(F.sum(F.when(left >= 1, left)), F.lit(0))
+        .cast("long")
+        .alias("s_toks"),
     )
 
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    # materialize the (bounded, one-row-per-stage) report eagerly so
-    # the cached corpus frames can be released before returning
-    data = out.collect()
+    # materialize eagerly (bounded: one row per stage) so every
+    # cached frame can be released before returning
+    data = list(out.collect())
+    f = fin.first()
+    data.append((3, "exact_dedup", int(f["d_docs"] or 0), int(f["d_toks"] or 0)))
+    data.append(
+        (4, "substring_dedup", int(f["s_docs"] or 0), int(f["s_toks"] or 0))
+    )
     b.unpersist()
-    sd.unpersist()
+    rep_ids.unpersist()
+    d.unpersist()
     return df.sparkSession.createDataFrame(data, out.schema)
