@@ -94,7 +94,8 @@ def ngram_contamination(
     eg = grams(eval_df)  # explode_outer keeps zero-shingle docs
     if bloom:
         from ..functions.bloom import (
-            bloom_maybe_contains, bloom_size_bits, build_bloom_bits,
+            bloom_attach, bloom_maybe_contains, bloom_size_bits,
+            build_bloom_bits,
         )
 
         # the index side is the SMALL corpus by the operator's
@@ -109,10 +110,13 @@ def ngram_contamination(
                 "n_shingles"
             )
         )
-        cand = eg.filter(
+        # the bitset rides as broadcast DATA (one-row cross join),
+        # not an expression literal — a 16k-word literal referenced
+        # by the k probes costs seconds of plan analysis per query
+        cand = bloom_attach(eg, bits).filter(
             F.col("h").isNotNull()
-            & bloom_maybe_contains(F.col("h"), bits, m_bits)
-        )
+            & bloom_maybe_contains(F.col("h"), F.col("__bloom_bits"), m_bits)
+        ).drop("__bloom_bits")
         hits = (
             cand.join(train_grams, on="h", how="left_semi")
             .groupBy("id")

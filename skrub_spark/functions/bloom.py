@@ -72,18 +72,24 @@ def build_bloom_bits(
 
 
 def bloom_maybe_contains(
-    key: Column, bits: list[int], m_bits: int, k: int = 3
+    key: Column, bits, m_bits: int, k: int = 3
 ) -> Column:
     """True when ``key`` MAY be in the set (all k probe bits set);
     guaranteed true for every key the bitset was built from.
 
-    The bitset literal is built as ONE ``F.expr`` string — a
-    per-element ``F.array(*map(F.lit, ...))`` costs one py4j round
-    trip per word (~28s for 64k words, measured); the parsed form
-    costs ~0.3s and constant-folds to the same array Literal."""
-    lit_arr = F.expr(
-        "array(" + ",".join(f"{int(v)}L" for v in bits) + ")"
-    )
+    ``bits`` is either the word list (small filters) or a COLUMN
+    holding it (attach with :func:`bloom_attach`). A list routes
+    through ONE parsed ``F.expr`` string — per-element
+    ``F.array(*map(F.lit, ...))`` costs one py4j round trip per word
+    (~28s for 64k, measured). Past a few thousand words prefer the
+    column form: k probes reference the literal k times and Catalyst
+    re-analyzes the m/64-child array per reference (~1s per 16k
+    children per copy), while an attached broadcast column is plain
+    DATA — one plan node regardless of size."""
+    if isinstance(bits, Column):
+        arr = bits
+    else:
+        arr = F.expr("array(" + ",".join(f"{int(v)}L" for v in bits) + ")")
     cond = None
     for pos in _probe_positions(key, m_bits, k):
         mask = F.call_function(
@@ -92,9 +98,23 @@ def bloom_maybe_contains(
             F.pmod(pos, F.lit(64)).cast("int"),
         )
         test = (
-            F.element_at(lit_arr, F.shiftright(pos, 6).cast("int") + 1)
+            F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
             .bitwiseAND(mask)
             != 0
         )
         cond = test if cond is None else (cond & test)
     return cond
+
+
+def bloom_attach(
+    df: DataFrame, bits: list[int], col_name: str = "__bloom_bits"
+) -> DataFrame:
+    """Attach the bitset as a broadcast one-row cross join — the
+    array rides as DATA (a single serialized row shipped to every
+    executor), not as an expression-tree literal, so plan analysis
+    stays O(1) in the filter size."""
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [([int(v) for v in bits],)], f"{col_name} array<bigint>"
+    )
+    return df.crossJoin(F.broadcast(one))

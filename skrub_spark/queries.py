@@ -718,12 +718,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing ANY 13-gram with the eval sources are removed;
     the planted cross-source near-dups must vanish and everything
     else survive. Exact oracle: DuckDB replays shingling and the
-    no-shared-gram survival rule. r7: runs the Bloom-prefiltered
-    path (VERDICT r6 #9) — the bitset over eval grams cuts the
-    train-side join shuffle to Bloom survivors; the ORACLE is
-    unchanged because the exact semi-join confirms every hit
-    (bit-identical to bloom=False, also pinned in
-    tests/test_plan_quality.py)."""
+    no-shared-gram survival rule. The r7 Bloom pre-filter
+    (VERDICT r6 #9, `bloom=True`) is bit-identical (pinned in
+    tests/test_plan_quality.py) but runs PLAIN here: this fixture's
+    eval side is 10% of the corpus, so the bitset-build jobs cost
+    more than the join they shrink — Bloom pays when the index side
+    is orders of magnitude smaller than the scored side (a real
+    eval benchmark vs a 100 TB crawl), not at this ratio. Honest
+    A/B at sf0.1 warm: plain 1.3s, bloom 2.6s."""
     _prep(spark)
     from .dedup.contamination import decontaminate_train
 
@@ -731,7 +733,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("source").isin("src0", "src1")
     out = decontaminate_train(
         docs.filter(~is_eval), docs.filter(is_eval), "text", "doc_id",
-        ngram=13, max_contamination=0.0, bloom=True,
+        ngram=13, max_contamination=0.0,
     )
     return out.select("doc_id", "source")
 
