@@ -241,6 +241,39 @@ def scale_demos(spark) -> dict:
         file=sys.stderr,
     )
     assert n_pairs == n_docs // 50, n_pairs
+
+    # --- 4. learned quality scoring at 40x the battery corpus (r7):
+    # the same 200k JVM-synthesized docs scored with the FROZEN
+    # classifier — one token explode + broadcast weight join +
+    # map-side-combined per-doc mean + sigmoid. This is the
+    # map-shaped stage-0 a FineWeb-style pipeline runs over every
+    # crawl document, so its docs/s is the number the 100 TB claim
+    # rests on for the learned-filter family.
+    from skrub_spark._frozen import QUALITY_MODEL
+    from skrub_spark.operators.quality_classifier import score_quality
+
+    t0 = time.time()
+    qstats = (
+        score_quality(docs, QUALITY_MODEL)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("quality_score").alias("lo"),
+            F.max("quality_score").alias("hi"),
+        )
+        .first()
+    )
+    out["quality_score_200k_docs_s"] = round(time.time() - t0, 3)
+    print(
+        f"# demo quality_score_200k_docs: "
+        f"{out['quality_score_200k_docs_s']:.2f}s "
+        f"({qstats['n']} docs, "
+        f"{n_docs / out['quality_score_200k_docs_s']:.0f} docs/s)",
+        file=sys.stderr,
+    )
+    assert qstats["n"] == n_docs, qstats
+    # sigmoid saturates to exactly 1.0 in double precision past
+    # margin ~36, so the upper bound is inclusive
+    assert 0.0 < qstats["lo"] <= qstats["hi"] <= 1.0, qstats
     return out
 
 
