@@ -213,3 +213,80 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def embedding_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    planes,
+) -> DataFrame:
+    """Per-vector hyperplane LSH cells: (id_col, band_idx, bucket) —
+    one row per (vector, table). The persistable form of an
+    embedding near-dup index: store
+    ``.select("band_idx", "bucket").distinct()`` next to each corpus
+    snapshot (a long pair per DISTINCT populated cell — payloads and
+    vectors never re-read) and feed it to
+    :func:`embedding_incremental` when the next crawl lands. The
+    cell identity is the SAME sign-of-dot sketch
+    ``streaming_embedding_near_dedup`` claims cells with and
+    ``topk_cosine_lsh(planes=)`` probes with, so batch-incremental,
+    streaming ingest and ANN probes agree on cell geometry; with
+    FROZEN 6dp planes every cell is SQL-replayable."""
+    import numpy as np
+
+    from ..similarity.index import _buckets_udf
+
+    planes_list = [np.asarray(p, dtype="float64") for p in planes]
+    return df.select(
+        F.col(id_col),
+        F.posexplode(_buckets_udf(planes_list)(F.col(vec_col))).alias(
+            "band_idx", "bucket"
+        ),
+    )
+
+
+def embedding_incremental(
+    new_df: DataFrame,
+    seen_buckets: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    planes,
+) -> DataFrame:
+    """Incremental ingest near-dedup for EMBEDDINGS — the last cell
+    of the {exact, minhash-near, embedding-near} x {batch,
+    incremental, streaming} dedup matrix (r7): rows of ``new_df``
+    that share no hyperplane cell with the already-ingested corpus
+    (``seen_buckets``, from :func:`embedding_buckets`) and whose
+    cells are not claimed by a smaller id within the batch — the
+    embedding twin of ``minhash_incremental``, with the same
+    min-id/first-arrival semantics as the streaming op.
+
+    Like those, cell collision IS the dup criterion (no exact cosine
+    verify against history — that would need prior vectors,
+    defeating the index). At 100 TB: history enters as one semi-join
+    against its DISTINCT (table, cell) pairs, the batch claim is one
+    groupBy min, and every joined frame is (id, long, long) narrow."""
+    bands = embedding_buckets(new_df, vec_col, id_col, planes=planes)
+    hist_hit = (
+        bands.join(
+            seen_buckets.select("band_idx", "bucket").distinct(),
+            on=["band_idx", "bucket"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    claims = bands.groupBy("band_idx", "bucket").agg(
+        F.min(id_col).alias("__first")
+    )
+    batch_hit = (
+        bands.join(claims, on=["band_idx", "bucket"])
+        .filter(F.col("__first") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    flagged = hist_hit.union(batch_hit).distinct()
+    return new_df.join(flagged, on=id_col, how="left_anti")

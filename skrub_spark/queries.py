@@ -3087,6 +3087,49 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dedup vs persisted cell buckets
+    (r7 — the last cell of the {exact, minhash, embedding} x
+    {batch, incremental, streaming} dedup matrix): a 'new crawl' —
+    odd vectors plus planted copies of seen vectors (shifted ids)
+    and planted within-batch duplicates — dedups against the even
+    vectors' persisted DISTINCT (table, cell) hyperplane buckets.
+    Every planted copy lands in identical cells (same vector, same
+    frozen planes) and must vanish; batch dups resolve min-id.
+    Exact oracle: frozen planes make every cell sign-of-dot
+    arithmetic, so DuckDB replays both sides' buckets, the history
+    semi-join and the min-id claim bit-exactly."""
+    _prep(spark)
+    from ._frozen import INC_PLANES
+    from .dedup.embedding import embedding_buckets, embedding_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    new = (
+        odd
+        .unionByName(
+            seen.filter(F.col("vec_id") < 100).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            odd.filter(F.col("vec_id") < 100).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    seen_buckets = embedding_buckets(
+        seen, "embedding", "vec_id", planes=INC_PLANES
+    ).select("band_idx", "bucket").distinct()
+    out = embedding_incremental(
+        new, seen_buckets, "embedding", "vec_id", planes=INC_PLANES
+    )
+    return out.select("vec_id")
+
+
 def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EMBEDDING near-dedup across >= 2 REAL micro-batches
     (r7, VERDICT r6 #7 — closes the dedup matrix): embeddings split
@@ -5679,6 +5722,11 @@ def _r7_frozen_oracles() -> dict[str, str]:
         for t in range(len(fz.STREAM_PLANES))
         for i in range(len(fz.STREAM_PLANES[t]))
     )
+    inc_pvals = ", ".join(
+        f"({t}, {i}, CAST({fz.INC_PLANES[t][i]!r} AS DOUBLE[]))"
+        for t in range(len(fz.INC_PLANES))
+        for i in range(len(fz.INC_PLANES[t]))
+    )
     q_stream = f"""
         WITH planes(t, i, w) AS (VALUES {pvals}),
         b AS (
@@ -5701,9 +5749,65 @@ def _r7_frozen_oracles() -> dict[str, str]:
         GROUP BY b.vec_id
     """
 
+    # --- incremental embedding near-dedup: both sides' cells
+    # replayed as sign-of-dot sums over the frozen planes; history
+    # semi-join + min-id batch claim
+    q_inc_emb = """
+        WITH planes(t, i, w) AS (VALUES {pvals}),
+        seen AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        odd AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        nw AS (
+          SELECT vec_id, v FROM odd
+          UNION ALL
+          SELECT vec_id + 1000000, v FROM seen WHERE vec_id < 100
+          UNION ALL
+          SELECT vec_id + 2000000, v FROM odd WHERE vec_id < 100
+        ),
+        b_new AS (
+          SELECT n.vec_id, p.t,
+            SUM(CASE WHEN list_inner_product(n.v, p.w) > 0
+                     THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+          FROM nw n CROSS JOIN planes p
+          GROUP BY n.vec_id, p.t
+        ),
+        b_seen AS (
+          SELECT DISTINCT t, bucket FROM (
+            SELECT s.vec_id, p.t,
+              SUM(CASE WHEN list_inner_product(s.v, p.w) > 0
+                       THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+            FROM seen s CROSS JOIN planes p
+            GROUP BY s.vec_id, p.t)
+        ),
+        hist_hit AS (
+          SELECT DISTINCT b.vec_id
+          FROM b_new b JOIN b_seen s ON s.t = b.t AND s.bucket = b.bucket
+        ),
+        claims AS (
+          SELECT t, bucket, MIN(vec_id) AS f FROM b_new GROUP BY t, bucket
+        ),
+        batch_hit AS (
+          SELECT DISTINCT b.vec_id
+          FROM b_new b
+          JOIN claims c ON c.t = b.t AND c.bucket = b.bucket
+            AND c.f < b.vec_id
+        )
+        SELECT n.vec_id FROM nw n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hist_hit h WHERE h.vec_id = n.vec_id)
+          AND NOT EXISTS (
+            SELECT 1 FROM batch_hit h WHERE h.vec_id = n.vec_id)
+    """
+
     return {
         "quality_classifier_scores": q_scores,
         "quality_classifier_filter": q_filter,
+        "incremental_embedding_dedup": q_inc_emb.format(pvals=inc_pvals),
         "topk_pq": q_pq,
         "topk_ivfpq": q_ivfpq,
         "topk_lsh_frozen": q_lsh.format(pvals=pvals),
@@ -5903,6 +6007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "similarity_topk": q_similarity_topk,
         "string_encoder_frozen": q_string_encoder_frozen,
+        "incremental_embedding_dedup": q_incremental_embedding_dedup,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,

@@ -145,3 +145,44 @@ def test_semantic_dedup_frozen_matches_numpy_replay(spark):
     for i in ids:
         comp = find(int(i))
         assert got[int(i)] == (comp, comp == int(i))
+
+
+def test_embedding_incremental_plants(spark):
+    """Planted exact copies of history vectors and within-batch
+    duplicates must vanish (identical vector -> identical cells in
+    every table under the frozen planes); at least some genuinely
+    new vectors must survive (the 16-plane sketch must not saturate
+    like an 8-plane one does past a few hundred history rows)."""
+    from skrub_spark._frozen import INC_PLANES
+    from skrub_spark.dedup.embedding import (
+        embedding_buckets, embedding_incremental,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    new = (
+        odd
+        .unionByName(
+            seen.filter(F.col("vec_id") < 100).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            odd.filter(F.col("vec_id") < 100).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    hist = embedding_buckets(
+        seen, "embedding", "vec_id", planes=INC_PLANES
+    ).select("band_idx", "bucket").distinct()
+    out = set(
+        r["vec_id"]
+        for r in embedding_incremental(
+            new, hist, "embedding", "vec_id", planes=INC_PLANES
+        ).select("vec_id").collect()
+    )
+    assert not any(v >= 1000000 for v in out), "a planted copy survived"
+    n_odd = odd.count()
+    assert len(out) > 0.5 * n_odd, (len(out), n_odd)

@@ -136,6 +136,13 @@ def main():
     pq = train_pq(spark, sf_dir)
     cents = train_semantic_centroids(spark, sf_dir)
     planes = make_stream_planes()
+    # finer cells for batch-incremental near-dedup: with bucket
+    # collision as the dup criterion, 8-bit cells saturate once the
+    # history holds a few hundred vectors (every new vector collides
+    # somewhere); 16 planes = 65536 cells/table keeps the
+    # false-collision rate ~n_seen/65536 per table while exact
+    # copies still collide with certainty
+    inc_planes = make_stream_planes(n_planes=16, seed=43)
     merges = train_bpe_merges(spark, sf_dir)
     strenc = train_string_encoder(spark, sf_dir)
 
@@ -164,6 +171,10 @@ SEMANTIC_CENTROIDS = {cents!r}
 # hyperplanes for the streaming embedding near-dedup sketch:
 # [n_tables][n_planes][dim]
 STREAM_PLANES = {planes!r}
+
+# finer 16-plane sketch for batch-incremental embedding near-dedup
+# (65536 cells/table — see tools/train_frozen.py for the sizing)
+INC_PLANES = {inc_planes!r}
 
 # rank-ordered BPE merge list trained at sf0.01 (frozen => the
 # greedy encode is deterministic string rewriting, SQL-replayable)
