@@ -100,8 +100,12 @@ HEADLINE = [
     "quality_classifier_scores",
     "quality_classifier_filter",
     "topk_pq",
+    "topk_lsh_frozen",
     "semantic_dedup_exact",
     "bpe_stats_frozen",
+    "string_encoder_frozen",
+    "incremental_embedding_dedup",
+    "scored_pipeline",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

@@ -2957,6 +2957,44 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.col("qs").alias("quality_score"))
 
 
+def q_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining pipeline with a LEARNED stage 0 (r7 — the wiring
+    VERDICT r6 #1 asked for): frozen-classifier quality gate
+    (rounded score >= 0.5) -> exact dedup -> quality-WEIGHTED
+    sampling (keep probability proportional to the learned score,
+    the FineWeb-Edu rule) -> per-language 512-token sequence
+    packing. One lazy Spark plan; the oracle composes the scoring
+    CTE with the dedup/keep/packing replays, so the learned-filter
+    COMPOSITION is verified exactly, not just the stages."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL
+    from .dedup.exact import drop_exact_duplicates
+    from .operators.packing import pack_training_chunks
+    from .operators.quality_classifier import score_quality
+    from .operators.sampling import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = score_quality(docs, QUALITY_MODEL).withColumn(
+        "qs", F.round("quality_score", 6)
+    )
+    gate = scored.filter(F.col("qs") >= 0.5)
+    unique = drop_exact_duplicates(gate, "text", "doc_id")
+    kept = sample_weighted(unique, "qs", key="doc_id", salt="sp7", scale=1.2)
+    with_tok = kept.select(
+        "doc_id", "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = pack_training_chunks(
+        with_tok, "n_tokens", chunk_tokens=512, order_col="doc_id",
+        by="lang",
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "start_chunk", "end_chunk"
+    )
+
+
 def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ADC cosine top-10 (r7 — the compression rung
     after SQ8's 4x): 8 subspaces x 32 codes FROZEN from the sf0.01
@@ -5450,6 +5488,43 @@ def _r7_frozen_oracles() -> dict[str, str]:
         LIMIT 10
     """
 
+    # --- learned-stage-0 composed pipeline: the scoring CTE feeds
+    # gate -> min-id dedup -> weighted keep -> per-lang packing
+    q_scored_pipe = score_cte + """,
+        gate AS (
+          SELECT d2.doc_id, d2.lang, d2.text, s.qs
+          FROM s JOIN documents d2 USING (doc_id)
+          WHERE s.qs >= 0.5
+        ),
+        uniq AS (
+          SELECT * FROM gate
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM gate GROUP BY text)
+        ),
+        kept AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(
+              regexp_split_to_array(trim(text), '\\s+'),
+              x -> x != '')) AS BIGINT) AS n_tokens
+          FROM uniq
+          WHERE ('0x' || substr(md5('sp7' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % 100000000
+                < CAST(least(100000000.0,
+                             greatest(0.0, qs * 1.2 * 100000000))
+                       AS BIGINT)
+        ),
+        packed AS (
+          SELECT doc_id, lang, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM kept
+        )
+        SELECT doc_id, lang, n_tokens,
+          CAST((cum - n_tokens) // 512 AS BIGINT) AS start_chunk,
+          CAST(GREATEST(cum - 1, cum - n_tokens) // 512 AS BIGINT)
+            AS end_chunk
+        FROM packed
+    """
+
     # --- persisted IVF-PQ probe: frozen coarse cells (the semantic
     # centroids) pick n_probe=4 cells, PQ-ADC ranks within them —
     # every stage frozen-literal arithmetic
@@ -5808,6 +5883,7 @@ def _r7_frozen_oracles() -> dict[str, str]:
         "quality_classifier_scores": q_scores,
         "quality_classifier_filter": q_filter,
         "incremental_embedding_dedup": q_inc_emb.format(pvals=inc_pvals),
+        "scored_pipeline": q_scored_pipe,
         "topk_pq": q_pq,
         "topk_ivfpq": q_ivfpq,
         "topk_lsh_frozen": q_lsh.format(pvals=pvals),
@@ -6008,6 +6084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "string_encoder_frozen": q_string_encoder_frozen,
         "incremental_embedding_dedup": q_incremental_embedding_dedup,
+        "scored_pipeline": q_scored_pipeline,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,
