@@ -523,3 +523,34 @@ def test_bloom_bits_roundtrip(spark):
     )
     fp = probe.filter(bloom_maybe_contains(F.col("h"), bits, m)).count()
     assert fp < 200, fp
+
+
+def test_quality_scoring_broadcast_and_partial_agg(spark):
+    """Frozen-weight scoring must broadcast the n_features-row weight
+    table (never sort-merge a corpus against 256 rows) and keep a
+    map-side partial phase on the per-doc aggregation."""
+    from skrub_spark._frozen import QUALITY_MODEL
+    from skrub_spark.operators.quality_classifier import score_quality
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(score_quality(docs, QUALITY_MODEL))
+    # the 256-row weight table must build-side broadcast; the FINAL
+    # doc_id join (corpus vs its per-doc scores — two same-grain
+    # sides) is correctly a co-partitioned sort-merge, so only the
+    # weight join's strategy is pinned
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scored_pipeline_plan_shape(spark):
+    """The learned-stage-0 composed pipeline stays relational: no
+    cartesian products, no row-at-a-time Python, and the packing
+    window runs per-language (hash partitioning present)."""
+    from skrub_spark.queries import q_scored_pipeline
+
+    plan = plan_of(q_scored_pipeline(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python UDFs
+    assert "Window" in plan  # the packing cumsum
