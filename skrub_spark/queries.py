@@ -3060,6 +3060,23 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
+def q_knn_join_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH k-NN self-join with FROZEN planes (r7): candidate pairs
+    share any (table, sign-bucket) under the committed planes, exact
+    cosine rescore, per-query top-5 — the formerly rows-only
+    ``knn_join_lsh`` path's exact twin (the recall-contracted seeded
+    variant stays in the battery; this one the DuckDB oracle replays
+    candidate-for-candidate)."""
+    _prep(spark)
+    from ._frozen import STREAM_PLANES
+    from .similarity import cosine_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_knn_join(
+        emb, emb, k=5, method="lsh", planes=STREAM_PLANES, round_digits=4
+    )
+
+
 def q_string_encoder_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StringEncoder transform with FROZEN fit state (r7): committed
     idf + SVD components over md5-hashed char 3+4-grams make the
@@ -5736,6 +5753,42 @@ def _r7_frozen_oracles() -> dict[str, str]:
         LIMIT 10
     """
 
+    # --- frozen-plane LSH knn join: shared-bucket candidates, exact
+    # rescore, per-query top-5 (the knn_join oracle restricted to
+    # shared-bucket pairs)
+    q_knn_lsh = """
+        WITH planes(t, i, w) AS (VALUES {pvals}),
+        b AS (
+          SELECT e.vec_id, p.t,
+            SUM(CASE WHEN list_inner_product(
+                       CAST(e.embedding AS DOUBLE[]), p.w) > 0
+                     THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id, p.t
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+          WHERE a.vec_id != c.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+        FROM (
+          SELECT cand.query_id, cand.neighbor_id,
+            list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) AS cos,
+            ROW_NUMBER() OVER (
+              PARTITION BY cand.query_id
+              ORDER BY list_cosine_similarity(
+                CAST(ea.embedding AS DOUBLE[]),
+                CAST(eb.embedding AS DOUBLE[])) DESC,
+              cand.neighbor_id ASC
+            ) AS rank
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = cand.query_id
+          JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+        ) WHERE rank <= 5
+    """
+
     # --- frozen-merge BPE: greedy encode as recursive string
     # rewriting (wrap symbols as |sym|; one replace() per step
     # applies the best-ranked pair at every non-overlapping
@@ -5887,6 +5940,7 @@ def _r7_frozen_oracles() -> dict[str, str]:
         "topk_pq": q_pq,
         "topk_ivfpq": q_ivfpq,
         "topk_lsh_frozen": q_lsh.format(pvals=pvals),
+        "knn_join_lsh_frozen": q_knn_lsh.format(pvals=pvals),
         "string_encoder_frozen": q_strenc,
         "semantic_dedup_exact": q_sem,
         "streaming_embedding_dedup": q_stream,
@@ -6085,6 +6139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_encoder_frozen": q_string_encoder_frozen,
         "incremental_embedding_dedup": q_incremental_embedding_dedup,
         "scored_pipeline": q_scored_pipeline,
+        "knn_join_lsh_frozen": q_knn_join_lsh_frozen,
         "fuzzy_join_lsh": q_fuzzy_join_lsh,
         "minhash_canonical": q_minhash_canonical,
         "topk_ivf": q_topk_ivf,

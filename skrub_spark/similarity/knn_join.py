@@ -50,12 +50,20 @@ def cosine_knn_join(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    planes=None,
     round_digits: int | None = None,
     auto_broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — k nearest right rows
     per left row. ``exclude_self`` drops identical-id pairs (the
-    self-match in a self-join)."""
+    self-match in a self-join).
+
+    ``planes`` (r7): FROZEN [n_tables][n_planes][dim] literals for
+    the lsh mode — with committed 6dp planes every bucket on both
+    sides is replayable sign-of-dot arithmetic and the lsh join
+    gains an exact SQL oracle (battery query
+    ``knn_join_lsh_frozen``), same construction as
+    ``topk_cosine_lsh(planes=)``."""
     if method == "auto":
         # LIMIT-guarded existence probe (mirrors operators/joiner.py):
         # the scan stops after limit+1 rows, never counts the table.
@@ -82,10 +90,13 @@ def cosine_knn_join(
     if method == "exact":
         pairs = l.repartition(par).crossJoin(broadcast(r))
     elif method == "lsh":
-        dim = int(
-            left.select(F.size(left_vec).alias("d")).first()["d"]
-        )
-        planes = _planes_for(seed, n_tables, n_planes, dim)
+        if planes is None:
+            dim = int(
+                left.select(F.size(left_vec).alias("d")).first()["d"]
+            )
+            planes = _planes_for(seed, n_tables, n_planes, dim)
+        else:
+            planes = [np.asarray(p, dtype="float64") for p in planes]
         buckets = _buckets_udf(planes)
 
         def banded(df, vec):
