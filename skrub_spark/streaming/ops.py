@@ -434,8 +434,11 @@ def streaming_embedding_near_dedup(
     sign-of-dot-product arithmetic, so a SQL oracle replays every
     cell and claim exactly (battery query
     ``streaming_embedding_dedup``; sign flips would need a dot
-    within float-summation error of 0). ``planes=None`` derives
-    them from ``seed`` like the batch path.
+    within float-summation error of 0). ``planes`` is REQUIRED — a
+    streaming frame cannot be probed for its dimension at plan
+    time, so seed-derivation is not available here (the
+    ``n_planes``/``n_tables``/``seed`` parameters document the
+    sketch shape for callers building planes themselves).
 
     At 100 TB: state = 8 bytes per DISTINCT populated cell
     (RocksDB on a cluster), the only shuffle is the cell-key hash
