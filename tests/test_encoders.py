@@ -283,3 +283,33 @@ def test_gap_encoder_partial_fit(spark):
     assert not np.allclose(H1, enc._H)  # second batch moved the topics
     out = enc.transform(b1.union(b2))
     assert out.count() == 8
+
+
+def test_string_encoder_from_frozen_matches_fresh_fit(spark):
+    """from_frozen(idf, components) must reproduce a freshly-fit
+    md5-hash encoder's transform exactly when handed the same fit
+    state (guards the frozen-oracle path against drift in the
+    transform plumbing)."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.encoders.string_encoder import StringEncoder
+    from skrub_spark.sources import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part").select(
+        "p_partkey", "p_name"
+    )
+    enc = StringEncoder("p_name", n_components=3, hash_dim=32, hash="md5")
+    enc.fit(part)
+    frozen = StringEncoder.from_frozen(
+        "p_name", [float(v) for v in enc._idf],
+        [[float(x) for x in row] for row in enc._components],
+    )
+    a = {
+        r["p_partkey"]: tuple(round(r[f"p_name_{i}"], 9) for i in range(3))
+        for r in enc.transform(part).collect()
+    }
+    b = {
+        r["p_partkey"]: tuple(round(r[f"p_name_{i}"], 9) for i in range(3))
+        for r in frozen.transform(part).collect()
+    }
+    assert a == b

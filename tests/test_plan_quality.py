@@ -554,3 +554,23 @@ def test_scored_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-wise Python UDFs
     assert "Window" in plan  # the packing cumsum
+
+
+def test_bloom_bitset_not_in_plan_text(spark):
+    """The Bloom bitset must ride as broadcast DATA: the decontaminate
+    plan string stays small (a 16k-word literal array would inflate
+    it by ~100KB and cost ~1s of analysis per probe reference)."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.dedup.contamination import decontaminate_train
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    df = decontaminate_train(
+        docs.filter(~is_eval), docs.filter(is_eval), "text", "doc_id",
+        ngram=13, bloom=True,
+    )
+    plan = plan_of(df)
+    assert len(plan) < 200_000, len(plan)
+    assert "__bloom_bits" in plan  # the data-borne bitset column
