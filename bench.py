@@ -106,6 +106,12 @@ HEADLINE = [
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",
+    # r8 additions
+    "dsir_weights",
+    "dsir_resample",
+    "domain_pagerank",
+    "interpolation_gbt_frozen",
+    "interpolation_clf_frozen",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

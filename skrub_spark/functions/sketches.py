@@ -1,0 +1,75 @@
+"""Cardinality sketches with content-addressed randomness
+(beyond-reference corpus-observability operator, SURVEY.md §2).
+
+Counting distinct tokens/n-grams/URLs per slice is a standard corpus
+health metric, but an exact COUNT(DISTINCT) at 100 TB shuffles every
+distinct value. The theta/KMV sketch family instead keeps only the
+values whose hash falls below a threshold — here the FIXED-threshold
+variant (a "theta sketch" with θ = 1/rate): a value survives iff
+``md5_bucket(value) mod rate == 0``, and ``distinct_estimate =
+rate · |distinct survivors|``. Properties that matter:
+
+- **Map-only reduction**: the filter runs at the scan; only ~D/rate
+  distinct survivors reach the (now tiny) distinct shuffle. At
+  rate=1024 a 10^10-distinct-token corpus shuffles 10^7 hashes.
+- **Mergeable by construction**: survivors of a union are the union
+  of survivors — shard/snapshot sketches combine with a UNION +
+  DISTINCT, never a re-scan (the same reason production systems
+  persist theta sketches next to each partition).
+- **Deterministic & engine-portable**: the "randomness" is the same
+  content-addressed md5 rule as every sampler in this repo, so the
+  estimate is IDENTICAL on any cluster/partitioning and a DuckDB
+  oracle replays it exactly (battery query
+  ``token_cardinality_sketch``) — unlike HLL-based
+  ``approx_count_distinct``, whose register layout is
+  engine-internal.
+- **Unbiased**: E[rate · survivors] = D; relative error ~
+  sqrt(rate/D) (binomial), pinned by a pytest contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sampling import _hash_bucket
+
+
+def sketch_member(value: Column, rate: int, salt: str = "") -> Column:
+    """True iff ``value`` belongs to the 1/rate hash-threshold
+    sketch — the map-only survivor predicate."""
+    return _hash_bucket(value, salt, int(rate)) == 0
+
+
+def distinct_sketch(
+    df: DataFrame,
+    value: Column | str,
+    by: list[str] | None = None,
+    *,
+    rate: int = 1024,
+    salt: str = "",
+    est_col: str = "distinct_est",
+) -> DataFrame:
+    """Estimated distinct count of ``value`` (optionally per ``by``
+    group): filter to hash-threshold survivors (map-only), exact
+    DISTINCT of the small survivor set, multiply back by ``rate``.
+
+    Returns one row per group with ``est_col`` (BIGINT — exact
+    integer arithmetic, so the estimate replays bit-identically in
+    SQL). Groups whose survivors are empty simply emit no row — join
+    against your group universe and COALESCE to 0 when you need
+    zeros. Choose ``rate`` so survivors ≈ thousands: the estimator's
+    relative error is ~sqrt(rate/D)."""
+    v = F.col(value) if isinstance(value, str) else value
+    by = list(by or [])
+    kept = df.filter(sketch_member(v, rate, salt)).select(
+        *by, v.alias("__v")
+    )
+    return (
+        kept.groupBy(*by)
+        .agg(F.count_distinct(F.col("__v")).alias("__k"))
+        .select(
+            *by,
+            (F.col("__k") * F.lit(int(rate))).cast("long").alias(est_col),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Link-graph operators for web-corpus curation (beyond-reference
+LLM-pipeline operator, SURVEY.md §2).
+
+Web-scale curation uses the LINK GRAPH as a quality prior: Common
+Crawl ranks hosts by centrality (harmonic/PageRank over the
+host-level webgraph) and pipelines keep/weight documents by their
+domain's rank. This module provides a deterministic, exact-oracle
+PageRank over an edge DataFrame, Spark-first:
+
+- Fixed-point BIGINT arithmetic ("nano-rank" units, SCALE = 1e9):
+  every operation is integer floor-division/sum, so the result is
+  BIT-IDENTICAL on any engine, partitioning, or summation order —
+  no float drift across iterations, and the DuckDB oracle replays
+  every iteration exactly (battery query ``domain_pagerank``).
+  Reproducibility is not cosmetic at 100 TB: a rank that changes
+  with partition count silently reshuffles which documents a
+  rank-weighted sampler keeps between runs.
+- Each iteration is ONE shuffle: contributions = ranks ⋈ edges on
+  src (ranks are |V|-sized, edges |E|-sized), then a map-side-
+  combined sum per dst. Edges are pre-partitioned by src ONCE and
+  persisted, so every iteration's join reuses the same layout
+  (Exchange appears once in the plan, not per iteration); ranks are
+  the only frame that moves.
+- The dangling-mass convention is the simple "lost mass" variant
+  (nodes with no out-links contribute nothing): each node's next
+  rank is ``(1-d)·SCALE + d · Σ_in floor(r_src / outdeg_src)``
+  with d = d_num/d_den applied as integer multiply-then-floor-div.
+  Fixed iteration count (power iteration), no convergence test —
+  the deterministic shape production webgraph ranks use.
+
+At 100 TB the host graph is ~10^9 edges — |V| rank rows fit any
+cluster, the per-iteration shuffle is the edge join, and AQE's
+skew-join split handles the megahost skew (a node with 10^7
+in-links is one hot reduce key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-point PageRank over distinct directed edges; returns
+    (node, rank_fp, rank) where ``rank_fp`` is the exact BIGINT
+    nano-rank and ``rank = round(rank_fp / 1e9, 6)``.
+
+    Every node present as src or dst participates; duplicate edges
+    are collapsed (host graphs are simple graphs). ``n_iter`` is a
+    fixed power-iteration count; damping d = d_num/d_den is applied
+    as ``(d_num · x) div d_den`` so the arithmetic stays integral.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    if partitions:
+        e = e.repartition(partitions, "src")
+    e = e.persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges with out-degree attached — the frame each iteration joins
+    ed = e.join(outdeg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = (SCALE * (d_den - d_num)) // d_den
+
+    ranks = nodes.withColumn("rank_fp", F.lit(SCALE).cast("long"))
+    for _ in range(int(n_iter)):
+        contribs = (
+            ed.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            # `div` is Spark's integer division (long in, long out);
+            # the oracle replays it as DuckDB's `//`. All quantities
+            # are positive, so floor == trunc on both engines — a
+            # double round-trip (/ then cast) would TRUNCATE in Spark
+            # but ROUND in DuckDB.
+            .select("dst", F.expr("rank_fp div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"{base}L + (({d_num}L * coalesce(in_sum, 0L)) "
+                    f"div {d_den}L)"
+                ).alias("rank_fp"),
+            )
+        )
+    out = ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(float(SCALE)), 6).alias("rank"),
+    )
+    # materialization of `out` is lazy; the persisted edge/node frames
+    # stay pinned for the caller's consumption of the result — they
+    # are |E|/|V|-bounded key frames, never document payloads
+    return out

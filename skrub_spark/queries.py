@@ -2995,6 +2995,205 @@ def q_scored_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (r8 — Xie et al. 2023, the standard
+    'select pretraining data that looks like the target domain'
+    stage): every document's log importance weight under the FROZEN
+    hashed-n-gram model (target = the English slice, raw = the whole
+    corpus, trained by tools/train_frozen.py). Scoring is the same
+    100 TB map shape as the quality classifier — one unigram+bigram
+    explode, one map-side-combined (id, bucket) agg, one broadcast
+    join against the 256-row log-ratio table, one per-doc sum. With
+    literal ratios the whole pass is md5/double arithmetic: the
+    DuckDB oracle replays every weight to 6dp. The FIT is a bounded
+    two-pass count (rows-only by nature) contracted in
+    tests/test_dsir.py."""
+    _prep(spark)
+    from ._frozen import DSIR_MODEL
+    from .operators.dsir import dsir_log_weight
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_log_weight(docs, DSIR_MODEL).select("doc_id", "dsir_logw")
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (r8): select 100 documents
+    without replacement ∝ exp(importance weight) — the paper's
+    sampling rule made reproducible: the Gumbel draw comes from the
+    content-addressed md5 uniform, so the 'random' subset is
+    identical on any cluster/partitioning AND the DuckDB oracle
+    replays the exact selection (weights, perturbed keys, and the
+    top-k cut). Plans as a distributed TakeOrdered, never a full
+    sort."""
+    _prep(spark)
+    from ._frozen import DSIR_MODEL
+    from .operators.dsir import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return dsir_resample(docs, DSIR_MODEL, 100).select(
+        "doc_id", "lang", "dsir_logw", "dsir_key"
+    )
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank as a curation prior (r8 — the Common
+    Crawl host-rank shape): a deterministic host graph is planted
+    from doc_ids (host = doc_id mod 97 linking to (31·doc_id + 7)
+    mod 97, self-loops dropped), then 3 fixed power iterations in
+    BIGINT nano-rank fixed point — every operation is integer
+    multiply/floor-div/sum, so ranks are bit-identical on any
+    engine or partitioning and the oracle replays each iteration as
+    a chained CTE. Each iteration is ONE shuffle (ranks ⋈ edges on
+    src + a map-side-combined sum per dst); edges persist once."""
+    _prep(spark)
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3)
+
+
+def q_rank_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank prior → corpus gate (r8): the Common Crawl wiring —
+    rank the host graph, join each document to its host's rank
+    (97-row broadcast), keep documents with probability ∝ host rank
+    (``sample_weighted``, scale=0.25). The rank is 6dp-rounded
+    nano-rank/1e9, so rank·0.25·10^8 is an EXACT integer in double
+    on both engines and every keep decision replays bit-exactly in
+    the composed oracle (pagerank CTEs + the md5 keep rule)."""
+    _prep(spark)
+    from .operators.graph import pagerank
+    from .operators.sampling import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = F.col("doc_id") % 97
+    edges = docs.select(
+        host.alias("src"), ((F.col("doc_id") * 31 + 7) % 97).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, n_iter=3).select(
+        F.col("node").alias("host"), F.col("rank").alias("host_rank")
+    )
+    d = (
+        docs.withColumn("host", host)
+        .join(F.broadcast(ranks), "host", "left")
+        .withColumn("host_rank", F.coalesce("host_rank", F.lit(0.0)))
+    )
+    kept = sample_weighted(d, "host_rank", key="doc_id", salt="rg8", scale=0.25)
+    return kept.select("doc_id", "host", "host_rank")
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data mixture (r8 — the SemDeDup/DoReMi-
+    adjacent rebalancing rule: equal training budget per embedding-
+    space region): assign every vector to its FROZEN k-means cell
+    (one Arrow-batched argmin pass — the semantic_dedup_exact
+    assignment), then draw ~25 rows per cell with the deterministic
+    mixture sampler. The oracle replays the argmin + the
+    content-addressed per-stratum thresholds, so the whole
+    cluster→quota composition is exact."""
+    _prep(spark)
+    import numpy as np
+
+    from ._frozen import SEMANTIC_CENTROIDS
+    from .operators.sampling import sample_to_targets
+    from .similarity.index import _cell_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = np.asarray([list(c) for c in SEMANTIC_CENTROIDS], "float64")
+    assigned = emb.select(
+        "vec_id",
+        _cell_udf(cents)(F.col("embedding")).cast("int").alias("cell"),
+    )
+    targets = {i: 25 for i in range(len(SEMANTIC_CENTROIDS))}
+    kept = sample_to_targets(assigned, "cell", targets, key="vec_id", salt="cbs8")
+    return kept.select("vec_id", "cell")
+
+
+def q_token_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per language via the hash-threshold
+    (theta/KMV-family) sketch (r8, functions/sketches.py): a token
+    joins the sketch iff its content-addressed md5 lands in the
+    1/16 threshold — map-only at the scan, only ~D/16 survivors
+    reach the distinct shuffle, estimate = 16 · survivors. The
+    'randomness' is the samplers' md5 rule, so the estimate is
+    partition-invariant and the oracle replays it EXACTLY (unlike
+    HLL approx_count_distinct, whose registers are engine-internal).
+    The exact per-lang distinct runs alongside for the report; the
+    error contract (unbiased, ~sqrt(rate/D) relative) is pinned in
+    tests/test_r8_ops.py."""
+    _prep(spark)
+    from .functions.sketches import distinct_sketch
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    est = distinct_sketch(toks, "tok", ["lang"], rate=16, salt="kc8")
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("distinct_true")
+    )
+    return exact.join(est, "lang", "left").select(
+        "lang",
+        "distinct_true",
+        F.coalesce("distinct_est", F.lit(0).cast("long")).alias(
+            "distinct_est"
+        ),
+    )
+
+
+def q_interpolation_gbt_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolationJoiner learned-regression path with a FROZEN
+    model (r8 — promotes the rows-only interpolation_join_gbt family
+    to an exact oracle): the sf0.01-fit GBTRegressor
+    (s_nationkey → s_acctbal) is COMPILED to a nested CASE Column by
+    functions/tree_compile.py — map-only, whole-stage-codegen'd, no
+    MLlib runtime at scoring time — and applied at each customer's
+    nation key. The oracle evaluates the identical CASE WHEN tree
+    literals, so every prediction matches to 6dp. The FIT stays
+    rows-only (interpolation_join_gbt) with its pytest contract."""
+    _prep(spark)
+    from ._frozen import GBT_REGRESSION
+    from .functions.tree_compile import ensemble_margin
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    return cust.select(
+        "c_custkey",
+        F.round(
+            ensemble_margin(GBT_REGRESSION, [F.col("c_nationkey")]), 6
+        ).alias("acctbal_pred"),
+    )
+
+
+def q_interpolation_clf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolationJoiner classification path with a FROZEN model
+    (r8): the sf0.01-fit binary GBTClassifier (s_nationkey →
+    sign(s_acctbal)) compiled to a CASE-expression margin; predicted
+    label = labels[1] iff margin > 0 (MLlib's rawPrediction rule),
+    with the StringIndexer label order frozen alongside the trees.
+    Exact oracle — the formerly rows-only classification family's
+    decision path is now value-checked end to end."""
+    _prep(spark)
+    from ._frozen import GBT_CLASSIFIER
+    from .functions.tree_compile import ensemble_margin
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    labels = GBT_CLASSIFIER["labels"]
+    m = ensemble_margin(GBT_CLASSIFIER, [F.col("c_nationkey")])
+    return cust.select(
+        "c_custkey",
+        F.when(m > 0, F.lit(labels[1]))
+        .otherwise(F.lit(labels[0]))
+        .alias("bal_class_pred"),
+    )
+
+
 def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ADC cosine top-10 (r7 — the compression rung
     after SQ8's 4x): 8 subspaces x 32 codes FROZEN from the sf0.01
@@ -5951,6 +6150,224 @@ def _r7_frozen_oracles() -> dict[str, str]:
 ORACLES.update(_r7_frozen_oracles())
 
 
+def _r8_frozen_oracles() -> dict[str, str]:
+    """Oracles for the round-8 frozen-model queries, generated from
+    the committed literals in ``skrub_spark/_frozen.py`` (same
+    static-per-commit rule as ``_r7_frozen_oracles``)."""
+    from . import _frozen as fz
+    from .functions.tree_compile import trees_to_sql
+
+    # --- DSIR: per-doc log importance weight = Σ over unigram+bigram
+    # units of log_ratios[md5 bucket(unit)], exactly the
+    # hashed_text_features unit rule (lowercased whitespace unigrams
+    # plus space-joined word bigrams)
+    m = fz.DSIR_MODEL
+    n_feat = m["n_features"]
+    rvals = ", ".join(
+        f"({i}, CAST({x!r} AS DOUBLE))"
+        for i, x in enumerate(m["log_ratios"])
+    )
+    dsir_cte = f"""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x != '') AS toks
+          FROM documents
+        ), u AS (
+          SELECT doc_id, unnest(toks) AS u FROM t
+          UNION ALL
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS u
+          FROM t
+        ), f AS (
+          SELECT doc_id,
+            (('0x' || substr(md5('{m["salt"]}' || u), 1, 15))::BIGINT
+             % {n_feat}) AS bucket
+          FROM u
+        ), r(bucket, lr) AS (VALUES {rvals}),
+        d AS (
+          SELECT f.doc_id, ROUND(SUM(r.lr), 6) AS logw
+          FROM f JOIN r ON r.bucket = f.bucket
+          GROUP BY f.doc_id
+        ), s AS (
+          SELECT t.doc_id,
+            COALESCE(d.logw, CAST(0.0 AS DOUBLE)) AS dsir_logw
+          FROM t LEFT JOIN d USING (doc_id)
+        )"""
+    q_weights = dsir_cte + """
+        SELECT doc_id, dsir_logw FROM s
+    """
+    # Gumbel-top-k: the content-addressed Gumbel(0,1) draw, rounded
+    # to 6dp on both engines before the perturbed-key sum
+    q_resample = dsir_cte + """
+        , k AS (
+          SELECT s.doc_id, s.dsir_logw,
+            ROUND(s.dsir_logw + ROUND(-ln(-ln(
+              (CAST(('0x' || substr(md5('dsirg|' ||
+                        CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 100000000 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) / CAST(100000000.0 AS DOUBLE)
+            )), 6), 6) AS dsir_key
+          FROM s
+        )
+        SELECT k.doc_id, d2.lang, k.dsir_logw, k.dsir_key
+        FROM k JOIN documents d2 ON d2.doc_id = k.doc_id
+        ORDER BY k.dsir_key DESC, k.doc_id ASC
+        LIMIT 100
+    """
+
+    # --- frozen GBT ensembles compiled to CASE WHEN (identical
+    # literals + identical left-associated sum as the Spark Column)
+    reg_expr = trees_to_sql(
+        fz.GBT_REGRESSION, ["CAST(c_nationkey AS DOUBLE)"]
+    )
+    q_gbt = f"""
+        SELECT c_custkey, ROUND({reg_expr}, 6) AS acctbal_pred
+        FROM customer
+    """
+    labels = fz.GBT_CLASSIFIER["labels"]
+    clf_expr = trees_to_sql(
+        fz.GBT_CLASSIFIER, ["CAST(c_nationkey AS DOUBLE)"]
+    )
+    q_clf = f"""
+        SELECT c_custkey,
+          CASE WHEN {clf_expr} > 0
+               THEN '{labels[1]}' ELSE '{labels[0]}' END AS bal_class_pred
+        FROM customer
+    """
+    # --- cluster-balanced mixture: frozen-centroid argmin cells (the
+    # semantic_dedup_exact assignment) -> per-cell mixture thresholds
+    cents = fz.SEMANTIC_CENTROIDS
+    cvals = ", ".join(
+        f"({i}, CAST({c!r} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    q_cbs = f"""
+        WITH cents(cell, w) AS (VALUES {cvals}),
+        dist AS (
+          SELECT e.vec_id, c.cell,
+            list_inner_product(c.w, c.w)
+              - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.w)
+              AS d
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+            SELECT vec_id, cell,
+              ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ),
+        n AS (SELECT cell, COUNT(*) AS cnt FROM assign GROUP BY cell)
+        SELECT a.vec_id, a.cell
+        FROM assign a JOIN n USING (cell)
+        WHERE ('0x' || substr(md5('cbs8' || CAST(a.vec_id AS VARCHAR)),
+                              1, 15))::BIGINT % 100000000
+          < least(100000000,
+                  greatest(1, (100000000 * least(25, n.cnt)) // n.cnt))
+    """
+    return {
+        "dsir_weights": q_weights,
+        "dsir_resample": q_resample,
+        "interpolation_gbt_frozen": q_gbt,
+        "interpolation_clf_frozen": q_clf,
+        "cluster_balanced_sample": q_cbs,
+    }
+
+
+ORACLES.update(_r8_frozen_oracles())
+
+
+def _pagerank_oracle(n_iter: int = 3, tail: str | None = None) -> str:
+    """Chained-CTE replay of q_domain_pagerank's fixed-point power
+    iterations: every Spark op (integer div, damped sum, base rank)
+    maps 1:1 to BIGINT arithmetic — DuckDB's `//` is Spark's `div`,
+    and HUGEINT SUM outputs are cast back to BIGINT per iteration."""
+    prev = "r0"
+    iters = ""
+    for it in range(1, n_iter + 1):
+        iters += f""",
+        i{it} AS (
+          SELECT n.node,
+            CAST(150000000 + ((85 * COALESCE(s.in_sum, 0)) // 100)
+                 AS BIGINT) AS rank_fp
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node,
+              CAST(SUM(r.rank_fp // o.outdeg) AS BIGINT) AS in_sum
+            FROM e
+            JOIN {prev} r ON r.node = e.src
+            JOIN o ON o.src = e.src
+            GROUP BY e.dst) s USING (node)
+        )"""
+        prev = f"i{it}"
+    if tail is None:
+        tail = """
+        SELECT node, rank_fp,
+          ROUND(rank_fp / CAST(1000000000.0 AS DOUBLE), 6) AS rank
+        FROM {prev}
+        """
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT (doc_id % 97) AS src,
+                          ((doc_id * 31 + 7) % 97) AS dst
+          FROM documents
+          WHERE (doc_id % 97) != ((doc_id * 31 + 7) % 97)
+        ), o AS (
+          SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+        ), n AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), r0 AS (
+          SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM n
+        ){iters}
+        {tail.format(prev=prev)}
+    """
+
+
+ORACLES["domain_pagerank"] = _pagerank_oracle(3)
+
+ORACLES["token_cardinality_sketch"] = """
+    WITH t AS (
+      SELECT lang,
+        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '')) AS tok
+      FROM documents
+    ), e AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_true
+      FROM t GROUP BY lang
+    ), s AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) * 16 AS BIGINT) AS distinct_est
+      FROM t
+      WHERE ('0x' || substr(md5('kc8' || tok), 1, 15))::BIGINT % 16 = 0
+      GROUP BY lang
+    )
+    SELECT e.lang, e.distinct_true,
+      COALESCE(s.distinct_est, CAST(0 AS BIGINT)) AS distinct_est
+    FROM e LEFT JOIN s USING (lang)
+"""
+
+# PageRank prior -> sample_weighted gate: rank is 6dp-rounded, so
+# rank * 0.25 * 10^8 is integer-exact in double and DuckDB's
+# round-on-CAST == Spark's trunc-on-cast
+ORACLES["rank_gated_corpus"] = _pagerank_oracle(3, tail="""
+        , r AS (
+          SELECT node,
+            ROUND(rank_fp / CAST(1000000000.0 AS DOUBLE), 6) AS host_rank
+          FROM {prev}
+        )
+        SELECT d.doc_id, (d.doc_id % 97) AS host,
+          COALESCE(r.host_rank, CAST(0.0 AS DOUBLE)) AS host_rank
+        FROM documents d LEFT JOIN r ON r.node = (d.doc_id % 97)
+        WHERE ('0x' || substr(md5('rg8' || CAST(d.doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 100000000
+          < CAST(least(100000000.0,
+                       greatest(0.0,
+                                COALESCE(r.host_rank, CAST(0.0 AS DOUBLE))
+                                * CAST(0.25 AS DOUBLE) * 100000000))
+                 AS BIGINT)
+    """)
+
+
 
 
 
@@ -6013,10 +6430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_target_events": q_agg_target_events,
         "fuzzy_join_customer_supplier": q_fuzzy_join_customer_supplier,
         "interpolation_join": q_interpolation_join,
-        # rows-only by nature (MLlib classifier), promoted into the
-        # driver window r5 so the least-proven path sits in the gate;
-        # numerically contracted in tests/test_rows_only_contracts.py
-        "interpolation_join_clf": q_interpolation_join_clf,
+        # r8 swap: the learned interpolation paths enter the gate as
+        # their FROZEN exact twins (tree_compile CASE replay) —
+        # interpolation_join_clf rotates to 51+ (same decision path,
+        # now value-checked here; the MLlib fit keeps its pytest
+        # contract), knn_join_lsh rotates to 51+ (similarity keeps
+        # PQ/IVF-PQ/frozen-LSH rows in-window, and the frozen knn
+        # twin is exact in the full battery)
+        "interpolation_clf_frozen": q_interpolation_clf_frozen,
+        "interpolation_gbt_frozen": q_interpolation_gbt_frozen,
         "asof_join": q_asof_join,
         "range_join_incidents": q_range_join_incidents,
         # r7 swap (VERDICT r6 #6): the three unguarded r6 flagships
@@ -6074,9 +6496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ivfpq": q_topk_ivfpq,
         # r7: the rows-only LSH probe's exact twin (frozen planes)
         "topk_lsh_frozen": q_topk_lsh_frozen,
-        # LSH scale mode of the knn join — recall-contracted
-        # (tests/test_recall.py), promoted into the window r5
-        "knn_join_lsh": q_knn_join_lsh,
+        # --- r8 flagships (least-proven new paths into the gate) ---
+        # DSIR data selection: frozen hashed-n-gram importance
+        # weights + the content-addressed Gumbel-top-k resample
+        "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
+        # fixed-point link-graph PageRank (the Common Crawl host-rank
+        # curation prior) — bit-exact chained-CTE oracle
+        "domain_pagerank": q_domain_pagerank,
         # --- encoders ---
         "datetime_features": q_datetime_features,
         "minhash_encoder_features": q_minhash_encoder_features,
@@ -6088,13 +6515,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_shuffle rotated out r7 after a green round — their
         # md5 sampling family stays covered by hash_split and the
         # two quality_classifier rows
+        # (r8: substring_dedup rotates to 51+ after two green rounds
+        # — pretraining_pipeline + boilerplate_removal keep the
+        # stage-localization rows; table_stats and
+        # streaming_interval_join rotate out likewise, with
+        # column_associations and three streaming rows staying)
         "boilerplate_removal": q_boilerplate_removal,
-        "substring_dedup": q_substring_dedup,
         "squashing_scaler": q_squashing_scaler,
         "session_encoder_features": q_session_encoder_features,
         # --- whole-table / plans / report ---
         "learner_train_test": q_learner_train_test,
-        "table_stats": q_table_stats,
         "column_associations": q_column_associations,
         # --- text analysis & multimodal ---
         "language_id": q_language_id,
@@ -6107,13 +6537,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # {exact, minhash, embedding} x {batch, incremental,
         # streaming} dedup matrix)
         "streaming_embedding_dedup": q_streaming_embedding_dedup,
-        "streaming_interval_join": q_streaming_interval_join,
         # --- scale demos & sources ---
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "skew_salted_agg": q_skew_salted_agg,
         "snapshot_ingest": q_snapshot_ingest,
         # ------- position 51+: past the driver window (still checked by
         # tools/check_correctness.py locally and the judge's replay) -------
+        # r8 compositions of in-window-proven pieces (both exact)
+        "rank_gated_corpus": q_rank_gated_corpus,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        # r8: hash-threshold cardinality sketch (exact oracle — the
+        # randomness is the samplers' content-addressed md5 rule)
+        "token_cardinality_sketch": q_token_cardinality_sketch,
+        # r8 rotations out of the window (families stay covered —
+        # see the window comments above)
+        "interpolation_join_clf": q_interpolation_join_clf,
+        "knn_join_lsh": q_knn_join_lsh,
+        "substring_dedup": q_substring_dedup,
+        "table_stats": q_table_stats,
+        "streaming_interval_join": q_streaming_interval_join,
         "csv_source": q_csv_source,
         "orc_source": q_orc_source,
         # r7: rotated OUT of the window for this round's flagships

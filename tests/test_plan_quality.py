@@ -574,3 +574,75 @@ def test_bloom_bitset_not_in_plan_text(spark):
     plan = plan_of(df)
     assert len(plan) < 200_000, len(plan)
     assert "__bloom_bits" in plan  # the data-borne bitset column
+
+
+def test_dsir_scoring_broadcast_and_partial_agg(spark):
+    """DSIR frozen-ratio scoring shares the quality-classifier 100 TB
+    shape: the 256-row ratio table broadcasts and both aggregations
+    keep map-side partial phases; no Python in the plan."""
+    from skrub_spark._frozen import DSIR_MODEL
+    from skrub_spark.operators.dsir import dsir_log_weight
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(dsir_log_weight(docs, DSIR_MODEL))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_resample_plans_as_takeordered(spark):
+    """Gumbel-top-k must plan as a distributed TakeOrdered (per-
+    partition top-k merge), never a global Sort of the corpus."""
+    from skrub_spark._frozen import DSIR_MODEL
+    from skrub_spark.operators.dsir import dsir_resample
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(dsir_resample(docs, DSIR_MODEL, 20))
+    assert "TakeOrderedAndProject" in plan
+    # a global sort would show an Exchange rangepartitioning
+    assert "rangepartitioning" not in plan
+
+
+def test_pagerank_no_python_no_cartesian(spark):
+    """Each PageRank iteration is joins + partial-agg sums — pure
+    JVM relational ops, one shuffle exchange per iteration plus the
+    initial edge repartition, never a cartesian or Python stage."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.graph import pagerank
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    plan = plan_of(pagerank(edges, n_iter=3))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_sum" in plan  # map-side combine on contributions
+
+
+def test_compiled_gbt_is_map_only(spark):
+    """The compiled tree ensemble is a single projection over the
+    scan: zero exchanges, zero joins, zero Python — the serving
+    shape MLlib transform can't give you."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark._frozen import GBT_REGRESSION
+    from skrub_spark.functions.tree_compile import ensemble_margin
+    from skrub_spark.sources import load_table
+
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    df = cust.select(
+        "c_custkey",
+        ensemble_margin(GBT_REGRESSION, [F.col("c_nationkey")]).alias("p"),
+    )
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FileScan" in plan

@@ -1,0 +1,343 @@
+"""Round-8 operators: DSIR importance resampling, fixed-point
+PageRank, and the tree-ensemble → CASE compiler."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _bucket(unit: str, n: int, salt: str) -> int:
+    """Python replay of quality_classifier.feature_bucket."""
+    h = hashlib.md5((salt + unit).encode()).hexdigest()
+    return int(h[:15], 16) % n
+
+
+def test_fit_dsir_upweights_target_units(spark):
+    from skrub_spark.operators.dsir import dsir_log_weight, fit_dsir
+
+    target = spark.createDataFrame(
+        [(i, "alpha alpha beta") for i in range(20)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha alpha beta") for i in range(10)]
+        + [(100 + i, "gamma delta epsilon") for i in range(30)],
+        "doc_id long, text string",
+    )
+    m = fit_dsir(target, raw, n_features=64, bigrams=False)
+    scored = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weight(raw, m).collect()
+    }
+    # every target-looking doc must outweigh every off-target doc
+    assert min(scored[i] for i in range(10)) > max(
+        scored[100 + i] for i in range(30)
+    )
+
+
+def test_dsir_log_weight_matches_numpy_replay(spark):
+    from skrub_spark.operators.dsir import dsir_log_weight, fit_dsir
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta gamma"), (2, "beta beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    m = fit_dsir(docs.filter("doc_id = 1"), docs, n_features=32, bigrams=True)
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weight(docs, m).collect()
+    }
+
+    def units(text):
+        toks = [t.lower() for t in text.split()]
+        return toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+
+    for doc_id, text in [(1, "Alpha beta gamma"), (2, "beta beta"), (3, "")]:
+        want = round(
+            sum(
+                m["log_ratios"][_bucket(u, 32, m["salt"])]
+                for u in units(text)
+            ),
+            6,
+        )
+        assert got[doc_id] == want
+
+
+def test_dsir_resample_enriches_target_domain(spark, sf_dir):
+    from skrub_spark._frozen import DSIR_MODEL
+    from skrub_spark.operators.dsir import dsir_resample
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n = docs.count()
+    k = min(30, n)
+    sel = dsir_resample(docs, DSIR_MODEL, k)
+    sel_rows = sel.collect()
+    assert len(sel_rows) == k
+    en_sel = sum(1 for r in sel_rows if r["lang"] == "en") / k
+    en_all = docs.filter("lang = 'en'").count() / n
+    # the frozen model targets the English slice — the resample must
+    # be enriched in it
+    assert en_sel > en_all
+
+
+def test_dsir_resample_stable_under_repartition(spark):
+    from skrub_spark.operators.dsir import dsir_resample, fit_dsir
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} alpha") for i in range(200)],
+        "doc_id long, text string",
+    )
+    m = fit_dsir(docs.filter("doc_id % 2 = 0"), docs, n_features=32)
+    a = {r["doc_id"] for r in dsir_resample(docs, m, 25).collect()}
+    b = {
+        r["doc_id"]
+        for r in dsir_resample(docs.repartition(7), m, 25).collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------------------ PageRank
+
+
+def _pagerank_py(edges, n_iter=3, scale=10**9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: scale for v in nodes}
+    base = scale * 15 // 100
+    for _ in range(n_iter):
+        inc = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + rank[s] // out[s]
+        rank = {v: base + 85 * inc.get(v, 0) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_fixed_point_exactly(spark):
+    from skrub_spark.operators.graph import pagerank
+
+    edges = [(i % 13, (i * 5 + 2) % 13) for i in range(40)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"] for r in pagerank(df, n_iter=3).collect()
+    }
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_uniform_cycle(spark):
+    from skrub_spark.operators.graph import SCALE, pagerank
+
+    # 1 -> 2 -> 3 -> 4 -> 1: perfectly symmetric, ranks stay at SCALE
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    for r in pagerank(df, n_iter=4).collect():
+        assert r["rank_fp"] == SCALE
+        assert r["rank"] == 1.0
+
+
+def test_pagerank_sink_accumulates(spark):
+    from skrub_spark.operators.graph import pagerank
+
+    # star into node 9: it must outrank its sources
+    df = spark.createDataFrame(
+        [(i, 9) for i in range(5)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank(df).collect()}
+    assert ranks[9] > max(ranks[i] for i in range(5))
+
+
+def test_pagerank_partition_invariant(spark):
+    from skrub_spark.operators.graph import pagerank
+
+    edges = [(i % 11, (i * 3 + 1) % 11) for i in range(30) if i % 11 != (i * 3 + 1) % 11]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=3, partitions=2).collect()))
+    b = sorted(map(tuple, pagerank(df, n_iter=3, partitions=7).collect()))
+    assert a == b
+
+
+# --------------------------------------------------- tree compilation
+
+
+def test_compiled_gbt_matches_mllib_transform(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from skrub_spark.functions.tree_compile import (
+        ensemble_margin,
+        export_gbt,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), float((i * 7) % 13) + 0.5 * i) for i in range(60)],
+        "x double, y double",
+    )
+    tr = VectorAssembler(inputCols=["x"], outputCol="__features").transform(df)
+    model = GBTRegressor(
+        featuresCol="__features", labelCol="y", maxIter=5, maxDepth=3, seed=7
+    ).fit(tr)
+    frozen = export_gbt(model, ndp=12)
+    got = model.transform(tr).select(
+        "x", "prediction",
+        ensemble_margin(frozen, [F.col("x")]).alias("compiled"),
+    )
+    for r in got.collect():
+        assert abs(r["prediction"] - r["compiled"]) < 1e-9
+
+
+def test_compiled_classifier_sign_matches_mllib(spark):
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    from skrub_spark.functions.tree_compile import (
+        ensemble_margin,
+        export_gbt,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 1.0 if (i % 5) > 1 else 0.0) for i in range(80)],
+        "x double, label double",
+    )
+    tr = VectorAssembler(inputCols=["x"], outputCol="__features").transform(df)
+    model = GBTClassifier(
+        featuresCol="__features", labelCol="label",
+        maxIter=5, maxDepth=3, seed=7,
+    ).fit(tr)
+    frozen = export_gbt(model, ndp=12)
+    assert frozen["kind"] == "binary"
+    got = model.transform(tr).select(
+        "prediction",
+        (ensemble_margin(frozen, [F.col("x")]) > 0)
+        .cast("double")
+        .alias("compiled"),
+    )
+    for r in got.collect():
+        assert r["prediction"] == r["compiled"]
+
+
+def test_trees_to_sql_replays_in_duckdb(spark):
+    import duckdb
+
+    from skrub_spark._frozen import GBT_REGRESSION
+    from skrub_spark.functions.tree_compile import (
+        ensemble_margin,
+        trees_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(25)], "x double"
+    )
+    srows = {
+        r["x"]: r["p"]
+        for r in df.select(
+            "x",
+            F.round(
+                ensemble_margin(GBT_REGRESSION, [F.col("x")]), 6
+            ).alias("p"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = trees_to_sql(GBT_REGRESSION, ["CAST(x AS DOUBLE)"])
+    drows = dict(
+        con.execute(
+            f"SELECT x, ROUND({expr}, 6) FROM (SELECT unnest(generate_series(0, 24)) AS x)"
+        ).fetchall()
+    )
+    assert srows == {float(k): v for k, v in drows.items()}
+
+
+# ------------------------------------------------- r8 compositions
+
+
+def test_rank_gated_corpus_keeps_only_ranked_hosts(spark, sf_dir):
+    from skrub_spark.queries import q_rank_gated_corpus
+
+    rows = q_rank_gated_corpus(spark, sf_dir).collect()
+    assert rows, "gate emptied the corpus"
+    for r in rows:
+        assert r["host_rank"] > 0.0
+        assert r["host"] == r["doc_id"] % 97
+
+
+def test_cluster_balanced_sample_covers_cells(spark, sf_dir):
+    from skrub_spark._frozen import SEMANTIC_CENTROIDS
+    from skrub_spark.queries import q_cluster_balanced_sample
+
+    rows = q_cluster_balanced_sample(spark, sf_dir).collect()
+    cells = {r["cell"] for r in rows}
+    assert cells <= set(range(len(SEMANTIC_CENTROIDS)))
+    # the sampler targets ~25/cell; tiny sf gives fewer, never more
+    # than the cell population and never an explosion past target
+    from collections import Counter
+
+    per = Counter(r["cell"] for r in rows)
+    assert max(per.values()) <= 40
+
+
+# ---------------------------------------------------------- sketches
+
+
+def test_distinct_sketch_unbiased_and_bounded_error(spark):
+    from skrub_spark.functions.sketches import distinct_sketch
+
+    # D = 3000 distinct values, each appearing twice
+    df = spark.createDataFrame(
+        [(f"val{i % 3000}",) for i in range(6000)], "v string"
+    )
+    est = distinct_sketch(df, "v", rate=16, salt="t8").collect()[0][
+        "distinct_est"
+    ]
+    assert abs(est - 3000) / 3000 < 0.30  # ~sqrt(16/3000) ≈ 7% typical
+
+
+def test_distinct_sketch_mergeable_across_shards(spark):
+    from skrub_spark.functions.sketches import distinct_sketch, sketch_member
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(800)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(400, 1200)], "v string"
+    )
+    whole = distinct_sketch(a.union(b), "v", rate=8, salt="m8").collect()[0][
+        "distinct_est"
+    ]
+    # merge = union the per-shard SURVIVOR sets (what a production
+    # system persists), distinct, multiply back
+    surv = (
+        a.filter(sketch_member(F.col("v"), 8, "m8"))
+        .union(b.filter(sketch_member(F.col("v"), 8, "m8")))
+        .distinct()
+        .count()
+    )
+    assert whole == surv * 8
+
+
+def test_distinct_sketch_partition_invariant(spark):
+    from skrub_spark.functions.sketches import distinct_sketch
+
+    df = spark.createDataFrame(
+        [(f"t{i % 500}", f"g{i % 3}") for i in range(2000)],
+        "v string, g string",
+    )
+    a = sorted(
+        map(tuple, distinct_sketch(df, "v", ["g"], rate=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            distinct_sketch(df.repartition(13), "v", ["g"], rate=4).collect(),
+        )
+    )
+    assert a == b

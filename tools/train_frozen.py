@@ -117,6 +117,56 @@ def train_bpe_merges(spark, sf_dir, n_merges=200):
     return [list(m) for m in model.merges]
 
 
+def train_dsir(spark, sf_dir):
+    """DSIR importance model: target = the English slice of the
+    corpus, raw = the whole corpus (the paper's 'target domain vs
+    raw pool' split realized on the fixture's lang column)."""
+    from skrub_spark.operators.dsir import fit_dsir
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text", "lang")
+    model = fit_dsir(
+        docs.filter("lang = 'en'"), docs,
+        n_features=256, bigrams=True, alpha=1.0,
+    )
+    model["log_ratios"] = [round(x, 6) for x in model["log_ratios"]]
+    return model
+
+
+def train_gbt(spark, sf_dir):
+    """GBT interpolation models (the InterpolationJoiner learned
+    path, frozen): regression s_nationkey -> s_acctbal and binary
+    classification s_nationkey -> sign(s_acctbal), both exported to
+    nested-list tree literals by tree_compile.export_gbt."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+    from pyspark.sql import functions as F
+
+    from skrub_spark.functions.tree_compile import export_gbt
+    from skrub_spark.sources import load_table
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("double").alias("__f0"),
+        F.col("s_acctbal").cast("double").alias("y"),
+        F.when(F.col("s_acctbal") > 0, "pos").otherwise("nonpos").alias("cls"),
+    )
+    vec = VectorAssembler(inputCols=["__f0"], outputCol="__features")
+    tr = vec.transform(supp)
+    reg = GBTRegressor(
+        featuresCol="__features", labelCol="y",
+        maxIter=20, maxDepth=4, seed=42,
+    ).fit(tr)
+    idx = StringIndexer(inputCol="cls", outputCol="yi").fit(tr)
+    clf = GBTClassifier(
+        featuresCol="__features", labelCol="yi",
+        maxIter=20, maxDepth=4, seed=42,
+    ).fit(idx.transform(tr))
+    clf_frozen = export_gbt(clf)
+    clf_frozen["labels"] = list(idx.labels)
+    return export_gbt(reg), clf_frozen
+
+
 def make_stream_planes(dim=64, n_planes=8, n_tables=4, seed=42):
     rng = np.random.default_rng(seed)
     return [
@@ -145,6 +195,8 @@ def main():
     inc_planes = make_stream_planes(n_planes=16, seed=43)
     merges = train_bpe_merges(spark, sf_dir)
     strenc = train_string_encoder(spark, sf_dir)
+    dsir = train_dsir(spark, sf_dir)
+    gbt_reg, gbt_clf = train_gbt(spark, sf_dir)
 
     out = f'''"""FROZEN model artifacts — generated by tools/train_frozen.py, do
 not edit by hand. Battery queries replay these literals on BOTH
@@ -183,6 +235,18 @@ BPE_MERGES = {merges!r}
 # StringEncoder (tfidf + SVD over md5-hashed char 3+4-grams of
 # part.p_name) — frozen idf[hash_dim] + components[hash_dim][k]
 STRING_ENCODER = {strenc!r}
+
+# DSIR hashed-n-gram importance model (target = lang='en' slice,
+# raw = whole corpus): log p_b - log q_b per md5 bucket
+DSIR_MODEL = {dsir!r}
+
+# frozen GBT interpolation models (tree_compile nested-list form):
+# regression s_nationkey -> s_acctbal ...
+GBT_REGRESSION = {gbt_reg!r}
+
+# ... and binary classification s_nationkey -> sign(s_acctbal);
+# labels[] is the StringIndexer order (margin > 0 => labels[1])
+GBT_CLASSIFIER = {gbt_clf!r}
 '''
     path = "/root/repo/skrub_spark/_frozen.py"
     with open(path, "w") as f:
