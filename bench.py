@@ -106,12 +106,17 @@ HEADLINE = [
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",
-    # r8 additions
+    # r8 additions (snapshot_diff excluded like snapshot_ingest:
+    # sink-write cost dominates)
     "dsir_weights",
     "dsir_resample",
     "domain_pagerank",
     "interpolation_gbt_frozen",
     "interpolation_clf_frozen",
+    "rank_gated_corpus",
+    "cluster_balanced_sample",
+    "token_cardinality_sketch",
+    "value_quantile_sketch",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,
@@ -284,6 +289,58 @@ def scale_demos(spark) -> dict:
     # sigmoid saturates to exactly 1.0 in double precision past
     # margin ~36, so the upper bound is inclusive
     assert 0.0 < qstats["lo"] <= qstats["hi"] <= 1.0, qstats
+
+    # --- 5. DSIR selection at 40x the battery corpus (r8): the same
+    # 200k JVM-synthesized docs importance-weighted with the FROZEN
+    # ratio table (explode + broadcast join + per-doc sum) and the
+    # 10k-doc Gumbel-top-k drawn as a distributed TakeOrdered — the
+    # data-selection pass a DoReMi/DSIR-style pipeline runs over
+    # every crawl document.
+    from skrub_spark._frozen import DSIR_MODEL
+    from skrub_spark.operators.dsir import dsir_resample
+
+    t0 = time.time()
+    n_sel = dsir_resample(docs, DSIR_MODEL, 10_000).count()
+    out["dsir_select_200k_docs_s"] = round(time.time() - t0, 3)
+    print(
+        f"# demo dsir_select_200k_docs: "
+        f"{out['dsir_select_200k_docs_s']:.2f}s "
+        f"({n_docs / out['dsir_select_200k_docs_s']:.0f} docs/s)",
+        file=sys.stderr,
+    )
+    assert n_sel == 10_000, n_sel
+
+    # --- 6. PageRank at a 1M-edge host graph (r8): 100k hosts, 10
+    # deterministic out-links each, 3 fixed-point iterations — one
+    # ranks⋈edges shuffle + one map-side-combined sum per iteration,
+    # the shape that carries to the ~10^9-edge Common Crawl host
+    # graph. Asserts total mass stays within the damped bound.
+    from skrub_spark.operators.graph import SCALE, pagerank
+
+    n_hosts = 100_000
+    edges_big = (
+        spark.range(n_hosts * 10)
+        .select(
+            (F.col("id") % n_hosts).alias("src"),
+            (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_hosts))
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    t0 = time.time()
+    pr_stats = pagerank(edges_big, n_iter=3).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rank_fp").alias("mass")
+    ).first()
+    out["pagerank_1m_edges_s"] = round(time.time() - t0, 3)
+    print(
+        f"# demo pagerank_1m_edges: {out['pagerank_1m_edges_s']:.2f}s "
+        f"({pr_stats['n']} nodes, "
+        f"{10 * n_hosts / out['pagerank_1m_edges_s']:.0f} edges/s/iter x 3)",
+        file=sys.stderr,
+    )
+    # floor-division losses only shrink mass; the (1-d) base floors it
+    assert 0 < pr_stats["mass"] <= pr_stats["n"] * SCALE, pr_stats
     return out
 
 

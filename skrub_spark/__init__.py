@@ -31,6 +31,15 @@ from .operators.domains import (  # noqa: F401
 )
 from .functions.text import redact_pii  # noqa: F401
 from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
+from .operators.dsir import dsir_log_weight, dsir_resample, fit_dsir  # noqa: F401
+from .operators.graph import pagerank  # noqa: F401
+from .functions.tree_compile import (  # noqa: F401
+    ensemble_margin,
+    export_gbt,
+    trees_to_sql,
+)
+from .functions.sketches import distinct_sketch, quantile_sketch  # noqa: F401
+from .sources.snapshots import snapshot_diff  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
     dedup_exact,

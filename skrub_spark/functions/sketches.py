@@ -32,13 +32,70 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.sampling import _hash_bucket
+from ..operators.sampling import _FINE_BUCKETS, _hash_bucket
 
 
 def sketch_member(value: Column, rate: int, salt: str = "") -> Column:
     """True iff ``value`` belongs to the 1/rate hash-threshold
     sketch — the map-only survivor predicate."""
     return _hash_bucket(value, salt, int(rate)) == 0
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value: Column | str,
+    key: Column | str,
+    by: list[str] | None = None,
+    *,
+    qs: list[float] = (0.25, 0.5, 0.75),
+    frac: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group quantiles by deterministic-sample-then-exact-select:
+    keep each row iff its content-addressed ``key`` hash falls under
+    ``frac`` (the samplers' md5 rule — same survivors on any
+    cluster), then pick the DISCRETE quantile (the value at row
+    ``ceil(q·n)`` of the (value, key)-sorted survivors — an actual
+    data value, no interpolation, so two engines agree exactly).
+
+    Returns one row per (group, q): ``(*by, q, value)``. The 100 TB
+    shape: the sample filter is map-only at the scan; survivors
+    (~frac·rows per group) take ONE window shuffle. Interpolating
+    estimators (percentile_approx/t-digest) trade that determinism
+    for engine-internal state — this one is exact-oracle-able
+    (battery query ``value_quantile_sketch``) and its sampling error
+    is the classic order-statistic bound, pinned in tests."""
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    k = F.col(key) if isinstance(key, str) else key
+    by = list(by or [])
+    kept = df
+    if frac < 1.0:
+        kept = df.filter(
+            _hash_bucket(k, salt, _FINE_BUCKETS)
+            < int(round(frac * _FINE_BUCKETS))
+        )
+    kept = kept.select(*by, v.alias("__v"), k.alias("__k"))
+    w = Window.partitionBy(*by).orderBy(
+        F.col("__v").asc_nulls_last(), F.col("__k").asc()
+    )
+    ranked = kept.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*by))
+    )
+    qarr = F.expr(
+        "array(" + ",".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs) + ")"
+    )
+    exploded = ranked.select(
+        *by, "__v", "__rn", "__n", F.explode(qarr).alias("q")
+    )
+    pick = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("q") * F.col("__n")).cast("long"),
+    )
+    return exploded.filter(F.col("__rn") == pick).select(
+        *by, "q", F.col("__v").alias("value")
+    )
 
 
 def distinct_sketch(

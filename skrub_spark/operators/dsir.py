@@ -125,30 +125,29 @@ def dsir_log_weight(
     n-grams model), ROUNDED to 6dp so the double sum is engine-
     portable. Zero-unit docs get 0.0 — every input row survives.
 
-    One explode, one map-side-combined (id, bucket) aggregation, one
-    BROADCAST join against the n_features-row ratio table, one
-    per-doc sum — the identical 100 TB shape as
-    :func:`~skrub_spark.operators.quality_classifier.score_quality`."""
-    from .quality_classifier import hashed_text_features
-
-    feats = hashed_text_features(
-        df, content_col, id_col,
-        n_features=model["n_features"], bigrams=model["bigrams"],
-        salt=model.get("salt", _DEFAULT_SALT),
+    ONE explode, ONE map-side-combined per-doc sum: the 256-entry
+    ratio vector rides as a constant-folded literal array indexed by
+    ``element_at`` (no join, no second shuffle — the weight-table
+    BROADCAST join the quality classifier uses is already optimal at
+    corpus scale, but a frozen vector this small is cheaper still as
+    plan constant). Built as one ``F.expr`` string: 256 per-element
+    ``F.lit`` calls would cost a py4j round-trip each."""
+    arr = F.expr(
+        "array(" + ",".join(
+            f"CAST({float(x)!r} AS DOUBLE)" for x in model["log_ratios"]
+        ) + ")"
     )
-    spark = df.sparkSession
-    rt = spark.createDataFrame(
-        [(i, float(x)) for i, x in enumerate(model["log_ratios"])],
-        "bucket long, lr double",
+    b = feature_bucket(
+        F.col("__u"), model["n_features"], model.get("salt", _DEFAULT_SALT)
     )
     logw = (
-        feats.join(F.broadcast(rt), "bucket", "left")
-        .groupBy("id")
-        .agg(
-            F.round(
-                F.sum(F.col("cnt") * F.coalesce("lr", F.lit(0.0))), 6
-            ).alias("__logw")
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_units(content_col, model["bigrams"])).alias("__u"),
         )
+        .select("id", F.element_at(arr, (b + F.lit(1)).cast("int")).alias("__lr"))
+        .groupBy("id")
+        .agg(F.round(F.sum("__lr"), 6).alias("__logw"))
     )
     return (
         df.join(logw.withColumnRenamed("id", id_col), id_col, "left")

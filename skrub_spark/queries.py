@@ -3114,6 +3114,61 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "cell")
 
 
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles via deterministic-sample +
+    exact discrete selection (r8, functions/sketches.py): a 25%
+    md5-sample of events (map-only at the scan), then the value at
+    row ceil(q·n) of each group's sorted survivors — an actual data
+    value both engines agree on exactly, unlike interpolating
+    percentile estimators whose state is engine-internal. One window
+    shuffle over the survivors."""
+    _prep(spark)
+    from .functions.sketches import quantile_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return quantile_sketch(
+        ev, "value", "event_id", ["event_type"],
+        qs=[0.25, 0.5, 0.9], frac=0.25, salt="vq8",
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff report (r8): two planted corpus versions — v2
+    drops every 7th doc, revises every 5th surviving doc, and adds
+    40 new docs — diffed by (id, content-hash) full-outer join over
+    column-pruned direct-path reads (16 bytes/doc move, payloads
+    never read). The oracle replays the planting arithmetic and the
+    status rules; output is one (doc_id, status) row per doc ever
+    seen."""
+    _prep(spark)
+    from .sources.snapshots import snapshot_diff, write_snapshot
+
+    root = _fresh_tmp("skrub_q_snapdiff_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_snapshot(docs, root, version=1)
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    write_snapshot(v2, root, version=2)
+    return snapshot_diff(spark, root, 1, 2)
+
+
 def q_token_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token cardinality per language via the hash-threshold
     (theta/KMV-family) sketch (r8, functions/sketches.py): a token
@@ -6326,6 +6381,42 @@ def _pagerank_oracle(n_iter: int = 3, tail: str | None = None) -> str:
 
 ORACLES["domain_pagerank"] = _pagerank_oracle(3)
 
+ORACLES["value_quantile_sketch"] = """
+    WITH kept AS (
+      SELECT event_type, value, event_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY value ASC NULLS LAST, event_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE ('0x' || substr(md5('vq8' || CAST(event_id AS VARCHAR)),
+                            1, 15))::BIGINT % 100000000 < 25000000
+    )
+    SELECT event_type, q, value
+    FROM kept
+    CROSS JOIN (SELECT unnest([CAST(0.25 AS DOUBLE),
+                               CAST(0.5 AS DOUBLE),
+                               CAST(0.9 AS DOUBLE)]) AS q) qs
+    WHERE rn = greatest(CAST(1 AS BIGINT),
+                        CAST(ceiling(q * n) AS BIGINT))
+"""
+
+ORACLES["snapshot_diff"] = """
+    WITH old AS (SELECT doc_id FROM documents),
+    new AS (
+      SELECT doc_id, (doc_id % 5 = 0) AS chg
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 3000000, false FROM documents WHERE doc_id < 40
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN n.chg THEN 'changed'
+           ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+"""
+
 ORACLES["token_cardinality_sketch"] = """
     WITH t AS (
       SELECT lang,
@@ -6549,6 +6640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: hash-threshold cardinality sketch (exact oracle — the
         # randomness is the samplers' content-addressed md5 rule)
         "token_cardinality_sketch": q_token_cardinality_sketch,
+        # r8: versioned-snapshot diff report (added/removed/changed)
+        "snapshot_diff": q_snapshot_diff,
+        # r8: deterministic-sample discrete quantiles (exact oracle)
+        "value_quantile_sketch": q_value_quantile_sketch,
         # r8 rotations out of the window (families stay covered —
         # see the window comments above)
         "interpolation_join_clf": q_interpolation_join_clf,

@@ -576,20 +576,28 @@ def test_bloom_bitset_not_in_plan_text(spark):
     assert "__bloom_bits" in plan  # the data-borne bitset column
 
 
-def test_dsir_scoring_broadcast_and_partial_agg(spark):
-    """DSIR frozen-ratio scoring shares the quality-classifier 100 TB
-    shape: the 256-row ratio table broadcasts and both aggregations
-    keep map-side partial phases; no Python in the plan."""
+def test_dsir_scoring_single_shuffle_constant_ratios(spark):
+    """DSIR frozen-ratio scoring is ONE explode + ONE map-side-
+    combined per-doc sum: the ratio vector rides as a constant-folded
+    literal array (element_at), so the plan has NO join at all for
+    the weights — only the final doc_id join back to the corpus —
+    and no Python."""
     from skrub_spark._frozen import DSIR_MODEL
     from skrub_spark.operators.dsir import dsir_log_weight
     from skrub_spark.sources import load_table
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     plan = plan_of(dsir_log_weight(docs, DSIR_MODEL))
-    assert "BroadcastHashJoin" in plan
-    assert "partial_count" in plan and "partial_sum" in plan
+    assert "partial_sum" in plan  # map-side combine on the doc sum
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # exactly one join: scores back onto the corpus rows (the old
+    # weight-table join is gone — constant-folded literal lookup)
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
 
 
 def test_dsir_resample_plans_as_takeordered(spark):

@@ -341,3 +341,86 @@ def test_distinct_sketch_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_snapshot_diff_statuses(spark, tmp_path):
+    from skrub_spark.sources.snapshots import snapshot_diff, write_snapshot
+
+    root = str(tmp_path / "snaps")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b"), (3, "c-new"), (4, "d")], "doc_id long, text string"
+    )
+    write_snapshot(v1, root, version=1)
+    write_snapshot(v2, root, version=2)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(spark, root, 1, 2).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_quantile_sketch_exact_at_full_fraction(spark):
+    from skrub_spark.functions.sketches import quantile_sketch
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, v double"
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_sketch(
+            df, "v", "id", qs=[0.25, 0.5, 1.0], frac=1.0
+        ).collect()
+    }
+    # discrete quantile = value at row ceil(q*n): 25, 50, 100
+    assert got == {0.25: 25.0, 0.5: 50.0, 1.0: 100.0}
+
+
+def test_quantile_sketch_sampling_error_bounded(spark):
+    from skrub_spark.functions.sketches import quantile_sketch
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10000)) for i in range(20000)], "id long, v double"
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_sketch(
+            df, "v", "id", qs=[0.5], frac=0.25, salt="qe8"
+        ).collect()
+    }
+    # order-statistic bound: median of a ~5000-row sample of
+    # uniform(0..9999) sits within a few hundred of 5000
+    assert abs(got[0.5] - 5000.0) < 400
+
+
+def test_compiled_gbt_two_features(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from skrub_spark.functions.tree_compile import (
+        ensemble_margin,
+        export_gbt,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (float(i % 9), float(i % 7), float((i * 3) % 11))
+            for i in range(120)
+        ],
+        "a double, b double, y double",
+    )
+    tr = VectorAssembler(
+        inputCols=["a", "b"], outputCol="__features"
+    ).transform(df)
+    model = GBTRegressor(
+        featuresCol="__features", labelCol="y", maxIter=4, maxDepth=3, seed=3
+    ).fit(tr)
+    frozen = export_gbt(model, ndp=12)
+    got = model.transform(tr).select(
+        "prediction",
+        ensemble_margin(frozen, [F.col("a"), F.col("b")]).alias("compiled"),
+    )
+    for r in got.collect():
+        assert abs(r["prediction"] - r["compiled"]) < 1e-9
