@@ -341,6 +341,46 @@ def scale_demos(spark) -> dict:
     )
     # floor-division losses only shrink mass; the (1-d) base floors it
     assert 0 < pr_stats["mass"] <= pr_stats["n"] * SCALE, pr_stats
+
+    # --- 7. Z-order layout (r8): 200k rows written three ways, then
+    # the parquet-footer skip fraction for single-dimension range
+    # predicates — the stats-pruning decision a reader makes. Linear
+    # sort prunes only its own column; the z-curve prunes BOTH
+    # (at 100 TB: reading ~25% of files instead of 100% for the
+    # dimension the sort didn't cover).
+    import tempfile
+
+    from skrub_spark.sources.layout import (
+        file_skip_fraction,
+        write_zordered,
+    )
+
+    zbase = tempfile.mkdtemp(prefix="skrub_bench_zorder_")
+    zdf = spark.range(200_000).select(
+        F.col("id").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("double").alias("y"),
+    )
+    zdf.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(zbase + "/sortx")
+    t0 = time.time()
+    write_zordered(
+        zdf, zbase + "/zord", {"x": (0, 200_000), "y": (0, 100_000)},
+        n_files=16,
+    )
+    out["zorder_write_200k_s"] = round(time.time() - t0, 3)
+    px, py = {"x": (10_000, 20_000)}, {"y": (50_000, 55_000)}
+    out["zorder_skip_x"] = round(file_skip_fraction(zbase + "/zord", px), 3)
+    out["zorder_skip_y"] = round(file_skip_fraction(zbase + "/zord", py), 3)
+    sortx_y = file_skip_fraction(zbase + "/sortx", py)
+    print(
+        f"# demo zorder: write {out['zorder_write_200k_s']:.2f}s; "
+        f"skip x={out['zorder_skip_x']:.2f} y={out['zorder_skip_y']:.2f} "
+        f"(linear sort-by-x skips y-predicate files: {sortx_y:.2f})",
+        file=sys.stderr,
+    )
+    assert out["zorder_skip_x"] >= 0.5 and out["zorder_skip_y"] >= 0.5
+    assert sortx_y == 0.0
     return out
 
 

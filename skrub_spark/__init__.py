@@ -40,6 +40,11 @@ from .functions.tree_compile import (  # noqa: F401
 )
 from .functions.sketches import distinct_sketch, quantile_sketch  # noqa: F401
 from .sources.snapshots import snapshot_diff  # noqa: F401
+from .sources.layout import (  # noqa: F401
+    file_skip_fraction,
+    write_zordered,
+    zorder_value,
+)
 from .dedup import (  # noqa: F401
     connected_components,
     dedup_exact,

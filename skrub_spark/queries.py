@@ -3114,6 +3114,25 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "cell")
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys (r8, sources/layout.py): the interleaved-
+    bit space-filling-curve key over (doc_id, n_chars) with FIXED
+    ranges — clamp + scale + 16-bit interleave, pure integer
+    arithmetic after one double scale, so the oracle replays every
+    key exactly. This key is what write_zordered range-partitions
+    on; the layout payoff (files skippable on min/max stats in BOTH
+    dimensions) is measured in the bench demo + pinned in
+    tests/test_r8_ops.py."""
+    _prep(spark)
+    from .sources.layout import zorder_value
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    z = zorder_value({"doc_id": (0, 5000), "n_chars": (0, 600)}, bits=16)
+    return docs.select("doc_id", z.alias("zkey"))
+
+
 def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value quantiles via deterministic-sample +
     exact discrete selection (r8, functions/sketches.py): a 25%
@@ -6381,6 +6400,35 @@ def _pagerank_oracle(n_iter: int = 3, tail: str | None = None) -> str:
 
 ORACLES["domain_pagerank"] = _pagerank_oracle(3)
 
+def _zorder_oracle(bits: int = 16) -> str:
+    """Bit-for-bit replay of q_zorder_keys: the same clamp/scale
+    (identical double ops) then the interleave as a sum of shifted
+    bit extracts."""
+    cells = [
+        ("c0", "doc_id", 0.0, 5000.0),
+        ("c1", "n_chars", 0.0, 600.0),
+    ]
+    n = len(cells)
+    cell_sql = ", ".join(
+        f"least(CAST({2 ** bits - 1} AS BIGINT), greatest(CAST(0 AS BIGINT),"
+        f" CAST(floor((CAST({col} AS DOUBLE) - CAST({lo!r} AS DOUBLE))"
+        f" / CAST({hi - lo!r} AS DOUBLE)"
+        f" * CAST({float(2 ** bits)!r} AS DOUBLE)) AS BIGINT))) AS {name}"
+        for name, col, lo, hi in cells
+    )
+    terms = " + ".join(
+        f"CAST({2 ** (i * n + ci)} AS BIGINT) * (({name} >> {i}) & 1)"
+        for i in range(bits)
+        for ci, (name, _, _, _) in enumerate(cells)
+    )
+    return f"""
+        WITH cells AS (SELECT doc_id, {cell_sql} FROM documents)
+        SELECT doc_id, CAST({terms} AS BIGINT) AS zkey FROM cells
+    """
+
+
+ORACLES["zorder_keys"] = _zorder_oracle(16)
+
 ORACLES["value_quantile_sketch"] = """
     WITH kept AS (
       SELECT event_type, value, event_id,
@@ -6644,6 +6692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         # r8: deterministic-sample discrete quantiles (exact oracle)
         "value_quantile_sketch": q_value_quantile_sketch,
+        # r8: z-order layout keys (exact oracle; layout payoff in
+        # the bench demo + skip-fraction tests)
+        "zorder_keys": q_zorder_keys,
         # r8 rotations out of the window (families stay covered —
         # see the window comments above)
         "interpolation_join_clf": q_interpolation_join_clf,

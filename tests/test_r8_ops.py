@@ -424,3 +424,71 @@ def test_compiled_gbt_two_features(spark):
     )
     for r in got.collect():
         assert abs(r["prediction"] - r["compiled"]) < 1e-9
+
+
+# ----------------------------------------------------- z-order layout
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    from skrub_spark.sources.layout import zorder_value
+
+    cols = {"a": (0, 1000), "b": (0, 1000)}
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(500)],
+        "a long, b double",
+    )
+    got = {
+        r["a"]: r["z"]
+        for r in df.withColumn("z", zorder_value(cols, bits=8)).collect()
+    }
+
+    def pyz(a, b, bits=8, n=2):
+        z = 0
+        for ci, (v, (lo, hi)) in enumerate([(a, (0, 1000)), (b, (0, 1000))]):
+            cell = int((float(v) - lo) / (hi - lo) * (2**bits) // 1)
+            cell = min(2**bits - 1, max(0, cell))
+            for i in range(bits):
+                z += ((cell >> i) & 1) << (i * n + ci)
+        return z
+
+    assert all(got[i] == pyz(i, float((i * 37) % 1000)) for i in range(500))
+
+
+def test_zorder_value_clamps_out_of_range(spark):
+    from skrub_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(-5, 0.0), (99999, 2000.0)], "a long, b double"
+    )
+    rows = df.withColumn(
+        "z", zorder_value({"a": (0, 100), "b": (0, 100)}, bits=4)
+    ).collect()
+    zs = {r["a"]: r["z"] for r in rows}
+    assert zs[-5] == 0  # both cells clamp to 0
+    # both cells clamp to 15: z = interleave(15, 15) = 255
+    assert zs[99999] == 255
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from skrub_spark.sources.layout import (
+        file_skip_fraction,
+        write_zordered,
+    )
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).cast("double").alias("y"),
+    )
+    zpath = str(tmp_path / "zord")
+    spath = str(tmp_path / "sortx")
+    write_zordered(df, zpath, {"x": (0, 40_000), "y": (0, 10_000)}, n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(spath)
+    px, py = {"x": (1_000, 3_000)}, {"y": (4_000, 4_500)}
+    assert file_skip_fraction(zpath, px) >= 0.5
+    assert file_skip_fraction(zpath, py) >= 0.5
+    # the linear sort cannot prune the dimension it didn't sort on
+    assert file_skip_fraction(spath, py) == 0.0
