@@ -117,6 +117,9 @@ HEADLINE = [
     "cluster_balanced_sample",
     "token_cardinality_sketch",
     "value_quantile_sketch",
+    "zorder_keys",
+    "trustrank_domains",
+    "numeric_associations",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

@@ -51,6 +51,7 @@ def pagerank(
     d_num: int = 85,
     d_den: int = 100,
     partitions: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over distinct directed edges; returns
     (node, rank_fp, rank) where ``rank_fp`` is the exact BIGINT
@@ -60,7 +61,15 @@ def pagerank(
     are collapsed (host graphs are simple graphs). ``n_iter`` is a
     fixed power-iteration count; damping d = d_num/d_den is applied
     as ``(d_num · x) div d_den`` so the arithmetic stays integral.
-    """
+
+    ``seeds`` (one ``node`` column) switches to PERSONALIZED
+    PageRank — TrustRank (Gyöngyi et al. 2004), the seed-based
+    quality prior web curation actually runs: the (1−d) reset mass
+    lands ONLY on the seed set (trusted/curated hosts) instead of
+    uniformly, and the initial rank is SCALE on seeds / 0 elsewhere,
+    so trust propagates outward along links and an unreachable spam
+    cluster scores exactly 0. The seed frame broadcasts (it is
+    curated, therefore small)."""
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
@@ -78,7 +87,22 @@ def pagerank(
     )
     base = (SCALE * (d_den - d_num)) // d_den
 
-    ranks = nodes.withColumn("rank_fp", F.lit(SCALE).cast("long"))
+    if seeds is not None:
+        seed_marked = nodes.join(
+            F.broadcast(seeds.select("node").distinct().withColumn(
+                "__seed", F.lit(True)
+            )),
+            "node",
+            "left",
+        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+        nodes = seed_marked.persist()
+        base_col = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+        init_col = F.when(F.col("__seed"), F.lit(SCALE)).otherwise(F.lit(0))
+    else:
+        base_col = F.lit(base)
+        init_col = F.lit(SCALE)
+
+    ranks = nodes.withColumn("rank_fp", init_col.cast("long"))
     for _ in range(int(n_iter)):
         contribs = (
             ed.join(
@@ -99,9 +123,11 @@ def pagerank(
             )
             .select(
                 "node",
-                F.expr(
-                    f"{base}L + (({d_num}L * coalesce(in_sum, 0L)) "
-                    f"div {d_den}L)"
+                (
+                    base_col.cast("long")
+                    + F.expr(
+                        f"(({d_num}L * coalesce(in_sum, 0L)) div {d_den}L)"
+                    )
                 ).alias("rank_fp"),
             )
         )

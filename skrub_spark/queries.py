@@ -3218,6 +3218,45 @@ def q_token_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric columns
+    in ONE map-side-combined aggregation pass (r8 — the numeric
+    companion to column_associations' Cramér's V): inputs become
+    exact integer cents via decimal casts, all Σx/Σx²/Σxy sums run
+    in exact decimal arithmetic (partitioning-invariant, unlike
+    corr()'s float moments), and r is computed in double from those
+    exact integers, rounded to 6dp — which is exactly what the
+    DuckDB oracle replays."""
+    _prep(spark)
+    from .report.associations import numeric_associations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_associations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / TrustRank (r8 — Gyöngyi et al. 2004,
+    the seed-based quality prior): the same planted host graph as
+    domain_pagerank, but the (1−d) reset mass lands only on the 10
+    trusted seed hosts and the initial rank is SCALE on seeds / 0
+    elsewhere, so trust propagates outward along links and hosts
+    unreachable from the seed set score exactly 0. Same BIGINT
+    fixed-point arithmetic — the oracle replays every iteration with
+    seed-conditional base/init terms."""
+    _prep(spark)
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return pagerank(edges, n_iter=3, seeds=seeds)
+
+
 def q_interpolation_gbt_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InterpolationJoiner learned-regression path with a FROZEN
     model (r8 — promotes the rows-only interpolation_join_gbt family
@@ -6353,18 +6392,29 @@ def _r8_frozen_oracles() -> dict[str, str]:
 ORACLES.update(_r8_frozen_oracles())
 
 
-def _pagerank_oracle(n_iter: int = 3, tail: str | None = None) -> str:
+def _pagerank_oracle(
+    n_iter: int = 3,
+    tail: str | None = None,
+    seed_pred: str | None = None,
+) -> str:
     """Chained-CTE replay of q_domain_pagerank's fixed-point power
     iterations: every Spark op (integer div, damped sum, base rank)
     maps 1:1 to BIGINT arithmetic — DuckDB's `//` is Spark's `div`,
-    and HUGEINT SUM outputs are cast back to BIGINT per iteration."""
+    and HUGEINT SUM outputs are cast back to BIGINT per iteration.
+    ``seed_pred`` (a SQL predicate over ``node``) switches to the
+    TrustRank variant: base/init mass on seed nodes only."""
+    if seed_pred is None:
+        base_sql, init_sql = "150000000", "1000000000"
+    else:
+        base_sql = f"(CASE WHEN {seed_pred.replace('node', 'n.node')} THEN 150000000 ELSE 0 END)"
+        init_sql = f"(CASE WHEN {seed_pred} THEN 1000000000 ELSE 0 END)"
     prev = "r0"
     iters = ""
     for it in range(1, n_iter + 1):
         iters += f""",
         i{it} AS (
           SELECT n.node,
-            CAST(150000000 + ((85 * COALESCE(s.in_sum, 0)) // 100)
+            CAST({base_sql} + ((85 * COALESCE(s.in_sum, 0)) // 100)
                  AS BIGINT) AS rank_fp
           FROM n LEFT JOIN (
             SELECT e.dst AS node,
@@ -6392,13 +6442,57 @@ def _pagerank_oracle(n_iter: int = 3, tail: str | None = None) -> str:
         ), n AS (
           SELECT src AS node FROM e UNION SELECT dst FROM e
         ), r0 AS (
-          SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM n
+          SELECT node, CAST({init_sql} AS BIGINT) AS rank_fp FROM n
         ){iters}
         {tail.format(prev=prev)}
     """
 
 
 ORACLES["domain_pagerank"] = _pagerank_oracle(3)
+ORACLES["trustrank_domains"] = _pagerank_oracle(3, seed_pred="node < 10")
+
+
+def _numeric_assoc_oracle() -> str:
+    """One-pass Pearson replay: integer cents, exact HUGEINT sums,
+    double formula from the exact integers, 6dp round — mirrors
+    report/associations.py::numeric_associations term for term."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    short = {c: c.replace("l_", "") for c in cols}
+    ints = ", ".join(
+        f"CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT) AS {short[c]}"
+        for c in cols
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"SUM({short[c]}) AS s_{short[c]}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sums.append(
+                f"SUM({short[a]} * {short[b]}) AS p_{short[a]}_{short[b]}"
+            )
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sa, sb = short[a], short[b]
+            branches.append(f"""
+      SELECT '{a}' AS left_column_name, '{b}' AS right_column_name,
+        ROUND(CAST(n * p_{sa}_{sb} - s_{sa} * s_{sb} AS DOUBLE)
+              / sqrt(CAST(n * p_{sa}_{sa} - s_{sa} * s_{sa} AS DOUBLE)
+                     * CAST(n * p_{sb}_{sb} - s_{sb} * s_{sb} AS DOUBLE)),
+              6) AS pearson_r
+      FROM s""")
+    return f"""
+        WITH ints AS (
+          SELECT {ints} FROM lineitem WHERE {notnull}
+        ), s AS (
+          SELECT {", ".join(sums)} FROM ints
+        )
+        {" UNION ALL ".join(branches)}
+    """
+
+
+ORACLES["numeric_associations"] = _numeric_assoc_oracle()
 
 def _zorder_oracle(bits: int = 16) -> str:
     """Bit-for-bit replay of q_zorder_keys: the same clamp/scale
@@ -6695,6 +6789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: z-order layout keys (exact oracle; layout payoff in
         # the bench demo + skip-fraction tests)
         "zorder_keys": q_zorder_keys,
+        # r8: personalized PageRank / TrustRank (seed-based prior)
+        "trustrank_domains": q_trustrank_domains,
+        # r8: one-pass exact-sums Pearson matrix (report family)
+        "numeric_associations": q_numeric_associations,
         # r8 rotations out of the window (families stay covered —
         # see the window comments above)
         "interpolation_join_clf": q_interpolation_join_clf,

@@ -116,3 +116,71 @@ def column_associations(
         results, "left_column_name string, right_column_name string, cramer_v double"
     )
     return out.orderBy(F.col("cramer_v").desc())
+
+
+def numeric_associations(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    decimals: int = 2,
+    ndp: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE aggregation
+    pass, engine-deterministically: inputs are exact
+    ``decimal(12,decimals)`` values scaled to integer units, every
+    sum (Σx, Σx², Σxy) runs in exact decimal arithmetic, and the
+    final r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²)(nΣy²−Σy²)) is computed
+    in double FROM those exact integers and rounded to ``ndp`` — so
+    the result is identical under any partitioning/summation order
+    and a SQL oracle replays it exactly (battery query
+    ``numeric_associations``). Native ``corr()`` streams float
+    moments whose accumulation order varies per run.
+
+    Returns (left_column_name, right_column_name, pearson_r), one
+    row per unordered pair, the reference-report column style. The
+    100 TB shape: one map-side-combined aggregation producing
+    O(k²) sums for k columns — no per-pair passes. Rows with a NULL
+    in any of ``cols`` are dropped first (pairwise-complete across
+    the same row set keeps the pass single)."""
+    scale = 10**decimals
+    clean = df.na.drop(subset=cols)
+    ints = clean.select(
+        *[
+            (F.col(c).cast(f"decimal(12,{decimals})") * scale)
+            .cast("long")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a) * F.col(b)).cast("decimal(38,0)")
+                ).alias(f"p_{a}__{b}")
+            )
+    row = ints.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("__n").cast("decimal(38,0)")
+        sx, sy = F.col(f"s_{a}"), F.col(f"s_{b}")
+        sxy = F.col(f"p_{a}__{b}")
+        sxx, syy = F.col(f"p_{a}__{a}"), F.col(f"p_{b}__{b}")
+        num = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx).cast("double")
+        vy = (n * syy - sy * sy).cast("double")
+        return F.round(num / F.sqrt(vx * vy), ndp)
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("left_column_name"),
+            F.lit(b).alias("right_column_name"),
+            r_expr(a, b).alias("pearson_r"),
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return row.select(F.explode(F.array(*pairs)).alias("__p")).select("__p.*")

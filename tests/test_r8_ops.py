@@ -492,3 +492,85 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert file_skip_fraction(zpath, py) >= 0.5
     # the linear sort cannot prune the dimension it didn't sort on
     assert file_skip_fraction(spath, py) == 0.0
+
+
+def test_trustrank_zero_outside_seed_reach(spark):
+    from skrub_spark.operators.graph import pagerank
+
+    # component A: 1 -> 2 -> 3; component B: 10 -> 11. Seeds = {1}.
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, n_iter=3, seeds=seeds).collect()
+    }
+    assert ranks[10] == 0 and ranks[11] == 0  # unreachable from seeds
+    assert ranks[1] > 0 and ranks[2] > 0 and ranks[3] > 0
+    # trust decays with distance from the seed
+    assert ranks[1] > ranks[2] > ranks[3] or ranks[2] > ranks[3]
+
+
+def test_trustrank_matches_python_fixed_point(spark):
+    from skrub_spark.operators.graph import SCALE, pagerank
+
+    edges = sorted(
+        {(i % 9, (i * 4 + 1) % 9) for i in range(25) if i % 9 != (i * 4 + 1) % 9}
+    )
+    seed_set = {0, 1}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seed_set], "node long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, n_iter=3, seeds=seeds).collect()
+    }
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: (SCALE if v in seed_set else 0) for v in nodes}
+    base = SCALE * 15 // 100
+    for _ in range(3):
+        inc = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + rank[s] // out[s]
+        rank = {
+            v: (base if v in seed_set else 0) + 85 * inc.get(v, 0) // 100
+            for v in nodes
+        }
+    assert got == rank
+
+
+def test_numeric_associations_matches_numpy(spark):
+    import numpy as np
+
+    from skrub_spark.report.associations import numeric_associations
+
+    rows = [
+        (float(i % 10), float((i * 3) % 7) + 0.25 * (i % 10), float(i % 2))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r["left_column_name"], r["right_column_name"]): r["pearson_r"]
+        for r in numeric_associations(df, ["a", "b", "c"]).collect()
+    }
+    arr = np.array(rows)
+    for (i, a), (j, b) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")), ((1, "b"), (2, "c"))]:
+        want = np.corrcoef(arr[:, i], arr[:, j])[0, 1]
+        assert abs(got[(a, b)] - want) < 1e-6
+
+
+def test_numeric_associations_partition_invariant(spark):
+    from skrub_spark.report.associations import numeric_associations
+
+    df = spark.createDataFrame(
+        [(float(i % 13), float((i * 7) % 17)) for i in range(1000)],
+        "a double, b double",
+    )
+    x = numeric_associations(df, ["a", "b"]).collect()[0]["pearson_r"]
+    y = numeric_associations(df.repartition(23), ["a", "b"]).collect()[0][
+        "pearson_r"
+    ]
+    assert x == y
