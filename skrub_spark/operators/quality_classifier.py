@@ -153,6 +153,44 @@ def fit_quality_classifier(
     }
 
 
+def quality_score_column(
+    model: dict, content_col: str = "text"
+) -> Column:
+    """The frozen-model quality score as a PURE Column — the
+    per-unit weight lookup and mean run inside the row (F.aggregate
+    over the unit array, weights as a constant-folded literal
+    array), so there is no groupBy/join at all. This is the form
+    that runs unchanged inside Structured Streaming (stateless map;
+    battery query ``streaming_quality_gate``) and the cheapest batch
+    shape for pipelines that already carry the text column. Same
+    arithmetic as :func:`score_quality` — identical scores after the
+    battery queries' 6dp round (the in-row sum orders additions
+    sequentially; the groupBy form orders them by shuffle)."""
+    units = F.transform(tokens(F.col(content_col)), lambda t: F.lower(t))
+    if model["bigrams"]:
+        units = F.concat(units, word_shingles(F.col(content_col), 2))
+    warr = F.expr(
+        "array(" + ",".join(
+            f"CAST({float(w)!r} AS DOUBLE)" for w in model["weights"]
+        ) + ")"
+    )
+    n_feat = int(model["n_features"])
+    salt = model.get("salt", _DEFAULT_SALT)
+    total = F.aggregate(
+        units,
+        F.lit(0.0),
+        lambda acc, u: acc
+        + F.element_at(
+            warr, (feature_bucket(u, n_feat, salt) + F.lit(1)).cast("int")
+        ),
+    )
+    n = F.size(units)
+    margin = F.lit(float(model["bias"])) + F.when(
+        n > 0, total / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
 def score_quality(
     df: DataFrame,
     model: dict,

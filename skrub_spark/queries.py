@@ -3218,6 +3218,64 @@ def q_token_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate ON THE STREAM (r8): the frozen-classifier
+    score is a pure Column expression, so it runs unchanged inside
+    Structured Streaming — documents split into two files stream
+    with maxFilesPerTrigger=1 and each micro-batch is scored and
+    gated (rounded score >= 0.5) at ingest, the shape a crawl
+    pipeline uses to drop junk BEFORE it ever lands. Stateless, so
+    the exact oracle is the batch scoring CTE + the same gate over
+    the union of batches."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL
+    from .operators.quality_classifier import quality_score_column
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("c")).first()["c"]
+    src = _fresh_tmp("skrub_strqg_src_")
+    os.makedirs(src)
+    halves = [
+        docs.filter(F.col("doc_id") <= F.lit(cut)),
+        docs.filter(F.col("doc_id") > F.lit(cut)),
+    ]
+    for i, part in enumerate(halves):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    gated = stream.withColumn(
+        "qs", F.round(quality_score_column(QUALITY_MODEL), 6)
+    ).filter(F.col("qs") >= 0.5)
+    name = "strqg_" + uuid.uuid4().hex[:8]
+    q = (
+        gated.select("doc_id", "qs")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    return spark.table(name).select(
+        "doc_id", F.col("qs").alias("quality_score")
+    )
+
+
 def q_numeric_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations over lineitem's numeric columns
     in ONE map-side-combined aggregation pass (r8 — the numeric
@@ -5709,24 +5767,20 @@ ORACLES: dict[str, str] = {
 }
 
 
-def _r7_frozen_oracles() -> dict[str, str]:
-    """Oracles for the round-7 frozen-model queries, GENERATED from
-    the committed literals in ``skrub_spark/_frozen.py`` — the SQL
-    strings are still static per commit (oracle_sql() output changes
-    only when tools/train_frozen.py regenerates the artifacts), but
-    building them here keeps the 6dp literals bit-identical on both
-    engines without hand-pasting thousands of numbers."""
+def _quality_score_cte() -> str:
+    """The frozen-classifier scoring CTE (score = sigmoid(bias + mean
+    of per-unit bucket weights), portable md5 buckets) — shared by
+    the r7 classifier oracles and the r8 streaming-gate oracle, so
+    the replay can never drift between them."""
     from . import _frozen as fz
 
-    # --- learned quality classifier: score = sigmoid(bias + mean of
-    # per-unit bucket weights), bucket = portable md5 mod n_features
     m = fz.QUALITY_MODEL
     n_feat = m["n_features"]
     bias = repr(m["bias"])
     wvals = ", ".join(
         f"({i}, CAST({w!r} AS DOUBLE))" for i, w in enumerate(m["weights"])
     )
-    score_cte = f"""
+    return f"""
         WITH t AS (
           SELECT doc_id,
             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -5750,6 +5804,20 @@ def _r7_frozen_oracles() -> dict[str, str]:
                   6) AS qs
           FROM t LEFT JOIN d USING (doc_id)
         )"""
+
+
+def _r7_frozen_oracles() -> dict[str, str]:
+    """Oracles for the round-7 frozen-model queries, GENERATED from
+    the committed literals in ``skrub_spark/_frozen.py`` — the SQL
+    strings are still static per commit (oracle_sql() output changes
+    only when tools/train_frozen.py regenerates the artifacts), but
+    building them here keeps the 6dp literals bit-identical on both
+    engines without hand-pasting thousands of numbers."""
+    from . import _frozen as fz
+
+    # --- learned quality classifier: score = sigmoid(bias + mean of
+    # per-unit bucket weights), bucket = portable md5 mod n_features
+    score_cte = _quality_score_cte()
     q_scores = score_cte + """
         SELECT doc_id, qs AS quality_score, qs >= 0.5 AS keep FROM s
     """
@@ -6380,12 +6448,18 @@ def _r8_frozen_oracles() -> dict[str, str]:
           < least(100000000,
                   greatest(1, (100000000 * least(25, n.cnt)) // n.cnt))
     """
+    # --- streaming learned gate: stateless scoring, so the oracle is
+    # the batch CTE + the same >= 0.5 gate over all micro-batches
+    q_stream_gate = _quality_score_cte() + """
+        SELECT doc_id, qs AS quality_score FROM s WHERE qs >= 0.5
+    """
     return {
         "dsir_weights": q_weights,
         "dsir_resample": q_resample,
         "interpolation_gbt_frozen": q_gbt,
         "interpolation_clf_frozen": q_clf,
         "cluster_balanced_sample": q_cbs,
+        "streaming_quality_gate": q_stream_gate,
     }
 
 
@@ -6793,6 +6867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_domains": q_trustrank_domains,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
+        # r8: learned quality gate running ON the stream (stateless
+        # Column scoring; exact oracle over >= 2 real micro-batches)
+        "streaming_quality_gate": q_streaming_quality_gate,
         # r8 rotations out of the window (families stay covered —
         # see the window comments above)
         "interpolation_join_clf": q_interpolation_join_clf,

@@ -574,3 +574,26 @@ def test_numeric_associations_partition_invariant(spark):
         "pearson_r"
     ]
     assert x == y
+
+
+def test_quality_score_column_matches_batch_scorer(spark, sf_dir):
+    from skrub_spark._frozen import QUALITY_MODEL
+    from skrub_spark.operators.quality_classifier import (
+        quality_score_column,
+        score_quality,
+    )
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id",
+            F.round(quality_score_column(QUALITY_MODEL), 6).alias("q"),
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: round(r["quality_score"], 6)
+        for r in score_quality(docs, QUALITY_MODEL).collect()
+    }
+    assert a == b
