@@ -120,6 +120,7 @@ HEADLINE = [
     "zorder_keys",
     "trustrank_domains",
     "numeric_associations",
+    "topk_opq",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

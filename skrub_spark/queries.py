@@ -3294,6 +3294,29 @@ def q_numeric_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC cosine top-10 (r8 — Ge et al. 2013, the rung above
+    plain PQ at identical 51x compression): the FROZEN learned
+    rotation (fit by alternating PQ ↔ orthogonal-Procrustes on a
+    deterministic sample) is applied map-only (Arrow matmul, rounded
+    to 6dp so both engines see identical rotated coordinates), then
+    the standard PQ argmin-encode + ADC ranking runs in rotated
+    space — rotation preserves inner products, so the ADC cosine
+    approximates the ORIGINAL cosine with ~10% better recall@10
+    than plain PQ on this fixture (pinned in tests/test_r8_ops.py).
+    Exact oracle: the rotation matvec, assignment argmin and ADC
+    arithmetic all replay from the same literals, to 4dp."""
+    _prep(spark)
+    from ._frozen import OPQ_MODEL
+    from .similarity.quantize import topk_cosine_opq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    return topk_cosine_opq(emb, OPQ_MODEL, qv, k=10, round_digits=4)
+
+
 def q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank / TrustRank (r8 — Gyöngyi et al. 2004,
     the seed-based quality prior): the same planted host graph as
@@ -6453,6 +6476,71 @@ def _r8_frozen_oracles() -> dict[str, str]:
     q_stream_gate = _quality_score_cte() + """
         SELECT doc_id, qs AS quality_score FROM s WHERE qs >= 0.5
     """
+
+    # --- OPQ: rotate (literal matvec, 6dp) -> PQ argmin -> ADC, all
+    # from the frozen OPQ_MODEL literals
+    opq = fz.OPQ_MODEL
+    o_sub = opq["dim"] // opq["n_subspaces"]
+    # columns of R as arrays: rotated[j] = <v, R[:,j]>
+    rcols = ", ".join(
+        f"({j}, CAST({[opq['rotation'][i][j] for i in range(opq['dim'])]!r}"
+        " AS DOUBLE[]))"
+        for j in range(opq["dim"])
+    )
+    ocbvals = ", ".join(
+        f"({j}, {c}, CAST({opq['codebooks'][j][c]!r} AS DOUBLE[]))"
+        for j in range(opq["n_subspaces"])
+        for c in range(len(opq["codebooks"][j]))
+    )
+    q_opq = f"""
+        WITH rcols(j, w) AS (VALUES {rcols}),
+        cb(j, c, w) AS (VALUES {ocbvals}),
+        rot AS (
+          SELECT e.vec_id,
+            list(ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                          rc.w), 6) ORDER BY rc.j) AS rv
+          FROM embeddings e CROSS JOIN rcols rc
+          GROUP BY e.vec_id
+        ),
+        q AS (SELECT rv AS v FROM rot WHERE vec_id = 0),
+        sub AS (
+          SELECT r.vec_id, js.j,
+            list_slice(r.rv, js.j * {o_sub} + 1, (js.j + 1) * {o_sub}) AS s
+          FROM rot r
+          CROSS JOIN (SELECT unnest(generate_series(0,
+                        {opq["n_subspaces"] - 1})) AS j) js
+        ),
+        dist AS (
+          SELECT sub.vec_id, sub.j, cb.c,
+            list_inner_product(cb.w, cb.w)
+              - 2 * list_inner_product(sub.s, cb.w) AS d
+          FROM sub JOIN cb ON cb.j = sub.j
+        ),
+        codes AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (
+                PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ),
+        sums AS (
+          SELECT codes.vec_id,
+            SUM(list_inner_product(cb.w,
+                list_slice((SELECT v FROM q),
+                           cb.j * {o_sub} + 1,
+                           (cb.j + 1) * {o_sub}))) AS dsum,
+            SUM(list_inner_product(cb.w, cb.w)) AS nsum
+          FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+          GROUP BY codes.vec_id
+        )
+        SELECT vec_id,
+          ROUND(dsum / (sqrt(nsum) *
+                (SELECT sqrt(list_inner_product(v, v)) FROM q)),
+                4) AS cosine
+        FROM sums
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
     return {
         "dsir_weights": q_weights,
         "dsir_resample": q_resample,
@@ -6460,6 +6548,7 @@ def _r8_frozen_oracles() -> dict[str, str]:
         "interpolation_clf_frozen": q_clf,
         "cluster_balanced_sample": q_cbs,
         "streaming_quality_gate": q_stream_gate,
+        "topk_opq": q_opq,
     }
 
 
@@ -6870,6 +6959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: learned quality gate running ON the stream (stateless
         # Column scoring; exact oracle over >= 2 real micro-batches)
         "streaming_quality_gate": q_streaming_quality_gate,
+        # r8: OPQ — learned rotation + PQ, the recall rung above
+        # topk_pq at identical compression
+        "topk_opq": q_topk_opq,
         # r8 rotations out of the window (families stay covered —
         # see the window comments above)
         "interpolation_join_clf": q_interpolation_join_clf,

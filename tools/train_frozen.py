@@ -70,6 +70,18 @@ def train_pq(spark, sf_dir, n_subspaces=8, n_codes=32, lloyd_iters=4):
     return pq
 
 
+def train_opq(spark, sf_dir):
+    from skrub_spark.similarity.quantize import fit_opq
+    from skrub_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return fit_opq(
+        emb, "embedding",
+        n_subspaces=8, n_codes=32,
+        opq_iters=6, lloyd_iters=6, sample_size=4096, seed=42,
+    )
+
+
 def train_semantic_centroids(spark, sf_dir, n_clusters=8, lloyd_iters=2):
     from pyspark.sql import functions as F
 
@@ -197,6 +209,7 @@ def main():
     strenc = train_string_encoder(spark, sf_dir)
     dsir = train_dsir(spark, sf_dir)
     gbt_reg, gbt_clf = train_gbt(spark, sf_dir)
+    opq = train_opq(spark, sf_dir)
 
     out = f'''"""FROZEN model artifacts — generated by tools/train_frozen.py, do
 not edit by hand. Battery queries replay these literals on BOTH
@@ -247,6 +260,9 @@ GBT_REGRESSION = {gbt_reg!r}
 # ... and binary classification s_nationkey -> sign(s_acctbal);
 # labels[] is the StringIndexer order (margin > 0 => labels[1])
 GBT_CLASSIFIER = {gbt_clf!r}
+
+# OPQ: learned rotation + per-subspace codebooks (Ge et al. 2013)
+OPQ_MODEL = {opq!r}
 '''
     path = "/root/repo/skrub_spark/_frozen.py"
     with open(path, "w") as f:
