@@ -6890,8 +6890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps similarity_topk + knn_join_lsh in-window)
         "topk_pq": q_topk_pq,
         "topk_ivfpq": q_topk_ivfpq,
-        # r7: the rows-only LSH probe's exact twin (frozen planes)
-        "topk_lsh_frozen": q_topk_lsh_frozen,
+        # r8 swap: topk_opq (the round's new compression rung) takes
+        # the gate row; topk_lsh_frozen rotates to 51+ after a green
+        # round (LSH family keeps embedding_dedup_lsh in-window and
+        # the frozen twins in the full battery)
+        "topk_opq": q_topk_opq,
         # --- r8 flagships (least-proven new paths into the gate) ---
         # DSIR data selection: frozen hashed-n-gram importance
         # weights + the content-addressed Gumbel-top-k resample
@@ -6959,9 +6962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: learned quality gate running ON the stream (stateless
         # Column scoring; exact oracle over >= 2 real micro-batches)
         "streaming_quality_gate": q_streaming_quality_gate,
-        # r8: OPQ — learned rotation + PQ, the recall rung above
-        # topk_pq at identical compression
-        "topk_opq": q_topk_opq,
+        # (topk_opq moved into the window; topk_lsh_frozen out)
+        "topk_lsh_frozen": q_topk_lsh_frozen,
         # r8 rotations out of the window (families stay covered —
         # see the window comments above)
         "interpolation_join_clf": q_interpolation_join_clf,
