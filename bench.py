@@ -119,6 +119,7 @@ HEADLINE = [
     "value_quantile_sketch",
     "zorder_keys",
     "trustrank_domains",
+    "pagerank_weighted",
     "numeric_associations",
     "topk_opq",
     # excluded by design: bucketed_join_revenue / csv_source /

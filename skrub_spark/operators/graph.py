@@ -52,6 +52,7 @@ def pagerank(
     d_den: int = 100,
     partitions: int | None = None,
     seeds: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over distinct directed edges; returns
     (node, rank_fp, rank) where ``rank_fp`` is the exact BIGINT
@@ -69,15 +70,37 @@ def pagerank(
     uniformly, and the initial rank is SCALE on seeds / 0 elsewhere,
     so trust propagates outward along links and an unreachable spam
     cluster scores exactly 0. The seed frame broadcasts (it is
-    curated, therefore small)."""
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct()
+    curated, therefore small).
+
+    ``weight`` names a positive integer edge-weight column —
+    duplicate (src, dst) pairs collapse by SUMMING it (link
+    multiplicity) and each edge carries ``weight / out-weight`` of
+    its source's rank, still in exact integer arithmetic
+    (``(rank · w) div W``). Unweighted is the w = 1 special case of
+    the same formula, so the exact oracles replay both."""
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+        e = e.withColumn("w", F.lit(1).cast("long"))
+    else:
+        # weighted edges: duplicate (src, dst) pairs collapse by
+        # SUMMING weight — link multiplicity, the host-graph rule
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     if partitions:
         e = e.repartition(partitions, "src")
     e = e.persist()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges with out-degree attached — the frame each iteration joins
+    # total out-WEIGHT per source (== out-degree when unweighted)
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    # edges with out-weight attached — the frame each iteration joins
     ed = e.join(outdeg, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -113,7 +136,10 @@ def pagerank(
             # are positive, so floor == trunc on both engines — a
             # double round-trip (/ then cast) would TRUNCATE in Spark
             # but ROUND in DuckDB.
-            .select("dst", F.expr("rank_fp div outdeg").alias("c"))
+            # contribution ∝ edge weight / total out-weight; with the
+            # multiply FIRST the floor loses at most 1 nano-rank unit
+            # (w ≤ outdeg, rank·w ≤ ~1e9·1e6 — far inside int64)
+            .select("dst", F.expr("(rank_fp * w) div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )

@@ -3317,6 +3317,25 @@ def q_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_opq(emb, OPQ_MODEL, qv, k=10, round_digits=4)
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-edge PageRank (r8): link MULTIPLICITY as edge weight
+    — the planted host graph WITHOUT the distinct, so each (src,
+    dst) edge carries the count of documents producing it and passes
+    ``weight/out-weight`` of its source's rank, still in exact
+    integer arithmetic. The oracle replays the multiplicity groupBy
+    and the (rank·w) div W contributions."""
+    _prep(spark)
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3, weight="w")
+
+
 def q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank / TrustRank (r8 — Gyöngyi et al. 2004,
     the seed-based quality prior): the same planted host graph as
@@ -6559,6 +6578,7 @@ def _pagerank_oracle(
     n_iter: int = 3,
     tail: str | None = None,
     seed_pred: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """Chained-CTE replay of q_domain_pagerank's fixed-point power
     iterations: every Spark op (integer div, damped sum, base rank)
@@ -6571,6 +6591,10 @@ def _pagerank_oracle(
     else:
         base_sql = f"(CASE WHEN {seed_pred.replace('node', 'n.node')} THEN 150000000 ELSE 0 END)"
         init_sql = f"(CASE WHEN {seed_pred} THEN 1000000000 ELSE 0 END)"
+    contrib = (
+        "(r.rank_fp * e.w) // o.outdeg" if weighted
+        else "r.rank_fp // o.outdeg"
+    )
     prev = "r0"
     iters = ""
     for it in range(1, n_iter + 1):
@@ -6581,7 +6605,7 @@ def _pagerank_oracle(
                  AS BIGINT) AS rank_fp
           FROM n LEFT JOIN (
             SELECT e.dst AS node,
-              CAST(SUM(r.rank_fp // o.outdeg) AS BIGINT) AS in_sum
+              CAST(SUM({contrib}) AS BIGINT) AS in_sum
             FROM e
             JOIN {prev} r ON r.node = e.src
             JOIN o ON o.src = e.src
@@ -6594,14 +6618,25 @@ def _pagerank_oracle(
           ROUND(rank_fp / CAST(1000000000.0 AS DOUBLE), 6) AS rank
         FROM {prev}
         """
-    return f"""
-        WITH e AS (
+    if weighted:
+        e_cte = """
+          SELECT (doc_id % 97) AS src, ((doc_id * 31 + 7) % 97) AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM documents
+          WHERE (doc_id % 97) != ((doc_id * 31 + 7) % 97)
+          GROUP BY 1, 2"""
+        o_cte = "SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src"
+    else:
+        e_cte = """
           SELECT DISTINCT (doc_id % 97) AS src,
                           ((doc_id * 31 + 7) % 97) AS dst
           FROM documents
-          WHERE (doc_id % 97) != ((doc_id * 31 + 7) % 97)
+          WHERE (doc_id % 97) != ((doc_id * 31 + 7) % 97)"""
+        o_cte = "SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src"
+    return f"""
+        WITH e AS ({e_cte}
         ), o AS (
-          SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+          {o_cte}
         ), n AS (
           SELECT src AS node FROM e UNION SELECT dst FROM e
         ), r0 AS (
@@ -6613,6 +6648,7 @@ def _pagerank_oracle(
 
 ORACLES["domain_pagerank"] = _pagerank_oracle(3)
 ORACLES["trustrank_domains"] = _pagerank_oracle(3, seed_pred="node < 10")
+ORACLES["pagerank_weighted"] = _pagerank_oracle(3, weighted=True)
 
 
 def _numeric_assoc_oracle() -> str:
@@ -6957,6 +6993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         # r8: personalized PageRank / TrustRank (seed-based prior)
         "trustrank_domains": q_trustrank_domains,
+        # r8: weighted-edge PageRank (link multiplicity)
+        "pagerank_weighted": q_pagerank_weighted,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: learned quality gate running ON the stream (stateless

@@ -649,3 +649,38 @@ def test_rotation_is_orthogonal_and_preserves_cosine(spark):
     # 6dp-rounded orthogonality: R R^T == I within rounding noise
     err = np.abs(R @ R.T - np.eye(R.shape[0])).max()
     assert err < 1e-4, err
+
+
+def test_pagerank_weighted_multiplicity(spark):
+    from skrub_spark.operators.graph import pagerank
+
+    # 1 -> 2 with weight 3 vs 1 -> 3 with weight 1: node 2 must
+    # receive 3x node 3's contribution (up to floor loss)
+    df = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, n_iter=1, weight="w").collect()
+    }
+    base = 150_000_000
+    assert ranks[2] - base == 3 * (ranks[3] - base)
+
+
+def test_pagerank_weighted_unit_weights_equal_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.graph import pagerank
+
+    edges = [(i % 11, (i * 3 + 1) % 11) for i in range(40) if i % 11 != (i * 3 + 1) % 11]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank(
+                df.withColumn("w", F.lit(1)), n_iter=3, weight="w"
+            ).collect(),
+        )
+    )
+    assert a == b
