@@ -121,6 +121,7 @@ HEADLINE = [
     "trustrank_domains",
     "pagerank_weighted",
     "numeric_associations",
+    "spearman_associations",
     "topk_opq",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest

@@ -3336,6 +3336,27 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3, weight="w")
 
 
+def q_spearman_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations over the same lineitem columns
+    (r8): each value becomes its integer DOUBLED average rank
+    (2·min_rank + |ties| − 1 — exact arithmetic, no fractional
+    tie ranks), then the identical exact-sums Pearson machinery
+    runs over the ranks. Rank-based association is what the
+    reference's report surfaces for monotone-but-nonlinear pairs;
+    the global sort a rank needs is the documented cost (sample
+    first at 100 TB). Exact oracle: RANK()/COUNT() windows + the
+    same sum replay."""
+    _prep(spark)
+    from .report.associations import numeric_associations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_associations(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        method="spearman",
+    )
+
+
 def q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank / TrustRank (r8 — Gyöngyi et al. 2004,
     the seed-based quality prior): the same planted host graph as
@@ -6651,16 +6672,25 @@ ORACLES["trustrank_domains"] = _pagerank_oracle(3, seed_pred="node < 10")
 ORACLES["pagerank_weighted"] = _pagerank_oracle(3, weighted=True)
 
 
-def _numeric_assoc_oracle() -> str:
-    """One-pass Pearson replay: integer cents, exact HUGEINT sums,
-    double formula from the exact integers, 6dp round — mirrors
+def _numeric_assoc_oracle(method: str = "pearson") -> str:
+    """One-pass Pearson/Spearman replay: integer cents (or integer
+    doubled average ranks), exact HUGEINT sums, double formula from
+    the exact integers, 6dp round — mirrors
     report/associations.py::numeric_associations term for term."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     short = {c: c.replace("l_", "") for c in cols}
-    ints = ", ".join(
-        f"CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT) AS {short[c]}"
-        for c in cols
-    )
+    if method == "spearman":
+        ints = ", ".join(
+            f"CAST(2 * RANK() OVER (ORDER BY {c})"
+            f" + COUNT(*) OVER (PARTITION BY {c}) - 1 AS BIGINT)"
+            f" AS {short[c]}"
+            for c in cols
+        )
+    else:
+        ints = ", ".join(
+            f"CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT) AS {short[c]}"
+            for c in cols
+        )
     notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     sums = ["COUNT(*) AS n"]
     for c in cols:
@@ -6674,12 +6704,13 @@ def _numeric_assoc_oracle() -> str:
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             sa, sb = short[a], short[b]
+            rname = "spearman_r" if method == "spearman" else "pearson_r"
             branches.append(f"""
       SELECT '{a}' AS left_column_name, '{b}' AS right_column_name,
         ROUND(CAST(n * p_{sa}_{sb} - s_{sa} * s_{sb} AS DOUBLE)
               / sqrt(CAST(n * p_{sa}_{sa} - s_{sa} * s_{sa} AS DOUBLE)
                      * CAST(n * p_{sb}_{sb} - s_{sb} * s_{sb} AS DOUBLE)),
-              6) AS pearson_r
+              6) AS {rname}
       FROM s""")
     return f"""
         WITH ints AS (
@@ -6692,6 +6723,7 @@ def _numeric_assoc_oracle() -> str:
 
 
 ORACLES["numeric_associations"] = _numeric_assoc_oracle()
+ORACLES["spearman_associations"] = _numeric_assoc_oracle("spearman")
 
 def _zorder_oracle(bits: int = 16) -> str:
     """Bit-for-bit replay of q_zorder_keys: the same clamp/scale
@@ -6997,6 +7029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
+        # r8: Spearman twin (integer doubled-rank transform)
+        "spearman_associations": q_spearman_associations,
         # r8: learned quality gate running ON the stream (stateless
         # Column scoring; exact oracle over >= 2 real micro-batches)
         "streaming_quality_gate": q_streaming_quality_gate,

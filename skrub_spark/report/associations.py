@@ -124,6 +124,7 @@ def numeric_associations(
     *,
     decimals: int = 2,
     ndp: int = 6,
+    method: str = "pearson",
 ) -> DataFrame:
     """Pairwise Pearson correlation over ``cols`` in ONE aggregation
     pass, engine-deterministically: inputs are exact
@@ -142,16 +143,40 @@ def numeric_associations(
     O(k²) sums for k columns — no per-pair passes. Rows with a NULL
     in any of ``cols`` are dropped first (pairwise-complete across
     the same row set keeps the pass single)."""
+    if method not in ("pearson", "spearman"):
+        raise ValueError("method must be 'pearson' or 'spearman'")
     scale = 10**decimals
     clean = df.na.drop(subset=cols)
-    ints = clean.select(
-        *[
-            (F.col(c).cast(f"decimal(12,{decimals})") * scale)
-            .cast("long")
-            .alias(c)
-            for c in cols
-        ]
-    )
+    if method == "spearman":
+        # Spearman = Pearson over AVERAGE ranks; 2·avg_rank =
+        # 2·min_rank + |ties| − 1 is an INTEGER, so the whole rank
+        # transform stays in exact arithmetic (one sort window + one
+        # tie-count window per column) and correlation over the
+        # doubled ranks equals correlation over the ranks
+        # (scale/shift invariance).
+        from pyspark.sql import Window
+
+        ints = clean.select(
+            *[
+                (
+                    F.lit(2) * F.rank().over(Window.orderBy(F.col(c)))
+                    + F.count(F.lit(1)).over(Window.partitionBy(F.col(c)))
+                    - F.lit(1)
+                )
+                .cast("long")
+                .alias(c)
+                for c in cols
+            ]
+        )
+    else:
+        ints = clean.select(
+            *[
+                (F.col(c).cast(f"decimal(12,{decimals})") * scale)
+                .cast("long")
+                .alias(c)
+                for c in cols
+            ]
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
@@ -178,7 +203,9 @@ def numeric_associations(
         F.struct(
             F.lit(a).alias("left_column_name"),
             F.lit(b).alias("right_column_name"),
-            r_expr(a, b).alias("pearson_r"),
+            r_expr(a, b).alias(
+                "spearman_r" if method == "spearman" else "pearson_r"
+            ),
         )
         for i, a in enumerate(cols)
         for b in cols[i + 1 :]

@@ -684,3 +684,43 @@ def test_pagerank_weighted_unit_weights_equal_unweighted(spark):
         )
     )
     assert a == b
+
+
+def test_spearman_matches_scipy_free_replay(spark):
+    import numpy as np
+
+    from skrub_spark.report.associations import numeric_associations
+
+    rows = [(float(i % 10), float((i * i) % 23)) for i in range(150)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = numeric_associations(df, ["a", "b"], method="spearman").collect()[
+        0
+    ]["spearman_r"]
+
+    # numpy replay: average-rank transform then Pearson
+    def avg_ranks(x):
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x))
+        sx = np.asarray(x)[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2 + 1
+            i = j
+        return ranks
+    a = avg_ranks([r[0] for r in rows])
+    b = avg_ranks([r[1] for r in rows])
+    want = np.corrcoef(a, b)[0, 1]
+    assert abs(got - want) < 1e-6
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    from skrub_spark.report.associations import numeric_associations
+
+    df = spark.createDataFrame(
+        [(float(i), float(i**3)) for i in range(50)], "a double, b double"
+    )
+    r = numeric_associations(df, ["a", "b"], method="spearman").collect()[0]
+    assert r["spearman_r"] == 1.0
