@@ -569,3 +569,83 @@ def test_minhash_incremental_invariants(spark, texts):
             assert 100 + i not in surv_full, t
     # (b) monotonic: more history -> never more survivors
     assert surv_full <= surv_half
+
+
+# ---------------------------------------------------------------- r8
+
+
+def _spread2(c: int, bits: int) -> int:
+    """Python replay of the 2-column bit interleave for one column."""
+    z = 0
+    for i in range(bits):
+        z += ((c >> i) & 1) << (2 * i)
+    return z
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_bijective_and_monotone(a, b):
+    """Bit-spreading is order-preserving (strictly increasing), so
+    the z-value is monotone in each cell coordinate with the other
+    fixed, and (a, b) -> z is a bijection on the cell grid."""
+    za = _spread2(a, 8)
+    if a < 255:
+        assert _spread2(a + 1, 8) > za
+    z = za + (_spread2(b, 8) << 1)
+    # invert: de-interleave recovers (a, b)
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (ra, rb) == (a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_mass_bounded_and_deterministic(spark, edges, n_iter):
+    from skrub_spark.operators.graph import SCALE, pagerank
+
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=n_iter).collect()))
+    b = sorted(map(tuple, pagerank(df, n_iter=n_iter).collect()))
+    assert a == b  # fixed point is a pure function of the graph
+    n = len({v for e in edges for v in e})
+    total = sum(r[1] for r in a)
+    # floor losses only shrink mass below the conserved n*SCALE
+    assert 0 < total <= n * SCALE
+
+
+@given(st.integers(min_value=1, max_value=500))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distinct_sketch_rate_one_is_exact(spark, n):
+    """rate=1 keeps every value: the 'sketch' degenerates to the
+    exact distinct count for any input."""
+    from skrub_spark.functions.sketches import distinct_sketch
+
+    df = spark.createDataFrame(
+        [(f"v{i % 37}",) for i in range(n)], "v string"
+    )
+    est = distinct_sketch(df, "v", rate=1).collect()[0]["distinct_est"]
+    assert est == min(n, 37)
