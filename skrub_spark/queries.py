@@ -3357,6 +3357,138 @@ def q_spearman_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linkage_comparisons():
+    from .operators.linkage import Comparison
+
+    return [
+        Comparison("name", "l_name", "r_name", kind="string", fuzzy_max=2),
+        Comparison("nation", "l_nation", "r_nation", kind="exact"),
+        Comparison("segment", "l_seg", "r_seg", kind="exact"),
+        Comparison("acctbal", "l_bal", "r_bal", kind="numeric", tol=1.0),
+    ]
+
+
+def _linkage_rules():
+    """Two weak blocking rules with DIFFERENT failure modes (the
+    Splink multi-rule pattern): digit-prefix of the name (survives
+    tail perturbations, misses head ones) and nation × acctbal-band
+    (survives any name noise, misses nation/band perturbations)."""
+    return [
+        [
+            (
+                F.expr("substring(l_name, 10, 8)"),
+                F.expr("substring(r_name, 10, 8)"),
+            )
+        ],
+        [
+            (F.col("l_nation"), F.col("r_nation")),
+            (
+                F.expr("CAST(FLOOR(l_bal / 100.0) AS BIGINT)"),
+                F.expr("CAST(FLOOR(r_bal / 100.0) AS BIGINT)"),
+            ),
+        ],
+    ]
+
+
+def _linkage_sides(spark: SparkSession, sf_dir: str):
+    """The record-linkage demo fixture: left = customer as-is, right
+    = customer under DETERMINISTIC md5-rule perturbations (char
+    drops/appends in the name, nation bumps, segment wipes, +0.5
+    balance shifts) — the 'messy second source' every linkage demo
+    needs, built content-addressed so the DuckDB oracle replays the
+    identical noisy table and every downstream decision is exact."""
+    from .operators.sampling import _hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("l_id"),
+        F.col("c_name").alias("l_name"),
+        F.col("c_nationkey").cast("int").alias("l_nation"),
+        F.col("c_mktsegment").alias("l_seg"),
+        F.col("c_acctbal").alias("l_bal"),
+    )
+    key = F.col("c_custkey")
+    h_name = _hash_bucket(key, "rl8|", 10)
+    h_nat = _hash_bucket(key, "rln|", 7)
+    h_seg = _hash_bucket(key, "rls|", 5)
+    h_bal = _hash_bucket(key, "rlb|", 3)
+    pert_name = (
+        F.when(h_name <= 2, F.expr("substring(c_name, 1, length(c_name) - 1)"))
+        .when(
+            h_name == 3,
+            F.concat(
+                F.expr("substring(c_name, 1, 5)"), F.expr("substring(c_name, 7)")
+            ),
+        )
+        .when(h_name == 4, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("r_id"),
+        pert_name.alias("r_name"),
+        F.when(h_nat == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .cast("int")
+        .alias("r_nation"),
+        F.when(h_seg == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("r_seg"),
+        F.when(h_bal == 0, F.col("c_acctbal") + F.lit(0.5))
+        .otherwise(F.col("c_acctbal"))
+        .alias("r_bal"),
+    )
+    return left, right
+
+
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (r8, Splink-shape
+    — extends the reference's deterministic fuzzy_join family,
+    reference skrub/_joiner.py): customer vs a deterministically
+    perturbed copy of itself, blocked by two weak equi-join rules,
+    compared on four fields (string/exact/exact/numeric agreement
+    ladders), scored with the FROZEN EM-fit m/u weights. Match
+    weight = fixed-order sum of log2-ratio literals and posterior =
+    K/(1+K) from a fixed-order product of ratio literals — no
+    transcendentals at score time, so the oracle replays every
+    double bit-exactly. The EM FIT is deterministic but iterative
+    (driver loop over ≤36 pattern counts) and carries its own
+    pytest contracts in tests/test_linkage.py."""
+    _prep(spark)
+    from ._frozen import LINKAGE_MODEL
+    from .operators.linkage import link_records
+
+    left, right = _linkage_sides(spark, sf_dir)
+    return link_records(
+        left,
+        right,
+        _linkage_comparisons(),
+        _linkage_rules(),
+        LINKAGE_MODEL,
+        threshold=0.9,
+    )
+
+
+def q_record_linkage_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one entity resolution on top of the linkage scores:
+    each left record keeps its best-posterior right match (ties to
+    the smaller r_id) — ONE row_number window over the thresholded
+    pairs. The oracle replays the identical window."""
+    _prep(spark)
+    from ._frozen import LINKAGE_MODEL
+    from .operators.linkage import link_records
+
+    left, right = _linkage_sides(spark, sf_dir)
+    return link_records(
+        left,
+        right,
+        _linkage_comparisons(),
+        _linkage_rules(),
+        LINKAGE_MODEL,
+        threshold=0.9,
+        one_to_one=True,
+    )
+
+
 def q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank / TrustRank (r8 — Gyöngyi et al. 2004,
     the seed-based quality prior): the same planted host graph as
@@ -6595,6 +6727,119 @@ def _r8_frozen_oracles() -> dict[str, str]:
 ORACLES.update(_r8_frozen_oracles())
 
 
+def _linkage_oracles() -> dict[str, str]:
+    """Oracles for the Fellegi–Sunter linkage queries, generated
+    from the frozen EM weights (same static-per-commit rule as
+    ``_r7_frozen_oracles``). The scoring SQL mirrors
+    ``operators/linkage.py::match_columns`` operation-for-operation:
+    left-assoc sum of log2-ratio CASE literals, left-assoc product
+    of ratio CASE literals seeded with the prior factor — IEEE
+    +,·,/ over identical 6dp literals is bit-identical on both
+    engines, so no rounding of outputs is needed."""
+    from . import _frozen as fz
+
+    m = getattr(fz, "LINKAGE_MODEL", None)
+    if m is None:
+        return {}
+
+    def pick(gcol: str, vals: list[float]) -> str:
+        cases = " ".join(
+            f"WHEN {lvl} THEN CAST({v!r} AS DOUBLE)"
+            for lvl, v in enumerate(vals)
+        )
+        return f"(CASE {gcol} {cases} ELSE CAST({vals[0]!r} AS DOUBLE) END)"
+
+    gname = {"name": "g_name", "nation": "g_nation",
+             "segment": "g_segment", "acctbal": "g_acctbal"}
+    weight = " + ".join(
+        pick(gname[nm], m["log2_ratio"][nm]) for nm in m["cols"]
+    )
+    kexpr = " * ".join(
+        [f"CAST({m['prior_factor']!r} AS DOUBLE)"]
+        + [pick(gname[nm], m["ratio"][nm]) for nm in m["cols"]]
+    )
+    base = f"""
+        WITH l AS (
+          SELECT c_custkey AS l_id, c_name AS l_name,
+                 c_nationkey AS l_nation, c_mktsegment AS l_seg,
+                 c_acctbal AS l_bal
+          FROM customer
+        ), rb AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+            ('0x' || substr(md5('rl8|' || CAST(c_custkey AS VARCHAR)),
+                            1, 15))::BIGINT % 10 AS h_name,
+            ('0x' || substr(md5('rln|' || CAST(c_custkey AS VARCHAR)),
+                            1, 15))::BIGINT % 7 AS h_nat,
+            ('0x' || substr(md5('rls|' || CAST(c_custkey AS VARCHAR)),
+                            1, 15))::BIGINT % 5 AS h_seg,
+            ('0x' || substr(md5('rlb|' || CAST(c_custkey AS VARCHAR)),
+                            1, 15))::BIGINT % 3 AS h_bal
+          FROM customer
+        ), r AS (
+          SELECT c_custkey AS r_id,
+            CASE WHEN h_name <= 2
+                   THEN substr(c_name, 1, length(c_name) - 1)
+                 WHEN h_name = 3
+                   THEN substr(c_name, 1, 5) || substr(c_name, 7)
+                 WHEN h_name = 4 THEN c_name || 'x'
+                 ELSE c_name END AS r_name,
+            CASE WHEN h_nat = 0 THEN (c_nationkey + 1) % 25
+                 ELSE c_nationkey END AS r_nation,
+            CASE WHEN h_seg = 0 THEN 'UNKNOWN'
+                 ELSE c_mktsegment END AS r_seg,
+            CASE WHEN h_bal = 0 THEN c_acctbal + CAST(0.5 AS DOUBLE)
+                 ELSE c_acctbal END AS r_bal
+          FROM rb
+        ), p AS (
+          SELECT l_id, r_id FROM l JOIN r
+            ON substr(l_name, 10, 8) = substr(r_name, 10, 8)
+          UNION
+          SELECT l_id, r_id FROM l JOIN r
+            ON l_nation = r_nation
+           AND CAST(FLOOR(l_bal / 100.0) AS BIGINT)
+               = CAST(FLOOR(r_bal / 100.0) AS BIGINT)
+        ), g AS (
+          SELECT p.l_id, p.r_id,
+            CASE WHEN lower(l_name) = lower(r_name) THEN 2
+                 WHEN levenshtein(l_name, r_name) <= 2 THEN 1
+                 ELSE 0 END AS g_name,
+            CASE WHEN l_nation = r_nation THEN 1 ELSE 0 END AS g_nation,
+            CASE WHEN l_seg = r_seg THEN 1 ELSE 0 END AS g_segment,
+            CASE WHEN l_bal = r_bal THEN 2
+                 WHEN abs(l_bal - r_bal) <= CAST(1.0 AS DOUBLE) THEN 1
+                 ELSE 0 END AS g_acctbal
+          FROM p JOIN l USING (l_id) JOIN r USING (r_id)
+        ), s AS (
+          SELECT l_id, r_id, g_name, g_nation, g_segment, g_acctbal,
+                 ({weight}) AS match_weight, ({kexpr}) AS k
+          FROM g
+        ), sel AS (
+          SELECT l_id, r_id, g_name, g_nation, g_segment, g_acctbal,
+                 match_weight, k / (CAST(1.0 AS DOUBLE) + k) AS posterior
+          FROM s
+          WHERE k / (CAST(1.0 AS DOUBLE) + k) >= CAST(0.9 AS DOUBLE)
+        )"""
+    scores = base + """
+        SELECT * FROM sel
+    """
+    resolved = base + """, rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_id ORDER BY posterior DESC, r_id ASC) AS rn
+          FROM sel
+        )
+        SELECT l_id, r_id, g_name, g_nation, g_segment, g_acctbal,
+               match_weight, posterior
+        FROM rk WHERE rn = 1
+    """
+    return {
+        "record_linkage_scores": scores,
+        "record_linkage_resolved": resolved,
+    }
+
+
+ORACLES.update(_linkage_oracles())
+
+
 def _pagerank_oracle(
     n_iter: int = 3,
     tail: str | None = None,
@@ -7013,6 +7258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 compositions of in-window-proven pieces (both exact)
         "rank_gated_corpus": q_rank_gated_corpus,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        # r8 late: Fellegi-Sunter probabilistic record linkage
+        # (Splink-shape) — frozen EM weights, exact oracles for
+        # scoring and one-to-one resolution; the EM fit itself is
+        # pytest-contracted in tests/test_linkage.py
+        "record_linkage_scores": q_record_linkage_scores,
+        "record_linkage_resolved": q_record_linkage_resolved,
         # r8: hash-threshold cardinality sketch (exact oracle — the
         # randomness is the samplers' content-addressed md5 rule)
         "token_cardinality_sketch": q_token_cardinality_sketch,

@@ -179,6 +179,40 @@ def train_gbt(spark, sf_dir):
     return export_gbt(reg), clf_frozen
 
 
+def train_linkage(spark, sf_dir):
+    """EM-fit the Fellegi-Sunter m/u/lambda weights over the
+    perturbed-customer linkage demo pairs (deterministic: pattern
+    counts + fixed-init fixed-iteration driver EM)."""
+    from skrub_spark.operators.linkage import (
+        candidate_pairs,
+        comparison_columns,
+        em_fit,
+    )
+    from skrub_spark.queries import (
+        _linkage_comparisons,
+        _linkage_rules,
+        _linkage_sides,
+    )
+
+    left, right = _linkage_sides(spark, sf_dir)
+    pairs = candidate_pairs(left, right, _linkage_rules())
+    g = comparison_columns(pairs, _linkage_comparisons())
+    return em_fit(g, _linkage_comparisons())
+
+
+_LINKAGE_MARKER = "\n# Fellegi-Sunter record linkage:"
+
+
+def _linkage_section(model):
+    return (
+        f"{_LINKAGE_MARKER} m/u/lambda EM-fit over the perturbed-\n"
+        "# customer demo pairs (tools/train_frozen.py::train_linkage);\n"
+        "# ratio/log2_ratio/prior_factor are the 6dp scoring literals\n"
+        "# both engines replay\n"
+        f"LINKAGE_MODEL = {model!r}\n"
+    )
+
+
 def make_stream_planes(dim=64, n_planes=8, n_tables=4, seed=42):
     rng = np.random.default_rng(seed)
     return [
@@ -188,11 +222,28 @@ def make_stream_planes(dim=64, n_planes=8, n_tables=4, seed=42):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from skrub_spark.session import get_session
 
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
+
+    path = "/root/repo/skrub_spark/_frozen.py"
+    if "--append-linkage" in sys.argv:
+        # train ONLY the linkage weights and append/replace their
+        # section, leaving every other committed artifact untouched
+        # (a full retrain would regenerate identical values — the
+        # trainers are deterministic — but would force re-verifying
+        # every frozen battery row for no change)
+        model = train_linkage(spark, sf_dir)
+        src = open(path).read()
+        if _LINKAGE_MARKER in src:
+            src = src[: src.index(_LINKAGE_MARKER)]
+        with open(path, "w") as f:
+            f.write(src + _linkage_section(model))
+        print(f"appended LINKAGE_MODEL to {path}")
+        return
 
     quality, teacher_med = train_quality(spark, sf_dir)
     pq = train_pq(spark, sf_dir)
@@ -210,6 +261,7 @@ def main():
     dsir = train_dsir(spark, sf_dir)
     gbt_reg, gbt_clf = train_gbt(spark, sf_dir)
     opq = train_opq(spark, sf_dir)
+    linkage = train_linkage(spark, sf_dir)
 
     out = f'''"""FROZEN model artifacts — generated by tools/train_frozen.py, do
 not edit by hand. Battery queries replay these literals on BOTH
@@ -264,6 +316,7 @@ GBT_CLASSIFIER = {gbt_clf!r}
 # OPQ: learned rotation + per-subspace codebooks (Ge et al. 2013)
 OPQ_MODEL = {opq!r}
 '''
+    out += _linkage_section(linkage)
     path = "/root/repo/skrub_spark/_frozen.py"
     with open(path, "w") as f:
         f.write(out)
