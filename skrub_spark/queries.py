@@ -3820,6 +3820,74 @@ def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality audit (r8,
+    operators/expectations.py — the ASSERT side of the reference's
+    describe-only TableReport, reference
+    skrub/_reporting/_summarize.py): a 9-constraint suite over
+    customer evaluated in ONE aggregation pass (plus one
+    counters-only groupBy per uniqueness check). Means go through
+    exact DECIMAL sums so every metric is a ratio of exact integers
+    — the oracle replays each constraint as plain SQL aggregates."""
+    _prep(spark)
+    from .operators.expectations import Check, audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [
+        Check("row_count", min_value=1),
+        Check("completeness", "c_name", min_value=1.0),
+        Check("completeness", "c_acctbal", min_value=0.99),
+        Check("uniqueness", "c_custkey", min_value=1.0),
+        Check("distinctness", "c_mktsegment", max_value=0.01),
+        Check("min", "c_acctbal", min_value=-1000.0),
+        Check("max", "c_acctbal", max_value=10000.0),
+        Check("mean", "c_acctbal", min_value=4000.0, max_value=5000.0),
+        Check(
+            "compliance",
+            predicate=(
+                "c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',"
+                "'HOUSEHOLD','MACHINERY')"
+            ),
+            name="compliance(mktsegment_domain)",
+            min_value=1.0,
+        ),
+    ]
+    return audit(cust, checks)
+
+
+def q_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level validation twin (Great Expectations' "unexpected
+    rows"): map-only CASE-WHEN rules over documents; violators carry
+    a SORTED reasons array. Rules are tuned so the planted
+    short/whitespace-heavy docs actually trip them."""
+    _prep(spark)
+    from .operators.expectations import RowRule, quarantine
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        RowRule("chars_match", "n_chars = length(text)"),
+        RowRule("lang_known", "lang IN ('en','de','fr','es')"),
+        RowRule("min_len", "n_chars >= 120"),
+        RowRule("text_present", "text IS NOT NULL AND length(text) > 0"),
+    ]
+    return quarantine(docs, rules, ["doc_id", "lang", "n_chars"])
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 (r8, operators/bm25.py — the sparse half
+    of the retrieval stack next to similarity/topk): query
+    'hash join merge sort' over documents, Lucene idf, k1=1.2
+    b=0.75. Postings are filtered to the query terms BEFORE the
+    (doc, term) shuffle; per-term contributions round to 6dp and
+    sum as exact DECIMAL(28,6), so the ranking order is
+    partitioning-invariant and the oracle replays it bit-exactly."""
+    _prep(spark)
+    from .operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "hash join merge sort", k=10)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -6839,6 +6907,123 @@ def _linkage_oracles() -> dict[str, str]:
 
 ORACLES.update(_linkage_oracles())
 
+# r8 late: Deequ-style audit — each constraint is plain SQL
+# aggregates; metrics are ratios of exact integers (means via exact
+# DECIMAL sums), rounded 6dp on both sides.
+ORACLES["expectations_audit"] = """
+    WITH rl AS (
+      SELECT
+        round(CAST(count(*) AS DOUBLE), 6) AS m_rows,
+        round(CAST(count(c_name) AS DOUBLE)
+              / CAST(GREATEST(count(*), 1) AS DOUBLE), 6) AS m_comp_name,
+        round(CAST(count(c_acctbal) AS DOUBLE)
+              / CAST(GREATEST(count(*), 1) AS DOUBLE), 6) AS m_comp_bal,
+        round(CAST(min(c_acctbal) AS DOUBLE), 6) AS m_min_bal,
+        round(CAST(max(c_acctbal) AS DOUBLE), 6) AS m_max_bal,
+        round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+              / CAST(GREATEST(count(c_acctbal), 1) AS DOUBLE), 6)
+          AS m_mean_bal,
+        round(CAST(sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING',
+                'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(GREATEST(count(*), 1) AS DOUBLE), 6)
+          AS m_compliance
+      FROM customer
+    ), uq AS (
+      SELECT round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(GREATEST(sum(n), 1) AS DOUBLE), 6) AS m
+      FROM (SELECT c_custkey, count(*) AS n FROM customer
+            GROUP BY c_custkey)
+    ), dq AS (
+      SELECT round(CAST(count(*) AS DOUBLE)
+                   / CAST(GREATEST(sum(n), 1) AS DOUBLE), 6) AS m
+      FROM (SELECT c_mktsegment, count(*) AS n FROM customer
+            GROUP BY c_mktsegment)
+    )
+    SELECT 'row_count(*)' AS "constraint", '' AS "column",
+           m_rows AS metric, m_rows >= 1.0 AS passed FROM rl
+    UNION ALL SELECT 'completeness(c_name)', 'c_name',
+           m_comp_name, m_comp_name >= 1.0 FROM rl
+    UNION ALL SELECT 'completeness(c_acctbal)', 'c_acctbal',
+           m_comp_bal, m_comp_bal >= 0.99 FROM rl
+    UNION ALL SELECT 'uniqueness(c_custkey)', 'c_custkey',
+           m, m >= 1.0 FROM uq
+    UNION ALL SELECT 'distinctness(c_mktsegment)', 'c_mktsegment',
+           m, m <= 0.01 FROM dq
+    UNION ALL SELECT 'min(c_acctbal)', 'c_acctbal',
+           m_min_bal, m_min_bal >= -1000.0 FROM rl
+    UNION ALL SELECT 'max(c_acctbal)', 'c_acctbal',
+           m_max_bal, m_max_bal <= 10000.0 FROM rl
+    UNION ALL SELECT 'mean(c_acctbal)', 'c_acctbal', m_mean_bal,
+           m_mean_bal >= 4000.0 AND m_mean_bal <= 5000.0 FROM rl
+    UNION ALL SELECT 'compliance(mktsegment_domain)', '',
+           m_compliance, m_compliance >= 1.0 FROM rl
+"""
+
+# r8 late: row-level quarantine — map-only CASE rules, sorted
+# reasons array (NULL predicate results count as violations).
+ORACLES["expectations_quarantine"] = """
+    WITH v AS (
+      SELECT doc_id, lang, n_chars,
+        list_sort(list_filter([
+          CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+               THEN 'chars_match' END,
+          CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es'), FALSE)
+               THEN 'lang_known' END,
+          CASE WHEN NOT COALESCE(n_chars >= 120, FALSE)
+               THEN 'min_len' END,
+          CASE WHEN NOT COALESCE(text IS NOT NULL AND length(text) > 0,
+                                 FALSE)
+               THEN 'text_present' END
+        ], x -> x IS NOT NULL)) AS violations
+      FROM documents
+    )
+    SELECT * FROM v WHERE len(violations) > 0
+"""
+
+# r8 late: BM25 lexical top-10. Every numeric literal is CAST to
+# DOUBLE (bare literals parse as DECIMAL in DuckDB and poison the
+# arithmetic); per-term contributions round to 6dp and sum as exact
+# DECIMAL(28,6), so the ranking replays bit-identically.
+ORACLES["bm25_search"] = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '') AS tk
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(tk) AS dl FROM toks
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+      WHERE term IN ('hash','join','merge','sort')
+      GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, count(*) AS df FROM post GROUP BY term
+    ), per AS (
+      SELECT p.doc_id,
+        CAST(round(
+          ln(CAST(1.0 AS DOUBLE)
+             + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                + CAST(0.5 AS DOUBLE))
+               / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+          * CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+          / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             * (CAST(0.25 AS DOUBLE)
+                + CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE)
+                  / (CAST(s.total_dl AS DOUBLE)
+                     / CAST(s.n_docs AS DOUBLE)))),
+          6) AS DECIMAL(28,6)) AS c_q
+      FROM post p JOIN dft d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(sum(c_q) AS DOUBLE) AS score
+    FROM per GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
 
 def _pagerank_oracle(
     n_iter: int = 3,
@@ -7278,6 +7463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_domains": q_trustrank_domains,
         # r8: weighted-edge PageRank (link multiplicity)
         "pagerank_weighted": q_pagerank_weighted,
+        # r8 late: Deequ-style constraint audit + row quarantine
+        # (the ASSERT side of the report family; exact oracles)
+        "expectations_audit": q_expectations_audit,
+        "expectations_quarantine": q_expectations_quarantine,
+        # r8 late: BM25 lexical retrieval (sparse half of the
+        # search stack; exact decimal-sum ranking oracle)
+        "bm25_search": q_bm25_search,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)
