@@ -1,0 +1,103 @@
+"""Changelog application: CDC upsert-merge and SCD2 history.
+
+The snapshot/ingest family (``sources/snapshots.py``) versions whole
+corpora; production tables instead evolve through CHANGE STREAMS —
+Debezium/Kafka-style (op, seq) changelogs applied onto a base
+snapshot. This is the MERGE INTO / `APPLY CHANGES` shape every
+lakehouse runs (Delta Live Tables, Iceberg upserts), re-expressed as
+plain deterministic DataFrame ops so it works on any store:
+
+- ``apply_changes``: latest-change-wins per key (ONE row_number
+  window over the changelog, partitioned by key, ordered by seq
+  DESC with a total tiebreak) then one full-outer join with the
+  base. Deletes drop the key, inserts/updates replace the payload.
+  At 100 TB the window shuffles only the CHANGELOG (usually ≪ the
+  base) and the join is one co-partitioned shuffle on the key —
+  the base is never rewritten except through the join.
+- ``scd2_history``: the audit twin — every change becomes a
+  validity interval [valid_from, valid_to) via ONE lead() window
+  per key; the current row has valid_to NULL. Dimension tables at
+  scale keep full history this way (Kimball type-2).
+
+Both are pure window/join compositions — no UDFs, whole-stage
+codegen end to end, and exactly replayable in SQL (the battery
+oracles do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_OPS = ("I", "U", "D")
+
+
+def latest_changes(
+    changes: DataFrame, key: str, seq_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Latest change per key: row_number over (seq DESC, op ASC)
+    — the op tiebreak makes same-seq batches deterministic:
+    'D' < 'I' < 'U', so ascending op lets a delete win a
+    same-sequence tie (the Debezium tombstone convention)."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE the changelog into the base snapshot.
+
+    Change rows must carry the base's payload columns (for I/U; D
+    rows may leave them NULL). Returns the new snapshot with the
+    base's schema."""
+    payload = [c for c in base.columns if c != key]
+    last = latest_changes(changes, key, seq_col, op_col).select(
+        F.col(key),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__new_{c}") for c in payload],
+    )
+    joined = base.join(last, key, "full_outer")
+    kept = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    )
+    out = kept.select(
+        F.col(key),
+        *[
+            F.when(
+                F.col("__op").isNotNull(), F.col(f"__new_{c}")
+            ).otherwise(F.col(c)).alias(c)
+            for c in payload
+        ],
+    )
+    return out
+
+
+def scd2_history(
+    changes: DataFrame, key: str, seq_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a changelog:
+    one row per change with [valid_from, valid_to) validity —
+    valid_to = the NEXT change's seq (lead window), NULL while
+    current; ``is_current`` marks the live row (false for a
+    terminal delete). ONE window per key, no self-join."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).asc(), F.col(op_col).asc()
+    )
+    nxt = F.lead(F.col(seq_col)).over(w)
+    return changes.select(
+        "*",
+        F.col(seq_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        (nxt.isNull() & (F.col(op_col) != "D")).alias("is_current"),
+    )

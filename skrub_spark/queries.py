@@ -3888,6 +3888,113 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "hash join merge sort", k=10)
 
 
+def _cdc_changes(base):
+    """Deterministic Debezium-style changelog derived from the base:
+    custkey%10=0 → update (acctbal+100, seq 2), %17=0 → delete
+    (seq 3, wins same-key ties), %25=0 → insert under key+1M
+    (seq 1)."""
+    k = F.col("c_custkey")
+    upd = base.filter(k % 10 == 0).select(
+        k.alias("c_custkey"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.col("c_mktsegment"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    dele = base.filter(k % 17 == 0).select(
+        k.alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+        F.lit(3).cast("long").alias("seq"),
+    )
+    ins = base.filter(k % 25 == 0).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal"),
+        F.col("c_mktsegment"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog MERGE (r8 late, operators/cdc.py — the Delta /
+    Iceberg `APPLY CHANGES` shape): a deterministic Debezium-style
+    (op, seq) changelog applied onto the customer snapshot.
+    Latest-change-wins is ONE row_number window over the CHANGELOG
+    only (≪ base at scale) + one co-partitioned full-outer join on
+    the key. The oracle states the merge's semantic truth directly
+    (delete keys gone, update keys re-priced, insert keys added) —
+    an independent derivation, not a replay of the window plan."""
+    _prep(spark)
+    from .operators.cdc import apply_changes
+
+    base = load_table(spark, sf_dir, "customer")
+    return apply_changes(base, _cdc_changes(base), "c_custkey", "seq")
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history (operators/cdc.py):
+    each customer's order stream becomes validity intervals
+    [valid_from, valid_to) via ONE lead() window per key — the
+    Kimball dimension-history shape. is_current marks the open
+    interval."""
+    _prep(spark)
+    from .operators.cdc import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice"),
+    )
+    hist = scd2_history(ch, "o_custkey", "o_orderkey")
+    return hist.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (r8 late,
+    operators/fusion.py, Cormack et al. 2009): the dense cosine
+    top-20 (embeddings, query vec_id=0) and the sparse BM25 top-20
+    (documents, 'hash join merge sort') fuse scorelessly as
+    Σ 1/(60+rank) — the two candidate lists share the corpus id
+    space (vec_id ≡ doc_id). Each rank is a row_number over a
+    deterministic (score, id) order and each contribution is one
+    IEEE division summed in fixed list order, so the fused ranking
+    replays bit-identically."""
+    _prep(spark)
+    from .operators.bm25 import bm25_topk
+    from .operators.fusion import rrf_fuse, to_ranking
+    from .similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    dense = topk_cosine(emb, qv, k=20, round_digits=4)
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = bm25_topk(docs, "hash join merge sort", k=20)
+    return rrf_fuse(
+        [
+            to_ranking(dense, "vec_id", "cosine"),
+            to_ranking(sparse, "doc_id", "score"),
+        ],
+        k=60,
+        topn=10,
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -6980,6 +7087,107 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: CDC merge — the oracle derives the merged snapshot from
+# the changelog's SEMANTICS (deletes gone, updates re-priced,
+# inserts added), independent of the window/join plan.
+ORACLES["cdc_merge"] = """
+    SELECT c_custkey, c_name, c_nationkey,
+      CASE WHEN c_custkey % 10 = 0
+           THEN c_acctbal + CAST(100.0 AS DOUBLE)
+           ELSE c_acctbal END AS c_acctbal,
+      c_mktsegment
+    FROM customer WHERE c_custkey % 17 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name || '_new', c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 25 = 0
+"""
+
+# r8 late: SCD2 validity intervals — one lead() window per key.
+ORACLES["scd2_history"] = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      o_orderkey AS valid_from,
+      lead(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS valid_to,
+      (lead(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey ASC) IS NULL)
+        AS is_current
+    FROM orders
+"""
+
+# r8 late: hybrid dense+sparse RRF — both candidate lists replay
+# deterministically (rounded cosine / exact-decimal BM25), the
+# fused score is a fixed-order sum of two IEEE divisions.
+ORACLES["hybrid_search_rrf"] = """
+    WITH dense AS (
+      SELECT vec_id AS id,
+        ROUND(list_cosine_similarity(
+          CAST(embedding AS DOUBLE[]),
+          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+           WHERE vec_id = 0)), 4) AS s
+      FROM embeddings
+      ORDER BY s DESC, id ASC LIMIT 20
+    ), dr AS (
+      SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rank
+      FROM dense
+    ), toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '') AS tk
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(tk) AS dl FROM toks
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+      WHERE term IN ('hash','join','merge','sort')
+      GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, count(*) AS df FROM post GROUP BY term
+    ), per AS (
+      SELECT p.doc_id,
+        CAST(round(
+          ln(CAST(1.0 AS DOUBLE)
+             + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                + CAST(0.5 AS DOUBLE))
+               / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+          * CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+          / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             * (CAST(0.25 AS DOUBLE)
+                + CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE)
+                  / (CAST(s.total_dl AS DOUBLE)
+                     / CAST(s.n_docs AS DOUBLE)))),
+          6) AS DECIMAL(28,6)) AS c_q
+      FROM post p JOIN dft d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    ), sparse AS (
+      SELECT doc_id AS id, CAST(sum(c_q) AS DOUBLE) AS score
+      FROM per GROUP BY doc_id
+      ORDER BY score DESC, id ASC LIMIT 20
+    ), sr AS (
+      SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+      FROM sparse
+    ), f AS (
+      SELECT COALESCE(dr.id, sr.id) AS id, dr.rank AS r0, sr.rank AS r1
+      FROM dr FULL OUTER JOIN sr ON dr.id = sr.id
+    )
+    SELECT id,
+      CAST((CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lists,
+      (CASE WHEN r0 IS NOT NULL
+            THEN CAST(1.0 AS DOUBLE)
+                 / (CAST(60.0 AS DOUBLE) + CAST(r0 AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN r1 IS NOT NULL
+            THEN CAST(1.0 AS DOUBLE)
+                 / (CAST(60.0 AS DOUBLE) + CAST(r1 AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score
+    FROM f ORDER BY rrf_score DESC, id ASC LIMIT 10
+"""
+
 # r8 late: BM25 lexical top-10. Every numeric literal is CAST to
 # DOUBLE (bare literals parse as DECIMAL in DuckDB and poison the
 # arithmetic); per-term contributions round to 6dp and sum as exact
@@ -7470,6 +7678,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 late: BM25 lexical retrieval (sparse half of the
         # search stack; exact decimal-sum ranking oracle)
         "bm25_search": q_bm25_search,
+        # r8 late: CDC changelog merge + SCD2 history (lakehouse
+        # APPLY CHANGES shape; semantic-truth oracles)
+        "cdc_merge": q_cdc_merge,
+        "scd2_history": q_scd2_history,
+        # r8 late: hybrid dense+sparse reciprocal-rank fusion
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

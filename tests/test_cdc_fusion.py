@@ -1,0 +1,100 @@
+"""CDC changelog merge, SCD2 history, and RRF fusion contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skrub_spark.operators.cdc import (
+    apply_changes,
+    latest_changes,
+    scd2_history,
+)
+from skrub_spark.operators.fusion import rrf_fuse, to_ranking
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double",
+    )
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, name string, val double, op string, seq long"
+    )
+
+
+def test_apply_changes_upsert_delete(spark, base):
+    ch = _ch(spark, [
+        (2, "b2", 22.0, "U", 1),     # update existing
+        (3, None, None, "D", 1),     # delete existing
+        (4, "d", 40.0, "I", 1),      # insert new
+        (5, None, None, "D", 1),     # delete nonexistent: no-op
+        (6, "f", 60.0, "U", 1),      # update nonexistent: upsert
+    ])
+    got = {r["id"]: (r["name"], r["val"])
+           for r in apply_changes(base, ch, "id", "seq").collect()}
+    assert got == {
+        1: ("a", 10.0), 2: ("b2", 22.0), 4: ("d", 40.0), 6: ("f", 60.0),
+    }
+
+
+def test_apply_changes_latest_wins_and_tiebreak(spark, base):
+    ch = _ch(spark, [
+        (2, "x", 1.0, "U", 1),
+        (2, "y", 2.0, "U", 5),       # latest seq wins
+        (3, "z", 3.0, "U", 7),
+        (3, None, None, "D", 7),     # same seq: D beats U
+    ])
+    got = {r["id"]: r["name"]
+           for r in apply_changes(base, ch, "id", "seq").collect()}
+    assert got == {1: "a", 2: "y"}
+    last = {r["id"]: r["op"]
+            for r in latest_changes(ch, "id", "seq").collect()}
+    assert last[3] == "D"
+
+
+def test_scd2_intervals(spark):
+    ch = _ch(spark, [
+        (1, "v1", 1.0, "U", 10),
+        (1, "v2", 2.0, "U", 20),
+        (1, "v3", 3.0, "U", 30),
+        (2, "w1", 9.0, "U", 5),
+        (2, None, None, "D", 8),     # terminal delete
+    ])
+    h = {(r["id"], r["seq"]): (r["valid_from"], r["valid_to"], r["is_current"])
+         for r in scd2_history(ch, "id", "seq").collect()}
+    assert h[(1, 10)] == (10, 20, False)
+    assert h[(1, 20)] == (20, 30, False)
+    assert h[(1, 30)] == (30, None, True)
+    assert h[(2, 5)] == (5, 8, False)
+    assert h[(2, 8)] == (8, None, False)  # deleted: not current
+
+
+def test_rrf_fusion_hand_computed(spark):
+    a = spark.createDataFrame([(10, 0.9), (11, 0.8), (12, 0.7)],
+                              "id long, s double")
+    b = spark.createDataFrame([(11, 5.0), (13, 4.0)], "id long, s double")
+    fused = {r["id"]: (r["n_lists"], r["rrf_score"])
+             for r in rrf_fuse(
+                 [to_ranking(a, "id", "s"), to_ranking(b, "id", "s")],
+                 k=60).collect()}
+    assert fused[10] == (1, 1.0 / 61)
+    assert fused[11] == (2, 1.0 / 62 + 1.0 / 61)   # rank 2 in a, 1 in b
+    assert fused[12] == (1, 1.0 / 63)
+    assert fused[13] == (1, 1.0 / 62)
+    # consensus doc 11 outranks either single-list doc
+    assert fused[11][1] > fused[10][1]
+
+
+def test_rrf_topn_and_ranking_ties(spark):
+    # equal scores tie-break by id in to_ranking
+    a = spark.createDataFrame([(7, 1.0), (3, 1.0), (5, 1.0)],
+                              "id long, s double")
+    ranks = {r["id"]: r["rank"] for r in to_ranking(a, "id", "s").collect()}
+    assert ranks == {3: 1, 5: 2, 7: 3}
+    top = rrf_fuse([to_ranking(a, "id", "s", limit=2)], topn=1).collect()
+    assert [r["id"] for r in top] == [3]
