@@ -98,6 +98,101 @@ def quantile_sketch(
     )
 
 
+def _cm_bucket(value: Column, d: Column, width: int, salt: str) -> Column:
+    """Row d's bucket for ``value``: 60 md5 bits of
+    (salt, d, 0x1f, value) mod width — the same engine-portable md5
+    rule as every sampler here, so estimates replay exactly in SQL.
+    NULLs hash via the sampler sentinel."""
+    s = F.coalesce(value.cast("string"), F.lit("\x00<null>"))
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), d.cast("string"), F.lit("\x1f"), s
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(width)),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    width: int = 4096,
+    depth: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value
+    stream: ``depth`` hash rows × ``width`` counters.
+
+    Returns (d, bucket, cnt) — at most depth·width rows regardless
+    of stream size. The map side explodes each value into its
+    ``depth`` (row, bucket) cells, but the groupBy is map-side
+    combined so the shuffle carries ≤ tasks·depth·width partial
+    counters, never the stream. Sketches MERGE by summing counters
+    cell-wise (one union + groupBy sum) — shard/snapshot sketches
+    combine without re-scanning, the property that makes a 100 TB
+    corpus's token-frequency observability a few-KB artifact.
+    Deterministic md5 hashing ⇒ bit-identical on any partitioning
+    and exactly replayable in a SQL oracle (battery query
+    ``token_freq_cms``), unlike engine-internal sketch registers."""
+    v = F.col(value) if isinstance(value, str) else value
+    rows = df.select(
+        v.alias("__v"),
+        F.explode(
+            F.expr(f"sequence(0, {int(depth) - 1})")
+        ).alias("d"),
+    )
+    return (
+        rows.select(
+            F.col("d").cast("int").alias("d"),
+            _cm_bucket(F.col("__v"), F.col("d"), width, salt).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    term_col: str,
+    *,
+    width: int = 4096,
+    depth: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Point-frequency estimates: est(t) = min over hash rows of the
+    counter at t's bucket (0 when a cell is empty). The classic CMS
+    guarantee holds: est ≥ true always; est ≤ true + εN with
+    probability 1−δ for ε = e/width, δ = e^−depth. The probe side
+    expands to depth rows per term and joins the ≤ depth·width
+    sketch broadcast — the corpus is never touched."""
+    t = F.col(term_col)
+    keys = probes.select(
+        t.alias("term"),
+        F.explode(F.expr(f"sequence(0, {int(depth) - 1})")).alias("d"),
+    ).select(
+        "term",
+        F.col("d").cast("int").alias("d"),
+        _cm_bucket(F.col("term"), F.col("d"), width, salt).alias("bucket"),
+    )
+    joined = keys.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
 def distinct_sketch(
     df: DataFrame,
     value: Column | str,

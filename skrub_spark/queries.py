@@ -3995,6 +3995,47 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBES = [
+    "join", "hash", "row", "batch", "scan", "the", "vector", "stream",
+    "zzz_absent",
+]
+
+
+def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates (r8 late,
+    functions/sketches.py — completes the observability-sketch
+    family: cardinality ✓ quantiles ✓ frequencies here): the corpus
+    token stream reduces to a 4×4096 counter grid (map-side
+    combined, sketches merge by cell-wise sum), probed for a fixed
+    term list with est = min over hash rows. md5 hashing makes the
+    sketch partition-invariant and EXACTLY SQL-replayable — unlike
+    engine-internal frequency sketches. The exact counts run
+    alongside for the report; the est ≥ true / εN-bound / merge
+    contracts are pinned in tests/test_expectations.py."""
+    _prep(spark)
+    from .functions.sketches import countmin_estimate, countmin_sketch
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sk = countmin_sketch(toks, "tok", width=4096, depth=4, salt="cm8")
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "term string"
+    )
+    est = countmin_estimate(
+        sk, probes, "term", width=4096, depth=4, salt="cm8"
+    )
+    true = (
+        toks.filter(F.col("tok").isin(_CMS_PROBES))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return est.join(true, "term", "left").select(
+        "term",
+        F.coalesce("true_cnt", F.lit(0).cast("long")).alias("true_cnt"),
+        "est",
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -7087,6 +7128,44 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: count-min sketch — md5 cells replay exactly; the probe
+# list and the CROSS JOIN over hash rows mirror the Spark plan.
+ORACLES["token_freq_cms"] = """
+    WITH t AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ), dd AS (
+      SELECT unnest([0, 1, 2, 3]) AS d
+    ), cells AS (
+      SELECT d,
+        ('0x' || substr(md5('cm8' || CAST(d AS VARCHAR) || chr(31) || tok),
+                        1, 15))::BIGINT % 4096 AS bucket,
+        count(*) AS cnt
+      FROM t CROSS JOIN dd GROUP BY 1, 2
+    ), probes AS (
+      SELECT unnest(['join','hash','row','batch','scan','the','vector',
+                     'stream','zzz_absent']) AS term
+    ), keys AS (
+      SELECT term, d,
+        ('0x' || substr(md5('cm8' || CAST(d AS VARCHAR) || chr(31) || term),
+                        1, 15))::BIGINT % 4096 AS bucket
+      FROM probes CROSS JOIN dd
+    ), est AS (
+      SELECT term, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+      FROM keys k LEFT JOIN cells c USING (d, bucket) GROUP BY term
+    ), tr AS (
+      SELECT tok AS term, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM t
+      WHERE tok IN ('join','hash','row','batch','scan','the','vector',
+                    'stream','zzz_absent')
+      GROUP BY tok
+    )
+    SELECT e.term, COALESCE(tr.true_cnt, CAST(0 AS BIGINT)) AS true_cnt,
+           e.est
+    FROM est e LEFT JOIN tr USING (term)
+"""
+
 # r8 late: CDC merge — the oracle derives the merged snapshot from
 # the changelog's SEMANTICS (deletes gone, updates re-priced,
 # inserts added), independent of the window/join plan.
@@ -7684,6 +7763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         # r8 late: hybrid dense+sparse reciprocal-rank fusion
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        # r8 late: count-min point-frequency sketch (md5-portable)
+        "token_freq_cms": q_token_freq_cms,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -159,6 +159,47 @@ def test_bm25_partitioning_invariant(spark):
     assert s == sorted(s, reverse=True)
 
 
+def test_countmin_contracts(spark):
+    """est >= true always; est <= true + eN whp; cell-wise sum of
+    two shard sketches == the union's sketch exactly."""
+    import math as m
+
+    from skrub_spark.functions.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(f"t{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "tok string")
+    w, d = 512, 4
+    sk = countmin_sketch(df, "tok", width=w, depth=d, salt="s")
+    probes = spark.createDataFrame(
+        [("hot",), ("t0",), ("never",)], "term string"
+    )
+    est = {r["term"]: r["est"]
+           for r in countmin_estimate(sk, probes, "term",
+                                      width=w, depth=d, salt="s").collect()}
+    true = {"hot": 500, "t0": 2000 // 37 + 1, "never": 0}
+    n = 2500
+    eps = m.e / w
+    for t, tv in true.items():
+        assert est[t] >= tv                      # never underestimates
+        assert est[t] <= tv + eps * n * 3        # generous whp bound
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    a = spark.createDataFrame(rows[:1000], "tok string")
+    b = spark.createDataFrame(rows[1000:], "tok string")
+    merged = (
+        countmin_sketch(a, "tok", width=w, depth=d, salt="s")
+        .unionByName(countmin_sketch(b, "tok", width=w, depth=d, salt="s"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_sketch(df, "tok", width=w, depth=d, salt="s")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
 def test_bm25_postings_filter_precedes_shuffle(spark):
     """The query-term filter must sit below the (doc, term) exchange
     — at 100 TB the shuffle carries only matching postings."""
