@@ -77,6 +77,23 @@ def bm25_scores(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _score_postings(post, lens, stats, id_col, k1=k1, b=b)
+
+
+def _score_postings(
+    post: DataFrame,
+    lens: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    *,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 core over (id, term, tf) postings already
+    restricted to the query terms. df per term is recomputed from
+    the filtered postings (pruning keeps whole terms, so it is the
+    corpus df); the exact-decimal contribution sum makes the
+    ranking partition-invariant."""
     df_t = post.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -105,6 +122,100 @@ def bm25_scores(
         F.count(F.lit(1)).cast("long").alias("n_hit"),
         F.sum("c_q").cast("double").alias("score"),
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, lens, stats) for persisting: postings =
+    (bucket, term, id, tf) with bucket = xxhash64(term) mod
+    n_buckets — internal plumbing only, so the fast JVM hash is fine
+    (scores never depend on it). Build cost is ONE (id, term)
+    groupBy over the corpus; done once, searched many."""
+    toks = docs.select(
+        F.col(id_col), bm25_tokens(F.col(text_col)).alias("__toks")
+    )
+    lens = toks.select(id_col, F.size("__toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    post = (
+        toks.select(id_col, F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias(
+                "bucket"
+            ),
+            "term",
+            id_col,
+            "tf",
+        )
+    )
+    return post, lens, stats
+
+
+def write_bm25_index(
+    index: tuple[DataFrame, DataFrame, DataFrame], path: str
+) -> None:
+    """Persist postings partitioned BY BUCKET — a probe reads only
+    its query terms' buckets (partition pruning at the parquet
+    layer), so search cost at 100 TB is |query| buckets ≈ 1/64 of
+    the postings, not the corpus."""
+    post, lens, stats = index
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    lens.write.mode("overwrite").parquet(f"{path}/lens")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k from the persisted index: the bucket equality filter on
+    the partition column prunes the postings read to the query
+    terms' buckets (assert `PartitionFilters` in the scan), then the
+    term filter + shared scoring core run over that slice. Results
+    are identical to the direct `bm25_topk` (same exact-decimal
+    arithmetic)."""
+    terms = sorted(
+        {t for t in re.split(r"[^a-z0-9]+", query.lower()) if t}
+    )
+    if not terms:
+        raise ValueError("empty query")
+    post = spark.read.parquet(f"{path}/postings")
+    lens = spark.read.parquet(f"{path}/lens")
+    stats = spark.read.parquet(f"{path}/stats")
+    buckets = post.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select(
+        F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).alias("b")
+    )
+    bvals = sorted({r["b"] for r in buckets.collect()})
+    pruned = post.filter(F.col("bucket").isin(bvals)).filter(
+        F.col("term").isin(terms)
+    )
+    scored = _score_postings(
+        pruned.select(id_col, "term", "tf"), lens, stats, id_col,
+        k1=k1, b=b,
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(k))
 
 
 def bm25_topk(

@@ -3995,6 +3995,28 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-BM25-index probe (r8 late — the sparse twin of
+    topk_indexed): build the (bucket, term, doc, tf) postings index,
+    WRITE it partitioned by term-hash bucket, read it back and
+    search 'hash join merge sort' with partition pruning — only the
+    query terms' buckets are read (plan-audited PartitionFilters in
+    tests/test_expectations.py). Scoring is the same exact-decimal
+    core as bm25_search, so the direct query's oracle applies
+    verbatim."""
+    _prep(spark)
+    from .operators.bm25 import (
+        bm25_search_indexed,
+        build_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _fresh_tmp("skrub_q_bm25_")
+    write_bm25_index(build_bm25_index(docs), path)
+    return bm25_search_indexed(spark, path, "hash join merge sort", k=10)
+
+
 _CMS_PROBES = [
     "join", "hash", "row", "batch", "scan", "the", "vector", "stream",
     "zzz_absent",
@@ -7311,6 +7333,9 @@ ORACLES["bm25_search"] = """
     ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+# the indexed probe scores identically to the direct query
+ORACLES["bm25_indexed"] = ORACLES["bm25_search"]
+
 
 def _pagerank_oracle(
     n_iter: int = 3,
@@ -7765,6 +7790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         # r8 late: count-min point-frequency sketch (md5-portable)
         "token_freq_cms": q_token_freq_cms,
+        # r8 late: persisted BM25 postings index, pruned probe
+        "bm25_indexed": q_bm25_indexed,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -159,6 +159,33 @@ def test_bm25_partitioning_invariant(spark):
     assert s == sorted(s, reverse=True)
 
 
+def test_bm25_index_prunes_partitions_and_matches_direct(spark, tmp_path):
+    """The persisted-index probe must (a) push the bucket filter
+    into PartitionFilters — only the query terms' buckets are read —
+    and (b) return exactly the direct computation's ranking."""
+    from skrub_spark.operators.bm25 import (
+        bm25_search_indexed,
+        bm25_topk,
+        build_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = [(i, f"hash join term{i % 7} merge sort row scan " * (1 + i % 3))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "bm25idx")
+    write_bm25_index(build_bm25_index(df), path)
+    got = bm25_search_indexed(spark, path, "hash merge", k=5)
+    direct = bm25_topk(df, "hash merge", k=5)
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == [
+        (r["doc_id"], r["score"]) for r in direct.collect()
+    ]
+    import re as _re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
+
+
 def test_countmin_contracts(spark):
     """est >= true always; est <= true + eN whp; cell-wise sum of
     two shard sketches == the union's sketch exactly."""
