@@ -123,6 +123,17 @@ HEADLINE = [
     "numeric_associations",
     "spearman_associations",
     "topk_opq",
+    # r8 late additions (bm25_indexed excluded like snapshot_ingest:
+    # index-write cost dominates; its timing lives in the battery)
+    "record_linkage_scores",
+    "record_linkage_resolved",
+    "expectations_audit",
+    "expectations_quarantine",
+    "bm25_search",
+    "cdc_merge",
+    "scd2_history",
+    "hybrid_search_rrf",
+    "token_freq_cms",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,
