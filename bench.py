@@ -134,6 +134,7 @@ HEADLINE = [
     "scd2_history",
     "hybrid_search_rrf",
     "token_freq_cms",
+    "drift_psi",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

@@ -4017,6 +4017,28 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_indexed(spark, path, "hash join merge sort", k=10)
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution-drift report (r8 late, report/drift.py — the
+    reference/current scorecard): reference = the English slice,
+    current = the whole corpus, monitored on n_chars (literal bin
+    edges) and lang (literal categories — the planted drift: en goes
+    from 100% to ~44%). One exploded groupBy per side covers all
+    monitored columns; fractions are exact-count divisions, per-bin
+    terms round to 6dp and the per-column PSI sums over
+    DECIMAL(28,6), so every value replays bit-identically."""
+    _prep(spark)
+    from .report.drift import DriftSpec, psi_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    specs = [
+        DriftSpec("n_chars", "numeric", edges=(100.0, 200.0, 300.0, 400.0)),
+        DriftSpec("lang", "categorical",
+                  categories=("en", "de", "fr", "es")),
+    ]
+    return psi_report(ref, docs, specs)
+
+
 _CMS_PROBES = [
     "join", "hash", "row", "batch", "scan", "the", "vector", "stream",
     "zzz_absent",
@@ -7150,6 +7172,66 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: PSI drift — literal bin universe, exact-count fractions,
+# 6dp terms summed as decimal per column.
+ORACLES["drift_psi"] = """
+    WITH universe(col_name, bin) AS (
+      VALUES
+        ('n_chars','(-inf,100)'), ('n_chars','[100,200)'),
+        ('n_chars','[200,300)'), ('n_chars','[300,400)'),
+        ('n_chars','[400,inf)'), ('n_chars','<null>'),
+        ('lang','en'), ('lang','de'), ('lang','fr'), ('lang','es'),
+        ('lang','<other>'), ('lang','<null>')
+    ), binned AS (
+      SELECT doc_id, lang,
+        CASE WHEN n_chars IS NULL THEN '<null>'
+             WHEN n_chars < 100 THEN '(-inf,100)'
+             WHEN n_chars < 200 THEN '[100,200)'
+             WHEN n_chars < 300 THEN '[200,300)'
+             WHEN n_chars < 400 THEN '[300,400)'
+             ELSE '[400,inf)' END AS nb,
+        CASE WHEN lang IS NULL THEN '<null>'
+             WHEN lang = 'en' THEN 'en' WHEN lang = 'de' THEN 'de'
+             WHEN lang = 'fr' THEN 'fr' WHEN lang = 'es' THEN 'es'
+             ELSE '<other>' END AS lb
+      FROM documents
+    ), long AS (
+      SELECT 'n_chars' AS col_name, nb AS bin, lang FROM binned
+      UNION ALL
+      SELECT 'lang', lb, lang FROM binned
+    ), rc AS (
+      SELECT col_name, bin, count(*) AS rc FROM long
+      WHERE lang = 'en' GROUP BY 1, 2
+    ), cc AS (
+      SELECT col_name, bin, count(*) AS cc FROM long GROUP BY 1, 2
+    ), rt AS (
+      SELECT count(*) AS rt2 FROM documents WHERE lang = 'en'
+    ), ct AS (
+      SELECT count(*) AS ct2 FROM documents
+    ), f AS (
+      SELECT u.col_name, u.bin,
+        CAST(COALESCE(rc.rc, 0) AS DOUBLE) / CAST(rt.rt2 AS DOUBLE) AS p,
+        CAST(COALESCE(cc.cc, 0) AS DOUBLE) / CAST(ct.ct2 AS DOUBLE) AS q
+      FROM universe u
+      LEFT JOIN rc ON rc.col_name = u.col_name AND rc.bin = u.bin
+      LEFT JOIN cc ON cc.col_name = u.col_name AND cc.bin = u.bin
+      CROSS JOIN rt CROSS JOIN ct
+    ), t AS (
+      SELECT col_name, bin, p, q,
+        CAST(round(
+          (GREATEST(p, CAST(0.0001 AS DOUBLE))
+           - GREATEST(q, CAST(0.0001 AS DOUBLE)))
+          * ln(GREATEST(p, CAST(0.0001 AS DOUBLE))
+               / GREATEST(q, CAST(0.0001 AS DOUBLE))), 6)
+          AS DECIMAL(28,6)) AS term
+      FROM f
+    )
+    SELECT col_name AS "column", bin, p AS ref_frac, q AS cur_frac,
+      CAST(term AS DOUBLE) AS psi_term,
+      CAST(sum(term) OVER (PARTITION BY col_name) AS DOUBLE) AS psi
+    FROM t
+"""
+
 # r8 late: count-min sketch — md5 cells replay exactly; the probe
 # list and the CROSS JOIN over hash rows mirror the Spark plan.
 ORACLES["token_freq_cms"] = """
@@ -7792,6 +7874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_cms": q_token_freq_cms,
         # r8 late: persisted BM25 postings index, pruned probe
         "bm25_indexed": q_bm25_indexed,
+        # r8 late: PSI distribution-drift scorecard (report family)
+        "drift_psi": q_drift_psi,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -1,0 +1,158 @@
+"""Distribution-drift report: population stability index (PSI).
+
+The report family describes one table (`TableReport`), asserts on
+one table (`operators/expectations.py`), and diffs snapshot
+MEMBERSHIP (`snapshot_diff`); this adds the standard ML-ops
+DISTRIBUTION drift metric between two corpus slices — the
+reference/current comparison every production scorecard runs before
+trusting a new crawl or retraining batch:
+
+    PSI(col) = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+
+(< 0.1 stable, 0.1–0.25 moderate, > 0.25 action). Conventions:
+
+- **Declared bins.** Numeric columns bin on LITERAL edges,
+  categoricals on a literal category list (+ ``<other>``; NULL gets
+  its own bin) — the bin universe is driver-known, so missing bins
+  appear with count 0 on both sides and two engines produce the
+  same row set. Deriving edges from reference quantiles is the
+  caller's job (`quantile_sketch` does it deterministically).
+- **One aggregation pass per side, all columns.** Each row explodes
+  into its (column, bin) labels; ONE map-side-combined groupBy per
+  frame counts every column's histogram simultaneously — two corpus
+  scans total regardless of how many columns are monitored.
+- **Exact arithmetic.** Fractions are single IEEE divisions of
+  exact counts; zero fractions clip to the standard 1e-4 floor;
+  each bin's PSI term rounds to 6dp and the per-column sum runs
+  over DECIMAL(28,6) — partitioning-invariant and bit-identically
+  SQL-replayable (battery query ``drift_psi``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NULL_BIN = "<null>"
+_OTHER_BIN = "<other>"
+_CLIP = 1e-4
+
+
+@dataclass(frozen=True)
+class DriftSpec:
+    """One monitored column: numeric with ``edges`` (bins are
+    (-inf, e0), [e0, e1), …, [en, inf)) or categorical with
+    ``categories`` (everything else lands in ``<other>``)."""
+
+    column: str
+    kind: str = "numeric"
+    edges: tuple = ()
+    categories: tuple = ()
+
+    def bin_labels(self) -> list[str]:
+        if self.kind == "numeric":
+            e = [f"{float(x):g}" for x in self.edges]
+            labels = [f"(-inf,{e[0]})"]
+            labels += [f"[{a},{b})" for a, b in zip(e, e[1:])]
+            labels.append(f"[{e[-1]},inf)")
+            return labels + [_NULL_BIN]
+        return [str(c) for c in self.categories] + [_OTHER_BIN, _NULL_BIN]
+
+    def bin_expr(self) -> Column:
+        c = F.col(self.column)
+        if self.kind == "numeric":
+            e = [float(x) for x in self.edges]
+            lbl = self.bin_labels()
+            expr = F.when(c.isNull(), F.lit(_NULL_BIN)).when(
+                c < F.lit(e[0]), F.lit(lbl[0])
+            )
+            for i in range(1, len(e)):
+                expr = expr.when(c < F.lit(e[i]), F.lit(lbl[i]))
+            return expr.otherwise(F.lit(lbl[len(e)]))
+        expr = F.when(c.isNull(), F.lit(_NULL_BIN))
+        for cat in self.categories:
+            expr = expr.when(c == F.lit(str(cat)), F.lit(str(cat)))
+        return expr.otherwise(F.lit(_OTHER_BIN))
+
+
+def _bin_counts(df: DataFrame, specs: list[DriftSpec]) -> DataFrame:
+    """(column, bin, cnt, total) — ONE exploded groupBy for every
+    monitored column; total rides along via a scalar crossJoin."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s.column).alias("column"),
+                s.bin_expr().alias("bin"),
+            )
+            for s in specs
+        ]
+    )
+    exploded = df.select(F.explode(pairs).alias("p")).select(
+        "p.column", "p.bin"
+    )
+    counts = exploded.groupBy("column", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return counts.join(F.broadcast(total))
+
+
+def psi_report(
+    ref: DataFrame, cur: DataFrame, specs: list[DriftSpec]
+) -> DataFrame:
+    """Per-bin drift rows (column, bin, ref_frac, cur_frac,
+    psi_term) plus the per-column ``psi`` total on every row —
+    ready to gate on ``psi > 0.25``."""
+    spark = ref.sparkSession
+    universe = spark.createDataFrame(
+        [(s.column, b) for s in specs for b in s.bin_labels()],
+        "column string, bin string",
+    )
+    rc = _bin_counts(ref, specs).withColumnRenamed("cnt", "rc")
+    cc = _bin_counts(cur, specs).withColumnRenamed("cnt", "cc")
+    j = (
+        universe.join(
+            rc.select("column", "bin", "rc", F.col("total").alias("rt")),
+            ["column", "bin"],
+            "left",
+        )
+        .join(
+            cc.select("column", "bin", "cc", F.col("total").alias("ct")),
+            ["column", "bin"],
+            "left",
+        )
+    )
+    # totals: any bin row carries them; re-broadcast the scalars so
+    # count-0 bins still divide by the right total
+    rt = ref.agg(F.count(F.lit(1)).alias("rt2"))
+    ct = cur.agg(F.count(F.lit(1)).alias("ct2"))
+    j = j.join(F.broadcast(rt)).join(F.broadcast(ct))
+    p = F.coalesce(F.col("rc"), F.lit(0)).cast("double") / F.col(
+        "rt2"
+    ).cast("double")
+    q = F.coalesce(F.col("cc"), F.lit(0)).cast("double") / F.col(
+        "ct2"
+    ).cast("double")
+    pc = F.greatest(p, F.lit(float(_CLIP)))
+    qc = F.greatest(q, F.lit(float(_CLIP)))
+    term = F.round((pc - qc) * F.log(pc / qc), 6).cast("decimal(28,6)")
+    from pyspark.sql import Window
+
+    out = j.select(
+        "column",
+        "bin",
+        p.alias("ref_frac"),
+        q.alias("cur_frac"),
+        term.alias("psi_term"),
+    )
+    w = Window.partitionBy("column")
+    return out.select(
+        "column",
+        "bin",
+        "ref_frac",
+        "cur_frac",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.sum("psi_term").over(w).cast("double").alias("psi"),
+    )

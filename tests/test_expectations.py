@@ -186,6 +186,38 @@ def test_bm25_index_prunes_partitions_and_matches_direct(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
 
 
+def test_psi_drift_contracts(spark):
+    """Identical frames score ~0; a planted shift scores > 0.25;
+    missing bins and NULLs land in their own rows with frac 0."""
+    from skrub_spark.report.drift import DriftSpec, psi_report
+
+    ref = spark.createDataFrame(
+        [(float(i % 10), "a" if i % 2 else "b") for i in range(200)],
+        "x double, c string",
+    )
+    specs = [
+        DriftSpec("x", "numeric", edges=(3.0, 6.0)),
+        DriftSpec("c", "categorical", categories=("a", "b")),
+    ]
+    same = psi_report(ref, ref, specs).collect()
+    assert all(abs(r["psi"]) < 1e-9 for r in same)
+    assert len(same) == 4 + 4  # 3 numeric bins + null; 2 cats + other + null
+
+    # planted shift: current mass moves to high x and category 'b'
+    cur = spark.createDataFrame(
+        [(float(7 + i % 3), "b") for i in range(200)] + [(None, None)],
+        "x double, c string",
+    )
+    drifted = {(r["column"], r["bin"]): r for r in
+               psi_report(ref, cur, specs).collect()}
+    assert drifted[("x", "[6,inf)")]["psi"] > 0.25
+    assert drifted[("c", "a")]["psi"] > 0.25
+    # empty-on-current low bin has cur_frac 0 but still a row
+    assert drifted[("x", "(-inf,3)")]["cur_frac"] == 0.0
+    # the NULL row is counted on the current side
+    assert drifted[("x", "<null>")]["cur_frac"] > 0.0
+
+
 def test_countmin_contracts(spark):
     """est >= true always; est <= true + eN whp; cell-wise sum of
     two shard sketches == the union's sketch exactly."""
