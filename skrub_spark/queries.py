@@ -3342,10 +3342,13 @@ def q_spearman_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·min_rank + |ties| − 1 — exact arithmetic, no fractional
     tie ranks), then the identical exact-sums Pearson machinery
     runs over the ranks. Rank-based association is what the
-    reference's report surfaces for monotone-but-nonlinear pairs;
-    the global sort a rank needs is the documented cost (sample
-    first at 100 TB). Exact oracle: RANK()/COUNT() windows + the
-    same sum replay."""
+    reference's report surfaces for monotone-but-nonlinear pairs.
+    Distributed rank shape (r8 late): per-column DISTINCT value
+    counts + a cumsum over the ≤D distinct rows + a value→rank
+    join-back — the corpus is never globally sorted; the one
+    ordered pass is over distinct values only. Exact oracle:
+    RANK()/COUNT() windows + the same sum replay (the integers are
+    identical by construction)."""
     _prep(spark)
     from .report.associations import numeric_associations
 

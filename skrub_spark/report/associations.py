@@ -150,23 +150,40 @@ def numeric_associations(
     if method == "spearman":
         # Spearman = Pearson over AVERAGE ranks; 2·avg_rank =
         # 2·min_rank + |ties| − 1 is an INTEGER, so the whole rank
-        # transform stays in exact arithmetic (one sort window + one
-        # tie-count window per column) and correlation over the
-        # doubled ranks equals correlation over the ranks
-        # (scale/shift invariance).
+        # transform stays in exact arithmetic, and correlation over
+        # the doubled ranks equals correlation over the ranks
+        # (scale/shift invariance). Distributed rank shape: a
+        # per-row global sort window would single-task the corpus —
+        # instead each column reduces to its DISTINCT value counts
+        # (map-side-combined groupBy), the rank of a value is a
+        # cumulative sum over those ≤D distinct rows (the one
+        # remaining ordered pass, D ≪ N), and the value→rank map
+        # joins back (broadcast for low-cardinality columns, AQE
+        # otherwise). Same integers, no full-table sort.
         from pyspark.sql import Window
 
-        ints = clean.select(
-            *[
+        ints = clean
+        for c in cols:
+            cnts = clean.groupBy(F.col(c)).agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            w = Window.orderBy(F.col(c)).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            ranks = cnts.select(
+                F.col(c),
                 (
-                    F.lit(2) * F.rank().over(Window.orderBy(F.col(c)))
-                    + F.count(F.lit(1)).over(Window.partitionBy(F.col(c)))
+                    F.lit(2)
+                    * (F.coalesce(F.sum("__cnt").over(w), F.lit(0)) + 1)
+                    + F.col("__cnt")
                     - F.lit(1)
                 )
                 .cast("long")
-                .alias(c)
-                for c in cols
-            ]
+                .alias(f"__r_{c}"),
+            )
+            ints = ints.join(ranks, c)
+        ints = ints.select(
+            *[F.col(f"__r_{c}").alias(c) for c in cols]
         )
     else:
         ints = clean.select(
