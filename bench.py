@@ -135,6 +135,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "token_freq_cms",
     "drift_psi",
+    "scd2_lookup",
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

@@ -83,6 +83,42 @@ def apply_changes(
     return out
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time join: each fact picks the history row whose
+    validity interval contains its timestamp — the consumption half
+    of SCD2 (Kimball's "as-was" lookup). ``strict=False`` means
+    state AS OF ts (valid_from ≤ ts < valid_to); ``strict=True``
+    means state JUST BEFORE ts (valid_from < ts ≤ valid_to) — the
+    leakage-safe variant a training pipeline wants (a feature must
+    not see the change the label row itself caused). Left join:
+    facts with no matching interval keep NULL state.
+
+    Scale shape: an equi-join on the key does the heavy lifting
+    (co-partitioned shuffle); the interval predicate filters within
+    each key's history, which is small per key — no range-bucketing
+    needed, unlike a general interval join."""
+    lo = F.col(from_col) < F.col(ts_col) if strict else (
+        F.col(from_col) <= F.col(ts_col)
+    )
+    hi = F.col(to_col).isNull() | (
+        F.col(ts_col) <= F.col(to_col) if strict
+        else F.col(ts_col) < F.col(to_col)
+    )
+    h = history.withColumnRenamed(key, "__hk")
+    return facts.join(
+        h, (F.col(key) == F.col("__hk")) & lo & hi, "left"
+    ).drop("__hk")
+
+
 def scd2_history(
     changes: DataFrame, key: str, seq_col: str, op_col: str = "op"
 ) -> DataFrame:

@@ -4020,6 +4020,41 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_indexed(spark, path, "hash join merge sort", k=10)
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (r8 late, operators/cdc.py): every
+    order looks up the customer's state JUST BEFORE it (strict
+    as-of — the leakage-safe variant: a training feature must not
+    see the change the label row caused). History = the same order
+    changelog's type-2 intervals; the equi-join on custkey carries
+    the shuffle and the interval predicate filters within each
+    key's small history. The oracle derives the semantic truth
+    independently via LAG — previous order's price per customer —
+    not by replaying the join."""
+    _prep(spark)
+    from .operators.cdc import scd2_history, scd2_lookup
+
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice"),
+    )
+    hist = scd2_history(ch, "o_custkey", "o_orderkey").select(
+        "o_custkey",
+        F.col("o_totalprice").alias("prev_totalprice"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    out = scd2_lookup(
+        facts, hist, "o_custkey", "o_orderkey", strict=True
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "prev_totalprice"
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution-drift report (r8 late, report/drift.py — the
     reference/current scorecard): reference = the English slice,
@@ -7175,6 +7210,17 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: strict point-in-time SCD2 lookup — the oracle states the
+# semantics directly (previous order's price via LAG), independent
+# of the interval-join plan.
+ORACLES["scd2_lookup"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      lag(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+        AS prev_totalprice
+    FROM orders
+"""
+
 # r8 late: PSI drift — literal bin universe, exact-count fractions,
 # 6dp terms summed as decimal per column.
 ORACLES["drift_psi"] = """
@@ -7879,6 +7925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         # r8 late: PSI distribution-drift scorecard (report family)
         "drift_psi": q_drift_psi,
+        # r8 late: leakage-safe point-in-time SCD2 lookup (LAG oracle)
+        "scd2_lookup": q_scd2_lookup,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

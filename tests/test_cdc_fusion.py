@@ -74,6 +74,35 @@ def test_scd2_intervals(spark):
     assert h[(2, 8)] == (8, None, False)  # deleted: not current
 
 
+def test_scd2_lookup_asof_and_strict(spark):
+    from skrub_spark.operators.cdc import scd2_history, scd2_lookup
+
+    ch = _ch(spark, [
+        (1, "v1", 1.0, "U", 10),
+        (1, "v2", 2.0, "U", 20),
+        (1, "v3", 3.0, "U", 30),
+    ])
+    hist = scd2_history(ch, "id", "seq").select(
+        "id", F.col("name").alias("state"), "valid_from", "valid_to"
+    )
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 20), (1, 35), (2, 10)], "id long, ts long"
+    )
+    asof = {(r["id"], r["ts"]): r["state"]
+            for r in scd2_lookup(facts, hist, "id", "ts").collect()}
+    # state AS OF ts: the change at ts is visible
+    assert asof == {(1, 10): "v1", (1, 15): "v1", (1, 20): "v2",
+                    (1, 35): "v3", (2, 10): None}
+    strict = {(r["id"], r["ts"]): r["state"]
+              for r in scd2_lookup(facts, hist, "id", "ts",
+                                   strict=True).collect()}
+    # leakage-safe: the change AT ts is NOT visible
+    assert strict == {(1, 10): None, (1, 15): "v1", (1, 20): "v1",
+                      (1, 35): "v3", (2, 10): None}
+    # every fact matched at most one interval
+    assert scd2_lookup(facts, hist, "id", "ts").count() == 5
+
+
 def test_rrf_fusion_hand_computed(spark):
     a = spark.createDataFrame([(10, 0.9), (11, 0.8), (12, 0.7)],
                               "id long, s double")
