@@ -4055,6 +4055,66 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply across ≥2 REAL micro-batches (r8 late —
+    completes CDC × {batch, streaming}): the order changelog splits
+    into even/odd-orderkey files streamed with maxFilesPerTrigger=1;
+    per key the state store keeps the current winner's (seq, op) and
+    every change row is emitted with ``applied`` = within-batch
+    winner AND beats earlier batches' state. The oracle replays the
+    batch split literally (b = orderkey % 2): applied ⇔ row_number 1
+    within (key, b) AND (b = 0 OR seq > the key's batch-0 max)."""
+    import glob
+    import shutil
+    import uuid
+
+    from .streaming.ops import streaming_apply_changes
+
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        "o_custkey", "o_orderkey", F.lit("U").alias("op"), "o_totalprice"
+    )
+    src = _fresh_tmp("skrub_strcdc_src_")
+    os.makedirs(src)
+    halves = [
+        ch.filter(F.col("o_orderkey") % 2 == 0),
+        ch.filter(F.col("o_orderkey") % 2 == 1),
+    ]
+    for i, part in enumerate(halves):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "strcdc_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_apply_changes(stream, "o_custkey", "o_orderkey")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    return spark.table(name).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "applied"
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution-drift report (r8 late, report/drift.py — the
     reference/current scorecard): reference = the English slice,
@@ -7210,6 +7270,28 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: streaming CDC apply — the oracle replays the literal
+# batch split (b = orderkey % 2, batch 0 first): applied ⇔
+# within-(key, b) winner AND (b = 0 OR beats the key's batch-0 max).
+ORACLES["streaming_cdc"] = """
+    WITH ch AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             o_orderkey % 2 AS b
+      FROM orders
+    ), m0 AS (
+      SELECT o_custkey, max(o_orderkey) AS mx0
+      FROM ch WHERE b = 0 GROUP BY o_custkey
+    ), w AS (
+      SELECT ch.*, row_number() OVER (
+        PARTITION BY o_custkey, b ORDER BY o_orderkey DESC) AS rn
+      FROM ch
+    )
+    SELECT w.o_custkey, w.o_orderkey, w.o_totalprice,
+      (rn = 1 AND (b = 0 OR w.o_orderkey > COALESCE(m0.mx0, -1)))
+        AS applied
+    FROM w LEFT JOIN m0 USING (o_custkey)
+"""
+
 # r8 late: strict point-in-time SCD2 lookup — the oracle states the
 # semantics directly (previous order's price via LAG), independent
 # of the interval-join plan.
@@ -7927,6 +8009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         # r8 late: leakage-safe point-in-time SCD2 lookup (LAG oracle)
         "scd2_lookup": q_scd2_lookup,
+        # r8 late: streaming CDC apply across >=2 real micro-batches
+        "streaming_cdc": q_streaming_cdc,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

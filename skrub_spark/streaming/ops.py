@@ -513,3 +513,59 @@ def streaming_embedding_near_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_apply_changes(
+    stream: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+):
+    """Streaming CDC apply (r8 late — CDC × streaming, completing
+    the matrix the batch ``operators/cdc.py::apply_changes``
+    starts): change rows arrive in micro-batches; per key the state
+    store holds the current winner's (seq, op) — 16 bytes/key — and
+    each batch emits EVERY change row annotated with ``applied``:
+    True iff the row is its key's within-batch winner (max seq, the
+    same 'D'-wins tombstone tiebreak as ``latest_changes``) AND it
+    beats the state from earlier batches. Downstream, the applied
+    rows ARE the effective changelog — feed them to the batch merge
+    or a sink upsert.
+
+    At scale: the grouped shuffle is the same hash partitioning a
+    batch window would do; state never stores payloads."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField("applied", BooleanType())]
+    )
+
+    def apply_batch(key, pdfs, state):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        ordered = batch.sort_values(
+            [seq_col, op_col], ascending=[False, True], kind="mergesort"
+        )
+        w = ordered.iloc[0]
+        w_seq, w_op = int(w[seq_col]), str(w[op_col])
+        if state.exists:
+            b_seq, b_op = state.get
+            beats = (w_seq > b_seq) or (w_seq == b_seq and w_op < b_op)
+        else:
+            beats = True
+        batch["applied"] = False
+        if beats:
+            batch.loc[ordered.index[0], "applied"] = True
+            state.update((w_seq, w_op))
+        yield batch
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        apply_batch,
+        out_schema,
+        "best_seq long, best_op string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -103,6 +103,51 @@ def test_scd2_lookup_asof_and_strict(spark):
     assert scd2_lookup(facts, hist, "id", "ts").count() == 5
 
 
+def test_streaming_cdc_cross_batch_state(spark, tmp_path):
+    """The state store must carry each key's best (seq, op) ACROSS
+    micro-batches: a later-batch change below the earlier max is
+    emitted applied=False; a genuinely newer one applies; a same-seq
+    delete wins its tie within a batch."""
+    from skrub_spark.streaming.ops import streaming_apply_changes
+
+    d = tmp_path / "in"
+    d.mkdir()
+    schema = "id long, seq long, op string, val double"
+    spark.createDataFrame(
+        [(1, 10, "U", 1.0), (1, 12, "U", 1.2), (2, 5, "U", 2.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        # key 1: seq 11 < state 12 -> not applied; key 2: 7 applies;
+        # key 3 new: same-seq U/D tie -> D wins the batch and applies
+        [(1, 11, "U", 1.1), (2, 7, "U", 2.7),
+         (3, 9, "U", 3.0), (3, 9, "D", None)], schema
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    q = (
+        streaming_apply_changes(stream, "id", "seq")
+        .writeStream.format("memory")
+        .queryName("cdc_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["seq"], r["op"]): r["applied"]
+           for r in spark.table("cdc_test").collect()}
+    assert got[(1, 10, "U")] is False      # lost within batch 1
+    assert got[(1, 12, "U")] is True
+    assert got[(1, 11, "U")] is False      # beaten by cross-batch state
+    assert got[(2, 5, "U")] is True
+    assert got[(2, 7, "U")] is True
+    assert got[(3, 9, "D")] is True        # tombstone wins the tie
+    assert got[(3, 9, "U")] is False
+    assert len(got) == 7                   # every change row emitted
+
+
 def test_rrf_fusion_hand_computed(spark):
     a = spark.createDataFrame([(10, 0.9), (11, 0.8), (12, 0.7)],
                               "id long, s double")
