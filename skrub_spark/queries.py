@@ -4115,6 +4115,53 @@ def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip (r8 late, sources/warc.py — the
+    CommonCrawl ingest format the sources family lacked): documents
+    render to spec-conformant WARC/1.0 response records across TWO
+    files — one plain, one GZIPPED (the CC member layout) — then the
+    distributed binaryFile + Arrow-batched mapInPandas reader parses
+    them back. The oracle reads the parquet originals, so record
+    framing, HTTP payload split and utf-8 round-trip must all be
+    lossless for the hash to match. File-per-task is the honest CC
+    distribution shape (gzip members aren't splittable; crawls ship
+    64k files ≫ cores)."""
+    _prep(spark)
+    import gzip as _gzip
+
+    from .sources.warc import read_warc, warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()  # fixture synthesis, like the multimodal queries
+    recs = [
+        {
+            "record_id": f"urn:uuid:{r['doc_id']:032d}",
+            "warc_type": "response",
+            "target_uri": f"https://example.org/doc/{r['doc_id']}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "http_status": 200,
+            "content": r["text"],
+        }
+        for r in sorted(rows, key=lambda r: r["doc_id"])
+    ]
+    tmp = _fresh_tmp("skrub_q_warc_")
+    os.makedirs(tmp)
+    half = len(recs) // 2
+    with open(os.path.join(tmp, "crawl-0.warc"), "wb") as f:
+        f.write(warc_bytes(recs[:half]))
+    with open(os.path.join(tmp, "crawl-1.warc.gz"), "wb") as f:
+        f.write(_gzip.compress(warc_bytes(recs[half:])))
+    back = read_warc(spark, tmp)
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("warc_type"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("content"),
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution-drift report (r8 late, report/drift.py — the
     reference/current scorecard): reference = the English slice,
@@ -7270,6 +7317,14 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: WARC round-trip — the oracle is the parquet original, so
+# the writer/reader pair must be lossless.
+ORACLES["warc_source"] = """
+    SELECT doc_id, 'response' AS warc_type,
+           CAST(200 AS INTEGER) AS http_status, text AS content
+    FROM documents
+"""
+
 # r8 late: streaming CDC apply — the oracle replays the literal
 # batch split (b = orderkey % 2, batch 0 first): applied ⇔
 # within-(key, b) winner AND (b = 0 OR beats the key's batch-0 max).
@@ -8011,6 +8066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         # r8 late: streaming CDC apply across >=2 real micro-batches
         "streaming_cdc": q_streaming_cdc,
+        # r8 late: WARC (CommonCrawl) source, lossless round-trip
+        "warc_source": q_warc_source,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)
