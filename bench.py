@@ -136,6 +136,9 @@ HEADLINE = [
     "token_freq_cms",
     "drift_psi",
     "scd2_lookup",
+    "temperature_mixture",
+    # streaming_cdc: state-store fixed overhead (see streaming note);
+    # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /
     # orc_source / jsonl_gz_source / topk_ivf / snapshot_ingest
     # (sink-write cost dominates, not a throughput signal); streaming_* (state-store fixed overhead,

@@ -169,3 +169,70 @@ def sample_weighted(
         ),
     ).cast("long")
     return df.filter(_hash_bucket(key, salt, fine) < thresh)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    key: str | Column,
+    *,
+    alpha: float = 0.7,
+    total: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/XLM-R
+    multilingual standard): stratum ``s`` gets a row budget
+    ∝ p_s^alpha with p_s its observed share — alpha < 1 upweights
+    low-resource strata relative to their natural frequency, alpha=1
+    is proportional, alpha=0 uniform.
+
+    Distributed shape: ONE |strata|-row groupBy count; the exponent
+    and normalization happen on that tiny frame (p^alpha rounds to
+    6dp and the normalizer sums as exact DECIMAL so the derived
+    integer targets are partitioning- and engine-invariant); the
+    corpus itself is filtered map-only by the samplers'
+    content-addressed md5 rule — identical thresholds to
+    ``sample_to_targets``, just with LEARNED-from-the-data targets.
+    Exact SQL replay in the battery oracle (``temperature_mixture``).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum("__n").alias("__nt"))
+    w = counts.join(F.broadcast(tot)).withColumn(
+        "__w",
+        F.round(
+            F.pow(
+                F.col("__n").cast("double") / F.col("__nt").cast("double"),
+                F.lit(float(alpha)),
+            ),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    wsum = w.agg(F.sum("__w").alias("__wsum"))
+    tgt = w.join(F.broadcast(wsum)).withColumn(
+        "__tgt",
+        F.floor(
+            F.lit(float(total))
+            * F.col("__w").cast("double")
+            / F.col("__wsum").cast("double")
+        ).cast("long"),
+    )
+    fine = _FINE_BUCKETS
+    thresh = F.when(F.col("__tgt") <= 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(fine).cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST({fine} AS BIGINT) * least(__tgt, __n) DIV __n"),
+            ),
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(tgt.select(strata_col, "__n", "__tgt")),
+            strata_col,
+            "inner",
+        )
+        .filter(_hash_bucket(key, salt, fine) < thresh)
+        .drop("__n", "__tgt")
+    )

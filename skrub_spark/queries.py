@@ -4162,6 +4162,24 @@ def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (r8 late,
+    operators/sampling.py::temperature_mixture — the mT5/XLM-R
+    multilingual rebalance): per-lang budgets ∝ share^0.7 computed
+    on the |strata|-row count frame (p^α rounded 6dp, DECIMAL-exact
+    normalizer, floor to integer targets), then the same
+    content-addressed md5 keep rule as every sampler — map-only
+    over the corpus. The oracle replays budget derivation and
+    membership bit-exactly."""
+    _prep(spark)
+    from .operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.7, total=300, salt="tm8"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution-drift report (r8 late, report/drift.py — the
     reference/current scorecard): reference = the English slice,
@@ -7317,6 +7335,37 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: temperature mixture — budget derivation (pow rounded 6dp,
+# decimal normalizer, floor) and md5 membership replay exactly.
+ORACLES["temperature_mixture"] = """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), t AS (
+      SELECT sum(n) AS nt FROM c
+    ), w AS (
+      SELECT lang, n,
+        CAST(round(pow(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE),
+                       CAST(0.7 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wv
+      FROM c CROSS JOIN t
+    ), ws AS (
+      SELECT sum(wv) AS wsum FROM w
+    ), tg AS (
+      SELECT lang, n,
+        CAST(FLOOR(CAST(300 AS DOUBLE) * CAST(wv AS DOUBLE)
+                   / CAST(wsum AS DOUBLE)) AS BIGINT) AS tgt
+      FROM w CROSS JOIN ws
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN tg USING (lang)
+    WHERE ('0x' || substr(md5('tm8' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % 100000000
+      < CASE WHEN tgt <= 0 THEN 0 ELSE
+          LEAST(CAST(100000000 AS BIGINT),
+                GREATEST(CAST(1 AS BIGINT),
+                         CAST(100000000 AS BIGINT) * LEAST(tgt, n) // n))
+        END
+"""
+
 # r8 late: WARC round-trip — the oracle is the parquet original, so
 # the writer/reader pair must be lossless.
 ORACLES["warc_source"] = """
@@ -8068,6 +8117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": q_streaming_cdc,
         # r8 late: WARC (CommonCrawl) source, lossless round-trip
         "warc_source": q_warc_source,
+        # r8 late: temperature-scaled multilingual mixture (mT5 shape)
+        "temperature_mixture": q_temperature_mixture,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -697,6 +697,45 @@ def test_sample_to_targets(spark):
     assert {r["k"] for r in out.collect()} == {r["k"] for r in again.collect()}
 
 
+def test_temperature_mixture_rebalances(spark):
+    """alpha<1 upweights the rare stratum relative to proportional;
+    alpha=1 is ~proportional; alpha=0 is ~uniform budgets; membership
+    is layout-independent."""
+    from skrub_spark.operators.sampling import temperature_mixture
+
+    df = (
+        spark.range(0, 2200)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "src",
+            F.when(F.col("k") < 2000, F.lit("big")).otherwise(F.lit("rare")),
+        )
+    )  # big: 2000 rows (10/11), rare: 200 rows (1/11)
+
+    def kept(alpha, total=550):
+        out = temperature_mixture(
+            df, "src", "k", alpha=alpha, total=total, salt="t"
+        )
+        return {
+            r["src"]: r["n"]
+            for r in out.groupBy("src").agg(F.count("k").alias("n")).collect()
+        }
+
+    prop = kept(1.0)     # ~500 big / ~50 rare
+    temp = kept(0.7)     # rare share rises
+    unif = kept(0.0)     # ~275 / ~200 (rare capped at its 200 rows)
+    assert prop["rare"] / (prop["big"] + prop["rare"]) < 0.15
+    assert temp["rare"] / (temp["big"] + temp["rare"]) > (
+        prop["rare"] / (prop["big"] + prop["rare"])
+    )
+    assert unif["rare"] == 200  # uniform budget 275 > stratum size: all kept
+    a = temperature_mixture(df, "src", "k", alpha=0.7, total=550, salt="t")
+    b = temperature_mixture(
+        df.repartition(17), "src", "k", alpha=0.7, total=550, salt="t"
+    )
+    assert {r["k"] for r in a.collect()} == {r["k"] for r in b.collect()}
+
+
 def test_sample_to_targets_tiny_target_not_emptied(spark):
     """Resolution regression (review finding): a target far below
     count/10^4 must keep ~target rows, not zero; target 0 keeps 0."""
