@@ -137,6 +137,7 @@ HEADLINE = [
     "drift_psi",
     "scd2_lookup",
     "temperature_mixture",
+    "key_skew_report",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

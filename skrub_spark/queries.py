@@ -4162,6 +4162,19 @@ def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (r8 late, report/skew.py — the
+    observability side of the salting/AQE remedies): per-key weight
+    of the events user_id as a prospective join key, top-20 with
+    share and cumulative share. One counting groupBy (8-byte keys,
+    not payloads) + TakeOrdered; shares are exact-count divisions."""
+    _prep(spark)
+    from .report.skew import key_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_k=20)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture sampling (r8 late,
     operators/sampling.py::temperature_mixture — the mT5/XLM-R
@@ -7335,6 +7348,25 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: key-skew report — counts, ranks and exact-count shares.
+ORACLES["key_skew_report"] = """
+    WITH c AS (
+      SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1
+    ), t AS (
+      SELECT count(*) AS total FROM events
+    ), top AS (
+      SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20
+    )
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+      CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INTEGER)
+        AS rank,
+      CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+      CAST(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(t.total AS DOUBLE) AS cum_share
+    FROM top CROSS JOIN t
+"""
+
 # r8 late: temperature mixture — budget derivation (pow rounded 6dp,
 # decimal normalizer, floor) and md5 membership replay exactly.
 ORACLES["temperature_mixture"] = """
@@ -8119,6 +8151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": q_warc_source,
         # r8 late: temperature-scaled multilingual mixture (mT5 shape)
         "temperature_mixture": q_temperature_mixture,
+        # r8 late: key-skew diagnostic (the when-to-salt report)
+        "key_skew_report": q_key_skew_report,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -186,6 +186,23 @@ def test_bm25_index_prunes_partitions_and_matches_direct(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
 
 
+def test_key_skew_report(spark):
+    from skrub_spark.report.skew import key_skew_report
+
+    rows = [(1,)] * 70 + [(2,)] * 20 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    got = {r["rank"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert len(got) == 2
+    assert got[1]["key"] == 1 and got[1]["cnt"] == 70
+    assert got[1]["share"] == 0.70
+    assert got[2]["cum_share"] == 0.90
+    # deterministic tie-break by key value
+    t = spark.createDataFrame([(5,), (4,), (4,), (5,)], "k long")
+    ranks = {r["key"]: r["rank"]
+             for r in key_skew_report(t, "k", top_k=2).collect()}
+    assert ranks == {4: 1, 5: 2}
+
+
 def test_psi_drift_contracts(spark):
     """Identical frames score ~0; a planted shift scores > 0.25;
     missing bins and NULLs land in their own rows with frac 0."""
