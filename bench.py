@@ -138,6 +138,7 @@ HEADLINE = [
     "scd2_lookup",
     "temperature_mixture",
     "key_skew_report",
+    "document_chunks",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

@@ -53,3 +53,57 @@ def pack_training_chunks(
         F.expr(f"greatest(__cum - 1, {before}) div {ct}").alias("end_chunk"),
         F.expr(f"pmod({before}, {ct})").alias("chunk_offset"),
     ).drop("__cum")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (r8 late — the RAG /
+    long-document splitting primitive ``pack_training_chunks``'s
+    concatenate-and-cut shape doesn't cover): each document splits
+    into windows of ``chunk_tokens`` whitespace tokens advancing by
+    ``chunk_tokens − overlap``, the last window flush to the end.
+
+    Pure map-only Columns: token array → chunk count by integer
+    ceil-div → one explode over ``sequence`` → ``slice`` +
+    ``array_join``. No shuffle, no Python, whole-stage codegen —
+    and integer arithmetic only, so the SQL oracle replays every
+    chunk boundary exactly (battery query ``document_chunks``).
+    Returns (id_col, chunk_id, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    from ..functions.text import tokens
+
+    stride = int(chunk_tokens) - int(overlap)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = F.when(n <= int(chunk_tokens), F.lit(1)).otherwise(
+        (
+            (n - F.lit(int(chunk_tokens)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("long")
+        + F.lit(1)
+    ).cast("long")
+    rows = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), k - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    piece = F.slice(
+        F.col("__toks"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        int(chunk_tokens),
+    )
+    return rows.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

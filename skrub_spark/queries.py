@@ -4162,6 +4162,22 @@ def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (r8 late,
+    operators/packing.py::chunk_documents — the RAG / long-document
+    splitting primitive): 32-token windows advancing by 24 (8-token
+    overlap), last window flush to the end. Map-only integer
+    arithmetic + slice/array_join, so every chunk boundary replays
+    exactly in SQL."""
+    _prep(spark)
+    from .operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, overlap=8
+    )
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (r8 late, report/skew.py — the
     observability side of the salting/AQE remedies): per-key weight
@@ -7348,6 +7364,34 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: sliding-window chunking — integer boundary arithmetic
+# (ceil-div chunk count, 1-based slice) replays exactly.
+ORACLES["document_chunks"] = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x != '') AS tk
+      FROM documents
+    ), k AS (
+      SELECT doc_id, tk, len(tk) AS n,
+        CASE WHEN len(tk) <= 32 THEN 1
+             ELSE (len(tk) - 32 + 23) // 24 + 1 END AS nchunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, tk, n,
+        unnest(range(0, nchunks)) AS chunk_id
+      FROM k
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      CAST(len(list_slice(tk, chunk_id * 24 + 1,
+                          LEAST(chunk_id * 24 + 32, n))) AS BIGINT)
+        AS n_chunk_tokens,
+      array_to_string(list_slice(tk, chunk_id * 24 + 1,
+                                 LEAST(chunk_id * 24 + 32, n)), ' ')
+        AS chunk_text
+    FROM e
+"""
+
 # r8 late: key-skew report — counts, ranks and exact-count shares.
 ORACLES["key_skew_report"] = """
     WITH c AS (
@@ -8153,6 +8197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         # r8 late: key-skew diagnostic (the when-to-salt report)
         "key_skew_report": q_key_skew_report,
+        # r8 late: sliding-window RAG chunking (exact boundaries)
+        "document_chunks": q_document_chunks,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -186,6 +186,40 @@ def test_bm25_index_prunes_partitions_and_matches_direct(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
 
 
+def test_chunk_documents_boundaries(spark):
+    """Window/stride math: short doc = one chunk; exact-fit doc = one
+    chunk; overlap tokens repeat between neighbors; every token
+    appears in >=1 chunk; last chunk is flush (may be short)."""
+    from skrub_spark.operators.packing import chunk_documents
+
+    docs = [
+        (1, "a b c"),                                   # 3 toks, 1 chunk
+        (2, " ".join(f"t{i}" for i in range(8))),        # exact fit
+        (3, " ".join(f"t{i}" for i in range(10))),       # 2 chunks
+        (4, " ".join(f"t{i}" for i in range(20))),       # 3 chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b c"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 8
+    # doc 3: stride 6 -> chunks [0..8), [6..10): overlap t6 t7
+    c3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert len(c3) == 2
+    assert c3[0]["chunk_text"].split()[-2:] == ["t6", "t7"]
+    assert c3[1]["chunk_text"].split()[:2] == ["t6", "t7"]
+    assert c3[1]["n_chunk_tokens"] == 4  # flush tail
+    # doc 4: ceil((20-8)/6)+1 = 3 chunks, all 20 tokens covered
+    c4 = sorted(by_doc[4], key=lambda r: r["chunk_id"])
+    assert len(c4) == 3
+    covered = set()
+    for r in c4:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(20)}
+
+
 def test_key_skew_report(spark):
     from skrub_spark.report.skew import key_skew_report
 
