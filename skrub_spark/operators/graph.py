@@ -166,3 +166,136 @@ def pagerank(
     # stay pinned for the caller's consumption of the result — they
     # are |E|/|V|-bounded key frames, never document payloads
     return out
+
+
+# HITS uses a smaller fixed-point scale than PageRank: each
+# normalization multiplies a raw sum (≤ indeg · SCALE_H) by SCALE_H
+# before the floor-div, so indeg · SCALE_H² must fit int64 —
+# SCALE_H = 1e6 keeps headroom up to ~9e6 in-links per host.
+SCALE_H = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 3,
+    partitions: int | None = None,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Kleinberg's HITS (1999) — the hubs/authorities companion to
+    ``pagerank``: authority(i) = Σ_{j→i} hub(j), hub(i) = Σ_{i→j}
+    authority(j), max-normalized each half-step. Link-directory
+    hosts (hubs) and linked-to content hosts (authorities) separate
+    in web curation where PageRank conflates them.
+
+    Same exactness discipline as ``pagerank``: BIGINT fixed-point
+    (SCALE_H units) with integer multiply-then-floor-div
+    normalization by the MAX (scaling each power-iteration step by
+    any positive scalar preserves the eigenvector direction, so
+    L∞ gives the same ranking as the textbook L2 while staying
+    integral) — bit-identical under any partitioning and replayed
+    exactly by the chained-CTE oracle (battery query
+    ``hits_domains``). Per iteration: one shuffle join per
+    direction + a scalar max broadcast back. Returns (node, hub_fp,
+    auth_fp, hub, authority); no-in-link nodes have authority 0,
+    sink nodes hub 0."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    if partitions:
+        e = e.repartition(partitions, "src")
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.withColumn("h", F.lit(SCALE_H).cast("long"))
+    a = None
+    # Each half-step's normalizer is ONE exact integer — collect it
+    # (2 longs per iteration of driver state, the same bounded-fit
+    # rule as the IVF Lloyd loop) and embed it as a literal. Joining
+    # the max back as a frame instead embeds the half-step's whole
+    # subtree TWICE per step, doubling the plan tree every half-step
+    # (~4^n_iter — at n_iter=3 the plan string alone OOMed the
+    # driver). Each half-step is also CHECKPOINTED: even with the
+    # literal maxes, the repeated nodes/e self-references make
+    # Catalyst re-ANALYSIS super-linear (a cached final frame still
+    # took ~20s to re-plan at 96 nodes) — lineage truncation per
+    # half-step keeps analysis O(1) per iteration. Same
+    # local/reliable switch as dedup/components.py: "local" is the
+    # single-machine default, "reliable" writes to the configured
+    # checkpoint dir for real clusters. Frames are |V|-bounded.
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
+    if checkpoint == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    for _ in range(int(n_iter)):
+        ar = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+            .persist()
+        )
+        am = int(ar.agg(F.max("ar").alias("am")).first()["am"])
+        a = (
+            nodes.join(
+                ar.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(ar, 0L) * {SCALE_H}L) div {am}L"
+                ).alias("a"),
+            )
+        )
+        a = _ckpt(a)
+        hr = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+            .persist()
+        )
+        hm = int(hr.agg(F.max("hr").alias("hm")).first()["hm"])
+        h = (
+            nodes.join(
+                hr.withColumnRenamed("src", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(hr, 0L) * {SCALE_H}L) div {hm}L"
+                ).alias("h"),
+            )
+        )
+        h = _ckpt(h)
+    return (
+        h.join(a.withColumnRenamed("a", "auth_fp"), "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_fp"),
+            "auth_fp",
+            F.round(F.col("h") / F.lit(float(SCALE_H)), 6).alias("hub"),
+            F.round(F.col("auth_fp") / F.lit(float(SCALE_H)), 6).alias(
+                "authority"
+            ),
+        )
+    )

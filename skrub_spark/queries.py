@@ -4162,6 +4162,24 @@ def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (r8 late, operators/graph.py::hits,
+    Kleinberg 1999 — the companion to domain_pagerank on the same
+    planted 97-host graph): BIGINT fixed-point with integer
+    max-normalization each half-step, so hubs and authorities are
+    bit-identical under any partitioning and the chained-CTE oracle
+    replays all three iterations exactly."""
+    _prep(spark)
+    from .operators.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hits(edges, n_iter=3)
+
+
 def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (r8 late,
     operators/packing.py::chunk_documents — the RAG / long-document
@@ -7364,6 +7382,65 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+def _hits_oracle(n_iter: int = 3) -> str:
+    """Chained-CTE replay of the fixed-point HITS iterations (same
+    technique as _pagerank_oracle): integer max-normalized
+    half-steps, `//` == Spark `div`."""
+    S = 1_000_000
+    ctes = [
+        """e AS (
+      SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+      FROM documents
+      WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97
+    )""",
+        """n AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    )""",
+        f"""h0 AS (SELECT node, CAST({S} AS BIGINT) AS h FROM n)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i}r AS (
+      SELECT e.dst AS node, SUM(h) AS ar
+      FROM e JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY e.dst
+    )"""
+        )
+        ctes.append(f"a{i}m AS (SELECT MAX(ar) AS m FROM a{i}r)")
+        ctes.append(
+            f"""a{i} AS (
+      SELECT n.node,
+        CAST(COALESCE((ar * {S}) // m, 0) AS BIGINT) AS a
+      FROM n LEFT JOIN a{i}r USING (node) CROSS JOIN a{i}m
+    )"""
+        )
+        ctes.append(
+            f"""h{i}r AS (
+      SELECT e.src AS node, SUM(a) AS hr
+      FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src
+    )"""
+        )
+        ctes.append(f"h{i}m AS (SELECT MAX(hr) AS m FROM h{i}r)")
+        ctes.append(
+            f"""h{i} AS (
+      SELECT n.node,
+        CAST(COALESCE((hr * {S}) // m, 0) AS BIGINT) AS h
+      FROM n LEFT JOIN h{i}r USING (node) CROSS JOIN h{i}m
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT h{n_iter}.node, h AS hub_fp, a AS auth_fp,
+      round(CAST(h AS DOUBLE) / CAST({S} AS DOUBLE), 6) AS hub,
+      round(CAST(a AS DOUBLE) / CAST({S} AS DOUBLE), 6) AS authority
+    FROM h{n_iter} JOIN a{n_iter} USING (node)
+    """
+    )
+
+
+ORACLES["hits_domains"] = _hits_oracle(3)
+
 # r8 late: sliding-window chunking — integer boundary arithmetic
 # (ceil-div chunk count, 1-based slice) replays exactly.
 ORACLES["document_chunks"] = """
@@ -8199,6 +8276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": q_key_skew_report,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
+        # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)
+        "hits_domains": q_hits_domains,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -724,3 +724,61 @@ def test_spearman_perfect_monotone_is_one(spark):
     )
     r = numeric_associations(df, ["a", "b"], method="spearman").collect()[0]
     assert r["spearman_r"] == 1.0
+
+
+# ------------------------------------------------------------ HITS
+
+
+def _hits_py(edges, n_iter=3, scale=10**6):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        ar = {v: 0 for v in nodes}
+        for s, d in edges:
+            ar[d] += h[s]
+        am = max(ar.values())
+        a = {v: (ar[v] * scale) // am for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for s, d in edges:
+            hr[s] += a[d]
+        hm = max(hr.values())
+        h = {v: (hr[v] * scale) // hm for v in nodes}
+    return h, a
+
+
+def test_hits_matches_python_fixed_point_exactly(spark):
+    from skrub_spark.operators.graph import hits
+
+    edges = [(i % 11, (i * 7 + 3) % 11) for i in range(40)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits(df, n_iter=3).collect()}
+    h, a = _hits_py(edges)
+    assert got == {v: (h[v], a[v]) for v in h}
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    """A pure directory node (links out, never linked) is max hub /
+    zero authority; its targets are authorities / zero hubs."""
+    from skrub_spark.operators.graph import SCALE_H, hits
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits(df, n_iter=2).collect()}
+    assert got[0] == (SCALE_H, 0)
+    for i in range(1, 6):
+        assert got[i] == (0, SCALE_H)
+
+
+def test_hits_partition_invariant(spark):
+    from skrub_spark.operators.graph import hits
+
+    edges = [(i % 9, (i * 4 + 1) % 9) for i in range(30) if i % 9 != (i * 4 + 1) % 9]
+    df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    a = sorted(map(tuple, hits(df, n_iter=2).collect()))
+    b = sorted(map(tuple, hits(df.repartition(7), n_iter=2).collect()))
+    assert a == b
