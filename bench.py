@@ -140,6 +140,7 @@ HEADLINE = [
     "key_skew_report",
     "document_chunks",
     "hits_domains",
+    "quality_percentiles",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

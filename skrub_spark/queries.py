@@ -4162,6 +4162,25 @@ def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/percentile normalization (r8 late,
+    functions/ranknorm.py — threshold-free score calibration before
+    mixing scorers or weighted sampling): each document's n_chars
+    becomes its corpus percentile (min-rank, ties share). The rank
+    comes from distinct-value counts + a cumsum over distinct rows +
+    a join-back (never a per-row global sort); the oracle derives
+    the same numbers independently via a RANK() window."""
+    _prep(spark)
+    from .functions.ranknorm import percentile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return percentile_normalize(
+        docs, "n_chars", out_col="pct", rank_col="rank"
+    ).select("doc_id", "n_chars", "rank", "pct")
+
+
 def q_hits_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (r8 late, operators/graph.py::hits,
     Kleinberg 1999 — the companion to domain_pagerank on the same
@@ -7382,6 +7401,18 @@ ORACLES["expectations_quarantine"] = """
     SELECT * FROM v WHERE len(violations) > 0
 """
 
+# r8 late: percentile normalization — independent RANK()-window
+# derivation of the same (rank-1)/(n-1) integers-and-one-division.
+ORACLES["quality_percentiles"] = """
+    SELECT doc_id, n_chars,
+      CAST(rank() OVER (ORDER BY n_chars ASC) AS BIGINT) AS rank,
+      CAST(rank() OVER (ORDER BY n_chars ASC) - 1 AS DOUBLE)
+        / CAST(GREATEST(count(*) OVER () - 1, 1) AS DOUBLE) AS pct
+    FROM documents
+    WHERE n_chars IS NOT NULL
+"""
+
+
 def _hits_oracle(n_iter: int = 3) -> str:
     """Chained-CTE replay of the fixed-point HITS iterations (same
     technique as _pagerank_oracle): integer max-normalized
@@ -8278,6 +8309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)
         "hits_domains": q_hits_domains,
+        # r8 late: rank/percentile score normalization (RANK oracle)
+        "quality_percentiles": q_quality_percentiles,
         # r8: one-pass exact-sums Pearson matrix (report family)
         "numeric_associations": q_numeric_associations,
         # r8: Spearman twin (integer doubled-rank transform)

@@ -186,6 +186,26 @@ def test_bm25_index_prunes_partitions_and_matches_direct(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
 
 
+def test_percentile_normalize(spark):
+    """Ties share a min-rank percentile; NULL scores get NULL pct;
+    bounds are [0, 1]; layout-invariant."""
+    from skrub_spark.functions.ranknorm import percentile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0), (5, None)],
+        "id long, s double",
+    )
+    got = {r["id"]: (r["rank"], r["pct"])
+           for r in percentile_normalize(df, "s", rank_col="rank").collect()}
+    assert got[1] == (1, 0.0)
+    assert got[2] == (2, 1 / 3) and got[3] == (2, 1 / 3)  # tie shares
+    assert got[4] == (4, 1.0)
+    assert got[5] == (None, None)
+    a = percentile_normalize(df, "s").collect()
+    b = percentile_normalize(df.repartition(5), "s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_chunk_documents_boundaries(spark):
     """Window/stride math: short doc = one chunk; exact-fit doc = one
     chunk; overlap tokens repeat between neighbors; every token
