@@ -4309,6 +4309,56 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (r8 late,
+    report/privacy.py::k_anonymity_report — the pre-release privacy
+    gate on quasi-identifier tuples): customer rows keyed by
+    (nation, coarse balance band), sensitive column = market
+    segment. One map-side-combined groupBy whose shuffle carries
+    only the quasi columns; the flags are exact-count compares
+    against k=5 / l=3."""
+    _prep(spark)
+    from .report.privacy import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("acct_kilo"),
+    )
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "acct_kilo"],
+        k=5,
+        sensitive_col="c_mktsegment",
+        l=3,
+    )
+
+
+def q_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-group suppression (r8 late,
+    report/privacy.py::suppress_rare — generalization-by-
+    suppression to reach k-anonymity): quasi values of equivalence
+    classes below k=5 become typed NULLs, payload columns pass
+    through. One class-size groupBy + one co-partitioned join back
+    on the same quasi key."""
+    _prep(spark)
+    from .report.privacy import suppress_rare
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("acct_kilo"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    return suppress_rare(cust, ["c_nationkey", "acct_kilo"], k=5)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8079,6 +8129,45 @@ ORACLES["rank_gated_corpus"] = _pagerank_oracle(3, tail="""
 
 
 
+# r8 late: k-anonymity / l-diversity audit — exact class sizes and
+# distinct-sensitive counts; flags are integer compares.
+ORACLES["k_anonymity_audit"] = """
+    WITH q AS (
+      SELECT c_nationkey,
+        CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT)
+          AS acct_kilo,
+        c_mktsegment
+      FROM customer
+    )
+    SELECT c_nationkey, acct_kilo,
+      CAST(count(*) AS BIGINT) AS cnt,
+      CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+      count(*) < 5 AS risky_k,
+      count(DISTINCT c_mktsegment) < 3 AS risky_l
+    FROM q GROUP BY 1, 2
+"""
+
+# r8 late: rare-group suppression — quasi cells of classes below k
+# become NULL, payload unchanged.
+ORACLES["k_suppression"] = """
+    WITH q AS (
+      SELECT c_custkey, c_nationkey,
+        CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT)
+          AS acct_kilo,
+        c_mktsegment, c_acctbal
+      FROM customer
+    ), s AS (
+      SELECT c_nationkey AS nk, acct_kilo AS ak, count(*) AS cnt
+      FROM q GROUP BY 1, 2
+    )
+    SELECT c_custkey,
+      CASE WHEN cnt >= 5 THEN q.c_nationkey END AS c_nationkey,
+      CASE WHEN cnt >= 5 THEN q.acct_kilo END AS acct_kilo,
+      c_mktsegment, c_acctbal
+    FROM q JOIN s ON q.c_nationkey = s.nk AND q.acct_kilo = s.ak
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8305,6 +8394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         # r8 late: key-skew diagnostic (the when-to-salt report)
         "key_skew_report": q_key_skew_report,
+        # r8 late: privacy release gates — k-anonymity/l-diversity
+        # audit + rare-group suppression (exact oracles)
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "k_suppression": q_k_suppression,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)
