@@ -4359,6 +4359,24 @@ def q_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suppress_rare(cust, ["c_nationkey", "acct_kilo"], k=5)
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift (r8 late,
+    report/drift.py::ks_statistic — the bin-free companion to
+    drift_psi): click vs purchase event values. The supremum is
+    maximized in integer space (|cum_ref·n_cur − cum_cur·n_ref|)
+    over the distinct-value frame, so the argmax value and the
+    6dp statistic replay bit-identically in SQL."""
+    _prep(spark)
+    from .report.drift import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8168,6 +8186,41 @@ ORACLES["k_suppression"] = """
 """
 
 
+# r8 late: two-sample KS drift — integer-space supremum over the
+# distinct-value merge, so argmax and statistic replay exactly.
+ORACLES["drift_ks"] = """
+    WITH a AS (
+      SELECT value AS v, count(*) AS rc FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+    ), b AS (
+      SELECT value AS v, count(*) AS cc FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+    ), t AS (
+      SELECT (SELECT sum(rc) FROM a) AS rt,
+             (SELECT sum(cc) FROM b) AS ct
+    ), m AS (
+      SELECT COALESCE(a.v, b.v) AS v, COALESCE(rc, 0) AS rc,
+             COALESCE(cc, 0) AS cc
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), c AS (
+      SELECT v,
+        sum(rc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r,
+        sum(cc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM m
+    ), d AS (
+      SELECT v, rt, ct, abs(cum_r * ct - cum_c * rt) AS num
+      FROM c CROSS JOIN t
+      ORDER BY num DESC, v ASC LIMIT 1
+    )
+    SELECT 'value' AS col_name, CAST(rt AS BIGINT) AS n_ref,
+      CAST(ct AS BIGINT) AS n_cur,
+      round(CAST(num AS DOUBLE)
+            / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 6) AS ks,
+      v AS at_value
+    FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8398,6 +8451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audit + rare-group suppression (exact oracles)
         "k_anonymity_audit": q_k_anonymity_audit,
         "k_suppression": q_k_suppression,
+        # r8 late: bin-free KS drift (integer-supremum exact oracle)
+        "drift_ks": q_drift_ks,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

@@ -1,4 +1,5 @@
-"""Distribution-drift report: population stability index (PSI).
+"""Distribution-drift report: population stability index (PSI) and
+the two-sample Kolmogorov–Smirnov distance (``ks_statistic``).
 
 The report family describes one table (`TableReport`), asserts on
 one table (`operators/expectations.py`), and diffs snapshot
@@ -155,4 +156,88 @@ def psi_report(
         "cur_frac",
         F.col("psi_term").cast("double").alias("psi_term"),
         F.sum("psi_term").over(w).cast("double").alias("psi"),
+    )
+
+
+def ks_statistic(
+    ref: DataFrame, cur: DataFrame, column: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between ``ref`` and
+    ``cur`` on ``column``: ONE row ``(col_name, n_ref, n_cur, ks,
+    at_value)`` where ``ks = sup_v |ECDF_ref(v) − ECDF_cur(v)|``
+    and ``at_value`` is the smallest value attaining it.
+
+    PSI needs declared bins; KS is the bin-free companion for
+    numeric columns. Shape: one counting groupBy per side (shuffles
+    the value column only), a full-outer merge of the DISTINCT
+    value frames, and one cumulative window over distinct values
+    (bounded by cardinality, never a per-row global sort — quantize
+    ``column`` first for unbounded continuous data). The supremum
+    is maximized in INTEGER space — ``|cum_ref·n_cur −
+    cum_cur·n_ref|`` — so the argmax and the 6dp-rounded statistic
+    replay bit-identically in SQL (battery oracle ``drift_ks``).
+    Integer-exactness needs ``n_ref·n_cur < 2^63`` (≈3e9 rows per
+    side); beyond that ANSI mode raises rather than silently
+    wrapping — quantize + pre-aggregate first at that scale.
+
+    NULLs are dropped (KS is defined over observed values);
+    ``n_ref`` / ``n_cur`` count non-null rows.
+    """
+    v = F.col(column)
+    a = (
+        ref.select(v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    b = (
+        cur.select(v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    m = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = m.select(
+        "v",
+        F.sum("rc").over(w).alias("cum_r"),
+        F.sum("cc").over(w).alias("cum_c"),
+    )
+    rt = ref.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    ct = cur.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    c = c.join(F.broadcast(rt)).join(F.broadcast(ct))
+    num = F.abs(
+        F.col("cum_r") * F.col("n_cur")
+        - F.col("cum_c") * F.col("n_ref")
+    )
+    top = (
+        c.select(
+            "v", "n_ref", "n_cur", num.alias("num")
+        )
+        .orderBy(F.col("num").desc(), F.col("v").asc())
+        .limit(1)
+    )
+    return top.select(
+        F.lit(column).alias("col_name"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("n_ref").cast("double")
+                * F.col("n_cur").cast("double")
+            ),
+            6,
+        ).alias("ks"),
+        F.col("v").alias("at_value"),
     )

@@ -78,6 +78,60 @@ def test_suppress_rare_preserves_types(spark):
     assert got == {1: 10, 2: 10, 3: None}
 
 
+# ----------------------------------------------------------- KS drift
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from skrub_spark.report.drift import ks_statistic
+
+    df = spark.createDataFrame(
+        [(float(i % 7),) for i in range(70)], "x double"
+    )
+    r = ks_statistic(df, df, "x").collect()[0]
+    assert r["ks"] == 0.0
+    assert r["n_ref"] == r["n_cur"] == 70
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from skrub_spark.report.drift import ks_statistic
+
+    a = spark.createDataFrame([(float(i),) for i in range(5)], "x double")
+    b = spark.createDataFrame(
+        [(float(i + 100),) for i in range(8)], "x double"
+    )
+    r = ks_statistic(a, b, "x").collect()[0]
+    assert r["ks"] == 1.0
+    assert r["at_value"] == 4.0  # last ref value attains sup first
+
+
+def test_ks_hand_computed_and_null_drop(spark):
+    from skrub_spark.report.drift import ks_statistic
+
+    # ref {1,2,3,4}; cur {3,4,4,5, NULL}: ECDFs diverge most at 2
+    # (ref 2/4=0.5, cur 0) -> ks = 0.5 at value 2.
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    b = spark.createDataFrame(
+        [(3.0,), (4.0,), (4.0,), (5.0,), (None,)], "x double"
+    )
+    r = ks_statistic(a, b, "x").collect()[0]
+    assert r["n_cur"] == 4  # NULL dropped
+    assert r["ks"] == 0.5 and r["at_value"] == 2.0
+
+
+def test_ks_partition_invariant(spark):
+    from skrub_spark.report.drift import ks_statistic
+
+    a = spark.createDataFrame(
+        [(float(i % 13),) for i in range(91)], "x double"
+    )
+    b = spark.createDataFrame(
+        [(float((i * 3) % 17),) for i in range(85)], "x double"
+    )
+    r1 = ks_statistic(a, b, "x").collect()[0]
+    r2 = ks_statistic(a.repartition(7), b.repartition(5), "x").collect()[0]
+    assert tuple(r1) == tuple(r2)
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
