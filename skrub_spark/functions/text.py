@@ -121,6 +121,61 @@ _LANG_MARKERS = {
 }
 
 
+def readability_columns(col: Column | str) -> dict[str, Column]:
+    """Flesch reading-ease / Flesch–Kincaid grade columns (r8 late —
+    the curation-quality signal FineWeb-class pipelines log beside
+    stopword/punct ratios): ``n_words``, ``n_sentences`` (runs of
+    ``[.!?]`` — never below 1), ``n_syllables`` (per-word vowel-group
+    count, floored at 1 per word — the standard cheap proxy), and
+    the two 6dp-rounded scores.
+
+    All JVM-side Column arithmetic over exact integer counts with a
+    fixed operand order, so both scores replay bit-identically in
+    SQL (battery oracle ``readability``). Empty/whitespace-only
+    text yields NULL scores rather than a division by zero.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tk = tokens(c)
+    n_words = F.size(tk).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(c, F.lit(r"[.!?]+")).cast("long"),
+    )
+    n_syll = F.aggregate(
+        tk,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.lower(w), F.lit("[aeiouy]+")).cast("long"),
+        ),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    nonempty = n_words > F.lit(0)
+    flesch = F.when(
+        nonempty,
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ),
+    )
+    fk_grade = F.when(
+        nonempty,
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ),
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": F.when(nonempty, n_syll).otherwise(
+            F.lit(0).cast("long")
+        ),
+        "flesch": flesch,
+        "fk_grade": fk_grade,
+    }
+
+
 def language_id(col: Column | str) -> Column:
     """Heuristic language ID: CJK codepoint ratio → 'zh'; otherwise the
     language whose stopword markers appear most often; tie → 'en'."""

@@ -4377,6 +4377,23 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade (r8 late,
+    functions/text.py::readability_columns): per-doc word /
+    sentence / syllable counts (vowel-group proxy, floored at 1
+    per word) and the two 6dp scores — pure Column arithmetic
+    over exact integer counts with fixed operand order, map-only,
+    bit-identical in SQL."""
+    _prep(spark)
+    from .functions.text import readability_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = readability_columns(F.col("text"))
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8221,6 +8238,45 @@ ORACLES["drift_ks"] = """
 """
 
 
+# r8 late: readability — exact integer counts, fixed-operand-order
+# IEEE score arithmetic rounded 6dp (every literal CAST to DOUBLE:
+# bare literals parse as DECIMAL in DuckDB and poison the chain).
+ORACLES["readability"] = """
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x != '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+             AS BIGINT) AS n_sentences,
+        CAST(COALESCE(list_sum(list_transform(tk,
+               x -> greatest(1, len(regexp_extract_all(lower(x),
+                                                       '[aeiouy]+'))))),
+             0) AS BIGINT) AS n_syllables
+      FROM t
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+      CASE WHEN n_words > 0 THEN
+        round(CAST(206.835 AS DOUBLE)
+              - CAST(1.015 AS DOUBLE)
+                * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              - CAST(84.6 AS DOUBLE)
+                * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+              6) END AS flesch,
+      CASE WHEN n_words > 0 THEN
+        round(CAST(0.39 AS DOUBLE)
+              * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              + CAST(11.8 AS DOUBLE)
+                * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+              - CAST(15.59 AS DOUBLE),
+              6) END AS fk_grade
+    FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8453,6 +8509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_suppression": q_k_suppression,
         # r8 late: bin-free KS drift (integer-supremum exact oracle)
         "drift_ks": q_drift_ks,
+        # r8 late: Flesch/FK readability (map-only, exact oracle)
+        "readability": q_readability,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

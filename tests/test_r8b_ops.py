@@ -132,6 +132,47 @@ def test_ks_partition_invariant(spark):
     assert tuple(r1) == tuple(r2)
 
 
+# --------------------------------------------------------- readability
+
+
+def test_readability_hand_computed(spark):
+    from skrub_spark.functions.text import readability_columns
+
+    df = spark.createDataFrame(
+        [("The cat sat. The dog ran away!",)], "text string"
+    )
+    cols = readability_columns(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    # words: The cat sat. The dog ran away! -> 7; sentences: 2
+    # syllables: the(1) cat(1) sat(1) the(1) dog(1) ran(1) away(2) = 8
+    assert r["n_words"] == 7
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 8
+    wps, spw = 7 / 2, 8 / 7
+    assert r["flesch"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+
+def test_readability_vowelless_word_counts_one_syllable(spark):
+    from skrub_spark.functions.text import readability_columns
+
+    df = spark.createDataFrame([("tsk 123 zzz",)], "text string")
+    cols = readability_columns(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    assert r["n_words"] == 3 and r["n_syllables"] == 3
+    assert r["n_sentences"] == 1  # floor at 1 with no punctuation
+
+
+def test_readability_empty_text_null_scores(spark):
+    from skrub_spark.functions.text import readability_columns
+
+    df = spark.createDataFrame([("   ",), ("",)], "text string")
+    cols = readability_columns(F.col("text"))
+    for r in df.select(*[v.alias(k) for k, v in cols.items()]).collect():
+        assert r["n_words"] == 0 and r["n_syllables"] == 0
+        assert r["flesch"] is None and r["fk_grade"] is None
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
