@@ -4394,6 +4394,19 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (r8 late,
+    operators/keywords.py::tfidf_keywords): top-5 salient terms per
+    document. One (doc, term) counting shuffle + a vocab-sized idf
+    broadcast + a per-document window — idf/scores on the 6dp ln
+    bridge, term-asc tie-break, so ranks replay exactly."""
+    _prep(spark)
+    from .operators.keywords import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "text", "doc_id", top_k=5)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8277,6 +8290,38 @@ ORACLES["readability"] = """
 """
 
 
+# r8 late: TF-IDF keywords — 6dp-ln idf, 6dp products, term-asc
+# tie-break; the oracle derives ranks via its own window.
+ORACLES["keywords_tfidf"] = """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), n AS (
+      SELECT count(*) AS nd FROM documents
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        round(CAST(tf.tf AS DOUBLE)
+              * round(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6),
+              6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT doc_id, term, tf, df, score,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term ASC) AS kw_rank
+      FROM sc
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+      CAST(df AS BIGINT) AS df, score, CAST(kw_rank AS INTEGER) AS kw_rank
+    FROM r WHERE kw_rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8511,6 +8556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         # r8 late: Flesch/FK readability (map-only, exact oracle)
         "readability": q_readability,
+        # r8 late: TF-IDF keyword extraction (exact-rank oracle)
+        "keywords_tfidf": q_keywords_tfidf,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

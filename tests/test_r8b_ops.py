@@ -173,6 +173,60 @@ def test_readability_empty_text_null_scores(spark):
         assert r["flesch"] is None and r["fk_grade"] is None
 
 
+# ------------------------------------------------------ tfidf keywords
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from skrub_spark.operators.keywords import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, "text", "doc_id", top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 idf=ln(3); banana tf=1 df=2 idf=ln(1.5)
+    top1 = sorted(by_doc[1], key=lambda r: r["kw_rank"])
+    assert [r["term"] for r in top1] == ["apple", "banana"]
+    assert top1[0]["score"] == round(2 * round(math.log(3.0), 6), 6)
+    assert top1[0]["tf"] == 2 and top1[0]["df"] == 1
+    # every doc has at most top_k rows and ranks are 1..k
+    for rows in by_doc.values():
+        assert sorted(r["kw_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+
+
+def test_tfidf_keywords_tie_breaks_by_term(spark):
+    from skrub_spark.operators.keywords import tfidf_keywords
+
+    # both terms appear once in each of the two docs -> equal scores
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "alpha zeta")], "doc_id long, text string"
+    )
+    out = tfidf_keywords(df, "text", "doc_id", top_k=2).collect()
+    for r in out:
+        assert (r["kw_rank"] == 1) == (r["term"] == "alpha")
+
+
+def test_tfidf_keywords_empty_doc_no_rows(spark):
+    from skrub_spark.operators.keywords import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "   ")], "doc_id long, text string"
+    )
+    out = tfidf_keywords(df, "text", "doc_id", top_k=3)
+    assert out.filter(F.col("doc_id") == 2).count() == 0
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
