@@ -4407,6 +4407,22 @@ def q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(docs, "text", "doc_id", top_k=5)
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cross-source similarity matrix (r8 late,
+    report/corpus_sim.py::kmv_similarity_matrix): pairwise token-set
+    Jaccard estimates between the 20 sources (190 pairs, k=64).
+    The only corpus-scale work is the distinct (source, token)
+    reduce; sketches hash via the portable md5 rule, so every
+    estimate and tie-break replays exactly in SQL."""
+    _prep(spark)
+    from .report.corpus_sim import kmv_similarity_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_similarity_matrix(
+        docs, "source", "text", k=64, salt="sim8"
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8322,6 +8338,52 @@ ORACLES["keywords_tfidf"] = """
 """
 
 
+# r8 late: KMV source-similarity matrix — portable md5 sketches;
+# union-KMV estimator with realized denominator.
+ORACLES["source_similarity"] = """
+    WITH tok0 AS (
+      SELECT source AS g,
+        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT g,
+        ('0x' || substr(md5('sim8' || t), 1, 15))::BIGINT AS h
+      FROM tok0
+    ), sk AS (
+      SELECT g, h FROM (
+        SELECT g, h,
+          row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+        FROM tok
+      ) WHERE rn <= 64
+    ), gs AS (
+      SELECT DISTINCT g FROM sk
+    ), pairs AS (
+      SELECT a.g AS src_a, b.g AS src_b
+      FROM gs a CROSS JOIN gs b WHERE a.g < b.g
+    ), m AS (
+      SELECT p.src_a, p.src_b, s.h,
+        max(CASE WHEN s.g = p.src_a THEN 1 ELSE 0 END) AS in_a,
+        max(CASE WHEN s.g = p.src_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.g = p.src_a OR s.g = p.src_b
+      GROUP BY 1, 2, 3
+    ), u AS (
+      SELECT src_a, src_b, in_a, in_b,
+        row_number() OVER (
+          PARTITION BY src_a, src_b ORDER BY h ASC) AS rn
+      FROM m
+    )
+    SELECT src_a, src_b,
+      CAST(count(*) AS BIGINT) AS union_k,
+      CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_common,
+      round(CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS jaccard_est
+    FROM u WHERE rn <= 64 GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8558,6 +8620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         # r8 late: TF-IDF keyword extraction (exact-rank oracle)
         "keywords_tfidf": q_keywords_tfidf,
+        # r8 late: KMV cross-source similarity matrix (exact oracle)
+        "source_similarity": q_source_similarity,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

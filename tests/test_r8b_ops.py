@@ -227,6 +227,64 @@ def test_tfidf_keywords_empty_doc_no_rows(spark):
     assert out.filter(F.col("doc_id") == 2).count() == 0
 
 
+# --------------------------------------------- KMV source similarity
+
+
+def _overlap_corpus(spark):
+    # A and B share tokens 0..59 of 100 each -> true J = 60/140.
+    rows = [("A", " ".join(f"t{i}" for i in range(100)))]
+    rows.append(("B", " ".join(f"t{i}" for i in range(60))))
+    rows.append(("B", " ".join(f"u{i}" for i in range(40))))
+    # C is disjoint from both.
+    rows.append(("C", " ".join(f"v{i}" for i in range(50))))
+    return spark.createDataFrame(rows, "src string, text string")
+
+
+def test_kmv_estimate_close_to_true_jaccard(spark):
+    from skrub_spark.report.corpus_sim import kmv_similarity_matrix
+
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_similarity_matrix(
+            _overlap_corpus(spark), "src", "text", k=64
+        ).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["union_k"] == 64
+    assert abs(ab["jaccard_est"] - 60 / 140) < 0.15
+    assert out[("A", "C")]["jaccard_est"] == 0.0
+    assert out[("B", "C")]["n_common"] == 0
+
+
+def test_kmv_small_groups_exact_jaccard(spark):
+    """When both groups' vocabularies fit inside k, the sketch IS
+    the set and the estimate is the true Jaccard."""
+    from skrub_spark.report.corpus_sim import kmv_similarity_matrix
+
+    df = spark.createDataFrame(
+        [("A", "x y z w"), ("B", "y z q")], "src string, text string"
+    )
+    r = kmv_similarity_matrix(df, "src", "text", k=64).collect()[0]
+    assert r["union_k"] == 5 and r["n_common"] == 2
+    assert r["jaccard_est"] == round(2 / 5, 6)
+
+
+def test_kmv_partition_invariant(spark):
+    from skrub_spark.report.corpus_sim import kmv_similarity_matrix
+
+    df = _overlap_corpus(spark)
+    a = sorted(map(tuple, kmv_similarity_matrix(df, "src", "text", k=32).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmv_similarity_matrix(
+                df.repartition(7), "src", "text", k=32
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
