@@ -285,6 +285,50 @@ def test_kmv_partition_invariant(spark):
     assert a == b
 
 
+# -------------------------------------------------------------- zipf
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """freq(rank) = round(1000 * rank^-1) planted exactly -> slope
+    close to -1 with high R²."""
+    from skrub_spark.report.zipf import zipf_fit
+
+    words = []
+    for rank in range(1, 41):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    # spread across a few docs
+    docs = [
+        (" ".join(words[i::5]),) for i in range(5)
+    ]
+    out = zipf_fit(
+        spark.createDataFrame(docs, "text string"), "text"
+    ).collect()[0]
+    assert out["n_types"] == 40
+    assert out["n_tokens"] == sum(max(1, round(1000 / r)) for r in range(1, 41))
+    assert abs(out["slope"] - (-1.0)) < 0.05
+    assert out["r2"] > 0.99
+
+
+def test_zipf_fit_degenerate_single_type_is_null(spark):
+    from skrub_spark.report.zipf import zipf_fit
+
+    out = zipf_fit(
+        spark.createDataFrame([("a a a",)], "text string"), "text"
+    ).collect()[0]
+    assert out["n_types"] == 1 and out["n_tokens"] == 3
+    assert out["slope"] is None and out["r2"] is None
+
+
+def test_zipf_fit_partition_invariant(spark):
+    from skrub_spark.report.zipf import zipf_fit
+
+    docs = [(" ".join(f"t{j}" for j in range(i % 17)),) for i in range(60)]
+    df = spark.createDataFrame(docs, "text string")
+    a = tuple(zipf_fit(df, "text").collect()[0])
+    b = tuple(zipf_fit(df.repartition(11), "text").collect()[0])
+    assert a == b
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
