@@ -4437,6 +4437,33 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text")
 
 
+def q_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (r8 late,
+    sources/sharding.py::compact_shards — the lakehouse OPTIMIZE
+    maintenance pass): 16 fragment files bin-packed
+    (first-fit-decreasing on the Hadoop FS listing, driver-side
+    metadata only) and rewritten in ONE distributed job via a
+    broadcast filename→group join + one hash repartition. The
+    oracle is the ORIGINAL table: compaction must be
+    content-invariant."""
+    _prep(spark)
+    import os
+
+    from .sources.sharding import compact_shards
+
+    base = _fresh_tmp("skrub_q_compact_")
+    in_p = os.path.join(base, "in")
+    out_p = os.path.join(base, "out")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.repartition(16).write.mode("overwrite").parquet(in_p)
+    compact_shards(spark, in_p, out_p, target_bytes=32 << 10)
+    return spark.read.parquet(out_p).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8445,6 +8472,13 @@ ORACLES["zipf_fit"] = """
 """
 
 
+# r8 late: compaction is layout-only — the oracle is the original
+# table (content invariance).
+ORACLES["compact_shards"] = """
+    SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8685,6 +8719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         # r8 late: Zipf power-law corpus health fit (exact oracle)
         "zipf_fit": q_zipf_fit,
+        # r8 late: small-file compaction (content-invariance oracle)
+        "compact_shards": q_compact_shards,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

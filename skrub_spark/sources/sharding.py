@@ -97,3 +97,91 @@ def read_training_shards(
     if shard is not None:
         df = df.filter(F.col(shard_col) == shard)
     return df
+
+
+def plan_compaction(
+    files: list[tuple[str, int]], target_bytes: int
+) -> dict[str, int]:
+    """First-fit-decreasing bin packing of ``(name, size)`` file
+    metadata into compaction groups of ≤ ``target_bytes`` (a file
+    larger than the target gets its own group). Deterministic:
+    files order by (size desc, name asc), so the same listing
+    always yields the same plan. Returns name → group id.
+
+    Pure driver-side arithmetic on the LISTING (names + sizes,
+    never data) — at 100 TB this is one metadata pass over the
+    manifest, the same thing lakehouse OPTIMIZE commands do."""
+    order = sorted(files, key=lambda fs: (-fs[1], fs[0]))
+    bins: list[int] = []  # remaining capacity per group
+    plan: dict[str, int] = {}
+    for name, size in order:
+        for gid, cap in enumerate(bins):
+            if size <= cap:
+                bins[gid] = cap - size
+                plan[name] = gid
+                break
+        else:
+            plan[name] = len(bins)
+            bins.append(max(0, int(target_bytes) - size))
+    return plan
+
+
+def compact_shards(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 << 20,
+    shard_col: str = "__shard",
+) -> dict:
+    """Compact a directory of small parquet files into
+    target-size shards — the small-files maintenance pass every
+    long-lived 100 TB table needs (streaming sinks and incremental
+    ingests fragment; object-store scans want ~100 MB+ files).
+
+    Shape: list the directory through the Hadoop FileSystem API
+    (cluster-safe, like ``snapshots.py``), bin-pack the LISTING
+    driver-side (``plan_compaction`` — metadata only), then ONE
+    distributed job rewrites the data: each row maps to its group
+    via a broadcast (filename → group) join on
+    ``input_file_name()``, one hash repartition on the group id
+    co-locates every group in a single task, and
+    ``partitionBy(shard_col)`` writes one directory (one file) per
+    group. Content is bit-identical — only the file layout changes
+    (battery oracle ``compact_shards`` reads the output back
+    against the original table).
+
+    Returns ``{"n_input_files", "n_shards", "total_bytes"}``.
+    """
+    from .snapshots import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, in_path)
+    files = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            files.append((name, int(st.getLen())))
+    if not files:
+        raise ValueError(f"no parquet files under {in_path}")
+    plan = plan_compaction(files, target_bytes)
+    mapping = spark.createDataFrame(
+        sorted(plan.items()), "__fname string, __gid int"
+    )
+    df = spark.read.parquet(in_path)
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    out = (
+        df.withColumn("__fname", fname)
+        .join(F.broadcast(mapping), "__fname")
+        .drop("__fname")
+        .withColumnRenamed("__gid", shard_col)
+    )
+    (
+        out.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(out_path)
+    )
+    return {
+        "n_input_files": len(files),
+        "n_shards": 1 + max(plan.values()),
+        "total_bytes": sum(s for _, s in files),
+    }

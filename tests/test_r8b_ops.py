@@ -329,6 +329,72 @@ def test_zipf_fit_partition_invariant(spark):
     assert a == b
 
 
+# --------------------------------------------------------- compaction
+
+
+def test_plan_compaction_first_fit_decreasing():
+    from skrub_spark.sources.sharding import plan_compaction
+
+    files = [("a", 60), ("b", 50), ("c", 40), ("d", 30), ("e", 20)]
+    plan = plan_compaction(files, target_bytes=100)
+    # FFD: a(60)->g0(rem 40), b(50)->g1(rem 50), c(40)->g0(rem 0),
+    # d(30)->g1(rem 20), e(20)->g1(rem 0)
+    assert plan == {"a": 0, "c": 0, "b": 1, "d": 1, "e": 1}
+
+
+def test_plan_compaction_oversize_file_own_group():
+    from skrub_spark.sources.sharding import plan_compaction
+
+    plan = plan_compaction([("big", 500), ("s", 10)], target_bytes=100)
+    assert plan["big"] != plan["s"]
+
+
+def test_plan_compaction_deterministic_on_ties():
+    from skrub_spark.sources.sharding import plan_compaction
+
+    files = [("b", 50), ("a", 50), ("c", 50)]
+    assert plan_compaction(files, 100) == plan_compaction(
+        list(reversed(files)), 100
+    )
+
+
+def test_compact_shards_reduces_files_preserves_content(spark, tmp_path):
+    import glob
+
+    from skrub_spark.sources.sharding import compact_shards
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    )
+    in_p = str(tmp_path / "in")
+    out_p = str(tmp_path / "out")
+    df.repartition(10).write.parquet(in_p)
+    stats = compact_shards(spark, in_p, out_p, target_bytes=1 << 30)
+    assert stats["n_input_files"] == 10
+    assert stats["n_shards"] == 1
+    out_files = glob.glob(out_p + "/**/*.parquet", recursive=True)
+    assert len(out_files) == 1  # 10 fragments -> 1 shard file
+    back = spark.read.parquet(out_p)
+    assert sorted(
+        (r["id"], r["v"]) for r in back.select("id", "v").collect()
+    ) == [(i, f"v{i}") for i in range(200)]
+
+
+def test_compact_shards_respects_target(spark, tmp_path):
+    from skrub_spark.sources.sharding import compact_shards
+
+    df = spark.createDataFrame(
+        [(i, "x" * 50) for i in range(500)], "id long, v string"
+    )
+    in_p = str(tmp_path / "in2")
+    out_p = str(tmp_path / "out2")
+    df.repartition(8).write.parquet(in_p)
+    stats = compact_shards(spark, in_p, out_p, target_bytes=6000)
+    assert 1 < stats["n_shards"] < 8  # packed, but not 1:1
+    back = spark.read.parquet(out_p)
+    assert back.count() == 500
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
