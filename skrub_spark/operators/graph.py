@@ -299,3 +299,91 @@ def hits(
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 3,
+    partitions: int | None = None,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) —
+    community detection on the undirected link graph. Connected
+    components answers "reachable at all"; LPA finds DENSE regions
+    inside one component (mirror clusters, link farms, forum
+    families), the granularity web curation actually groups
+    domains by.
+
+    Determinism discipline (same as ``pagerank``/``hits``): labels
+    start as node ids; each synchronous round every node adopts its
+    neighbors' MOST FREQUENT label with ties broken by SMALLEST
+    label, so the result is bit-identical under any partitioning
+    and a chained-CTE oracle replays every round (battery query
+    ``lpa_communities``). Fixed ``n_iter`` rounds (the
+    production-webgraph shape — no convergence probe).
+
+    Per round: ONE shuffle — edges ⋈ labels on the neighbor end
+    (labels are |V|-sized, the edge join reuses the one persisted
+    edge partitioning) → map-side-combined (node, label) counts →
+    a per-node top-1 window (bounded frame). Per-round
+    checkpointing truncates lineage exactly like ``hits``.
+    Returns ``(node, label)``; isolated nodes keep their own id.
+    """
+    from pyspark.sql import Window
+
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    e = fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    if partitions:
+        e = e.repartition(partitions, "src")
+    e = e.persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
+    if checkpoint == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    lab = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(int(n_iter)):
+        counts = (
+            e.join(
+                lab.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        lab = (
+            nodes.join(winner, "node", "left")
+            .join(lab, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        lab = _ckpt(lab)
+    return lab

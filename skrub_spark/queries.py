@@ -4464,6 +4464,25 @@ def q_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (r8 late,
+    operators/graph.py::label_propagation — dense-region detection
+    inside components, the granularity web curation groups domains
+    by): 3 synchronous rounds on the planted 97-host graph,
+    most-frequent neighbor label / smallest-label tie-break —
+    bit-identical under any partitioning, replayed round-by-round
+    by the chained-CTE oracle."""
+    _prep(spark)
+    from .operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    return label_propagation(edges, n_iter=3)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -7627,6 +7646,53 @@ def _hits_oracle(n_iter: int = 3) -> str:
 
 ORACLES["hits_domains"] = _hits_oracle(3)
 
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Chained-CTE replay of synchronous label propagation on the
+    planted 97-host graph — one (count → top-1 window → relabel)
+    block per round, most-frequent neighbor label with
+    smallest-label tie-break, exactly operators/graph.py::
+    label_propagation."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 WHERE src != dst
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0 WHERE src != dst
+      )
+    ), n AS (
+      SELECT DISTINCT src AS node FROM e
+    ), l0 AS (
+      SELECT node, node AS label FROM n
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        p, c = f"l{i - 1}", f"l{i}"
+        parts.append(
+            f""", c{i} AS (
+      SELECT e.src AS node, {p}.label, count(*) AS cnt
+      FROM e JOIN {p} ON {p}.node = e.dst GROUP BY 1, 2
+    ), w{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ), {c} AS (
+      SELECT n.node, COALESCE(w{i}.label, {p}.label) AS label
+      FROM n LEFT JOIN w{i} USING (node) JOIN {p} USING (node)
+    )"""
+        )
+    parts.append(f"\n    SELECT node, label FROM l{n_iter}")
+    return "".join(parts)
+
+
+ORACLES["lpa_communities"] = _lpa_oracle(3)
+
 # r8 late: sliding-window chunking — integer boundary arithmetic
 # (ceil-div chunk count, 1-based slice) replays exactly.
 ORACLES["document_chunks"] = """
@@ -8721,6 +8787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         # r8 late: small-file compaction (content-invariance oracle)
         "compact_shards": q_compact_shards,
+        # r8 late: label-propagation communities (chained-CTE oracle)
+        "lpa_communities": q_lpa_communities,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

@@ -395,6 +395,83 @@ def test_compact_shards_respects_target(spark, tmp_path):
     assert back.count() == 500
 
 
+# ---------------------------------------------------- label propagation
+
+
+def _lpa_py(edges, n_iter=3):
+    """Reference synchronous LPA with (count desc, label asc)
+    tie-break over the symmetrized simple graph."""
+    adj = {}
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    for s, d in und:
+        adj.setdefault(s, set()).add(d)
+    lab = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for u in nbrs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = min(cnt, key=lambda c: (-cnt[c], c))
+            new[v] = best
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python_reference_exactly(spark):
+    from skrub_spark.operators.graph import label_propagation
+
+    edges = [(i % 13, (i * 5 + 2) % 13) for i in range(40)]
+    df = spark.createDataFrame(
+        sorted(set(edges)), "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=3).collect()
+    }
+    assert got == _lpa_py(edges)
+
+
+def test_lpa_two_cliques_find_two_communities(spark):
+    from skrub_spark.operators.graph import label_propagation
+
+    clique = lambda base: [
+        (base + i, base + j) for i in range(5) for j in range(i + 1, 5)
+    ]
+    edges = clique(0) + clique(100) + [(4, 100)]  # one weak bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=4).collect()
+    }
+    left = {got[v] for v in range(5)}
+    right = {got[v] for v in range(100, 105)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge does not merge the cliques
+
+
+def test_lpa_partition_invariant(spark):
+    from skrub_spark.operators.graph import label_propagation
+
+    edges = sorted(
+        {(i % 17, (i * 3 + 1) % 17) for i in range(60)}
+        - {(v, v) for v in range(17)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, n_iter=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(df.repartition(7), n_iter=3).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
