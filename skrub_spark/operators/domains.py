@@ -50,6 +50,63 @@ def domain_stats(
     return docs.join(occ, on="domain")
 
 
+# group 1 = the href value; RE2-compatible (no lookarounds)
+A_HREF_PATTERN = r'<a\s[^>]*href="([^"]*)"'
+
+
+def extract_outlinks(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per ``<a href="...">`` anchor: ``(id_col, href,
+    host)`` — ``host`` is the lowercased absolute-URL host, NULL
+    for relative/anchor-only links. Map-only
+    regexp_extract_all + explode (RE2-compatible patterns, so a SQL
+    oracle replays it byte-exactly) — the first half of webgraph
+    construction from raw crawl HTML."""
+    links = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(content_col), F.lit(A_HREF_PATTERN), 1
+            )
+        ).alias("href"),
+    )
+    host = F.lower(
+        F.regexp_extract(F.col("href"), URL_HOST_PATTERN, 1)
+    )
+    return links.select(
+        id_col,
+        "href",
+        F.when(host != F.lit(""), host).alias("host"),
+    )
+
+
+def host_edges(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    src_host_col: str = "src_host",
+) -> DataFrame:
+    """Host-level link graph from anchor tags:
+    ``(src_host, dst_host, n_links)`` aggregating every absolute
+    outlink of every document, self-links dropped — the edge list
+    ``pagerank``/``hits``/``label_propagation`` consume. The
+    explode + ONE map-side-combined groupBy is the only
+    corpus-scale work; at 100 TB this is exactly how the Common
+    Crawl host webgraph is built."""
+    out = extract_outlinks(df, content_col, id_col)
+    return (
+        df.select(
+            F.col(id_col), F.col(src_host_col).alias("src_host")
+        )
+        .join(out, id_col)
+        .filter(F.col("host").isNotNull())
+        .filter(F.col("host") != F.col("src_host"))
+        .groupBy("src_host", F.col("host").alias("dst_host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
 def drop_blocked_domains(
     df: DataFrame,
     blocklist: DataFrame | list[str],

@@ -236,3 +236,30 @@ def temperature_mixture(
         .filter(_hash_bucket(key, salt, fine) < thresh)
         .drop("__n", "__tgt")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: list,
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``n`` rows per group,
+    best-first — the RefinedWeb/C4 "max pages per domain" curation
+    stage that stops one megasite from dominating a crawl slice.
+
+    ``order_by`` is a list of Columns defining "best" (append a
+    unique-id tie-break to make the kept set deterministic — the
+    exact-oracle battery query does). ONE window partitioned by
+    group (bounded per-group frame, parallel across groups — never
+    a global sort); at 100 TB this is a single shuffle on the
+    group key, and AQE's skew handling covers the megadomain key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(n)))
+        .drop("__rn")
+    )

@@ -4483,6 +4483,66 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, n_iter=3)
 
 
+def q_outlink_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph construction from anchor tags (r8 late,
+    operators/domains.py::extract_outlinks/host_edges — the missing
+    piece between raw crawl HTML and the pagerank/HITS/LPA priors):
+    per-doc planted anchors (absolute mixed-case, relative, and a
+    conditional CDN link the oracle replays via CASE), extracted
+    with RE2-compatible patterns, aggregated to (src_host,
+    dst_host, n_links) with self-links dropped."""
+    _prep(spark)
+    from .operators.domains import host_edges
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p> <a href="https://Site'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/p0">x</a> <a href="/rel/x">r</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(' <a class="m" href="http://cdn.example.net/lib.js">c</a>'),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select(
+        "doc_id",
+        html.alias("html"),
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org"),
+        ).alias("src_host"),
+    )
+    return host_edges(
+        planted, content_col="html", id_col="doc_id",
+        src_host_col="src_host",
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (r8 late,
+    operators/sampling.py::cap_per_group — the RefinedWeb/C4 "max
+    pages per domain" stage): keep the 15 longest documents per
+    source, doc_id tie-break. One window partitioned by group —
+    a single group-key shuffle, bounded per-group frames."""
+    _prep(spark)
+    from .operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_group(
+        docs,
+        "source",
+        15,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8545,6 +8605,50 @@ ORACLES["compact_shards"] = """
 """
 
 
+# r8 late: outlink host graph — planted anchors replayed via
+# concat/CASE; RE2 patterns identical on both engines; relative
+# links have no host and self-links drop.
+ORACLES["outlink_hostgraph"] = """
+    WITH d AS (
+      SELECT doc_id,
+        'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+          AS src_host,
+        '<p>' || text || '</p> <a href="https://Site'
+          || CAST(doc_id % 7 AS VARCHAR)
+          || '.example.org/p0">x</a> <a href="/rel/x">r</a>'
+          || CASE WHEN doc_id % 2 = 0 THEN
+               ' <a class="m" href="http://cdn.example.net/lib.js">c</a>'
+             ELSE '' END AS html
+      FROM documents
+    ), l AS (
+      SELECT doc_id, src_host,
+        unnest(regexp_extract_all(html, '<a\\s[^>]*href="([^"]*)"', 1))
+          AS href
+      FROM d
+    ), h AS (
+      SELECT doc_id, src_host,
+        lower(regexp_extract(href, 'https?://([A-Za-z0-9.-]+)', 1))
+          AS host
+      FROM l
+    )
+    SELECT src_host, host AS dst_host,
+      CAST(count(*) AS BIGINT) AS n_links
+    FROM h WHERE host != '' AND host != src_host
+    GROUP BY 1, 2
+"""
+
+
+# r8 late: per-domain quota cap — deterministic best-first keep.
+ORACLES["domain_cap"] = """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+        row_number() OVER (
+          PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8789,6 +8893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_shards": q_compact_shards,
         # r8 late: label-propagation communities (chained-CTE oracle)
         "lpa_communities": q_lpa_communities,
+        # r8 late: anchor-tag outlink host graph (exact oracle)
+        "outlink_hostgraph": q_outlink_hostgraph,
+        # r8 late: per-domain quota cap (exact oracle)
+        "domain_cap": q_domain_cap,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

@@ -472,6 +472,80 @@ def test_lpa_partition_invariant(spark):
     assert a == b
 
 
+# ------------------------------------------------- outlinks & host graph
+
+
+def test_extract_outlinks_absolute_relative_and_case(spark):
+    from skrub_spark.operators.domains import extract_outlinks
+
+    html = (
+        '<a href="https://Example.COM/a">x</a>'
+        ' <a class="z" href="/rel">r</a>'
+        ' <a href="http://sub.example.org/b?q=1">y</a>'
+        " <p>no link</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    rows = sorted(
+        (r["href"], r["host"])
+        for r in extract_outlinks(df, "text", "doc_id").collect()
+    )
+    assert rows == [
+        ("/rel", None),
+        ("http://sub.example.org/b?q=1", "sub.example.org"),
+        ("https://Example.COM/a", "example.com"),
+    ]
+
+
+def test_host_edges_drops_self_links_and_counts(spark):
+    from skrub_spark.operators.domains import host_edges
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "a.org",
+                '<a href="https://b.org/1">.</a>'
+                ' <a href="https://b.org/2">.</a>'
+                ' <a href="https://a.org/self">.</a>',
+            ),
+            (2, "a.org", '<a href="https://c.org/x">.</a>'),
+        ],
+        "doc_id long, src_host string, text string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_edges(
+            df, "text", "doc_id", src_host_col="src_host"
+        ).collect()
+    }
+    assert got == {("a.org", "b.org"): 2, ("a.org", "c.org"): 1}
+
+
+# ------------------------------------------------------- per-group cap
+
+
+def test_cap_per_group_keeps_best_n(spark):
+    from skrub_spark.operators.sampling import cap_per_group
+
+    rows = [(g, i, 100 - i) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id long, q long")
+    out = cap_per_group(
+        df, "g", 3, [F.col("q").desc(), F.col("id").asc()]
+    )
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1), ("b", 2)]
+    assert out.columns == ["g", "id", "q"]  # helper column dropped
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from skrub_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "g string, id long"
+    )
+    assert cap_per_group(df, "g", 5, [F.col("id")]).count() == 3
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
