@@ -1,0 +1,83 @@
+"""Quantile winsorization — robust clipping at exact empirical
+quantiles (the hard-clip companion to the reference's soft
+``SquashingScaler``, reference ``skrub/_squashing_scaler.py:1``;
+outlier capping before scaling/aggregation is the standard
+preprocessing rung sklearn spells ``RobustScaler``/winsorize).
+
+Exactness discipline: the cut points are DISCRETE lower quantiles —
+the smallest value whose cumulative count reaches ``ceil(p·n)`` —
+computed entirely in INTEGER arithmetic (p carried as basis points:
+``k = (p_bp·n + 9999) div 10000``; a float ``ceil(p*n)`` is an
+off-by-one trap — 0.01·500 is 5.000000000000001 in IEEE). So the
+cut points, and therefore every clipped value, are
+partitioning-invariant and replay bit-identically in SQL (battery
+oracle ``quantile_clip``).
+
+Scale shape: one (value, count) reduce, a cumulative window over
+DISTINCT values (bounded by value cardinality — quantize first for
+unbounded continuous data, as with ``ks_statistic``), two scalar
+cut points broadcast back, then a map-only clip of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_clip(
+    df: DataFrame,
+    col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` (default ``<col>_clipped``): values clipped
+    to the [p_low, p_high] discrete empirical quantiles of ``col``
+    (NULLs pass through). Quantile probabilities are carried at
+    basis-point resolution (p rounds to 1/10000)."""
+    lo_bp = int(round(float(p_low) * 10000))
+    hi_bp = int(round(float(p_high) * 10000))
+    if not 0 <= lo_bp <= hi_bp <= 10000:
+        raise ValueError("need 0 <= p_low <= p_high <= 1")
+    out_col = out_col or f"{col}_clipped"
+    v = F.col(col)
+    counts = (
+        df.select(v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v", F.sum("c").over(w).alias("cum")
+    )
+    n = df.filter(v.isNotNull()).agg(F.count(F.lit(1)).alias("n"))
+    cuts = (
+        cum.join(F.broadcast(n))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({lo_bp}L * n + 9999L) div 10000L"),
+                    F.col("v"),
+                )
+            ).alias("__qlo"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({hi_bp}L * n + 9999L) div 10000L"),
+                    F.col("v"),
+                )
+            ).alias("__qhi"),
+        )
+    )
+    clipped = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("__qlo")), F.col("__qhi")),
+    )
+    return (
+        df.join(F.broadcast(cuts))
+        .withColumn(out_col, clipped)
+        .drop("__qlo", "__qhi")
+    )

@@ -4543,6 +4543,58 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / NMI (r8 late,
+    report/associations.py::mutual_information — the
+    information-theoretic companion to Cramér's V): lang × source
+    on documents. One contingency reduce; every term 6dp-rounded
+    over DECIMAL sums, so mi / entropies / nmi replay exactly."""
+    _prep(spark)
+    from .report.associations import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+def q_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile winsorization (r8 late,
+    operators/winsorize.py::quantile_clip — the hard-clip companion
+    to SquashingScaler): customer balances clipped at the [2%, 98%]
+    discrete empirical quantiles. Cut points derive in pure integer
+    arithmetic (basis points; a float ceil(p·n) is an off-by-one
+    trap), then one map-only clip."""
+    _prep(spark)
+    from .operators.winsorize import quantile_clip
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    return quantile_clip(
+        cust, "c_acctbal", 0.02, 0.98, out_col="acctbal_clipped"
+    )
+
+
+def q_group_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n per-group uniform sample (r8 late — cap_per_group
+    ordered by the samplers' content-addressed md5: EXACTLY 20 docs
+    per language, reproducible on any cluster/partitioning, unlike
+    fraction samplers whose per-group counts vary). One group-key
+    window; the md5 order replays in SQL."""
+    _prep(spark)
+    from .operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    h = F.md5(F.concat(F.lit("gs8"), F.col("doc_id").cast("string")))
+    return cap_per_group(
+        docs.withColumn("__h", h),
+        "lang",
+        20,
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+    ).drop("__h")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8649,6 +8701,87 @@ ORACLES["domain_cap"] = """
 """
 
 
+# r8 late: mutual information — 6dp terms over DECIMAL sums, NULL
+# folds to '<null>' (no-op on this data but part of the contract).
+ORACLES["mutual_information"] = """
+    WITH j AS (
+      SELECT COALESCE(lang, '<null>') AS a,
+             COALESCE(source, '<null>') AS b, count(*) AS nij
+      FROM documents GROUP BY 1, 2
+    ), ma AS (
+      SELECT a, sum(nij) AS ni FROM j GROUP BY 1
+    ), mb AS (
+      SELECT b, sum(nij) AS nj FROM j GROUP BY 1
+    ), t AS (
+      SELECT sum(nij) AS n FROM j
+    ), mi AS (
+      SELECT CAST(sum(CAST(round(
+          (CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))), 6)
+        AS DECIMAL(28,6))) AS DOUBLE) AS mi
+      FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+    ), ha AS (
+      SELECT CAST(sum(CAST(round(
+          -(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(28,6))) AS DOUBLE) AS h_a
+      FROM ma CROSS JOIN t
+    ), hb AS (
+      SELECT CAST(sum(CAST(round(
+          -(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(28,6))) AS DOUBLE) AS h_b
+      FROM mb CROSS JOIN t
+    )
+    SELECT 'lang' AS col_a, 'source' AS col_b, mi, h_a, h_b,
+      CASE WHEN h_a > CAST(0 AS DOUBLE) AND h_b > CAST(0 AS DOUBLE)
+           THEN round(mi / sqrt(h_a * h_b), 6) END AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+# r8 late: quantile winsorization — integer basis-point cut points
+# over the distinct-value cumsum, then a map-only clip.
+ORACLES["quantile_clip"] = """
+    WITH c AS (
+      SELECT c_acctbal AS v, count(*) AS c FROM customer
+      WHERE c_acctbal IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ), t AS (
+      SELECT count(*) AS n FROM customer WHERE c_acctbal IS NOT NULL
+    ), cuts AS (
+      SELECT
+        min(CASE WHEN cum >= (200 * n + 9999) // 10000 THEN v END)
+          AS qlo,
+        min(CASE WHEN cum >= (9800 * n + 9999) // 10000 THEN v END)
+          AS qhi
+      FROM cum CROSS JOIN t
+    )
+    SELECT c_custkey, c_acctbal,
+      CASE WHEN c_acctbal IS NOT NULL
+           THEN least(greatest(c_acctbal, qlo), qhi) END
+        AS acctbal_clipped
+    FROM customer CROSS JOIN cuts
+"""
+
+
+# r8 late: exact-n per-group sample — md5 hex ordering is plain
+# string comparison on both engines.
+ORACLES["group_sample_fixed_n"] = """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5('gs8' || CAST(doc_id AS VARCHAR)) ASC,
+                   doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -8897,6 +9030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_hostgraph": q_outlink_hostgraph,
         # r8 late: per-domain quota cap (exact oracle)
         "domain_cap": q_domain_cap,
+        # r8 late: mutual information / NMI (exact oracle)
+        "mutual_information": q_mutual_information,
+        # r8 late: quantile winsorization (integer cut points)
+        "quantile_clip": q_quantile_clip,
+        # r8 late: exact-n per-group uniform sample (md5 order)
+        "group_sample_fixed_n": q_group_sample_fixed_n,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

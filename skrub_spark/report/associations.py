@@ -228,3 +228,70 @@ def numeric_associations(
         for b in cols[i + 1 :]
     ]
     return row.select(F.explode(F.array(*pairs)).alias("__p")).select("__p.*")
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information + normalized MI between two categorical
+    columns — the information-theoretic companion to Cramér's V
+    (catches associations chi-square statistics understate for
+    skewed marginals): one row ``(col_a, col_b, mi, h_a, h_b,
+    nmi)`` with ``nmi = mi / sqrt(h_a·h_b)`` (NULL when either
+    entropy is 0).
+
+    ONE map-side-combined (a, b) contingency reduce is the only
+    corpus-scale work; marginals and entropies derive from the
+    cell frame. NULL categories fold into a ``'<null>'`` sentinel
+    (NULL join keys would silently drop cells). Every term is a
+    fixed-operand-order IEEE expression over exact counts, rounded
+    to 6dp and summed as DECIMAL(28,6) — bit-identically
+    SQL-replayable (battery oracle ``mutual_information``).
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    joint = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    ma = joint.groupBy("a").agg(F.sum("nij").alias("ni"))
+    mb = joint.groupBy("b").agg(F.sum("nij").alias("nj"))
+    t = joint.agg(F.sum("nij").alias("n"))
+    cells = (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .join(F.broadcast(t))
+    )
+    nij = F.col("nij").cast("double")
+    ni = F.col("ni").cast("double")
+    nj = F.col("nj").cast("double")
+    n = F.col("n").cast("double")
+    mi_term = F.round(
+        (nij / n) * F.log((nij * n) / (ni * nj)), 6
+    ).cast("decimal(28,6)")
+    mi = cells.agg(F.sum(mi_term).cast("double").alias("mi"))
+
+    def _entropy(marg: DataFrame, cnt: str, alias: str) -> DataFrame:
+        c = F.col(cnt).cast("double")
+        term = F.round(
+            -(c / F.col("n").cast("double"))
+            * F.log(c / F.col("n").cast("double")),
+            6,
+        ).cast("decimal(28,6)")
+        return marg.join(F.broadcast(t)).agg(
+            F.sum(term).cast("double").alias(alias)
+        )
+
+    ha = _entropy(ma, "ni", "h_a")
+    hb = _entropy(mb, "nj", "h_b")
+    out = mi.join(ha).join(hb)
+    return out.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "mi",
+        "h_a",
+        "h_b",
+        F.when(
+            (F.col("h_a") > 0) & (F.col("h_b") > 0),
+            F.round(F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")), 6),
+        ).alias("nmi"),
+    )

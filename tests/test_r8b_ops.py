@@ -546,6 +546,118 @@ def test_cap_per_group_small_groups_untouched(spark):
     assert cap_per_group(df, "g", 5, [F.col("id")]).count() == 3
 
 
+# ------------------------------------------------- mutual information
+
+
+def test_mutual_information_independent_is_zero(spark):
+    from skrub_spark.report.associations import mutual_information
+
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
+    import math
+
+    assert abs(r["h_a"] - math.log(2)) < 1e-5
+
+
+def test_mutual_information_identical_columns_nmi_one(spark):
+    from skrub_spark.report.associations import mutual_information
+
+    rows = [(c, c) for c in "abc" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert abs(r["nmi"] - 1.0) < 1e-5
+    assert abs(r["mi"] - r["h_a"]) < 1e-4
+
+
+def test_mutual_information_constant_column_null_nmi(spark):
+    from skrub_spark.report.associations import mutual_information
+
+    df = spark.createDataFrame(
+        [("k", str(i % 3)) for i in range(30)], "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["h_a"] == 0.0 and r["nmi"] is None
+
+
+def test_mutual_information_null_sentinel(spark):
+    from skrub_spark.report.associations import mutual_information
+
+    df = spark.createDataFrame(
+        [(None, "u"), (None, "u"), ("x", "v"), ("x", "v")],
+        "a string, b string",
+    )
+    r = mutual_information(df, "a", "b").collect()[0]
+    # NULL folds into its own category: perfect association
+    assert abs(r["nmi"] - 1.0) < 1e-5
+
+
+# ------------------------------------------------------ quantile clip
+
+
+def test_quantile_clip_hand_computed(spark):
+    from skrub_spark.operators.winsorize import quantile_clip
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double"
+    )
+    out = quantile_clip(df, "x", 0.05, 0.95)
+    got = {r["x"]: r["x_clipped"] for r in out.collect()}
+    # lower cut: ceil(0.05*100)=5 -> 5.0; upper: ceil(0.95*100)=95 -> 95.0
+    assert got[1.0] == 5.0 and got[4.0] == 5.0 and got[5.0] == 5.0
+    assert got[50.0] == 50.0
+    assert got[95.0] == 95.0 and got[99.0] == 95.0 and got[100.0] == 95.0
+
+
+def test_quantile_clip_nulls_pass_through(spark):
+    from skrub_spark.operators.winsorize import quantile_clip
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "x double"
+    )
+    out = {
+        (r["x"]): r["x_clipped"]
+        for r in quantile_clip(df, "x", 0.0, 1.0).collect()
+    }
+    assert out[None] is None
+    assert out[1.0] == 1.0 and out[3.0] == 3.0  # p=[0,1] clips nothing
+
+
+def test_quantile_clip_rejects_bad_range(spark):
+    import pytest as _pytest
+
+    from skrub_spark.operators.winsorize import quantile_clip
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        quantile_clip(df, "x", 0.9, 0.1)
+
+
+def test_group_sample_fixed_n_exact_counts(spark):
+    from skrub_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    h = F.md5(F.concat(F.lit("s"), F.col("id").cast("string")))
+    out = cap_per_group(
+        df.withColumn("__h", h), "g", 7, [F.col("__h"), F.col("id")]
+    ).drop("__h")
+    counts = {
+        r["g"]: r["cnt"]
+        for r in out.groupBy("g").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts == {"g0": 7, "g1": 7, "g2": 7}
+    # reproducible under repartitioning
+    out2 = cap_per_group(
+        df.repartition(8).withColumn("__h", h),
+        "g", 7, [F.col("__h"), F.col("id")],
+    ).drop("__h")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
