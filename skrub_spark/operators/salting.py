@@ -53,3 +53,62 @@ def salted_join(
     replicated_right = right.select("*", salts)
     out = salted_left.join(replicated_right, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def auto_join_with_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    *,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_share_threshold: float = 0.2,
+    n_salts: int = 16,
+) -> tuple[DataFrame, str]:
+    """Strategy-selecting equi-join: probes the inputs and picks
+    broadcast / salted / plain shuffle, returning ``(result,
+    strategy)``. The RESULT is the same semantic join under every
+    strategy (the battery oracle ``adaptive_join`` is a plain SQL
+    join) — only the physical plan changes.
+
+    Decision rule (the same gates `key_skew_report` documents):
+    1. right side ≤ ``broadcast_threshold_rows`` → ``broadcast()``
+       (probed with an early-exit ``limit(k+1).count()``, never a
+       full count of a 100 TB side);
+    2. else if the left side's hottest key owns more than
+       ``skew_share_threshold`` of its rows → ``salted_join``
+       (probe: ONE counting groupBy on the 8-byte key column —
+       the diagnostic half of report/skew.py — plus a count);
+    3. else a plain shuffle join, leaving residual moderate skew
+       to AQE's runtime split.
+
+    Driver state is three integers; probes are key-column-only.
+    """
+    probe = right.limit(int(broadcast_threshold_rows) + 1).count()
+    if probe <= broadcast_threshold_rows:
+        return (
+            left.join(F.broadcast(right), on=on, how=how),
+            "broadcast",
+        )
+    top_row = (
+        left.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc())
+        .limit(1)
+        .first()
+    )
+    total = left.count()
+    if top_row is not None and total > 0:
+        if top_row["__c"] / total > skew_share_threshold:
+            return (
+                salted_join(left, right, on, n_salts=n_salts, how=how),
+                "salted",
+            )
+    return left.join(right, on=on, how=how), "shuffle"
+
+
+def auto_join(
+    left: DataFrame, right: DataFrame, on: str, how: str = "inner", **kw
+) -> DataFrame:
+    """``auto_join_with_strategy`` without the strategy tag."""
+    return auto_join_with_strategy(left, right, on, how, **kw)[0]

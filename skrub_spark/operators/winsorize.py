@@ -81,3 +81,60 @@ def quantile_clip(
         .withColumn(out_col, clipped)
         .drop("__qlo", "__qhi")
     )
+
+
+def quantile_discretize(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 4,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency binning (sklearn ``KBinsDiscretizer
+    strategy='quantile'`` shape): adds ``out_col`` (default
+    ``<col>_bin``) in ``[0, n_bins)`` — the bin index is the number
+    of quantile edges ≤ the value, edges at p = i/n_bins computed
+    with the same integer basis-point rule as ``quantile_clip``.
+    NULLs get a NULL bin. Degenerate distributions collapse bins
+    (identical edges) rather than failing.
+
+    One (value, count) reduce + distinct-value cumsum produce all
+    ``n_bins − 1`` edges in a single aggregation row (broadcast
+    back); the binning itself is map-only. Exact oracle:
+    ``quantile_bins``."""
+    n_bins = int(n_bins)
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    out_col = out_col or f"{col}_bin"
+    v = F.col(col)
+    counts = (
+        df.select(v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("v", F.sum("c").over(w).alias("cum"))
+    n = df.filter(v.isNotNull()).agg(F.count(F.lit(1)).alias("n"))
+    edge_aggs = []
+    for i in range(1, n_bins):
+        bp = round(10000 * i / n_bins)
+        edge_aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({bp}L * n + 9999L) div 10000L"),
+                    F.col("v"),
+                )
+            ).alias(f"__e{i}")
+        )
+    edges = cum.join(F.broadcast(n)).agg(*edge_aggs)
+    bin_ix = F.lit(0)
+    for i in range(1, n_bins):
+        bin_ix = bin_ix + (v >= F.col(f"__e{i}")).cast("int")
+    return (
+        df.join(F.broadcast(edges))
+        .withColumn(
+            out_col, F.when(v.isNotNull(), bin_ix.cast("int"))
+        )
+        .drop(*[f"__e{i}" for i in range(1, n_bins)])
+    )

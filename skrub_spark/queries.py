@@ -4595,6 +4595,45 @@ def q_group_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__h")
 
 
+def q_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-selecting join (r8 late,
+    operators/salting.py::auto_join — probes pick broadcast /
+    salted / plain shuffle; the gates key_skew_report documents,
+    now closed-loop): orders ⋈ customer revenue per segment. The
+    oracle is the PLAIN SQL join — whatever physical strategy the
+    probe picks, the result must be the same semantic join."""
+    _prep(spark)
+    from .operators.salting import auto_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = auto_join(orders, cust, on="custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _dsum(_dec("o_totalprice"), "revenue"),
+    )
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (r8 late,
+    operators/winsorize.py::quantile_discretize — KBinsDiscretizer
+    quantile strategy): order totalprice into 4 bins. Edges derive
+    via the integer basis-point rule; binning is map-only."""
+    _prep(spark)
+    from .operators.winsorize import quantile_discretize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return quantile_discretize(
+        orders, "o_totalprice", n_bins=4, out_col="price_bin"
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8782,6 +8821,46 @@ ORACLES["group_sample_fixed_n"] = """
 """
 
 
+# r8 late: adaptive join — strategy-invariant semantics; DECIMAL
+# revenue sums like every money aggregate.
+ORACLES["adaptive_join"] = """
+    SELECT c_mktsegment,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+# r8 late: quantile binning — same integer edge rule as
+# quantile_clip; bin = count of edges <= value.
+ORACLES["quantile_bins"] = """
+    WITH c AS (
+      SELECT o_totalprice AS v, count(*) AS c FROM orders
+      WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ), t AS (
+      SELECT count(*) AS n FROM orders WHERE o_totalprice IS NOT NULL
+    ), e AS (
+      SELECT
+        min(CASE WHEN cum >= (2500 * n + 9999) // 10000 THEN v END) AS e1,
+        min(CASE WHEN cum >= (5000 * n + 9999) // 10000 THEN v END) AS e2,
+        min(CASE WHEN cum >= (7500 * n + 9999) // 10000 THEN v END) AS e3
+      FROM cum CROSS JOIN t
+    )
+    SELECT o_orderkey, o_totalprice,
+      CASE WHEN o_totalprice IS NOT NULL THEN
+        CAST((CASE WHEN o_totalprice >= e1 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice >= e2 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice >= e3 THEN 1 ELSE 0 END)
+           AS INTEGER) END AS price_bin
+    FROM orders CROSS JOIN e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9036,6 +9115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_clip": q_quantile_clip,
         # r8 late: exact-n per-group uniform sample (md5 order)
         "group_sample_fixed_n": q_group_sample_fixed_n,
+        # r8 late: strategy-selecting join (plain-join oracle)
+        "adaptive_join": q_adaptive_join,
+        # r8 late: equal-frequency quantile binning (exact oracle)
+        "quantile_bins": q_quantile_bins,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

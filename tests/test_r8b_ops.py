@@ -658,6 +658,101 @@ def test_group_sample_fixed_n_exact_counts(spark):
     )
 
 
+# -------------------------------------------------------- auto join
+
+
+def _aj_frames(spark, skewed: bool):
+    n = 400
+    keys = [0] * 300 + list(range(1, 101)) if skewed else list(range(n))
+    left = spark.createDataFrame(
+        [(k % 101, i) for i, k in enumerate(keys)], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(101)], "k long, rv string"
+    )
+    return left, right
+
+
+def test_auto_join_picks_broadcast_for_small_right(spark):
+    from skrub_spark.operators.salting import auto_join_with_strategy
+
+    left, right = _aj_frames(spark, skewed=False)
+    out, strat = auto_join_with_strategy(left, right, "k")
+    assert strat == "broadcast"
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_join_picks_salted_for_skewed_left(spark):
+    from skrub_spark.operators.salting import auto_join_with_strategy
+
+    left, right = _aj_frames(spark, skewed=True)
+    out, strat = auto_join_with_strategy(
+        left, right, "k", broadcast_threshold_rows=10,
+        skew_share_threshold=0.2,
+    )
+    assert strat == "salted"
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, out.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_auto_join_plain_shuffle_for_uniform_keys(spark):
+    from skrub_spark.operators.salting import auto_join_with_strategy
+
+    left, right = _aj_frames(spark, skewed=False)
+    out, strat = auto_join_with_strategy(
+        left, right, "k", broadcast_threshold_rows=10,
+        skew_share_threshold=0.2,
+    )
+    assert strat == "shuffle"
+    assert out.count() == left.join(right, "k").count()
+
+
+# -------------------------------------------------- quantile binning
+
+
+def test_quantile_discretize_equal_frequency(spark):
+    from skrub_spark.operators.winsorize import quantile_discretize
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double"
+    )
+    out = quantile_discretize(df, "x", n_bins=4)
+    got = {r["x"]: r["x_bin"] for r in out.collect()}
+    # edges at 25, 50, 75 -> bins of 24 / 25 / 25 / 26 values
+    assert got[1.0] == 0 and got[24.0] == 0
+    assert got[25.0] == 1 and got[49.0] == 1
+    assert got[50.0] == 2 and got[74.0] == 2
+    assert got[75.0] == 3 and got[100.0] == 3
+
+
+def test_quantile_discretize_degenerate_collapses(spark):
+    from skrub_spark.operators.winsorize import quantile_discretize
+
+    df = spark.createDataFrame([(5.0,)] * 20, "x double")
+    bins = {
+        r["x_bin"]
+        for r in quantile_discretize(df, "x", n_bins=4).collect()
+    }
+    assert bins == {3}  # all edges equal 5.0, every row >= all edges
+
+
+def test_quantile_discretize_null_bin_and_validation(spark):
+    import pytest as _pytest
+
+    from skrub_spark.operators.winsorize import quantile_discretize
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    got = {
+        r["x"]: r["x_bin"]
+        for r in quantile_discretize(df, "x", n_bins=2).collect()
+    }
+    assert got[None] is None
+    with _pytest.raises(ValueError):
+        quantile_discretize(df, "x", n_bins=1)
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
