@@ -4634,6 +4634,78 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (r8 late,
+    report/evaluation.py::classification_report): the heuristic
+    language-ID evaluated against the planted lang labels — the
+    measurement half of the learned-curation loop. One contingency
+    reduce; the oracle recomputes predictions from the language_id
+    SQL replay and derives the metrics independently."""
+    _prep(spark)
+    from .report.evaluation import classification_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(
+        "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+    return classification_report(preds, "lang", "lang_pred")
+
+
+def q_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (r8 late,
+    report/evaluation.py::calibration_report): the frozen quality
+    classifier's scores against its stopword-ratio teacher label —
+    "is the keep-probability the samplers consume honest?". 10
+    bins; conf is a 6dp decimal mean, ece an n-weighted decimal
+    sum, so every row replays exactly."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL, QUALITY_TEACHER_THRESHOLD
+    from .functions.text import quality_columns
+    from .operators.quality_classifier import score_quality
+    from .report.evaluation import calibration_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality(docs, QUALITY_MODEL).select(
+        "doc_id",
+        F.round("quality_score", 6).alias("score"),
+        (
+            quality_columns(F.col("text"))["stopword_ratio"]
+            >= F.lit(float(QUALITY_TEACHER_THRESHOLD))
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return calibration_report(scored, "score", "label", n_bins=10)
+
+
+def q_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression metrics (r8 late,
+    report/evaluation.py::regression_report): the classic
+    group-mean baseline — predict each order's totalprice by its
+    customer segment's mean — scored with MAE/RMSE/R². Residual
+    terms 6dp over DECIMAL sums; the segment means themselves are
+    6dp decimal means, so the whole chain replays."""
+    _prep(spark)
+    from .report.evaluation import regression_report
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), "custkey")
+    seg = j.groupBy("c_mktsegment").agg(
+        F.round(
+            F.sum(_dec("o_totalprice")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("yhat")
+    )
+    pred = j.join(F.broadcast(seg), "c_mktsegment")
+    return regression_report(pred, "o_totalprice", "yhat")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -8861,6 +8933,144 @@ ORACLES["quantile_bins"] = """
 """
 
 
+# r8 late: evaluation metrics — each oracle recomputes predictions
+# from the already-proven SQL replays (language_id / frozen quality
+# scores) and derives the metrics independently.
+ORACLES["classification_eval"] = f"""
+    WITH j AS (
+      SELECT COALESCE(d.lang, '<null>') AS lab,
+             COALESCE(p.lang_pred, '<null>') AS prd
+      FROM ( {ORACLES["language_id"]} ) p
+      JOIN documents d USING (doc_id)
+    ), cells AS (
+      SELECT lab, prd, count(*) AS c FROM j GROUP BY 1, 2
+    ), nt AS (
+      SELECT lab AS clazz, sum(c) AS n_true FROM cells GROUP BY 1
+    ), np AS (
+      SELECT prd AS clazz, sum(c) AS n_pred FROM cells GROUP BY 1
+    ), tp AS (
+      SELECT lab AS clazz, c AS tp FROM cells WHERE lab = prd
+    ), tot AS (
+      SELECT sum(c) AS n, sum(CASE WHEN lab = prd THEN c END) AS tp_all
+      FROM cells
+    ), cl AS (
+      SELECT clazz FROM nt UNION SELECT clazz FROM np
+    ), m AS (
+      SELECT cl.clazz,
+        CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+        CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+        CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+        tot.n AS nn, tot.tp_all AS tp_all
+      FROM cl LEFT JOIN nt USING (clazz) LEFT JOIN np USING (clazz)
+      LEFT JOIN tp USING (clazz) CROSS JOIN tot
+    ), pr AS (
+      SELECT clazz, n_true, n_pred, tp,
+        CASE WHEN n_pred > 0
+             THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+        END AS precision,
+        CASE WHEN n_true > 0
+             THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+        END AS recall,
+        round(CAST(COALESCE(tp_all, 0) AS DOUBLE)
+              / CAST(nn AS DOUBLE), 6) AS accuracy
+      FROM m
+    )
+    SELECT clazz, n_true, n_pred, tp, precision, recall,
+      CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                AND precision + recall > CAST(0 AS DOUBLE)
+           THEN round(CAST(2 AS DOUBLE) * precision * recall
+                      / (precision + recall), 6)
+      END AS f1,
+      accuracy
+    FROM pr
+"""
+
+ORACLES["calibration_eval"] = f"""
+    WITH p AS ( {{scores}} ),
+    l AS (
+      SELECT doc_id,
+        CASE WHEN
+          CAST(len(list_filter(
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x != ''),
+                 t -> lower(t) IN
+                   ('the','a','an','and','or','of','to','in','is','it')))
+               AS DOUBLE)
+          / GREATEST(len(list_filter(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 x -> x != '')), 1)
+          >= CAST(0.060976 AS DOUBLE)
+        THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), b AS (
+      SELECT least(9, CAST(floor(p.quality_score * CAST(10 AS DOUBLE))
+                           AS INTEGER)) AS bin,
+        CAST(round(p.quality_score, 6) AS DECIMAL(28,6)) AS s6, l.y
+      FROM p JOIN l USING (doc_id)
+      WHERE p.quality_score IS NOT NULL
+    ), per AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(s6) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS conf,
+        round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS acc
+      FROM b GROUP BY 1
+    ), g AS (
+      SELECT bin, n, conf, acc, round(abs(acc - conf), 6) AS gap
+      FROM per
+    ), t AS (
+      SELECT sum(n) AS nt FROM g
+    ), e AS (
+      SELECT CAST(sum(CAST(round(
+          CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * gap, 6)
+        AS DECIMAL(28,6))) AS DOUBLE) AS ece
+      FROM g CROSS JOIN t
+    )
+    SELECT bin, n, conf, acc, gap, ece FROM g CROSS JOIN e
+"""
+# splice the proven frozen-score replay in as the predictions CTE
+ORACLES["calibration_eval"] = ORACLES["calibration_eval"].format(
+    scores=ORACLES["quality_classifier_scores"]
+)
+
+ORACLES["regression_eval"] = """
+    WITH j AS (
+      SELECT o.o_totalprice AS y, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+      SELECT seg,
+        round(CAST(sum(CAST(y AS DECIMAL(12,2))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS yhat
+      FROM j GROUP BY 1
+    ), p AS (
+      SELECT j.y, seg.yhat FROM j JOIN seg USING (seg)
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ysum
+      FROM p
+    ), pb AS (
+      SELECT p.y, p.yhat,
+        round(m.ysum / CAST(m.n AS DOUBLE), 6) AS ybar, m.n
+      FROM p CROSS JOIN m
+    ), a AS (
+      SELECT max(n) AS n,
+        CAST(sum(CAST(round(abs(y - yhat), 6) AS DECIMAL(28,6)))
+             AS DOUBLE) AS sae,
+        CAST(sum(CAST(round((y - yhat) * (y - yhat), 6)
+                      AS DECIMAL(28,6))) AS DOUBLE) AS sse,
+        CAST(sum(CAST(round((y - ybar) * (y - ybar), 6)
+                      AS DECIMAL(28,6))) AS DOUBLE) AS sst
+      FROM pb
+    )
+    SELECT n,
+      round(sae / CAST(n AS DOUBLE), 6) AS mae,
+      round(sqrt(sse / CAST(n AS DOUBLE)), 6) AS rmse,
+      CASE WHEN sst > CAST(0 AS DOUBLE)
+           THEN round(CAST(1 AS DOUBLE) - sse / sst, 6) END AS r2
+    FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9119,6 +9329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_join": q_adaptive_join,
         # r8 late: equal-frequency quantile binning (exact oracle)
         "quantile_bins": q_quantile_bins,
+        # r8 late: evaluation metric reports (exact oracles built
+        # on the language_id / frozen-score SQL replays)
+        "classification_eval": q_classification_eval,
+        "calibration_eval": q_calibration_eval,
+        "regression_eval": q_regression_eval,
         # r8 late: sliding-window RAG chunking (exact boundaries)
         "document_chunks": q_document_chunks,
         # r8 late: HITS hubs/authorities (fixed-point, CTE oracle)

@@ -1,0 +1,223 @@
+"""Model-evaluation metric reports — the measurement side of the
+learned-curation loop (quality classifier, interpolation joiner,
+language-ID) run as exact distributed aggregations.
+
+A 100 TB pipeline that scores documents with learned filters needs
+to EVALUATE those filters at the same scale: per-class
+precision/recall over the whole corpus, calibration of the scores
+the samplers consume (a mis-calibrated keep-probability silently
+reshapes the corpus mix), and regression error of imputation
+joins. All three reports here are single-pass aggregations over
+exact counts with the proven cross-engine bridges (single IEEE
+divisions of counts; 6dp-rounded terms summed as DECIMAL(28,6)),
+so each one is bit-identically SQL-replayable (battery oracles
+``classification_eval`` / ``calibration_eval`` /
+``regression_eval``).
+
+Reference parity note: the skrub reference delegates metrics to
+sklearn (reference ``skrub/_data_ops/_skrub_learner.py:1`` scoring
+via estimator.score); here they are native DataFrame aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NULL = "<null>"
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 over the full frame: one row
+    per class appearing in labels OR predictions —
+    ``(clazz, n_true, n_pred, tp, precision, recall, f1,
+    accuracy)`` (``accuracy`` is the global value repeated on
+    every row). Undefined ratios (empty class on one side) are
+    NULL, matching sklearn's zero-division=NaN semantics. ONE
+    (label, pred) contingency reduce is the corpus-scale work."""
+    lab = F.coalesce(F.col(label_col).cast("string"), F.lit(_NULL))
+    prd = F.coalesce(F.col(pred_col).cast("string"), F.lit(_NULL))
+    cells = df.groupBy(lab.alias("lab"), prd.alias("prd")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nt = cells.groupBy(F.col("lab").alias("clazz")).agg(
+        F.sum("c").alias("n_true")
+    )
+    np_ = cells.groupBy(F.col("prd").alias("clazz")).agg(
+        F.sum("c").alias("n_pred")
+    )
+    tp = (
+        cells.filter(F.col("lab") == F.col("prd"))
+        .select(F.col("lab").alias("clazz"), F.col("c").alias("tp"))
+    )
+    totals = cells.agg(
+        F.sum("c").alias("__n"),
+        F.sum(F.when(F.col("lab") == F.col("prd"), F.col("c"))).alias(
+            "__tp_all"
+        ),
+    )
+    classes = (
+        nt.select("clazz")
+        .union(np_.select("clazz"))
+        .distinct()
+        .join(nt, "clazz", "left")
+        .join(np_, "clazz", "left")
+        .join(tp, "clazz", "left")
+        .join(F.broadcast(totals))
+    )
+    n_true = F.coalesce("n_true", F.lit(0)).cast("long")
+    n_pred = F.coalesce("n_pred", F.lit(0)).cast("long")
+    tp_c = F.coalesce("tp", F.lit(0)).cast("long")
+    prec = F.when(
+        n_pred > 0,
+        F.round(tp_c.cast("double") / n_pred.cast("double"), 6),
+    )
+    rec = F.when(
+        n_true > 0,
+        F.round(tp_c.cast("double") / n_true.cast("double"), 6),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+    )
+    return classes.select(
+        "clazz",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        tp_c.alias("tp"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+        F.round(
+            F.coalesce("__tp_all", F.lit(0)).cast("double")
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    [0, 1] score against a 0/1 label: per occupied bin
+    ``(bin, n, conf, acc, gap, ece)`` — ``conf`` the bin's mean
+    score (6dp decimal mean), ``acc`` its positive rate, ``gap``
+    |acc − conf|, ``ece`` the n-weighted global gap repeated on
+    every row. One binning groupBy; NULL scores/labels are
+    dropped."""
+    n_bins = int(n_bins)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(s * F.lit(float(n_bins))).cast("int"),
+            ).alias("bin"),
+            F.round(s, 6).cast("decimal(28,6)").alias("s6"),
+            y.alias("y"),
+        )
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s6").alias("ssum"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    per = per.select(
+        "bin",
+        "n",
+        F.round(
+            F.col("ssum").cast("double") / F.col("n").cast("double"), 6
+        ).alias("conf"),
+        F.round(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("acc"),
+    ).withColumn("gap", F.round(F.abs(F.col("acc") - F.col("conf")), 6))
+    tot = per.agg(F.sum("n").alias("__nt"))
+    ece = (
+        per.join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n").cast("double")
+                    / F.col("__nt").cast("double")
+                    * F.col("gap"),
+                    6,
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("ece")
+        )
+    )
+    return per.join(F.broadcast(ece)).select(
+        "bin", "n", "conf", "acc", "gap", "ece"
+    )
+
+
+def regression_report(
+    df: DataFrame, y_col: str, yhat_col: str
+) -> DataFrame:
+    """One row ``(n, mae, rmse, r2)`` for a numeric prediction
+    column: residual terms round to 6dp and sum as DECIMAL(28,6)
+    (partitioning-invariant), rmse is the 6dp root of the decimal
+    mse, r2 uses the same discipline for the total sum of squares
+    around the 6dp decimal mean. NULL pairs are dropped."""
+    y = F.col(y_col).cast("double")
+    yh = F.col(yhat_col).cast("double")
+    d = df.filter(y.isNotNull() & yh.isNotNull()).select(
+        y.alias("y"), yh.alias("yh")
+    )
+    mean_row = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("y"), 6).cast("decimal(28,6)")
+        ).alias("ysum"),
+    )
+    d2 = d.join(F.broadcast(mean_row)).withColumn(
+        "ybar",
+        F.round(
+            F.col("ysum").cast("double") / F.col("n").cast("double"), 6
+        ),
+    )
+    agg = d2.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round(F.abs(F.col("y") - F.col("yh")), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("sae"),
+        F.sum(
+            F.round(
+                (F.col("y") - F.col("yh")) * (F.col("y") - F.col("yh")),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("sse"),
+        F.sum(
+            F.round(
+                (F.col("y") - F.col("ybar"))
+                * (F.col("y") - F.col("ybar")),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("sst"),
+    )
+    sse = F.col("sse").cast("double")
+    sst = F.col("sst").cast("double")
+    return agg.select(
+        F.col("n"),
+        F.round(
+            F.col("sae").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mae"),
+        F.round(
+            F.sqrt(sse / F.col("n").cast("double")), 6
+        ).alias("rmse"),
+        F.when(
+            sst > 0, F.round(F.lit(1.0) - sse / sst, 6)
+        ).alias("r2"),
+    )

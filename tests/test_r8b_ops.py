@@ -753,6 +753,98 @@ def test_quantile_discretize_null_bin_and_validation(spark):
         quantile_discretize(df, "x", n_bins=1)
 
 
+# ------------------------------------------------ evaluation metrics
+
+
+def test_classification_report_hand_computed(spark):
+    from skrub_spark.report.evaluation import classification_report
+
+    # labels: a a a b b c ; preds: a a b b c c
+    rows = list(zip("aaabbc", "aabbcc"))
+    df = spark.createDataFrame(rows, "lab string, prd string")
+    rep = {
+        r["clazz"]: r
+        for r in classification_report(df, "lab", "prd").collect()
+    }
+    assert rep["a"]["tp"] == 2
+    assert rep["a"]["precision"] == 1.0  # 2/2 predicted a
+    assert rep["a"]["recall"] == round(2 / 3, 6)
+    assert rep["b"]["precision"] == 0.5 and rep["b"]["recall"] == 0.5
+    assert rep["c"]["recall"] == 1.0 and rep["c"]["precision"] == 0.5
+    assert all(r["accuracy"] == round(4 / 6, 6) for r in rep.values())
+    p, r_ = rep["b"]["precision"], rep["b"]["recall"]
+    assert rep["b"]["f1"] == round(2 * p * r_ / (p + r_), 6)
+
+
+def test_classification_report_class_only_in_preds(spark):
+    from skrub_spark.report.evaluation import classification_report
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "z")], "lab string, prd string"
+    )
+    rep = {
+        r["clazz"]: r
+        for r in classification_report(df, "lab", "prd").collect()
+    }
+    assert rep["z"]["n_true"] == 0 and rep["z"]["n_pred"] == 1
+    assert rep["z"]["recall"] is None and rep["z"]["f1"] is None
+    assert rep["z"]["precision"] == 0.0
+
+
+def test_calibration_report_perfectly_calibrated(spark):
+    from skrub_spark.report.evaluation import calibration_report
+
+    # score 0.25 -> 1/4 positive; score 0.75 -> 3/4 positive
+    rows = [(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    rep = {
+        r["bin"]: r for r in calibration_report(df, "s", "y", 10).collect()
+    }
+    assert set(rep) == {2, 7}
+    assert rep[2]["conf"] == 0.25 and rep[2]["acc"] == 0.25
+    assert rep[7]["gap"] == 0.0
+    assert all(r["ece"] == 0.0 for r in rep.values())
+
+
+def test_calibration_report_score_one_lands_in_top_bin(spark):
+    from skrub_spark.report.evaluation import calibration_report
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.999, 1), (None, 1), (0.5, None)], "s double, y int"
+    )
+    rep = calibration_report(df, "s", "y", 10).collect()
+    assert len(rep) == 1 and rep[0]["bin"] == 9 and rep[0]["n"] == 2
+
+
+def test_regression_report_hand_computed(spark):
+    import math
+
+    from skrub_spark.report.evaluation import regression_report
+
+    # y = 1,2,3,4 ; yhat = 1,2,3,8 -> mae=1, rmse=2, ybar=2.5
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 8.0)],
+        "y double, yh double",
+    )
+    r = regression_report(df, "y", "yh").collect()[0]
+    assert r["n"] == 4
+    assert r["mae"] == 1.0
+    assert r["rmse"] == 2.0
+    sst = sum((v - 2.5) ** 2 for v in (1, 2, 3, 4))
+    assert r["r2"] == round(1 - 16 / sst, 6)
+    assert math.isfinite(r["r2"])
+
+
+def test_regression_report_constant_target_null_r2(spark):
+    from skrub_spark.report.evaluation import regression_report
+
+    df = spark.createDataFrame(
+        [(5.0, 4.0), (5.0, 6.0)], "y double, yh double"
+    )
+    r = regression_report(df, "y", "yh").collect()[0]
+    assert r["r2"] is None and r["mae"] == 1.0
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
