@@ -141,6 +141,27 @@ HEADLINE = [
     "document_chunks",
     "hits_domains",
     "quality_percentiles",
+    # r8 late-session additions (compact_shards excluded like
+    # snapshot_ingest: sink-write cost dominates; its timing lives
+    # in the correctness battery)
+    "k_anonymity_audit",
+    "k_suppression",
+    "drift_ks",
+    "readability",
+    "keywords_tfidf",
+    "source_similarity",
+    "zipf_fit",
+    "lpa_communities",
+    "outlink_hostgraph",
+    "domain_cap",
+    "mutual_information",
+    "quantile_clip",
+    "group_sample_fixed_n",
+    "adaptive_join",
+    "quantile_bins",
+    "classification_eval",
+    "calibration_eval",
+    "regression_eval",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

@@ -9136,8 +9136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract), knn_join_lsh rotates to 51+ (similarity keeps
         # PQ/IVF-PQ/frozen-LSH rows in-window, and the frozen knn
         # twin is exact in the full battery)
+        # (late-r8 swap: interpolation_gbt_frozen rotates to 51+
+        # after a green round — the family keeps interpolation_join
+        # + clf_frozen in-window, and the GBT CASE-replay twin stays
+        # exact in the full battery — making room for the session's
+        # new-family flagships below)
         "interpolation_clf_frozen": q_interpolation_clf_frozen,
-        "interpolation_gbt_frozen": q_interpolation_gbt_frozen,
         "asof_join": q_asof_join,
         "range_join_incidents": q_range_join_incidents,
         # r7 swap (VERDICT r6 #6): the three unguarded r6 flagships
@@ -9153,6 +9157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "weighted_sample": q_weighted_sample,
         "curation_funnel": q_curation_funnel,
+        # late-r8 flagships into the gate: the privacy release gate
+        # (a NEW operator family — no prior in-window row) and the
+        # bin-free KS drift (the drift family's first gate row;
+        # drift_psi stays in the full battery)
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "drift_ks": q_drift_ks,
         # --- training-data pipeline ops ---
         "hash_split": q_hash_split,
         "lm_perplexity_filter": q_lm_perplexity_filter,
@@ -9191,8 +9201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probe + ADC, plan-audited) — knn_join rotates to 51+
         # (its exact mode is the O(n²) oracle baseline; the family
         # keeps similarity_topk + knn_join_lsh in-window)
+        # (late-r8 swap: topk_ivfpq rotates to 51+ after a green
+        # round — similarity keeps topk_pq + topk_opq in-window and
+        # the IVF-PQ probe stays plan-audited + full battery)
         "topk_pq": q_topk_pq,
-        "topk_ivfpq": q_topk_ivfpq,
         # r8 swap: topk_opq (the round's new compression rung) takes
         # the gate row; topk_lsh_frozen rotates to 51+ after a green
         # round (LSH family keeps embedding_dedup_lsh in-window and
@@ -9201,11 +9213,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 flagships (least-proven new paths into the gate) ---
         # DSIR data selection: frozen hashed-n-gram importance
         # weights + the content-addressed Gumbel-top-k resample
-        "dsir_weights": q_dsir_weights,
+        # (late-r8 swap: dsir_weights rotates to 51+ — dsir_resample
+        # composes the same frozen weights in-window)
         "dsir_resample": q_dsir_resample,
         # fixed-point link-graph PageRank (the Common Crawl host-rank
         # curation prior) — bit-exact chained-CTE oracle
         "domain_pagerank": q_domain_pagerank,
+        # late-r8 flagship into the gate: LPA communities — a new
+        # graph capability (dense regions, not just reachability)
+        "lpa_communities": q_lpa_communities,
         # --- encoders ---
         "datetime_features": q_datetime_features,
         "minhash_encoder_features": q_minhash_encoder_features,
@@ -9297,12 +9313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         # r8 late: key-skew diagnostic (the when-to-salt report)
         "key_skew_report": q_key_skew_report,
-        # r8 late: privacy release gates — k-anonymity/l-diversity
-        # audit + rare-group suppression (exact oracles)
-        "k_anonymity_audit": q_k_anonymity_audit,
+        # r8 late: rare-group suppression (k_anonymity_audit, the
+        # audit half, holds the family's gate row)
         "k_suppression": q_k_suppression,
-        # r8 late: bin-free KS drift (integer-supremum exact oracle)
-        "drift_ks": q_drift_ks,
+        # late-r8 rotations out of the window (families stay
+        # covered — see the window comments above)
+        "interpolation_gbt_frozen": q_interpolation_gbt_frozen,
+        "dsir_weights": q_dsir_weights,
+        "topk_ivfpq": q_topk_ivfpq,
         # r8 late: Flesch/FK readability (map-only, exact oracle)
         "readability": q_readability,
         # r8 late: TF-IDF keyword extraction (exact-rank oracle)
@@ -9313,8 +9331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         # r8 late: small-file compaction (content-invariance oracle)
         "compact_shards": q_compact_shards,
-        # r8 late: label-propagation communities (chained-CTE oracle)
-        "lpa_communities": q_lpa_communities,
         # r8 late: anchor-tag outlink host graph (exact oracle)
         "outlink_hostgraph": q_outlink_hostgraph,
         # r8 late: per-domain quota cap (exact oracle)
