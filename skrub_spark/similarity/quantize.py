@@ -708,3 +708,89 @@ def topk_cosine_ivfpq(
         vec_col="v", id_col="id", code_col="pq_codes",
         round_digits=round_digits, rerank=rerank,
     )
+
+
+# --------------------------------------------------------- binary (1-bit)
+
+
+def binary_words_expr(
+    vec_col: str, dim: int, bits_per_word: int = 32
+) -> Column:
+    """Sign-bit packing (1-bit / binary quantization — the 32×
+    compression rung past PQ; modern vector stores' cheap
+    first-pass filter): ``array<long>`` of ``ceil(dim /
+    bits_per_word)`` words, bit j of word w set iff
+    ``vec[w*bpw + j] > 0``. 32 bits per 64-bit word keeps every
+    value positive (no sign-bit/overflow games in either engine).
+
+    Built as an unrolled codegen'd CASE sum per word (map-only, no
+    UDF) using 1-based ``element_at`` — the same expression
+    replays verbatim in DuckDB (battery oracle ``topk_binary``)."""
+    n_words = (dim + bits_per_word - 1) // bits_per_word
+    words = []
+    for w in range(n_words):
+        terms = []
+        for j in range(bits_per_word):
+            i = w * bits_per_word + j
+            if i >= dim:
+                break
+            terms.append(
+                f"(CASE WHEN element_at({vec_col}, {i + 1}) > 0.0 "
+                f"THEN CAST({1 << j} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        words.append(" + ".join(terms))
+    return F.expr("array(" + ", ".join(words) + ")")
+
+
+def encode_binary_python(vec, bits_per_word: int = 32) -> list[int]:
+    """Driver-side twin of ``binary_words_expr`` for packing a
+    query vector into literal words."""
+    dim = len(vec)
+    n_words = (dim + bits_per_word - 1) // bits_per_word
+    out = []
+    for w in range(n_words):
+        word = 0
+        for j in range(bits_per_word):
+            i = w * bits_per_word + j
+            if i < dim and float(vec[i]) > 0.0:
+                word |= 1 << j
+        out.append(word)
+    return out
+
+
+def topk_hamming(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """Binary-quantized top-k: rank by Hamming distance between
+    sign-bit packed vectors — ``(id_col, hamming)``, ties broken
+    by id. Map-only packing + per-word ``bit_count(xor)`` (pure
+    codegen'd integer ops), then ONE TakeOrdered — no shuffle of
+    the float vectors at all, the scan reads 8·n_words bytes per
+    row of derived data. For sign-distributed embeddings Hamming
+    approximates angular distance (the classic LSH sign-random-
+    projection bound); the recall floor against exact cosine is
+    pinned in tests/test_r8b_ops.py."""
+    dim = int(dim if dim is not None else len(query_vec))
+    qwords = encode_binary_python(query_vec, bits_per_word)
+    words = binary_words_expr(vec_col, dim, bits_per_word)
+    packed = df.select(F.col(id_col), words.alias("__w"))
+    ham = None
+    for w, qw in enumerate(qwords):
+        term = F.bit_count(
+            F.element_at(F.col("__w"), w + 1).bitwiseXOR(
+                F.lit(int(qw)).cast("long")
+            )
+        ).cast("long")
+        ham = term if ham is None else ham + term
+    return (
+        packed.select(id_col, ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

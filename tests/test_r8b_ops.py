@@ -845,6 +845,77 @@ def test_regression_report_constant_target_null_r2(spark):
     assert r["r2"] is None and r["mae"] == 1.0
 
 
+# ------------------------------------------------ binary quantization
+
+
+def test_binary_packing_matches_python(spark):
+    import numpy as np
+
+    from skrub_spark.similarity.quantize import (
+        binary_words_expr,
+        encode_binary_python,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(64).round(3).tolist() for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: list(r["w"])
+        for r in df.select(
+            "vec_id", binary_words_expr("embedding", 64).alias("w")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == encode_binary_python(v)
+
+
+def test_topk_hamming_identical_vector_is_rank_one(spark):
+    import numpy as np
+
+    from skrub_spark.similarity.quantize import topk_hamming
+
+    rng = np.random.RandomState(11)
+    vecs = [rng.randn(64).tolist() for _ in range(50)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = topk_hamming(df, vecs[17], k=3).collect()
+    assert out[0]["vec_id"] == 17 and out[0]["hamming"] == 0
+
+
+def test_topk_hamming_recall_vs_exact_cosine(spark):
+    """Sign-random-projection bound: on unit Gaussians, Hamming
+    top-10 should recover most of the exact cosine top-10 for a
+    clustered query."""
+    import numpy as np
+
+    from skrub_spark.similarity.quantize import topk_hamming
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64)
+    vecs = []
+    for i in range(200):
+        if i < 10:  # planted near-neighbors, well separated from noise
+            vecs.append(base * 3.0 + 0.4 * rng.randn(64))
+        else:
+            vecs.append(rng.randn(64))
+    q = base
+    norm = [v / np.linalg.norm(v) for v in vecs]
+    cos = [float(np.dot(n, q / np.linalg.norm(q))) for n in norm]
+    exact_top = set(np.argsort(cos)[::-1][:10])
+    assert exact_top == set(range(10))  # sanity: planted ARE the top
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"] for r in topk_hamming(df, q.tolist(), k=10).collect()}
+    assert len(got & exact_top) >= 8  # recall@10 >= 0.8 at 32x compression
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
