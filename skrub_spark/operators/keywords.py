@@ -40,9 +40,12 @@ def tfidf_keywords(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
+    # tf is a branch point (both the scores and the df/idf reduce
+    # consume it) — persist, or the corpus explode + groupBy runs
+    # twice (the q_pretraining_pipeline lesson)
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).persist()
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

@@ -654,3 +654,65 @@ def test_compiled_gbt_is_map_only(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "FileScan" in plan
+
+
+def test_tfidf_keywords_idf_broadcast_no_extra_shuffle(spark):
+    """The idf frame must broadcast back onto tf — a second
+    corpus-sized Exchange on term would double the shuffle bytes
+    at 100 TB."""
+    from skrub_spark.queries import q_keywords_tfidf
+
+    df = q_keywords_tfidf(spark, SF)
+    plan = plan_of(df, execute=True).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    # the persisted tf frame feeds BOTH branches (one InMemory scan,
+    # not a second explode+groupBy of the corpus)
+    assert "InMemoryTableScan" in plan
+    # corpus-scale exchanges: tf groupBy, the vocab df reduce, the
+    # per-doc window — never a fourth
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_readability_is_map_only(spark):
+    """Readability is pure per-row arithmetic — any Exchange means
+    something regressed into a shuffle."""
+    from skrub_spark.queries import q_readability
+
+    df = q_readability(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+
+
+def test_topk_binary_no_vector_shuffle(spark):
+    """Hamming top-k is a TakeOrdered over packed words — the
+    float embedding column must not appear past the scan and no
+    hash Exchange may exist."""
+    from skrub_spark.queries import q_topk_binary
+
+    df = q_topk_binary(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cap_per_group_partitioned_window_not_global_sort(spark):
+    """The quota cap must be a window partitioned by the group key
+    (parallel across groups), never a global ORDER BY."""
+    from skrub_spark.queries import q_domain_cap
+
+    df = q_domain_cap(spark, SF)
+    plan = plan_of(df)
+    assert "Window" in plan
+    # the only Exchange is hashpartitioning on the group key; a
+    # rangepartitioning Exchange would be the global-sort smell
+    assert "rangepartitioning" not in plan
+
+
+def test_suppress_rare_single_key_shuffle(spark):
+    """Class sizes + the join back share the quasi-key
+    partitioning — Catalyst must not add a range sort."""
+    from skrub_spark.queries import q_k_suppression
+
+    df = q_k_suppression(spark, SF)
+    plan = plan_of(df, execute=True)
+    assert "rangepartitioning" not in plan
