@@ -4720,6 +4720,37 @@ def q_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_hamming(emb, qv, k=10)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix (r8 late,
+    operators/sequence.py::event_transitions — the behavioral
+    fingerprint session analytics scores against): per-user
+    event_type transitions ordered by (ts, event_id), row-
+    normalized probabilities from exact counts."""
+    _prep(spark)
+    from .operators.sequence import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", [F.col("ts"), F.col("event_id")], "event_type"
+    )
+
+
+def q_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint (r8 late,
+    operators/sequence.py::changepoint_mean_shift — binary
+    segmentation over the daily event-volume series): the corpus-
+    scale work is ONE per-day counting groupBy; the split scan
+    runs on the bounded period frame via cumulative windows."""
+    _prep(spark)
+    from .operators.sequence import changepoint_mean_shift
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return changepoint_mean_shift(daily, "day", "cnt")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9117,6 +9148,55 @@ ORACLES["topk_binary"] = f"""
 """
 
 
+# r8 late: Markov transitions — lag over (ts, event_id) total
+# order; probabilities are exact-count divisions.
+ORACLES["event_transitions"] = """
+    WITH s AS (
+      SELECT event_type AS to_state,
+        lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+      FROM events
+    ), p AS (
+      SELECT from_state, to_state, count(*) AS n
+      FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT from_state, sum(n) AS tot FROM p GROUP BY 1
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+      round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob
+    FROM p JOIN t USING (from_state)
+"""
+
+# r8 late: mean-shift changepoint — cumulative split scan over the
+# bounded period frame; earliest split wins ties.
+ORACLES["changepoint_daily"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT day AS p,
+        sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+        row_number() OVER (ORDER BY day) AS k
+      FROM d
+    ), t AS (
+      SELECT count(*) AS n, sum(cnt) AS s FROM d
+    ), j AS (
+      SELECT p, cum, k, n, s,
+        CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS ml,
+        CAST(s - cum AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+          AS mr
+      FROM c CROSS JOIN t WHERE k < n
+    )
+    SELECT p AS split_after,
+      round(abs(ml - mr)
+            * sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                   / CAST(n AS DOUBLE)), 6) AS stat,
+      round(ml, 6) AS mean_left, round(mr, 6) AS mean_right
+    FROM j
+    ORDER BY stat DESC, split_after ASC LIMIT 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9393,6 +9473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         # r8 late: binary-quantized Hamming top-k (exact oracle)
         "topk_binary": q_topk_binary,
+        # r8 late: sequence analytics (exact oracles)
+        "event_transitions": q_event_transitions,
+        "changepoint_daily": q_changepoint_daily,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

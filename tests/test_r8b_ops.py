@@ -916,6 +916,66 @@ def test_topk_hamming_recall_vs_exact_cosine(spark):
     assert len(got & exact_top) >= 8  # recall@10 >= 0.8 at 32x compression
 
 
+# ---------------------------------------------------- sequence ops
+
+
+def test_event_transitions_hand_computed(spark):
+    from skrub_spark.operators.sequence import event_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in event_transitions(df, "u", [F.col("t")], "s").collect()
+    }
+    # a->b happens 3x (u1 twice, u2 once); b->a once
+    assert got[("a", "b")] == (3, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 2  # no cross-user transition (u1 end -> u2 start)
+
+
+def test_event_transitions_probs_row_normalized(spark):
+    from skrub_spark.operators.sequence import event_transitions
+
+    rows = [(1, i, s) for i, s in enumerate("aabac")]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = event_transitions(df, "u", [F.col("t")], "s").collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in out:
+        sums[r["from_state"]] += r["prob"]
+    for v in sums.values():
+        # probs are individually rounded to 6dp, so a row of k
+        # states can be off by up to k*5e-7
+        assert abs(v - 1.0) < 1e-5
+
+
+def test_changepoint_finds_planted_shift(spark):
+    from skrub_spark.operators.sequence import changepoint_mean_shift
+
+    # level 10 for days 0..9, level 30 for days 10..19
+    rows = [(d, 10 if d < 10 else 30) for d in range(20)]
+    df = spark.createDataFrame(rows, "period long, cnt long")
+    r = changepoint_mean_shift(df, "period", "cnt").collect()[0]
+    assert r["split_after"] == 9
+    assert r["mean_left"] == 10.0 and r["mean_right"] == 30.0
+    # stat = |10-30| * sqrt(10*10/20)
+    import math
+
+    assert r["stat"] == round(20 * math.sqrt(5.0), 6)
+
+
+def test_changepoint_single_period_empty(spark):
+    from skrub_spark.operators.sequence import changepoint_mean_shift
+
+    df = spark.createDataFrame([(1, 5)], "period long, cnt long")
+    assert changepoint_mean_shift(df, "period", "cnt").count() == 0
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
