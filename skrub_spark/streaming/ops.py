@@ -569,3 +569,90 @@ def streaming_apply_changes(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transitions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+):
+    """Stateful Markov-transition extraction on a stream — the
+    streaming twin of ``operators/sequence.py::event_transitions``:
+    per key the state store carries (last_ts_us, last_id,
+    last_state), so a transition whose two events land in DIFFERENT
+    micro-batches is still emitted (a stateless per-batch lag would
+    drop every batch-boundary transition). With time-ordered
+    batches the aggregate over the emitted pairs equals the batch
+    transition matrix EXACTLY (battery query
+    ``streaming_transitions`` reuses the batch SQL oracle).
+    Out-of-order rows across batches are the same append-mode limit
+    sessionize documents — put a watermark upstream at scale.
+
+    State per key is two longs + one short string; the grouped
+    shuffle is the hash partitioning a batch groupBy would do.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user", LongType()),
+            StructField("from_state", StringType()),
+            StructField("to_state", StringType()),
+        ]
+    )
+
+    def emit(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        last_ts, last_id, last_state = (
+            state.get if state.exists else (None, None, None)
+        )
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        tsv = pdf[ts_col]
+        if getattr(tsv.dtype, "tz", None) is not None:
+            tsv = tsv.dt.tz_localize(None)
+        ts_us = (
+            np.asarray(tsv, dtype="datetime64[ns]").astype("int64")
+            // 1000
+        )
+        pdf = pdf.assign(__us=ts_us).sort_values(
+            ["__us", id_col], kind="mergesort"
+        )
+        froms, tos = [], []
+        for _, row in pdf.iterrows():
+            cur = row[state_col]
+            if last_state is not None:
+                froms.append(last_state)
+                tos.append(cur)
+            last_state = cur
+            last_ts = int(row["__us"])
+            last_id = int(row[id_col])
+        state.update((last_ts, last_id, last_state))
+        if froms:
+            yield pd.DataFrame(
+                {
+                    "user": key[0],
+                    "from_state": froms,
+                    "to_state": tos,
+                }
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        emit,
+        out_schema,
+        "last_ts long, last_id long, last_state string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -976,6 +976,73 @@ def test_changepoint_single_period_empty(spark):
     assert changepoint_mean_shift(df, "period", "cnt").count() == 0
 
 
+# -------------------------------------------- streaming transitions
+
+
+def test_streaming_transitions_cross_batch_continuity(spark, tmp_path):
+    """A user whose consecutive events land in different
+    micro-batches still yields the boundary transition — the whole
+    point of the state store."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from skrub_spark.streaming.ops import streaming_transitions
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0: user 1 events a(t1) b(t2); batch 1: c(t3) — the b->c
+    # transition ONLY exists if state crosses the boundary
+    b0 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02"]),
+            "user_id": [1, 1],
+            "event_type": ["a", "b"],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 00:00:03"]),
+            "user_id": [1],
+            "event_type": ["c"],
+        }
+    )
+    for i, pdf in enumerate((b0, b1)):
+        sdf = spark.createDataFrame(pdf)
+        d = str(tmp_path / f"w{i}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "sttr_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    assert n_batches >= 2
+    got = sorted(
+        (r["from_state"], r["to_state"])
+        for r in spark.table(name).collect()
+    )
+    assert got == [("a", "b"), ("b", "c")]
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
