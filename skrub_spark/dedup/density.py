@@ -1,0 +1,82 @@
+"""Per-document duplication density — the "how much of this
+document exists elsewhere in the corpus" signal (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"):
+documents dominated by corpus-frequent shingles are boilerplate /
+template / mirror content even when no single near-dup pair
+crosses a similarity threshold, and the fraction feeds
+`sample_weighted` exactly like the quality scores.
+
+Shape at 100 TB: distinct word-shingles per doc (map-only), hashed
+to 8-byte keys via the engine-portable md5 rule (the shuffle
+carries hashes, never shingle strings), ONE map-side-combined
+document-frequency reduce, one join back, one per-doc count — the
+same inverted-index discipline as the contamination operators
+(``dedup/contamination.py``), pointed inward at the corpus itself.
+Every count is exact, so the DuckDB oracle replays each fraction
+bit-identically (battery query ``duplication_density``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def _h64(col, salt: str):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def duplication_density(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 2,
+    salt: str = "dd8",
+) -> DataFrame:
+    """One row per document: ``(id_col, n_shingles, n_dup,
+    dup_fraction)`` where ``n_dup`` counts the document's DISTINCT
+    ``k``-word shingles that appear in at least ``min_docs``
+    documents corpus-wide and ``dup_fraction = n_dup /
+    n_shingles`` (NULL for shingle-less documents, which still
+    appear with zeros)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias(
+            "grams"
+        ),
+    )
+    e = sh.select(
+        id_col,
+        F.size("grams").alias("ng"),
+        F.explode("grams").alias("g"),
+    ).select(id_col, "ng", _h64(F.col("g"), salt).alias("h"))
+    dfh = e.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        e.join(dfh, "h")
+        .groupBy(id_col)
+        .agg(
+            F.max("ng").cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("nd") >= F.lit(int(min_docs))).cast("long")
+            )
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    out = docs.select(id_col).join(per, id_col, "left")
+    n = F.coalesce("n_shingles", F.lit(0)).cast("long")
+    nd = F.coalesce("n_dup", F.lit(0)).cast("long")
+    return out.select(
+        id_col,
+        n.alias("n_shingles"),
+        nd.alias("n_dup"),
+        F.when(
+            n > 0,
+            F.round(nd.cast("double") / n.cast("double"), 6),
+        ).alias("dup_fraction"),
+    )

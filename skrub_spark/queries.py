@@ -4829,6 +4829,20 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication density (r8 late,
+    dedup/density.py::duplication_density — Lee et al. 2022: the
+    boilerplate/mirror signal when no single pair crosses a
+    near-dup threshold): fraction of each doc's distinct 3-word
+    shingles appearing in ≥2 documents. Inverted-index shape on
+    8-byte md5 keys; exact counts."""
+    _prep(spark)
+    from .dedup.density import duplication_density
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplication_density(docs, "text", "doc_id", k=3, min_docs=2)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9280,6 +9294,44 @@ ORACLES["changepoint_daily"] = """
 ORACLES["streaming_transitions"] = ORACLES["event_transitions"]
 
 
+# r8 late: duplication density — distinct 3-shingles, portable md5
+# hashing, exact document-frequency counts.
+ORACLES["duplication_density"] = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3
+          THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN generate_series(1, len(toks) - 2)]
+          ELSE [] END) AS grams
+      FROM t
+    ), e AS (
+      SELECT doc_id, len(grams) AS ng,
+        ('0x' || substr(md5('dd8' || unnest(grams)), 1, 15))::BIGINT AS h
+      FROM sh
+    ), dfh AS (
+      SELECT h, count(*) AS nd FROM e GROUP BY 1
+    ), per AS (
+      SELECT doc_id,
+        CAST(max(ng) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup
+      FROM e JOIN dfh USING (h) GROUP BY 1
+    )
+    SELECT d.doc_id,
+      COALESCE(per.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+      COALESCE(per.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+      CASE WHEN per.n_shingles > 0 THEN
+        round(CAST(per.n_dup AS DOUBLE)
+              / CAST(per.n_shingles AS DOUBLE), 6) END AS dup_fraction
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9563,6 +9615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch transition-matrix oracle — only true if state
         # carries the boundary events)
         "streaming_transitions": q_streaming_transitions,
+        # r8 late: per-doc duplication density (exact oracle)
+        "duplication_density": q_duplication_density,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,
