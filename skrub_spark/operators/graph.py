@@ -387,3 +387,120 @@ def label_propagation(
         )
         lab = _ckpt(lab)
     return lab
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient on
+    the undirected link graph — the density metric that separates
+    organically-linked hosts (high clustering: real communities
+    link back) from link farms and spam rings (star/chain shapes:
+    near-zero clustering despite high degree). Complements
+    ``pagerank`` (volume prior) and ``label_propagation``
+    (membership) with a SHAPE prior web curation can gate on.
+
+    Algorithm: degree-ordered node-iterator (Suri & Vassilvitskii
+    2011, "Counting Triangles and the Curse of the Last Reducer").
+    Each undirected edge is oriented from the lower to the higher
+    endpoint under the total order (degree, node) — so every
+    oriented out-degree is O(√|E|) regardless of skew, which
+    bounds the wedge blow-up that a naive adjacency self-join
+    suffers on megahosts (a 10⁷-degree hub contributes 10¹⁴ naive
+    wedges but only √-bounded oriented ones). Wedges (two oriented
+    edges sharing a source) are closed by ONE join against the
+    oriented edge list; consistency of the total order means each
+    triangle is found exactly once. Three shuffles total (degree
+    agg, wedge self-join, closing join) — all on node/edge keys,
+    AQE-splittable.
+
+    Determinism: triangle counts are exact integers; the
+    coefficient ``2·T / (deg·(deg−1))`` is ONE IEEE division of
+    exact integers rounded to 6dp, so the result is bit-identical
+    on any engine or partitioning and the DuckDB oracle replays it
+    (battery query ``triangle_stats``).
+
+    Returns ``(node, degree, triangles, clustering_coeff)`` —
+    every node of the graph; degree-1 nodes get coefficient NULL
+    (undefined), triangle-free nodes 0.0.
+    """
+    a, b = F.col("a"), F.col("b")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(a != b)
+        .distinct()
+    )
+    if partitions:
+        und = und.repartition(partitions, "a")
+    und = und.persist()
+    deg = (
+        und.select(a.alias("node"))
+        .unionAll(und.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    # orient low→high under (degree, node); carry the order key of
+    # BOTH endpoints so wedge endpoints can be compared without a
+    # further join
+    da = deg.select(a.alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(b.alias("b"), F.col("degree").alias("degb"))
+    ed = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (a < b)
+    )
+    oriented = ed.select(
+        F.when(lo_first, a).otherwise(b).alias("u"),
+        F.when(lo_first, b).otherwise(a).alias("v"),
+        F.when(lo_first, F.col("degb")).otherwise(F.col("dega")).alias(
+            "degv"
+        ),
+    ).persist()
+    # wedges centered at u: (v, w) with v strictly before w in the
+    # same total order — the closing edge, if present, is oriented
+    # v→w by transitivity, so one equi-join finds each triangle once
+    e1 = oriented.select("u", F.col("v").alias("v"), F.col("degv").alias("dv"))
+    e2 = oriented.select("u", F.col("v").alias("w"), F.col("degv").alias("dw"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0)).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - 1).cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )
+    return out

@@ -4843,6 +4843,38 @@ def q_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_density(docs, "text", "doc_id", k=3, min_docs=2)
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking metrics (r8 late,
+    report/evaluation.py::ranking_report — completes the eval
+    family with the retrieval side): exact cosine top-10 for query
+    vec 0 (query excluded), relevance = label agreement, ideal DCG
+    from the corpus-wide relevant count. Every 1/rank and
+    1/log2(rank+1) is a precomputed 6dp literal, so the metrics
+    replay with no runtime float log."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from .report.evaluation import ranking_report
+    from .similarity.topk import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    qv, qlab = q0["embedding"], int(q0["label"])
+    cands = emb.filter(F.col("vec_id") != 0)
+    top = topk_cosine(cands, qv, k=10, round_digits=4)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    labels = cands.select("vec_id", "label")
+    n_rel = cands.filter(F.col("label") == qlab).count()
+    run = ranked.join(labels, "vec_id").select(
+        F.lit(0).cast("long").alias("qid"),
+        "rnk",
+        (F.col("label") == F.lit(qlab)).cast("int").alias("rel"),
+        F.lit(int(n_rel)).cast("long").alias("nrel"),
+    )
+    return ranking_report(run, "qid", "rnk", "rel", "nrel", k=10)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9332,6 +9364,72 @@ ORACLES["duplication_density"] = """
 """
 
 
+# r8 late: ranking eval — every 1/rank and 1/log2(rank+1) is the
+# SAME precomputed 6dp literal on both engines.
+def _ranking_oracle(k: int = 10) -> str:
+    import math
+
+    t = [round(1.0 / math.log2(i + 1), 6) for i in range(1, k + 1)]
+    inv = [round(1.0 / i, 6) for i in range(1, k + 1)]
+    cum, c = [], 0.0
+    for i in range(1, k + 1):
+        c = round(c + t[i - 1], 6)
+        cum.append(c)
+    dcg_case = "CASE rnk " + " ".join(
+        f"WHEN {i} THEN CAST({t[i - 1]!r} AS DOUBLE)"
+        for i in range(1, k + 1)
+    ) + " END"
+    inv_case = "CASE rnk " + " ".join(
+        f"WHEN {i} THEN CAST({inv[i - 1]!r} AS DOUBLE)"
+        for i in range(1, k + 1)
+    ) + " END"
+    idcg_case = "CASE m " + " ".join(
+        f"WHEN {i} THEN CAST({cum[i - 1]!r} AS DOUBLE)"
+        for i in range(1, k + 1)
+    ) + " ELSE CAST(0 AS DOUBLE) END"
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+      FROM embeddings WHERE vec_id = 0
+    ), top AS (
+      SELECT e.vec_id, e.label, q.ql,
+        row_number() OVER (
+          ORDER BY ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+                   e.vec_id ASC) AS rnk
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+      QUALIFY rnk <= {k}
+    ), nr AS (
+      SELECT count(*) AS nrel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0 AND e.label = q.ql
+    ), rows_ AS (
+      SELECT rnk, CASE WHEN label = ql THEN 1 ELSE 0 END AS rel
+      FROM top
+    ), agg AS (
+      SELECT CAST(sum(rel) AS BIGINT) AS hits,
+        CAST(sum(CAST(CAST(rel AS DOUBLE) * {dcg_case}
+                      AS DECIMAL(28,6))) AS DOUBLE) AS dcg,
+        COALESCE(max(CASE WHEN rel = 1 THEN {inv_case} END),
+                 CAST(0 AS DOUBLE)) AS mrr
+      FROM rows_
+    ), mm AS (
+      SELECT least(nrel, {k}) AS m FROM nr
+    )
+    SELECT CAST(0 AS BIGINT) AS query, CAST({k} AS INTEGER) AS k,
+      hits,
+      round(CAST(hits AS DOUBLE) / CAST({k} AS DOUBLE), 6)
+        AS precision_at_k,
+      mrr, dcg,
+      CASE WHEN {idcg_case} > CAST(0 AS DOUBLE)
+           THEN round(dcg / {idcg_case}, 6) END AS ndcg
+    FROM agg CROSS JOIN mm
+    """
+
+
+ORACLES["ranking_eval"] = _ranking_oracle(10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9617,6 +9715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transitions": q_streaming_transitions,
         # r8 late: per-doc duplication density (exact oracle)
         "duplication_density": q_duplication_density,
+        # r8 late: retrieval ranking metrics (literal-lookup oracle)
+        "ranking_eval": q_ranking_eval,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

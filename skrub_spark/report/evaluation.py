@@ -221,3 +221,83 @@ def regression_report(
             sst > 0, F.round(F.lit(1.0) - sse / sst, 6)
         ).alias("r2"),
     )
+
+
+def ranking_report(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    n_relevant_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking metrics per query over a top-``k`` run:
+    ``(query, k, hits, precision_at_k, mrr, dcg, ndcg)`` —
+    the retrieval side of the evaluation family (scores the
+    BM25 / ANN / hybrid stacks against relevance labels).
+
+    ``df`` is the ranked candidate list: one row per (query,
+    candidate) with its 1-based ``rank_col``, binary ``rel_col``
+    and ``n_relevant_col`` = the query's TOTAL relevant count
+    corpus-wide (for the ideal DCG). Exactness: every ``1/rank``
+    and ``1/log2(i+1)`` value is a PRECOMPUTED 6dp literal looked
+    up by rank (a CASE chain — no runtime float log at all), and
+    DCG sums those literals as DECIMAL(28,6) — so every metric
+    replays bit-identically in SQL (battery oracle
+    ``ranking_eval``). One groupBy per query; the frame is
+    run-sized (queries × k), never corpus-sized."""
+    import math
+
+    k = int(k)
+    d = df.filter(F.col(rank_col) <= k)
+    rel = F.col(rel_col).cast("long")
+    # rank -> round(1/log2(rank+1), 6) literal lookup
+    dcg_t = F.lit(None).cast("double")
+    for i in range(k, 0, -1):
+        dcg_t = F.when(
+            F.col(rank_col) == i,
+            F.lit(round(1.0 / math.log2(i + 1), 6)),
+        ).otherwise(dcg_t)
+    # rank -> round(1/rank, 6) literal lookup for MRR
+    inv_t = F.lit(0.0)
+    for i in range(k, 0, -1):
+        inv_t = F.when(
+            F.col(rank_col) == i, F.lit(round(1.0 / i, 6))
+        ).otherwise(inv_t)
+    per = d.groupBy(query_col).agg(
+        F.sum(rel).cast("long").alias("hits"),
+        F.sum(
+            (rel.cast("double") * dcg_t)
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.max(F.when(rel == 1, inv_t)).alias("__mrr_raw"),
+        F.max(F.col(n_relevant_col)).alias("__nrel"),
+    )
+    # ideal DCG: cumulative literal sums c_m = sum_{i<=m} t_i,
+    # selected by min(n_relevant, k)
+    cum, c = [], 0.0
+    for i in range(1, k + 1):
+        c = round(c + round(1.0 / math.log2(i + 1), 6), 6)
+        cum.append(c)
+    m = F.least(F.col("__nrel").cast("long"), F.lit(k))
+    # chain top-down: the m >= k branch must be tested FIRST
+    # (wrapping per-iteration .otherwise()s would invert the order)
+    idcg = F.when(m >= k, F.lit(cum[k - 1]))
+    for i in range(k - 1, 0, -1):
+        idcg = idcg.when(m >= i, F.lit(cum[i - 1]))
+    idcg = idcg.otherwise(F.lit(0.0))
+    return per.select(
+        F.col(query_col).alias("query"),
+        F.lit(k).cast("int").alias("k"),
+        "hits",
+        F.round(
+            F.col("hits").cast("double") / F.lit(float(k)), 6
+        ).alias("precision_at_k"),
+        F.coalesce("__mrr_raw", F.lit(0.0)).alias("mrr"),
+        "dcg",
+        F.when(
+            idcg > 0, F.round(F.col("dcg") / idcg, 6)
+        ).alias("ndcg"),
+    )

@@ -1080,6 +1080,52 @@ def test_duplication_density_short_doc_zero_row(spark):
     assert got[2]["n_shingles"] == 2
 
 
+# ----------------------------------------------------- ranking metrics
+
+
+def _run_frame(spark, rels, nrel, k=10):
+    rows = [(1, i + 1, r, nrel) for i, r in enumerate(rels)]
+    return spark.createDataFrame(
+        rows, "qid long, rnk int, rel int, nrel long"
+    )
+
+
+def test_ranking_report_perfect_run(spark):
+    from skrub_spark.report.evaluation import ranking_report
+
+    df = _run_frame(spark, [1] * 10, nrel=10)
+    r = ranking_report(df, "qid", "rnk", "rel", "nrel", k=10).collect()[0]
+    assert r["hits"] == 10 and r["precision_at_k"] == 1.0
+    assert r["mrr"] == 1.0
+    assert r["ndcg"] == 1.0
+
+
+def test_ranking_report_hand_computed(spark):
+    import math
+
+    from skrub_spark.report.evaluation import ranking_report
+
+    # relevant at ranks 2 and 5; corpus has 3 relevant total
+    df = _run_frame(spark, [0, 1, 0, 0, 1, 0, 0, 0, 0, 0], nrel=3)
+    r = ranking_report(df, "qid", "rnk", "rel", "nrel", k=10).collect()[0]
+    assert r["hits"] == 2
+    assert r["mrr"] == 0.5
+    t = lambda i: round(1.0 / math.log2(i + 1), 6)
+    dcg = round(t(2) + t(5), 6)
+    assert abs(r["dcg"] - dcg) < 1e-9
+    idcg = round(round(t(1) + t(2), 6) + t(3), 6)
+    assert r["ndcg"] == round(r["dcg"] / idcg, 6)
+
+
+def test_ranking_report_no_relevant_zeroes(spark):
+    from skrub_spark.report.evaluation import ranking_report
+
+    df = _run_frame(spark, [0] * 10, nrel=0)
+    r = ranking_report(df, "qid", "rnk", "rel", "nrel", k=10).collect()[0]
+    assert r["hits"] == 0 and r["mrr"] == 0.0 and r["dcg"] == 0.0
+    assert r["ndcg"] is None  # idcg undefined with zero relevant
+
+
 def test_privacy_rejects_empty_quasi(spark):
     from skrub_spark.report.privacy import (
         k_anonymity_report,
