@@ -450,8 +450,8 @@ def triangle_stats(
     # orient low→high under (degree, node); carry the order key of
     # BOTH endpoints so wedge endpoints can be compared without a
     # further join
-    da = deg.select(a.alias("a"), F.col("degree").alias("dega"))
-    db = deg.select(b.alias("b"), F.col("degree").alias("degb"))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
     ed = und.join(da, "a").join(db, "b")
     lo_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (a < b)

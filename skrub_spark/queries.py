@@ -4875,6 +4875,29 @@ def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_report(run, "qid", "rnk", "rel", "nrel", k=10)
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient (r8 late,
+    operators/graph.py::triangle_stats — the SHAPE prior that
+    separates organically-linked hosts from link farms): planted
+    61-node host graph from three affine maps over doc_id
+    (degree ≈ 5.7, 34 triangles), degree-ordered node-iterator,
+    each triangle found exactly once; the coefficient is one IEEE
+    division of exact integers rounded 6dp, replayed join-for-join
+    by the DuckDB oracle."""
+    _prep(spark)
+    from .operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = None
+    for a, b in ((31, 7), (13, 3), (7, 11)):
+        e = docs.select(
+            (F.col("doc_id") % 61).alias("src"),
+            ((F.col("doc_id") * a + b) % 61).alias("dst"),
+        )
+        edges = e if edges is None else edges.union(e)
+    return triangle_stats(edges)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9430,6 +9453,65 @@ def _ranking_oracle(k: int = 10) -> str:
 ORACLES["ranking_eval"] = _ranking_oracle(10)
 
 
+# r8 late: triangle counting — the oracle replays the SAME
+# degree-ordered orientation and closing join (each triangle found
+# exactly once), so counts are exact integers; the coefficient is
+# one IEEE division of exact integers rounded 6dp on both engines.
+ORACLES["triangle_stats"] = """
+    WITH raw AS (
+      SELECT doc_id % 61 AS src, (doc_id * 31 + 7) % 61 AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 61, (doc_id * 13 + 3) % 61 FROM documents
+      UNION ALL
+      SELECT doc_id % 61, (doc_id * 7 + 11) % 61 FROM documents
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src != dst
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT
+        CASE WHEN da.degree < db.degree
+               OR (da.degree = db.degree AND u.a < u.b)
+             THEN u.a ELSE u.b END AS u,
+        CASE WHEN da.degree < db.degree
+               OR (da.degree = db.degree AND u.a < u.b)
+             THEN u.b ELSE u.a END AS v,
+        CASE WHEN da.degree < db.degree
+               OR (da.degree = db.degree AND u.a < u.b)
+             THEN db.degree ELSE da.degree END AS degv
+      FROM und u
+      JOIN deg da ON u.a = da.node
+      JOIN deg db ON u.b = db.node
+    ), tris AS (
+      SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      FROM oriented e1
+      JOIN oriented e2 ON e1.u = e2.u
+       AND (e1.degv < e2.degv
+            OR (e1.degv = e2.degv AND e1.v < e2.v))
+      JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), per AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT u AS node FROM tris
+        UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+      CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+      CASE WHEN d.degree >= 2 THEN
+        round(CAST(2 AS DOUBLE)
+              * CAST(COALESCE(p.triangles, 0) AS DOUBLE)
+              / (CAST(d.degree AS DOUBLE)
+                 * CAST(d.degree - 1 AS DOUBLE)), 6)
+      END AS clustering_coeff
+    FROM deg d LEFT JOIN per p ON d.node = p.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9717,6 +9799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplication_density": q_duplication_density,
         # r8 late: retrieval ranking metrics (literal-lookup oracle)
         "ranking_eval": q_ranking_eval,
+        # r8 late: triangle counts + clustering coefficient
+        "triangle_stats": q_triangle_stats,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -1137,3 +1137,85 @@ def test_privacy_rejects_empty_quasi(spark):
         k_anonymity_report(df, [])
     with pytest.raises(ValueError):
         suppress_rare(df, [])
+
+
+# --------------------------------------------------- triangle counting
+
+
+def test_triangle_stats_k4(spark):
+    from skrub_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles total, each node in 3; coeff 2*3/(3*2) = 1.0
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    rows = triangle_stats(edges).orderBy("node").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["degree"] == 3
+        assert r["triangles"] == 3
+        assert r["clustering_coeff"] == 1.0
+
+
+def test_triangle_stats_path_and_pendant(spark):
+    from skrub_spark.operators.graph import triangle_stats
+
+    # path 0-1-2-3: no triangles; endpoints degree 1 -> NULL coeff
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert all(r["triangles"] == 0 for r in got.values())
+    assert got[0]["clustering_coeff"] is None
+    assert got[3]["clustering_coeff"] is None
+    assert got[1]["clustering_coeff"] == 0.0
+
+
+def test_triangle_stats_dedups_reversed_and_self(spark):
+    from skrub_spark.operators.graph import triangle_stats
+
+    # triangle given with duplicates, reversed edges, and a self-loop
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (0, 1)],
+        "src long, dst long",
+    )
+    rows = triangle_stats(edges).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["degree"] == 2
+        assert r["triangles"] == 1
+        assert r["clustering_coeff"] == 1.0
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from skrub_spark.operators.graph import triangle_stats
+
+    rng = random.Random(7)
+    und = sorted(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(range(20), 2)) for _ in range(60)
+            )
+        }
+    )
+    adj: dict[int, set[int]] = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tri = {n: 0 for n in adj}
+    for x, y in und:
+        for z in adj[x] & adj[y]:
+            if z > y:
+                for n in (x, y, z):
+                    tri[n] += 1
+    edges = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_stats(edges).collect()
+    }
+    assert got == tri
