@@ -1219,3 +1219,68 @@ def test_triangle_stats_matches_bruteforce(spark):
         for r in triangle_stats(edges).collect()
     }
     assert got == tri
+
+
+# ----------------------------------------------------- Hampel outliers
+
+
+def test_mad_outliers_hand_computed(spark):
+    from decimal import Decimal
+
+    from skrub_spark.report.outliers import mad_outliers
+
+    # odd group: values 1..5 + a spike; median 3.5 (even, avg of 3,4)
+    rows = [
+        (1, "a", "1.00"), (2, "a", "2.00"), (3, "a", "3.00"),
+        (4, "a", "4.00"), (5, "a", "5.00"), (6, "a", "100.00"),
+    ]
+    df = spark.createDataFrame(
+        [(i, g, Decimal(v)) for i, g, v in rows],
+        "id long, grp string, val decimal(12,2)",
+    )
+    got = {
+        r["id"]: r
+        for r in mad_outliers(df, "grp", "val", "id", k="3.0").collect()
+    }
+    # median = (3+4)/2 = 3.5; devs = 2.5,1.5,0.5,0.5,1.5,96.5
+    # sorted: 0.5,0.5,1.5,1.5,2.5,96.5 -> MAD = (1.5+1.5)/2 = 1.5
+    assert got[1]["med"] == 3.5 and got[1]["mad"] == 1.5
+    # |x-3.5| > 4.5: only the spike
+    assert [i for i in got if got[i]["is_outlier"]] == [6]
+
+
+def test_mad_outliers_odd_group_and_zero_mad(spark):
+    from decimal import Decimal
+
+    from skrub_spark.report.outliers import mad_outliers
+
+    # 5 identical values + 2 different: median 7, MAD 0 ->
+    # every non-median value flagged (degenerate Hampel case)
+    vals = ["7.00"] * 5 + ["7.01", "6.99"]
+    df = spark.createDataFrame(
+        [(i, "g", Decimal(v)) for i, v in enumerate(vals)],
+        "id long, grp string, val decimal(12,2)",
+    )
+    got = {
+        r["id"]: r
+        for r in mad_outliers(df, "grp", "val", "id").collect()
+    }
+    assert got[0]["med"] == 7.0 and got[0]["mad"] == 0.0
+    flagged = sorted(i for i in got if got[i]["is_outlier"])
+    assert flagged == [5, 6]
+
+
+def test_mad_outliers_boundary_not_flagged(spark):
+    from decimal import Decimal
+
+    from skrub_spark.report.outliers import mad_outliers
+
+    # |x - med| == k*MAD exactly must NOT flag (strict >)
+    # values: 0,10,20 -> med 10, devs 10,0,10 -> MAD 10; k=1
+    df = spark.createDataFrame(
+        [(1, "g", Decimal("0.00")), (2, "g", Decimal("10.00")),
+         (3, "g", Decimal("20.00"))],
+        "id long, grp string, val decimal(12,2)",
+    )
+    got = mad_outliers(df, "grp", "val", "id", k="1.0").collect()
+    assert all(not r["is_outlier"] for r in got)
