@@ -4914,6 +4914,21 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (r8 late,
+    report/benford.py::benford_audit — the fraud/feed-quality gate
+    auditors run before a source joins a training mix): first
+    significant digit of o_totalprice extracted with exact integer
+    arithmetic (CASE-selected power-of-10 + one `div`), observed
+    vs log10(1+1/d) 6dp literals, chi-square terms via fixed-order
+    IEEE multiply/divide — replayed verbatim by the oracle."""
+    _prep(spark)
+    from .report.benford import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9573,6 +9588,70 @@ ORACLES["mad_outliers"] = """
 """
 
 
+# r8 late: Benford audit — the oracle replays the same
+# CASE-selected power-of-10 digit extraction (exact integers), the
+# same 6dp log10(1+1/d) literals, and the same fixed-order IEEE
+# multiply/divide for the chi-square terms.
+def _benford_oracle() -> str:
+    import math
+
+    ps = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+    p_case = (
+        "CASE g.digit "
+        + " ".join(
+            f"WHEN {d} THEN CAST('{ps[d]}' AS DECIMAL(8,6))"
+            for d in range(1, 10)
+        )
+        + " END"
+    )
+    pow_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s >= {10**e} THEN CAST({10**e} AS BIGINT)"
+            for e in range(18, 0, -1)
+        )
+        + " ELSE CAST(1 AS BIGINT) END"
+    )
+    return f"""
+    WITH scaled AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                  AS BIGINT) AS s
+      FROM orders WHERE o_totalprice > 0
+    ), dig AS (
+      SELECT s // ({pow_case}) AS digit FROM scaled
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS observed
+      FROM dig GROUP BY digit
+    ), tot AS (
+      SELECT CAST(sum(observed) AS BIGINT) AS n_values FROM obs
+    ), grid AS (
+      SELECT CAST(digit AS BIGINT) AS digit
+      FROM range(1, 10) t(digit)
+    ), full_ AS (
+      SELECT g.digit, t.n_values,
+        CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+        {p_case} AS expected_p
+      FROM grid g
+      LEFT JOIN obs o ON g.digit = o.digit
+      CROSS JOIN tot t
+    )
+    SELECT digit, n_values, observed,
+      round(CAST(observed AS DOUBLE) / CAST(n_values AS DOUBLE), 6)
+        AS observed_p,
+      CAST(expected_p AS DOUBLE) AS expected_p,
+      round(
+        CAST(CAST(observed AS DECIMAL(20,6))
+             - n_values * expected_p AS DOUBLE)
+        * CAST(CAST(observed AS DECIMAL(20,6))
+               - n_values * expected_p AS DOUBLE)
+        / CAST(n_values * expected_p AS DOUBLE), 6) AS chi2_term
+    FROM full_
+"""
+
+
+ORACLES["benford_audit"] = _benford_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9864,6 +9943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         # r8 late: Hampel median/MAD outlier flags (decimal-exact)
         "mad_outliers": q_mad_outliers,
+        # r8 late: Benford first-digit audit (integer digit chain)
+        "benford_audit": q_benford_audit,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -1284,3 +1284,50 @@ def test_mad_outliers_boundary_not_flagged(spark):
     )
     got = mad_outliers(df, "grp", "val", "id", k="1.0").collect()
     assert all(not r["is_outlier"] for r in got)
+
+
+# ------------------------------------------------------- Benford audit
+
+
+def test_benford_first_digit_exact(spark):
+    from decimal import Decimal
+
+    from skrub_spark.report.benford import benford_audit
+
+    # powers of ten land exactly on digit 1 (float log10 would err)
+    vals = ["1.00", "10.00", "100.00", "1000.00", "99999.99",
+            "0.05", "0.00", "-5.00", "20.00"]
+    df = spark.createDataFrame(
+        [(Decimal(v),) for v in vals], "val decimal(12,2)"
+    )
+    got = {r["digit"]: r for r in benford_audit(df, "val").collect()}
+    assert len(got) == 9
+    # zero and negative excluded -> 7 positive values
+    assert got[1]["n_values"] == 7
+    assert got[1]["observed"] == 4   # 1, 10, 100, 1000
+    assert got[9]["observed"] == 1   # 99999.99
+    assert got[5]["observed"] == 1   # 0.05 -> digit 5
+    assert got[2]["observed"] == 1   # 20.00
+    assert got[3]["observed"] == 0
+
+
+def test_benford_chi2_hand_computed(spark):
+    import math
+    from decimal import Decimal
+
+    from skrub_spark.report.benford import benford_audit
+
+    df = spark.createDataFrame(
+        [(Decimal("1.00"),), (Decimal("2.00"),)], "val decimal(12,2)"
+    )
+    got = {r["digit"]: r for r in benford_audit(df, "val").collect()}
+    p1 = round(math.log10(2.0), 6)
+    e1 = 2 * p1
+    assert got[1]["expected_p"] == p1
+    assert got[1]["observed_p"] == 0.5
+    assert got[1]["chi2_term"] == round((1 - e1) ** 2 / e1, 6)
+    # digit with zero observations still contributes its full term
+    p9 = round(math.log10(1 + 1 / 9), 6)
+    e9 = 2 * p9
+    assert got[9]["observed"] == 0
+    assert got[9]["chi2_term"] == round(e9, 6)
