@@ -4929,6 +4929,54 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(orders, "o_totalprice")
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding (r8 late,
+    encoders/target_encoder.py::target_encode — supervised category
+    statistics as native shuffle-on-category aggregation):
+    c_nationkey vs (c_acctbal > 0), m=20 virtual rows; the smoothed
+    mean is ONE exact-integer IEEE division, replayed verbatim."""
+    _prep(spark)
+    from .encoders.target_encoder import target_encode
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    return target_encode(cust, "c_nationkey", "y", m=20)
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (r8 late,
+    encoders/target_encoder.py::target_encode_loo — the leakage
+    guard when the encoding feeds a learner trained on the same
+    rows): o_orderpriority vs (o_orderstatus = 'F') per order;
+    (S_c − y_i)/(n_c − 1) exact-integer division, singleton
+    fallback to the global mean."""
+    _prep(spark)
+    from .encoders.target_encoder import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return target_encode_loo(orders, "o_orderpriority", "y", "o_orderkey")
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value (r8 late,
+    encoders/target_encoder.py::woe_iv — the credit-scoring
+    standard category scorer): c_mktsegment vs (c_acctbal > 0),
+    Laplace ½-smoothing in exact half-units; the single runtime ln
+    is 6dp-rounded (the proven cross-engine bridge)."""
+    _prep(spark)
+    from .encoders.target_encoder import woe_iv
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    return woe_iv(cust, "c_mktsegment", "y")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9652,6 +9700,84 @@ def _benford_oracle() -> str:
 ORACLES["benford_audit"] = _benford_oracle()
 
 
+# r8 late: target-statistics encoders — every encoding is ONE IEEE
+# division of exact integers (6dp-rounded); woe's single runtime ln
+# is 6dp-rounded on both engines (the proven bridge).
+ORACLES["target_encode"] = """
+    WITH per AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_c,
+        CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s_c
+      FROM customer GROUP BY c_nationkey
+    ), tot AS (
+      SELECT CAST(sum(n_c) AS BIGINT) AS n,
+        CAST(sum(s_c) AS BIGINT) AS s
+      FROM per
+    )
+    SELECT c_nationkey, n_c,
+      round(CAST(n * s_c + 20 * s AS DOUBLE)
+            / CAST(n * (n_c + 20) AS DOUBLE), 6) AS encoding
+    FROM per CROSS JOIN tot
+"""
+
+
+ORACLES["target_encode_loo"] = """
+    WITH per AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_c,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS s_c
+      FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+      SELECT CAST(sum(n_c) AS BIGINT) AS n,
+        CAST(sum(s_c) AS BIGINT) AS s
+      FROM per
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+      CAST(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+           AS BIGINT) AS y,
+      CASE WHEN p.n_c > 1 THEN
+        round(CAST(p.s_c - (CASE WHEN o.o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(p.n_c - 1 AS DOUBLE), 6)
+      ELSE round(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+      END AS encoding
+    FROM orders o
+    JOIN per p ON o.o_orderpriority = p.o_orderpriority
+    CROSS JOIN tot t
+"""
+
+
+ORACLES["woe_iv"] = """
+    WITH per AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_c,
+        CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s_c
+      FROM customer GROUP BY c_mktsegment
+    ), per2 AS (
+      SELECT c_mktsegment, n_c, s_c, n_c - s_c AS b_c FROM per
+    ), sm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        CAST(sum(s_c) AS BIGINT) AS g,
+        CAST(sum(b_c) AS BIGINT) AS b
+      FROM per2
+    ), base AS (
+      SELECT c_mktsegment, n_c, s_c AS n_pos, b_c AS n_neg,
+        2 * s_c + 1 AS g2, 2 * b_c + 1 AS b2,
+        2 * g + n_cats AS gt2, 2 * b + n_cats AS bt2
+      FROM per2 CROSS JOIN sm
+    )
+    SELECT c_mktsegment, n_c, n_pos, n_neg,
+      round(ln(CAST(g2 * bt2 AS DOUBLE)
+               / CAST(b2 * gt2 AS DOUBLE)), 6) AS woe,
+      round((round(CAST(g2 AS DOUBLE) / CAST(gt2 AS DOUBLE), 6)
+             - round(CAST(b2 AS DOUBLE) / CAST(bt2 AS DOUBLE), 6))
+            * round(ln(CAST(g2 * bt2 AS DOUBLE)
+                       / CAST(b2 * gt2 AS DOUBLE)), 6), 6)
+        AS iv_term
+    FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -9945,6 +10071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         # r8 late: Benford first-digit audit (integer digit chain)
         "benford_audit": q_benford_audit,
+        # r8 late: target-statistics encoders (exact-integer ratios)
+        "target_encode": q_target_encode,
+        "target_encode_loo": q_target_encode_loo,
+        "woe_iv": q_woe_iv,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -1331,3 +1331,63 @@ def test_benford_chi2_hand_computed(spark):
     e9 = 2 * p9
     assert got[9]["observed"] == 0
     assert got[9]["chi2_term"] == round(e9, 6)
+
+
+# ---------------------------------------------------- target encoders
+
+
+def test_target_encode_m_estimate(spark):
+    from skrub_spark.encoders.target_encoder import target_encode
+
+    # cat a: 3 rows 2 pos; cat b: 1 row 0 pos; N=4, S=2, m=2
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 0), ("b", 0)], "cat string, y int"
+    )
+    got = {
+        r["cat"]: r for r in target_encode(df, "cat", "y", m=2).collect()
+    }
+    # a: (4*2 + 2*2) / (4*(3+2)) = 12/20 = 0.6
+    assert got["a"]["encoding"] == 0.6
+    # b: (4*0 + 2*2) / (4*(1+2)) = 4/12
+    assert got["b"]["encoding"] == round(4 / 12, 6)
+
+
+def test_target_encode_loo_and_singleton(spark):
+    from skrub_spark.encoders.target_encoder import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 0), (3, "a", 1), (4, "b", 1)],
+        "id long, cat string, y int",
+    )
+    got = {
+        r["id"]: r
+        for r in target_encode_loo(df, "cat", "y", "id").collect()
+    }
+    # cat a: S=2, n=3. row1: (2-1)/2 = 0.5; row2: (2-0)/2 = 1.0
+    assert got[1]["encoding"] == 0.5
+    assert got[2]["encoding"] == 1.0
+    assert got[3]["encoding"] == 0.5
+    # singleton b falls back to global mean 3/4
+    assert got[4]["encoding"] == 0.75
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from skrub_spark.encoders.target_encoder import woe_iv
+
+    # cat a: 2 pos 1 neg; cat b: 0 pos 2 neg -> b would div0 unsmoothed
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0)],
+        "cat string, y int",
+    )
+    got = {r["cat"]: r for r in woe_iv(df, "cat", "y").collect()}
+    # half-units: G=2,B=3,|C|=2 -> gt2=6, bt2=8
+    # a: g2=5,b2=3 -> woe = ln(5*8/(3*6))
+    woe_a = round(math.log(40 / 18), 6)
+    assert got["a"]["woe"] == woe_a
+    gp, bp = round(5 / 6, 6), round(3 / 8, 6)
+    assert got["a"]["iv_term"] == round((gp - bp) * woe_a, 6)
+    # b: g2=1,b2=5 -> woe = ln(8/30) < 0, finite thanks to smoothing
+    assert got["b"]["woe"] == round(math.log(8 / 30), 6)
+    assert got["b"]["n_pos"] == 0 and got["b"]["n_neg"] == 2
