@@ -4977,6 +4977,64 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv(cust, "c_mktsegment", "y")
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch heavy-hitter alerts across ≥2 REAL micro-batches
+    (r8 late, streaming/ops.py::streaming_heavy_hitters): events
+    split into two mtime-ordered files by the LITERAL predicate
+    event_id % 2 = 0, per-user running count in the state store,
+    each user emitted once with the cumulative count at the batch
+    where it first reaches 30 — the SQL oracle replays the split
+    predicate (c0 ≥ 30 → batch-1 count, else total)."""
+    import glob
+    import shutil
+    import uuid
+
+    from .streaming.ops import streaming_heavy_hitters
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    src = _fresh_tmp("skrub_strhh_src_")
+    os.makedirs(src)
+    halves = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 != 0),
+    ]
+    for i, part in enumerate(halves):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "strhh_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_heavy_hitters(stream, "user_id", threshold=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    return spark.table(name).localCheckpoint(eager=True).select(
+        F.col("key").alias("user_id"), "count_at_alert"
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9778,6 +9836,24 @@ ORACLES["woe_iv"] = """
 """
 
 
+# r8 late: streaming heavy hitters — the oracle replays the literal
+# batch-split predicate: a user whose even-event_id count reaches
+# the threshold alerts at the end of batch 1 with that count, else
+# (if the total reaches it) at the end of batch 2 with the total.
+ORACLES["streaming_heavy_hitters"] = """
+    WITH c AS (
+      SELECT user_id,
+        CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c0,
+        CAST(count(*) AS BIGINT) AS ct
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+      CASE WHEN c0 >= 30 THEN c0 ELSE ct END AS count_at_alert
+    FROM c WHERE ct >= 30
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -10075,6 +10151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "target_encode_loo": q_target_encode_loo,
         "woe_iv": q_woe_iv,
+        # r8 late: cross-batch heavy-hitter alerts (literal split)
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

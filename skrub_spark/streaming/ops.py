@@ -656,3 +656,58 @@ def streaming_transitions(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    *,
+    threshold: int = 30,
+):
+    """Cross-batch heavy-hitter alerts — the streaming twin of a
+    batch frequency gate: per key the state store carries ONE
+    running count (plus an alerted flag), and the key is emitted
+    exactly once, in the micro-batch where its cumulative count
+    first reaches ``threshold``, with the count at that moment.
+    A stateless per-batch count would miss every key whose volume
+    accumulates across batches (the common abuse/quota pattern).
+
+    Emission is once-per-key so append mode is exact; counting is
+    order-independent, so the result depends only on HOW rows are
+    batched, not on intra-batch order — with a literal batch-split
+    predicate the DuckDB oracle replays it exactly (battery query
+    ``streaming_heavy_hitters``). State per key: two longs. At
+    scale the grouped shuffle is the same hash partitioning a batch
+    groupBy would do, and emitted rows are ≤ |keys|.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("count_at_alert", LongType()),
+        ]
+    )
+    thr = int(threshold)
+
+    def alert(key, pdfs, state):
+        import pandas as pd
+
+        cnt, alerted = state.get if state.exists else (0, 0)
+        n_new = sum(len(p) for p in pdfs)
+        cnt += n_new
+        if not alerted and cnt >= thr:
+            alerted = 1
+            yield pd.DataFrame(
+                {"key": [key[0]], "count_at_alert": [cnt]}
+            )
+        state.update((cnt, alerted))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        alert,
+        out_schema,
+        "cnt long, alerted long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

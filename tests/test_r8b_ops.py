@@ -1391,3 +1391,66 @@ def test_woe_iv_hand_computed(spark):
     # b: g2=1,b2=5 -> woe = ln(8/30) < 0, finite thanks to smoothing
     assert got["b"]["woe"] == round(math.log(8 / 30), 6)
     assert got["b"]["n_pos"] == 0 and got["b"]["n_neg"] == 2
+
+
+# ------------------------------------------- streaming heavy hitters
+
+
+def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
+    """A key that only reaches the threshold by ACCUMULATING across
+    micro-batches alerts in the later batch with the cumulative
+    count; a key crossing in batch 0 alerts with its batch-0 count;
+    a key never reaching it is silent; nobody alerts twice."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from skrub_spark.streaming.ops import streaming_heavy_hitters
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # key 1: 3 then 2 events (alerts batch 1 at 5); key 2: 4 events
+    # in batch 0 (alerts batch 0 at 4, stays silent after);
+    # key 3: 1+1 events (never alerts). threshold = 4
+    b0 = pd.DataFrame(
+        {"event_id": range(8), "user_id": [1, 1, 1, 2, 2, 2, 2, 3]}
+    )
+    b1 = pd.DataFrame(
+        {"event_id": range(8, 12), "user_id": [1, 1, 2, 3]}
+    )
+    for i, pdf in enumerate((b0, b1)):
+        sdf = spark.createDataFrame(pdf)
+        d = str(tmp_path / f"w{i}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(
+            glob.glob(os.path.join(d, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "sthh_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_heavy_hitters(stream, "user_id", threshold=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    assert n_batches >= 2
+    got = sorted(
+        (r["key"], r["count_at_alert"])
+        for r in spark.table(name).collect()
+    )
+    # key 2 alerts at its batch-0 count 4 (5 total would mean a
+    # double alert or late alert); key 1 at cumulative 5
+    assert got == [(1, 5), (2, 4)]
