@@ -5035,6 +5035,31 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (r8 late,
+    operators/association.py::association_rules — A-priori level 2
+    with frequent-item prefilter): brands co-purchased within an
+    order (baskets = orders, items = p_brand via the part dim);
+    support/confidence/lift each ONE exact-integer IEEE division,
+    6dp — the oracle replays the whole ladder."""
+    _prep(spark)
+    from .operators.association import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    baskets = li.join(
+        F.broadcast(part),
+        li["l_partkey"] == part["p_partkey"],
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_support_count=2
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9854,6 +9879,52 @@ ORACLES["streaming_heavy_hitters"] = """
 """
 
 
+# r8 late: association rules — exact-integer counting ladder with
+# A-priori prefilter; support/confidence/lift are single IEEE
+# divisions of exact integers, 6dp-rounded on both engines.
+ORACLES["association_rules"] = """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+      SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM b
+    ), supp AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS item_count
+      FROM b GROUP BY item
+    ), freq AS (
+      SELECT * FROM supp WHERE item_count >= 2
+    ), kept AS (
+      SELECT b.basket, b.item FROM b JOIN freq f ON b.item = f.item
+    ), pairs AS (
+      SELECT a.item AS item_a, c.item AS item_b,
+        CAST(count(*) AS BIGINT) AS pair_count
+      FROM kept a
+      JOIN kept c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY a.item, c.item HAVING count(*) >= 2
+    ), enr AS (
+      SELECT p.item_a, p.item_b, p.pair_count,
+        fa.item_count AS xa, fb.item_count AS xb, t.n
+      FROM pairs p
+      JOIN freq fa ON p.item_a = fa.item
+      JOIN freq fb ON p.item_b = fb.item
+      CROSS JOIN nb t
+    ), both_ AS (
+      SELECT item_a AS antecedent, item_b AS consequent,
+        pair_count, xa, xb, n FROM enr
+      UNION ALL
+      SELECT item_b, item_a, pair_count, xb, xa, n FROM enr
+    )
+    SELECT antecedent, consequent, pair_count,
+      round(CAST(pair_count AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        AS support,
+      round(CAST(pair_count AS DOUBLE) / CAST(xa AS DOUBLE), 6)
+        AS confidence,
+      round(CAST(n * pair_count AS DOUBLE)
+            / CAST(xa * xb AS DOUBLE), 6) AS lift
+    FROM both_
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -10153,6 +10224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": q_woe_iv,
         # r8 late: cross-batch heavy-hitter alerts (literal split)
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        # r8 late: market-basket association rules (A-priori lvl 2)
+        "association_rules": q_association_rules,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -1454,3 +1454,60 @@ def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
     # key 2 alerts at its batch-0 count 4 (5 total would mean a
     # double alert or late alert); key 1 at cumulative 5
     assert got == [(1, 5), (2, 4)]
+
+
+# -------------------------------------------------- association rules
+
+
+def test_association_rules_hand_computed(spark):
+    from skrub_spark.operators.association import association_rules
+
+    # baskets: {A,B}, {A,B}, {A,C}, {B} -> N=4
+    rows = [
+        (1, "A"), (1, "B"), (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"), (4, "B"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            df, "basket", "item", min_support_count=2
+        ).collect()
+    }
+    # counts: A=3, B=3, C=1 (infrequent -> pruned); pair AB = 2
+    assert set(got) == {("A", "B"), ("B", "A")}
+    ab = got[("A", "B")]
+    assert ab["pair_count"] == 2
+    assert ab["support"] == 0.5
+    assert ab["confidence"] == round(2 / 3, 6)
+    assert ab["lift"] == round(4 * 2 / 9, 6)
+    # reverse direction: same support/lift, its own confidence
+    ba = got[("B", "A")]
+    assert ba["confidence"] == round(2 / 3, 6)
+    assert ba["lift"] == ab["lift"]
+
+
+def test_association_rules_dedups_multiplicity(spark):
+    from skrub_spark.operators.association import association_rules
+
+    # item repeated in one basket counts once
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = association_rules(
+        df, "basket", "item", min_support_count=2
+    ).collect()
+    assert {r["pair_count"] for r in got} == {2}
+
+
+def test_association_rules_min_support_prunes_pairs(spark):
+    from skrub_spark.operators.association import association_rules
+
+    # A and B frequent alone but co-occur only once -> no rule
+    rows = [(1, "A"), (1, "B"), (2, "A"), (3, "B")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    assert (
+        association_rules(
+            df, "basket", "item", min_support_count=2
+        ).count()
+        == 0
+    )
