@@ -102,3 +102,68 @@ def changepoint_mean_shift(
         .orderBy(F.col("stat").desc(), F.col("split_after").asc())
         .limit(1)
     )
+
+
+def sequence_anomaly(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list,
+    state_col: str,
+) -> DataFrame:
+    """Per-entity sequence anomaly score under the corpus's own
+    first-order Markov model: ``(entity, n_transitions,
+    avg_surprise)`` where each observed transition contributes
+    ``round(−ln(p), 6)`` surprise (p = the row-normalized corpus
+    transition probability — every observed transition has p > 0
+    by construction) and the score is the per-entity mean. Bots,
+    scrapers and broken clients walk the state graph along rare
+    edges; organic sessions ride the bulk — this is the standard
+    behavioral-anomaly gate over ``event_transitions``.
+
+    Exactness: p is the 6dp-rounded exact-count ratio, the single
+    runtime ln is 6dp-rounded (the proven cross-engine bridge),
+    per-entity surprises sum as DECIMAL(28,6), and the mean is one
+    IEEE division — the DuckDB oracle (battery query
+    ``sequence_anomaly``) replays the whole composition.
+
+    Scale shape: the lag window is partitioned by ENTITY (one
+    entity-key shuffle, bounded frames); the transition frame is
+    computed ONCE and persisted at the branch point (matrix agg +
+    scoring join would otherwise re-run the window); the
+    |states|²-sized matrix broadcasts.
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    s = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.col(state_col).alias("to_state"),
+            F.lag(F.col(state_col)).over(w).alias("from_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .persist()
+    )
+    pairs = s.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pairs.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    matrix = pairs.join(F.broadcast(tot), "from_state").select(
+        "from_state",
+        "to_state",
+        F.round(
+            F.col("n").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("prob"),
+    )
+    surprised = s.join(
+        F.broadcast(matrix), ["from_state", "to_state"]
+    ).select(
+        "entity",
+        F.round(-F.log(F.col("prob")), 6).alias("surp"),
+    )
+    return surprised.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.round(
+            F.sum(F.col("surp").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_surprise"),
+    )

@@ -1511,3 +1511,49 @@ def test_association_rules_min_support_prunes_pairs(spark):
         ).count()
         == 0
     )
+
+
+# --------------------------------------------------- sequence anomaly
+
+
+def test_sequence_anomaly_hand_computed(spark):
+    import math
+
+    from skrub_spark.operators.sequence import sequence_anomaly
+    from pyspark.sql import functions as F
+
+    # user 1: a->b, b->a, a->b ; user 2: a->c
+    # matrix: a->b 2/3, a->c 1/3, b->a 1/1
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    got = {
+        r["entity"]: r
+        for r in sequence_anomaly(
+            df, "uid", [F.col("seq")], "st"
+        ).collect()
+    }
+    p_ab = round(2 / 3, 6)
+    s_ab = round(-math.log(p_ab), 6)
+    s_ba = round(-math.log(1.0), 6)  # = 0
+    s_ac = round(-math.log(round(1 / 3, 6)), 6)
+    assert got[1]["n_transitions"] == 3
+    exp1 = round((s_ab + s_ba + s_ab) / 3, 6)
+    assert abs(got[1]["avg_surprise"] - exp1) < 1e-9
+    assert got[2]["n_transitions"] == 1
+    assert got[2]["avg_surprise"] == s_ac
+    # the rare-edge user scores strictly higher
+    assert got[2]["avg_surprise"] > got[1]["avg_surprise"]
+
+
+def test_sequence_anomaly_single_event_entities_absent(spark):
+    from skrub_spark.operators.sequence import sequence_anomaly
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (2, 1, "a")]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    got = sequence_anomaly(df, "uid", [F.col("seq")], "st").collect()
+    # entity 2 has no transitions -> no row
+    assert [r["entity"] for r in got] == [1]
