@@ -162,6 +162,20 @@ HEADLINE = [
     "classification_eval",
     "calibration_eval",
     "regression_eval",
+    # r8 final-session additions (streaming_heavy_hitters excluded
+    # with the other streaming_* ops: state-store fixed overhead)
+    "event_transitions",
+    "changepoint_daily",
+    "duplication_density",
+    "ranking_eval",
+    "triangle_stats",
+    "mad_outliers",
+    "benford_audit",
+    "target_encode",
+    "target_encode_loo",
+    "woe_iv",
+    "association_rules",
+    "sequence_anomaly",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

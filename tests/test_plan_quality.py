@@ -716,3 +716,73 @@ def test_suppress_rare_single_key_shuffle(spark):
     df = q_k_suppression(spark, SF)
     plan = plan_of(df, execute=True)
     assert "rangepartitioning" not in plan
+
+
+def test_mad_outliers_group_windows_no_global_sort(spark):
+    """Both rank passes are windows partitioned by the GROUP key;
+    the med/mad join-backs broadcast — a rangepartitioning
+    Exchange would mean a corpus-wide sort sneaked in."""
+    from skrub_spark.queries import q_mad_outliers
+
+    df = q_mad_outliers(spark, SF)
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_benford_single_reduce_map_side_combined(spark):
+    """Benford is one map + a 9-key groupBy: partial aggregation
+    must exist, and nothing may range-sort."""
+    from skrub_spark.queries import q_benford_audit
+
+    df = q_benford_audit(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "rangepartitioning" not in plan
+
+
+def test_target_encoders_broadcast_stats_back(spark):
+    """Category stats and totals are |C|-sized — they must
+    broadcast onto the row-level frame, never sort-merge."""
+    from skrub_spark.queries import q_target_encode_loo
+
+    plan = plan_of(q_target_encode_loo(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_association_rules_prefilter_before_pair_join(spark):
+    """The frequent-item broadcast semi-filter must apply BEFORE
+    the per-basket self-join (downward-closure pruning), and the
+    pair groupBy must be map-side combined."""
+    from skrub_spark.queries import q_association_rules
+
+    df = q_association_rules(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_stats_no_cartesian_all_equijoins(spark):
+    """Wedge formation and closing are hash equi-joins on node /
+    edge keys; a CartesianProduct would be the naive adjacency
+    blow-up."""
+    from skrub_spark.queries import q_triangle_stats
+
+    df = q_triangle_stats(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_sequence_anomaly_entity_window_and_broadcast_matrix(spark):
+    """The lag window partitions by entity (bounded frames) and
+    the |states|² matrix broadcasts back onto the transition
+    frame."""
+    from skrub_spark.queries import q_sequence_anomaly
+
+    df = q_sequence_anomaly(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
