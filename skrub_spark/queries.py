@@ -5079,6 +5079,43 @@ def q_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (r8 late,
+    operators/graph.py::k_core — the embeddedness prior: staying
+    in a deep core needs k well-connected neighbors who each stay
+    too): planted core–periphery graph (dense 20-node core via 5
+    affine maps, 77-node sparse periphery, doc_id%13 bridges),
+    k=6, 4 synchronous peel rounds (fixpoint by round 2 — later
+    rounds are exact no-ops the chained-CTE oracle replays)."""
+    _prep(spark)
+    from .operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    parts = []
+    for a, b in ((7, 3), (3, 1), (9, 7), (11, 5), (13, 9)):
+        parts.append(
+            docs.select(
+                (d % 20).alias("src"), ((d * a + b) % 20).alias("dst")
+            )
+        )
+    parts.append(
+        docs.select(
+            (d % 77 + 20).alias("src"),
+            ((d * 3 + 1) % 77 + 20).alias("dst"),
+        )
+    )
+    parts.append(
+        docs.filter(d % 13 == 0).select(
+            (d % 20).alias("src"), (d % 77 + 20).alias("dst")
+        )
+    )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.union(p)
+    return k_core(edges, k=6, n_iter=4)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -9977,6 +10014,60 @@ ORACLES["sequence_anomaly"] = """
 """
 
 
+# r8 late: k-core — one CTE pair per synchronous peel round
+# (degree agg + anti-filter); rounds past the fixpoint are exact
+# no-ops, so the fixed-round chain is a complete spec.
+def _k_core_oracle(k: int, n_iter: int) -> str:
+    raw = """
+      SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 20, (doc_id * 3 + 1) % 20 FROM documents
+      UNION ALL
+      SELECT doc_id % 20, (doc_id * 9 + 7) % 20 FROM documents
+      UNION ALL
+      SELECT doc_id % 20, (doc_id * 11 + 5) % 20 FROM documents
+      UNION ALL
+      SELECT doc_id % 20, (doc_id * 13 + 9) % 20 FROM documents
+      UNION ALL
+      SELECT doc_id % 77 + 20, (doc_id * 3 + 1) % 77 + 20
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 20, doc_id % 77 + 20
+      FROM documents WHERE doc_id % 13 = 0
+    """
+    ctes = [
+        f"""raw AS ({raw}), e0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw
+        UNION ALL SELECT dst, src FROM raw
+      ) WHERE src != dst
+    )"""
+    ]
+    for r in range(1, n_iter + 1):
+        p = r - 1
+        ctes.append(
+            f"""b{r} AS (
+      SELECT src FROM e{p} GROUP BY src HAVING count(*) < {k}
+    ), e{r} AS (
+      SELECT e.src, e.dst FROM e{p} e
+      WHERE e.src NOT IN (SELECT src FROM b{r})
+        AND e.dst NOT IN (SELECT src FROM b{r})
+    )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{n_iter} GROUP BY src
+    """
+    )
+
+
+ORACLES["k_core"] = _k_core_oracle(6, 4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -10280,6 +10371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         # r8 late: Markov sequence-anomaly scores (composed oracle)
         "sequence_anomaly": q_sequence_anomaly,
+        # r8 late: k-core peeling (chained-CTE oracle)
+        "k_core": q_k_core,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

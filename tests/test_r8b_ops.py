@@ -1557,3 +1557,44 @@ def test_sequence_anomaly_single_event_entities_absent(spark):
     got = sequence_anomaly(df, "uid", [F.col("seq")], "st").collect()
     # entity 2 has no transitions -> no row
     assert [r["entity"] for r in got] == [1]
+
+
+# ------------------------------------------------------------- k-core
+
+
+def test_k_core_peels_periphery_keeps_core(spark):
+    from skrub_spark.operators.graph import k_core
+
+    # K5 core (degree 4) + a pendant chain hanging off node 0
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k5 + chain, "src long, dst long")
+    rows = k_core(edges, k=3, n_iter=4).collect()
+    got = {r["node"]: r["degree"] for r in rows}
+    # chain peels over multiple rounds; K5 survives intact with
+    # its INTERNAL degrees (node 0 loses its chain edge)
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_k_core_empty_when_no_core(spark):
+    from skrub_spark.operators.graph import k_core
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    assert k_core(edges, k=2, n_iter=4).count() == 0
+
+
+def test_k_core_planted_graph_fixpoint_within_budget(spark):
+    """The battery graph must converge strictly inside the fixed
+    round budget — extra rounds are no-ops, not semantics."""
+    from skrub_spark.queries import q_k_core
+
+    sf = "/root/testdata/sf0.001"
+    r4 = {
+        (r["node"], r["degree"])
+        for r in q_k_core(spark, sf).collect()
+    }
+    # 6-core of the planted graph: 16 nodes, all within the dense
+    # 20-node component
+    assert len(r4) == 16
+    assert all(n < 20 and d >= 6 for n, d in r4)
