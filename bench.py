@@ -176,6 +176,10 @@ HEADLINE = [
     "woe_iv",
     "association_rules",
     "sequence_anomaly",
+    "k_core",
+    "window_funnel",
+    "seasonal_profile",
+    "grouped_trend",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

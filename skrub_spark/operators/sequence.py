@@ -167,3 +167,133 @@ def sequence_anomaly(
             6,
         ).alias("avg_surprise"),
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list,
+    *,
+    window_us: int,
+) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse
+    ``windowFunnel`` shape): per entity, the furthest step of
+    ``steps`` reached with every step STRICTLY after the previous
+    one and the WHOLE chain inside ``window_us`` microseconds of
+    the entity's FIRST step-1 event — greedy-first matching, the
+    deterministic convention. The untimed cousin
+    (``report/funnel.py`` / battery ``funnel_conversion``) answers
+    "ever converted"; the window answers "converted as one
+    session", which is what conversion and abuse funnels measure.
+
+    Returns ``(entity, step_reached, t_first_us)`` for entities
+    with ≥1 step-1 event; ``t_first_us`` anchors the window.
+    Exactness: timestamps compare in integer microseconds
+    (``unix_micros``); one conditional-min agg per step, each a
+    map-side-combined entity-key groupBy joined broadcastless on
+    the entity key — no windows, no sorts (battery oracle
+    ``window_funnel`` replays the chained conditional mins).
+    """
+    wus = int(window_us)
+    us = F.expr(f"unix_micros({ts_col})")
+    ev = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(state_col).alias("state"),
+        us.alias("us"),
+    )
+    cur = (
+        ev.filter(F.col("state") == steps[0])
+        .groupBy("entity")
+        .agg(F.min("us").alias("t1"))
+        .withColumn("t_prev", F.col("t1"))
+    )
+    reached = cur.select(
+        "entity", F.lit(1).alias("step_reached"), F.col("t1")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("state") == step)
+            .join(cur, "entity")
+            .filter(
+                (F.col("us") > F.col("t_prev"))
+                & (F.col("us") <= F.col("t1") + F.lit(wus))
+            )
+            .groupBy("entity")
+            .agg(
+                F.min("us").alias("t_prev"),
+                F.first("t1").alias("t1"),
+            )
+            .select("entity", "t1", "t_prev")
+        )
+        cur = nxt
+        reached = reached.unionByName(
+            cur.select(
+                "entity", F.lit(i).alias("step_reached"), F.col("t1")
+            )
+        )
+    return reached.groupBy("entity").agg(
+        F.max("step_reached").cast("int").alias("step_reached"),
+        F.min("t1").cast("long").alias("t_first_us"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Time-of-week seasonal profile of event volume: one row per
+    (day-of-week, hour-of-day) cell — ``(dow, hour, n, share,
+    lift)`` with ``share = n/total`` and ``lift = 168·n/total``
+    (ratio to a uniform week; lift ≫ 1 = peak cell, ≪ 1 = dead
+    cell). The weekly fingerprint is the baseline behavioral
+    seasonality bot detection and load forecasting divide by —
+    traffic that ignores the human week is machine traffic.
+
+    Cells with zero events still get rows (a dense 7×24 grid from
+    a range cross join) so downstream consumers never special-case
+    holes. Exactness: dow/hour come from INTEGER microsecond
+    arithmetic (``dow = (day+3) mod 7``, 0 = Monday — no engine
+    date/timezone functions), counts are exact, share/lift are
+    single IEEE divisions of exact integers, 6dp (battery oracle
+    ``seasonal_profile``). One map + ONE 168-key map-side-combined
+    groupBy; the total rides along from the cell agg.
+    """
+    us = F.expr(f"unix_micros({ts_col})")
+    day = F.call_function("div", us, F.lit(86_400_000_000))
+    cells = df.select(
+        ((day + 3) % 7).cast("int").alias("dow"),
+        (
+            F.call_function("div", us, F.lit(3_600_000_000)) % 24
+        ).cast("int").alias("hour"),
+    )
+    obs = cells.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    spark = df.sparkSession
+    grid = spark.range(0, 7).select(
+        F.col("id").cast("int").alias("dow")
+    ).crossJoin(
+        spark.range(0, 24).select(F.col("id").cast("int").alias("hour"))
+    )
+    return (
+        grid.join(obs, ["dow", "hour"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                (F.lit(168) * F.coalesce("n", F.lit(0))).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

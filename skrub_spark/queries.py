@@ -5116,6 +5116,65 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=6, n_iter=4)
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (r8 late,
+    operators/sequence.py::window_funnel — ClickHouse windowFunnel
+    shape; `funnel_conversion` answers "ever converted", this
+    answers "converted as one session"): view → click → purchase
+    strictly ordered within 24h of the first view, greedy-first
+    matching, integer-microsecond comparisons, one conditional-min
+    entity groupBy per step."""
+    _prep(spark)
+    from .operators.sequence import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    out = window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        window_us=86_400_000_000,
+    )
+    return out.select(
+        F.col("entity").alias("user_id"), "step_reached", "t_first_us"
+    )
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-week seasonality (r8 late,
+    operators/sequence.py::seasonal_profile — the weekly
+    fingerprint bot detection divides by): dense 7×24 grid of
+    event volume with share and uniform-week lift; dow/hour from
+    pure integer microsecond arithmetic, single-division 6dp
+    ratios."""
+    _prep(spark)
+    from .operators.sequence import seasonal_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_profile(ev, "ts")
+
+
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trends (r8 late,
+    report/trend.py::grouped_trend — thousands of regressions as
+    ONE map-side-combined groupBy over sufficient statistics):
+    daily revenue slope/intercept/R² per order priority; daily
+    sums via the DECIMAL(12,2) bridge, moments 6dp-rounded into
+    DECIMAL(38,6), closed forms in fixed-order IEEE arithmetic."""
+    _prep(spark)
+    from .report.trend import grouped_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.expr("unix_date(cast(o_orderdate as date))").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    return grouped_trend(daily, "o_orderpriority", "day", "rev")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10068,6 +10127,118 @@ def _k_core_oracle(k: int, n_iter: int) -> str:
 ORACLES["k_core"] = _k_core_oracle(6, 4)
 
 
+# r8 late: windowed funnel — chained conditional mins in integer
+# microseconds; greedy-first anchoring on the first step-1 event.
+ORACLES["window_funnel"] = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), s1 AS (
+      SELECT user_id, min(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.us) AS t2, min(s.t1) AS t1
+      FROM ev e JOIN s1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.us > s.t1
+        AND e.us <= s.t1 + 86400000000
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM ev e JOIN s2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.us > s.t2
+        AND e.us <= s.t1 + 86400000000
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+      CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS INTEGER) AS step_reached,
+      CAST(s1.t1 AS BIGINT) AS t_first_us
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+# r8 late: seasonal profile — integer dow/hour arithmetic (no
+# engine date/timezone functions), dense 7x24 grid, single-division
+# 6dp ratios.
+ORACLES["seasonal_profile"] = """
+    WITH cells AS (
+      SELECT
+        CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INTEGER)
+          AS dow,
+        CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour
+      FROM events
+    ), obs AS (
+      SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+      FROM cells GROUP BY dow, hour
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM obs
+    ), grid AS (
+      SELECT CAST(d.d AS INTEGER) AS dow, CAST(h.h AS INTEGER) AS hour
+      FROM range(0, 7) d(d) CROSS JOIN range(0, 24) h(h)
+    )
+    SELECT g.dow, g.hour,
+      CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+      round(CAST(COALESCE(o.n, 0) AS DOUBLE)
+            / CAST(t.total AS DOUBLE), 6) AS share,
+      round(CAST(168 * COALESCE(o.n, 0) AS DOUBLE)
+            / CAST(t.total AS DOUBLE), 6) AS lift
+    FROM grid g
+    LEFT JOIN obs o ON g.dow = o.dow AND g.hour = o.hour
+    CROSS JOIN tot t
+"""
+
+
+# r8 late: grouped OLS — zipf_fit's recipe per group: exact daily
+# DECIMAL sums -> double, 6dp product terms into DECIMAL(38,6)
+# moment sums, fixed-order IEEE closed forms.
+ORACLES["grouped_trend"] = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT) AS day,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+             AS DECIMAL(22,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    ), xy AS (
+      SELECT o_orderpriority,
+        CAST(day AS DOUBLE) AS x, CAST(rev AS DOUBLE) AS y
+      FROM daily
+    ), sums AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n_points,
+        sum(CAST(x AS DECIMAL(38,6))) AS sx,
+        sum(CAST(y AS DECIMAL(38,6))) AS sy,
+        sum(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS sxy,
+        sum(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS sxx,
+        sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS syy
+      FROM xy GROUP BY o_orderpriority
+    ), d AS (
+      SELECT o_orderpriority, n_points,
+        CAST(n_points AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sxd,
+        CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM sums
+    ), c AS (
+      SELECT o_orderpriority, n_points, n, sxd, syd,
+        n * sxyd - sxd * syd AS cov,
+        n * sxxd - sxd * sxd AS varx,
+        n * syyd - syd * syd AS vary
+      FROM d
+    )
+    SELECT o_orderpriority, n_points,
+      CASE WHEN varx != 0 THEN round(cov / varx, 6) END AS slope,
+      CASE WHEN varx != 0 THEN
+        round((syd - round(cov / varx, 6) * sxd) / n, 6)
+      END AS intercept,
+      CASE WHEN varx != 0 AND vary != 0 THEN
+        round((cov * cov) / (varx * vary), 6)
+      END AS r2
+    FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -10373,6 +10544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_anomaly": q_sequence_anomaly,
         # r8 late: k-core peeling (chained-CTE oracle)
         "k_core": q_k_core,
+        # r8 late: time-bounded funnel (chained conditional mins)
+        "window_funnel": q_window_funnel,
+        # r8 late: time-of-week seasonal profile (dense 7x24 grid)
+        "seasonal_profile": q_seasonal_profile,
+        # r8 late: per-group OLS trends (sufficient-statistics agg)
+        "grouped_trend": q_grouped_trend,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

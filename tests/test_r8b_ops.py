@@ -1598,3 +1598,127 @@ def test_k_core_planted_graph_fixpoint_within_budget(spark):
     # 20-node component
     assert len(r4) == 16
     assert all(n < 20 and d >= 6 for n, d in r4)
+
+
+# ------------------------------------------------------ window funnel
+
+
+def _wf_events(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, base + datetime.timedelta(seconds=s), st)
+        for u, s, st in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_window_funnel_steps_and_window_cut(spark):
+    from skrub_spark.operators.sequence import window_funnel
+
+    rows = [
+        # user 1: full chain inside 100s window
+        (1, 0, "a"), (1, 10, "b"), (1, 20, "c"),
+        # user 2: step 3 lands outside the window -> step 2
+        (2, 0, "a"), (2, 10, "b"), (2, 200, "c"),
+        # user 3: b BEFORE a -> only step 1
+        (3, 50, "a"), (3, 10, "b"),
+        # user 4: no step-1 event -> absent
+        (4, 0, "b"), (4, 10, "c"),
+    ]
+    got = {
+        r["entity"]: r["step_reached"]
+        for r in window_funnel(
+            _wf_events(spark, rows),
+            "user_id", "ts", "event_type", ["a", "b", "c"],
+            window_us=100_000_000,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_window_funnel_greedy_first_anchor(spark):
+    from skrub_spark.operators.sequence import window_funnel
+
+    # the FIRST 'a' anchors the window even though a later 'a'
+    # would have completed the chain — greedy-first convention
+    rows = [(1, 0, "a"), (1, 500, "a"), (1, 510, "b")]
+    got = window_funnel(
+        _wf_events(spark, rows),
+        "user_id", "ts", "event_type", ["a", "b"],
+        window_us=100_000_000,
+    ).collect()
+    assert got[0]["step_reached"] == 1
+    assert got[0]["t_first_us"] == 1704067200000000
+
+
+# --------------------------------------------------- seasonal profile
+
+
+def test_seasonal_profile_dense_grid_and_dow(spark):
+    import datetime
+
+    from skrub_spark.operators.sequence import seasonal_profile
+
+    # 2024-01-01 was a MONDAY; 14:30 UTC -> cell (0, 14)
+    rows = [
+        (datetime.datetime(2024, 1, 1, 14, 30),),
+        (datetime.datetime(2024, 1, 1, 14, 45),),
+        (datetime.datetime(2024, 1, 7, 3, 0),),  # Sunday -> dow 6
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = seasonal_profile(df, "ts").collect()
+    assert len(out) == 168  # dense grid, zero cells included
+    got = {(r["dow"], r["hour"]): r for r in out}
+    assert got[(0, 14)]["n"] == 2
+    assert got[(6, 3)]["n"] == 1
+    assert got[(0, 14)]["share"] == round(2 / 3, 6)
+    assert got[(0, 14)]["lift"] == round(336 / 3, 6)
+    assert got[(2, 10)]["n"] == 0 and got[(2, 10)]["lift"] == 0.0
+
+
+# ------------------------------------------------------ grouped trend
+
+
+def test_grouped_trend_exact_line_and_degenerate(spark):
+    from skrub_spark.report.trend import grouped_trend
+
+    rows = [
+        # group a: exact line y = 2x + 1 -> slope 2, r2 = 1
+        ("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 5.0),
+        # group b: single point -> varx = 0 -> NULLs
+        ("b", 5, 10.0),
+        # group c: flat y -> slope 0, vary = 0 -> r2 NULL
+        ("c", 0, 4.0), ("c", 1, 4.0), ("c", 2, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {
+        r["g"]: r for r in grouped_trend(df, "g", "x", "y").collect()
+    }
+    assert got["a"]["slope"] == 2.0
+    assert got["a"]["intercept"] == 1.0
+    assert got["a"]["r2"] == 1.0
+    assert got["b"]["slope"] is None and got["b"]["r2"] is None
+    assert got["c"]["slope"] == 0.0
+    assert got["c"]["intercept"] == 4.0
+    assert got["c"]["r2"] is None
+
+
+def test_grouped_trend_matches_numpy(spark):
+    import numpy as np
+
+    from skrub_spark.report.trend import grouped_trend
+
+    rng = np.random.default_rng(11)
+    xs = np.arange(30)
+    ys = np.round(3.5 * xs + 7 + rng.normal(0, 2, 30), 2)
+    rows = [("g", int(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    r = grouped_trend(df, "g", "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r["slope"] - slope) < 1e-4
+    assert abs(r["intercept"] - intercept) < 1e-3
+    assert 0.99 < r["r2"] <= 1.0
