@@ -137,3 +137,57 @@ def scd2_history(
         nxt.alias("valid_to"),
         (nxt.isNull() & (F.col(op_col) != "D")).alias("is_current"),
     )
+
+
+def refresh_aggregate(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list,
+    *,
+    count_col: str = "n",
+    sum_cols: dict | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for count/sum aggregates: fold
+    a DELTA of raw rows into an already-materialized ``base_agg``
+    WITHOUT touching the base fact table — the nightly-refresh
+    pattern that turns a 100 TB full regroup into a delta-sized
+    job. ``base_agg`` has the group ``keys``, a ``count_col`` and
+    the summed measures; ``sum_cols`` maps each output sum column
+    to the raw delta column it sums (cast delta measures to
+    DECIMAL upstream — exact decimal sums are what make the
+    refreshed view BIT-IDENTICAL to a full recompute, which is the
+    battery oracle ``incremental_agg``).
+
+    Shape: ONE map-side-combined groupBy over the delta (delta-
+    sized, not base-sized) + ONE key-hash full-outer join against
+    the |groups|-sized base. Counts/sums are associative, so new
+    groups appear, existing groups combine, and base-only groups
+    pass through untouched. Deletions are delta rows with negative
+    measures/count upstream (CDC convention); this op is the
+    combine step.
+    """
+    sum_cols = dict(sum_cols or {})
+    d_agg = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("__d_n"),
+        *[
+            F.sum(F.col(src)).alias(f"__d_{out}")
+            for out, src in sum_cols.items()
+        ],
+    )
+    joined = base_agg.join(d_agg, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    out_cols.append(
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("__d_n"), F.lit(0))
+        ).cast("long").alias(count_col)
+    )
+    for out in sum_cols:
+        zero = F.lit(0).cast("decimal(12,2)")
+        out_cols.append(
+            (
+                F.coalesce(F.col(out), zero)
+                + F.coalesce(F.col(f"__d_{out}"), zero)
+            ).alias(out)
+        )
+    return joined.select(*out_cols)

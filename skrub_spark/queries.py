@@ -5175,6 +5175,39 @@ def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_trend(daily, "o_orderpriority", "day", "rev")
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate refresh (r8 late,
+    operators/cdc.py::refresh_aggregate — IVM: fold a delta into a
+    materialized agg without touching the base facts): base =
+    orders with o_orderkey % 4 != 0 pre-aggregated per priority,
+    delta = the rest; exact decimal sums make the refreshed view
+    bit-identical to the full recompute the oracle runs."""
+    _prep(spark)
+    from .operators.cdc import refresh_aggregate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    base = (
+        orders.filter(F.col("o_orderkey") % 4 != 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price").alias("revenue"),
+        )
+    )
+    delta = orders.filter(F.col("o_orderkey") % 4 == 0)
+    return refresh_aggregate(
+        base,
+        delta,
+        ["o_orderpriority"],
+        count_col="n",
+        sum_cols={"revenue": "price"},
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10239,6 +10272,18 @@ ORACLES["grouped_trend"] = """
 """
 
 
+# r8 late: incremental agg refresh — the oracle IS the full
+# recompute: counts/decimal sums are associative, so base+delta
+# must be bit-identical to aggregating everything at once.
+ORACLES["incremental_agg"] = """
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+           AS DECIMAL(23,2)) AS revenue
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -10550,6 +10595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         # r8 late: per-group OLS trends (sufficient-statistics agg)
         "grouped_trend": q_grouped_trend,
+        # r8 late: incremental aggregate refresh (IVM combine)
+        "incremental_agg": q_incremental_agg,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

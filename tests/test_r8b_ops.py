@@ -1722,3 +1722,66 @@ def test_grouped_trend_matches_numpy(spark):
     assert abs(r["slope"] - slope) < 1e-4
     assert abs(r["intercept"] - intercept) < 1e-3
     assert 0.99 < r["r2"] <= 1.0
+
+
+# ------------------------------------------------ incremental refresh
+
+
+def test_refresh_aggregate_combines_and_passes_through(spark):
+    from decimal import Decimal
+
+    from skrub_spark.operators.cdc import refresh_aggregate
+
+    base = spark.createDataFrame(
+        [("a", 2, Decimal("10.00")), ("b", 1, Decimal("5.00"))],
+        "g string, n long, s decimal(22,2)",
+    )
+    delta = spark.createDataFrame(
+        [("a", Decimal("3.50")), ("c", Decimal("1.25"))],
+        "g string, v decimal(12,2)",
+    )
+    got = {
+        r["g"]: r
+        for r in refresh_aggregate(
+            base, delta, ["g"], count_col="n", sum_cols={"s": "v"}
+        ).collect()
+    }
+    # existing group combines
+    assert got["a"]["n"] == 3 and got["a"]["s"] == Decimal("13.50")
+    # base-only group passes through
+    assert got["b"]["n"] == 1 and got["b"]["s"] == Decimal("5.00")
+    # new group appears from the delta alone
+    assert got["c"]["n"] == 1 and got["c"]["s"] == Decimal("1.25")
+
+
+def test_refresh_aggregate_equals_full_recompute(spark):
+    from decimal import Decimal
+    import random
+
+    from skrub_spark.operators.cdc import refresh_aggregate
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [
+        (rng.choice("xyz"), Decimal(f"{rng.randint(1, 999)}.{rng.randint(0,99):02d}"))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v decimal(12,2)")
+    full = {
+        r["g"]: (r["n"], r["s"])
+        for r in df.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    base_rows = df.limit(120)
+    delta_rows = df.subtract(spark.createDataFrame([], df.schema)).exceptAll(base_rows)
+    base = base_rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("s")
+    )
+    got = {
+        r["g"]: (r["n"], r["s"])
+        for r in refresh_aggregate(
+            base, delta_rows, ["g"], count_col="n", sum_cols={"s": "v"}
+        ).collect()
+    }
+    assert got == full
