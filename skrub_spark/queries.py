@@ -10349,12 +10349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract), knn_join_lsh rotates to 51+ (similarity keeps
         # PQ/IVF-PQ/frozen-LSH rows in-window, and the frozen knn
         # twin is exact in the full battery)
-        # (late-r8 swap: interpolation_gbt_frozen rotates to 51+
-        # after a green round — the family keeps interpolation_join
-        # + clf_frozen in-window, and the GBT CASE-replay twin stays
-        # exact in the full battery — making room for the session's
-        # new-family flagships below)
-        "interpolation_clf_frozen": q_interpolation_clf_frozen,
+        # (late-r8 swap: interpolation_gbt_frozen rotated to 51+,
+        # then final-session swap: clf_frozen follows it — the
+        # family keeps interpolation_join in-window and both frozen
+        # twins exact in the full battery; the slot goes to the
+        # session's new robust-outlier family)
+        "mad_outliers": q_mad_outliers,
         "asof_join": q_asof_join,
         "range_join_incidents": q_range_join_incidents,
         # r7 swap (VERDICT r6 #6): the three unguarded r6 flagships
@@ -10418,11 +10418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round — similarity keeps topk_pq + topk_opq in-window and
         # the IVF-PQ probe stays plan-audited + full battery)
         "topk_pq": q_topk_pq,
-        # r8 swap: topk_opq (the round's new compression rung) takes
-        # the gate row; topk_lsh_frozen rotates to 51+ after a green
-        # round (LSH family keeps embedding_dedup_lsh in-window and
-        # the frozen twins in the full battery)
-        "topk_opq": q_topk_opq,
+        # final-session swap: topk_opq rotates to 51+ after a green
+        # round (ANN compression keeps topk_pq in-window; OPQ/SQ8/
+        # binary rungs stay exact in the full battery) — the slot
+        # goes to the new graph-SHAPE family (degree-ordered
+        # triangle counting / clustering coefficient)
+        "triangle_stats": q_triangle_stats,
         # --- r8 flagships (least-proven new paths into the gate) ---
         # DSIR data selection: frozen hashed-n-gram importance
         # weights + the content-addressed Gumbel-top-k resample
@@ -10437,7 +10438,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         # --- encoders ---
         "datetime_features": q_datetime_features,
-        "minhash_encoder_features": q_minhash_encoder_features,
+        # final-session swap: minhash_encoder_features rotates to
+        # 51+ (hashing-encoder family keeps similarity_encoder +
+        # session_encoder in-window) — the slot goes to the NEW
+        # supervised target-statistics encoder family (LOO is its
+        # leakage-guarded flagship)
+        "target_encode_loo": q_target_encode_loo,
         "similarity_encoder_region": q_similarity_encoder_region,
         "pretraining_pipeline": q_pretraining_pipeline,
         # r6 kept two of the pipeline's four stage oracles in-window
@@ -10463,11 +10469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         # --- streaming ---
         "streaming_dedup": q_streaming_dedup,
-        # r7: embedding near-dedup at ingest — frozen planes, exact
-        # SQL oracle across >= 2 real micro-batches (completes the
-        # {exact, minhash, embedding} x {batch, incremental,
-        # streaming} dedup matrix)
-        "streaming_embedding_dedup": q_streaming_embedding_dedup,
+        # final-session swap: streaming_embedding_dedup rotates to
+        # 51+ after green rounds (streaming keeps two rows in-window
+        # and the dedup matrix stays exact in the full battery) —
+        # the slot goes to the NEW market-basket co-occurrence
+        # family (A-priori support/confidence/lift)
+        "association_rules": q_association_rules,
         # --- scale demos & sources ---
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "skew_salted_agg": q_skew_salted_agg,
@@ -10571,20 +10578,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplication_density": q_duplication_density,
         # r8 late: retrieval ranking metrics (literal-lookup oracle)
         "ranking_eval": q_ranking_eval,
-        # r8 late: triangle counts + clustering coefficient
-        "triangle_stats": q_triangle_stats,
-        # r8 late: Hampel median/MAD outlier flags (decimal-exact)
-        "mad_outliers": q_mad_outliers,
         # r8 late: Benford first-digit audit (integer digit chain)
+        # (triangle_stats / mad_outliers / target_encode_loo /
+        # association_rules hold gate-window rows above)
         "benford_audit": q_benford_audit,
         # r8 late: target-statistics encoders (exact-integer ratios)
         "target_encode": q_target_encode,
-        "target_encode_loo": q_target_encode_loo,
         "woe_iv": q_woe_iv,
         # r8 late: cross-batch heavy-hitter alerts (literal split)
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        # r8 late: market-basket association rules (A-priori lvl 2)
-        "association_rules": q_association_rules,
+        # final-session window rotation: the four 51+ rows freed
+        # above (still exact in the full battery)
+        "interpolation_clf_frozen": q_interpolation_clf_frozen,
+        "topk_opq": q_topk_opq,
+        "minhash_encoder_features": q_minhash_encoder_features,
+        "streaming_embedding_dedup": q_streaming_embedding_dedup,
         # r8 late: Markov sequence-anomaly scores (composed oracle)
         "sequence_anomaly": q_sequence_anomaly,
         # r8 late: k-core peeling (chained-CTE oracle)
