@@ -180,6 +180,8 @@ HEADLINE = [
     "window_funnel",
     "seasonal_profile",
     "grouped_trend",
+    "incremental_agg",
+    "autocorrelation",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

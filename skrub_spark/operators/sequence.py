@@ -297,3 +297,89 @@ def seasonal_profile(
             ).alias("lift"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of a regular integer-valued series at
+    lags 1..``max_lag``: ``(lag, n_pairs, acf)``. The weekly ACF
+    signature (a spike at lag 7) is the seasonality detector that
+    decides whether ``seasonal_profile``'s weekly model applies at
+    all; flat ACF = arrival noise, slow decay = trend leakage.
+
+    Exactness: the textbook estimator
+    ``r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²`` is computed through
+    the n²-scaled integer identity — numerator·n² =
+    ``Σ (n·y_t − S)(n·y_{t+k} − S)`` and denominator·n² =
+    ``Σ (n·y_t − S)²`` with S = Σy, so BOTH sides are exact
+    integers (no float mean ever exists) and ``acf`` is ONE IEEE
+    division rounded 6dp (battery oracle ``autocorrelation``).
+    ``x_col`` must step by 1 between consecutive points (an
+    epoch-day index); pairs exist only where both endpoints do, so
+    gaps simply drop pairs.
+
+    Scale shape: the series is a PERIOD frame (one row per day),
+    not corpus-sized — the corpus-scale work happened in the
+    upstream groupBy. The lag join is a self-equi-join on
+    ``x + k`` over that bounded frame; n and S ride along from one
+    total agg. ANSI guard: n·y products stay in int64 for series
+    up to ~3·10⁹ total volume per 10³-point window.
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).persist()
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    centered = base.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (F.col("n") * F.col("y") - F.col("s")).alias("c"),
+        "n",
+        "s",
+    )
+    lags = centered.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    right = centered.select(
+        F.col("x").alias("xr"), F.col("c").alias("cr")
+    )
+    pairs = (
+        centered.crossJoin(F.broadcast(lags))
+        .join(
+            right,
+            F.col("xr") == F.col("x") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("c") * F.col("cr")).alias("num"),
+        )
+    )
+    den = centered.agg(
+        F.sum(F.col("c") * F.col("c")).alias("den")
+    )
+    return (
+        lags.join(pairs, "lag", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.when(
+                (F.col("den") > 0) & F.col("num").isNotNull(),
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"),
+                    6,
+                ),
+            ).alias("acf"),
+        )
+    )

@@ -5208,6 +5208,23 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume ACF at lags 1..7 (r8 late,
+    operators/sequence.py::autocorrelation — the seasonality
+    detector that decides whether the weekly model applies):
+    centered products via the n²-scaled INTEGER identity
+    (n·y − S), so numerator and denominator are exact integers and
+    acf is one IEEE division, 6dp."""
+    _prep(spark)
+    from .operators.sequence import autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return autocorrelation(daily, "day", "cnt", max_lag=7)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10284,6 +10301,41 @@ ORACLES["incremental_agg"] = """
 """
 
 
+# r8 late: ACF — centered products through the n²-scaled integer
+# identity (n·y − S); both sides exact integers, one division.
+ORACLES["autocorrelation"] = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS x,
+        CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS s
+      FROM daily
+    ), c AS (
+      SELECT x, n * y - s AS c FROM daily CROSS JOIN tot
+    ), lags AS (
+      SELECT CAST(l AS BIGINT) AS lag FROM range(1, 8) t(l)
+    ), pairs AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(a.c * b.c) AS BIGINT) AS num
+      FROM c a CROSS JOIN lags
+      JOIN c b ON b.x = a.x + lag
+      GROUP BY lag
+    ), den AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS den FROM c
+    )
+    SELECT CAST(l.lag AS INTEGER) AS lag,
+      CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+      CASE WHEN d.den > 0 AND p.num IS NOT NULL THEN
+        round(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+      END AS acf
+    FROM lags l
+    LEFT JOIN pairs p ON l.lag = p.lag
+    CROSS JOIN den d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -10605,6 +10657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_trend": q_grouped_trend,
         # r8 late: incremental aggregate refresh (IVM combine)
         "incremental_agg": q_incremental_agg,
+        # r8 late: daily-volume ACF (integer-identity centering)
+        "autocorrelation": q_autocorrelation,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -1785,3 +1785,49 @@ def test_refresh_aggregate_equals_full_recompute(spark):
         ).collect()
     }
     assert got == full
+
+
+# ----------------------------------------------------- autocorrelation
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from skrub_spark.operators.sequence import autocorrelation
+
+    rng = np.random.default_rng(5)
+    y = rng.integers(50, 150, 40)
+    rows = [(int(i), int(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        r["lag"]: r
+        for r in autocorrelation(df, "x", "y", max_lag=3).collect()
+    }
+    ybar = y.mean()
+    den = ((y - ybar) ** 2).sum()
+    for k in (1, 2, 3):
+        ref = ((y[:-k] - ybar) * (y[k:] - ybar)).sum() / den
+        assert abs(got[k]["acf"] - ref) < 1e-6, k
+        assert got[k]["n_pairs"] == 40 - k
+
+
+def test_autocorrelation_period_two_alternation(spark):
+    from skrub_spark.operators.sequence import autocorrelation
+
+    # perfect alternation: acf(1) = -1, acf(2) = +1 (up to n-scaling)
+    rows = [(i, 10 if i % 2 == 0 else 20) for i in range(20)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, "x", "y", max_lag=2).collect()
+    }
+    assert got[1] < -0.9 and got[2] > 0.85
+
+
+def test_autocorrelation_constant_series_null(spark):
+    from skrub_spark.operators.sequence import autocorrelation
+
+    rows = [(i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = autocorrelation(df, "x", "y", max_lag=2).collect()
+    assert all(r["acf"] is None for r in got)  # zero variance
