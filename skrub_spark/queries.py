@@ -5225,6 +5225,79 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(daily, "day", "cnt", max_lag=7)
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime curves per market segment
+    (r8 late, report/survival.py::kaplan_meier): duration = days
+    between a customer's first and last order, event = the customer
+    ever had a finished ('F') order, else censored. Product-limit
+    terms via the ln-6dp/DECIMAL(38,6)/exp bridge over the bounded
+    per-group duration frame."""
+    _prep(spark)
+    from .report.survival import kaplan_meier
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        (
+            F.max(F.expr("unix_date(cast(o_orderdate as date))"))
+            - F.min(F.expr("unix_date(cast(o_orderdate as date))"))
+        ).alias("t"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("event"),
+    )
+    g = span.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        span.o_custkey == F.col("c_custkey"),
+    )
+    return kaplan_meier(g, "c_mktsegment", "t", "event")
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit per nation (r8 late,
+    report/concentration.py::gini_concentration): Gini over
+    per-customer lifetime revenue (exact DECIMAL cents), ranked
+    identity, ONE group-partitioned rank window + ONE agg."""
+    _prep(spark)
+    from .report.concentration import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    g = rev.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        rev.o_custkey == F.col("c_custkey"),
+    ).select("c_nationkey", "rev", "o_custkey")
+    return gini_concentration(g, "c_nationkey", "rev", "o_custkey")
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend per order priority (r8 late,
+    report/trend.py::theil_sen): median of pairwise slopes over the
+    trailing 400 days of the daily series — 6dp slope quantization
+    into DECIMAL(28,6), rank-selection median, deterministic pair
+    tiebreak."""
+    _prep(spark)
+    from .report.trend import theil_sen
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.expr("unix_date(cast(o_orderdate as date))").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    maxd = daily.agg(F.max("day").alias("maxd"))
+    recent = (
+        daily.crossJoin(F.broadcast(maxd))
+        .filter(F.col("day") > F.col("maxd") - 400)
+        .select("o_orderpriority", "day", "rev")
+    )
+    return theil_sen(recent, "o_orderpriority", "day", "rev")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10335,6 +10408,120 @@ ORACLES["autocorrelation"] = """
     CROSS JOIN den d
 """
 
+ORACLES["survival_km"] = """
+    WITH span AS (
+      SELECT o_custkey,
+        CAST(max(epoch_us(o_orderdate) // 86400000000)
+           - min(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS t,
+        CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS e
+      FROM orders GROUP BY o_custkey
+    ), g AS (
+      SELECT c_mktsegment, t, e
+      FROM span JOIN customer ON o_custkey = c_custkey
+    ), per_t AS (
+      SELECT c_mktsegment AS grp, t,
+        CAST(sum(e) AS BIGINT) AS n_events,
+        CAST(sum(1 - e) AS BIGINT) AS n_censored
+      FROM g GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, CAST(sum(n_events + n_censored) AS BIGINT) AS tt
+      FROM per_t GROUP BY 1
+    ), risk AS (
+      SELECT p.grp, p.t, p.n_events, p.n_censored,
+        tt - COALESCE(SUM(n_events + n_censored) OVER (
+          PARTITION BY p.grp ORDER BY p.t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS n_risk
+      FROM per_t p JOIN tot USING (grp)
+    ), terms AS (
+      SELECT grp, t, n_events, n_censored, n_risk,
+        CASE WHEN n_events > 0 AND n_events < n_risk
+          THEN round(ln(CAST(n_risk - n_events AS DOUBLE)
+                        / CAST(n_risk AS DOUBLE)), 6)
+          ELSE CAST(0.0 AS DOUBLE) END AS term,
+        CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS wipe
+      FROM risk
+    )
+    SELECT grp AS c_mktsegment, t,
+      CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+      CASE WHEN max(wipe) OVER w = 1 THEN CAST(0.0 AS DOUBLE)
+        ELSE round(exp(CAST(sum(CAST(term AS DECIMAL(38,6))) OVER w
+                            AS DOUBLE)), 6) END AS survival
+    FROM terms
+    WINDOW w AS (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["gini_concentration"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT c_nationkey, rev, o_custkey,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY c_nationkey ORDER BY rev ASC, o_custkey ASC
+        ) AS BIGINT) AS i
+      FROM rev JOIN customer ON o_custkey = c_custkey
+    ), a AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        SUM(rev) AS s, SUM(i * rev) AS isum
+      FROM g GROUP BY 1
+    )
+    SELECT c_nationkey, n, CAST(s AS DOUBLE) AS total,
+      CASE WHEN s > 0 THEN
+        round(CAST(2 * isum - (n + 1) * s AS DOUBLE)
+              / CAST(n * s AS DOUBLE), 6)
+      END AS gini
+    FROM a
+"""
+
+ORACLES["theil_sen_trend"] = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+        CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), mx AS (SELECT max(day) AS maxd FROM daily),
+    recent AS (
+      SELECT o_orderpriority AS grp, day AS x, rev AS y
+      FROM daily CROSS JOIN mx WHERE day > maxd - 400
+    ), slopes AS (
+      SELECT a.grp,
+        CAST(round(CAST(b.y - a.y AS DOUBLE)
+                   / CAST(b.x - a.x AS DOUBLE), 6)
+             AS DECIMAL(28,6)) AS slope,
+        a.x * 1000000 + b.x AS pair_id
+      FROM recent a JOIN recent b ON a.grp = b.grp AND b.x > a.x
+    ), ranked AS (
+      SELECT grp, slope,
+        ROW_NUMBER() OVER (
+          PARTITION BY grp ORDER BY slope ASC, pair_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM slopes
+    ), med AS (
+      SELECT grp, SUM(slope * (
+          CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+        + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)) AS slope2
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY grp
+    ), counts AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_points
+      FROM recent GROUP BY grp
+    ), np AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM slopes GROUP BY grp
+    )
+    SELECT c.grp AS o_orderpriority, c.n_points,
+      CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+      round(CAST(med.slope2 AS DOUBLE) / 2.0, 6) AS slope
+    FROM counts c
+    LEFT JOIN np USING (grp)
+    LEFT JOIN med USING (grp)
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
@@ -10659,6 +10846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         # r8 late: daily-volume ACF (integer-identity centering)
         "autocorrelation": q_autocorrelation,
+        "survival_km": q_survival_km,
+        "gini_concentration": q_gini_concentration,
+        "theil_sen_trend": q_theil_sen_trend,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

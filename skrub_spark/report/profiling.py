@@ -1,0 +1,99 @@
+"""Dependency profiling: functional dependencies and candidate
+keys — beyond-reference data-quality operators (SURVEY.md §2).
+
+Deequ-style expectation suites (``operators/expectations.py``)
+check constraints you already know; dependency profiling DISCOVERS
+them (Metanome/Papenbrock lineage): does ``zip -> city`` actually
+hold, which column (set) is a key, where do violations live. In a
+pipeline these gate joins (a "key" with duplicates fans out a 100 TB
+join) and CDC assumptions (a merge key must be unique per batch).
+
+Both profiles are exact counting aggregations:
+
+- ``fd_profile``: for each candidate ``lhs -> rhs``, ONE
+  (lhs-value)-keyed two-level agg — distinct rhs per lhs group
+  (map-side combined), then group counts: how many lhs groups,
+  how many violate (>1 distinct rhs), and the worst group's
+  distinct-rhs count. An FD holds iff violations == 0.
+- ``candidate_keys``: for each candidate column set, total rows vs
+  distinct combinations and the count of rows living in duplicated
+  keys (the join-fanout mass).
+
+Every candidate runs as its own column-pruned scan+agg and the
+per-candidate summaries (one row each) union — candidates are
+schema-bounded (a curated list, never data-sized), so the union is
+tiny and the scans parallelize. Battery oracles ``fd_profile`` /
+``candidate_keys`` replay the counting verbatim.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fd_profile(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """One row per candidate ``lhs -> rhs``: ``(lhs, rhs,
+    n_groups, n_violating, max_rhs_per_group, holds)``. NULLs
+    count as values (NULL rhs is a distinct rhs; NULL lhs is a
+    group): profiling must see every row."""
+    outs = []
+    for lhs, rhs in candidates:
+        per_group = (
+            df.select(
+                F.col(lhs).alias("__l"), F.col(rhs).alias("__r")
+            )
+            .groupBy("__l")
+            .agg(
+                (
+                    F.count_distinct(F.col("__r"))
+                    + F.max(F.col("__r").isNull().cast("int"))
+                ).alias("__nr")
+            )
+        )
+        outs.append(
+            per_group.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("__nr") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("__nr").cast("long").alias("max_rhs_per_group"),
+            )
+        )
+    u = reduce(lambda x, y: x.unionByName(y), outs)
+    return u.withColumn("holds", F.col("n_violating") == 0)
+
+
+def candidate_keys(
+    df: DataFrame, candidates: list[list[str]]
+) -> DataFrame:
+    """One row per candidate column set: ``(cols, n_rows,
+    n_distinct, n_dup_rows, is_key)`` — ``cols`` is the
+    comma-joined set, ``n_dup_rows`` the rows whose key value
+    occurs more than once (the join-fanout mass). NULL-containing
+    keys group by their NULL tuple (set semantics)."""
+    outs = []
+    for cols in candidates:
+        per_key = (
+            df.select([F.col(c) for c in cols])
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(",".join(cols)).alias("cols"),
+                F.sum("__n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+                .cast("long")
+                .alias("n_dup_rows"),
+            )
+        )
+    u = reduce(lambda x, y: x.unionByName(y), outs)
+    return u.withColumn("is_key", F.col("n_dup_rows") == 0)
