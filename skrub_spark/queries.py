@@ -5298,6 +5298,91 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(recent, "o_orderpriority", "day", "rev")
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier offers per brand (r8 late,
+    operators/skyline.py::skyline2d — parts no other same-brand
+    part beats on BOTH price and size): 2-D sweep via two
+    RANGE-framed window cummaxes over integer cents, zero joins;
+    the oracle runs the quadratic NOT-EXISTS dominance definition,
+    proving the sweep IS the definition."""
+    _prep(spark)
+    from .operators.skyline import skyline2d
+
+    part = load_table(spark, sf_dir, "part")
+    px = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    return skyline2d(px, "p_brand", "price_c", "p_size").select(
+        "p_brand", "p_partkey", "price_c", "p_size"
+    )
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout (r8 late,
+    report/abtest.py::ab_proportion_test): variant = user_id
+    parity, conversion = ever purchased; two-proportion z + χ²
+    from four exact counts, fixed-order IEEE, 6dp."""
+    _prep(spark)
+    from .report.abtest import ab_proportion_test
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(F.col("user_id") % 2 == 0, "control").otherwise(
+                "treatment"
+            ),
+        )
+    )
+    return ab_proportion_test(per_user, "user_id", "variant", "converted")
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (r8 late,
+    report/profiling.py::fd_profile — Metanome-shape profiling
+    that gates joins and CDC merge keys): four curated candidate
+    FDs over customer, each ONE two-level counting agg."""
+    _prep(spark)
+    from .report.profiling import fd_profile
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fd_profile(
+        cust,
+        [
+            ("c_custkey", "c_name"),
+            ("c_name", "c_custkey"),
+            ("c_nationkey", "c_mktsegment"),
+            ("c_mktsegment", "c_nationkey"),
+        ],
+    )
+
+
+def q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (r8 late,
+    report/profiling.py::candidate_keys — a 'key' with duplicates
+    fans out a 100 TB join; this measures the fanout mass before
+    you pay for it): three candidate column sets over orders."""
+    _prep(spark)
+    from .report.profiling import candidate_keys
+
+    orders = load_table(spark, sf_dir, "orders")
+    return candidate_keys(
+        orders,
+        [["o_orderkey"], ["o_custkey"], ["o_custkey", "o_orderdate"]],
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10522,6 +10607,112 @@ ORACLES["theil_sen_trend"] = """
     LEFT JOIN med USING (grp)
 """
 
+ORACLES["skyline_parts"] = """
+    WITH px AS (
+      SELECT p_partkey, p_brand, p_size,
+        CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS price_c
+      FROM part
+    )
+    SELECT p_brand, p_partkey, price_c, p_size
+    FROM px p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM px q
+      WHERE q.p_brand = p.p_brand
+        AND q.price_c <= p.price_c AND q.p_size >= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+    )
+"""
+
+ORACLES["ab_test_report"] = """
+    WITH per_user AS (
+      SELECT user_id,
+        CASE WHEN user_id % 2 = 0 THEN 'control'
+             ELSE 'treatment' END AS v,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted
+      FROM events GROUP BY 1
+    ), pv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(converted) AS BIGINT) AS c
+      FROM per_user GROUP BY 1
+    ), a AS (
+      SELECT v AS variant_a, n AS n_a, c AS conv_a
+      FROM pv ORDER BY v ASC LIMIT 1
+    ), b AS (
+      SELECT v AS variant_b, n AS n_b, c AS conv_b
+      FROM pv ORDER BY v DESC LIMIT 1
+    ), j AS (
+      SELECT *,
+        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+        CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+          AS pp
+      FROM a CROSS JOIN b
+    ), k AS (
+      SELECT *,
+        sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+             * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se,
+        (n_a > 0 AND n_b > 0 AND pp > CAST(0 AS DOUBLE)
+         AND pp < CAST(1 AS DOUBLE)
+         AND variant_a <> variant_b) AS valid
+      FROM j
+    )
+    SELECT variant_a, variant_b, n_a, n_b, conv_a, conv_b,
+      round(p1, 6) AS rate_a,
+      round(p2, 6) AS rate_b,
+      CASE WHEN p2 > CAST(0 AS DOUBLE)
+        THEN round((p1 - p2) / p2, 6) END AS lift,
+      CASE WHEN valid THEN round((p1 - p2) / se, 6) END AS z,
+      CASE WHEN valid
+        THEN round(((p1 - p2) / se) * ((p1 - p2) / se), 6)
+      END AS chi2
+    FROM k
+"""
+
+ORACLES["fd_profile"] = " UNION ALL ".join(
+    f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+      CAST(count(*) AS BIGINT) AS n_groups,
+      CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_violating,
+      CAST(max(nr) AS BIGINT) AS max_rhs_per_group,
+      (sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0) AS holds
+    FROM (
+      SELECT {lhs} AS l,
+        COUNT(DISTINCT {rhs})
+        + MAX(CASE WHEN {rhs} IS NULL THEN 1 ELSE 0 END) AS nr
+      FROM customer GROUP BY 1
+    ) g{i}
+    """
+    for i, (lhs, rhs) in enumerate(
+        [
+            ("c_custkey", "c_name"),
+            ("c_name", "c_custkey"),
+            ("c_nationkey", "c_mktsegment"),
+            ("c_mktsegment", "c_nationkey"),
+        ]
+    )
+)
+
+ORACLES["candidate_keys"] = " UNION ALL ".join(
+    f"""
+    SELECT '{",".join(cols)}' AS cols,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      CAST(count(*) AS BIGINT) AS n_distinct,
+      CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        AS n_dup_rows,
+      (sum(CASE WHEN n > 1 THEN n ELSE 0 END) = 0) AS is_key
+    FROM (
+      SELECT count(*) AS n FROM orders GROUP BY {", ".join(cols)}
+    ) g{i}
+    """
+    for i, cols in enumerate(
+        [["o_orderkey"], ["o_custkey"], ["o_custkey", "o_orderdate"]]
+    )
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
@@ -10849,6 +11040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "gini_concentration": q_gini_concentration,
         "theil_sen_trend": q_theil_sen_trend,
+        "skyline_parts": q_skyline_parts,
+        "ab_test_report": q_ab_test_report,
+        "fd_profile": q_fd_profile,
+        "candidate_keys": q_candidate_keys,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -113,3 +113,119 @@ def test_theil_sen_single_point_null(spark):
     )
     r = theil_sen(df, "g", "x", "y").collect()[0]
     assert r["n_pairs"] == 0 and r["slope"] is None
+
+
+# ---------------------------------------------------------- skyline
+
+
+def test_skyline2d_dominance_and_ties(spark):
+    from skrub_spark.operators.skyline import skyline2d
+
+    # minimize price, maximize size. (10,5) dominates (12,4) and
+    # (10,4); (8,3) survives (cheaper); duplicate (10,5) both kept.
+    rows = [
+        (1, "g", 10, 5),
+        (2, "g", 12, 4),   # dominated by 1
+        (3, "g", 10, 4),   # dominated by 1 (same price, smaller)
+        (4, "g", 8, 3),    # kept: strictly cheaper than all bigger
+        (5, "g", 10, 5),   # duplicate of 1: kept (mutual non-dom)
+        (6, "g", 15, 9),   # kept: biggest
+        (7, "h", 99, 1),   # other group: alone, kept
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, price long, size long")
+    kept = sorted(
+        r["id"] for r in skyline2d(df, "g", "price", "size").collect()
+    )
+    assert kept == [1, 4, 5, 6, 7]
+
+
+def test_skyline2d_matches_bruteforce(spark):
+    import random
+
+    from skrub_spark.operators.skyline import skyline2d
+
+    rng = random.Random(7)
+    rows = [
+        (i, "g", rng.randint(0, 20), rng.randint(0, 20))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, a long, b long")
+    kept = {r["id"] for r in skyline2d(df, "g", "a", "b").collect()}
+    brute = {
+        i
+        for (i, _, a, b) in rows
+        if not any(
+            (qa <= a and qb >= b and (qa < a or qb > b))
+            for (_, _, qa, qb) in rows
+        )
+    }
+    assert kept == brute
+
+
+# ----------------------------------------------------------- A/B test
+
+
+def test_ab_proportion_test_hand_computed(spark):
+    import math
+
+    from skrub_spark.report.abtest import ab_proportion_test
+
+    # A: 100 users 30 conv; B: 100 users 20 conv.
+    rows = [("A", i, 1 if i < 30 else 0) for i in range(100)]
+    rows += [("B", 1000 + i, 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string, u long, c int")
+    r = ab_proportion_test(df, "u", "v", "c").collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (100, 30, 100, 20)
+    pp = 50 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert r["z"] == pytest.approx((0.3 - 0.2) / se, abs=1e-6)
+    assert r["chi2"] == pytest.approx(((0.3 - 0.2) / se) ** 2, abs=1e-5)
+    assert r["lift"] == pytest.approx(0.5)
+
+
+def test_ab_proportion_test_degenerate_null(spark):
+    from skrub_spark.report.abtest import ab_proportion_test
+
+    # nobody converts anywhere -> pooled rate 0 -> z NULL
+    rows = [("A", 1, 0), ("A", 2, 0), ("B", 3, 0)]
+    df = spark.createDataFrame(rows, "v string, u long, c int")
+    r = ab_proportion_test(df, "u", "v", "c").collect()[0]
+    assert r["z"] is None and r["chi2"] is None
+
+
+# ------------------------------------------------------- FD profiling
+
+
+def test_fd_profile_holds_and_violations(spark):
+    from skrub_spark.report.profiling import fd_profile
+
+    rows = [
+        (1, "x", "p"),
+        (2, "x", "p"),
+        (3, "y", "q"),
+        (4, "y", "r"),   # y -> two rhs values: violation
+        (5, "z", None),  # NULL rhs counts as a value
+    ]
+    df = spark.createDataFrame(rows, "id long, l string, r string")
+    out = {x["lhs"] + "->" + x["rhs"]: x for x in fd_profile(
+        df, [("l", "r"), ("id", "l")]
+    ).collect()}
+    fd = out["l->r"]
+    assert fd["n_groups"] == 3
+    assert fd["n_violating"] == 1 and not fd["holds"]
+    assert fd["max_rhs_per_group"] == 2
+    assert out["id->l"]["holds"]
+
+
+def test_candidate_keys_detects_dups(spark):
+    from skrub_spark.report.profiling import candidate_keys
+
+    rows = [(1, "a"), (2, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = {r["cols"]: r for r in candidate_keys(
+        df, [["id"], ["g"], ["id", "g"]]
+    ).collect()}
+    assert out["id"]["is_key"] and out["id"]["n_dup_rows"] == 0
+    assert not out["g"]["is_key"]
+    assert out["g"]["n_dup_rows"] == 2  # the two 'a' rows
+    assert out["id,g"]["is_key"]
