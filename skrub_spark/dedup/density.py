@@ -80,3 +80,77 @@ def duplication_density(
             F.round(nd.cast("double") / n.cast("double"), 6),
         ).alias("dup_fraction"),
     )
+
+
+def ngram_novelty(
+    target: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    salt: str = "nv8",
+) -> DataFrame:
+    """Per-target-document novelty vs a reference corpus: ``(id,
+    n_shingles, n_novel, novelty)`` where ``n_novel`` counts the
+    document's DISTINCT ``k``-word shingles that appear NOWHERE in
+    ``reference`` and ``novelty = n_novel / n_shingles`` (NULL for
+    shingle-less documents, which still appear with zeros).
+
+    ``duplication_density`` looks inward (how much of this doc
+    repeats within the corpus); novelty looks across corpora — the
+    memorization/contribution proxy that decides whether a new
+    crawl snapshot adds anything beyond the last one, and the
+    per-document form of the contamination check
+    (``dedup/contamination.py`` flags ANY overlap; this measures
+    HOW MUCH is new).
+
+    Shape at 100 TB: both sides reduce to DISTINCT 8-byte md5
+    shingle keys (the shuffle never carries shingle strings);
+    novelty is ONE left anti-style membership join (left join +
+    null test) against the reference's distinct-key set plus one
+    per-doc counting reduce. Exact counts — the DuckDB oracle
+    (battery query ``ngram_novelty``) replays every fraction.
+    """
+    sh = target.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias(
+            "grams"
+        ),
+    )
+    e = sh.select(
+        id_col,
+        F.size("grams").alias("ng"),
+        F.explode("grams").alias("g"),
+    ).select(id_col, "ng", _h64(F.col("g"), salt).alias("h"))
+    ref = (
+        reference.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("g")
+        )
+        .select(_h64(F.col("g"), salt).alias("h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        e.join(ref, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("ng").cast("long").alias("n_shingles"),
+            F.sum(F.col("__hit").isNull().cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    out = target.select(id_col).join(per, id_col, "left")
+    n = F.coalesce("n_shingles", F.lit(0)).cast("long")
+    nv = F.coalesce("n_novel", F.lit(0)).cast("long")
+    return out.select(
+        id_col,
+        n.alias("n_shingles"),
+        nv.alias("n_novel"),
+        F.when(
+            n > 0,
+            F.round(nv.cast("double") / n.cast("double"), 6),
+        ).alias("novelty"),
+    )

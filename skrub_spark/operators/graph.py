@@ -574,3 +574,90 @@ def k_core(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    *,
+    max_hops: int = 4,
+    directed: bool = False,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Multi-source BFS: ``(node, dist)`` for every node within
+    ``max_hops`` of any source (dist = exact hop distance to the
+    NEAREST source, sources at 0). Landmark distances are the
+    standard closeness/centrality feature webgraph curation ranks
+    hosts by (distance to seed sets of known-good / known-spam
+    hosts — the TrustRank geometry made explicit), and the bounded
+    variant of single-source shortest paths.
+
+    Determinism: distance is a set fixpoint — each round's frontier
+    is the anti-joined neighbor set, so the result is bit-identical
+    under any partitioning and a chained-CTE oracle replays every
+    round (battery query ``bfs_distances``).
+
+    Per round: ONE shuffle (edges ⋈ frontier on the source end,
+    reusing the persisted edge partitioning) + one distinct + one
+    anti-join against the settled set; frontiers and the settled
+    frame are |V|-sized, edges are touched once per round.
+    Per-round checkpointing truncates lineage exactly like
+    ``label_propagation``; at 100 TB pass ``checkpoint='reliable'``
+    (requires an explicit setCheckpointDir).
+    """
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if directed:
+        e = fwd.filter(F.col("src") != F.col("dst")).distinct()
+    else:
+        rev = edges.select(
+            F.col(dst).alias("src"), F.col(src).alias("dst")
+        )
+        e = (
+            fwd.union(rev)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    e = e.persist()
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
+    if checkpoint == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    settled = sources.select(
+        F.col(node).cast("long").alias("node"), F.lit(0).alias("dist")
+    ).distinct()
+    settled = _ckpt(settled)
+    frontier = settled.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            e.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+        )
+        nxt = _ckpt(nxt)
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(h).alias("dist"))
+        )
+        settled = _ckpt(settled)
+        frontier = nxt
+    return settled.select("node", F.col("dist").cast("int").alias("dist"))

@@ -5383,6 +5383,107 @@ def q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distances (r8 late,
+    operators/graph.py::bfs_distances — closeness-to-seed-set
+    features, the TrustRank geometry made explicit): 4-hop
+    multi-source BFS from landmarks {0,1,2} on the planted 97-host
+    graph; set-fixpoint rounds are bit-identical under any
+    partitioning and the chained-CTE oracle replays each."""
+    _prep(spark)
+    from .operators.graph import bfs_distances
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    landmarks = spark.range(0, 3).select(F.col("id").alias("node"))
+    return bfs_distances(edges, landmarks, max_hops=4)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus novelty scoring (r8 late,
+    dedup/density.py::ngram_novelty — does the new snapshot add
+    anything? the per-document HOW-MUCH form of the contamination
+    check): fraction of each target doc's distinct 3-word shingles
+    absent from the src0-src3 reference slice; 8-byte md5 keys,
+    one membership join, exact counts."""
+    _prep(spark)
+    from .dedup.density import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    refs = ["src0", "src1", "src2", "src3"]
+    target = docs.filter(~F.col("source").isin(refs))
+    reference = docs.filter(F.col("source").isin(refs))
+    return ngram_novelty(target, reference, "text", "doc_id", k=3)
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (r8 late, Spark native
+    ``DataFrame.unpivot`` — the melt half of the pivot pair;
+    `pivot_segment_nation` covers long-to-wide): per-priority
+    order metrics (count / exact-decimal revenue / max price, all
+    cast DOUBLE pre-melt) unpivoted to (priority, metric, value);
+    the oracle is the definitional UNION ALL."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_revenue"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_revenue", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (r8 late, composing
+    operators/winsorize.py::quantile_discretize three ways — the
+    classic lifecycle segmentation grid): per-customer recency /
+    frequency / monetary quintile bins via the integer basis-point
+    cut-point rule, aggregated to per-cell counts and exact
+    decimal revenue."""
+    _prep(spark)
+    from .operators.winsorize import quantile_discretize
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_date(cast(o_orderdate as date))")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+            "monetary"
+        ),
+    )
+    maxd = per_cust.agg(F.max("last_day").alias("maxd"))
+    rfm = (
+        per_cust.crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            (F.col("maxd") - F.col("last_day"))
+            .cast("long")
+            .alias("recency"),
+            "frequency",
+            "monetary",
+        )
+        .persist()  # three discretize passes re-aggregate it
+    )
+    binned = quantile_discretize(rfm, "recency", 5, "r_bin")
+    binned = quantile_discretize(binned, "frequency", 5, "f_bin")
+    binned = quantile_discretize(binned, "monetary", 5, "m_bin")
+    return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10607,6 +10708,177 @@ ORACLES["theil_sen_trend"] = """
     LEFT JOIN med USING (grp)
 """
 
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Chained-CTE replay of multi-source BFS on the planted
+    97-host graph — one (frontier = neighbors minus settled;
+    settled += frontier at dist h) block per hop, exactly
+    operators/graph.py::bfs_distances."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 WHERE src != dst
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0 WHERE src != dst
+      )
+    ), d0 AS (
+      SELECT CAST(l AS BIGINT) AS node, 0 AS dist FROM range(0, 3) t(l)
+    )"""
+    ]
+    for h in range(1, max_hops + 1):
+        p, c = f"d{h - 1}", f"d{h}"
+        parts.append(
+            f""", f{h} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM e JOIN {p} ON e.src = {p}.node
+      WHERE e.dst NOT IN (SELECT node FROM {p})
+    ), {c} AS (
+      SELECT node, dist FROM {p}
+      UNION ALL SELECT node, {h} AS dist FROM f{h}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INTEGER) AS dist
+    FROM d{max_hops}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["bfs_distances"] = _bfs_oracle(4)
+
+ORACLES["ngram_novelty"] = """
+    WITH tgt AS (
+      SELECT doc_id, text FROM documents
+      WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+    ), ref AS (
+      SELECT text FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ), tt AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x != '') AS toks
+      FROM tgt
+    ), tsh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3
+          THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN generate_series(1, len(toks) - 2)]
+          ELSE [] END) AS grams
+      FROM tt
+    ), e AS (
+      SELECT doc_id, len(grams) AS ng,
+        ('0x' || substr(md5('nv8' || unnest(grams)), 1, 15))::BIGINT AS h
+      FROM tsh
+    ), rt AS (
+      SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM ref
+    ), rsh AS (
+      SELECT list_distinct(CASE WHEN len(toks) >= 3
+          THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN generate_series(1, len(toks) - 2)]
+          ELSE [] END) AS grams
+      FROM rt
+    ), rh AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('nv8' || unnest(grams)), 1, 15))::BIGINT AS h,
+        1 AS hit
+      FROM rsh
+    ), per AS (
+      SELECT doc_id,
+        CAST(max(ng) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN rh.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel
+      FROM e LEFT JOIN rh USING (h) GROUP BY 1
+    )
+    SELECT t.doc_id,
+      COALESCE(per.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+      COALESCE(per.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+      CASE WHEN per.n_shingles > 0 THEN
+        round(CAST(per.n_novel AS DOUBLE)
+              / CAST(per.n_shingles AS DOUBLE), 6) END AS novelty
+    FROM tgt t LEFT JOIN per USING (doc_id)
+"""
+
+ORACLES["unpivot_metrics"] = """
+    WITH a AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS DOUBLE) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS total_revenue,
+        CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+    FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'total_revenue', total_revenue FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM a
+"""
+
+
+def _rfm_oracle() -> str:
+    """Three quantile_discretize replays (integer basis-point cut
+    rule over distinct-value cumsums) + the segment-grid rollup."""
+
+    def edges(metric: str) -> str:
+        cases = ",\n        ".join(
+            f"min(CASE WHEN cum >= ({bp} * n + 9999) // 10000 "
+            f"THEN v END) AS e{i}"
+            for i, bp in enumerate((2000, 4000, 6000, 8000), start=1)
+        )
+        return f"""{metric}_cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        AS cum
+      FROM (SELECT {metric} AS v, count(*) AS c FROM rfm GROUP BY 1)
+    ), {metric}_e AS (
+      SELECT {cases}
+      FROM {metric}_cum CROSS JOIN (SELECT count(*) AS n FROM rfm)
+    )"""
+
+    def bin_expr(metric: str, out: str) -> str:
+        s = " + ".join(
+            f"(CASE WHEN {metric} >= {metric}_e.e{i} THEN 1 ELSE 0 END)"
+            for i in range(1, 5)
+        )
+        return f"CAST({s} AS INTEGER) AS {out}"
+
+    return f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+        max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        CAST(count(*) AS BIGINT) AS frequency,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY 1
+    ), rfm AS (
+      SELECT o_custkey,
+        CAST((SELECT max(last_day) FROM per_cust) - last_day
+             AS BIGINT) AS recency,
+        frequency, monetary
+      FROM per_cust
+    ), {edges("recency")}, {edges("frequency")}, {edges("monetary")},
+    binned AS (
+      SELECT {bin_expr("recency", "r_bin")},
+        {bin_expr("frequency", "f_bin")},
+        {bin_expr("monetary", "m_bin")},
+        monetary
+      FROM rfm
+      CROSS JOIN recency_e CROSS JOIN frequency_e CROSS JOIN monetary_e
+    )
+    SELECT r_bin, f_bin, m_bin,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM binned GROUP BY 1, 2, 3
+"""
+
+
+ORACLES["rfm_segments"] = _rfm_oracle()
+
 ORACLES["skyline_parts"] = """
     WITH px AS (
       SELECT p_partkey, p_brand, p_size,
@@ -11044,6 +11316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_report": q_ab_test_report,
         "fd_profile": q_fd_profile,
         "candidate_keys": q_candidate_keys,
+        "bfs_distances": q_bfs_distances,
+        "ngram_novelty": q_ngram_novelty,
+        "unpivot_metrics": q_unpivot_metrics,
+        "rfm_segments": q_rfm_segments,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

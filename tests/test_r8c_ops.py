@@ -38,16 +38,13 @@ def test_kaplan_meier_hand_computed(spark):
 def test_kaplan_meier_wipeout_zeroes_curve(spark):
     from skrub_spark.report.survival import kaplan_meier
 
-    rows = [("b", 1, 1), ("b", 1, 1), ("b", 2, 0)]
-    # t=1: both at-risk-at-1... n_risk=3, d=2 -> S=1/3; then t=2
-    # censored only. Wipeout: all three event at t=1.
+    # every subject events at t=1 (d == n_risk): S drops to exactly 0
     df = spark.createDataFrame(
         [("b", 1, 1), ("b", 1, 1), ("b", 1, 1)], "g string, t long, e int"
     )
     out = kaplan_meier(df, "g", "t", "e").collect()
     assert len(out) == 1
     assert out[0]["survival"] == 0.0
-    del rows
 
 
 # ------------------------------------------------------------- Gini
@@ -229,3 +226,76 @@ def test_candidate_keys_detects_dups(spark):
     assert not out["g"]["is_key"]
     assert out["g"]["n_dup_rows"] == 2  # the two 'a' rows
     assert out["id,g"]["is_key"]
+
+
+# ------------------------------------------------------ BFS distances
+
+
+def test_bfs_distances_path_graph(spark):
+    from skrub_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4-5 plus isolated island 8-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (8, 9)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    d = {r["node"]: r["dist"] for r in bfs_distances(
+        edges, srcs, max_hops=3
+    ).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5,8,9 out of reach
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from skrub_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,), (4,)], "node long")
+    d = {r["node"]: r["dist"] for r in bfs_distances(
+        edges, srcs, max_hops=4
+    ).collect()}
+    # node 2 is 2 hops from both ends; 3 is 1 from landmark 4
+    assert d == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_distances_directed(spark):
+    from skrub_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    d = {r["node"]: r["dist"] for r in bfs_distances(
+        edges, srcs, max_hops=2, directed=True
+    ).collect()}
+    assert d == {0: 0, 1: 1}  # 2 unreachable along edge direction
+
+
+# ------------------------------------------------------ n-gram novelty
+
+
+def test_ngram_novelty_fractions(spark):
+    from skrub_spark.dedup.density import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    # doc 1: both shingles inside ref text -> novelty 0
+    # doc 2: disjoint vocabulary -> novelty 1
+    # doc 3: one of two shingles new -> 0.5; doc 4: too short -> NULL
+    tgt = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "foo bar baz qux"),
+            (3, "beta gamma delta epsilon"),
+            (4, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(tgt, ref).collect()}
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["n_shingles"] == 2 and out[3]["novelty"] == 0.5
+    assert out[4]["n_shingles"] == 0 and out[4]["novelty"] is None
