@@ -383,3 +383,67 @@ def autocorrelation(
             ).alias("acf"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    alpha: float = 0.3,
+    k: int = 14,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over a
+    regular integer-indexed series: ``(x, y, ewma, resid)`` with
+    ``ewma_t = Σ_{i<k} w_i·y_{t−i} / Σ w_i`` and weights
+    ``w_i = round(α(1−α)^i, 6)`` — the k-term truncation of the
+    recursive EWMA, which (unlike the recursion) is an exact
+    FINITE weighted sum and therefore SQL-replayable. The residual
+    ``y − ewma`` is the de-trended series anomaly monitors
+    threshold (pair with ``mad_outliers`` for robust bands).
+
+    Exactness: weights are 6dp LITERALS precomputed in Python (the
+    same literals are emitted into the oracle — no runtime pow),
+    per-term products ``w_i · y_{t−i}`` are exact DECIMALs (y
+    integer), the numerator sums in fixed order as DECIMAL(38,6),
+    the denominator is one literal, and the division is ONE IEEE
+    op rounded 6dp (battery oracle ``ewma_smooth``). Rows with
+    fewer than k preceding points emit NULL ewma (no silent
+    partial-window renormalization).
+
+    Scale shape: the input is a PERIOD frame (one row per x —
+    corpus-scale work happened upstream); the lag window orders
+    the bounded period frame. ``x_col`` must step by 1; gaps make
+    the window see non-adjacent periods, so gapfill first
+    (``time_bucket_gapfill``).
+    """
+    a = float(alpha)
+    ws = [round(a * (1 - a) ** i, 6) for i in range(int(k))]
+    wsum = round(sum(ws), 6)
+    w = Window.orderBy(x_col)
+    y = F.col(y_col).cast("long")
+    terms = [
+        (
+            F.lag(y, i).over(w)
+            * F.lit(f"{ws[i]:.6f}").cast("decimal(8,6)")
+        ).cast("decimal(38,6)")
+        for i in range(int(k))
+    ]
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    return df.select(
+        F.col(x_col).alias("x"),
+        y.alias("y"),
+        F.round(
+            num.cast("double")
+            / F.lit(f"{wsum:.6f}").cast("decimal(8,6)").cast("double"),
+            6,
+        ).alias("ewma"),
+        F.round(
+            y.cast("double")
+            - num.cast("double")
+            / F.lit(f"{wsum:.6f}").cast("decimal(8,6)").cast("double"),
+            6,
+        ).alias("resid"),
+    )

@@ -5484,6 +5484,67 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing of daily order volume (r8 late,
+    operators/sequence.py::ewma_smooth — the truncated-EWMA
+    de-trender anomaly monitors threshold): 14-term α=0.3 weighted
+    sum with 6dp literal weights, exact DECIMAL numerator, one
+    IEEE division; NULL until a full window exists."""
+    _prep(spark)
+    from .operators.sequence import ewma_smooth
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("unix_date(cast(o_orderdate as date))").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return ewma_smooth(daily, "day", "cnt", alpha=0.3, k=14)
+
+
+def q_spatial_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial distance join (r8 late,
+    operators/spatial.py::grid_distance_join — the equi-join
+    reduction of ST_DWithin): customers/suppliers at planted
+    integer microdegree coords, all pairs within 2e6 (2°); 3×3
+    cell-neighborhood candidates, exact integer dx²+dy² filter —
+    the oracle runs the quadratic definition."""
+    _prep(spark)
+    from .operators.spatial import grid_distance_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 180000000 - 90000000)
+        .alias("x"),
+        ((F.col("c_custkey") * 40503) % 360000000 - 180000000)
+        .alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 97003) % 180000000 - 90000000)
+        .alias("x"),
+        ((F.col("s_suppkey") * 11027) % 360000000 - 180000000)
+        .alias("y"),
+    )
+    out = grid_distance_join(cust, supp, radius=2_000_000)
+    return out.select(
+        F.col("c_custkey_l").alias("c_custkey"),
+        F.col("s_suppkey_r").alias("s_suppkey"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index audience intersections (r8 late,
+    operators/bitmap.py::audience_overlap — S²/2 distinct-count
+    intersections without S²/2 id-set self-joins): users packed
+    into 32-bit-lane words per event type, pairwise
+    popcount(a AND b), exact counts + 6dp Jaccard."""
+    _prep(spark)
+    from .operators.bitmap import audience_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return audience_overlap(ev, "event_type", "user_id")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10879,6 +10940,86 @@ def _rfm_oracle() -> str:
 
 ORACLES["rfm_segments"] = _rfm_oracle()
 
+def _ewma_oracle(alpha: float = 0.3, k: int = 14) -> str:
+    """Replay of ewma_smooth's truncated weighted sum with the
+    SAME 6dp literal weights the operator precomputes."""
+    a = float(alpha)
+    ws = [round(a * (1 - a) ** i, 6) for i in range(int(k))]
+    wsum = round(sum(ws), 6)
+    terms = " + ".join(
+        f"CAST('{ws[i]:.6f}' AS DECIMAL(8,6)) * "
+        + ("y" if i == 0 else f"lag(y, {i}) OVER w")
+        for i in range(int(k))
+    )
+    wd = f"CAST(CAST('{wsum:.6f}' AS DECIMAL(8,6)) AS DOUBLE)"
+    return f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+        AS x,
+        CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT x, y, ({terms}) AS num
+      FROM daily WINDOW w AS (ORDER BY x)
+    )
+    SELECT x, y,
+      round(CAST(num AS DOUBLE) / {wd}, 6) AS ewma,
+      round(CAST(y AS DOUBLE) - CAST(num AS DOUBLE) / {wd}, 6)
+        AS resid
+    FROM t
+"""
+
+
+ORACLES["ewma_smooth"] = _ewma_oracle(0.3, 14)
+
+ORACLES["spatial_join_grid"] = """
+    WITH c AS (
+      SELECT c_custkey,
+        (c_custkey * 2654435761) % 180000000 - 90000000 AS x,
+        (c_custkey * 40503) % 360000000 - 180000000 AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+        (s_suppkey * 97003) % 180000000 - 90000000 AS x,
+        (s_suppkey * 11027) % 360000000 - 180000000 AS y
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+      CAST((c.x - s.x) * (c.x - s.x)
+         + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+    FROM c CROSS JOIN s
+    WHERE (c.x - s.x) * (c.x - s.x)
+        + (c.y - s.y) * (c.y - s.y) <= 4000000000000
+"""
+
+ORACLES["audience_overlap"] = """
+    WITH bm AS (
+      SELECT event_type AS segment, user_id // 32 AS word,
+        bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+      FROM events GROUP BY 1, 2
+    ), sizes AS (
+      SELECT segment, CAST(sum(bit_count(bits)) AS BIGINT) AS n
+      FROM bm GROUP BY 1
+    ), inter AS (
+      SELECT a.segment AS segment_a, b.segment AS segment_b,
+        CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_overlap
+      FROM bm a JOIN bm b
+        ON a.word = b.word AND a.segment < b.segment
+      GROUP BY 1, 2
+    )
+    SELECT sa.segment AS segment_a, sb.segment AS segment_b,
+      sa.n AS n_a, sb.n AS n_b,
+      CAST(COALESCE(i.n_overlap, 0) AS BIGINT) AS n_overlap,
+      CASE WHEN sa.n + sb.n - COALESCE(i.n_overlap, 0) > 0 THEN
+        round(CAST(COALESCE(i.n_overlap, 0) AS DOUBLE)
+              / CAST(sa.n + sb.n - COALESCE(i.n_overlap, 0)
+                     AS DOUBLE), 6) END AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sa.segment < sb.segment
+    LEFT JOIN inter i
+      ON i.segment_a = sa.segment AND i.segment_b = sb.segment
+"""
+
 ORACLES["skyline_parts"] = """
     WITH px AS (
       SELECT p_partkey, p_brand, p_size,
@@ -11320,6 +11461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "unpivot_metrics": q_unpivot_metrics,
         "rfm_segments": q_rfm_segments,
+        "ewma_smooth": q_ewma_smooth,
+        "spatial_join_grid": q_spatial_join_grid,
+        "audience_overlap": q_audience_overlap,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

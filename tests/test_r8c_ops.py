@@ -299,3 +299,101 @@ def test_ngram_novelty_fractions(spark):
     assert out[2]["novelty"] == 1.0
     assert out[3]["n_shingles"] == 2 and out[3]["novelty"] == 0.5
     assert out[4]["n_shingles"] == 0 and out[4]["novelty"] is None
+
+
+# ------------------------------------------------------- EWMA smoothing
+
+
+def test_ewma_smooth_matches_hand_sum(spark):
+    from skrub_spark.operators.sequence import ewma_smooth
+
+    ys = [10, 12, 9, 20, 14, 11]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "x long, y long"
+    )
+    out = {r["x"]: r for r in ewma_smooth(
+        df, "x", "y", alpha=0.5, k=3
+    ).collect()}
+    ws = [round(0.5 * 0.5 ** i, 6) for i in range(3)]
+    wsum = round(sum(ws), 6)
+    # first k-1 rows: NULL (no full window)
+    assert out[0]["ewma"] is None and out[1]["ewma"] is None
+    for t in range(2, 6):
+        expect = round(
+            (ws[0] * ys[t] + ws[1] * ys[t - 1] + ws[2] * ys[t - 2])
+            / wsum,
+            6,
+        )
+        assert out[t]["ewma"] == pytest.approx(expect, abs=2e-6)
+        assert out[t]["resid"] == pytest.approx(
+            ys[t] - expect, abs=2e-6
+        )
+
+
+# ------------------------------------------------------- spatial join
+
+
+def test_grid_distance_join_boundary_and_cross_cell(spark):
+    from skrub_spark.operators.spatial import grid_distance_join
+
+    # radius 10: pair at exact distance 10 kept, 11 dropped; the
+    # (9,0)-(19,0) pair spans adjacent cells and must still match.
+    left = spark.createDataFrame(
+        [(1, 0, 0), (2, 9, 0), (3, 100, 100)], "id long, x long, y long"
+    )
+    right = spark.createDataFrame(
+        [(10, 10, 0), (11, 0, 11), (12, 19, 0), (13, 107, 107)],
+        "id long, x long, y long",
+    )
+    out = grid_distance_join(left, right, radius=10)
+    pairs = sorted((r["id_l"], r["id_r"]) for r in out.collect())
+    # 1-10: d=10 kept; 1-11: d=11 dropped; 2-10: d=1; 2-12: d=10
+    # (cross-cell); 3-13: d2=98 <= 100
+    assert pairs == [(1, 10), (2, 10), (2, 12), (3, 13)]
+
+
+def test_grid_distance_join_matches_bruteforce(spark):
+    import random
+
+    from skrub_spark.operators.spatial import grid_distance_join
+
+    rng = random.Random(11)
+    L = [(i, rng.randint(-50, 50), rng.randint(-50, 50)) for i in range(60)]
+    R = [(i, rng.randint(-50, 50), rng.randint(-50, 50)) for i in range(60)]
+    ldf = spark.createDataFrame(L, "id long, x long, y long")
+    rdf = spark.createDataFrame(R, "id long, x long, y long")
+    out = grid_distance_join(ldf, rdf, radius=17)
+    got = sorted((r["id_l"], r["id_r"]) for r in out.collect())
+    want = sorted(
+        (i, j)
+        for (i, xl, yl) in L
+        for (j, xr, yr) in R
+        if (xl - xr) ** 2 + (yl - yr) ** 2 <= 17 * 17
+    )
+    assert got == want
+    # each pair exactly once (no duplicate candidates)
+    assert len(got) == len(set(got))
+
+
+# ------------------------------------------------------ bitmap overlap
+
+
+def test_audience_overlap_counts(spark):
+    from skrub_spark.operators.bitmap import audience_overlap
+
+    rows = (
+        [("a", u) for u in [1, 2, 3, 64, 65]]
+        + [("b", u) for u in [2, 3, 65, 200]]
+        + [("c", u) for u in [500]]
+        + [("a", 2)]  # duplicate membership must not double-count
+    )
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = {(r["segment_a"], r["segment_b"]): r for r in audience_overlap(
+        df, "seg", "uid"
+    ).collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_overlap"]) == (5, 4, 3)
+    assert ab["jaccard"] == pytest.approx(3 / 6)
+    ac = out[("a", "c")]
+    assert ac["n_overlap"] == 0 and ac["jaccard"] == 0.0
+    assert ("b", "c") in out and len(out) == 3
