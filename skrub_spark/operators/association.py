@@ -134,3 +134,67 @@ def association_rules(
             6,
         ).alias("lift"),
     )
+
+
+def item_cooccurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Item-item co-occurrence similarity — the collaborative-
+    filtering complement to ``association_rules``: one row per
+    unordered item pair appearing in ≥ ``min_pair_count`` common
+    baskets — ``(item_a, item_b, n_a, n_b, n_ab, cosine)`` with
+    ``cosine = n_ab / sqrt(n_a · n_b)`` (the Salton/item-CF
+    similarity over binary basket vectors). ``association_rules``
+    ranks directional rules by lift; the symmetric cosine matrix
+    is what "customers also bought" k-NN serving reads.
+
+    Exactness: basket membership is DISTINCT (repeat lines don't
+    double-count), all counts exact, sqrt is one correctly-rounded
+    IEEE op on an exact integer product, division + 6dp round
+    (battery oracle ``item_cooccurrence`` replays verbatim).
+
+    Scale shape: the pair stage is a basket-keyed self-join of the
+    DISTINCT (basket, item) frame — cost Σ|basket|², the inverted-
+    index bound, never |items|²; real baskets are short (TPC-H
+    orders ≤ 7 lines; cap pathological baskets upstream with
+    ``cap_per_group`` if a basket is a crawl artifact). Item
+    counts join back onto the |pairs|-sized frame (plain equi-join
+    — AQE broadcasts it when the catalog is small; forcing a
+    broadcast would break at web-scale item counts).
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct().persist()
+    ic = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    right = bi.select(F.col("b"), F.col("i").alias("j"))
+    pairs = (
+        bi.join(right, "b")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_count))
+    )
+    na = ic.select(F.col("i"), F.col("n").alias("n_a"))
+    nb = ic.select(
+        F.col("i").alias("j"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(na, "i")
+        .join(nb, "j")
+        .select(
+            F.col("i").alias("item_a"),
+            F.col("j").alias("item_b"),
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )

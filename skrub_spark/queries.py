@@ -5545,6 +5545,84 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap(ev, "event_type", "user_id")
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets rollup (r8 late — the remaining native
+    SQL grouping surface next to `rollup_revenue`): revenue over
+    all four (region × segment) grouping sets with an explicit
+    grouping_id (MSB = first cube column on both engines)."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        j.cube("r_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine (r8 late,
+    operators/association.py::item_cooccurrence — the symmetric
+    'customers also bought' matrix next to association_rules'
+    directional lift): parts co-ordered within orders, basket-
+    keyed self-join of the distinct (order, part) frame."""
+    _prep(spark)
+    from .operators.association import item_cooccurrence
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_cooccurrence(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation (r8 late,
+    operators/impute.py::impute_median — the grouped distributed
+    SimpleImputer(strategy='median')): account balances masked on
+    a planted rule, refilled from the per-nation exact
+    rank-selection median."""
+    _prep(spark)
+    from .operators.impute import impute_median
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 19 != 0,
+            F.col("c_acctbal").cast("decimal(12,2)"),
+        ).alias("acctbal"),
+    )
+    out = impute_median(cust, "c_nationkey", "acctbal", "c_custkey")
+    return out.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "acctbal_imputed",
+        "acctbal_was_imputed",
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11020,6 +11098,75 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+ORACLES["cube_revenue"] = """
+    WITH j AS (
+      SELECT r_name, c_mktsegment, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT r_name, c_mktsegment,
+      CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT)
+        AS gid,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS revenue
+    FROM j
+    GROUP BY CUBE (r_name, c_mktsegment)
+"""
+
+ORACLES["item_cooccurrence"] = """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), ic AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1
+    ), pairs AS (
+      SELECT a.i AS i, c.i AS j, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT p.i AS item_a, p.j AS item_b,
+      na.n AS n_a, nb.n AS n_b, p.n_ab,
+      round(CAST(p.n_ab AS DOUBLE)
+            / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
+    FROM pairs p
+    JOIN ic na ON na.i = p.i
+    JOIN ic nb ON nb.i = p.j
+"""
+
+ORACLES["impute_median"] = """
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+        CASE WHEN c_custkey % 19 != 0
+          THEN CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal
+      FROM customer
+    ), nn AS (
+      SELECT c_nationkey, acctbal, c_custkey,
+        ROW_NUMBER() OVER (
+          PARTITION BY c_nationkey
+          ORDER BY acctbal ASC, c_custkey ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM base WHERE acctbal IS NOT NULL
+    ), med AS (
+      SELECT c_nationkey, SUM(acctbal * (
+          CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+        + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)) AS med2
+      FROM nn
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY 1
+    )
+    SELECT b.c_custkey, b.c_nationkey,
+      CAST(b.acctbal AS DOUBLE) AS acctbal,
+      COALESCE(CAST(b.acctbal AS DOUBLE),
+               round(CAST(m.med2 AS DOUBLE) / 2.0, 6))
+        AS acctbal_imputed,
+      (b.acctbal IS NULL AND m.med2 IS NOT NULL)
+        AS acctbal_was_imputed
+    FROM base b LEFT JOIN med m USING (c_nationkey)
+"""
+
 ORACLES["skyline_parts"] = """
     WITH px AS (
       SELECT p_partkey, p_brand, p_size,
@@ -11464,6 +11611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "spatial_join_grid": q_spatial_join_grid,
         "audience_overlap": q_audience_overlap,
+        "cube_revenue": q_cube_revenue,
+        "item_cooccurrence": q_item_cooccurrence,
+        "impute_median": q_impute_median,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

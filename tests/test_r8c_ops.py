@@ -397,3 +397,59 @@ def test_audience_overlap_counts(spark):
     ac = out[("a", "c")]
     assert ac["n_overlap"] == 0 and ac["jaccard"] == 0.0
     assert ("b", "c") in out and len(out) == 3
+
+
+# ----------------------------------------------------- co-occurrence
+
+
+def test_item_cooccurrence_counts_and_cosine(spark):
+    import math
+
+    from skrub_spark.operators.association import item_cooccurrence
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"), (3, "y"),  # repeat line: no double count
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in item_cooccurrence(
+        df, "b", "i", min_pair_count=2
+    ).collect()}
+    xy = out[("x", "y")]
+    assert (xy["n_a"], xy["n_b"], xy["n_ab"]) == (3, 3, 3)
+    assert xy["cosine"] == pytest.approx(3 / math.sqrt(9))
+    # (x,z) co-occur once only -> filtered by min_pair_count=2
+    assert ("x", "z") not in out and len(out) == 1
+
+
+# -------------------------------------------------------- imputation
+
+
+def test_impute_median_fills_from_group(spark):
+    from skrub_spark.operators.impute import impute_median
+
+    rows = [
+        (1, "g", "10.00"),
+        (2, "g", "20.00"),
+        (3, "g", "30.00"),
+        (4, "g", None),       # -> median 20.0
+        (5, "h", None),       # all-NULL group -> stays NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, g string, v string"
+    ).select("id", "g", F.col("v").cast("decimal(12,2)").alias("v"))
+    out = {r["id"]: r for r in impute_median(df, "g", "v", "id").collect()}
+    assert out[4]["v_imputed"] == 20.0 and out[4]["v_was_imputed"]
+    assert out[1]["v_imputed"] == 10.0 and not out[1]["v_was_imputed"]
+    assert out[5]["v_imputed"] is None and not out[5]["v_was_imputed"]
+
+
+def test_impute_median_even_group_lower_upper_mean(spark):
+    from skrub_spark.operators.impute import impute_median
+
+    rows = [(1, "g", 10.0), (2, "g", 20.0), (3, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r for r in impute_median(df, "g", "v", "id").collect()}
+    assert out[3]["v_imputed"] == pytest.approx(15.0)
