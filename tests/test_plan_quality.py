@@ -786,3 +786,68 @@ def test_sequence_anomaly_entity_window_and_broadcast_matrix(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_skyline_group_windows_no_cartesian(spark):
+    """The 2-D sweep is two group-partitioned range-frame windows —
+    no join at all, and nothing may globally range-sort."""
+    from skrub_spark.queries import q_skyline_parts
+
+    plan = plan_of(q_skyline_parts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan  # pure window operator
+
+
+def test_spatial_join_is_cell_equijoin(spark):
+    """Grid bucketing must turn the distance join into a hash
+    equi-join on cell ids — the cross join is exactly what the
+    operator exists to avoid."""
+    from skrub_spark.queries import q_spatial_join_grid
+
+    plan = plan_of(q_spatial_join_grid(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_audience_overlap_packs_map_side(spark):
+    """Bitmap packing is ONE map-side-combined (segment, word)
+    groupBy; the pairwise stage touches bitmap frames only."""
+    from skrub_spark.queries import q_audience_overlap
+
+    plan = plan_of(q_audience_overlap(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_item_cooccurrence_equijoins_only(spark):
+    """Pair formation is a basket-keyed equi-join of the distinct
+    (basket, item) frame; item counts join back by key."""
+    from skrub_spark.queries import q_item_cooccurrence
+
+    plan = plan_of(q_item_cooccurrence(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gini_and_survival_group_partitioned_windows(spark):
+    """Rank/risk windows partition by the group key — a global
+    range sort would single-task the corpus."""
+    from skrub_spark.queries import q_gini_concentration, q_survival_km
+
+    assert "rangepartitioning" not in plan_of(
+        q_gini_concentration(spark, SF)
+    )
+    assert "rangepartitioning" not in plan_of(q_survival_km(spark, SF))
+
+
+def test_impute_median_broadcasts_medians_back(spark):
+    """The |groups|-sized median frame must broadcast onto the row
+    frame, never sort-merge."""
+    from skrub_spark.queries import q_impute_median
+
+    plan = plan_of(q_impute_median(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
