@@ -182,6 +182,26 @@ HEADLINE = [
     "grouped_trend",
     "incremental_agg",
     "autocorrelation",
+    # r8 third-session additions
+    "survival_km",
+    "gini_concentration",
+    "theil_sen_trend",
+    "skyline_parts",
+    "ab_test_report",
+    "fd_profile",
+    "candidate_keys",
+    "bfs_distances",
+    "ngram_novelty",
+    "unpivot_metrics",
+    "rfm_segments",
+    "ewma_smooth",
+    "spatial_join_grid",
+    "audience_overlap",
+    "cube_revenue",
+    "item_cooccurrence",
+    "impute_median",
+    "hard_negatives",
+    "oversample_balance",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

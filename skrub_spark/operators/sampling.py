@@ -16,7 +16,7 @@ a 1% audit sample independent of the train/test split).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000
@@ -262,4 +262,66 @@ def cap_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.lit(int(n)))
         .drop("__rn")
+    )
+
+
+def oversample_balance(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    *,
+    salt: str = "ob8",
+) -> DataFrame:
+    """Class rebalancing by deterministic oversampling WITH
+    replacement: every label class is repeated up to exactly the
+    majority-class count — ``(<input columns>, copy_ix)`` with
+    ``copy_ix`` in [1, copies]. Minority-heavy training data is
+    the standard fix for class imbalance when downsampling the
+    majority (``cap_per_group``) would throw away signal.
+
+    Determinism/exactness: each class of size n gets base copies
+    ``f = target div n`` for every row plus ONE extra copy for the
+    first ``target mod n`` rows in content-addressed md5 order
+    (hex-string order, id tie-break — the same portable rule as
+    the samplers), so the output is bit-identical under any
+    partitioning and the DuckDB oracle replays counts, md5 ranks
+    and generate_series expansion (battery query
+    ``oversample_balance``).
+
+    Scale shape: class counts are one map-side-combined groupBy
+    (|labels|-sized, broadcast back); the base-f copies are a
+    MAP-ONLY explode; only the remainder selection ranks — one
+    window partitioned by LABEL over md5 keys. For map-only
+    operation at extreme scale round the target up to a multiple
+    of every class size (f = ceil) and skip the remainder rank —
+    classes then land within one copy of balanced.
+    """
+    counts = df.groupBy(F.col(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    target = counts.agg(F.max("__n").alias("__target"))
+    key = F.md5(
+        F.concat(
+            F.lit(salt), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(counts), label_col)
+        .crossJoin(F.broadcast(target))
+    )
+    f = F.call_function("div", F.col("__target"), F.col("__n"))
+    rem = F.col("__target") % F.col("__n")
+    copies = f + (F.col("__rk") <= rem).cast("long")
+    return (
+        ranked.withColumn("__c", copies)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__c"))
+            ).alias("copy_ix"),
+        )
     )

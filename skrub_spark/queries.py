@@ -5623,6 +5623,34 @@ def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (r8 late,
+    similarity/mining.py::hard_negatives — the triplet-loss
+    negatives dense-retrieval training mines): top-3 highest-cosine
+    OTHER-label vectors per anchor (vec_id % 50 == 0 anchors),
+    label predicate pushed BEFORE the ranking."""
+    _prep(spark)
+    from .similarity.mining import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    return hard_negatives(emb, anchors, k=3)
+
+
+def q_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (r8 late,
+    operators/sampling.py::oversample_balance — oversampling WITH
+    replacement up to the majority count): language classes of the
+    documents table balanced exactly; md5-order remainder rule."""
+    _prep(spark)
+    from .operators.sampling import oversample_balance
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return oversample_balance(docs, "lang", "doc_id")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11098,6 +11126,54 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+ORACLES["hard_negatives"] = """
+    WITH a AS (
+      SELECT vec_id AS query_id,
+        CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+      FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, neighbor_label, rank,
+      ROUND(cos, 4) AS cosine
+    FROM (
+      SELECT a.query_id, b.vec_id AS neighbor_id,
+        b.label AS neighbor_label,
+        list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), a.qv)
+          AS cos,
+        ROW_NUMBER() OVER (
+          PARTITION BY a.query_id
+          ORDER BY list_cosine_similarity(
+            CAST(b.embedding AS DOUBLE[]), a.qv) DESC,
+          b.vec_id ASC
+        ) AS rank
+      FROM a JOIN embeddings b ON b.label != a.ql
+    ) WHERE rank <= 3
+"""
+
+ORACLES["oversample_balance"] = """
+    WITH d AS (
+      SELECT doc_id, lang FROM documents
+    ), counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ), t AS (
+      SELECT max(n) AS target FROM counts
+    ), ranked AS (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5('ob8' || CAST(doc_id AS VARCHAR)) ASC,
+                   doc_id ASC) AS rk
+      FROM d
+    ), c AS (
+      SELECT r.doc_id, r.lang,
+        (target // n)
+        + (CASE WHEN rk <= target % n THEN 1 ELSE 0 END) AS copies
+      FROM ranked r JOIN counts USING (lang) CROSS JOIN t
+    )
+    SELECT doc_id, lang,
+      CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_ix
+    FROM c
+"""
+
 ORACLES["cube_revenue"] = """
     WITH j AS (
       SELECT r_name, c_mktsegment, o_totalprice
@@ -11373,7 +11449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate): learned quality classifier — frozen-weight scoring
         # exact-oracled, plus the classifier->sampler wiring
         "quality_classifier_scores": q_quality_classifier_scores,
-        "quality_classifier_filter": q_quality_classifier_filter,
+        # r8 third-session swap: quality_classifier_filter rotates
+        # to 51+ (same frozen-weight family as _scores, which stays)
+        # — the slot goes to the NEW bitmap-index set-analytics
+        # family (audience_overlap)
+        "audience_overlap": q_audience_overlap,
         "pack_chunks": q_pack_chunks,
         "training_pipeline": q_training_pipeline,
         # r7: frozen-merge BPE (the tokenizer path's first exact
@@ -11413,13 +11493,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # binary rungs stay exact in the full battery) — the slot
         # goes to the new graph-SHAPE family (degree-ordered
         # triangle counting / clustering coefficient)
-        "triangle_stats": q_triangle_stats,
+        # (r8 third-session swap: triangle_stats rotates to 51+
+        # after a green round — graph keeps pagerank + LPA in-window
+        # — and the slot goes to the NEW skyline/Pareto family,
+        # whose oracle is the quadratic dominance definition)
+        "skyline_parts": q_skyline_parts,
         # --- r8 flagships (least-proven new paths into the gate) ---
         # DSIR data selection: frozen hashed-n-gram importance
         # weights + the content-addressed Gumbel-top-k resample
         # (late-r8 swap: dsir_weights rotates to 51+ — dsir_resample
         # composes the same frozen weights in-window)
-        "dsir_resample": q_dsir_resample,
+        # (r8 third-session swap: dsir_resample rotates to 51+ after
+        # a green round — sampling keeps weighted_sample + hash_split
+        # in-window — and the slot goes to the NEW grid-bucketed
+        # spatial distance join, definition-oracled)
+        "spatial_join_grid": q_spatial_join_grid,
         # fixed-point link-graph PageRank (the Common Crawl host-rank
         # curation prior) — bit-exact chained-CTE oracle
         "domain_pagerank": q_domain_pagerank,
@@ -11434,7 +11522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # supervised target-statistics encoder family (LOO is its
         # leakage-guarded flagship)
         "target_encode_loo": q_target_encode_loo,
-        "similarity_encoder_region": q_similarity_encoder_region,
+        # r8 third-session swap: similarity_encoder_region rotates
+        # to 51+ (encoders keep datetime/target/session/learner
+        # rows in-window) — the slot goes to the NEW censored
+        # time-to-event family (Kaplan-Meier survival curves)
+        "survival_km": q_survival_km,
         "pretraining_pipeline": q_pretraining_pipeline,
         # r6 kept two of the pipeline's four stage oracles in-window
         # for divergence localization (boilerplate + substring cover
@@ -11447,8 +11539,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stage-localization rows; table_stats and
         # streaming_interval_join rotate out likewise, with
         # column_associations and three streaming rows staying)
-        "boilerplate_removal": q_boilerplate_removal,
-        "squashing_scaler": q_squashing_scaler,
+        # (r8 third session: boilerplate_removal rotates to 51+ —
+        # the pipeline's stage-localization risk has been gate-green
+        # for two rounds and pretraining_pipeline itself stays — the
+        # slot goes to the NEW dependency-profiling family; and
+        # squashing_scaler rotates to 51+ for the NEW group-median
+        # imputation family, the fill-side of cleaning)
+        "fd_profile": q_fd_profile,
+        "impute_median": q_impute_median,
         "session_encoder_features": q_session_encoder_features,
         # --- whole-table / plans / report ---
         "learner_train_test": q_learner_train_test,
@@ -11597,23 +11695,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         # r8 late: daily-volume ACF (integer-identity centering)
         "autocorrelation": q_autocorrelation,
-        "survival_km": q_survival_km,
         "gini_concentration": q_gini_concentration,
         "theil_sen_trend": q_theil_sen_trend,
-        "skyline_parts": q_skyline_parts,
         "ab_test_report": q_ab_test_report,
-        "fd_profile": q_fd_profile,
         "candidate_keys": q_candidate_keys,
         "bfs_distances": q_bfs_distances,
         "ngram_novelty": q_ngram_novelty,
         "unpivot_metrics": q_unpivot_metrics,
         "rfm_segments": q_rfm_segments,
         "ewma_smooth": q_ewma_smooth,
-        "spatial_join_grid": q_spatial_join_grid,
-        "audience_overlap": q_audience_overlap,
         "cube_revenue": q_cube_revenue,
         "item_cooccurrence": q_item_cooccurrence,
-        "impute_median": q_impute_median,
+        "hard_negatives": q_hard_negatives,
+        "oversample_balance": q_oversample_balance,
+        # rotated out of the gate window r8 third session (families
+        # still covered in-window; these stay in the full battery):
+        "triangle_stats": q_triangle_stats,
+        "dsir_resample": q_dsir_resample,
+        "similarity_encoder_region": q_similarity_encoder_region,
+        "boilerplate_removal": q_boilerplate_removal,
+        "squashing_scaler": q_squashing_scaler,
+        "quality_classifier_filter": q_quality_classifier_filter,
         # r8 late: evaluation metric reports (exact oracles built
         # on the language_id / frozen-score SQL replays)
         "classification_eval": q_classification_eval,

@@ -453,3 +453,61 @@ def test_impute_median_even_group_lower_upper_mean(spark):
     df = spark.createDataFrame(rows, "id long, g string, v double")
     out = {r["id"]: r for r in impute_median(df, "g", "v", "id").collect()}
     assert out[3]["v_imputed"] == pytest.approx(15.0)
+
+
+# ----------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from skrub_spark.similarity.mining import hard_negatives
+
+    # anchor 0 label A; same-label near-twin must NOT appear even
+    # though it has the highest cosine.
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.1], "A"),   # same label: excluded
+        (2, [0.9, 0.3], "B"),
+        (3, [0.5, 0.8], "B"),
+        (4, [-1.0, 0.0], "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = spark.createDataFrame([(0,)], "vec_id long")
+    out = hard_negatives(df, anchors, k=2).collect()
+    got = [(r["rank"], r["neighbor_id"], r["neighbor_label"]) for r in out]
+    assert got == [(1, 2, "B"), (2, 3, "B")]
+
+
+# ------------------------------------------------- class rebalancing
+
+
+def test_oversample_balance_exact_counts(spark):
+    from skrub_spark.operators.sampling import oversample_balance
+
+    rows = [(i, "big") for i in range(10)] + [(100, "small"), (101, "small"), (102, "small")]
+    df = spark.createDataFrame(rows, "id long, lab string")
+    out = oversample_balance(df, "lab", "id")
+    per = {r["lab"]: r["n"] for r in out.groupBy("lab").count()
+           .withColumnRenamed("count", "n").collect()}
+    # both classes balanced to the majority count
+    assert per == {"big": 10, "small": 10}
+    # every original small row appears at least floor(10/3)=3 times
+    small_counts = {
+        r["id"]: r["n"]
+        for r in out.filter(F.col("lab") == "small")
+        .groupBy("id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert sorted(small_counts.values()) == [3, 3, 4]
+
+
+def test_oversample_balance_deterministic(spark):
+    from skrub_spark.operators.sampling import oversample_balance
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, lab string")
+    a = sorted(map(tuple, oversample_balance(df, "lab", "id").collect()))
+    b = sorted(map(tuple, oversample_balance(
+        df.repartition(7), "lab", "id"
+    ).collect()))
+    assert a == b
