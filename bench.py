@@ -202,6 +202,9 @@ HEADLINE = [
     "impute_median",
     "hard_negatives",
     "oversample_balance",
+    "latency_sla",
+    "join_fanout_report",
+    "histogram_report",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

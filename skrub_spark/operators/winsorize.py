@@ -138,3 +138,126 @@ def quantile_discretize(
         )
         .drop(*[f"__e{i}" for i in range(1, n_bins)])
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    probs: list[float] = (0.5, 0.95, 0.99),
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Per-group discrete quantiles — the p50/p95/p99 SLA report
+    every latency dashboard runs, with the same integer
+    basis-point cut rule as ``quantile_clip`` but PARTITIONED BY
+    GROUP: ``(group, n, <p50>, <p95>, <p99>)``. Each quantile is
+    the smallest actual value whose per-group cumulative count
+    reaches ``ceil(p·n)`` (p at 1/10000 resolution) — pure rank
+    SELECTION, no interpolation arithmetic, so float columns
+    replay bit-exactly (the emitted values are input values).
+
+    Scale shape: ONE (group, value) counting groupBy (map-side
+    combined), a cumsum window over per-group DISTINCT VALUES
+    (bounded by value cardinality, never row count), and ONE
+    conditional-min agg per group. NULLs are excluded from n and
+    selection. Battery oracle ``latency_sla`` replays the rule.
+    """
+    bps = [int(round(float(p) * 10000)) for p in probs]
+    if names is None:
+        names = [f"p{str(p).replace('0.', '')}" for p in probs]
+    v = F.col(col)
+    counts = (
+        df.select(F.col(group_col).alias("__g"), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("__g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "__g",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("__g")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for bp, name in zip(bps, names):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({bp}L * n + 9999L) div 10000L"),
+                    F.col("v"),
+                )
+            ).alias(name)
+        )
+    return (
+        cum.groupBy("__g")
+        .agg(*aggs)
+        .withColumnRenamed("__g", group_col)
+    )
+
+
+def histogram_report(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equal-width histogram of an INTEGER-valued column (scale
+    decimals to cents first): ``(bin, lo_edge, hi_edge, cnt)`` with
+    dense rows for empty bins. Bin index is pure integer
+    arithmetic — ``(v − lo) · n_bins div (hi − lo + 1)`` over the
+    exact global min/max — so every edge and count replays
+    bit-exactly (battery oracle ``histogram_report``). ONE min/max
+    agg (broadcast back) + ONE |bins|-key map-side-combined
+    groupBy + a range frame for the dense grid."""
+    nb = int(n_bins)
+    if nb < 1:
+        raise ValueError("n_bins must be >= 1")
+    v = F.col(col)
+    mm = df.filter(v.isNotNull()).agg(
+        F.min(v).cast("long").alias("__lo"),
+        F.max(v).cast("long").alias("__hi"),
+    )
+    width = F.col("__hi") - F.col("__lo") + 1
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.call_function(
+                "div", (v.cast("long") - F.col("__lo")) * nb, width
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spark = df.sparkSession
+    grid = (
+        spark.range(0, nb)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "bin",
+            (
+                F.col("__lo")
+                + F.call_function("div", F.col("bin") * width, F.lit(nb))
+            ).alias("lo_edge"),
+            (
+                F.col("__lo")
+                + F.call_function(
+                    "div", (F.col("bin") + 1) * width, F.lit(nb)
+                )
+                - 1
+            ).alias("hi_edge"),
+        )
+    )
+    return grid.join(binned, "bin", "left").select(
+        F.col("bin").cast("int").alias("bin"),
+        "lo_edge",
+        "hi_edge",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )

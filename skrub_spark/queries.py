@@ -5651,6 +5651,53 @@ def q_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oversample_balance(docs, "lang", "doc_id")
 
 
+def q_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group SLA percentiles (r8 late,
+    operators/winsorize.py::group_quantiles — the p50/p95/p99
+    latency report): discrete rank-selection quantiles of event
+    values per event type; cumsum over per-group DISTINCT values,
+    emitted values are input values (no interpolation)."""
+    _prep(spark)
+    from .operators.winsorize import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_quantiles(
+        ev, "event_type", "value", [0.5, 0.95, 0.99],
+        names=["p50", "p95", "p99"],
+    )
+
+
+def q_join_fanout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join fanout audit (r8 late,
+    report/profiling.py::join_fanout_report — the safety check
+    before paying for a 100 TB join): exact per-key output
+    cardinality of customer⋈orders, top-10 hottest keys + total."""
+    _prep(spark)
+    from .report.profiling import join_fanout_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_fanout_report(
+        cust, orders, "c_custkey", "o_custkey", top_k=10
+    )
+
+
+def q_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram profiling (r8 late,
+    operators/winsorize.py::histogram_report): order totals in
+    exact integer cents over 20 dense bins — pure integer edge and
+    bin arithmetic."""
+    _prep(spark)
+    from .operators.winsorize import histogram_report
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return histogram_report(orders, "cents", n_bins=20)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11126,6 +11173,78 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+ORACLES["latency_sla"] = """
+    WITH counts AS (
+      SELECT event_type AS g, value AS v, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v,
+        sum(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY g) AS n
+      FROM counts
+    )
+    SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+      min(CASE WHEN cum >= (5000 * n + 9999) // 10000 THEN v END)
+        AS p50,
+      min(CASE WHEN cum >= (9500 * n + 9999) // 10000 THEN v END)
+        AS p95,
+      min(CASE WHEN cum >= (9900 * n + 9999) // 10000 THEN v END)
+        AS p99
+    FROM cum GROUP BY 1
+"""
+
+ORACLES["join_fanout_report"] = """
+    WITH lc AS (
+      SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS n_left
+      FROM customer GROUP BY 1
+    ), rc AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_right
+      FROM orders GROUP BY 1
+    ), per_key AS (
+      SELECT key, n_left, n_right, n_left * n_right AS fanout
+      FROM lc JOIN rc USING (key)
+    ), tot AS (
+      SELECT CAST(sum(fanout) AS BIGINT) AS total_fanout
+      FROM per_key
+    )
+    SELECT key, n_left, n_right, CAST(fanout AS BIGINT) AS fanout,
+      total_fanout,
+      round(CAST(fanout AS DOUBLE) / CAST(total_fanout AS DOUBLE), 6)
+        AS share
+    FROM per_key CROSS JOIN tot
+    ORDER BY fanout DESC, key ASC
+    LIMIT 10
+"""
+
+ORACLES["histogram_report"] = """
+    WITH src AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders
+    ), mm AS (
+      SELECT CAST(min(cents) AS BIGINT) AS lo,
+        CAST(max(cents) AS BIGINT) AS hi
+      FROM src WHERE cents IS NOT NULL
+    ), binned AS (
+      SELECT (cents - lo) * 20 // (hi - lo + 1) AS bin,
+        count(*) AS cnt
+      FROM src CROSS JOIN mm WHERE cents IS NOT NULL
+      GROUP BY 1
+    ), grid AS (
+      SELECT CAST(b AS BIGINT) AS bin,
+        lo + (CAST(b AS BIGINT) * (hi - lo + 1)) // 20 AS lo_edge,
+        lo + ((CAST(b AS BIGINT) + 1) * (hi - lo + 1)) // 20 - 1
+          AS hi_edge
+      FROM range(0, 20) t(b) CROSS JOIN mm
+    )
+    SELECT CAST(g.bin AS INTEGER) AS bin,
+      CAST(g.lo_edge AS BIGINT) AS lo_edge,
+      CAST(g.hi_edge AS BIGINT) AS hi_edge,
+      CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt
+    FROM grid g LEFT JOIN binned b ON g.bin = b.bin
+"""
+
 ORACLES["hard_negatives"] = """
     WITH a AS (
       SELECT vec_id AS query_id,
@@ -11708,6 +11827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cooccurrence": q_item_cooccurrence,
         "hard_negatives": q_hard_negatives,
         "oversample_balance": q_oversample_balance,
+        "latency_sla": q_latency_sla,
+        "join_fanout_report": q_join_fanout_report,
+        "histogram_report": q_histogram_report,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

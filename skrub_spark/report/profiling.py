@@ -97,3 +97,61 @@ def candidate_keys(
         )
     u = reduce(lambda x, y: x.unionByName(y), outs)
     return u.withColumn("is_key", F.col("n_dup_rows") == 0)
+
+
+def join_fanout_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join fanout audit: the exact output cardinality a join
+    would produce, per hottest key — ``(key, n_left, n_right,
+    fanout, total_fanout, share)`` for the ``top_k`` keys by
+    ``fanout = n_left · n_right`` (key tie-break). Run this BEFORE
+    a 100 TB join: one skewed key with n_left·n_right in the
+    billions is the job that never finishes, and this report costs
+    two key-count aggs instead of the join.
+
+    Exact counting throughout; ``share`` (this key's fraction of
+    the total join output) is one IEEE division, 6dp. Keys missing
+    from either side produce no output rows and are excluded —
+    they contribute nothing to inner-join fanout. Battery oracle
+    ``join_fanout_report`` replays counts, total and top-k.
+
+    Scale shape: ONE map-side-combined key groupBy per side, an
+    equi-join of the two |keys|-sized count frames, a single-row
+    total, and a bounded top-k (TakeOrdered — no global sort
+    materialization).
+    """
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    per_key = lc.join(rc, "key").withColumn(
+        "fanout", F.col("n_left") * F.col("n_right")
+    ).persist()
+    tot = per_key.agg(
+        F.sum("fanout").cast("long").alias("total_fanout")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("fanout").desc(), F.col("key").asc())
+        .limit(int(top_k))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "fanout",
+            "total_fanout",
+            F.round(
+                F.col("fanout").cast("double")
+                / F.col("total_fanout").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )

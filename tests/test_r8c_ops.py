@@ -511,3 +511,69 @@ def test_oversample_balance_deterministic(spark):
         df.repartition(7), "lab", "id"
     ).collect()))
     assert a == b
+
+
+# ------------------------------------------------------ group quantiles
+
+
+def test_group_quantiles_selects_actual_values(spark):
+    from skrub_spark.operators.winsorize import group_quantiles
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("h", 5.0), ("h", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in group_quantiles(
+        df, "g", "v", [0.5, 0.95], names=["p50", "p95"]
+    ).collect()}
+    # ceil(0.5*100)=50 -> value 50; ceil(0.95*100)=95 -> value 95
+    assert out["g"]["n"] == 100
+    assert out["g"]["p50"] == 50.0 and out["g"]["p95"] == 95.0
+    # NULL excluded; single-value group returns it everywhere
+    assert out["h"]["n"] == 1
+    assert out["h"]["p50"] == 5.0 and out["h"]["p95"] == 5.0
+
+
+# --------------------------------------------------------- join fanout
+
+
+def test_join_fanout_report_exact_cardinality(spark):
+    from skrub_spark.report.profiling import join_fanout_report
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], "k long"
+    )
+    out = join_fanout_report(left, right, "k", "k", top_k=5).collect()
+    rows = {r["key"]: r for r in out}
+    # key 1: 2*3=6; key 2: 1*1=1; key 3/9 one-sided -> absent
+    assert rows[1]["fanout"] == 6 and rows[2]["fanout"] == 1
+    assert 3 not in rows and 9 not in rows
+    assert rows[1]["total_fanout"] == 7
+    # equals the real join cardinality
+    assert left.join(right, "k").count() == 7
+
+
+# ----------------------------------------------------------- histogram
+
+
+def test_histogram_report_dense_and_exact(spark):
+    from skrub_spark.operators.winsorize import histogram_report
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0, 0, 1, 5, 9, 9]], "v long"
+    )
+    out = sorted(
+        histogram_report(df, "v", n_bins=5).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(out) == 5
+    assert sum(r["cnt"] for r in out) == 6
+    # width = 10, bins of 2: [0,1]=3, [2,3]=0, [4,5]=1, [8,9]=2
+    assert out[0]["cnt"] == 3 and out[0]["lo_edge"] == 0
+    assert out[1]["cnt"] == 0
+    assert out[2]["cnt"] == 1
+    assert out[4]["cnt"] == 2 and out[4]["hi_edge"] == 9
+    # edges tile the domain with no gaps
+    for a, b in zip(out, out[1:]):
+        assert b["lo_edge"] == a["hi_edge"] + 1
