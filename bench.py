@@ -205,6 +205,8 @@ HEADLINE = [
     "latency_sla",
     "join_fanout_report",
     "histogram_report",
+    "interval_coverage",
+    "attribution_last_touch",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

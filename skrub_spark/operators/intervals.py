@@ -1,0 +1,138 @@
+"""Interval algebra: overlapping-interval merge (coverage) and
+event attribution — beyond-reference temporal operators
+(SURVEY.md §2).
+
+``range_join`` answers "which intervals overlap each other";
+coverage answers "how much time is covered at all" — billing for
+concurrent sessions, machine-utilization rollups, dedup of
+overlapping crawl windows. The classic gaps-and-islands shape:
+sort each entity's intervals, carry a running maximum of interval
+ends, start a new island exactly when the next interval begins
+after every previous end, then aggregate per island.
+
+Attribution (`last_touch`) is the marketing-analytics standard:
+credit each conversion event to the LAST qualifying touch strictly
+before it (within a lookback window) — an as-of join semantics
+expressed as ONE bounded window max over each entity's own stream
+(no join at all, unlike ``asof_join`` which pairs two tables).
+
+Exactness: all comparisons in integer microseconds, island ids are
+integer cumulative sums, coverage sums are exact integers;
+attribution picks max(struct(ts, id)) — a total order. Battery
+oracles ``interval_coverage`` / ``attribution_last_touch`` replay
+the windows verbatim.
+
+Scale shape: every window partitions by the ENTITY key (the one
+group shuffle); frames are bounded per entity. Nothing global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_coverage(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge each entity's overlapping-or-touching integer
+    intervals and report ``(entity, n_intervals, n_islands,
+    covered)`` where ``covered`` is the exact union length
+    (end-exclusive: [s, e) with e > s; [1,3) + [3,5) merge into
+    [1,5)). Zero/negative-length intervals are dropped."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        s.alias("s"),
+        e.alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    w = Window.partitionBy("entity").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy("entity", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_iv"),
+        (F.max("e") - F.min("s")).alias("len"),
+    )
+    return islands.groupBy("entity").agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("len").cast("long").alias("covered"),
+    )
+
+
+def attribution_last_touch(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    *,
+    conversion: str,
+    lookback_us: int,
+) -> DataFrame:
+    """Last-touch attribution: one row per conversion event —
+    ``(entity, conversion_id, conversion_us, touch_id, touch_state,
+    touch_us)`` crediting the latest NON-conversion event strictly
+    before the conversion and within ``lookback_us``; NULL touch
+    columns when no qualifying touch exists. Ties in timestamp
+    break by the larger event id (max(struct) total order)."""
+    us = F.expr(f"unix_micros({ts_col})")
+    ev = df.select(
+        F.col(entity_col).alias("entity"),
+        us.alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(state_col).alias("state"),
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("us", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("state") != conversion,
+            F.struct(
+                F.col("us").alias("tus"),
+                F.col("eid").alias("tid"),
+                F.col("state").alias("tstate"),
+            ),
+        )
+    ).over(w)
+    out = (
+        ev.withColumn("__t", touch)
+        .filter(F.col("state") == conversion)
+        .select(
+            "entity",
+            F.col("eid").alias("conversion_id"),
+            F.col("us").alias("conversion_us"),
+            F.when(
+                F.col("__t.tus") > F.col("us") - F.lit(int(lookback_us)),
+                F.col("__t.tid"),
+            ).alias("touch_id"),
+            F.when(
+                F.col("__t.tus") > F.col("us") - F.lit(int(lookback_us)),
+                F.col("__t.tstate"),
+            ).alias("touch_state"),
+            F.when(
+                F.col("__t.tus") > F.col("us") - F.lit(int(lookback_us)),
+                F.col("__t.tus"),
+            ).alias("touch_us"),
+        )
+    )
+    return out

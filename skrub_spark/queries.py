@@ -5698,6 +5698,72 @@ def q_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_report(orders, "cents", n_bins=20)
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union per user (r8 late,
+    operators/intervals.py::interval_coverage — gaps-and-islands
+    merge; the concurrent-session billing / utilization rollup):
+    planted integer durations, running-max island detection, exact
+    covered microseconds."""
+    _prep(spark)
+    from .operators.intervals import interval_coverage
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("s"),
+        (
+            F.expr("unix_micros(ts)")
+            + ((F.col("event_id") % 900) + 100) * 1_000_000
+        ).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (r8 late,
+    operators/intervals.py::attribution_last_touch): every
+    purchase credited to the latest preceding non-purchase event
+    within a 7-day lookback — ONE bounded per-user window max over
+    a total (ts, id) order, no join."""
+    _prep(spark)
+    from .operators.intervals import attribution_last_touch
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_last_touch(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        conversion="purchase",
+        lookback_us=7 * 86_400_000_000,
+    )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (r8 late — the sources-family drift
+    case `snapshot_diff` doesn't cover: COLUMNS change across
+    snapshot generations): v1 shards lack o_orderpriority, v2
+    shards carry it; `mergeSchema` read unifies with NULL fill,
+    exactly what the oracle's CASE replay computes."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = _fresh_tmp("skrub_spark_schevo_")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(tmp + "/v1")
+    v2.write.mode("overwrite").parquet(tmp + "/v2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(tmp + "/v1", tmp + "/v2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11173,6 +11239,70 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+ORACLES["interval_coverage"] = """
+    WITH base AS (
+      SELECT user_id AS entity, epoch_us(ts) AS s,
+        epoch_us(ts) + ((event_id % 900) + 100) * 1000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT entity, s, e,
+        CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+          THEN 1 ELSE 0 END AS new_island
+      FROM base WHERE e > s
+      WINDOW wp AS (PARTITION BY entity ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+      SELECT entity, s, e,
+        sum(new_island) OVER (
+          PARTITION BY entity ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ), g AS (
+      SELECT entity, island, count(*) AS n_iv, max(e) - min(s) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT entity, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+      CAST(count(*) AS BIGINT) AS n_islands,
+      CAST(sum(len) AS BIGINT) AS covered
+    FROM g GROUP BY 1
+"""
+
+ORACLES["attribution_last_touch"] = """
+    WITH ev AS (
+      SELECT user_id AS entity, epoch_us(ts) AS us,
+        event_id AS eid, event_type AS state
+      FROM events
+    ), t AS (
+      SELECT entity, us, eid, state,
+        max(CASE WHEN state != 'purchase' THEN
+          lpad(CAST(us AS VARCHAR), 20, '0')
+          || lpad(CAST(eid AS VARCHAR), 12, '0') || state END)
+          OVER (PARTITION BY entity ORDER BY us, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS mx
+      FROM ev
+    ), c AS (
+      SELECT entity, us, eid,
+        CAST(substr(mx, 1, 20) AS BIGINT) AS tus,
+        CAST(substr(mx, 21, 12) AS BIGINT) AS tid,
+        substr(mx, 33) AS tstate
+      FROM t WHERE state = 'purchase'
+    )
+    SELECT entity, eid AS conversion_id, us AS conversion_us,
+      CASE WHEN tus > us - 604800000000 THEN tid END AS touch_id,
+      CASE WHEN tus > us - 604800000000 THEN tstate END
+        AS touch_state,
+      CASE WHEN tus > us - 604800000000 THEN tus END AS touch_us
+    FROM c
+"""
+
+ORACLES["schema_evolution"] = """
+    SELECT o_orderkey, o_totalprice,
+      CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        AS o_orderpriority
+    FROM orders
+"""
+
 ORACLES["latency_sla"] = """
     WITH counts AS (
       SELECT event_type AS g, value AS v, count(*) AS c
@@ -11830,6 +11960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_sla": q_latency_sla,
         "join_fanout_report": q_join_fanout_report,
         "histogram_report": q_histogram_report,
+        "interval_coverage": q_interval_coverage,
+        "attribution_last_touch": q_attribution_last_touch,
+        "schema_evolution": q_schema_evolution,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

@@ -577,3 +577,89 @@ def test_histogram_report_dense_and_exact(spark):
     # edges tile the domain with no gaps
     for a, b in zip(out, out[1:]):
         assert b["lo_edge"] == a["hi_edge"] + 1
+
+
+# ---------------------------------------------------- interval merge
+
+
+def test_interval_coverage_merges_islands(spark):
+    from skrub_spark.operators.intervals import interval_coverage
+
+    rows = [
+        ("u", 0, 10),
+        ("u", 5, 12),    # overlaps -> same island
+        ("u", 12, 15),   # touches end-exclusive [12,15) -> merges
+        ("u", 20, 25),   # gap -> new island
+        ("u", 30, 30),   # zero length -> dropped
+        ("v", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "e string, s long, t long")
+    out = {r["entity"]: r for r in interval_coverage(
+        df, "e", "s", "t"
+    ).collect()}
+    u = out["u"]
+    assert u["n_intervals"] == 4
+    assert u["n_islands"] == 2
+    assert u["covered"] == 15 + 5  # [0,15) + [20,25)
+    assert out["v"]["covered"] == 1
+
+
+def test_interval_coverage_contained_interval(spark):
+    from skrub_spark.operators.intervals import interval_coverage
+
+    # second interval fully inside the first; the third starts
+    # before the running max end even though it starts after the
+    # SECOND's end — running-max (not lag) semantics
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 30, 150)]
+    df = spark.createDataFrame(rows, "e string, s long, t long")
+    r = interval_coverage(df, "e", "s", "t").collect()[0]
+    assert r["n_islands"] == 1 and r["covered"] == 150
+
+
+# ------------------------------------------------------- attribution
+
+
+def test_attribution_last_touch_picks_latest_in_window(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.intervals import attribution_last_touch
+
+    def ts(sec):
+        return dt.datetime(2020, 1, 1, 0, 0, sec)
+
+    rows = [
+        ("u", ts(1), 1, "view"),
+        ("u", ts(2), 2, "click"),
+        ("u", ts(3), 3, "purchase"),   # -> click (id 2)
+        ("u", ts(4), 4, "purchase"),   # -> click still (id 2)
+        ("w", ts(5), 5, "purchase"),   # no touch -> NULLs
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, id long, st string"
+    )
+    out = {r["conversion_id"]: r for r in attribution_last_touch(
+        df, "u", "ts", "id", "st",
+        conversion="purchase", lookback_us=10_000_000,
+    ).collect()}
+    assert out[3]["touch_id"] == 2 and out[3]["touch_state"] == "click"
+    assert out[4]["touch_id"] == 2
+    assert out[5]["touch_id"] is None and out[5]["touch_state"] is None
+
+
+def test_attribution_lookback_expires(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.intervals import attribution_last_touch
+
+    rows = [
+        ("u", dt.datetime(2020, 1, 1), 1, "click"),
+        ("u", dt.datetime(2020, 3, 1), 2, "purchase"),  # click too old
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, id long, st string"
+    )
+    r = attribution_last_touch(
+        df, "u", "ts", "id", "st",
+        conversion="purchase", lookback_us=86_400_000_000,
+    ).collect()[0]
+    assert r["touch_id"] is None
