@@ -207,6 +207,8 @@ HEADLINE = [
     "histogram_report",
     "interval_coverage",
     "attribution_last_touch",
+    "mrl_recall",
+    "token_budget_sample",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

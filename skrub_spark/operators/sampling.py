@@ -325,3 +325,44 @@ def oversample_balance(
             ).alias("copy_ix"),
         )
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    *,
+    budget: int,
+    salt: str = "tb8",
+) -> DataFrame:
+    """Token-budget corpus mixing: per group, keep documents in
+    content-addressed md5 order until the group's cumulative
+    ``size_col`` REACHES ``budget`` (the crossing document is
+    included, so every non-exhausted group meets its budget) —
+    the way pretraining mixes are actually specified ("20B tokens
+    of code, 5B of forums"), where `temperature_mixture` and
+    `sample_to_targets` speak in document counts. Adds
+    ``cum_before`` (exact tokens admitted before this doc).
+
+    Deterministic under any partitioning (md5-hex order, id
+    tie-break — the samplers' portable rule) and scale-invariant
+    in meaning: the same budget selects the same per-group token
+    mass at any corpus size. ONE window per group (rank + cumsum
+    in a single pass); selection is ``cum_before < budget``.
+    Battery oracle ``token_budget_sample`` replays it.
+    """
+    b = int(budget)
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0)
+    )
+    return (
+        df.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < b)
+    )

@@ -5764,6 +5764,38 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
 
 
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall curve (r8 late,
+    similarity/mining.py::truncation_recall): recall@10 of
+    prefix-dim cosine top-k (d = 4/8/16) vs the full-width ranking
+    for the vec_id=0 query — the serve-narrower measurement next
+    to the SQ8/PQ quantization rungs."""
+    _prep(spark)
+    from .similarity.mining import truncation_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return truncation_recall(
+        emb, qv, dims=[4, 8, 16], k=10, exclude_id=0
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (r8 late,
+    operators/sampling.py::sample_token_budget): per source, docs
+    in md5 order until 2000 chars are admitted — budgets in token
+    mass, not doc counts."""
+    _prep(spark)
+    from .operators.sampling import sample_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sample_token_budget(
+        docs, "source", "doc_id", "n_chars", budget=2000
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11239,6 +11271,59 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+def _mrl_oracle(dims=(4, 8, 16), k: int = 10) -> str:
+    """Per-dim sliced-ranking replay of truncation_recall."""
+    ctes = [
+        """q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), full_k AS (
+      SELECT vec_id AS vid FROM embeddings, q WHERE vec_id != 0
+      ORDER BY list_cosine_similarity(
+        CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC
+      LIMIT %d
+    )"""
+        % k
+    ]
+    sels = []
+    for d in dims:
+        ctes.append(
+            f"""d{d} AS (
+      SELECT vec_id AS vid FROM embeddings, q WHERE vec_id != 0
+      ORDER BY list_cosine_similarity(
+        CAST(embedding AS DOUBLE[])[1:{d}], qv[1:{d}]) DESC,
+        vec_id ASC
+      LIMIT {k}
+    )"""
+        )
+        sels.append(
+            f"""SELECT CAST({d} AS INTEGER) AS dim,
+      round(CAST((SELECT count(*) FROM d{d} JOIN full_k USING (vid))
+                 AS DOUBLE) / CAST({k} AS DOUBLE), 6) AS recall"""
+        )
+    return (
+        "\n    WITH "
+        + ", ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(sels)
+    )
+
+
+ORACLES["mrl_recall"] = _mrl_oracle((4, 8, 16), 10)
+
+ORACLES["token_budget_sample"] = """
+    SELECT doc_id, source, n_chars, cum_before FROM (
+      SELECT doc_id, source, n_chars,
+        CAST(COALESCE(SUM(n_chars) OVER (
+          PARTITION BY source
+          ORDER BY md5('tb8' || CAST(doc_id AS VARCHAR)) ASC,
+                   doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cum_before
+      FROM documents
+    ) WHERE cum_before < 2000
+"""
+
 ORACLES["interval_coverage"] = """
     WITH base AS (
       SELECT user_id AS entity, epoch_us(ts) AS s,
@@ -11963,6 +12048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "attribution_last_touch": q_attribution_last_touch,
         "schema_evolution": q_schema_evolution,
+        "mrl_recall": q_mrl_recall,
+        "token_budget_sample": q_token_budget_sample,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

@@ -90,3 +90,68 @@ def hard_negatives(
             F.round(F.col("__cos"), int(round_digits)).alias("cosine"),
         )
     )
+
+
+def truncation_recall(
+    corpus: DataFrame,
+    query_vec: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] = (4, 8, 16),
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Matryoshka-style truncation quality curve: for each prefix
+    dimension d in ``dims``, the recall@k of cosine top-k computed
+    on the FIRST d vector components against the full-dimension
+    top-k — ``(dim, recall)``. This is the measurement behind
+    serving vectors at a fraction of their trained width (MRL,
+    Kusupati et al. 2022): the curve tells you the cheapest prefix
+    that keeps recall, the same question SQ8/PQ answer for
+    quantization — this answers it for truncation.
+
+    Exact counting over deterministic rankings (cos desc, id asc);
+    recall is one IEEE division of exact integers, 6dp. Battery
+    oracle ``mrl_recall`` replays each sliced ranking. Each
+    ranking is a TakeOrdered top-k over a map-only cosine column —
+    |dims|+1 corpus passes, no joins except k-row id sets."""
+    qd = [float(x) for x in query_vec]
+
+    def _top(d: int | None):
+        if d is None:
+            vec = F.col(vec_col)
+            qlit = F.expr(
+                "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in qd) + ")"
+            )
+        else:
+            vec = F.slice(F.col(vec_col), 1, d)
+            qlit = F.expr(
+                "array("
+                + ",".join(f"CAST({x!r} AS DOUBLE)" for x in qd[:d])
+                + ")"
+            )
+        base = corpus
+        if exclude_id is not None:
+            base = base.filter(F.col(id_col) != exclude_id)
+        cos = dot_product(vec, qlit) / (l2_norm(vec) * l2_norm(qlit))
+        return (
+            base.select(F.col(id_col).alias("vid"), cos.alias("c"))
+            .orderBy(F.col("c").desc(), F.col("vid").asc())
+            .limit(int(k))
+            .select("vid")
+        )
+
+    full = _top(None).persist()
+    outs = []
+    for d in dims:
+        hit = _top(int(d)).join(full, "vid").agg(
+            F.lit(int(d)).alias("dim"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+        outs.append(hit)
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -663,3 +663,75 @@ def test_attribution_lookback_expires(spark):
         conversion="purchase", lookback_us=86_400_000_000,
     ).collect()[0]
     assert r["touch_id"] is None
+
+
+# ------------------------------------------------- truncation recall
+
+
+def test_truncation_recall_full_prefix_is_one(spark):
+    from skrub_spark.similarity.mining import truncation_recall
+
+    # vectors where the first 2 dims already determine the ranking:
+    # prefix recall at d=2 must be 1.0
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.5, 0.5, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r["recall"] for r in truncation_recall(
+        df, [1.0, 0.0, 0.0], dims=[2, 3], k=2, exclude_id=0
+    ).collect()}
+    assert out[2] == 1.0 and out[3] == 1.0
+
+
+def test_truncation_recall_detects_rank_flip(spark):
+    from skrub_spark.similarity.mining import truncation_recall
+
+    # at d=2 vector 2 is perfectly aligned with the query prefix,
+    # but its huge third component makes it the full-width loser:
+    # recall@1 at d=2 must be 0
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),     # full cosine winner
+        (2, [0.99, 0.0, -5.0]),   # prefix winner, full loser
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r["recall"] for r in truncation_recall(
+        df, [1.0, 0.0, 0.0], dims=[2], k=1, exclude_id=0
+    ).collect()}
+    assert out[2] == 0.0
+
+
+# ----------------------------------------------------- token budget
+
+
+def test_sample_token_budget_crossing_doc_included(spark):
+    from skrub_spark.operators.sampling import sample_token_budget
+
+    rows = [(i, "s", 600) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = sample_token_budget(
+        df, "source", "doc_id", "n", budget=2000
+    ).collect()
+    # 600*3=1800 < 2000 -> fourth doc crosses and is included
+    assert len(out) == 4
+    assert sum(r["n"] for r in out) >= 2000
+    assert max(r["cum_before"] for r in out) == 1800
+
+
+def test_sample_token_budget_deterministic_and_small_group(spark):
+    from skrub_spark.operators.sampling import sample_token_budget
+
+    rows = [(i, "a" if i < 12 else "b", 100 + i) for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    a = sorted(map(tuple, sample_token_budget(
+        df, "source", "doc_id", "n", budget=400
+    ).collect()))
+    b = sorted(map(tuple, sample_token_budget(
+        df.repartition(5), "source", "doc_id", "n", budget=400
+    ).collect()))
+    assert a == b
+    # group 'b' has only 3 docs (~340 total < budget): all kept
+    assert sum(1 for r in a if r[1] == "b") == 3
