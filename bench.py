@@ -209,6 +209,10 @@ HEADLINE = [
     "attribution_last_touch",
     "mrl_recall",
     "token_budget_sample",
+    "sketch_union_merge",
+    "calendar_dim",
+    "null_safe_join",
+    "customer_set_ops",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

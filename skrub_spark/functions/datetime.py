@@ -95,3 +95,43 @@ def datetime_feature_columns(
                         F.lit(0.0), F.lit(1.0) - dist / F.lit(spacing)
                     )
     return out
+
+
+def calendar_dim(df, date_col):
+    """Generated calendar dimension spanning [min, max] of
+    ``date_col`` (a date/timestamp column): one row per day —
+    ``(day, dow, year, month, dom, quarter, week, is_month_start,
+    is_month_end)`` with ``day`` the epoch-day index, ``dow`` 0 =
+    Monday from pure integer arithmetic, and the civil fields from
+    proleptic-Gregorian date functions over the UTC-pinned
+    session. The standard star-schema date dimension, generated
+    lazily (min/max agg + sequence explode — no driver collect)
+    so it always spans exactly the observed data. Battery oracle
+    ``calendar_dim`` replays it with DuckDB's matching calendar.
+    """
+    from pyspark.sql import functions as F
+
+    d = F.expr(f"unix_date(cast({date_col} as date))")
+    mm = df.agg(
+        F.min(d).alias("__lo"), F.max(d).alias("__hi")
+    )
+    days = mm.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"))
+        ).alias("day")
+    )
+    dt = F.expr("date_add('1970-01-01', cast(day as int))")
+    nxt = F.expr("date_add('1970-01-01', cast(day as int) + 1)")
+    return days.select(
+        F.col("day").cast("long").alias("day"),
+        ((F.col("day") + 3) % 7).cast("int").alias("dow"),
+        F.year(dt).cast("int").alias("year"),
+        F.month(dt).cast("int").alias("month"),
+        F.dayofmonth(dt).cast("int").alias("dom"),
+        F.quarter(dt).cast("int").alias("quarter"),
+        F.call_function("div", F.col("day") + 3, F.lit(7))
+        .cast("long")
+        .alias("week"),
+        (F.dayofmonth(dt) == 1).alias("is_month_start"),
+        (F.month(nxt) != F.month(dt)).alias("is_month_end"),
+    )

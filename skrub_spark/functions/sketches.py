@@ -225,3 +225,63 @@ def distinct_sketch(
             (F.col("__k") * F.lit(int(rate))).cast("long").alias(est_col),
         )
     )
+
+
+def mergeable_distinct_sketches(
+    df: DataFrame,
+    value: Column | str,
+    part_col: str,
+    *,
+    rate: int = 1024,
+    salt: str = "",
+    all_label: str = "__ALL__",
+) -> DataFrame:
+    """Per-partition KMV-family distinct sketches PLUS their merge:
+    one ``(part, distinct_est)`` row per partition value and one
+    ``all_label`` row whose estimate is the union-merge of the
+    per-partition survivor sets. Because a value's sketch
+    membership depends only on its own md5 (``sketch_member``),
+    the union of survivor sets IS the survivor set of the union —
+    so the merged estimate is bit-identical to running one sketch
+    over the whole corpus. That identity is the warehouse
+    sketch-persistence pattern (persist a sketch next to each
+    shard, merge at query time — HLL_EXPORT/HLL_COMBINE shape)
+    proven exactly, and the battery oracle ``sketch_union_merge``
+    replays both sides.
+
+    Scale shape: the corpus is touched ONCE (map-only threshold
+    filter); both the per-part and merged estimates aggregate only
+    the ~D/rate survivor frame."""
+    v = F.col(value) if isinstance(value, str) else value
+    kept = (
+        df.filter(sketch_member(v, rate, salt))
+        .select(
+            # part becomes STRING so the all_label merge row unions
+            # cleanly whatever the partition key's type
+            F.col(part_col).cast("string").alias("part"),
+            v.alias("__v"),
+        )
+        .persist()
+    )
+    per_part = (
+        kept.groupBy("part")
+        .agg(F.count_distinct(F.col("__v")).alias("__k"))
+        .select(
+            "part",
+            (F.col("__k") * F.lit(int(rate))).cast("long").alias(
+                "distinct_est"
+            ),
+        )
+    )
+    merged = (
+        kept.select("__v")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .select(
+            F.lit(all_label).alias("part"),
+            (F.col("__k") * F.lit(int(rate))).cast("long").alias(
+                "distinct_est"
+            ),
+        )
+    )
+    return per_part.unionByName(merged)

@@ -5796,6 +5796,96 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-source distinct sketches (r8 late,
+    functions/sketches.py::mergeable_distinct_sketches — the
+    HLL_EXPORT/HLL_COMBINE persistence pattern with an EXACT merge
+    identity): per-source token-cardinality sketches plus their
+    union merge; union of survivor sets == survivor set of the
+    union."""
+    _prep(spark)
+    from .functions.sketches import mergeable_distinct_sketches
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return mergeable_distinct_sketches(
+        toks, "tok", "source", rate=16, salt="su8"
+    )
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (r8 late,
+    functions/datetime.py::calendar_dim — the star-schema date
+    spine): one row per day spanning the observed order dates,
+    integer dow/week + proleptic-Gregorian civil fields, generated
+    lazily with no driver collect."""
+    _prep(spark)
+    from .functions.datetime import calendar_dim
+
+    orders = load_table(spark, sf_dir, "orders")
+    return calendar_dim(orders, "o_orderdate")
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics (r8 late — Spark `<=>` ==
+    DuckDB IS NOT DISTINCT FROM): customers with a planted NULL
+    segment key joined null-safely to the distinct segment dim, so
+    the NULL group matches the NULL dim row instead of dropping."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 != 0, F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    dim = (
+        cust.select(F.col("seg").alias("dseg"))
+        .distinct()
+        .withColumn(
+            "seg_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.coalesce(F.col("dseg"), F.lit("<NULL>"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    joined = cust.join(
+        F.broadcast(dim), F.col("seg").eqNullSafe(F.col("dseg")), "left"
+    )
+    return joined.groupBy(
+        F.col("dseg").alias("seg"), F.col("seg_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT relational surface (r8 late): machinery
+    buyers with positive balance vs customers who ever ordered —
+    both set ops tagged into one frame, distinct semantics on both
+    engines."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 0)
+    ).select("c_custkey")
+    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    both = a.intersect(b).select(
+        F.lit("intersect").alias("op"), "c_custkey"
+    )
+    only_a = a.subtract(b).select(
+        F.lit("except").alias("op"), "c_custkey"
+    )
+    return both.unionByName(only_a)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11271,6 +11361,94 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+ORACLES["sketch_union_merge"] = """
+    WITH t AS (
+      SELECT source,
+        unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+'),
+                           x -> x != '')) AS tok
+      FROM documents
+    ), kept AS (
+      SELECT source AS part, tok FROM t
+      WHERE ('0x' || substr(md5('su8' || tok), 1, 15))::BIGINT
+            % 16 = 0
+    ), per AS (
+      SELECT part,
+        CAST(COUNT(DISTINCT tok) * 16 AS BIGINT) AS distinct_est
+      FROM kept GROUP BY 1
+    ), m AS (
+      SELECT '__ALL__' AS part,
+        CAST(COUNT(DISTINCT tok) * 16 AS BIGINT) AS distinct_est
+      FROM kept
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM m
+"""
+
+ORACLES["calendar_dim"] = """
+    WITH mm AS (
+      SELECT
+        CAST(min(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+          AS lo,
+        CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+          AS hi
+      FROM orders
+    ), days AS (
+      SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS day
+      FROM mm
+    )
+    SELECT day,
+      CAST((day + 3) % 7 AS INTEGER) AS dow,
+      CAST(year(DATE '1970-01-01' + CAST(day AS INTEGER))
+           AS INTEGER) AS year,
+      CAST(month(DATE '1970-01-01' + CAST(day AS INTEGER))
+           AS INTEGER) AS month,
+      CAST(day(DATE '1970-01-01' + CAST(day AS INTEGER))
+           AS INTEGER) AS dom,
+      CAST(quarter(DATE '1970-01-01' + CAST(day AS INTEGER))
+           AS INTEGER) AS quarter,
+      CAST((day + 3) // 7 AS BIGINT) AS week,
+      (day(DATE '1970-01-01' + CAST(day AS INTEGER)) = 1)
+        AS is_month_start,
+      (month(DATE '1970-01-01' + CAST(day + 1 AS INTEGER))
+       != month(DATE '1970-01-01' + CAST(day AS INTEGER)))
+        AS is_month_end
+    FROM days
+"""
+
+ORACLES["null_safe_join"] = """
+    WITH cust AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 != 0 THEN c_mktsegment END AS seg
+      FROM customer
+    ), dim AS (
+      SELECT seg,
+        ('0x' || substr(md5(COALESCE(seg, '<NULL>')), 1, 8))::BIGINT
+          AS seg_id
+      FROM (SELECT DISTINCT seg FROM cust)
+    )
+    SELECT d.seg, d.seg_id, CAST(count(*) AS BIGINT) AS n_customers
+    FROM cust c
+    LEFT JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY 1, 2
+"""
+
+ORACLES["customer_set_ops"] = """
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 0
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 0
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+"""
+
+
 def _mrl_oracle(dims=(4, 8, 16), k: int = 10) -> str:
     """Per-dim sliced-ranking replay of truncation_recall."""
     ctes = [
@@ -12050,6 +12228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "mrl_recall": q_mrl_recall,
         "token_budget_sample": q_token_budget_sample,
+        "sketch_union_merge": q_sketch_union_merge,
+        "calendar_dim": q_calendar_dim,
+        "null_safe_join": q_null_safe_join,
+        "customer_set_ops": q_customer_set_ops,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

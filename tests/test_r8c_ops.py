@@ -735,3 +735,45 @@ def test_sample_token_budget_deterministic_and_small_group(spark):
     assert a == b
     # group 'b' has only 3 docs (~340 total < budget): all kept
     assert sum(1 for r in a if r[1] == "b") == 3
+
+
+# -------------------------------------------------- mergeable sketches
+
+
+def test_sketch_merge_identity(spark):
+    from skrub_spark.functions.sketches import (
+        distinct_sketch, mergeable_distinct_sketches,
+    )
+
+    rows = [(i % 3, f"tok{i % 500}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "part int, v string")
+    out = {r["part"]: r["distinct_est"] for r in
+           mergeable_distinct_sketches(
+               df, "v", "part", rate=8, salt="t"
+           ).collect()}
+    # merged estimate == one whole-corpus sketch with same salt/rate
+    direct = distinct_sketch(
+        df, "v", rate=8, salt="t", est_col="e"
+    ).collect()[0]["e"]
+    assert out["__ALL__"] == direct
+    # per-part sketches see the same values -> same per-part ests
+    assert set(out) == {"0", "1", "2", "__ALL__"} or set(out) == {0, 1, 2, "__ALL__"}
+
+
+def test_calendar_dim_civil_fields(spark):
+    import datetime as dt
+
+    from skrub_spark.functions.datetime import calendar_dim
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 2, 27),), (dt.datetime(2020, 3, 2),)],
+        "d timestamp",
+    )
+    out = {r["day"]: r for r in calendar_dim(df, "d").collect()}
+    assert len(out) == 5  # feb 27 .. mar 2 (leap year)
+    feb29 = [r for r in out.values() if r["month"] == 2 and r["dom"] == 29]
+    assert len(feb29) == 1 and feb29[0]["is_month_end"]
+    mar1 = [r for r in out.values() if r["month"] == 3 and r["dom"] == 1][0]
+    assert mar1["is_month_start"] and mar1["quarter"] == 1
+    # 2020-03-02 is a Monday -> dow 0
+    assert out[max(out)]["dow"] == 0
