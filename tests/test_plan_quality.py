@@ -851,3 +851,39 @@ def test_impute_median_broadcasts_medians_back(spark):
     plan = plan_of(q_impute_median(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_and_attribution_entity_partitioned(spark):
+    """Gaps-and-islands and attribution windows partition by the
+    entity key — no global range sort, no join in attribution."""
+    from skrub_spark.queries import (
+        q_attribution_last_touch,
+        q_interval_coverage,
+    )
+
+    p1 = plan_of(q_interval_coverage(spark, SF))
+    assert "rangepartitioning" not in p1
+    p2 = plan_of(q_attribution_last_touch(spark, SF))
+    assert "rangepartitioning" not in p2
+    assert "Join" not in p2  # pure window operator
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    """The anchor batch must broadcast onto the corpus (a
+    non-broadcast cartesian would shuffle the corpus |anchors|×)."""
+    from skrub_spark.queries import q_hard_negatives
+
+    plan = plan_of(q_hard_negatives(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_group_quantiles_distinct_value_frames(spark):
+    """The cumsum window runs over per-group DISTINCT values (the
+    counting groupBy must be map-side combined first) and nothing
+    globally range-sorts."""
+    from skrub_spark.queries import q_latency_sla
+
+    plan = plan_of(q_latency_sla(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "rangepartitioning" not in plan
