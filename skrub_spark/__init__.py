@@ -95,6 +95,7 @@ from .plans import (  # noqa: F401
     NotFittedError,
     DataOp,
     ParamSearch,
+    RandomizedParamSearch,
     SkrubLearner,
     X,
     as_data_op,

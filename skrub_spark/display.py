@@ -58,6 +58,7 @@ class OptunaParamSearch:  # pragma: no cover - env has no optuna
 
     def __init__(self, *a, **k):
         raise ImportError(
-            "optuna is not installed; use skrub_spark.ParamSearch for "
-            "exhaustive grid search"
+            "optuna is not installed; use skrub_spark.ParamSearch "
+            "(exhaustive grid) or skrub_spark.RandomizedParamSearch "
+            "(budgeted random search + successive halving) instead"
         )

@@ -475,6 +475,114 @@ class ParamSearch:
         return self
 
 
+class RandomizedParamSearch:
+    """Budgeted random search with successive halving over the
+    named choices in a plan — the dependency-free counterpart to
+    the reference's ``OptunaParamSearch``
+    (/root/reference/skrub/_data_ops/_optuna.py; optuna itself is
+    absent from this environment, so the search strategy is
+    reimplemented rather than wrapped: deterministic md5-seeded
+    sampling + the Jamieson/Talwalkar successive-halving schedule,
+    both public methods).
+
+    ``n_candidates`` parameter combinations are drawn
+    deterministically (content-addressed md5 over (seed, trial,
+    choice-name) — reproducible across processes, no RNG state);
+    each halving rung evaluates the survivors on a growing
+    ``subsample`` fraction of the env's DataFrames (when
+    ``subsample_var`` is set) and keeps the top half, so the full
+    data is only seen by the finalists — the budget shape that
+    matters when one evaluation is a 100 TB pipeline.
+
+    API mirrors ``ParamSearch``: ``fit(env)`` sets ``results_``,
+    ``best_params_``, ``best_score_``, ``best_learner_``."""
+
+    def __init__(
+        self,
+        plan: DataOp,
+        scorer,
+        *,
+        n_candidates: int = 8,
+        seed: int = 0,
+        subsample_var: str | None = None,
+        min_fraction: float = 0.25,
+    ):
+        self.plan = plan
+        self.scorer = scorer
+        self.n_candidates = int(n_candidates)
+        self.seed = int(seed)
+        self.subsample_var = subsample_var
+        self.min_fraction = float(min_fraction)
+
+    def _draw(self, choices, trial: int):
+        import hashlib
+
+        params = {}
+        for c in choices:
+            h = hashlib.md5(
+                f"{self.seed}|{trial}|{c.name}".encode()
+            ).hexdigest()
+            params[c.name] = c.outcomes[int(h[:8], 16) % len(c.outcomes)]
+        return params
+
+    def fit(self, env: dict):
+        import math
+
+        choices = [c for c in self.plan.skb.choices() if c.name]
+        cands, seen = [], set()
+        trial = 0
+        # draw until n_candidates DISTINCT combos (bounded by the
+        # finite grid)
+        grid = 1
+        for c in choices:
+            grid *= len(c.outcomes)
+        want = min(self.n_candidates, grid) if choices else 1
+        while len(cands) < want and trial < 1000:
+            p = self._draw(choices, trial)
+            key = tuple(sorted(p.items()))
+            if key not in seen:
+                seen.add(key)
+                cands.append(p)
+            trial += 1
+        n_rungs = max(1, int(math.ceil(math.log2(max(1, len(cands))))))
+        frac = self.min_fraction
+        results = []
+        rung_sizes = []
+        while len(cands) > 1:
+            rung_sizes.append(len(cands))
+            rung_env = dict(env)
+            if self.subsample_var is not None and frac < 1.0:
+                df = env[self.subsample_var]
+                rung_env[self.subsample_var] = df.sample(
+                    fraction=frac, seed=self.seed
+                )
+            scored = []
+            for p in cands:
+                out = self.plan.skb.eval(rung_env, p)
+                s = self.scorer(out)
+                scored.append((s, p))
+                results.append(
+                    {"params": p, "score": s, "fraction": frac}
+                )
+            scored.sort(
+                key=lambda t: (-t[0], tuple(sorted(map(str, t[1].items()))))
+            )
+            cands = [p for _, p in scored[: max(1, len(scored) // 2)]]
+            frac = min(1.0, frac * 2)
+        # final evaluation of the winner on the FULL env
+        best = cands[0] if cands else {}
+        out = self.plan.skb.eval(env, best)
+        best_score = self.scorer(out)
+        results.append({"params": best, "score": best_score, "fraction": 1.0})
+        self.results_ = results
+        self.rung_sizes_ = rung_sizes
+        self.n_rungs_ = n_rungs
+        self.best_params_ = best
+        self.best_score_ = best_score
+        self.best_learner_ = SkrubLearner(self.plan, best)
+        return self
+
+
 def cross_validate(plan, df, k: int = 3, scorer=None, seed: int = 42,
                    var_name: str = "X"):
     """k-fold CV over a DataFrame.

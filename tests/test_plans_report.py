@@ -643,3 +643,52 @@ def test_eval_mode_dataop(spark):
     assert mode.skb.eval({}) == "fit_transform"
     learner = SkrubLearner(mode).fit({})
     assert learner.transform({}) == "transform"
+
+
+def test_randomized_param_search_halving(spark):
+    from skrub_spark import RandomizedParamSearch
+    from skrub_spark.plans.data_ops import choose_from, deferred, var
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k int, v double"
+    )
+    thresh = choose_from([1.0, 5.0, 10.0, 20.0, 30.0], name="thresh")
+
+    @deferred
+    def above(d, t):
+        return d.filter(F.col("v") >= t)
+
+    # scorer prefers the most aggressive filter -> best thresh is
+    # the largest sampled value
+    plan = above(var("data"), thresh).count()
+    search = RandomizedParamSearch(
+        plan, scorer=lambda n: -n, n_candidates=4, seed=1,
+        subsample_var="data",
+    ).fit({"data": df})
+    sampled = {r["params"]["thresh"] for r in search.results_}
+    assert search.best_params_["thresh"] == max(sampled)
+    # the final row evaluates the winner on the FULL data
+    assert search.results_[-1]["fraction"] == 1.0
+    assert search.best_score_ == -df.filter(
+        F.col("v") >= search.best_params_["thresh"]
+    ).count()
+    # candidates are distinct and within budget
+    keys = {tuple(sorted(r["params"].items())) for r in search.results_}
+    assert 1 < len(keys) <= 4
+    # deterministic under re-run
+    again = RandomizedParamSearch(
+        plan, scorer=lambda n: -n, n_candidates=4, seed=1,
+        subsample_var="data",
+    ).fit({"data": df})
+    assert again.best_params_ == search.best_params_
+
+
+def test_randomized_param_search_no_choices(spark):
+    from skrub_spark import RandomizedParamSearch
+    from skrub_spark.plans.data_ops import var
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    s = RandomizedParamSearch(
+        var("data").count(), scorer=lambda n: n
+    ).fit({"data": df})
+    assert s.best_params_ == {} and s.best_score_ == 2
