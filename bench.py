@@ -213,6 +213,9 @@ HEADLINE = [
     "calendar_dim",
     "null_safe_join",
     "customer_set_ops",
+    "kwic_snippets",
+    "iqr_outliers",
+    "twap_daily",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

@@ -273,3 +273,52 @@ def redact_pii(col: Column | str) -> Column:
     for pat, repl in _PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def kwic_snippets(
+    docs,
+    term: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+):
+    """Keyword-in-context extraction — the snippet half of the
+    search stack (`operators/bm25.py` ranks documents; this shows
+    WHY each hit matched): one row per occurrence of ``term``
+    (case-insensitive whole token) — ``(id, pos, snippet)`` with
+    ``pos`` the 1-based token position and ``snippet`` the
+    space-joined ±``window`` token context.
+
+    Map-only Column algebra end-to-end: tokenize, positions of the
+    term as a filtered index array (one interpreted HOF pass over
+    the token array — arrays are doc-bounded, not corpus-bounded),
+    explode, slice. Exact strings, so the DuckDB oracle replays
+    byte-identically (battery query ``kwic_snippets``).
+    """
+    t = term.lower()
+    w = int(window)
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    idx = F.filter(
+        F.transform(F.col("__toks"), lambda x, i: i + 1),
+        lambda p: F.element_at(F.col("__toks"), p) == t,
+    )
+    hits = base.select(
+        id_col, "__toks", F.explode(idx).alias("pos")
+    )
+    start = F.greatest(F.col("pos") - w, F.lit(1))
+    length = (
+        F.least(
+            F.col("pos") + w, F.size(F.col("__toks"))
+        )
+        - start
+        + 1
+    )
+    return hits.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice(F.col("__toks"), start, length), " "
+        ).alias("snippet"),
+    )

@@ -447,3 +447,58 @@ def ewma_smooth(
             6,
         ).alias("resid"),
     )
+
+
+def twap_daily(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Time-weighted average value per (entity, day) — the TWAP
+    shape (finance: fair daily price from irregular ticks; ops:
+    true average gauge level from event-driven samples — a plain
+    AVG over-weights bursts): each observation holds its value
+    until the next one in the same day, the last until midnight —
+    ``(entity, day, n_obs, twap)``.
+
+    Exactness: weights are exact integer microseconds (lead over
+    the (entity, day) window; day-end fallback), per-row products
+    ``value · w`` are 6dp-rounded into DECIMAL(38,6) order-free
+    sums, and twap is ONE IEEE division rounded 6dp (battery
+    oracle ``twap_daily``). Windows partition by (entity, day) —
+    bounded frames, one shuffle. ``id_col`` breaks timestamp ties
+    (tied observations would otherwise split the interval
+    order-dependently; with the tie-break the earlier id holds for
+    0 µs — deterministic on every engine).
+    """
+    us = F.expr(f"unix_micros({ts_col})")
+    day = F.call_function("div", us, F.lit(86_400_000_000))
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        day.alias("day"),
+        us.alias("us"),
+        F.col(id_col).alias("oid"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("entity", "day").orderBy("us", "oid")
+    nxt = F.lead("us").over(w)
+    day_end = (F.col("day") + 1) * F.lit(86_400_000_000)
+    weight = F.coalesce(nxt, day_end) - F.col("us")
+    terms = base.select(
+        "entity",
+        "day",
+        F.round(F.col("v") * weight.cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("vw"),
+        weight.alias("w"),
+    )
+    return terms.groupBy("entity", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.round(
+            F.sum("vw").cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("twap"),
+    )

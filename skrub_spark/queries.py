@@ -5886,6 +5886,47 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_a)
 
 
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets (r8 late,
+    functions/text.py::kwic_snippets — the snippet half of the
+    search stack next to BM25 ranking): every occurrence of 'the'
+    with ±3 tokens of context, map-only array algebra."""
+    _prep(spark)
+    from .functions.text import kwic_snippets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kwic_snippets(docs, "the", window=3)
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers (r8 late,
+    report/outliers.py::iqr_outliers — boxplot semantics next to
+    mad_outliers' Hampel rule): account balances vs per-nation
+    quartile fences, decided in ×10 exact decimal space."""
+    _prep(spark)
+    from .report.outliers import iqr_outliers
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    return iqr_outliers(cust, "c_nationkey", "bal", "c_custkey")
+
+
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted daily average (r8 late,
+    operators/sequence.py::twap_daily — TWAP: each observation
+    holds until the next; plain AVG over-weights bursts): event
+    values per user-day, integer-microsecond weights, id
+    tie-break."""
+    _prep(spark)
+    from .operators.sequence import twap_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return twap_daily(ev, "user_id", "ts", "value", "event_id")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11361,6 +11402,80 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+ORACLES["kwic_snippets"] = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x != '') AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, toks,
+        unnest([i FOR i IN generate_series(1, len(toks))
+                IF toks[i] = 'the']) AS pos
+      FROM t
+    )
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+      array_to_string(
+        toks[greatest(pos - 3, 1):least(pos + 3, len(toks))], ' ')
+        AS snippet
+    FROM hits
+"""
+
+ORACLES["iqr_outliers"] = """
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ), counts AS (
+      SELECT c_nationkey AS g, bal AS v, count(*) AS c
+      FROM base WHERE bal IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v,
+        sum(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY g) AS n
+      FROM counts
+    ), q AS (
+      SELECT g AS c_nationkey,
+        min(CASE WHEN cum >= (2500 * n + 9999) // 10000 THEN v END)
+          AS p25,
+        min(CASE WHEN cum >= (7500 * n + 9999) // 10000 THEN v END)
+          AS p75
+      FROM cum GROUP BY 1
+    )
+    SELECT b.c_custkey, b.c_nationkey, b.bal AS value, q.p25, q.p75,
+      (10 * b.bal < 10 * q.p25 - 15 * (q.p75 - q.p25)
+       OR 10 * b.bal > 10 * q.p75 + 15 * (q.p75 - q.p25))
+        AS is_outlier
+    FROM base b JOIN q USING (c_nationkey)
+"""
+
+ORACLES["twap_daily"] = """
+    WITH base AS (
+      SELECT user_id AS entity,
+        epoch_us(ts) // 86400000000 AS day,
+        epoch_us(ts) AS us, event_id AS oid, value AS v
+      FROM events
+    ), t AS (
+      SELECT entity, day, v,
+        COALESCE(
+          lead(us) OVER (PARTITION BY entity, day
+                         ORDER BY us, oid),
+          (day + 1) * 86400000000) - us AS w
+      FROM base
+    ), terms AS (
+      SELECT entity, day,
+        CAST(round(v * CAST(w AS DOUBLE), 6) AS DECIMAL(38,6)) AS vw,
+        w
+      FROM t
+    )
+    SELECT entity, CAST(day AS BIGINT) AS day,
+      CAST(count(*) AS BIGINT) AS n_obs,
+      round(CAST(sum(vw) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+        AS twap
+    FROM terms GROUP BY 1, 2
+"""
+
 ORACLES["sketch_union_merge"] = """
     WITH t AS (
       SELECT source,
@@ -12232,6 +12347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_dim": q_calendar_dim,
         "null_safe_join": q_null_safe_join,
         "customer_set_ops": q_customer_set_ops,
+        "kwic_snippets": q_kwic_snippets,
+        "iqr_outliers": q_iqr_outliers,
+        "twap_daily": q_twap_daily,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

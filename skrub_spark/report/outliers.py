@@ -110,3 +110,50 @@ def mad_outliers(
             > F.lit(kq).cast("decimal(3,1)") * F.col("mad4")
         ).alias("is_outlier"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    k10: int = 15,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group — the other textbook
+    robust rule next to ``mad_outliers`` (boxplot semantics:
+    flag x outside [p25 − k·IQR, p75 + k·IQR], k = ``k10``/10):
+    ``(id, group, value, p25, p75, is_outlier)``. Quartiles are
+    discrete rank SELECTION via the integer basis-point cut rule
+    (``ceil(p·n)`` over the per-group distinct-value cumsum —
+    the ``quantile_clip`` discipline, partitioned by group), so
+    they are actual data values; the fence comparison is decided
+    in ×10-scaled exact decimal space (no float fence). Battery
+    oracle ``iqr_outliers`` replays selection and fences."""
+    from ..operators.winsorize import group_quantiles
+
+    q = group_quantiles(
+        df.select(F.col(group_col), F.col(value_col)),
+        group_col,
+        value_col,
+        [0.25, 0.75],
+        names=["p25", "p75"],
+    ).drop("n")
+    j = df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col).alias("value")
+    ).join(F.broadcast(q), group_col)
+    v10 = F.lit(10) * F.col("value")
+    lo10 = F.lit(10) * F.col("p25") - F.lit(int(k10)) * (
+        F.col("p75") - F.col("p25")
+    )
+    hi10 = F.lit(10) * F.col("p75") + F.lit(int(k10)) * (
+        F.col("p75") - F.col("p25")
+    )
+    return j.select(
+        id_col,
+        group_col,
+        "value",
+        "p25",
+        "p75",
+        ((v10 < lo10) | (v10 > hi10)).alias("is_outlier"),
+    )

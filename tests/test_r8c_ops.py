@@ -777,3 +777,66 @@ def test_calendar_dim_civil_fields(spark):
     assert mar1["is_month_start"] and mar1["quarter"] == 1
     # 2020-03-02 is a Monday -> dow 0
     assert out[max(out)]["dow"] == 0
+
+
+# -------------------------------------------------------------- KWIC
+
+
+def test_kwic_snippets_positions_and_edges(spark):
+    from skrub_spark.functions.text import kwic_snippets
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        kwic_snippets(df, "the", window=2).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [(r["pos"], r["snippet"]) for r in out] == [
+        (1, "the cat sat"),              # clipped at doc start
+        (5, "sat on the mat"),           # clipped at doc end
+    ]
+    assert all(r["doc_id"] == 1 for r in out)
+
+
+# --------------------------------------------------------- IQR fences
+
+
+def test_iqr_outliers_flags_tukey(spark):
+    from skrub_spark.report.outliers import iqr_outliers
+
+    vals = [10, 12, 14, 16, 18, 20, 100]
+    df = spark.createDataFrame(
+        [(i, "g", str(v)) for i, v in enumerate(vals)],
+        "id long, g string, v string",
+    ).select("id", "g", F.col("v").cast("decimal(12,2)").alias("v"))
+    out = {float(r["value"]): r["is_outlier"] for r in iqr_outliers(
+        df, "g", "v", "id"
+    ).collect()}
+    # p25 = ceil(0.25*7)=2nd value = 12; p75 = ceil(.75*7)=6th = 20
+    # fences: [12-1.5*8, 20+1.5*8] = [0, 32] -> only 100 flagged
+    assert out[100.0] is True
+    assert sum(out.values()) == 1
+
+
+# -------------------------------------------------------------- TWAP
+
+
+def test_twap_daily_weights_by_holding_time(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.sequence import twap_daily
+
+    day = dt.datetime(2020, 1, 1)
+    rows = [
+        ("u", day, 1, 10.0),                               # holds 6h
+        ("u", day + dt.timedelta(hours=6), 2, 20.0),       # holds 18h
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, id long, v double"
+    )
+    r = twap_daily(df, "u", "ts", "v", "id").collect()[0]
+    # 10*(6/24) + 20*(18/24) = 17.5 ; plain mean would say 15
+    assert r["n_obs"] == 2
+    assert r["twap"] == pytest.approx(17.5)
