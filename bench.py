@@ -216,6 +216,8 @@ HEADLINE = [
     "kwic_snippets",
     "iqr_outliers",
     "twap_daily",
+    "top_paths",
+    "ltv_curve",
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

@@ -5927,6 +5927,107 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap_daily(ev, "user_id", "ts", "value", "event_id")
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user paths (r8 late — the product-analytics
+    'top paths' report; event_transitions is the 1st-order view,
+    this surfaces the actual walked trigrams): two lags over the
+    per-user (ts, id) order, one counting reduce, deterministic
+    top-20."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("s3"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.lag("event_type", 2).over(w).alias("s1"),
+    ).filter(F.col("s1").isNotNull())
+    return (
+        s.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
+
+
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (r8 late — cumulative revenue per
+    first-order-week cohort by age; `retention_cohorts` counts
+    heads, this follows the money): integer epoch-week cohorts,
+    exact DECIMAL revenue, cumsum over the bounded per-cohort age
+    frame, per-user LTV one IEEE division 6dp."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_date(cast(o_orderdate as date))")
+    base = orders.select(
+        "o_custkey",
+        F.call_function("div", day + 3, F.lit(7)).alias("week"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    first = base.groupBy("o_custkey").agg(
+        F.min("week").alias("cohort")
+    )
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    j = base.join(first, "o_custkey").select(
+        "cohort",
+        (F.col("week") - F.col("cohort")).alias("age"),
+        "price",
+    )
+    per = j.groupBy("cohort", "age").agg(
+        F.sum("price").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            F.col("age").cast("long").alias("age"),
+            F.col("rev").cast("double").alias("rev"),
+            F.col("cum_rev").cast("double").alias("cum_rev"),
+            "cohort_users",
+            # exact integer micros then ONE un-rounded IEEE div —
+            # round(cents/users, 6) ties at the half-ulp for
+            # power-of-two cohort sizes and the engines' round()
+            # disagree there; integer div has no tie to lose
+            (
+                F.call_function(
+                    "div",
+                    (F.col("cum_rev") * 100).cast("long")
+                    * F.lit(10_000),
+                    F.col("cohort_users"),
+                ).cast("double")
+                / F.lit(1_000_000).cast("double")
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+def q_dup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (r8 late — dedup
+    observability: is the corpus a few mega-mirrors or many small
+    twins?): aggregates the `minhash_canonical` pipeline's
+    components; the oracle COMPOSES that query's proven SQL replay
+    via a subquery splice (the evaluation-metrics precedent)."""
+    canon = q_minhash_canonical(spark, sf_dir)
+    sizes = canon.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11402,6 +11503,64 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+# dedup observability: COMPOSE the proven minhash_canonical replay
+# (the evaluation-metrics subquery-splice precedent)
+ORACLES["dup_cluster_report"] = """
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ( {canon} ) canon GROUP BY 1
+    ) sizes GROUP BY 1
+""".format(canon=ORACLES["minhash_canonical"])
+
+ORACLES["top_paths"] = """
+    WITH s AS (
+      SELECT event_type AS s3,
+        lag(event_type, 1) OVER w AS s2,
+        lag(event_type, 2) OVER w AS s1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE s1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 20
+"""
+
+ORACLES["ltv_curve"] = """
+    WITH base AS (
+      SELECT o_custkey,
+        (epoch_us(o_orderdate) // 86400000000 + 3) // 7 AS week,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    ), first AS (
+      SELECT o_custkey, min(week) AS cohort FROM base GROUP BY 1
+    ), sized AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first GROUP BY 1
+    ), per AS (
+      SELECT cohort, week - cohort AS age, SUM(price) AS rev
+      FROM base JOIN first USING (o_custkey)
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, age, rev,
+        sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM per
+    )
+    SELECT CAST(c.cohort AS BIGINT) AS cohort,
+      CAST(c.age AS BIGINT) AS age,
+      CAST(c.rev AS DOUBLE) AS rev,
+      CAST(c.cum_rev AS DOUBLE) AS cum_rev,
+      s.cohort_users,
+      CAST((CAST(c.cum_rev * 100 AS BIGINT) * 10000)
+           // s.cohort_users AS DOUBLE)
+        / CAST(1000000 AS DOUBLE) AS ltv_per_user
+    FROM cum c JOIN sized s USING (cohort)
+"""
+
 ORACLES["kwic_snippets"] = """
     WITH t AS (
       SELECT doc_id,
@@ -12350,6 +12509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": q_kwic_snippets,
         "iqr_outliers": q_iqr_outliers,
         "twap_daily": q_twap_daily,
+        "top_paths": q_top_paths,
+        "ltv_curve": q_ltv_curve,
+        "dup_cluster_report": q_dup_cluster_report,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

@@ -840,3 +840,49 @@ def test_twap_daily_weights_by_holding_time(spark):
     # 10*(6/24) + 20*(18/24) = 17.5 ; plain mean would say 15
     assert r["n_obs"] == 2
     assert r["twap"] == pytest.approx(17.5)
+
+
+# ---------------------------------------------------------- top paths
+
+
+def test_top_paths_shapes(spark):
+    from skrub_spark.queries import q_top_paths
+
+    out = q_top_paths(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(out) <= 20
+    # descending counts with deterministic tie order
+    ns = [r["n"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------- LTV curve
+
+
+def test_ltv_curve_monotone_cumulative(spark):
+    from skrub_spark.queries import q_ltv_curve
+
+    rows = q_ltv_curve(spark, "/root/testdata/sf0.001").collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        cum = [r["cum_rev"] for r in rs]
+        assert cum == sorted(cum)  # cumulative revenue never drops
+        assert abs(cum[0] - rs[0]["rev"]) < 1e-6
+        for r in rs:
+            assert r["ltv_per_user"] <= r["cum_rev"] + 1e-9
+
+
+def test_dup_cluster_report_accounts_all_dups(spark):
+    from skrub_spark.queries import (
+        q_dup_cluster_report, q_minhash_canonical,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = q_dup_cluster_report(spark, sf).collect()
+    n_docs = sum(r["n_docs"] for r in rep)
+    assert n_docs == q_minhash_canonical(spark, sf).count()
+    for r in rep:
+        assert r["cluster_size"] >= 2  # singletons are not clusters
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
