@@ -218,6 +218,10 @@ HEADLINE = [
     "twap_daily",
     "top_paths",
     "ltv_curve",
+    "weighted_distances",
+    # dup_cluster_report re-runs the whole minhash_canonical
+    # pipeline (timed in the battery) — excluded like the other
+    # composition re-runs.
     # streaming_cdc: state-store fixed overhead (see streaming note);
     # warc_source: fixture synthesis dominates (see multimodal note)
     # excluded by design: bucketed_join_revenue / csv_source /

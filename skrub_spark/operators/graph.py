@@ -661,3 +661,104 @@ def bfs_distances(
         settled = _ckpt(settled)
         frontier = nxt
     return settled.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def weighted_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    *,
+    n_rounds: int = 4,
+    directed: bool = False,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest path cost from any source to
+    every node reachable within ``n_rounds`` edges — ``(node,
+    dist)`` with integer edge weights (``bfs_distances`` is the
+    hop-count special case; weighted distances are what link-cost
+    or latency-aware seed-proximity features actually need).
+
+    Determinism: each synchronous round relaxes EVERY edge against
+    the full current frontier (``d_{i+1}(v) = min(d_i(v),
+    min_{(u,v,w)} d_i(u)+w)``) — a set/min fixpoint, bit-identical
+    under any partitioning, replayed round-by-round by the
+    chained-CTE oracle (battery query ``weighted_distances``).
+    Costs are exact integers (ANSI-checked adds).
+
+    Per round: ONE shuffle (edges ⋈ current distances on the
+    source end, reusing the persisted edge partitioning) + one
+    min-groupBy + a full-outer min-merge with the previous
+    distances; all post-edge frames are |V|-sized. Lineage is
+    checkpointed per round (``reliable`` option for clusters).
+    """
+    fwd = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if directed:
+        e = fwd.filter(F.col("src") != F.col("dst")).distinct()
+    else:
+        rev = edges.select(
+            F.col(dst).alias("src"),
+            F.col(src).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        e = (
+            fwd.union(rev)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    e = e.persist()
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
+    if checkpoint == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    dist = sources.select(
+        F.col(node).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    dist = _ckpt(dist)
+    for _ in range(int(n_rounds)):
+        relaxed = (
+            e.join(
+                dist.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = (
+            dist.withColumnRenamed("dist", "d0")
+            .join(relaxed.withColumnRenamed("dist", "d1"), "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("d0", F.col("d1")),
+                    F.coalesce("d1", F.col("d0")),
+                ).alias("dist"),
+            )
+        )
+        dist = _ckpt(dist)
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

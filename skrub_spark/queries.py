@@ -6028,6 +6028,24 @@ def q_dup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted landmark distances (r8 late,
+    operators/graph.py::weighted_distances — bounded Bellman-Ford;
+    bfs_distances is the hop-count special case): 4 relaxation
+    rounds from node 0 on the planted 97-host graph with integer
+    weights (src+dst) % 5 + 1, chained-CTE replayed."""
+    _prep(spark)
+    from .operators.graph import weighted_distances
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).withColumn("w", (F.col("src") + F.col("dst")) % 5 + 1)
+    landmarks = spark.range(0, 1).select(F.col("id").alias("node"))
+    return weighted_distances(edges, landmarks, n_rounds=4)
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -11561,6 +11579,49 @@ ORACLES["ltv_curve"] = """
     FROM cum c JOIN sized s USING (cohort)
 """
 
+def _bellman_oracle(n_rounds: int = 4) -> str:
+    """Chained-CTE replay of bounded Bellman-Ford on the planted
+    weighted 97-host graph (weighted_distances)."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+      FROM documents
+    ), ew AS (
+      SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e0
+    ), e AS (
+      SELECT DISTINCT src, dst, w FROM (
+        SELECT src, dst, w FROM ew WHERE src != dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM ew WHERE src != dst
+      )
+    ), d0 AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+    )"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p, c = f"d{i - 1}", f"d{i}"
+        parts.append(
+            f""", r{i} AS (
+      SELECT e.dst AS node, min({p}.dist + e.w) AS dist
+      FROM e JOIN {p} ON e.src = {p}.node GROUP BY 1
+    ), {c} AS (
+      SELECT COALESCE(a.node, b.node) AS node,
+        least(COALESCE(a.dist, b.dist), COALESCE(b.dist, a.dist))
+          AS dist
+      FROM {p} a FULL JOIN r{i} b ON a.node = b.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d{n_rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["weighted_distances"] = _bellman_oracle(4)
+
 ORACLES["kwic_snippets"] = """
     WITH t AS (
       SELECT doc_id,
@@ -12512,6 +12573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "ltv_curve": q_ltv_curve,
         "dup_cluster_report": q_dup_cluster_report,
+        "weighted_distances": q_weighted_distances,
         # rotated out of the gate window r8 third session (families
         # still covered in-window; these stay in the full battery):
         "triangle_stats": q_triangle_stats,

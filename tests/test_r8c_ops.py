@@ -886,3 +886,36 @@ def test_dup_cluster_report_accounts_all_dups(spark):
     for r in rep:
         assert r["cluster_size"] >= 2  # singletons are not clusters
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+# ------------------------------------------------- weighted distances
+
+
+def test_weighted_distances_prefers_cheap_path(spark):
+    from skrub_spark.operators.graph import weighted_distances
+
+    # 0-1 costs 10 direct, but 0-2-1 costs 2+3=5: Bellman-Ford
+    # must find the cheaper 2-hop route within 2 rounds
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 2), (2, 1, 3), (1, 3, 1)],
+        "src long, dst long, w long",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    d = {r["node"]: r["dist"] for r in weighted_distances(
+        edges, srcs, n_rounds=3
+    ).collect()}
+    assert d == {0: 0, 2: 2, 1: 5, 3: 6}
+
+
+def test_weighted_distances_round_bound(spark):
+    from skrub_spark.operators.graph import weighted_distances
+
+    # path 0-1-2-3: with 2 rounds node 3 is unreached
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    d = {r["node"]: r["dist"] for r in weighted_distances(
+        edges, srcs, n_rounds=2
+    ).collect()}
+    assert d == {0: 0, 1: 1, 2: 2}
