@@ -32,7 +32,65 @@ from .operators.domains import (  # noqa: F401
 from .functions.text import redact_pii  # noqa: F401
 from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
 from .operators.dsir import dsir_log_weight, dsir_resample, fit_dsir  # noqa: F401
-from .operators.graph import pagerank  # noqa: F401
+from .operators.graph import (  # noqa: F401
+    bfs_distances,
+    k_core,
+    label_propagation,
+    pagerank,
+    triangle_stats,
+    weighted_distances,
+)
+from .operators.skyline import skyline2d  # noqa: F401
+from .operators.spatial import grid_distance_join  # noqa: F401
+from .operators.bitmap import audience_overlap, segment_bitmaps  # noqa: F401
+from .operators.intervals import (  # noqa: F401
+    attribution_last_touch,
+    interval_coverage,
+)
+from .operators.impute import impute_median  # noqa: F401
+from .operators.winsorize import (  # noqa: F401
+    group_quantiles,
+    histogram_report,
+    quantile_clip,
+    quantile_discretize,
+)
+from .operators.sampling import (  # noqa: F401
+    oversample_balance,
+    sample_token_budget,
+)
+from .operators.sequence import (  # noqa: F401
+    autocorrelation,
+    event_transitions,
+    ewma_smooth,
+    seasonal_profile,
+    sequence_anomaly,
+    twap_daily,
+    window_funnel,
+)
+from .operators.association import (  # noqa: F401
+    association_rules,
+    item_cooccurrence,
+)
+from .report.survival import kaplan_meier  # noqa: F401
+from .report.concentration import gini_concentration  # noqa: F401
+from .report.abtest import ab_proportion_test  # noqa: F401
+from .report.outliers import iqr_outliers, mad_outliers  # noqa: F401
+from .report.profiling import (  # noqa: F401
+    candidate_keys,
+    fd_profile,
+    join_fanout_report,
+)
+from .report.trend import grouped_trend, theil_sen  # noqa: F401
+from .similarity.mining import (  # noqa: F401
+    hard_negatives,
+    truncation_recall,
+)
+from .dedup.density import duplication_density, ngram_novelty  # noqa: F401
+from .functions.text import kwic_snippets  # noqa: F401
+from .functions.datetime import calendar_dim  # noqa: F401
+from .functions.sketches import (  # noqa: F401
+    mergeable_distinct_sketches,
+)
 from .functions.tree_compile import (  # noqa: F401
     ensemble_margin,
     export_gbt,
