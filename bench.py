@@ -541,15 +541,37 @@ def main() -> None:
         sf_val = None
     demos = scale_demos(spark)
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "scale_demos": demos,
+        "sf": sf_val,
+    }
+    # The per-query JSON is ~190 entries and the driver keeps only an
+    # output TAIL — a single giant line gets truncated mid-object and
+    # parses as null (BENCH_r08.json). Emit the full JSON first (and
+    # persist it to a file next to this script), then end with ONE
+    # compact line that survives any tail window.
+    print(json.dumps(full))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as e:  # noqa: BLE001
+        print(f"# could not write BENCH_detail.json: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "scale_demos": demos,
+                "n_queries": len(timings),
                 "sf": sf_val,
+                "detail": "BENCH_detail.json",
             }
         )
     )

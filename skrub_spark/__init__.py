@@ -189,6 +189,10 @@ from .operators.session_encoder import (  # noqa: F401
     session_features,
     sessionize,
 )
+from .operators.html_extract import (  # noqa: F401
+    extract_main_content,
+    html_extract,
+)
 from .session import get_session  # noqa: F401
 from .table_vectorizer import TableVectorizer, tabular_pipeline  # noqa: F401
 

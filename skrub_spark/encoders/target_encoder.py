@@ -68,14 +68,22 @@ def target_encode(
     ``target_encode``)."""
     m = int(m)
     per, tot = _cat_stats(df, category_col, target_col)
+    # N·S_c at 100 TB row counts (N ~ 1e10+, S_c comparable) overflows
+    # int64 silently under non-ANSI Spark — compute both products in
+    # decimal(38,0) (exact to 38 digits, plenty for 1e20-scale values)
+    # before the final IEEE double division. Same double comes out at
+    # any scale where long did not overflow, so oracles are unchanged.
+    n_dec = F.col("n").cast("decimal(19,0)")
+    num = (
+        n_dec * F.col("s_c").cast("decimal(19,0)")
+        + F.lit(m).cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    )
+    den = n_dec * (F.col("n_c") + F.lit(m)).cast("decimal(19,0)")
     return per.crossJoin(F.broadcast(tot)).select(
         category_col,
         "n_c",
         F.round(
-            (F.col("n") * F.col("s_c") + F.lit(m) * F.col("s")).cast(
-                "double"
-            )
-            / (F.col("n") * (F.col("n_c") + F.lit(m))).cast("double"),
+            num.cast("double") / den.cast("double"),
             6,
         ).alias("encoding"),
     )

@@ -207,6 +207,10 @@ def hits(
     if partitions:
         e = e.repartition(partitions, "src")
     e = e.persist()
+    # An empty edge frame would make each half-step's max None
+    # (int(None) TypeError) — fail loudly up front instead.
+    if e.limit(1).count() == 0:
+        raise ValueError("hits: graph has no edges")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -255,7 +259,10 @@ def hits(
             .agg(F.sum("h").alias("ar"))
             .persist()
         )
-        am = int(ar.agg(F.max("ar").alias("am")).first()["am"])
+        am_v = ar.agg(F.max("ar").alias("am")).first()["am"]
+        if not am_v:  # None (no rows) or 0 — normalization impossible
+            raise ValueError("hits: authority normalizer is empty/zero")
+        am = int(am_v)
         a = (
             nodes.join(
                 ar.withColumnRenamed("dst", "node"), "node", "left"
@@ -274,7 +281,10 @@ def hits(
             .agg(F.sum("a").alias("hr"))
             .persist()
         )
-        hm = int(hr.agg(F.max("hr").alias("hm")).first()["hm"])
+        hm_v = hr.agg(F.max("hr").alias("hm")).first()["hm"]
+        if not hm_v:
+            raise ValueError("hits: hub normalizer is empty/zero")
+        hm = int(hm_v)
         h = (
             nodes.join(
                 hr.withColumnRenamed("src", "node"), "node", "left"
@@ -309,6 +319,8 @@ def label_propagation(
     n_iter: int = 3,
     partitions: int | None = None,
     checkpoint: str = "local",
+    nodes_df: DataFrame | None = None,
+    node: str = "node",
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) —
     community detection on the undirected link graph. Connected
@@ -330,7 +342,11 @@ def label_propagation(
     edge partitioning) → map-side-combined (node, label) counts →
     a per-node top-1 window (bounded frame). Per-round
     checkpointing truncates lineage exactly like ``hits``.
-    Returns ``(node, label)``; isolated nodes keep their own id.
+    Returns ``(node, label)``. The node universe is derived from the
+    self-loop-filtered symmetrized edge list, so isolated /
+    self-loop-only nodes are ABSENT unless an explicit ``nodes_df``
+    frame is passed — then every listed node appears, edge-less ones
+    keeping their own id as label.
     """
     from pyspark.sql import Window
 
@@ -386,6 +402,15 @@ def label_propagation(
             )
         )
         lab = _ckpt(lab)
+    if nodes_df is not None:
+        key_t = lab.schema["node"].dataType
+        universe = nodes_df.select(
+            F.col(node).cast(key_t).alias("node")
+        ).distinct()
+        lab = universe.join(lab, "node", "left").select(
+            "node",
+            F.coalesce("label", "node").alias("label"),
+        )
     return lab
 
 
@@ -640,8 +665,13 @@ def bfs_distances(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # Align the seed ids to the edges' native key type (string hosts,
+    # long ids, ... — same rule as pagerank/hits/label_propagation).
+    # A hard cast('long') here silently NULLed string-keyed seeds and
+    # returned empty distances instead of erroring.
+    key_t = e.schema["src"].dataType
     settled = sources.select(
-        F.col(node).cast("long").alias("node"), F.lit(0).alias("dist")
+        F.col(node).cast(key_t).alias("node"), F.lit(0).alias("dist")
     ).distinct()
     settled = _ckpt(settled)
     frontier = settled.select("node")
@@ -732,8 +762,11 @@ def weighted_distances(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # Same native-key-type alignment as bfs_distances: string-keyed
+    # graphs must not have their seeds cast to long (silent NULLs).
+    key_t = e.schema["src"].dataType
     dist = sources.select(
-        F.col(node).cast("long").alias("node"),
+        F.col(node).cast(key_t).alias("node"),
         F.lit(0).cast("long").alias("dist"),
     ).distinct()
     dist = _ckpt(dist)

@@ -505,6 +505,7 @@ class RandomizedParamSearch:
         n_candidates: int = 8,
         seed: int = 0,
         subsample_var: str | None = None,
+        subsample_key: str | None = None,
         min_fraction: float = 0.25,
     ):
         self.plan = plan
@@ -512,6 +513,10 @@ class RandomizedParamSearch:
         self.n_candidates = int(n_candidates)
         self.seed = int(seed)
         self.subsample_var = subsample_var
+        # Column the rung subsample hashes on (content-addressed,
+        # partition-layout-independent). None = hash the whole row
+        # (to_json of struct(*)) — still deterministic, just costlier.
+        self.subsample_key = subsample_key
         self.min_fraction = float(min_fraction)
 
     def _draw(self, choices, trial: int):
@@ -552,9 +557,22 @@ class RandomizedParamSearch:
             rung_sizes.append(len(cands))
             rung_env = dict(env)
             if self.subsample_var is not None and frac < 1.0:
+                # Content-addressed rung subsample: seeded df.sample()
+                # is partition-layout-dependent (rung scores — and the
+                # winner — would differ across clusters, contradicting
+                # the md5-seeded determinism claim), so hash row
+                # content instead (ADVICE r8).
+                from pyspark.sql import functions as F
+
+                from ..operators.sampling import deterministic_sample
+
                 df = env[self.subsample_var]
-                rung_env[self.subsample_var] = df.sample(
-                    fraction=frac, seed=self.seed
+                if self.subsample_key is not None:
+                    key = F.col(self.subsample_key)
+                else:
+                    key = F.to_json(F.struct(*df.columns))
+                rung_env[self.subsample_var] = deterministic_sample(
+                    df, key, frac, salt=f"rps|{self.seed}"
                 )
             scored = []
             for p in cands:

@@ -740,26 +740,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE pretraining-data path in ONE lazy Spark plan —
-    boilerplate line removal -> Gopher repetition filter -> PII
-    redaction (planted) -> exact dedup -> token-window substring
-    dedup -> mixture sampling to per-source targets -> deterministic
-    corpus shuffle -> sequence packing — eight stages fused by
-    Catalyst, emitting each surviving document's final training
-    placement (shard, position, chunk span). The DuckDB oracle
-    replays every stage as composed CTEs, so the COMPOSITION is
-    verified exactly, not just the stages in isolation."""
+    HTML main-content extraction (r9 stage 0) -> boilerplate line
+    removal -> Gopher repetition filter -> PII redaction (planted)
+    -> exact dedup -> token-window substring dedup -> mixture
+    sampling to per-source targets -> deterministic corpus shuffle
+    -> sequence packing — nine stages fused by Catalyst, emitting
+    each surviving document's final training placement (shard,
+    position, chunk span). The DuckDB oracle replays every stage as
+    composed CTEs, so the COMPOSITION is verified exactly, not just
+    the stages in isolation."""
     _prep(spark)
     from .dedup.exact import drop_exact_duplicates
     from .functions.text import redact_pii
     from .operators.boilerplate import remove_boilerplate_lines
+    from .operators.html_extract import html_extract
     from .operators.packing import pack_training_chunks
     from .operators.repetition import repetition_filter
     from .operators.sampling import sample_to_targets
     from .operators.span_dedup import dedup_token_spans
     from .sources.sharding import shuffle_order
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    raw = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
+    )
+    # 0. HTML main-content extraction (r9): wrap each doc in the
+    # same deterministic markup as q_html_extract (nav + noise +
+    # h1/p article + link-dense box + footer) and extract — the DOM
+    # stage every CC pipeline runs before line heuristics. The
+    # extracted main_text is 'Doc <id>\\n' + normalized text (the
+    # title line is then dropped by stage 1's 20-word rule), which
+    # the oracle replays as a leading CTE.
+    did = F.col("doc_id").cast("string")
+    planted = raw.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit(
+                '</title><script>var nav = "<p>fake</p>";</script>'
+                '<style>.m{color:red}</style></head><body><nav>'
+                '<a href="/">Home</a> <a href="/docs">Docs</a></nav>'
+                "<!-- build --><h1>Doc "
+            ),
+            did,
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p><footer><a href="/c">Contact</a> '
+                '<a href="/t">Terms</a></footer></body></html>'
+            ),
+        ).alias("html"),
+    )
+    docs = (
+        html_extract(planted, "html")
+        .filter(F.col("n_kept") >= 1)
+        .select("doc_id", "source", F.col("main_text").alias("text"))
     )
     # Each downstream self-join (filter-by-stats, dedup canonical,
     # sampling counts) re-consumes its input; without persists the
@@ -6046,6 +6082,56 @@ def q_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_distances(edges, landmarks, n_rounds=4)
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (r9,
+    operators/html_extract.py::html_extract — the DOM-level
+    trafilatura-shape stage between WARC bodies and line-level
+    boilerplate removal): plant deterministic markup around each
+    document's text (title + script/style/comment noise + nav +
+    article h1/p + link-dense related box + footer, pure SQL concat
+    so the oracle replays the input), extract, and return the
+    per-doc title/main_text/audit counts. The nav/div/footer must
+    drop (boiler containers / link density 1.0) and the h1+p must
+    survive — the oracle recomputes all five columns from the raw
+    text."""
+    _prep(spark)
+    from .operators.html_extract import html_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit(
+                '</title><script type="text/javascript">var nav = '
+                '"<p>fake</p>";</script><style>.m{color:red}</style>'
+                "</head><body><nav><a href=\"/\">Home</a> "
+                '<a href="/docs">Docs</a> <a href="/about">About</a>'
+                "</nav><!-- build 42 --><h1>Doc "
+            ),
+            did,
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p><div><a href="/m1">more like this</a> '
+                '<a href="/m2">and this</a></div><footer>'
+                '<a href="/c">Contact</a> <a href="/t">Terms</a>'
+                "</footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    return html_extract(planted, "html").select(
+        "doc_id",
+        "title",
+        "main_text",
+        "n_blocks",
+        "n_kept",
+        F.length("main_text").cast("long").alias("main_chars"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -6681,12 +6767,25 @@ ORACLES: dict[str, str] = {
         LEFT JOIN tot t USING (doc_id)
     """,
     "pretraining_pipeline": """
-        WITH b0 AS (
+        WITH s0 AS (
+          -- stage 0 (r9): html_extract over the planted markup
+          -- yields title-line + normalized text (empty text keeps
+          -- only the h1 line)
+          SELECT doc_id, source,
+            CASE WHEN trim(regexp_replace(coalesce(text, ''),
+                                          '\\s+', ' ', 'g')) = ''
+                 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                 ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                      trim(regexp_replace(coalesce(text, ''),
+                                          '\\s+', ' ', 'g'))
+            END AS text
+          FROM documents
+        ), b0 AS (
           SELECT doc_id, source,
             list_filter(list_transform(string_split(text, chr(10)),
                                        x -> trim(x)),
                         x -> x != '') AS ls
-          FROM documents
+          FROM s0
         ), b1 AS (
           SELECT doc_id, source,
             list_filter(ls, ln ->
@@ -12196,6 +12295,33 @@ ORACLES["candidate_keys"] = " UNION ALL ".join(
     )
 )
 
+# html_extract plants 5 blocks (nav, h1, p, related-div, footer);
+# the extractor keeps h1 + p (nav/footer are boiler containers, the
+# related box is 100% link chars), titles from the <title> tag, and
+# whitespace-normalizes block text — all recomputable from the raw
+# text column. An empty/whitespace-only text drops the p block
+# (4 planted, 1 kept).
+ORACLES["html_extract"] = """
+    WITH n AS (
+      SELECT doc_id,
+        trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id, t,
+        CASE WHEN t = '' THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+             ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || t
+        END AS main_text
+      FROM n
+    )
+    SELECT doc_id,
+      'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      main_text,
+      CAST(CASE WHEN t = '' THEN 4 ELSE 5 END AS BIGINT) AS n_blocks,
+      CAST(CASE WHEN t = '' THEN 1 ELSE 2 END AS BIGINT) AS n_kept,
+      CAST(length(main_text) AS BIGINT) AS main_chars
+    FROM m
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
@@ -12695,6 +12821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "video_frame_stats": q_video_frame_stats,
         "streaming_session_stats": q_streaming_session_stats,
+        # --- round 9 ---
+        "html_extract": q_html_extract,
     }
 
 

@@ -1,0 +1,248 @@
+"""Round-9 tests: ADVICE-r8 fixes (string-keyed graph seeds, LPA node
+universe, hits empty-graph guard, target_encode decimal headroom,
+RandomizedParamSearch content-addressed rung sampling) + round-9 ops."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- ADVICE: string-keyed BFS
+
+
+def test_bfs_distances_string_keys(spark):
+    from skrub_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "d.com")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a.com",)], "node string")
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=2).collect()
+    }
+    # Pre-fix: cast('long') NULLed the string seeds -> empty result.
+    assert out == {"a.com": 0, "b.com": 1, "c.com": 2}
+
+
+def test_weighted_distances_string_keys(spark):
+    from skrub_spark.operators.graph import weighted_distances
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 3), ("b.com", "c.com", 4), ("a.com", "c.com", 9)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a.com",)], "node string")
+    out = {
+        r["node"]: r["dist"]
+        for r in weighted_distances(edges, seeds, n_rounds=3).collect()
+    }
+    assert out == {"a.com": 0, "b.com": 3, "c.com": 7}
+
+
+# ------------------------------------------- ADVICE: LPA node universe
+
+
+def test_label_propagation_isolated_nodes(spark):
+    from skrub_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 5)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "node long"
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            edges, n_iter=2, nodes_df=nodes
+        ).collect()
+    }
+    # 5 (self-loop-only) and 4 (isolated) keep their own ids.
+    assert out[4] == 4 and out[5] == 5
+    # the triangle converges to the smallest id after 2 rounds
+    assert out[1] == out[2] == out[3] == 1
+    # Without a nodes frame the edge-derived universe omits 4 and 5.
+    bare = {
+        r["node"] for r in label_propagation(edges, n_iter=1).collect()
+    }
+    assert bare == {1, 2, 3}
+
+
+# ------------------------------------------- ADVICE: hits guards
+
+
+def test_hits_empty_graph_raises(spark):
+    from skrub_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="no edges"):
+        hits(empty, n_iter=1)
+
+
+# ------------------------------------------- ADVICE: target_encode headroom
+
+
+def test_target_encode_decimal_matches_long_path(spark):
+    from skrub_spark.encoders.target_encoder import target_encode
+
+    rows = [("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+    df = spark.createDataFrame(rows, "cat string, y int")
+    out = {
+        r["cat"]: r["encoding"] for r in target_encode(df, "cat", "y", m=2).collect()
+    }
+    n, s = 5, 3
+    assert out["a"] == pytest.approx(
+        round((n * 2 + 2 * s) / (n * (3 + 2)), 6)
+    )
+    assert out["b"] == pytest.approx(
+        round((n * 1 + 2 * s) / (n * (2 + 2)), 6)
+    )
+
+
+def test_target_encode_survives_1e10_scale_counts(spark):
+    # Simulate the 100 TB regime: per-category sums that make N*S_c
+    # overflow int64 (~9.2e18). 4e9 * 4e9 = 1.6e19 must NOT wrap.
+    from skrub_spark.encoders.target_encoder import _cat_stats  # noqa: F401
+    from skrub_spark.encoders.target_encoder import target_encode
+
+    big = 2_000_000_000
+    df = spark.createDataFrame(
+        [("a", big), ("a", big), ("b", 0)], "cat string, y long"
+    )
+    out = {
+        r["cat"]: r["encoding"]
+        for r in target_encode(df, "cat", "y", m=1).collect()
+    }
+    n, s, s_a = 3, 2 * big, 2 * big
+    expect_a = round((n * s_a + 1 * s) / (n * (2 + 1)), 6)
+    assert out["a"] == pytest.approx(expect_a, rel=1e-12)
+    assert out["a"] > 0  # a silent int64 wrap would go negative
+
+
+# ------------------------------- ADVICE: deterministic rung subsample
+
+
+def test_randomized_search_rung_sample_partition_invariant(spark):
+    from skrub_spark.plans.data_ops import (
+        RandomizedParamSearch,
+        choose_from,
+        deferred,
+        var,
+    )
+
+    df = spark.range(0, 400).withColumn(
+        "y", (F.col("id") % 7).cast("double")
+    )
+    thresh = choose_from([1.0, 2.0, 3.0, 4.0], name="thresh")
+
+    @deferred
+    def above(d, t):
+        return d.filter(F.col("y") >= t)
+
+    plan = above(var("X"), thresh).count()
+
+    def run(frame):
+        s = RandomizedParamSearch(
+            plan,
+            scorer=lambda n: float(n),
+            n_candidates=4,
+            seed=7,
+            subsample_var="X",
+            subsample_key="id",
+            min_fraction=0.25,
+        ).fit({"X": frame})
+        return s.best_params_, [
+            (r["fraction"], r["score"]) for r in s.results_
+        ]
+
+    p1, scores1 = run(df.repartition(1))
+    p2, scores2 = run(df.repartition(13, "y"))
+    # Identical rung scores AND winner under any partitioning —
+    # seeded df.sample() failed this (partition-layout-dependent).
+    assert scores1 == scores2
+    assert p1 == p2
+
+
+# ------------------------------------------------- html_extract (r9)
+
+
+def test_extract_main_content_basics():
+    from skrub_spark.operators.html_extract import extract_main_content
+
+    html = (
+        "<html><head><title>My Page</title>"
+        '<script>var x = "<p>fake</p>";</script>'
+        "<style>.a{color:red}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/d">Docs</a></nav>'
+        "<!-- comment with <p>markup</p> -->"
+        "<h1>Real Heading</h1>"
+        "<p>This is the first real paragraph of prose content.</p>"
+        '<div><a href="/x">related one</a> <a href="/y">related two</a></div>'
+        '<p>Second paragraph with an <a href="/r">inline link</a> '
+        "in flowing text that stays.</p>"
+        '<footer><a href="/c">Contact</a> <a href="/t">Terms</a></footer>'
+        "</body></html>"
+    )
+    r = extract_main_content(html)
+    assert r["title"] == "My Page"
+    assert r["main_text"].split("\n") == [
+        "Real Heading",
+        "This is the first real paragraph of prose content.",
+        "Second paragraph with an inline link in flowing text that stays.",
+    ]
+    assert r["n_blocks"] == 6 and r["n_kept"] == 3
+    # script/style/comment content never leaks
+    assert "fake" not in r["main_text"] and "color" not in r["main_text"]
+
+
+def test_extract_main_content_edge_cases():
+    from skrub_spark.operators.html_extract import extract_main_content
+
+    # malformed markup never raises
+    r = extract_main_content("<p>unclosed <div>nested <b>bold")
+    assert r["main_text"] == "unclosed\nnested bold"
+    # None / empty
+    assert extract_main_content(None)["n_blocks"] == 0
+    assert extract_main_content("")["main_text"] == ""
+    # a block that is pure link text is dropped (density 1.0)
+    r = extract_main_content("<p><a href='/'>all of it is a link</a></p>")
+    assert r["n_blocks"] == 1 and r["n_kept"] == 0
+    # exactly-half link density is kept (<= threshold)
+    r = extract_main_content("<p><a href='/'>abcde</a> fghij</p>")
+    assert r["n_kept"] == 1
+    # entity decoding
+    r = extract_main_content("<p>a &amp; b &lt;tag&gt; ok then.</p>")
+    assert r["main_text"] == "a & b <tag> ok then."
+    # title falls back to first h1 when <title> is absent
+    r = extract_main_content("<h1>Only Heading</h1><p>body text here.</p>")
+    assert r["title"] == "Only Heading"
+    # nested boiler containers: everything inside header/nav dropped
+    r = extract_main_content(
+        "<header><div><p>logo tagline</p></div></header><p>real body.</p>"
+    )
+    assert r["main_text"] == "real body."
+
+
+def test_html_extract_dataframe(spark):
+    from skrub_spark.operators.html_extract import html_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><title>T1</title><p>hello world text.</p></html>"),
+            (2, "<nav><a href='/'>menu</a></nav><p>second doc body.</p>"),
+            (3, None),
+        ],
+        "id long, content string",
+    )
+    out = {r["id"]: r for r in html_extract(df, "content").collect()}
+    assert out[1]["title"] == "T1"
+    assert out[1]["main_text"] == "hello world text."
+    assert out[2]["main_text"] == "second doc body."
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["main_text"] == "" and out[3]["n_blocks"] == 0
+    # input columns pass through
+    assert set(out[1].asDict()) == {
+        "id", "content", "title", "main_text", "n_blocks", "n_kept",
+    }
