@@ -193,6 +193,10 @@ from .operators.html_extract import (  # noqa: F401
     extract_main_content,
     html_extract,
 )
+from .operators.language_id import (  # noqa: F401
+    fit_language_id,
+    score_language,
+)
 from .session import get_session  # noqa: F401
 from .table_vectorizer import TableVectorizer, tabular_pipeline  # noqa: F401
 

@@ -4672,17 +4672,22 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 (r8 late,
-    report/evaluation.py::classification_report): the heuristic
-    language-ID evaluated against the planted lang labels — the
+    report/evaluation.py::classification_report): the LEARNED
+    language-ID (r9 re-point from the marker heuristic, per the r8
+    verdict) evaluated against the planted lang labels — the
     measurement half of the learned-curation loop. One contingency
-    reduce; the oracle recomputes predictions from the language_id
+    reduce; the oracle recomputes predictions from the frozen-model
     SQL replay and derives the metrics independently."""
     _prep(spark)
+    from ._frozen import LID_MODEL
+    from .operators.language_id import plant_lang_phrase, score_language
     from .report.evaluation import classification_report
 
-    docs = load_table(spark, sf_dir, "documents")
-    preds = docs.select(
-        "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    preds = score_language(plant_lang_phrase(docs), LID_MODEL).select(
+        "doc_id", "lang", "lang_pred"
     )
     return classification_report(preds, "lang", "lang_pred")
 
@@ -6129,6 +6134,29 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_blocks",
         "n_kept",
         F.length("main_text").cast("long").alias("main_chars"),
+    )
+
+
+def q_language_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language identification (r9,
+    operators/language_id.py::score_language — the fastText-lid
+    shape): plant each row's per-language function-word phrase
+    (pure Column CASE, SQL-replayable), then score the corpus with
+    the FROZEN multinomial char-trigram model from _frozen.LID_MODEL
+    — one gram explode + one map-side-combined (doc, bucket)
+    aggregation + one broadcast join against the 512-row weight
+    table + a per-doc 5-way argmax. Per-class dots accumulate in
+    DECIMAL (counts x 6dp weights are exact), so the margins and
+    the argmax replay bit-identically in the DuckDB oracle."""
+    _prep(spark)
+    from ._frozen import LID_MODEL
+    from .operators.language_id import plant_lang_phrase, score_language
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return score_language(plant_lang_phrase(docs), LID_MODEL).select(
+        "doc_id", "lang", "lang_pred", "lang_margin"
     )
 
 
@@ -10372,14 +10400,106 @@ ORACLES["quantile_bins"] = """
 """
 
 
+def _lid_pred_sql() -> str:
+    """Learned language-ID prediction subquery
+    ``(doc_id, lang, lang_pred, lang_margin)`` GENERATED from the
+    committed literals in ``_frozen.LID_MODEL`` +
+    ``operators.language_id.LANG_PHRASES`` (the
+    ``_r7_frozen_oracles`` static-per-commit rule). It replays the
+    whole scoring path: phrase planting (CASE), lowercased char
+    trigrams (substr windows == the Spark shingle shift), portable
+    md5 buckets, per-class DECIMAL(18,6) weight sums / gram total,
+    bias add, and the first-class-wins argmax (Spark's iterative
+    strictly-greater update == min-index of the greatest margin)."""
+    from . import _frozen as fz
+    from .operators.language_id import LANG_PHRASES
+
+    m = fz.LID_MODEL
+    langs = m["langs"]
+    k = len(langs)
+    nf = m["n_features"]
+    phrase = (
+        "CASE lang "
+        + " ".join(f"WHEN '{l}' THEN ' {p}'" for l, p in LANG_PHRASES.items())
+        + " ELSE '' END"
+    )
+    cols = ", ".join(f"w{c}" for c in range(k))
+    vals = ", ".join(
+        "("
+        + ", ".join(
+            [str(b)]
+            + [
+                f"CAST({m['weights'][c][b]:.6f} AS DECIMAL(18,6))"
+                for c in range(k)
+            ]
+        )
+        + ")"
+        for b in range(nf)
+    )
+    dots = ", ".join(
+        f"CAST(SUM(w.w{c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dot{c}"
+        for c in range(k)
+    )
+    margins = [
+        f"(CAST({m['biases'][c]:.6f} AS DOUBLE)"
+        f" + COALESCE(dot{c}, CAST(0 AS DOUBLE)))"
+        for c in range(k)
+    ]
+    g = "greatest(" + ", ".join(margins) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN {margins[c]} = __gm THEN '{langs[c]}'" for c in range(k)
+        )
+        + " END"
+    )
+    return f"""
+      WITH __pl AS (
+        SELECT doc_id, lang,
+          lower(COALESCE(text, '') || {phrase}) AS t
+        FROM documents
+      ), __ls AS (
+        SELECT doc_id,
+          list_transform(
+            generate_series(1, greatest(length(t) - 2, 0)),
+            i -> substr(t, i, 3)) AS grams
+        FROM __pl
+      ), __gr AS (
+        SELECT doc_id, unnest(grams) AS u FROM __ls
+      ), __f AS (
+        SELECT doc_id,
+          (('0x' || substr(md5('{m["salt"]}' || u), 1, 15))::BIGINT
+           % {nf}) AS bucket
+        FROM __gr
+      ), __w(bucket, {cols}) AS (VALUES {vals}),
+      __d AS (
+        SELECT __f.doc_id, {dots}
+        FROM __f JOIN __w w USING (bucket)
+        GROUP BY __f.doc_id
+      ), __m AS (
+        SELECT __pl.doc_id, __pl.lang, {g} AS __gm
+        FROM __pl LEFT JOIN __d USING (doc_id)
+      )
+      SELECT __m.doc_id, __m.lang,
+        {pred} AS lang_pred,
+        round(__gm, 6) AS lang_margin
+      FROM __m LEFT JOIN __d ON __m.doc_id = __d.doc_id
+    """
+
+
+ORACLES["language_id_learned"] = f"SELECT * FROM ( {_lid_pred_sql()} )"
+
+
 # r8 late: evaluation metrics — each oracle recomputes predictions
-# from the already-proven SQL replays (language_id / frozen quality
-# scores) and derives the metrics independently.
+# from the already-proven SQL replays (learned language-ID / frozen
+# quality scores) and derives the metrics independently. (r9: the
+# prediction subquery re-pointed from the marker heuristic to the
+# learned classifier, mirroring the Spark side.)
 ORACLES["classification_eval"] = f"""
     WITH j AS (
       SELECT COALESCE(d.lang, '<null>') AS lab,
              COALESCE(p.lang_pred, '<null>') AS prd
-      FROM ( {ORACLES["language_id"]} ) p
+      FROM ( {_lid_pred_sql()} ) p
       JOIN documents d USING (doc_id)
     ), cells AS (
       SELECT lab, prd, count(*) AS c FROM j GROUP BY 1, 2
@@ -12823,6 +12943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         # --- round 9 ---
         "html_extract": q_html_extract,
+        "language_id_learned": q_language_id_learned,
     }
 
 

@@ -200,6 +200,60 @@ def train_linkage(spark, sf_dir):
     return em_fit(g, _linkage_comparisons())
 
 
+def train_lid(spark, sf_dir):
+    """Fit the multinomial char-trigram language-ID on the planted
+    corpus (documents.text + per-lang function-word phrase), 80% md5
+    train split — deterministic: sorted label indexing + LBFGS over
+    a fixed frame. Prints the held-out accuracy for the contract in
+    tests/test_r9_ops.py."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.language_id import (
+        fit_language_id,
+        plant_lang_phrase,
+        score_language,
+    )
+    from skrub_spark.operators.sampling import _hash_bucket
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    planted = plant_lang_phrase(docs)
+    split = _hash_bucket(F.col("doc_id"), "lidsplit")
+    model = fit_language_id(planted.filter(split < 8000), "lang")
+    model["weights"] = [
+        [round(w, 6) for w in row] for row in model["weights"]
+    ]
+    model["biases"] = [round(b, 6) for b in model["biases"]]
+    held = planted.filter(split >= 8000)
+    acc = (
+        score_language(held, model)
+        .select(
+            F.avg(
+                (F.col("lang_pred") == F.col("lang")).cast("double")
+            ).alias("acc")
+        )
+        .first()["acc"]
+    )
+    print(f"LID held-out accuracy: {acc:.4f}")
+    return model
+
+
+_LID_MARKER = "\n# learned language-id:"
+
+
+def _lid_section(model):
+    return (
+        f"{_LID_MARKER} multinomial char-trigram logistic\n"
+        "# regression distilled from the planted per-lang phrases\n"
+        "# (tools/train_frozen.py::train_lid; 80% md5 'lidsplit'\n"
+        "# train split); held-out-accuracy >= heuristic contract in\n"
+        "# tests/test_r9_ops.py\n"
+        f"LID_MODEL = {model!r}\n"
+    )
+
+
 _LINKAGE_MARKER = "\n# Fellegi-Sunter record linkage:"
 
 
@@ -245,6 +299,17 @@ def main():
         print(f"appended LINKAGE_MODEL to {path}")
         return
 
+    if "--append-lid" in sys.argv:
+        # same append/replace discipline for the language-ID weights
+        model = train_lid(spark, sf_dir)
+        src = open(path).read()
+        if _LID_MARKER in src:
+            src = src[: src.index(_LID_MARKER)]
+        with open(path, "w") as f:
+            f.write(src + _lid_section(model))
+        print(f"appended LID_MODEL to {path}")
+        return
+
     quality, teacher_med = train_quality(spark, sf_dir)
     pq = train_pq(spark, sf_dir)
     cents = train_semantic_centroids(spark, sf_dir)
@@ -262,6 +327,7 @@ def main():
     gbt_reg, gbt_clf = train_gbt(spark, sf_dir)
     opq = train_opq(spark, sf_dir)
     linkage = train_linkage(spark, sf_dir)
+    lid = train_lid(spark, sf_dir)
 
     out = f'''"""FROZEN model artifacts — generated by tools/train_frozen.py, do
 not edit by hand. Battery queries replay these literals on BOTH
@@ -316,7 +382,7 @@ GBT_CLASSIFIER = {gbt_clf!r}
 # OPQ: learned rotation + per-subspace codebooks (Ge et al. 2013)
 OPQ_MODEL = {opq!r}
 '''
-    out += _linkage_section(linkage)
+    out += _linkage_section(linkage) + _lid_section(lid)
     path = "/root/repo/skrub_spark/_frozen.py"
     with open(path, "w") as f:
         f.write(out)
