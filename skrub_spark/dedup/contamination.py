@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import MAX_GRAMS_PER_DOC, distinct_shingles, word_shingles
 
 
 def ngram_contamination(
@@ -37,6 +37,7 @@ def ngram_contamination(
     ngram: int = 13,
     max_train_doc_freq: int | None = None,
     bloom: bool = False,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Per-eval-doc contamination stats against the train corpus.
 
@@ -68,9 +69,9 @@ def ngram_contamination(
             .repartition(par)
             .select(
                 "id",
-                F.explode_outer(
-                    F.array_distinct(word_shingles(F.col("__t"), ngram))
-                ).alias("g"),
+                F.explode_outer(distinct_shingles(
+                    word_shingles(F.col("__t"), ngram), max_grams_per_doc
+                )).alias("g"),
             )
             # xxhash64(NULL) is NOT null (it hashes to the seed), so
             # gate on the gram: zero-shingle docs keep h = null, which
@@ -166,6 +167,7 @@ def decontaminate_train(
     max_contamination: float = 0.0,
     max_eval_doc_freq: int | None = None,
     bloom: bool = False,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Remove TRAIN documents that overlap the eval set — the
     GPT-3/CCNet-style decontamination applied at corpus-build time
@@ -189,6 +191,7 @@ def decontaminate_train(
         # small corpus in this role swap) and pre-filters the TRAIN
         # side's — the 100 TB asymmetry the r6 verdict asked for
         bloom=bloom,
+        max_grams_per_doc=max_grams_per_doc,
     )
     keep = stats.filter(
         F.col("contamination") <= F.lit(float(max_contamination))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import MAX_GRAMS_PER_DOC, distinct_shingles, word_shingles
 
 
 def _h64(col, salt: str):
@@ -37,6 +37,7 @@ def duplication_density(
     k: int = 3,
     min_docs: int = 2,
     salt: str = "dd8",
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """One row per document: ``(id_col, n_shingles, n_dup,
     dup_fraction)`` where ``n_dup`` counts the document's DISTINCT
@@ -46,9 +47,9 @@ def duplication_density(
     appear with zeros)."""
     sh = docs.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias(
-            "grams"
-        ),
+        distinct_shingles(
+            word_shingles(F.col(text_col), k), max_grams_per_doc
+        ).alias("grams"),
     )
     e = sh.select(
         id_col,
@@ -89,6 +90,7 @@ def ngram_novelty(
     id_col: str = "doc_id",
     k: int = 3,
     salt: str = "nv8",
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Per-target-document novelty vs a reference corpus: ``(id,
     n_shingles, n_novel, novelty)`` where ``n_novel`` counts the
@@ -113,9 +115,9 @@ def ngram_novelty(
     """
     sh = target.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias(
-            "grams"
-        ),
+        distinct_shingles(
+            word_shingles(F.col(text_col), k), max_grams_per_doc
+        ).alias("grams"),
     )
     e = sh.select(
         id_col,
@@ -124,9 +126,9 @@ def ngram_novelty(
     ).select(id_col, "ng", _h64(F.col("g"), salt).alias("h"))
     ref = (
         reference.select(
-            F.explode(
-                F.array_distinct(word_shingles(F.col(text_col), k))
-            ).alias("g")
+            F.explode(distinct_shingles(
+                word_shingles(F.col(text_col), k), max_grams_per_doc
+            )).alias("g")
         )
         .select(_h64(F.col("g"), salt).alias("h"))
         .distinct()

@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import char_ngrams, word_shingles
+from ..functions.text import (
+    MAX_GRAMS_PER_DOC,
+    char_ngrams,
+    distinct_shingles,
+    word_shingles,
+)
 
 
 def ngram_jaccard_pairs(
@@ -52,6 +57,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     prefix_filter: bool | None = None,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard >= threshold) by exact n-gram
     Jaccard. Columns: id_a, id_b, jaccard."""
@@ -63,7 +69,9 @@ def ngram_jaccard_pairs(
     docs = (
         df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__t"))
         .repartition(par)
-        .select("id", F.array_distinct(grams_expr_of(F.col("__t"))).alias("grams"))
+        .select("id", distinct_shingles(
+            grams_expr_of(F.col("__t")), max_grams_per_doc
+        ).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
     )
     exploded = docs.select(

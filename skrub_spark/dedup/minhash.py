@@ -25,20 +25,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import word_shingles
+from ..functions.text import MAX_GRAMS_PER_DOC, distinct_shingles, word_shingles
 
 
-def _gram_rows(df: DataFrame, content_col: str, id_col: str, shingle_k: int):
-    sh = F.array_distinct(word_shingles(F.col(content_col), shingle_k))
+def _gram_rows(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_k: int,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
+):
     # single-file inputs arrive as one partition; spread the (cheap)
     # id+text rows before the expensive shingling projection
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__t"))
         .repartition(par)
-        .select("id", F.explode(
-            F.array_distinct(word_shingles(F.col("__t"), shingle_k))
-        ).alias("gram"))
+        .select("id", F.explode(distinct_shingles(
+            word_shingles(F.col("__t"), shingle_k), max_grams_per_doc
+        )).alias("gram"))
     )
 
 
@@ -72,6 +77,7 @@ def dedup_minhash_pairs(
     n_bands: int | None = None,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, exact shingle-Jaccard >= threshold).
     Columns: id_a, id_b, jaccard. ``n_bands=None`` picks the banding
@@ -84,7 +90,9 @@ def dedup_minhash_pairs(
     # twice in one action. MEMORY_AND_DISK so a 100 TB gram frame
     # spills instead of OOMing; blocks are LRU-managed by Spark and
     # small relative to the input (distinct shingles only).
-    grams = _gram_rows(df, content_col, id_col, shingle_k).persist(
+    grams = _gram_rows(
+        df, content_col, id_col, shingle_k, max_grams_per_doc
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -187,6 +195,7 @@ def minhash_buckets(
     n_components: int = 16,
     n_bands: int = 8,
     shingle_k: int = 3,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Per-document LSH band buckets with the ENGINE-PORTABLE md5
     sketch: (id_col, band_idx, band_key) — one row per (doc, band).
@@ -223,9 +232,9 @@ def minhash_buckets(
     p = F.lit(_MERSENNE_P).cast("long")
     grams = df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(content_col), shingle_k))
-        ).alias("__g"),
+        F.explode(distinct_shingles(
+            word_shingles(F.col(content_col), shingle_k), max_grams_per_doc
+        )).alias("__g"),
     ).withColumn("__m", F.md5("__g"))
     h = grams.select(
         id_col,
@@ -262,6 +271,7 @@ def minhash_incremental(
     n_components: int = 16,
     n_bands: int = 8,
     shingle_k: int = 3,
+    max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC,
 ) -> DataFrame:
     """Incremental ingest NEAR-dedup: rows of ``new_df`` that are not
     near-duplicates of the already-ingested corpus, nor of a
@@ -285,6 +295,7 @@ def minhash_incremental(
     bands = minhash_buckets(
         new_df, content_col, id_col,
         n_components=n_components, n_bands=n_bands, shingle_k=shingle_k,
+        max_grams_per_doc=max_grams_per_doc,
     )
     hist_hit = (
         bands.join(

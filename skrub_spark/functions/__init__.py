@@ -1,6 +1,8 @@
 from .datetime import datetime_feature_columns  # noqa: F401
 from .text import (  # noqa: F401
+    MAX_GRAMS_PER_DOC,
     char_ngrams,
+    distinct_shingles,
     language_id,
     quality_columns,
     rolling_fingerprint,

@@ -53,6 +53,32 @@ def _shifted_shingles(items: Column, k: int, sep: str) -> Column:
     return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))
 
 
+# Per-document gram budget (r9, VERDICT r8 #4): at crawl scale a
+# single pathological 100 MB document would otherwise explode
+# millions of gram rows inside ONE task across the dedup /
+# contamination / novelty family — a megadoc cap is standard
+# (Gopher/CCNet truncate documents before shingling). 50k distinct
+# shingles ≈ a 250 KB+ document at k=3; the benchmark corpora sit
+# orders of magnitude below it, so default-capped results are
+# byte-identical to uncapped ones there (pinned by the unchanged
+# oracles + tests/test_r9_ops.py).
+MAX_GRAMS_PER_DOC = 50_000
+
+
+def distinct_shingles(
+    grams: Column, max_grams_per_doc: int | None = MAX_GRAMS_PER_DOC
+) -> Column:
+    """Distinct grams with the per-document budget applied: slice
+    AFTER ``array_distinct`` (which preserves first-occurrence
+    order), so the kept prefix is a deterministic function of the
+    document bytes — independent of partitioning. ``None``
+    disables the cap."""
+    out = F.array_distinct(grams)
+    if max_grams_per_doc is not None:
+        out = F.slice(out, 1, int(max_grams_per_doc))
+    return out
+
+
 def char_ngrams(col: Column | str, n: int, lowercase: bool = True) -> Column:
     """Character n-grams as array<string> — JVM-side, linear-time."""
     c = F.col(col) if isinstance(col, str) else col

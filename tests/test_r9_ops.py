@@ -356,3 +356,66 @@ def test_fit_language_id_roundtrip(spark):
         F.avg((F.col("lang_pred") == F.col("lang")).cast("double"))
     ).first()[0]
     assert acc == 1.0
+
+
+# ------------------------------------------- r9: per-doc gram budget
+
+
+def test_gram_cap_bounds_megadoc_rows(spark):
+    """One pathological megadoc must not own a task: with the cap,
+    a doc whose distinct-gram count exceeds max_grams_per_doc
+    contributes exactly max_grams_per_doc gram rows downstream."""
+    from skrub_spark.functions.text import distinct_shingles, word_shingles
+
+    mega = " ".join(f"w{i}" for i in range(5000))  # 4998 3-shingles
+    df = spark.createDataFrame(
+        [(1, mega), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        F.size(
+            distinct_shingles(word_shingles(F.col("text"), 3), 100)
+        ).alias("ng"),
+    ).collect()
+    sizes = {r["doc_id"]: r["ng"] for r in out}
+    assert sizes == {1: 100, 2: 2}
+    # and the kept prefix is the FIRST distinct grams in doc order
+    first = df.filter("doc_id = 1").select(
+        distinct_shingles(word_shingles(F.col("text"), 3), 3).alias("g")
+    ).first()["g"]
+    assert first == ["w0 w1 w2", "w1 w2 w3", "w2 w3 w4"]
+
+
+def test_gram_cap_default_invisible_on_corpus(spark, sf_dir):
+    """At the documented 50k default no benchmark document is
+    anywhere near the budget, so capped == uncapped byte-identically
+    (this is what keeps every dedup/contamination oracle unchanged)."""
+    from skrub_spark.dedup.minhash import dedup_minhash_pairs
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    capped = sorted(
+        map(tuple, dedup_minhash_pairs(docs).collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            dedup_minhash_pairs(docs, max_grams_per_doc=None).collect(),
+        )
+    )
+    assert capped == uncapped
+
+
+def test_gram_cap_threads_through_contamination(spark):
+    """A megadoc's contamination denominator is the CAPPED distinct
+    count — the cap is honest on both sides of the fraction."""
+    from skrub_spark.dedup.contamination import ngram_contamination
+
+    text = " ".join(f"t{i}" for i in range(50))
+    train = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    r = ngram_contamination(
+        train, ev, ngram=3, max_grams_per_doc=10
+    ).first()
+    assert r["n_shingles"] == 10 and r["n_contaminated"] == 10
+    assert r["contamination"] == 1.0
