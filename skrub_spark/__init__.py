@@ -197,6 +197,10 @@ from .operators.language_id import (  # noqa: F401
     fit_language_id,
     score_language,
 )
+from .encoders.gap_encoder import (  # noqa: F401
+    fit_gap_frozen,
+    gap_topics_frozen,
+)
 from .session import get_session  # noqa: F401
 from .table_vectorizer import TableVectorizer, tabular_pipeline  # noqa: F401
 

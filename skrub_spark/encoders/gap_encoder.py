@@ -377,3 +377,213 @@ class GapEncoder(SparkTransformer):
                 for i in range(k)
             ],
         )
+
+
+# ---------------- frozen exact twin (r9, VERDICT r8 #5) ----------------
+#
+# The GapEncoder FIT is rows-only by nature (a gamma-Poisson
+# multiplicative-update loop isn't SQL-expressible), but a frozen
+# transform can be: with the topics H committed as 6dp literals, a
+# FIXED number of activation updates with 6dp requantization per
+# step is pure arithmetic whose every intermediate is bit-identical
+# across engines — the proven frozen-literal recipe
+# (tools/train_frozen.py; _frozen.GAP_MODEL; battery query
+# `gap_encoder_frozen`). The twin deliberately differs from the
+# numpy transform path in three DOCUMENTED ways that make it
+# replayable: md5 buckets instead of xxhash64 (engine-portable),
+# per-step 6dp requantization of the activations (cross-engine
+# float bridge), and a fixed +1e-6 in the WH denominator instead
+# of numpy's +1e-10 (single IEEE add on both sides). Topic
+# ORDERING and magnitudes still come from the real fit.
+
+_GAP_SALT = "gap1|"
+
+
+def _md5_bucket(col, salt: str, d: int):
+    """Engine-portable bucket (the sampling._hash_bucket rule)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(int(d)),
+    ).cast("int")
+
+
+def fit_gap_frozen(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_components: int = 4,
+    hash_dim: int = 128,
+    n: int = 3,
+    salt: str = _GAP_SALT,
+    gamma_shape_prior: float = 1.1,
+    gamma_scale_prior: float = 1.0,
+    rho: float = 0.95,
+    max_iter: int = 100,
+    n_iter_transform: int = 5,
+    fit_sample: int = 5000,
+    random_state: int = 0,
+) -> dict:
+    """Fit gamma-Poisson topics over md5-bucketed char n-gram counts
+    of the column's distinct values (same driver-side math as
+    ``GapEncoder._fit``) and return the frozen-model dict consumed
+    by :func:`gap_topics_frozen` and the generated DuckDB oracle:
+    ``{"k", "hash_dim", "n", "salt", "n_iter", "wt1", "const",
+    "topics": [k][hash_dim] 6dp floors >= 1e-6}``."""
+    uniq = (
+        df.select(value_col)
+        .where(F.col(value_col).isNotNull())
+        .distinct()
+        .orderBy(value_col)
+        .limit(int(fit_sample))
+    )
+    rows = (
+        uniq.select(
+            F.col(value_col).alias("v"),
+            F.explode(char_ngrams(F.col(value_col), n)).alias("g"),
+        )
+        .select("v", _md5_bucket(F.col("g"), salt, hash_dim).alias("b"))
+        .groupBy("v", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .collect()
+    )
+    vals = sorted({r["v"] for r in rows})
+    vidx = {v: i for i, v in enumerate(vals)}
+    X = np.zeros((max(len(vals), 1), hash_dim))
+    for r in rows:
+        X[vidx[r["v"]], r["b"]] = r["tf"]
+    H, _, _, _ = _fit_full_batch(
+        X,
+        n_components,
+        gamma_shape_prior,
+        gamma_scale_prior,
+        rho,
+        max_iter,
+        random_state,
+    )
+    wt1 = 1.0 + 1.0 / gamma_scale_prior
+    return {
+        "k": int(n_components),
+        "hash_dim": int(hash_dim),
+        "n": int(n),
+        "salt": salt,
+        "n_iter": int(n_iter_transform),
+        # full-precision literals (repr round-trips identically in
+        # both engines); the division/priors happen ONCE at freeze
+        "wt1": float(wt1),
+        "const": float((gamma_shape_prior - 1.0) / wt1),
+        # 6dp topics floored at 1e-6 so the WH denominator can never
+        # collapse to zero at quantization
+        "topics": [
+            [max(round(float(h), 6), 1e-6) for h in row] for row in H
+        ],
+    }
+
+
+def gap_topics_frozen(
+    df: DataFrame,
+    model: dict,
+    value_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Frozen-topic activations as PURE Columns (no Python in the
+    hot path): adds ``{value_col}_topic_i`` for each of the model's
+    k topics.
+
+    Per row: md5-bucketed char n-gram counts (one explode + one
+    map-side-combined (key, bucket) aggregation + one collect_list
+    back to an array — the only shuffle), then ``n_iter`` fixed
+    multiplicative updates starting from the uniform 6dp literal
+    ``round(1/k, 6)``:
+
+        ratio_e = tf_e / (w0*H0[b_e] + ... + w_{k-1}*H_{k-1}[b_e] + 1e-6)
+        S_j     = SUM(round(ratio_e * Hj[b_e], 6)) as DECIMAL(28,6)
+        w_j    <- round(w_j * S_j / wt1 + const, 6)
+
+    Every multiply/divide/add is a single IEEE op on operands that
+    are bit-identical across engines (6dp literals or exact
+    decimals), every sum is an exact DECIMAL — so the activations
+    replay EXACTLY in the DuckDB oracle under any partitioning.
+    Topics enter the plan as ONE constant-folded ``F.expr`` array
+    per component (element_at lookup — the dsir precedent; no join,
+    no UDF). Rows with no grams run the same recursion with S=0.
+    At 100 TB this is one narrow shuffle plus map-only arithmetic."""
+    k = int(model["k"])
+    d = int(model["hash_dim"])
+    n_iter = int(model["n_iter"])
+    wt1 = float(model["wt1"])
+    const = float(model["const"])
+    topics = [
+        F.expr(
+            "array(" + ",".join(f"CAST({h:.6f} AS DOUBLE)" for h in row) + ")"
+        )
+        for row in model["topics"]
+    ]
+    entries = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.explode(char_ngrams(F.col(value_col), model["n"])).alias("g"),
+        )
+        .select(
+            "__k", _md5_bucket(F.col("g"), model["salt"], d).alias("b")
+        )
+        .groupBy("__k", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .groupBy("__k")
+        .agg(F.collect_list(F.struct("b", "tf")).alias("__e"))
+    )
+    cur = df.join(
+        entries.withColumnRenamed("__k", key_col), key_col, "left"
+    ).withColumn(
+        "__e",
+        F.coalesce(
+            F.col("__e"),
+            F.expr("CAST(array() AS array<struct<b:int,tf:double>>)"),
+        ),
+    )
+    w0 = float(f"{1.0 / k:.6f}")
+    for j in range(k):
+        cur = cur.withColumn(f"__w{j}", F.lit(w0))
+
+    def _wh(e):
+        acc = None
+        for j in range(k):
+            t = F.col(f"__w{j}") * F.element_at(topics[j], e["b"] + 1)
+            acc = t if acc is None else acc + t
+        return acc + F.lit(1e-6)
+
+    zero = F.lit(0).cast("decimal(28,6)")
+    for _ in range(n_iter):
+        cur = cur.withColumn(
+            "__r", F.transform("__e", lambda e: e["tf"] / _wh(e))
+        )
+        news = []
+
+        def _term_fn(hj):
+            # exact 2-arity lambda: a default arg would make Spark
+            # pass the element index as a third argument
+            return lambda r, e: F.round(
+                r * F.element_at(hj, e["b"] + 1), 6
+            ).cast("decimal(28,6)")
+
+        for j in range(k):
+            terms = F.zip_with("__r", "__e", _term_fn(topics[j]))
+            s = F.aggregate(
+                terms, zero, lambda a, x: (a + x).cast("decimal(28,6)")
+            )
+            news.append(
+                F.round(
+                    F.col(f"__w{j}") * s.cast("double") / F.lit(wt1)
+                    + F.lit(const),
+                    6,
+                )
+            )
+        cur = cur.withColumns({f"__w{j}": news[j] for j in range(k)})
+    return cur.select(
+        *df.columns,
+        *[
+            F.col(f"__w{j}").alias(f"{value_col}_topic_{j}")
+            for j in range(k)
+        ],
+    )

@@ -6160,6 +6160,25 @@ def q_language_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_encoder_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen GapEncoder transform twin (r9, VERDICT r8 #5,
+    encoders/gap_encoder.py::gap_topics_frozen): topic activations
+    for every part name under the committed _frozen.GAP_MODEL —
+    fixed-iteration 6dp-requantized multiplicative updates over
+    md5-bucketed char trigrams, pure Columns (constant-folded topic
+    arrays + element_at; the only shuffle builds the per-row sparse
+    counts). The generated oracle replays every step bit-exactly;
+    the gamma-Poisson FIT stays rows-only by nature
+    (gap_encoder_topics / gap_encoder_distributed + the GKL
+    pytest contract)."""
+    _prep(spark)
+    from ._frozen import GAP_MODEL
+    from .encoders.gap_encoder import gap_topics_frozen
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return gap_topics_frozen(part, GAP_MODEL, "p_name", "p_partkey")
+
+
 # --------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -10490,6 +10509,79 @@ def _lid_pred_sql() -> str:
 ORACLES["language_id_learned"] = f"SELECT * FROM ( {_lid_pred_sql()} )"
 
 
+def _gap_frozen_oracle() -> str:
+    """DuckDB replay of the frozen GapEncoder twin, GENERATED from
+    ``_frozen.GAP_MODEL`` (static per commit): chained per-step CTEs
+    — each step joins the gram/bucket counts against the topic
+    VALUES table and the previous step's activations, sums the
+    6dp-rounded terms as exact DECIMAL(28,6), and requantizes the
+    updated activations to 6dp, mirroring
+    ``gap_topics_frozen``'s arithmetic op for op."""
+    from . import _frozen as fz
+
+    m = fz.GAP_MODEL
+    k, d, n, n_iter = m["k"], m["hash_dim"], m["n"], m["n_iter"]
+    hcols = ", ".join(f"h{j}" for j in range(k))
+    hvals = ", ".join(
+        "("
+        + ", ".join(
+            [str(b)]
+            + [f"CAST({m['topics'][j][b]:.6f} AS DOUBLE)" for j in range(k)]
+        )
+        + ")"
+        for b in range(d)
+    )
+    steps = []
+    prev = "st0"
+    for s in range(1, n_iter + 1):
+        wh = " + ".join(f"p.w{j} * h.h{j}" for j in range(k))
+        sums = ", ".join(
+            f"SUM(CAST(round(e.tf / ({wh} + 1e-6) * h.h{j}, 6)"
+            f" AS DECIMAL(28,6))) AS s{j}"
+            for j in range(k)
+        )
+        news = ", ".join(
+            f"round(p.w{j} * CAST(COALESCE(s.s{j}, 0) AS DOUBLE)"
+            f" / {m['wt1']!r} + {m['const']!r}, 6) AS w{j}"
+            for j in range(k)
+        )
+        steps.append(
+            f"ag{s} AS (SELECT e.key, {sums} FROM e JOIN h USING (bucket) "
+            f"JOIN {prev} p USING (key) GROUP BY e.key), "
+            f"st{s} AS (SELECT p.key, {news} "
+            f"FROM {prev} p LEFT JOIN ag{s} s USING (key))"
+        )
+        prev = f"st{s}"
+    w0 = f"{1.0 / k:.6f}"
+    wsel = ", ".join(f"CAST({w0} AS DOUBLE) AS w{j}" for j in range(k))
+    outsel = ", ".join(f"p.w{j} AS p_name_topic_{j}" for j in range(k))
+    return f"""
+      WITH pl AS (
+        SELECT p_partkey AS key, p_name, lower(p_name) AS t FROM part
+      ), ls AS (
+        SELECT key, list_transform(
+          generate_series(1, greatest(length(t) - {n - 1}, 0)),
+          i -> substr(t, i, {n})) AS grams
+        FROM pl
+      ), gr AS (
+        SELECT key, unnest(grams) AS u FROM ls
+      ), e AS (
+        SELECT key,
+          (('0x' || substr(md5('{m["salt"]}' || u), 1, 15))::BIGINT
+           % {d}) AS bucket,
+          CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM gr GROUP BY 1, 2
+      ), h(bucket, {hcols}) AS (VALUES {hvals}),
+      st0 AS (SELECT key, {wsel} FROM pl),
+      {", ".join(steps)}
+      SELECT pl.key AS p_partkey, pl.p_name, {outsel}
+      FROM {prev} p JOIN pl ON pl.key = p.key
+    """
+
+
+ORACLES["gap_encoder_frozen"] = _gap_frozen_oracle()
+
+
 # r8 late: evaluation metrics — each oracle recomputes predictions
 # from the already-proven SQL replays (learned language-ID / frozen
 # quality scores) and derives the metrics independently. (r9: the
@@ -12944,6 +13036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 9 ---
         "html_extract": q_html_extract,
         "language_id_learned": q_language_id_learned,
+        "gap_encoder_frozen": q_gap_encoder_frozen,
     }
 
 

@@ -419,3 +419,71 @@ def test_gram_cap_threads_through_contamination(spark):
     ).first()
     assert r["n_shingles"] == 10 and r["n_contaminated"] == 10
     assert r["contamination"] == 1.0
+
+
+# ------------------------------------------- r9: frozen GapEncoder
+
+
+def test_gap_frozen_partitioning_invariant(spark, sf_dir):
+    """Activations are 6dp-requantized with DECIMAL term sums, so a
+    repartition must not flip a single 6dp value."""
+    from skrub_spark._frozen import GAP_MODEL
+    from skrub_spark.encoders.gap_encoder import gap_topics_frozen
+    from skrub_spark.sources import load_table
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cols = ["p_partkey"] + [f"p_name_topic_{j}" for j in range(GAP_MODEL["k"])]
+    a = sorted(
+        map(
+            tuple,
+            gap_topics_frozen(part, GAP_MODEL, "p_name", "p_partkey")
+            .select(cols)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            gap_topics_frozen(
+                part.repartition(11), GAP_MODEL, "p_name", "p_partkey"
+            )
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert a == b
+    # topics genuinely separate: not every row has uniform activations
+    spread = [len({round(v, 3) for v in r[1:]}) for r in a]
+    assert max(spread) > 1
+
+
+def test_gap_frozen_zero_gram_rows(spark):
+    """Rows too short to shingle run the same recursion with S=0:
+    the activations converge on the documented const fixed point."""
+    from skrub_spark._frozen import GAP_MODEL
+    from skrub_spark.encoders.gap_encoder import gap_topics_frozen
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None)], "p_partkey long, p_name string"
+    )
+    out = gap_topics_frozen(df, GAP_MODEL, "p_name", "p_partkey").collect()
+    assert len(out) == 2
+    k = GAP_MODEL["k"]
+    # w' = round(w*0/wt1 + const, 6) after the first step, stable after
+    expect = round(GAP_MODEL["const"], 6)
+    for r in out:
+        assert [r[f"p_name_topic_{j}"] for j in range(k)] == [expect] * k
+
+
+def test_gap_frozen_model_contract():
+    """Frozen literals hold the invariants the arithmetic relies on:
+    positive floored topics, 6dp quantization, L1 rows ~1."""
+    from skrub_spark._frozen import GAP_MODEL
+
+    m = GAP_MODEL
+    assert len(m["topics"]) == m["k"]
+    for row in m["topics"]:
+        assert len(row) == m["hash_dim"]
+        assert all(h >= 1e-6 for h in row)
+        assert all(abs(h - round(h, 6)) < 1e-12 for h in row)
+        assert 0.9 < sum(row) < 1.1

@@ -200,6 +200,34 @@ def train_linkage(spark, sf_dir):
     return em_fit(g, _linkage_comparisons())
 
 
+def train_gap(spark, sf_dir):
+    """Fit the frozen-twin GapEncoder topics on part.p_name (the
+    same column/width the rows-only gap_encoder_topics query uses)
+    over md5-bucketed char trigrams — deterministic: sorted distinct
+    values, seeded gamma init, fixed-iteration full-batch updates."""
+    from skrub_spark.encoders.gap_encoder import fit_gap_frozen
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    return fit_gap_frozen(part, "p_name")
+
+
+_GAP_MARKER = "\n# frozen GapEncoder twin:"
+
+
+def _gap_section(model):
+    return (
+        f"{_GAP_MARKER} gamma-Poisson topics over md5-bucketed\n"
+        "# char trigrams of part.p_name (tools/train_frozen.py::\n"
+        "# train_gap); consumed by encoders.gap_encoder.\n"
+        "# gap_topics_frozen and the generated gap_encoder_frozen\n"
+        "# oracle — fixed-iteration 6dp-requantized activation\n"
+        "# updates, exact in both engines\n"
+        f"GAP_MODEL = {model!r}\n"
+    )
+
+
 def train_lid(spark, sf_dir):
     """Fit the multinomial char-trigram language-ID on the planted
     corpus (documents.text + per-lang function-word phrase), 80% md5
@@ -299,6 +327,17 @@ def main():
         print(f"appended LINKAGE_MODEL to {path}")
         return
 
+    if "--append-gap" in sys.argv:
+        # same append/replace discipline for the GapEncoder topics
+        model = train_gap(spark, sf_dir)
+        src = open(path).read()
+        if _GAP_MARKER in src:
+            src = src[: src.index(_GAP_MARKER)]
+        with open(path, "w") as f:
+            f.write(src + _gap_section(model))
+        print(f"appended GAP_MODEL to {path}")
+        return
+
     if "--append-lid" in sys.argv:
         # same append/replace discipline for the language-ID weights
         model = train_lid(spark, sf_dir)
@@ -328,6 +367,7 @@ def main():
     opq = train_opq(spark, sf_dir)
     linkage = train_linkage(spark, sf_dir)
     lid = train_lid(spark, sf_dir)
+    gap = train_gap(spark, sf_dir)
 
     out = f'''"""FROZEN model artifacts — generated by tools/train_frozen.py, do
 not edit by hand. Battery queries replay these literals on BOTH
@@ -382,7 +422,7 @@ GBT_CLASSIFIER = {gbt_clf!r}
 # OPQ: learned rotation + per-subspace codebooks (Ge et al. 2013)
 OPQ_MODEL = {opq!r}
 '''
-    out += _linkage_section(linkage) + _lid_section(lid)
+    out += _linkage_section(linkage) + _lid_section(lid) + _gap_section(gap)
     path = "/root/repo/skrub_spark/_frozen.py"
     with open(path, "w") as f:
         f.write(out)
