@@ -30,7 +30,14 @@ from .operators.domains import (  # noqa: F401
     extract_url_domains,
 )
 from .functions.text import redact_pii  # noqa: F401
-from .operators.salting import salted_groupby_agg, salted_join  # noqa: F401
+from .operators.salting import (  # noqa: F401
+    auto_agg,
+    auto_agg_with_strategy,
+    auto_join,
+    auto_join_with_strategy,
+    salted_groupby_agg,
+    salted_join,
+)
 from .operators.dsir import dsir_log_weight, dsir_resample, fit_dsir  # noqa: F401
 from .operators.graph import (  # noqa: F401
     bfs_distances,

@@ -6160,6 +6160,36 @@ def q_language_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-selecting aggregation (r9, VERDICT r8 #6,
+    operators/salting.py::auto_agg_with_strategy — the groupBy twin
+    of adaptive_join): revenue per order status. o_orderstatus is
+    genuinely hot (two values own ~98% of rows), so the probe picks
+    the salted two-stage spread — with the content-addressed md5
+    salt, so the whole plan is replayable — and the oracle is the
+    PLAIN SQL GROUP BY: whatever strategy the probe picks, the
+    result must be the same semantic aggregate."""
+    _prep(spark)
+    from .operators.salting import auto_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return auto_agg(
+        orders,
+        ["o_orderstatus"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "revenue": F.sum(_dec("o_totalprice")),
+        },
+        reaggs={
+            "n_orders": F.sum("n_orders").cast("long"),
+            "revenue": F.sum("revenue").cast("double"),
+        },
+        salt_from=["o_orderkey"],
+    )
+
+
 def q_gap_encoder_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen GapEncoder transform twin (r9, VERDICT r8 #5,
     encoders/gap_encoder.py::gap_topics_frozen): topic activations
@@ -10581,6 +10611,17 @@ def _gap_frozen_oracle() -> str:
 
 ORACLES["gap_encoder_frozen"] = _gap_frozen_oracle()
 
+# r9: strategy-invariant aggregate — the plain GROUP BY replay of
+# whatever physical strategy auto_agg's probe picked.
+ORACLES["adaptive_agg"] = """
+    SELECT o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS revenue
+    FROM orders
+    GROUP BY 1
+"""
+
 
 # r8 late: evaluation metrics — each oracle recomputes predictions
 # from the already-proven SQL replays (learned language-ID / frozen
@@ -13037,6 +13078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "language_id_learned": q_language_id_learned,
         "gap_encoder_frozen": q_gap_encoder_frozen,
+        "adaptive_agg": q_adaptive_agg,
     }
 
 

@@ -487,3 +487,102 @@ def test_gap_frozen_model_contract():
         assert all(h >= 1e-6 for h in row)
         assert all(abs(h - round(h, 6)) < 1e-12 for h in row)
         assert 0.9 < sum(row) < 1.1
+
+
+# ------------------------------------- r9: auto-salted aggregation
+
+
+def _aa_frame(spark, skewed):
+    if skewed:
+        rows = [("hot", i) for i in range(300)] + [
+            (f"k{i}", i) for i in range(60)
+        ]
+    else:
+        rows = [(f"k{i % 40}", i) for i in range(360)]
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_auto_agg_picks_salted_for_hot_key(spark):
+    from skrub_spark.operators.salting import auto_agg_with_strategy
+
+    df = _aa_frame(spark, skewed=True)
+    out, strat = auto_agg_with_strategy(
+        df, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")},
+        skew_share_threshold=0.2,
+    )
+    assert strat == "salted"
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    got = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
+    assert got == plain
+    # the salted plan really runs the two-stage spread
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_auto_agg_plain_for_uniform_keys(spark):
+    from skrub_spark.operators.salting import auto_agg_with_strategy
+
+    df = _aa_frame(spark, skewed=False)
+    out, strat = auto_agg_with_strategy(
+        df, ["k"], {"n": F.count(F.lit(1))}, skew_share_threshold=0.2
+    )
+    assert strat == "plain"
+    assert out.count() == 40
+    # the plain path's second (merge) groupBy reuses the first's
+    # hash partitioning: exactly ONE exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_groupby_content_salt_deterministic(spark):
+    """salt_from makes the salted aggregation a pure function of row
+    CONTENT: same results AND same per-(key, salt) partials under
+    any partitioning — F.rand(seed) cannot promise the partials."""
+    from skrub_spark.operators.salting import _content_salt
+
+    df = _aa_frame(spark, skewed=True)
+    a = sorted(
+        map(
+            tuple,
+            df.repartition(1)
+            .withColumn("s", _content_salt(["v"], 16))
+            .groupBy("k", "s")
+            .count()
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            df.repartition(7, "v")
+            .withColumn("s", _content_salt(["v"], 16))
+            .groupBy("k", "s")
+            .count()
+            .collect(),
+        )
+    )
+    assert a == b
+    # the salt really spreads the hot key across buckets
+    hot_salts = {t[1] for t in a if t[0] == "hot"}
+    assert len(hot_salts) > 4
+
+
+def test_salted_groupby_agg_salt_from_matches_plain(spark):
+    from skrub_spark.operators.salting import salted_groupby_agg
+
+    df = _aa_frame(spark, skewed=True)
+    out = salted_groupby_agg(
+        df, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")},
+        salt_from=["v"],
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
