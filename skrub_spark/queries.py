@@ -6190,6 +6190,54 @@ def q_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (r9, VERDICT r8 #7,
+    multimodal/pdf.py::extract_pdf_text — the largest untouched LLM
+    data source the multimodal family could reach with stdlib
+    zlib): plant a deterministic two-page PDF per document (page 1
+    = the document text, page 2 = a per-doc appendix line; even
+    doc_ids FlateDecode-compressed, odd uncompressed, exercising
+    both stream paths), then run the REAL parser — object split,
+    inflate, /Kids page order, literal unescaping — in one
+    Arrow-batched mapInPandas pass. The oracle is EXACT: the
+    extracted text must equal the planting rule byte-for-byte, so
+    the whole build→parse→inflate→unescape loop is value-checked,
+    not just row-counted."""
+    _prep(spark)
+    import pandas as pd
+
+    from .multimodal.pdf import build_pdf, pdf_text_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = [
+                build_pdf(
+                    [
+                        t if t is not None else "",
+                        f"Doc {int(i)} appendix",
+                    ],
+                    compress=(int(i) % 2 == 0),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(
+        make_payloads, "doc_id bigint, payload binary"
+    )
+    return pdf_text_stats(with_payload).select(
+        "doc_id", "decode_ok", "n_pages", "n_streams", "n_chars", "text"
+    )
+
+
 def q_gap_encoder_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen GapEncoder transform twin (r9, VERDICT r8 #5,
     encoders/gap_encoder.py::gap_topics_frozen): topic activations
@@ -10611,6 +10659,23 @@ def _gap_frozen_oracle() -> str:
 
 ORACLES["gap_encoder_frozen"] = _gap_frozen_oracle()
 
+# r9: the PDF extraction loop is value-checked end to end — the
+# oracle recomputes the planted two-page text directly from the
+# documents table; any byte the build→inflate→unescape round trip
+# loses or invents hash-fails.
+ORACLES["pdf_text_stats"] = """
+    SELECT doc_id,
+      TRUE AS decode_ok,
+      CAST(2 AS INTEGER) AS n_pages,
+      CAST(2 AS INTEGER) AS n_streams,
+      CAST(length(COALESCE(text, '') || chr(10) || 'Doc '
+                  || CAST(doc_id AS VARCHAR) || ' appendix')
+           AS BIGINT) AS n_chars,
+      COALESCE(text, '') || chr(10) || 'Doc '
+        || CAST(doc_id AS VARCHAR) || ' appendix' AS text
+    FROM documents
+"""
+
 # r9: strategy-invariant aggregate — the plain GROUP BY replay of
 # whatever physical strategy auto_agg's probe picked.
 ORACLES["adaptive_agg"] = """
@@ -13079,6 +13144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_learned": q_language_id_learned,
         "gap_encoder_frozen": q_gap_encoder_frozen,
         "adaptive_agg": q_adaptive_agg,
+        "pdf_text_stats": q_pdf_text_stats,
     }
 
 

@@ -586,3 +586,91 @@ def test_salted_groupby_agg_salt_from_matches_plain(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# --------------------------------------------- r9: PDF text extraction
+
+
+def test_pdf_roundtrip_and_operators():
+    from skrub_spark.multimodal.pdf import (
+        _text_from_content,
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = ["Hello world, this is page one.", "Doc 42 appendix"]
+    for comp in (False, True):
+        r = extract_pdf_text(build_pdf(pages, compress=comp))
+        assert r["decode_ok"] and r["n_pages"] == 2 and r["n_streams"] == 2
+        assert r["text"] == "\n".join(pages)
+    # escapes survive the build->parse loop byte-for-byte
+    tricky = ["a (nested (parens)) and \\ slash", "tab\tand\nnewline", "cr\rchar"]
+    r = extract_pdf_text(build_pdf(tricky, compress=True))
+    assert r["text"] == "\n".join(tricky)
+    # the show-text operator zoo (hand-worked semantics)
+    assert _text_from_content(b"BT [(He) -120 (llo)] TJ ET") == "Hello"
+    assert _text_from_content(b"BT (a) Tj (b) ' ET") == "a\nb"
+    assert _text_from_content(b"BT <48656C6C6F> Tj ET") == "Hello"
+    assert (
+        _text_from_content(b"BT 1 0 0 1 72 720 Tm (x) Tj 0 -14 Td (y) Tj ET")
+        == "x\ny"
+    )
+    assert _text_from_content(b"BT (kept) Tj % (comment) Tj\nET") == "kept"
+
+
+def test_pdf_guards_never_crash():
+    from skrub_spark.multimodal.pdf import build_pdf, extract_pdf_text
+
+    assert extract_pdf_text(None)["decode_ok"] is False
+    assert extract_pdf_text(b"not a pdf")["decode_ok"] is False
+    assert extract_pdf_text(build_pdf(["x"])[:120])["decode_ok"] in (
+        True,
+        False,
+    )
+    enc = build_pdf(["x"]).replace(b"/Size", b"/Encrypt 9 0 R /Size")
+    assert extract_pdf_text(enc)["decode_ok"] is False
+    cid = build_pdf(["x"]).replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    assert extract_pdf_text(cid)["decode_ok"] is False
+    # corrupted deflate stream degrades, never raises
+    pdf = bytearray(build_pdf(["some page text"], compress=True))
+    at = bytes(pdf).find(b"stream\n") + 10
+    pdf[at] ^= 0xFF
+    r = extract_pdf_text(bytes(pdf))
+    assert r["decode_ok"] in (True, False)
+
+
+def test_pdf_binary_delimiter_collisions():
+    """Compressed bytes are arbitrary binary: object extents must
+    come from /Length, not from scanning for endobj/endstream (the
+    sf0.1 battery found real collisions)."""
+    import random
+    import string
+
+    from skrub_spark.multimodal.pdf import build_pdf, extract_pdf_text
+
+    rng = random.Random(7)
+    for t in range(300):
+        p1 = "".join(
+            rng.choice(string.ascii_letters + " .,")
+            for _ in range(rng.randint(0, 400))
+        )
+        r = extract_pdf_text(build_pdf([p1, "tail"], compress=True))
+        assert r["decode_ok"] and r["n_pages"] == 2
+        assert r["text"] == p1 + "\ntail"
+
+
+def test_pdf_text_stats_dataframe(spark):
+    from skrub_spark.multimodal.pdf import build_pdf, pdf_text_stats
+
+    rows = [
+        (1, build_pdf(["alpha", "beta"], compress=True)),
+        (2, build_pdf(["solo page"])),
+        (3, b"junk bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in pdf_text_stats(df).collect()}
+    assert out[1]["text"] == "alpha\nbeta" and out[1]["n_pages"] == 2
+    assert out[2]["text"] == "solo page" and out[2]["n_chars"] == 9
+    assert out[3]["decode_ok"] is False and out[3]["text"] is None
+    assert out[4]["decode_ok"] is False
