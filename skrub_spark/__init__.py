@@ -204,6 +204,10 @@ from .operators.language_id import (  # noqa: F401
     fit_language_id,
     score_language,
 )
+from .operators.normalize import (  # noqa: F401
+    normalize_text,
+    normalize_text_column,
+)
 from .encoders.gap_encoder import (  # noqa: F401
     fit_gap_frozen,
     gap_topics_frozen,

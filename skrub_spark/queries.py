@@ -6190,6 +6190,48 @@ def q_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dirty suffixes planted by normalize_text's battery query — module
+# level so the Spark query and the generated oracle share one list
+_DIRTY_SUFFIXES = [
+    " Itâ€™s â€œmojibakeâ€¦ CafÃ©",
+    " curly ’quotes‘ “double” — em – en − minus… end",
+    " nbsp space zero​width soft­hyphen",
+    " tabs\t\tCRLF\r\nCR\r and\n\n\n\nblanks  double  spaces ",
+    "",
+]
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (r9, operators/normalize.py — the
+    ftfy/NFKC-lite stage between html_extract and the quality
+    filters): plant one of five dirty suffixes per document
+    (mojibake, curly punctuation, invisible characters, whitespace
+    chaos, clean control group — a pure CASE on doc_id the oracle
+    replays), run the full replace/regexp chain, and return the
+    normalized text + chars_removed. The oracle is GENERATED from
+    the same mapping tables (normalize_sql), so the two chains can
+    never drift."""
+    _prep(spark)
+    from .operators.normalize import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.lit(_DIRTY_SUFFIXES[-1])
+    for i, s in enumerate(_DIRTY_SUFFIXES[:-1]):
+        suffix = F.when(
+            F.pmod(F.col("doc_id"), F.lit(len(_DIRTY_SUFFIXES))) == i,
+            F.lit(s),
+        ).otherwise(suffix)
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias(
+            "text"
+        ),
+    )
+    return normalize_text(planted).select(
+        "doc_id", "text", "chars_removed"
+    )
+
+
 def q_pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (r9, VERDICT r8 #7,
     multimodal/pdf.py::extract_pdf_text — the largest untouched LLM
@@ -10659,6 +10701,37 @@ def _gap_frozen_oracle() -> str:
 
 ORACLES["gap_encoder_frozen"] = _gap_frozen_oracle()
 
+def _normalize_oracle() -> str:
+    """Oracle for normalize_text, GENERATED from the same planting
+    list and mapping tables the Spark query uses."""
+    from .operators.normalize import normalize_sql
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\r", "' || chr(13) || '").replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '") + "'"
+
+    n = len(_DIRTY_SUFFIXES)
+    cases = " ".join(
+        f"WHEN doc_id % {n} = {i} THEN {q(s)}"
+        for i, s in enumerate(_DIRTY_SUFFIXES[:-1])
+    )
+    planted = (
+        f"(COALESCE(text, '') || CASE {cases} "
+        f"ELSE {q(_DIRTY_SUFFIXES[-1])} END)"
+    )
+    norm = normalize_sql("t")
+    return f"""
+      WITH p AS (SELECT doc_id, {planted} AS t FROM documents),
+      nn AS (SELECT doc_id, t, {norm} AS n FROM p)
+      SELECT doc_id, n AS text,
+        CAST(COALESCE(length(t), 0) - COALESCE(length(n), 0) AS BIGINT)
+          AS chars_removed
+      FROM nn
+    """
+
+
+ORACLES["normalize_text"] = _normalize_oracle()
+
+
 # r9: the PDF extraction loop is value-checked end to end — the
 # oracle recomputes the planted two-page text directly from the
 # documents table; any byte the build→inflate→unescape round trip
@@ -13145,6 +13218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_encoder_frozen": q_gap_encoder_frozen,
         "adaptive_agg": q_adaptive_agg,
         "pdf_text_stats": q_pdf_text_stats,
+        "normalize_text": q_normalize_text,
     }
 
 

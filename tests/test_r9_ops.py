@@ -674,3 +674,79 @@ def test_pdf_text_stats_dataframe(spark):
     assert out[2]["text"] == "solo page" and out[2]["n_chars"] == 9
     assert out[3]["decode_ok"] is False and out[3]["text"] is None
     assert out[4]["decode_ok"] is False
+
+
+# ---------------------------------------------- r9: text normalization
+
+
+def test_normalize_text_stages(spark):
+    from skrub_spark.operators.normalize import normalize_text
+
+    rows = [
+        (1, "Itâ€™s a â€œtestâ€¦ CafÃ© Ã± Ã¼ber"),
+        (2, "curly ’q‘ “d” — – − minus… done"),
+        (3, "a​b‌c‍d﻿e­f"),  # zero-widths + BOM + soft hyphen
+        (4, "x\t\ty\r\nz\rw\n\n\n\n\nv  u "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text"] == 'It\'s a "test... Café ñ über'
+    assert out[2]["text"] == "curly 'q' \"d\" - - - minus... done"
+    assert out[3]["text"] == "abcdef"
+    assert out[4]["text"] == "x y\nz\nw\n\nv u"
+    assert out[5]["text"] is None and out[5]["chars_removed"] == 0
+    # delta reported against the ORIGINAL bytes, in-place mode
+    # (5 invisible chars removed from the 11-char input)
+    assert out[3]["chars_removed"] == 5
+
+
+def test_normalize_text_stage_toggles(spark):
+    from skrub_spark.operators.normalize import normalize_text_column
+
+    df = spark.createDataFrame([("’x  y",)], "t string")
+    only_ws = df.select(
+        normalize_text_column(
+            "t", fix_mojibake=False, normalize_punct=False
+        ).alias("n")
+    ).first()["n"]
+    assert only_ws == "’x y"
+    only_punct = df.select(
+        normalize_text_column(
+            "t", fix_mojibake=False, normalize_whitespace=False
+        ).alias("n")
+    ).first()["n"]
+    assert only_punct == "'x  y"
+
+
+def test_normalize_sql_matches_spark_chain(spark):
+    """The generated DuckDB chain is the SAME transform: byte
+    equality over a frame that exercises every mapping family."""
+    import duckdb
+
+    from skrub_spark.operators.normalize import (
+        MOJIBAKE_MAP,
+        PUNCT_MAP,
+        normalize_sql,
+        normalize_text,
+    )
+
+    rows = [(i, f"x {bad} y") for i, (bad, _) in enumerate(MOJIBAKE_MAP)]
+    rows += [
+        (100 + i, f"a{bad}b")
+        for i, (bad, _) in enumerate(PUNCT_MAP)
+    ]
+    rows.append((999, " mixed\tâ€™ ’ …\r\n\n\n\nend "))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["text"] for r in normalize_text(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT id, {normalize_sql('text')} FROM t"
+        ).fetchall()
+    )
+    assert got == want
