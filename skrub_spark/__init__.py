@@ -113,6 +113,7 @@ from .sources.layout import (  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
     dedup_exact,
+    keep_best,
     dedup_minhash_pairs,
     dedup_simhash_pairs,
     deduplicate_strings,

@@ -10,4 +10,4 @@ from .simhash import dedup_simhash_pairs  # noqa: F401
 from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .embedding import embedding_near_duplicates, semantic_dedup  # noqa: F401
 from .strings import deduplicate_strings  # noqa: F401
-from .components import connected_components  # noqa: F401
+from .components import connected_components, keep_best  # noqa: F401

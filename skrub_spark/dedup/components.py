@@ -234,3 +234,39 @@ def _with_singletons(
         .select("id", F.col("id").alias("component"))
     )
     return labels.union(singletons)
+
+
+def keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation policy on top of a clustering (r9): keep the
+    HIGHEST-scoring row of every near-dup cluster instead of the
+    arbitrary min-id canonical — "of these near-identical pages,
+    keep the best-written one", the policy real corpus builds
+    apply after near-dedup.
+
+    ``components``: (id, component) from
+    :func:`connected_components` / ``minhash_near_duplicates``
+    (rows absent there are singletons — their cluster is their own
+    id). Adds ``cluster`` and ``kept``; the winner is the cluster's
+    max ``score_col`` with smaller id breaking ties — a
+    deterministic total order, so the result is
+    partitioning-invariant and SQL-replayable (ROW_NUMBER over the
+    same ordering). The per-cluster window is bounded by cluster
+    size, never corpus-wide. One narrow join + one bounded window:
+    scales like the clustering itself."""
+    from pyspark.sql import Window
+
+    lab = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster")
+    )
+    j = df.join(lab, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return j.withColumn("kept", F.row_number().over(w) == 1)

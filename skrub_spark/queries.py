@@ -1689,6 +1689,36 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization (r9,
+    dedup/components.py::keep_best): near-dup clusters from the
+    proven minhash pipeline, but the KEPT document per cluster is
+    the highest frozen-quality-score one (smaller id on ties), not
+    the min id — the policy real corpus builds apply after
+    near-dedup. Composes two independently-oracled replays: the
+    minhash_canonical recursive-CTE components and the frozen
+    quality-score CTE; the winner rule replays as the same
+    ROW_NUMBER ordering."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL
+    from .dedup.components import keep_best
+    from .dedup.minhash import minhash_near_duplicates
+    from .operators.quality_classifier import score_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = minhash_near_duplicates(
+        docs, "text", "doc_id", shingle_k=3, n_components=64,
+        jaccard_threshold=0.2,
+    )
+    scored = score_quality(docs, QUALITY_MODEL).select(
+        "doc_id", F.round("quality_score", 6).alias("score")
+    )
+    return keep_best(scored, comps, "score").select(
+        "doc_id", F.col("cluster").cast("long").alias("cluster"),
+        "score", "kept",
+    )
+
+
 def q_gap_encoder_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GapEncoder topic activations on part names (Poisson-NMF fit +
     Pandas-UDF inference; rows-only)."""
@@ -12011,6 +12041,26 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+# r9: quality-aware canonicalization — composes the TWO proven
+# replays (frozen quality scores + minhash components); the winner
+# rule is the same deterministic ROW_NUMBER ordering as Spark's.
+ORACLES["dedup_keep_best"] = _quality_score_cte() + """
+    , canon AS ( {canon} ),
+    j AS (
+      SELECT s.doc_id,
+        COALESCE(c.component, s.doc_id) AS cluster, s.qs AS score
+      FROM s LEFT JOIN canon c ON c.id = s.doc_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn
+      FROM j
+    )
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, score,
+      rn = 1 AS kept
+    FROM r
+""".format(canon=ORACLES["minhash_canonical"])
+
+
 # dedup observability: COMPOSE the proven minhash_canonical replay
 # (the evaluation-metrics subquery-splice precedent)
 ORACLES["dup_cluster_report"] = """
@@ -13219,6 +13269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_agg": q_adaptive_agg,
         "pdf_text_stats": q_pdf_text_stats,
         "normalize_text": q_normalize_text,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 

@@ -750,3 +750,51 @@ def test_normalize_sql_matches_spark_chain(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------- r9: quality-aware canonical
+
+
+def test_keep_best_policy(spark):
+    from skrub_spark.dedup.components import keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.3),
+            (2, 0.9),  # cluster {1,2,3}: 2 wins on score
+            (3, 0.9),  # ... 2 beats 3 on the id tie-break
+            (7, 0.1),  # singleton: always kept
+        ],
+        "doc_id long, score double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, component long"
+    )
+    out = {r["doc_id"]: r for r in keep_best(df, comps, "score").collect()}
+    assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
+    assert out[7]["kept"] and out[7]["cluster"] == 7
+    assert out[1]["cluster"] == out[2]["cluster"] == 1
+
+
+def test_keep_best_partitioning_invariant(spark):
+    from skrub_spark.dedup.components import keep_best
+
+    rows = [(i, float((i * 37) % 10) / 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    comps = spark.createDataFrame(
+        [(i, i % 13) for i in range(150)], "id long, component long"
+    )
+    a = sorted(map(tuple, keep_best(df, comps, "score").collect()))
+    b = sorted(
+        map(
+            tuple,
+            keep_best(df.repartition(17), comps, "score").collect(),
+        )
+    )
+    assert a == b
+    # exactly one kept row per cluster
+    from collections import Counter
+
+    kept = Counter(t[2] for t in a if t[3])
+    clusters = {t[2] for t in a}
+    assert set(kept) == clusters and all(v == 1 for v in kept.values())
