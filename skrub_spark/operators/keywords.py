@@ -76,3 +76,105 @@ def tfidf_keywords(
         )
         .filter(F.col("kw_rank") <= F.lit(int(top_k)))
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    probe_ids: list | DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Item-item lexical retrieval (r9): for each probe document,
+    the ``top_k`` most TF-IDF-cosine-similar other documents —
+    "more like this" over an inverted index, the sparse-lexical
+    sibling of ``similarity/knn_join`` (dense) and ``bm25_search``
+    (query-string). Columns: ``(probe_id, cand_id, cosine, rank)``.
+
+    Scale shape (the bm25 postings discipline): the corpus pays ONE
+    (doc, term) tf shuffle + a vocab-sized idf reduce; the
+    candidate join ships ONLY the probes' postings against the
+    term-keyed corpus postings, so a handful of probes touch a
+    handful of terms' rows, never the corpus pairwise. ``max_df``
+    optionally drops ubiquitous terms from the candidate join (the
+    stopword guard against hot term keys at crawl scale; changes
+    semantics, default off).
+
+    Exactness: weights are 6dp-rounded ``tf·idf`` lifted to
+    DECIMAL(18,6); dots and squared norms are exact DECIMAL sums,
+    combined into the cosine by fixed-order IEEE ops and rounded to
+    6dp — rankings replay bit-identically in the DuckDB oracle
+    (``more_like_this``), ties broken by candidate id."""
+    spark = docs.sparkSession
+    if isinstance(probe_ids, DataFrame):
+        probes = probe_ids.select(F.col(probe_ids.columns[0]).alias("__pid"))
+    else:
+        probes = spark.createDataFrame(
+            [(p,) for p in probe_ids], f"__pid {docs.schema[id_col].dataType.simpleString()}"
+        )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    idf = df_.join(F.broadcast(n)).select(
+        "term",
+        "df",
+        F.round(
+            F.log(F.col("__nd").cast("double") / F.col("df").cast("double")),
+            6,
+        ).alias("idf"),
+    )
+    w = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        "df",
+        F.round(F.col("tf").cast("double") * F.col("idf"), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    # norms use ALL terms (max_df prunes only the candidate join)
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    ).filter(F.col("n2") > 0)
+    postings = w if max_df is None else w.filter(F.col("df") <= int(max_df))
+    pw = postings.join(
+        F.broadcast(probes),
+        F.col(id_col) == F.col("__pid"),
+    ).select(F.col("__pid"), F.col("term"), F.col("w").alias("wp"))
+    dots = (
+        pw.join(postings, "term")
+        .filter(F.col(id_col) != F.col("__pid"))
+        .groupBy("__pid", id_col)
+        .agg(F.sum(F.col("wp") * F.col("w")).alias("dot"))
+    )
+    pn = norms.select(
+        F.col(id_col).alias("__pid"), F.col("n2").alias("n2p")
+    )
+    cos = (
+        dots.join(F.broadcast(pn), "__pid")
+        .join(norms, id_col)
+        .select(
+            F.col("__pid").alias("probe_id"),
+            F.col(id_col).alias("cand_id"),
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2p").cast("double"))
+                / F.sqrt(F.col("n2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rk = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= F.lit(int(top_k)))
+    )

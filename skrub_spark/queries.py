@@ -1689,6 +1689,24 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item lexical retrieval (r9,
+    operators/keywords.py::more_like_this — the sparse-lexical
+    sibling of knn_join/bm25): top-5 TF-IDF-cosine neighbors for
+    every doc_id % 100 == 0 probe. The candidate join ships only
+    the probes' postings against term-keyed corpus postings;
+    weights/dots/norms follow the decimal bridge so every cosine
+    and rank replays bit-identically."""
+    _prep(spark)
+    from .operators.keywords import more_like_this
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 0).select(
+        "doc_id"
+    )
+    return more_like_this(docs, probes, top_k=5)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonicalization (r9,
     dedup/components.py::keep_best): near-dup clusters from the
@@ -12041,6 +12059,59 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+# r9: item-item lexical retrieval — same tf/idf replay as
+# keywords_tfidf, weights lifted to DECIMAL(18,6), dots and squared
+# norms exact decimal sums, cosine by fixed-order IEEE ops.
+ORACLES["more_like_this"] = """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), n AS (
+      SELECT count(*) AS nd FROM documents
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), w AS (
+      SELECT tf.doc_id, tf.term,
+        CAST(round(CAST(tf.tf AS DOUBLE)
+                   * round(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)),
+                           6),
+                   6) AS DECIMAL(18,6)) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ), norms AS (
+      SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1
+      HAVING SUM(w * w) > 0
+    ), pw AS (
+      SELECT doc_id AS pid, term, w AS wp FROM w
+      WHERE doc_id % 100 = 0
+    ), dots AS (
+      SELECT pw.pid, w.doc_id AS cid, SUM(pw.wp * w.w) AS dot
+      FROM pw JOIN w USING (term)
+      WHERE w.doc_id != pw.pid
+      GROUP BY 1, 2
+    ), cos AS (
+      SELECT d.pid AS probe_id, d.cid AS cand_id,
+        round(CAST(d.dot AS DOUBLE)
+              / sqrt(CAST(np.n2 AS DOUBLE))
+              / sqrt(CAST(nc.n2 AS DOUBLE)), 6) AS cosine
+      FROM dots d
+      JOIN norms np ON np.doc_id = d.pid
+      JOIN norms nc ON nc.doc_id = d.cid
+    ), r AS (
+      SELECT probe_id, cand_id, cosine,
+        row_number() OVER (
+          PARTITION BY probe_id
+          ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM cos
+    )
+    SELECT probe_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+"""
+
+
 # r9: quality-aware canonicalization — composes the TWO proven
 # replays (frozen quality scores + minhash components); the winner
 # rule is the same deterministic ROW_NUMBER ordering as Spark's.
@@ -13270,6 +13341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_stats": q_pdf_text_stats,
         "normalize_text": q_normalize_text,
         "dedup_keep_best": q_dedup_keep_best,
+        "more_like_this": q_more_like_this,
     }
 
 

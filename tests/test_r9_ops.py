@@ -798,3 +798,63 @@ def test_keep_best_partitioning_invariant(spark):
     kept = Counter(t[2] for t in a if t[3])
     clusters = {t[2] for t in a}
     assert set(kept) == clusters and all(v == 1 for v in kept.values())
+
+
+# ------------------------------------------- r9: more-like-this (MLT)
+
+
+def test_more_like_this_basic(spark):
+    from skrub_spark.operators.keywords import more_like_this
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana cherry"),  # identical to 1
+        (3, "apple banana date"),
+        (4, "xylophone zebra quartz"),  # disjoint from 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["probe_id"], r["rank"]): r
+        for r in more_like_this(df, [1], top_k=3).collect()
+    }
+    # identical doc is rank 1 with cosine 1.0
+    assert out[(1, 1)]["cand_id"] == 2
+    assert out[(1, 1)]["cosine"] == 1.0
+    assert out[(1, 2)]["cand_id"] == 3
+    # the disjoint doc shares no term: never a candidate
+    assert (1, 3) not in out
+
+
+def test_more_like_this_partitioning_invariant(spark, sf_dir):
+    from skrub_spark.operators.keywords import more_like_this
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, more_like_this(docs, [0, 7], top_k=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            more_like_this(docs.repartition(9), [0, 7], top_k=4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_more_like_this_max_df_prunes_join_not_norms(spark):
+    from skrub_spark.operators.keywords import more_like_this
+
+    rows = [
+        (1, "common rare1"),
+        (2, "common rare1"),
+        (3, "common rare2"),
+        (4, "common rare2"),
+        (5, "solo"),  # keeps idf('common') > 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'common' has df=4; with max_df=2 only the rare terms join, so
+    # 3 and 4 are no longer candidates for probe 1 — but the norms
+    # still include 'common', so the cosine to doc 2 stays < 1
+    out = more_like_this(df, [1], top_k=4, max_df=2).collect()
+    cands = {r["cand_id"] for r in out}
+    assert cands == {2}
+    assert all(r["cosine"] < 1.0 for r in out)
