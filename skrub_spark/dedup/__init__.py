@@ -11,3 +11,4 @@ from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .embedding import embedding_near_duplicates, semantic_dedup  # noqa: F401
 from .strings import deduplicate_strings  # noqa: F401
 from .components import connected_components, keep_best  # noqa: F401
+from .winnowing import winnow_fingerprints, winnowing_pairs  # noqa: F401

@@ -1689,6 +1689,38 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (r9,
+    dedup/winnowing.py::winnow_fingerprints — MOSS, Schleimer et
+    al. 2003): the selected (pos, hash) set for every
+    doc_id % 25 == 0 document (subset keeps the oracle's
+    quadratic-in-w window replay cheap; the Spark side windows the
+    same way at any scale). Rightmost-minimal tie rule via
+    min(struct(h, -pos)) over the bounded per-doc frame."""
+    _prep(spark)
+    from .dedup.winnowing import winnow_fingerprints
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0)
+    )
+    return winnow_fingerprints(docs)
+
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap pairs (r9,
+    dedup/winnowing.py::winnowing_pairs): documents sharing >= 3
+    selected fingerprints — the position-aware containment check
+    next to minhash's bag resemblance. One fingerprint equi-join
+    with the max_postings hot-hash guard, never pairwise."""
+    _prep(spark)
+    from .dedup.winnowing import winnowing_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_pairs(docs)
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item lexical retrieval (r9,
     operators/keywords.py::more_like_this — the sparse-lexical
@@ -12059,6 +12091,68 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+# r9: winnowing — shared CTE prefix replaying grams-with-positions,
+# per-window minima (rightmost on ties) and the selected set.
+_WINNOW_CTE = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x != '') AS toks
+      FROM documents{subset}
+    ), ls AS (
+      SELECT doc_id, len(toks) - 2 AS n,
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> i) AS poss,
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM t
+    ), g AS (
+      SELECT doc_id, n, unnest(poss) AS pos,
+        ('0x' || substr(md5('wn9|' || unnest(grams)), 1, 15))::BIGINT
+          AS h
+      FROM ls
+    ), win AS (
+      SELECT a.doc_id, a.pos AS ws, b.pos, b.h
+      FROM g a JOIN g b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 7
+      WHERE a.pos + 7 <= a.n
+    ), mins AS (
+      SELECT doc_id, ws, MIN(h) AS mh FROM win GROUP BY 1, 2
+    ), sel AS (
+      SELECT w.doc_id, MAX(w.pos) AS pos, w.h AS fp
+      FROM win w JOIN mins m
+        ON m.doc_id = w.doc_id AND m.ws = w.ws AND w.h = m.mh
+      GROUP BY w.doc_id, w.ws, w.h
+    ), fps AS (
+      SELECT DISTINCT doc_id, pos, fp FROM sel
+    )
+"""
+
+ORACLES["winnow_fingerprints"] = (
+    _WINNOW_CTE.format(subset=" WHERE doc_id % 25 = 0")
+    + """
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM fps
+"""
+)
+
+ORACLES["winnowing_pairs"] = (
+    _WINNOW_CTE.format(subset="")
+    + """
+    , u AS (SELECT DISTINCT doc_id, fp FROM fps),
+    rare AS (
+      SELECT fp FROM u GROUP BY fp HAVING count(*) <= 1000
+    ), e AS (
+      SELECT u.doc_id, u.fp FROM u JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(count(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+"""
+)
+
+
 # r9: item-item lexical retrieval — same tf/idf replay as
 # keywords_tfidf, weights lifted to DECIMAL(18,6), dots and squared
 # norms exact decimal sums, cosine by fixed-order IEEE ops.
@@ -13342,6 +13436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "dedup_keep_best": q_dedup_keep_best,
         "more_like_this": q_more_like_this,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnowing_pairs": q_winnowing_pairs,
     }
 
 

@@ -858,3 +858,75 @@ def test_more_like_this_max_df_prunes_join_not_norms(spark):
     cands = {r["cand_id"] for r in out}
     assert cands == {2}
     assert all(r["cosine"] < 1.0 for r in out)
+
+
+# -------------------------------------------- r9: winnowing (MOSS)
+
+
+def test_winnow_guarantee_and_tie_rule(spark):
+    from skrub_spark.dedup.winnowing import winnow_fingerprints
+
+    # hand-worked: 12 words -> 10 3-gram positions; w=4 -> 7 windows
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=3, w=4).collect()
+    # every window contributes: selected positions cover the doc with
+    # gaps < w, and there are at most n_windows selections
+    poss = sorted(r["pos"] for r in fp)
+    assert 1 <= len(poss) <= 7
+    assert all(b - a < 4 for a, b in zip(poss, poss[1:]))
+    # pure-python reference: same hash rule, rightmost-min per window
+    import hashlib
+
+    toks = text.lower().split()
+    grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hs = [
+        int(hashlib.md5(("wn9|" + g).encode()).hexdigest()[:15], 16)
+        for g in grams
+    ]
+    want = set()
+    for s in range(len(hs) - 3):
+        wnd = hs[s : s + 4]
+        m = min(wnd)
+        rp = max(i for i, h in enumerate(wnd) if h == m)
+        want.add((s + rp + 1, m))
+    assert {(r["pos"], r["fp"]) for r in fp} == want
+
+
+def test_winnow_short_docs_no_fingerprints(spark):
+    from skrub_spark.dedup.winnowing import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "too few words here"), (2, None)],
+        "doc_id long, text string",
+    )
+    # k=3, w=8 needs k+w-1 = 10 words for one full window
+    assert winnow_fingerprints(df, k=3, w=8).count() == 0
+
+
+def test_winnowing_pairs_detect_containment(spark):
+    from skrub_spark.dedup.winnowing import winnowing_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    copied = base + " extra trailing words appended here now"
+    unrelated = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, copied), (3, unrelated)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_pairs(df, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_partitioning_invariant(spark, sf_dir):
+    from skrub_spark.dedup.winnowing import winnowing_pairs
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, winnowing_pairs(docs).collect()))
+    b = sorted(map(tuple, winnowing_pairs(docs.repartition(13)).collect()))
+    assert a == b
