@@ -348,3 +348,70 @@ def kwic_snippets(
             F.slice(F.col("__toks"), start, length), " "
         ).alias("snippet"),
     )
+
+
+# Unicode script ranges (BMP only — every major writing system's
+# core block; surrogate-pair ranges would need different regex
+# machinery per engine). The same table generates the Spark Columns
+# AND the DuckDB oracle (queries._script_oracle), so they can't
+# drift. Each pattern parses identically in Java regex and RE2.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "greek": "\\x{0370}-\\x{03FF}",
+    "arabic": "\\x{0600}-\\x{06FF}",
+    "devanagari": "\\x{0900}-\\x{097F}",
+    "han": "\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}",
+    "kana": "\\x{3040}-\\x{30FF}",
+    "hangul": "\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}",
+}
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts (r9 — the script-level companion
+    to language ID: script is a hard signal the trigram model can
+    exploit but reports can't read off a prediction). One
+    ``length - length(regexp_replace(...))`` pair per script —
+    map-only, codegen'd, no explode."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for name, ranges in SCRIPT_RANGES.items():
+        out[f"n_{name}"] = (
+            F.coalesce(F.length(c), F.lit(0))
+            - F.coalesce(
+                F.length(F.regexp_replace(c, f"[{ranges}]", "")),
+                F.lit(0),
+            )
+        ).cast("long")
+    return out
+
+
+def script_profile(col: Column | str) -> list[Column]:
+    """``script_counts`` plus the derived report columns:
+    ``n_script`` (total lettered chars), ``main_script`` (argmax,
+    first-in-table-order on ties, 'none' when no script chars) and
+    ``main_ratio`` (6dp share of lettered chars)."""
+    counts = script_counts(col)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    names = list(SCRIPT_RANGES)
+    best_name = F.lit(names[0])
+    best_n = counts[f"n_{names[0]}"]
+    for name in names[1:]:
+        cond = counts[f"n_{name}"] > best_n
+        best_name = F.when(cond, F.lit(name)).otherwise(best_name)
+        best_n = F.when(cond, counts[f"n_{name}"]).otherwise(best_n)
+    main = F.when(F.coalesce(total, F.lit(0)) > 0, best_name).otherwise(
+        F.lit("none")
+    )
+    ratio = F.when(
+        F.coalesce(total, F.lit(0)) > 0,
+        F.round(best_n.cast("double") / total.cast("double"), 6),
+    )
+    return [
+        *[expr.alias(name) for name, expr in counts.items()],
+        F.coalesce(total, F.lit(0)).cast("long").alias("n_script"),
+        main.alias("main_script"),
+        ratio.alias("main_ratio"),
+    ]

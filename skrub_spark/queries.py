@@ -1689,6 +1689,47 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# script samples planted by q_script_profile — shared with the
+# generated oracle (the LANG_PHRASES pattern)
+_SCRIPT_SAMPLES = [
+    " привет мир тест",  # cyrillic
+    " 你好世界高效引擎",  # han
+    " こんにちは世界",  # kana + han
+    " 안녕하세요 세계",  # hangul
+    " γειά σου κόσμε",  # greek
+    "",  # control group: latin-only corpus text
+]
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profile (r9,
+    functions/text.py::script_profile — the script-level companion
+    to the learned language ID): plant one of six script samples
+    per doc_id residue (pure CASE the oracle replays), then count
+    per-script characters with one length/regexp_replace pair per
+    script (map-only, no explode) and derive the dominant script +
+    its 6dp share. The oracle is GENERATED from the same
+    SCRIPT_RANGES table; every pattern parses identically in Java
+    regex and RE2."""
+    _prep(spark)
+    from .functions.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.lit(_SCRIPT_SAMPLES[-1])
+    for i, s in enumerate(_SCRIPT_SAMPLES[:-1]):
+        suffix = F.when(
+            F.pmod(F.col("doc_id"), F.lit(len(_SCRIPT_SAMPLES))) == i,
+            F.lit(s),
+        ).otherwise(suffix)
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias(
+            "text"
+        ),
+    )
+    return planted.select("doc_id", *script_profile("text"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (r9,
     dedup/winnowing.py::winnow_fingerprints — MOSS, Schleimer et
@@ -12091,6 +12132,55 @@ ORACLES["audience_overlap"] = """
       ON i.segment_a = sa.segment AND i.segment_b = sb.segment
 """
 
+def _script_oracle() -> str:
+    """Oracle for script_profile, GENERATED from SCRIPT_RANGES and
+    the planted sample list."""
+    from .functions.text import SCRIPT_RANGES
+
+    n = len(_SCRIPT_SAMPLES)
+    cases = " ".join(
+        f"WHEN doc_id % {n} = {i} THEN '{s}'"
+        for i, s in enumerate(_SCRIPT_SAMPLES[:-1])
+    )
+    planted = (
+        f"(COALESCE(text, '') || CASE {cases} "
+        f"ELSE '{_SCRIPT_SAMPLES[-1]}' END)"
+    )
+    counts = ", ".join(
+        f"CAST(COALESCE(length(t), 0) - COALESCE(length("
+        f"regexp_replace(t, '[{r}]', '', 'g')), 0) AS BIGINT)"
+        f" AS n_{name}"
+        for name, r in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    total = " + ".join(f"n_{x}" for x in names)
+    best_name, best_n = f"'{names[0]}'", f"n_{names[0]}"
+    for name in names[1:]:
+        best_name = (
+            f"CASE WHEN n_{name} > {best_n} THEN '{name}' "
+            f"ELSE {best_name} END"
+        )
+        best_n = (
+            f"CASE WHEN n_{name} > {best_n} THEN n_{name} "
+            f"ELSE {best_n} END"
+        )
+    return f"""
+      WITH p AS (SELECT doc_id, {planted} AS t FROM documents),
+      c AS (SELECT doc_id, {counts} FROM p)
+      SELECT doc_id, {", ".join("n_" + x for x in names)},
+        CAST({total} AS BIGINT) AS n_script,
+        CASE WHEN {total} > 0 THEN {best_name}
+             ELSE 'none' END AS main_script,
+        CASE WHEN {total} > 0 THEN
+          round(CAST({best_n} AS DOUBLE) / CAST({total} AS DOUBLE), 6)
+        END AS main_ratio
+      FROM c
+    """
+
+
+ORACLES["script_profile"] = _script_oracle()
+
+
 # r9: winnowing — shared CTE prefix replaying grams-with-positions,
 # per-window minima (rightmost on ties) and the selected set.
 _WINNOW_CTE = """
@@ -13438,6 +13528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnowing_pairs": q_winnowing_pairs,
+        "script_profile": q_script_profile,
     }
 
 

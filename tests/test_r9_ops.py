@@ -930,3 +930,44 @@ def test_winnowing_partitioning_invariant(spark, sf_dir):
     a = sorted(map(tuple, winnowing_pairs(docs).collect()))
     b = sorted(map(tuple, winnowing_pairs(docs.repartition(13)).collect()))
     assert a == b
+
+
+# --------------------------------------------- r9: script profile
+
+
+def test_script_profile_detection(spark):
+    from skrub_spark.functions.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world café"),
+            (2, "привет мир"),
+            (3, "你好世界 こんにちは"),
+            (4, "안녕하세요"),
+            (5, "123 !!!"),
+            (6, None),
+            (7, "mixed русский text here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in df.select("id", *script_profile("text")).collect()}
+    assert out[1]["main_script"] == "latin" and out[1]["n_latin"] == 14
+    assert out[2]["main_script"] == "cyrillic"
+    # kana beats han in doc 3 (5 kana vs 4 han)
+    assert out[3]["main_script"] == "kana" and out[3]["n_han"] == 4
+    assert out[4]["main_script"] == "hangul"
+    assert out[5]["main_script"] == "none" and out[5]["main_ratio"] is None
+    assert out[6]["main_script"] == "none"
+    # mixed doc: latin majority, ratio < 1
+    assert out[7]["main_script"] == "latin"
+    assert 0 < out[7]["main_ratio"] < 1
+
+
+def test_script_profile_tie_breaks_by_table_order(spark):
+    from skrub_spark.functions.text import script_profile
+
+    # 2 latin chars vs 2 cyrillic chars: latin is first in the table
+    df = spark.createDataFrame([(1, "ab ой")], "id long, text string")
+    r = df.select("id", *script_profile("text")).first()
+    assert r["n_latin"] == 2 and r["n_cyrillic"] == 2
+    assert r["main_script"] == "latin" and r["main_ratio"] == 0.5
