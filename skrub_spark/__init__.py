@@ -107,6 +107,8 @@ from .functions.sketches import distinct_sketch, quantile_sketch  # noqa: F401
 from .sources.snapshots import snapshot_diff  # noqa: F401
 from .sources.layout import (  # noqa: F401
     file_skip_fraction,
+    hilbert_key,
+    write_hilbert,
     write_zordered,
     zorder_value,
 )

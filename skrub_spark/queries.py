@@ -1689,6 +1689,25 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (r9, sources/layout.py::
+    hilbert_value — the locality upgrade over zorder_keys:
+    consecutive cells are always adjacent, so ranged files carry
+    tighter per-dimension min/max): the classic xy2d
+    rotate-and-reflect walk unrolled into pure integer Columns over
+    the same (doc_id, n_chars) ranges the z-order query uses. The
+    oracle replays every level as one chained CTE."""
+    _prep(spark)
+    from .sources.layout import hilbert_key
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return hilbert_key(
+        docs, {"doc_id": (0, 5000), "n_chars": (0, 600)}, bits=8
+    ).select("doc_id", "hkey")
+
+
 # script samples planted by q_script_profile — shared with the
 # generated oracle (the LANG_PHRASES pattern)
 _SCRIPT_SAMPLES = [
@@ -10168,6 +10187,51 @@ def _zorder_oracle(bits: int = 16) -> str:
 
 ORACLES["zorder_keys"] = _zorder_oracle(16)
 
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Level-by-level replay of q_hilbert_keys: the same clamp/scale
+    cells, then one chained CTE per bit level carrying (d, x, y)
+    through the rotate-and-reflect walk — integer ops only."""
+    cells = [
+        ("x", "doc_id", 0.0, 5000.0),
+        ("y", "n_chars", 0.0, 600.0),
+    ]
+    cell_sql = ", ".join(
+        f"least(CAST({2 ** bits - 1} AS BIGINT), greatest(CAST(0 AS BIGINT),"
+        f" CAST(floor((CAST({col} AS DOUBLE) - CAST({lo!r} AS DOUBLE))"
+        f" / CAST({hi - lo!r} AS DOUBLE)"
+        f" * CAST({float(2 ** bits)!r} AS DOUBLE)) AS BIGINT))) AS {name}"
+        for name, col, lo, hi in cells
+    )
+    n1 = (1 << bits) - 1
+    steps = []
+    prev = "l0"
+    for i, level in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << level
+        rx = f"((x >> {level}) & 1)"
+        ry = f"((y >> {level}) & 1)"
+        steps.append(
+            f"l{i} AS (SELECT doc_id,"
+            f" d + CAST({s * s} AS BIGINT) * xor({rx} * 3, {ry}) AS d,"
+            f" CASE WHEN {ry} = 0 THEN"
+            f"   (CASE WHEN {rx} = 1 THEN {n1} - y ELSE y END)"
+            f" ELSE x END AS x,"
+            f" CASE WHEN {ry} = 0 THEN"
+            f"   (CASE WHEN {rx} = 1 THEN {n1} - x ELSE x END)"
+            f" ELSE y END AS y"
+            f" FROM {prev})"
+        )
+        prev = f"l{i}"
+    return f"""
+        WITH cells AS (SELECT doc_id, {cell_sql} FROM documents),
+        l0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS d, x, y FROM cells),
+        {", ".join(steps)}
+        SELECT doc_id, d AS hkey FROM {prev}
+    """
+
+
+ORACLES["hilbert_keys"] = _hilbert_oracle(8)
+
 ORACLES["value_quantile_sketch"] = """
     WITH kept AS (
       SELECT event_type, value, event_id,
@@ -13529,6 +13593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnowing_pairs": q_winnowing_pairs,
         "script_profile": q_script_profile,
+        "hilbert_keys": q_hilbert_keys,
     }
 
 

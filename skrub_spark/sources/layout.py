@@ -135,3 +135,103 @@ def file_skip_fraction(
                 break
         skipped += can_skip
     return skipped / len(files)
+
+
+def _minmax_cell(col: str, lo: float, hi: float, bits: int) -> Column:
+    """The zorder_value clamp/scale, shared by both curves."""
+    span = float(hi) - float(lo)
+    if span <= 0:
+        raise ValueError(f"empty range for {col!r}")
+    scaled = (
+        (F.col(col).cast("double") - F.lit(float(lo)))
+        / F.lit(span)
+        * F.lit(float(2**bits))
+    )
+    return F.least(
+        F.lit((2**bits) - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor(scaled).cast("long")),
+    )
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: dict[str, tuple[float, float]],
+    bits: int = 8,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """2-D Hilbert-curve key (r9 — the locality upgrade over
+    z-order: CONSECUTIVE Hilbert cells are always spatially
+    adjacent, while the z-curve jumps across the grid at every
+    power-of-two boundary, so Hilbert-ranged files have tighter
+    per-dimension min/max and skip better on off-corner ranges;
+    Faloutsos & Roseman PODS'89 measured ~25-50% fewer "runs" per
+    range than z-order). Adds ``out_col`` to ``df``.
+
+    The classic rotate-and-reflect walk (the xy2d loop), one bit
+    level per step — each level tests the current bit pair,
+    accumulates ``s²·((3rx) XOR ry)``, and reflects/swaps the
+    quadrant frame. The per-level (d, x, y) state is MATERIALIZED
+    as columns (a pure-Column unroll duplicates the x/y subtree at
+    every swap — 2^bits copies — and OOMs Catalyst at plan build;
+    sequential projections keep the plan linear in ``bits``).
+    Integer ops only, so the key replays exactly in SQL as one
+    chained CTE per level (battery oracle ``hilbert_keys``).
+
+    ``bits`` defaults to 8 (256×256 = 65k cells — far beyond any
+    file count, which is what layout keys cluster)."""
+    names = list(cols)
+    if len(names) != 2:
+        raise ValueError("hilbert_key is 2-D (the classic walk)")
+    one = F.lit(1).cast("long")
+    cur = df.withColumns(
+        {
+            "__hx": _minmax_cell(names[0], *cols[names[0]], bits),
+            "__hy": _minmax_cell(names[1], *cols[names[1]], bits),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    n1 = F.lit((1 << bits) - 1).cast("long")
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        x, y = F.col("__hx"), F.col("__hy")
+        rx = F.shiftright(x, level).bitwiseAND(one)
+        ry = F.shiftright(y, level).bitwiseAND(one)
+        refl = (ry == 0) & (rx == one)
+        cur = cur.withColumns(
+            {
+                "__hd": F.col("__hd")
+                + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry),
+                "__hx": F.when(
+                    ry == 0, F.when(refl, n1 - y).otherwise(y)
+                ).otherwise(x),
+                "__hy": F.when(
+                    ry == 0, F.when(refl, n1 - x).otherwise(x)
+                ).otherwise(y),
+            }
+        )
+    return cur.withColumn(out_col, F.col("__hd")).drop(
+        "__hx", "__hy", "__hd"
+    )
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: dict[str, tuple[float, float]],
+    *,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the Hilbert curve —
+    ``write_zordered`` with the better curve: each output file owns
+    one compact Hilbert interval, whose cells are CONTIGUOUS in
+    space, so per-dimension min/max are tighter than the z-curve's
+    jump-crossing intervals."""
+    keyed = hilbert_key(df, cols, bits, out_col="__h")
+    (
+        keyed.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

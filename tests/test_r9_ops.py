@@ -971,3 +971,69 @@ def test_script_profile_tie_breaks_by_table_order(spark):
     r = df.select("id", *script_profile("text")).first()
     assert r["n_latin"] == 2 and r["n_cyrillic"] == 2
     assert r["main_script"] == "latin" and r["main_ratio"] == 0.5
+
+
+# ------------------------------------------- r9: Hilbert layout
+
+
+def _hilbert_xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference(spark):
+    from skrub_spark.sources.layout import hilbert_key
+
+    bits, n = 5, 32
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = hilbert_key(df, {"a": (0, n), "b": (0, n)}, bits=bits)
+    got = {(r["a"], r["b"]): r["hkey"] for r in out.collect()}
+    assert got == {(x, y): _hilbert_xy2d(n, x, y) for x, y in rows}
+    # the defining property: consecutive keys are adjacent cells
+    inv = {d: k for k, d in got.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(
+    spark, tmp_path
+):
+    from skrub_spark.sources.layout import (
+        file_skip_fraction,
+        write_hilbert,
+        write_zordered,
+    )
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).cast("double").alias("y"),
+    )
+    ranges = {"x": (0, 40_000), "y": (0, 10_000)}
+    hpath, zpath = str(tmp_path / "hil"), str(tmp_path / "zord")
+    write_hilbert(df, hpath, ranges, n_files=16, bits=8)
+    write_zordered(df, zpath, ranges, n_files=16, bits=8)
+    # off-corner range predicates on BOTH dims
+    preds = [
+        {"x": (1_000, 3_000)},
+        {"y": (200.0, 800.0)},
+        {"x": (20_000, 24_000), "y": (4_000.0, 5_000.0)},
+    ]
+    for p in preds:
+        h = file_skip_fraction(hpath, p)
+        z = file_skip_fraction(zpath, p)
+        assert h > 0  # the layout genuinely prunes
+        assert h >= z - 1e-9, (p, h, z)
