@@ -15,5 +15,6 @@ from .columns import (  # noqa: F401
 )
 from .avi import decode_avi_frames, encode_avi  # noqa: F401
 from .pdf import build_pdf, extract_pdf_text, pdf_text_stats  # noqa: F401
+from .mime import sniff_mime  # noqa: F401
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
 from .png import decode_png, encode_png  # noqa: F401

@@ -1689,6 +1689,88 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# doc_id % 8 -> the mime the sniffer must recover (shared with the
+# oracle; the payloads come from the repo's own encoders)
+_MIME_PLAN = [
+    "image/png",
+    "image/jpeg",
+    "image/gif",
+    "image/bmp",
+    "audio/wav",
+    "application/pdf",
+    "application/gzip",
+    "text/html",
+]
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing (r9, multimodal/mime.py::sniff_mime
+    — the routing stage in front of the decoder zoo): synthesize a
+    real payload per document with the repo's OWN encoders (PNG/
+    JPEG/GIF/BMP/WAV/PDF/gzip/HTML by doc_id % 8), then classify
+    with the JVM-side prefix CASE chain. The oracle knows the
+    planting rule, so a sniff that misroutes any format
+    hash-fails."""
+    _prep(spark)
+    import gzip as _gzip
+
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import encode_bmp, encode_jpeg, encode_png, encode_wav
+    from .multimodal.gif import encode_gif
+    from .multimodal.mime import sniff_mime
+    from .multimodal.pdf import build_pdf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                px = np.full((4, 5, 3), i % 251, dtype=np.uint8)
+                m = i % 8
+                if m == 0:
+                    payloads.append(bytes(encode_png(px)))
+                elif m == 1:
+                    payloads.append(bytes(encode_jpeg(px)))
+                elif m == 2:
+                    payloads.append(bytes(encode_gif(px)))
+                elif m == 3:
+                    payloads.append(bytes(encode_bmp(px)))
+                elif m == 4:
+                    payloads.append(
+                        bytes(
+                            encode_wav(
+                                np.full(64, i % 1000, dtype=np.int16)
+                            )
+                        )
+                    )
+                elif m == 5:
+                    payloads.append(build_pdf([f"doc {i}"]))
+                elif m == 6:
+                    payloads.append(_gzip.compress(f"doc {i}".encode()))
+                else:
+                    payloads.append(
+                        f"<!DOCTYPE html><html><p>doc {i}</p></html>".encode()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(
+        make, "doc_id bigint, payload binary"
+    )
+    return with_payload.select(
+        "doc_id", sniff_mime("payload").alias("mime")
+    )
+
+
 def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve layout keys (r9, sources/layout.py::
     hilbert_value — the locality upgrade over zorder_keys:
@@ -10232,6 +10314,15 @@ def _hilbert_oracle(bits: int = 8) -> str:
 
 ORACLES["hilbert_keys"] = _hilbert_oracle(8)
 
+# r9: the sniffer must recover the planting rule exactly
+ORACLES["mime_sniff"] = (
+    "SELECT doc_id, CASE doc_id % 8 "
+    + " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(_MIME_PLAN)
+    )
+    + " END AS mime FROM documents"
+)
+
 ORACLES["value_quantile_sketch"] = """
     WITH kept AS (
       SELECT event_type, value, event_id,
@@ -13594,6 +13685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "script_profile": q_script_profile,
         "hilbert_keys": q_hilbert_keys,
+        "mime_sniff": q_mime_sniff,
     }
 
 

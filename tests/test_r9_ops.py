@@ -1037,3 +1037,56 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(
         z = file_skip_fraction(zpath, p)
         assert h > 0  # the layout genuinely prunes
         assert h >= z - 1e-9, (p, h, z)
+
+
+# ----------------------------------------------- r9: MIME sniffing
+
+
+def test_sniff_mime_all_formats(spark):
+    import gzip
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from skrub_spark.multimodal import (
+        encode_avi,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+    )
+    from skrub_spark.multimodal.gif import encode_gif
+    from skrub_spark.multimodal.mime import sniff_mime
+    from skrub_spark.multimodal.pdf import build_pdf
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "hi")
+    rows = [
+        (1, bytes(encode_png(px)), "image/png"),
+        (2, bytes(encode_jpeg(px)), "image/jpeg"),
+        (3, bytes(encode_gif(px)), "image/gif"),
+        (4, bytes(encode_bmp(px)), "image/bmp"),
+        (5, bytes(encode_wav(np.zeros(64, dtype=np.int16))), "audio/wav"),
+        (6, bytes(encode_avi(px[None].repeat(2, axis=0))), "video/avi"),
+        (7, build_pdf(["x"]), "application/pdf"),
+        (8, gzip.compress(b"data"), "application/gzip"),
+        (9, buf.getvalue(), "application/zip"),
+        (10, b"<!DOCTYPE html><html>x</html>", "text/html"),
+        (11, b"  <HTML><body>upper</body>", "text/html"),
+        (12, b"plain text payload", "application/octet-stream"),
+        # a RIFF that is neither WAVE nor AVI stays unknown
+        (13, b"RIFF\x10\x00\x00\x00ACON rest", "application/octet-stream"),
+        (14, None, None),
+        (15, b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "id long, payload binary"
+    )
+    got = {
+        r["id"]: r["mime"]
+        for r in df.select("id", sniff_mime("payload").alias("mime")).collect()
+    }
+    assert got == {i: want for i, _, want in rows}
