@@ -52,6 +52,7 @@ from .operators.spatial import grid_distance_join  # noqa: F401
 from .operators.bitmap import audience_overlap, segment_bitmaps  # noqa: F401
 from .operators.intervals import (  # noqa: F401
     attribution_last_touch,
+    attribution_linear,
     interval_coverage,
 )
 from .operators.impute import impute_median  # noqa: F401

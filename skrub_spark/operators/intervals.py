@@ -136,3 +136,99 @@ def attribution_last_touch(
         )
     )
     return out
+
+
+def attribution_linear(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    *,
+    conversion: str,
+    lookback_us: int,
+) -> DataFrame:
+    """Linear multi-touch attribution (r9 — the fairness upgrade
+    over :func:`attribution_last_touch`): every conversion's credit
+    splits EQUALLY across ALL its qualifying touches — one row per
+    (conversion, touch) with ``credit = round(1/n_touches, 6)``.
+    A touch qualifies when it is a non-conversion event of the same
+    entity, strictly earlier in the (ts, id) total order, and
+    within ``lookback_us``. Conversions with no qualifying touch
+    emit one row with NULL touch columns and NULL credit.
+
+    Shape: one equi-join on the entity key + the window predicate —
+    per-entity work bounded by that entity's event count, the same
+    cost class as sessionization; no corpus-wide window. The join
+    replays directly in SQL (exact oracle ``attribution_linear``)."""
+    us = F.expr(f"unix_micros({ts_col})")
+    ev = df.select(
+        F.col(entity_col).alias("entity"),
+        us.alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(state_col).alias("state"),
+    )
+    conv = ev.filter(F.col("state") == conversion).select(
+        "entity",
+        F.col("eid").alias("conversion_id"),
+        F.col("us").alias("conversion_us"),
+    )
+    touch = ev.filter(F.col("state") != conversion).select(
+        "entity",
+        F.col("eid").alias("touch_id"),
+        F.col("us").alias("touch_us"),
+        F.col("state").alias("touch_state"),
+    )
+    j = conv.join(touch, "entity", "left").filter(
+        F.col("touch_id").isNull()
+        | (
+            (
+                (F.col("touch_us") < F.col("conversion_us"))
+                | (
+                    (F.col("touch_us") == F.col("conversion_us"))
+                    & (F.col("touch_id") < F.col("conversion_id"))
+                )
+            )
+            & (
+                F.col("touch_us")
+                > F.col("conversion_us") - F.lit(int(lookback_us))
+            )
+        )
+    )
+    # conversions whose every touch was filtered out still need a row
+    n = Window.partitionBy("entity", "conversion_id")
+    counted = j.withColumn(
+        "n_touches",
+        F.count("touch_id").over(n).cast("long"),
+    )
+    base = conv.join(
+        counted.select("entity", "conversion_id").distinct(),
+        ["entity", "conversion_id"],
+        "left_anti",
+    ).select(
+        "entity",
+        "conversion_id",
+        "conversion_us",
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(None).cast("long").alias("touch_us"),
+        F.lit(None).cast("string").alias("touch_state"),
+        F.lit(0).cast("long").alias("n_touches"),
+    )
+    out = counted.select(
+        "entity",
+        "conversion_id",
+        "conversion_us",
+        "touch_id",
+        "touch_us",
+        "touch_state",
+        "n_touches",
+    ).unionByName(base)
+    return out.withColumn(
+        "credit",
+        F.when(
+            F.col("touch_id").isNotNull(),
+            F.round(
+                F.lit(1.0) / F.col("n_touches").cast("double"), 6
+            ),
+        ),
+    )

@@ -1689,6 +1689,27 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (r9,
+    operators/intervals.py::attribution_linear — the fairness
+    upgrade over last-touch): every purchase's credit split equally
+    across all qualifying touches in the 7-day lookback; one
+    entity-key join bounded per user, no corpus-wide window."""
+    _prep(spark)
+    from .operators.intervals import attribution_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_linear(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        conversion="purchase",
+        lookback_us=7 * 86_400_000_000,
+    )
+
+
 # doc_id % 8 -> the mime the sniffer must recover (shared with the
 # oracle; the payloads come from the repo's own encoders)
 _MIME_PLAN = [
@@ -10314,6 +10335,51 @@ def _hilbert_oracle(bits: int = 8) -> str:
 
 ORACLES["hilbert_keys"] = _hilbert_oracle(8)
 
+# r9: linear multi-touch attribution — the join replay, with the
+# no-qualifying-touch conversions appended via NOT EXISTS.
+ORACLES["attribution_linear"] = """
+    WITH ev AS (
+      SELECT user_id AS entity, epoch_us(ts) AS us,
+        CAST(event_id AS BIGINT) AS eid, event_type AS state
+      FROM events
+    ), conv AS (
+      SELECT entity, eid AS conversion_id, us AS conversion_us
+      FROM ev WHERE state = 'purchase'
+    ), touch AS (
+      SELECT entity, eid AS touch_id, us AS touch_us,
+        state AS touch_state
+      FROM ev WHERE state != 'purchase'
+    ), j AS (
+      SELECT c.entity, c.conversion_id, c.conversion_us,
+        t.touch_id, t.touch_us, t.touch_state
+      FROM conv c JOIN touch t ON c.entity = t.entity
+        AND (t.touch_us < c.conversion_us
+             OR (t.touch_us = c.conversion_us
+                 AND t.touch_id < c.conversion_id))
+        AND t.touch_us > c.conversion_us - 604800000000
+    ), n AS (
+      SELECT entity, conversion_id, count(*) AS n_touches
+      FROM j GROUP BY 1, 2
+    )
+    SELECT j.entity, j.conversion_id, j.conversion_us,
+      j.touch_id, j.touch_us, j.touch_state,
+      CAST(n.n_touches AS BIGINT) AS n_touches,
+      round(CAST(1 AS DOUBLE) / CAST(n.n_touches AS DOUBLE), 6)
+        AS credit
+    FROM j JOIN n USING (entity, conversion_id)
+    UNION ALL
+    SELECT c.entity, c.conversion_id, c.conversion_us,
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+      CAST(NULL AS DOUBLE)
+    FROM conv c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM j
+      WHERE j.entity = c.entity AND j.conversion_id = c.conversion_id
+    )
+"""
+
+
 # r9: the sniffer must recover the planting rule exactly
 ORACLES["mime_sniff"] = (
     "SELECT doc_id, CASE doc_id % 8 "
@@ -13686,6 +13752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "hilbert_keys": q_hilbert_keys,
         "mime_sniff": q_mime_sniff,
+        "attribution_linear": q_attribution_linear,
     }
 
 

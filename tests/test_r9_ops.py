@@ -1090,3 +1090,65 @@ def test_sniff_mime_all_formats(spark):
         for r in df.select("id", sniff_mime("payload").alias("mime")).collect()
     }
     assert got == {i: want for i, _, want in rows}
+
+
+# ------------------------------------- r9: linear multi-touch credit
+
+
+def test_attribution_linear_semantics(spark):
+    import datetime
+
+    from skrub_spark.operators.intervals import attribution_linear
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (1, ts(1), 1, "view"),
+        (1, ts(2), 2, "click"),
+        (1, ts(3), 3, "purchase"),
+        (2, ts(1), 5, "purchase"),  # no touches at all
+        (3, ts(1), 6, "view"),
+        (3, ts(100), 7, "purchase"),  # touch outside 10s lookback
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = attribution_linear(
+        df, "user_id", "ts", "event_id", "event_type",
+        conversion="purchase", lookback_us=10_000_000,
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conversion_id"], []).append(r)
+    # conversion 3: two touches, 0.5 each
+    assert {r["touch_id"]: r["credit"] for r in by_conv[3]} == {
+        1: 0.5,
+        2: 0.5,
+    }
+    assert all(r["n_touches"] == 2 for r in by_conv[3])
+    # conversion 5: no touch events -> one NULL row
+    assert len(by_conv[5]) == 1 and by_conv[5][0]["touch_id"] is None
+    assert by_conv[5][0]["n_touches"] == 0
+    # conversion 7: its only touch fell outside the lookback
+    assert len(by_conv[7]) == 1 and by_conv[7][0]["touch_id"] is None
+
+
+def test_attribution_linear_credit_sums_to_one(spark, sf_dir):
+    from skrub_spark.operators.intervals import attribution_linear
+    from skrub_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = attribution_linear(
+        ev, "user_id", "ts", "event_id", "event_type",
+        conversion="purchase", lookback_us=7 * 86_400_000_000,
+    )
+    sums = (
+        out.filter(F.col("touch_id").isNotNull())
+        .groupBy("conversion_id")
+        .agg(F.sum("credit").alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
