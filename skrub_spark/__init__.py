@@ -68,6 +68,7 @@ from .operators.sampling import (  # noqa: F401
 )
 from .operators.sequence import (  # noqa: F401
     autocorrelation,
+    cumulative_distinct,
     event_transitions,
     ewma_smooth,
     seasonal_profile,
@@ -86,6 +87,7 @@ from .report.outliers import iqr_outliers, mad_outliers  # noqa: F401
 from .report.profiling import (  # noqa: F401
     candidate_keys,
     fd_profile,
+    fk_audit,
     join_fanout_report,
 )
 from .report.trend import grouped_trend, theil_sen  # noqa: F401

@@ -502,3 +502,41 @@ def twap_daily(
             6,
         ).alias("twap"),
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Running distinct-entity count by day (r9 — the "total users
+    ever seen" curve; naive COUNT(DISTINCT) OVER would shuffle every
+    event into one task): ``(day, n_active, new_entities,
+    cum_entities)`` where ``new_entities`` counts entities whose
+    FIRST event falls on the day and ``cum_entities`` is their
+    running sum — exactly the distinct-to-date count, computed from
+    one per-entity min reduce + per-day counts + a cumsum over the
+    bounded day frame (days, not rows — never corpus-wide)."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    ev = df.select(F.col(entity_col).alias("e"), day)
+    active = ev.groupBy("day").agg(
+        F.count_distinct("e").cast("long").alias("n_active")
+    )
+    firsts = (
+        ev.groupBy("e")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_entities"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(firsts, "day", "left")
+        .withColumn(
+            "new_entities", F.coalesce("new_entities", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "cum_entities", F.sum("new_entities").over(w).cast("long")
+        )
+    )

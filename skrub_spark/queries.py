@@ -1689,6 +1689,37 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user curve (r9,
+    operators/sequence.py::cumulative_distinct): per-day active
+    users, first-seen users and the users-ever-seen running total —
+    one per-entity min reduce + per-day counts + a cumsum over the
+    bounded DAY frame (a naive COUNT(DISTINCT) OVER would shuffle
+    every event into one task)."""
+    _prep(spark)
+    from .operators.sequence import cumulative_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_distinct(ev, "user_id", "ts")
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (r9,
+    report/profiling.py::fk_audit): orders.o_custkey against a
+    customer dimension with ~1% of parents PLANTED missing
+    (c_custkey % 97 == 0 dropped — the oracle replays the same
+    filter), so the orphan arithmetic is genuinely exercised.
+    Parent reduces to distinct 8-byte keys before the anti-join."""
+    _prep(spark)
+    from .report.profiling import fk_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.pmod(F.col("c_custkey"), F.lit(97)) != 0
+    )
+    return fk_audit(orders, cust, "o_custkey", "c_custkey")
+
+
 def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution (r9,
     operators/intervals.py::attribution_linear — the fairness
@@ -10335,6 +10366,50 @@ def _hilbert_oracle(bits: int = 8) -> str:
 
 ORACLES["hilbert_keys"] = _hilbert_oracle(8)
 
+ORACLES["cumulative_users"] = """
+    WITH ev AS (
+      SELECT user_id AS e, CAST(ts AS DATE) AS day FROM events
+    ), active AS (
+      SELECT day, CAST(count(DISTINCT e) AS BIGINT) AS n_active
+      FROM ev GROUP BY 1
+    ), firsts AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_entities FROM (
+        SELECT e, min(day) AS day FROM ev GROUP BY 1
+      ) f GROUP BY 1
+    )
+    SELECT a.day, a.n_active,
+      CAST(COALESCE(f.new_entities, 0) AS BIGINT) AS new_entities,
+      CAST(sum(COALESCE(f.new_entities, 0)) OVER (
+        ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS cum_entities
+    FROM active a LEFT JOIN firsts f USING (day)
+"""
+
+ORACLES["fk_orphans"] = """
+    WITH parent AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_custkey % 97 != 0
+    ), counts AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), orphans AS (
+      SELECT counts.k, counts.c FROM counts
+      WHERE NOT EXISTS (SELECT 1 FROM parent WHERE parent.k = counts.k)
+    )
+    SELECT
+      CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child_rows,
+      CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+           AS BIGINT) AS n_null_rows,
+      CAST((SELECT count(*) FROM counts) AS BIGINT) AS n_child_keys,
+      CAST((SELECT count(*) FROM orphans) AS BIGINT) AS n_orphan_keys,
+      CAST((SELECT COALESCE(sum(c), 0) FROM orphans) AS BIGINT)
+        AS n_orphan_rows,
+      round(CAST((SELECT COALESCE(sum(c), 0) FROM orphans) AS DOUBLE)
+            / CAST(greatest((SELECT count(*) FROM orders), 1)
+                   AS DOUBLE), 6) AS orphan_row_rate
+"""
+
+
 # r9: linear multi-touch attribution — the join replay, with the
 # no-qualifying-touch conversions appended via NOT EXISTS.
 ORACLES["attribution_linear"] = """
@@ -13753,6 +13828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_keys": q_hilbert_keys,
         "mime_sniff": q_mime_sniff,
         "attribution_linear": q_attribution_linear,
+        "cumulative_users": q_cumulative_users,
+        "fk_orphans": q_fk_orphans,
     }
 
 

@@ -155,3 +155,53 @@ def join_fanout_report(
             ).alias("share"),
         )
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit (r9 — the FK half of the
+    profiling family next to candidate_keys/join_fanout): ONE row
+    ``(n_child_rows, n_null_rows, n_child_keys, n_orphan_keys,
+    n_orphan_rows, orphan_row_rate)`` where orphans are non-null
+    child keys absent from the parent. The parent side reduces to
+    DISTINCT keys before the anti-join (8-byte rows), child keys
+    aggregate with map-side combine — nothing wide ever moves."""
+    ck = child.select(F.col(child_key).alias("k"))
+    counts = (
+        ck.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pk = parent.select(F.col(parent_key).alias("k")).distinct()
+    orphans = counts.join(pk, "k", "left_anti")
+    tot = ck.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_null"),
+    )
+    o = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphan_keys"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_orphan_rows"),
+    )
+    k = counts.agg(F.count(F.lit(1)).alias("n_keys"))
+    return (
+        tot.join(F.broadcast(o))
+        .join(F.broadcast(k))
+        .select(
+            F.col("n_rows").cast("long").alias("n_child_rows"),
+            F.coalesce(F.col("n_null"), F.lit(0))
+            .cast("long")
+            .alias("n_null_rows"),
+            F.col("n_keys").cast("long").alias("n_child_keys"),
+            F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+            F.col("n_orphan_rows").cast("long").alias("n_orphan_rows"),
+            F.round(
+                F.col("n_orphan_rows").cast("double")
+                / F.greatest(F.col("n_rows"), F.lit(1)).cast("double"),
+                6,
+            ).alias("orphan_row_rate"),
+        )
+    )

@@ -1152,3 +1152,50 @@ def test_attribution_linear_credit_sums_to_one(spark, sf_dir):
         .collect()
     )
     assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
+
+
+# --------------------------- r9: cumulative distinct + FK audit
+
+
+def test_cumulative_distinct_counts(spark):
+    import datetime
+
+    from skrub_spark.operators.sequence import cumulative_distinct
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1)), (2, d(2024, 1, 1)),
+        (1, d(2024, 1, 2)), (3, d(2024, 1, 2)),
+        (1, d(2024, 1, 4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        str(r["day"]): (r["n_active"], r["new_entities"], r["cum_entities"])
+        for r in cumulative_distinct(df, "user_id", "ts").collect()
+    }
+    assert out["2024-01-01"] == (2, 2, 2)
+    assert out["2024-01-02"] == (2, 1, 3)
+    # a day with only returning users: new 0, cum carries forward
+    assert out["2024-01-04"] == (1, 0, 3)
+    # day 3 has no events at all: absent (no fabricated rows)
+    assert "2024-01-03" not in out
+
+
+def test_fk_audit_orphans(spark):
+    from skrub_spark.report.profiling import fk_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)],
+        "fk long",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_audit(child, parent, "fk", "pk").first()
+    assert r["n_child_rows"] == 7 and r["n_null_rows"] == 1
+    assert r["n_child_keys"] == 3
+    assert r["n_orphan_keys"] == 1 and r["n_orphan_rows"] == 3
+    assert r["orphan_row_rate"] == round(3 / 7, 6)
+    # clean FK: all zeros
+    clean = fk_audit(
+        spark.createDataFrame([(1,), (2,)], "fk long"), parent, "fk", "pk"
+    ).first()
+    assert clean["n_orphan_rows"] == 0 and clean["orphan_row_rate"] == 0.0
