@@ -415,3 +415,36 @@ def script_profile(col: Column | str) -> list[Column]:
         main.alias("main_script"),
         ratio.alias("main_ratio"),
     ]
+
+
+# Entity patterns for structured-signal counting — deliberately
+# RE2-compatible (the _PII_PATTERNS discipline) so the battery
+# oracle replays each count with the same regex. Shared by the
+# Spark Columns AND queries._entity_oracle.
+ENTITY_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s<>\"']+",
+    "ipv4": r"\b(\d{1,3}\.)\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "iso_dates": r"\b\d{4}-\d{2}-\d{2}\b",
+    "times": r"\b\d{1,2}:\d{2}(:\d{2})?\b",
+    "numbers": r"\b\d+(\.\d+)?\b",
+    "hashtags": r"(^|\s)#[A-Za-z][A-Za-z0-9_]*",
+    "currency": r"[$€£]\s?\d[\d,]*(\.\d+)?",
+}
+
+
+def entity_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document counts of structured entities (r9 — the signal
+    columns corpus-quality dashboards chart and extraction
+    pipelines route on: URLs, emails, dates, numbers, money, ...).
+    One ``regexp_count`` per entity type — map-only, codegen'd.
+    Returns ``{f"n_{name}": Column}`` in ENTITY_PATTERNS order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.coalesce(
+            F.regexp_count(c, F.lit(pat)), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in ENTITY_PATTERNS.items()
+    }

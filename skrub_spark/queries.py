@@ -1689,6 +1689,44 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-entity counts (r9,
+    functions/text.py::entity_counts): plant a deterministic
+    entity-rich suffix per doc_id residue (emails/URLs/IPs/dates/
+    times/money/hashtags — pure CASE the oracle replays), then one
+    regexp_count per entity type, map-only. The oracle is GENERATED
+    from the same ENTITY_PATTERNS table (RE2-compatible by
+    construction, the redact_pii discipline)."""
+    _prep(spark)
+    from .functions.text import entity_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.lit(_ENTITY_SUFFIXES[-1])
+    for i, s in enumerate(_ENTITY_SUFFIXES[:-1]):
+        suffix = F.when(
+            F.pmod(F.col("doc_id"), F.lit(len(_ENTITY_SUFFIXES))) == i,
+            F.lit(s),
+        ).otherwise(suffix)
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias(
+            "text"
+        ),
+    )
+    return planted.select("doc_id", *entity_counts("text").values())
+
+
+_ENTITY_SUFFIXES = [
+    " contact admin@example.com or sales@corp.co.uk today",
+    " see https://example.com/a?b=1 and http://x.io/page now",
+    " server 10.0.0.1 peer 192.168.1.255 up",
+    " due 2024-01-02 and 2023-12-31 at 09:15:30",
+    " paid $1,200.50 plus €300 fees",
+    " trending #ai #ml2024 topics",
+    "",
+]
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user curve (r9,
     operators/sequence.py::cumulative_distinct): per-day active
@@ -10366,6 +10404,36 @@ def _hilbert_oracle(bits: int = 8) -> str:
 
 ORACLES["hilbert_keys"] = _hilbert_oracle(8)
 
+def _entity_oracle() -> str:
+    """Oracle for entity_counts, GENERATED from ENTITY_PATTERNS +
+    the planted suffix list (quotes SQL-escaped)."""
+    from .functions.text import ENTITY_PATTERNS
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    n = len(_ENTITY_SUFFIXES)
+    cases = " ".join(
+        f"WHEN doc_id % {n} = {i} THEN {q(s)}"
+        for i, s in enumerate(_ENTITY_SUFFIXES[:-1])
+    )
+    planted = (
+        f"(COALESCE(text, '') || CASE {cases} "
+        f"ELSE {q(_ENTITY_SUFFIXES[-1])} END)"
+    )
+    counts = ", ".join(
+        f"CAST(COALESCE(len(regexp_extract_all(t, {q(p)})), 0)"
+        f" AS BIGINT) AS n_{name}"
+        for name, p in ENTITY_PATTERNS.items()
+    )
+    return f"""
+      WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+      SELECT doc_id, {counts} FROM p
+    """
+
+
+ORACLES["entity_counts"] = _entity_oracle()
+
 ORACLES["cumulative_users"] = """
     WITH ev AS (
       SELECT user_id AS e, CAST(ts AS DATE) AS day FROM events
@@ -13830,6 +13898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "cumulative_users": q_cumulative_users,
         "fk_orphans": q_fk_orphans,
+        "entity_counts": q_entity_counts,
     }
 
 

@@ -1199,3 +1199,33 @@ def test_fk_audit_orphans(spark):
         spark.createDataFrame([(1,), (2,)], "fk long"), parent, "fk", "pk"
     ).first()
     assert clean["n_orphan_rows"] == 0 and clean["orphan_row_rate"] == 0.0
+
+
+# ---------------------------------------------- r9: entity counts
+
+
+def test_entity_counts(spark):
+    from skrub_spark.functions.text import entity_counts
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail a@b.com, see https://x.io/p?q=1 from 10.0.0.1 "
+                "on 2024-01-02 at 12:30:45 for $1,200.50 #deal",
+            ),
+            (2, "no entities in plain prose here"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select("id", *entity_counts("text").values()).collect()
+    }
+    r = out[1]
+    assert r["n_emails"] == 1 and r["n_urls"] == 1 and r["n_ipv4"] == 1
+    assert r["n_iso_dates"] == 1 and r["n_times"] == 1
+    assert r["n_currency"] == 1 and r["n_hashtags"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_numbers"] == 0
+    assert all(out[3][f] == 0 for f in out[3].asDict() if f != "id")
