@@ -73,6 +73,7 @@ from .operators.sequence import (  # noqa: F401
     ewma_smooth,
     seasonal_profile,
     sequence_anomaly,
+    stl_decompose,
     twap_daily,
     window_funnel,
 )

@@ -540,3 +540,90 @@ def cumulative_distinct(
             "cum_entities", F.sum("new_entities").over(w).cast("long")
         )
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    trend_window: int = 7,
+    season_period: str = "dow",
+) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily
+    series (r9 — the STL shape with the moving-average trend and
+    period-mean seasonal, the honest SQL-replayable core of
+    Cleveland et al.'s loess version): per (series, day) —
+    ``(series, day, value, trend, seasonal, residual)``.
+
+    value = per-day DECIMAL sum (exact); trend = centered
+    ``trend_window``-day moving average (NULL until the window is
+    full — no edge extrapolation lies); seasonal = 6dp mean of the
+    detrended values per day-of-week; residual = value - trend -
+    seasonal. Every sum is exact decimal, every division a single
+    IEEE op, so all three components replay bit-identically
+    (battery oracle ``stl_daily``). Windows are bounded by DAYS per
+    series, never rows."""
+    if season_period != "dow":
+        raise ValueError("only day-of-week seasonality is implemented")
+    if trend_window % 2 != 1:
+        raise ValueError("trend_window must be odd (centered MA)")
+    half = trend_window // 2
+    daily = (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(value_col).cast("decimal(12,2)").alias("v"),
+        )
+        .groupBy("series", "day")
+        .agg(F.sum("v").alias("value"))
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    trended = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == trend_window,
+            F.round(
+                F.sum("value").over(w).cast("double")
+                / F.lit(float(trend_window)),
+                6,
+            ),
+        ),
+    ).withColumn(
+        "detrended",
+        F.round(F.col("value").cast("double") - F.col("trend"), 6),
+    )
+    # derived-frame self-join: alias to distinct names up front
+    # (failAmbiguousSelfJoin rule)
+    seas = trended.groupBy(
+        F.col("series").alias("__ss"),
+        F.dayofweek("day").alias("__dow"),
+    ).agg(
+        F.round(
+            F.sum(F.col("detrended").cast("decimal(28,6)")).cast("double")
+            / F.count("detrended").cast("double"),
+            6,
+        ).alias("seasonal")
+    )
+    return (
+        trended.join(
+            seas,
+            (F.col("series") == F.col("__ss"))
+            & (F.dayofweek(F.col("day")) == F.col("__dow")),
+        )
+        .select(
+            "series",
+            "day",
+            F.col("value").cast("double").alias("value"),
+            "trend",
+            "seasonal",
+            F.round(F.col("detrended") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+    )

@@ -1689,6 +1689,20 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition (r9,
+    operators/sequence.py::stl_decompose — the STL shape with a
+    centered 7-day moving-average trend and day-of-week seasonal
+    means): per-event-type daily value series. Exact decimal sums,
+    single IEEE divisions, honest NULL trend at the series edges —
+    all three components replay bit-identically."""
+    _prep(spark)
+    from .operators.sequence import stl_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    return stl_decompose(ev, "event_type", "ts", "value")
+
+
 def q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-entity counts (r9,
     functions/text.py::entity_counts): plant a deterministic
@@ -10434,6 +10448,37 @@ def _entity_oracle() -> str:
 
 ORACLES["entity_counts"] = _entity_oracle()
 
+# r9: STL-lite decomposition — the same window/decimal arithmetic;
+# dow grouping needs no +1 shift (only partition identity matters).
+ORACLES["stl_daily"] = """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        SUM(CAST(value AS DECIMAL(12,2))) AS value
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT series, day, value,
+        CASE WHEN count(*) OVER w = 7 THEN
+          round(CAST(sum(value) OVER w AS DOUBLE)
+                / CAST(7.0 AS DOUBLE), 6) END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), d AS (
+      SELECT series, day, value, trend,
+        round(CAST(value AS DOUBLE) - trend, 6) AS detrended
+      FROM t
+    ), s AS (
+      SELECT series, dayofweek(day) AS dow,
+        round(CAST(SUM(CAST(detrended AS DECIMAL(28,6))) AS DOUBLE)
+              / CAST(count(detrended) AS DOUBLE), 6) AS seasonal
+      FROM d GROUP BY 1, 2
+    )
+    SELECT d.series, d.day, CAST(d.value AS DOUBLE) AS value,
+      d.trend, s.seasonal,
+      round(d.detrended - s.seasonal, 6) AS residual
+    FROM d JOIN s ON s.series = d.series AND s.dow = dayofweek(d.day)
+"""
+
 ORACLES["cumulative_users"] = """
     WITH ev AS (
       SELECT user_id AS e, CAST(ts AS DATE) AS day FROM events
@@ -13899,6 +13944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": q_cumulative_users,
         "fk_orphans": q_fk_orphans,
         "entity_counts": q_entity_counts,
+        "stl_daily": q_stl_daily,
     }
 
 

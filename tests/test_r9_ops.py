@@ -1229,3 +1229,52 @@ def test_entity_counts(spark):
     assert r["n_currency"] == 1 and r["n_hashtags"] == 1
     assert out[2]["n_emails"] == 0 and out[2]["n_numbers"] == 0
     assert all(out[3][f] == 0 for f in out[3].asDict() if f != "id")
+
+
+# ------------------------------------------ r9: STL decomposition
+
+
+def test_stl_decompose_identity_and_edges(spark):
+    import datetime
+
+    from skrub_spark.operators.sequence import stl_decompose
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s", base + datetime.timedelta(days=i), float(100 + (i % 7) * 10))
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        str(r["day"]): r
+        for r in stl_decompose(df, "k", "ts", "v").collect()
+    }
+    assert len(out) == 21
+    # edges: first/last 3 days have no full window -> NULL trend
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-21"):
+        assert out[d]["trend"] is None and out[d]["residual"] is None
+    # a perfectly periodic series decomposes exactly: trend = the
+    # 7-day mean (constant 130), residual = 0 on interior days
+    interior = [
+        r for d, r in out.items() if r["trend"] is not None
+    ]
+    assert all(r["trend"] == 130.0 for r in interior)
+    assert all(r["residual"] == 0.0 for r in interior)
+    # value = trend + seasonal + residual reconstructs
+    assert all(
+        abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"]))
+        < 1e-6
+        for r in interior
+    )
+
+
+def test_stl_decompose_guards(spark):
+    import pytest as _pytest
+
+    from skrub_spark.operators.sequence import stl_decompose
+
+    df = spark.createDataFrame([("s", None, 1.0)], "k string, ts timestamp, v double")
+    with _pytest.raises(ValueError, match="odd"):
+        stl_decompose(df, "k", "ts", "v", trend_window=6)
+    with _pytest.raises(ValueError, match="day-of-week"):
+        stl_decompose(df, "k", "ts", "v", season_period="month")
