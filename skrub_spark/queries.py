@@ -1689,6 +1689,34 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mwu_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (r9, report/abtest.py::mann_whitney_u —
+    the nonparametric two-sample test next to the proportion
+    z-test): purchase vs click value distributions. Distributed
+    midranks in 2x integer space (the spearman recipe), exact U,
+    tie-corrected z at 6dp."""
+    _prep(spark)
+    from .report.abtest import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "event_type", "value", "purchase", "click")
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square categorical drift (r9,
+    report/drift.py::chi2_drift — the third drift lens next to PSI
+    and KS): event-type mix, first half of the month vs the rest.
+    The statistic assembles from integer counts only (exact decimal
+    numerators, one 6dp division per cell, DECIMAL sum)."""
+    _prep(spark)
+    from .report.drift import chi2_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.dayofmonth("ts") <= 15)
+    cur = ev.filter(F.dayofmonth("ts") > 15)
+    return chi2_drift(base, cur, "event_type")
+
+
 def q_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive trend/seasonal/residual decomposition (r9,
     operators/sequence.py::stl_decompose — the STL shape with a
@@ -10448,6 +10476,98 @@ def _entity_oracle() -> str:
 
 ORACLES["entity_counts"] = _entity_oracle()
 
+# r9: Mann-Whitney U — midranks in 2x integer space over distinct
+# values; every float op replays in the same order.
+ORACLES["mwu_test"] = """
+    WITH two AS (
+      SELECT event_type = 'purchase' AS is_a, value AS v FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ), counts AS (
+      SELECT v, count(*) AS t,
+        SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ta
+      FROM two GROUP BY 1
+    ), ranked AS (
+      SELECT v, t, ta,
+        2 * (sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+          + t + 1 AS dr
+      FROM counts
+    ), agg AS (
+      SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+        CAST(sum(t - ta) AS BIGINT) AS n_b,
+        CAST(sum(ta * dr) AS BIGINT) AS r2a,
+        CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      FROM ranked
+    ), u AS (
+      SELECT n_a, n_b, ties,
+        CAST(r2a AS DOUBLE) / CAST(2 AS DOUBLE)
+          - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                                   + CAST(1 AS DOUBLE))
+            / CAST(2 AS DOUBLE) AS ua,
+        CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n
+      FROM agg
+    )
+    SELECT n_a, n_b, round(ua, 6) AS u_a,
+      round(na * nb - ua, 6) AS u_b,
+      CASE WHEN na * nb / CAST(12 AS DOUBLE)
+                * ((n + CAST(1 AS DOUBLE))
+                   - CAST(ties AS DOUBLE)
+                     / (n * (n - CAST(1 AS DOUBLE)))) > 0 THEN
+        round((ua - na * nb / CAST(2 AS DOUBLE))
+              / sqrt(na * nb / CAST(12 AS DOUBLE)
+                     * ((n + CAST(1 AS DOUBLE))
+                        - CAST(ties AS DOUBLE)
+                          / (n * (n - CAST(1 AS DOUBLE))))), 6)
+      END AS z
+    FROM u
+"""
+
+# r9: chi-square drift — HUGEINT exact numerators (the Spark side
+# uses DECIMAL(38,0); identical integers either way at any
+# realizable count).
+ORACLES["drift_chi2"] = """
+    WITH b AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS cat,
+        count(*) AS nb
+      FROM events WHERE day(ts) <= 15 GROUP BY 1
+    ), c AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS cat,
+        count(*) AS nc
+      FROM events WHERE day(ts) > 15 GROUP BY 1
+    ), cells AS (
+      SELECT COALESCE(b.cat, c.cat) AS cat,
+        COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc,
+        COALESCE(nb, 0) + COALESCE(nc, 0) AS rowtot
+      FROM b FULL JOIN c ON b.cat = c.cat
+    ), tot AS (
+      SELECT sum(nb) AS tb, sum(nc) AS tc FROM cells
+    ), per AS (
+      SELECT cat,
+        CAST(round(
+          CAST((CAST(nb AS HUGEINT) * (tb + tc)
+                - CAST(rowtot AS HUGEINT) * tb)
+               * (CAST(nb AS HUGEINT) * (tb + tc)
+                  - CAST(rowtot AS HUGEINT) * tb) AS DOUBLE)
+          / CAST(CAST(rowtot AS HUGEINT) * tb * (tb + tc) AS DOUBLE),
+          6) AS DECIMAL(28,6))
+        + CAST(round(
+          CAST((CAST(nc AS HUGEINT) * (tb + tc)
+                - CAST(rowtot AS HUGEINT) * tc)
+               * (CAST(nc AS HUGEINT) * (tb + tc)
+                  - CAST(rowtot AS HUGEINT) * tc) AS DOUBLE)
+          / CAST(CAST(rowtot AS HUGEINT) * tc * (tb + tc) AS DOUBLE),
+          6) AS DECIMAL(28,6)) AS t
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+      CAST(count(*) - 1 AS BIGINT) AS dof,
+      CAST((SELECT tb FROM tot) AS BIGINT) AS n_baseline,
+      CAST((SELECT tc FROM tot) AS BIGINT) AS n_current,
+      round(CAST(sum(t) AS DOUBLE), 6) AS chi2
+    FROM per
+"""
+
+
 # r9: STL-lite decomposition — the same window/decimal arithmetic;
 # dow grouping needs no +1 shift (only partition identity matters).
 ORACLES["stl_daily"] = """
@@ -13945,6 +14065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": q_fk_orphans,
         "entity_counts": q_entity_counts,
         "stl_daily": q_stl_daily,
+        "mwu_test": q_mwu_test,
+        "drift_chi2": q_drift_chi2,
     }
 
 

@@ -20,7 +20,7 @@ groupBy collapses those to four counts; the stats touch one row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,84 @@ def ab_proportion_test(
         z.alias("z"),
         F.when(valid, F.round(((p1 - p2) / se) * ((p1 - p2) / se), 6))
         .alias("chi2"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U test (r9 — the NONPARAMETRIC two-sample test
+    next to the z-test: compares whole distributions, immune to the
+    heavy tails that break mean-based tests on revenue-like
+    metrics). One row: ``(n_a, n_b, u_a, u_b, z)``.
+
+    Distributed midranks via the spearman recipe — distinct-value
+    counts + a cumulative sum over the bounded distinct-value frame
+    + a value→rank join-back; NO corpus-wide row window. All rank
+    arithmetic stays in 2× integer space (double-midrank =
+    2·cum_before + cnt + 1 is always integral), so U is EXACT; the
+    normal approximation z applies the standard tie correction and
+    rounds to 6dp (single sqrt/divisions on integer-derived
+    doubles — the proven cross-engine bridge)."""
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == group_a).alias("is_a"),
+        F.col(value_col).alias("v"),
+    )
+    counts = two.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.col("is_a").cast("long")).alias("ta"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.withColumn(
+        "cum", F.sum("t").over(w)
+    ).select(
+        "v",
+        "t",
+        "ta",
+        # 2x the midrank of every row tied at v: integral, exact
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("dr"),
+    )
+    agg = ranked.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).cast("long").alias("n_b"),
+        F.sum(F.col("ta") * F.col("dr")).cast("long").alias("r2a"),
+        # tie correction term: sum t^3 - t over distinct values
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # U_a = R_a - n_a(n_a+1)/2, with R_a = r2a / 2 (exact halves)
+    ua = (
+        F.col("r2a").cast("double") / F.lit(2.0)
+        - na * (na + F.lit(1.0)) / F.lit(2.0)
+    )
+    n = na + nb
+    mu = na * nb / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("ties").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ua, 6).alias("u_a"),
+        F.round(na * nb - ua, 6).alias("u_b"),
+        F.when(
+            var > 0, F.round((ua - mu) / F.sqrt(var), 6)
+        ).alias("z"),
     )

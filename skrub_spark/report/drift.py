@@ -241,3 +241,85 @@ def ks_statistic(
         ).alias("ks"),
         F.col("v").alias("at_value"),
     )
+
+
+def chi2_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Chi-square homogeneity test for CATEGORICAL drift (r9 — the
+    third drift lens next to PSI (binned magnitude) and KS
+    (continuous supremum): "did the category mix shift more than
+    sampling noise explains?"). One row: ``(n_categories, dof,
+    n_baseline, n_current, chi2)``.
+
+    Both sides reduce to per-category counts (map-side combined);
+    the statistic is assembled from INTEGER counts only — per-cell
+    term ``(o·N − rowtot·coltot)² / (rowtot·coltot·N)`` computed in
+    DECIMAL(38,0) numerators (counts up to ~1e9 stay exact; the
+    headroom bound is documented like target_encode's), one IEEE
+    division per cell rounded to 6dp, summed as exact
+    DECIMAL(28,6) — partitioning-invariant and SQL-replayable
+    (battery oracle ``drift_chi2``). NULL categories fold to a
+    sentinel so they count as a real level."""
+    sent = "<null>"
+
+    def counted(df, name):
+        return (
+            df.select(
+                F.coalesce(F.col(col).cast("string"), F.lit(sent)).alias(
+                    "cat"
+                )
+            )
+            .groupBy("cat")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    b = counted(baseline, "nb")
+    c = counted(current, "nc")
+    cells = (
+        b.join(c, "cat", "full")
+        .select(
+            "cat",
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+        .withColumn("rowtot", F.col("nb") + F.col("nc"))
+    )
+    tot = cells.agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    j = cells.join(F.broadcast(tot))
+    big = "decimal(38,0)"
+    n_all = (F.col("tb") + F.col("tc")).cast(big)
+
+    def term(o, coltot):
+        num = (
+            o.cast(big) * n_all
+            - F.col("rowtot").cast(big) * coltot.cast(big)
+        )
+        den = (
+            F.col("rowtot").cast(big) * coltot.cast(big) * n_all
+        )
+        return F.round(
+            (num * num).cast("double") / den.cast("double"), 6
+        ).cast("decimal(28,6)")
+
+    per = j.select(
+        F.col("cat"),
+        (
+            term(F.col("nb"), F.col("tb"))
+            + term(F.col("nc"), F.col("tc"))
+        ).alias("t"),
+    )
+    out = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum("t").cast("double").alias("chi2"),
+    )
+    return out.join(F.broadcast(tot)).select(
+        "n_categories",
+        (F.col("n_categories") - 1).cast("long").alias("dof"),
+        F.col("tb").cast("long").alias("n_baseline"),
+        F.col("tc").cast("long").alias("n_current"),
+        F.round("chi2", 6).alias("chi2"),
+    )

@@ -1278,3 +1278,41 @@ def test_stl_decompose_guards(spark):
         stl_decompose(df, "k", "ts", "v", trend_window=6)
     with _pytest.raises(ValueError, match="day-of-week"):
         stl_decompose(df, "k", "ts", "v", season_period="month")
+
+
+# --------------------------------- r9: MWU test + chi-square drift
+
+
+def test_mann_whitney_hand_worked(spark):
+    from skrub_spark.report.abtest import mann_whitney_u
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").first()
+    # sorted 1,2,2,2,3,4 -> midranks 1,3,3,3,5,6; R_a = 7
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["u_a"] == 1.0 and r["u_b"] == 8.0
+    assert r["z"] < 0  # group a stochastically smaller
+    # identical distributions: U_a == U_b, z == 0
+    same = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)]
+        + [("b", float(i)) for i in range(10)],
+        "g string, v double",
+    )
+    r2 = mann_whitney_u(same, "g", "v", "a", "b").first()
+    assert r2["u_a"] == r2["u_b"] and r2["z"] == 0.0
+
+
+def test_chi2_drift_hand_worked(spark):
+    from skrub_spark.report.drift import chi2_drift
+
+    b = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "c string")
+    c = spark.createDataFrame([("x",)] * 30 + [("y",)] * 70, "c string")
+    r = chi2_drift(b, c, "c").first()
+    assert r["dof"] == 1 and r["n_baseline"] == 100
+    # manual: 100/40 + 100/40 + 100/60 + 100/60 = 8.3333...
+    assert abs(r["chi2"] - 8.333334) < 1e-6
+    # identical mixes: statistic 0; nulls fold to a level
+    same = spark.createDataFrame([("x",), (None,)], "c string")
+    r2 = chi2_drift(same, same, "c").first()
+    assert r2["chi2"] == 0.0 and r2["n_categories"] == 2
