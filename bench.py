@@ -219,6 +219,29 @@ HEADLINE = [
     "top_paths",
     "ltv_curve",
     "weighted_distances",
+    # --- round 9 ---
+    "html_extract",
+    "language_id_learned",
+    "gap_encoder_frozen",
+    "adaptive_agg",
+    "normalize_text",
+    "more_like_this",
+    "winnow_fingerprints",
+    "winnowing_pairs",
+    "script_profile",
+    "hilbert_keys",
+    "attribution_linear",
+    "cumulative_users",
+    "fk_orphans",
+    "entity_counts",
+    "stl_daily",
+    "mwu_test",
+    "drift_chi2",
+    # pdf_text_stats / mime_sniff: payload SYNTHESIS (python
+    # encoder loops) dominates like the image/audio queries —
+    # timings live in CORRECTNESS_full_*.json.
+    # dedup_keep_best re-runs the whole minhash pipeline
+    # (composition re-run, excluded like dup_cluster_report).
     # dup_cluster_report re-runs the whole minhash_canonical
     # pipeline (timed in the battery) — excluded like the other
     # composition re-runs.
