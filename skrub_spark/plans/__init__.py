@@ -17,3 +17,12 @@ from .data_ops import (  # noqa: F401
     RandomizedParamSearch,
     SkrubLearner,
 )
+
+from .audit import (  # noqa: F401
+    audit_plan,
+    codegen_stages,
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+)

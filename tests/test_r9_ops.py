@@ -1316,3 +1316,44 @@ def test_chi2_drift_hand_worked(spark):
     same = spark.createDataFrame([("x",), (None,)], "c string")
     r2 = chi2_drift(same, same, "c").first()
     assert r2["chi2"] == 0.0 and r2["n_categories"] == 2
+
+
+# ------------------------------------------ r9: plan-audit helpers
+
+
+def test_plan_audit_helpers(spark, sf_dir):
+    from skrub_spark.plans.audit import (
+        audit_plan,
+        codegen_stages,
+        count_exchanges,
+        has_broadcast_join,
+        pushed_filters,
+    )
+    from skrub_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    # a filtered scan pushes its predicate to parquet
+    f = cust.filter(F.col("c_custkey") > 100).select("c_custkey")
+    assert any("c_custkey" in p for p in pushed_filters(f))
+    # map-only plan: zero shuffle exchanges
+    assert count_exchanges(f) == 0
+    # one groupBy: exactly one exchange, no broadcast
+    g = cust.groupBy("c_mktsegment").count()
+    assert count_exchanges(g) == 1
+    assert not has_broadcast_join(g)
+    # broadcast join detected, and broadcast is NOT an exchange
+    nation = load_table(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert has_broadcast_join(j)
+    assert count_exchanges(j) == 0
+    # AQE only materializes codegen spans on the final plan
+    assert codegen_stages(j) == 0
+    assert codegen_stages(j, finalize=True) >= 1
+    a = audit_plan(j)
+    assert a["broadcast_join"] and a["exchanges"] == 0
+    assert not a["has_python_udf"]
+    # the python-UDF tripwire fires on a mapInPandas stage
+    from skrub_spark.multimodal.pdf import pdf_text_stats
+
+    df = spark.createDataFrame([(1, b"%PDF-")], "id long, payload binary")
+    assert audit_plan(pdf_text_stats(df))["has_python_udf"]
