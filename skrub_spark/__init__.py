@@ -61,6 +61,7 @@ from .operators.winsorize import (  # noqa: F401
     histogram_report,
     quantile_clip,
     quantile_discretize,
+    robust_scale_by_group,
 )
 from .operators.sampling import (  # noqa: F401
     oversample_balance,

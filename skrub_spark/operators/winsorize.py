@@ -261,3 +261,47 @@ def histogram_report(
         "hi_edge",
         F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
     )
+
+
+def robust_scale_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group robust scaling (r9 — the GROUP-parameterized half
+    of SquashingScaler's robust-scale step: each segment gets its
+    own center/spread, the normalization cross-segment comparisons
+    need): ``out_col = round((x − p50_g) / (p75_g − p25_g), 6)``,
+    NULL when the group's IQR is zero (degenerate spread) or x is
+    NULL.
+
+    The quartiles come from :func:`group_quantiles` — pure rank
+    SELECTION, so the emitted parameters are input values and the
+    scaling is one subtract + one divide on bit-identical operands
+    (exact-oracle battery query ``robust_scale_group``). Scale
+    shape: the quantile reduce + ONE broadcast join of the bounded
+    per-group parameter frame; the scan stays map-only."""
+    q = group_quantiles(
+        df, group_col, col, probs=[0.25, 0.5, 0.75],
+        names=["q1", "med", "q3"],
+    ).select(
+        F.col(group_col).alias("__rg"), "q1", "med", "q3"
+    )
+    x = F.col(col).cast("double")
+    iqr = F.col("q3").cast("double") - F.col("q1").cast("double")
+    return (
+        df.join(
+            F.broadcast(q), F.col(group_col) == F.col("__rg"), "left"
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                x.isNotNull() & (iqr > 0),
+                F.round(
+                    (x - F.col("med").cast("double")) / iqr, 6
+                ),
+            ),
+        )
+        .drop("__rg", "q1", "med", "q3")
+    )

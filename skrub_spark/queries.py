@@ -1689,6 +1689,24 @@ def q_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_scale_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling (r9,
+    operators/winsorize.py::robust_scale_by_group — the
+    group-parameterized half of SquashingScaler's robust-scale
+    step): order totals scaled by each priority's median/IQR.
+    Quartiles are rank-SELECTED input values, so the scaling is
+    one subtract + one divide on bit-identical operands."""
+    _prep(spark)
+    from .operators.winsorize import robust_scale_by_group
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return robust_scale_by_group(
+        orders, "o_orderpriority", "o_totalprice"
+    )
+
+
 def q_mwu_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U test (r9, report/abtest.py::mann_whitney_u —
     the nonparametric two-sample test next to the proportion
@@ -10476,6 +10494,36 @@ def _entity_oracle() -> str:
 
 ORACLES["entity_counts"] = _entity_oracle()
 
+# r9: group robust scaling — the latency_sla rank-selection rule
+# for the quartiles, then one subtract/divide per row.
+ORACLES["robust_scale_group"] = """
+    WITH counts AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v, count(*) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v,
+        sum(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY g) AS n
+      FROM counts
+    ), q AS (
+      SELECT g,
+        min(CASE WHEN cum >= (2500 * n + 9999) // 10000 THEN v END)
+          AS q1,
+        min(CASE WHEN cum >= (5000 * n + 9999) // 10000 THEN v END)
+          AS med,
+        min(CASE WHEN cum >= (7500 * n + 9999) // 10000 THEN v END)
+          AS q3
+      FROM cum GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+      CASE WHEN o.o_totalprice IS NOT NULL AND q.q3 - q.q1 > 0 THEN
+        round((CAST(o.o_totalprice AS DOUBLE) - CAST(q.med AS DOUBLE))
+              / (CAST(q.q3 AS DOUBLE) - CAST(q.q1 AS DOUBLE)), 6)
+      END AS scaled
+    FROM orders o LEFT JOIN q ON q.g = o.o_orderpriority
+"""
+
 # r9: Mann-Whitney U — midranks in 2x integer space over distinct
 # values; every float op replays in the same order.
 ORACLES["mwu_test"] = """
@@ -14067,6 +14115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_daily": q_stl_daily,
         "mwu_test": q_mwu_test,
         "drift_chi2": q_drift_chi2,
+        "robust_scale_group": q_robust_scale_group,
     }
 
 

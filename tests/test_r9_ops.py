@@ -1357,3 +1357,27 @@ def test_plan_audit_helpers(spark, sf_dir):
 
     df = spark.createDataFrame([(1, b"%PDF-")], "id long, payload binary")
     assert audit_plan(pdf_text_stats(df))["has_python_udf"]
+
+
+# -------------------------------------- r9: group robust scaling
+
+
+def test_robust_scale_by_group(spark):
+    from skrub_spark.operators.winsorize import robust_scale_by_group
+
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("flat", 5.0),
+        ("flat", 5.0),
+        ("n", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_scale_by_group(df, "g", "v").collect()
+    by = {(r["g"], r["v"]): r["scaled"] for r in out}
+    # n=5: q1=2 (ceil 1.25), med=3, q3=4, iqr=2
+    assert by[("g", 1.0)] == -1.0
+    assert by[("g", 3.0)] == 0.0
+    assert by[("g", 100.0)] == 48.5
+    # zero-IQR group and NULL values scale to NULL, rows survive
+    assert by[("flat", 5.0)] is None
+    assert by[("n", None)] is None
+    assert len(out) == 8
