@@ -1381,3 +1381,22 @@ def test_robust_scale_by_group(spark):
     assert by[("flat", 5.0)] is None
     assert by[("n", None)] is None
     assert len(out) == 8
+
+
+# ------------------------------------ r9: frozen-section integrity
+
+
+def test_frozen_sections_all_present():
+    """The three appended _frozen.py sections coexist (the old
+    prefix-truncation append would have deleted every section
+    after the one being replaced)."""
+    src = open("/root/repo/skrub_spark/_frozen.py").read()
+    for name in ("LINKAGE_MODEL", "LID_MODEL", "GAP_MODEL"):
+        assert src.count(f"\n{name} = ") == 1, name
+    import skrub_spark._frozen as fz
+
+    assert fz.LID_MODEL["langs"] == ["de", "en", "es", "fr", "zh"]
+    assert len(fz.GAP_MODEL["topics"]) == fz.GAP_MODEL["k"]
+    assert "lambda" in fz.LINKAGE_MODEL or isinstance(
+        fz.LINKAGE_MODEL, dict
+    )

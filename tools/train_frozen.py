@@ -312,40 +312,50 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     path = "/root/repo/skrub_spark/_frozen.py"
-    if "--append-linkage" in sys.argv:
-        # train ONLY the linkage weights and append/replace their
-        # section, leaving every other committed artifact untouched
-        # (a full retrain would regenerate identical values — the
-        # trainers are deterministic — but would force re-verifying
-        # every frozen battery row for no change)
-        model = train_linkage(spark, sf_dir)
+
+    _ALL_MARKERS = (_LINKAGE_MARKER, _LID_MARKER, _GAP_MARKER)
+
+    def _replace_section(marker: str, section: str) -> None:
+        """Replace ONE appended section in place, preserving every
+        other section: the section runs from its marker to the next
+        known marker (or EOF). The old prefix-truncation rule
+        silently deleted every section appended AFTER the target
+        (re-running --append-linkage would have dropped LID_MODEL
+        and GAP_MODEL)."""
         src = open(path).read()
-        if _LINKAGE_MARKER in src:
-            src = src[: src.index(_LINKAGE_MARKER)]
+        if marker in src:
+            start = src.index(marker)
+            end = len(src)
+            for m in _ALL_MARKERS:
+                i = src.find(m, start + 1)
+                if i >= 0 and i < end and m != marker:
+                    end = i
+            src = src[:start] + src[end:]
         with open(path, "w") as f:
-            f.write(src + _linkage_section(model))
+            f.write(src + section)
+
+    if "--append-linkage" in sys.argv:
+        # train ONLY the linkage weights and replace their section,
+        # leaving every other committed artifact untouched (a full
+        # retrain would regenerate identical values — the trainers
+        # are deterministic — but would force re-verifying every
+        # frozen battery row for no change)
+        model = train_linkage(spark, sf_dir)
+        _replace_section(_LINKAGE_MARKER, _linkage_section(model))
         print(f"appended LINKAGE_MODEL to {path}")
         return
 
     if "--append-gap" in sys.argv:
-        # same append/replace discipline for the GapEncoder topics
+        # same replace discipline for the GapEncoder topics
         model = train_gap(spark, sf_dir)
-        src = open(path).read()
-        if _GAP_MARKER in src:
-            src = src[: src.index(_GAP_MARKER)]
-        with open(path, "w") as f:
-            f.write(src + _gap_section(model))
+        _replace_section(_GAP_MARKER, _gap_section(model))
         print(f"appended GAP_MODEL to {path}")
         return
 
     if "--append-lid" in sys.argv:
-        # same append/replace discipline for the language-ID weights
+        # same replace discipline for the language-ID weights
         model = train_lid(spark, sf_dir)
-        src = open(path).read()
-        if _LID_MARKER in src:
-            src = src[: src.index(_LID_MARKER)]
-        with open(path, "w") as f:
-            f.write(src + _lid_section(model))
+        _replace_section(_LID_MARKER, _lid_section(model))
         print(f"appended LID_MODEL to {path}")
         return
 
