@@ -101,6 +101,9 @@ from .dedup.density import duplication_density, ngram_novelty  # noqa: F401
 from .functions.text import kwic_snippets  # noqa: F401
 from .functions.datetime import calendar_dim  # noqa: F401
 from .functions.sketches import (  # noqa: F401
+    hll_estimate,
+    hll_merge,
+    hll_registers,
     mergeable_distinct_sketches,
 )
 from .functions.tree_compile import (  # noqa: F401

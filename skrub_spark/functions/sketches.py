@@ -227,6 +227,133 @@ def distinct_sketch(
     )
 
 
+_HLL_BITS = 60  # usable md5 bits (15 hex digits), the repo-wide rule
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column | str,
+    by: list[str] | None = None,
+    *,
+    p: int = 12,
+    salt: str = "",
+) -> DataFrame:
+    """Sparse HyperLogLog registers (Flajolet/Fusy/Gandouet/Meunier
+    2007) of ``value``, optionally per ``by`` group: one
+    ``(*by, bucket, reg)`` row per NON-ZERO register, at most
+    ``m = 2**p`` rows per group regardless of input size.
+
+    Unlike Spark's ``approx_count_distinct`` (whose HLL++ register
+    blob is engine-internal), the registers here are plain rows built
+    from the repo's engine-portable md5 rule — bucket = top ``p`` of
+    the 60 md5 bits, rho = leading-zero count of the remaining
+    ``60-p`` bits + 1 (computed as ``61-p-length(bin(w))``, identical
+    in Spark and DuckDB) — so a SQL oracle replays them bit-exactly
+    and sketches persisted next to shards on DIFFERENT engines still
+    merge. The aggregation is one map-side-combined groupBy MAX; the
+    shuffle carries ≤ tasks·m partial registers, never the stream.
+    Merge sketches with :func:`hll_merge` (register-wise MAX — the
+    sketch of a union IS the max-merge, exactly), estimate with
+    :func:`hll_estimate`. Battery query ``hll_cardinality``."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_registers: p must be in [4, 16]")
+    v = F.col(value) if isinstance(value, str) else value
+    by = list(by or [])
+    s = F.coalesce(v.cast("string"), F.lit("\x00<null>"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
+    ).cast("long")
+    w_bits = _HLL_BITS - p
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *by,
+            F.shiftright(h, w_bits).alias("bucket"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("__rho").alias("reg"))
+    )
+
+
+def hll_merge(
+    *sketches: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Union-merge register frames: register-wise MAX. Exact — the
+    merged frame is bit-identical to sketching the concatenated
+    inputs, because max is associative/commutative over the per-value
+    rho contributions (the property that lets 100 TB shard sketches
+    combine at query time without a re-scan)."""
+    by = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    by: list[str] | None = None,
+    *,
+    p: int = 12,
+    est_col: str = "hll_est",
+) -> DataFrame:
+    """Cardinality estimate from a register frame: one row per group
+    with ``(buckets_hit, denom, est_col)``.
+
+    The harmonic-mean denominator is assembled EXACTLY in int64 —
+    ``denom = (m - hit)·2^S + Σ 2^(S-reg)`` with ``S = 61-p`` (so the
+    m-bucket total caps at 2^61, inside int64 for every p) — and the
+    raw estimate ``alpha·m²·2^S / denom`` is ONE IEEE division by a
+    Python-literal numerator, so the estimate replays bit-identically
+    in a SQL oracle. Small-range correction (linear counting,
+    ``m·ln(m/V)`` when the raw estimate ≤ 2.5m and V = m-hit > 0)
+    uses libm ln and is therefore reported in its own column
+    ``est_small`` (NULL outside the regime) rather than silently
+    swapped into ``est_col``: oracle-compared pipelines select the
+    raw column; interactive users take
+    ``coalesce(est_small, hll_est)``. Relative error of the raw
+    estimate is ~1.04/sqrt(m); pinned by pytest contracts."""
+    by = list(by or [])
+    m = 1 << p
+    s_bits = _HLL_BITS - p + 1
+    num = _hll_alpha(m) * m * m * float(2**s_bits)
+    agg = registers.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+        # shiftleft's python wrapper wants an int literal shift — the
+        # per-row (s_bits - reg) shift needs the SQL form
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_bits} - reg)"))
+        .cast("long")
+        .alias("__hit_sum"),
+    )
+    denom = (
+        (F.lit(m).cast("long") - F.col("buckets_hit"))
+        * F.lit(1 << s_bits).cast("long")
+        + F.col("__hit_sum")
+    ).cast("long")
+    raw = F.round(F.lit(num) / denom.cast("double"), 6)
+    zeros = F.lit(m).cast("long") - F.col("buckets_hit")
+    small = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 6),
+    )
+    return agg.select(
+        *by,
+        "buckets_hit",
+        denom.alias("denom"),
+        raw.alias(est_col),
+        small.alias("est_small"),
+    )
+
+
 def mergeable_distinct_sketches(
     df: DataFrame,
     value: Column | str,

@@ -13596,6 +13596,80 @@ ORACLES["html_extract"] = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round 9, second session ("r9b") — new operator families
+# ---------------------------------------------------------------------------
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (r9b,
+    functions/sketches.py::hll_registers/hll_estimate — true HLL
+    registers next to the KMV family, built from the repo's md5 rule
+    instead of engine-internal approx_count_distinct state):
+    per-priority distinct-customer estimates over orders at p=7
+    (m=128). The register frame, the int64 harmonic denominator and
+    the one-division raw estimate all replay bit-identically in SQL;
+    exact COUNT(DISTINCT) rides along for self-demonstration. p is
+    chosen so every group sits in the raw-estimate regime (distinct
+    >> 2.5m) — the libm small-range correction stays NULL and out of
+    the compared columns (its accuracy is pinned in pytest)."""
+    _prep(spark)
+    from .functions.sketches import hll_estimate, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(orders, "o_custkey", ["o_orderpriority"], p=7)
+    est = hll_estimate(regs, ["o_orderpriority"], p=7)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority", "buckets_hit", "denom", "hll_est", "exact_distinct"
+    )
+
+
+def _hll_p7_num() -> float:
+    from .functions.sketches import _hll_alpha
+
+    return _hll_alpha(128) * 128 * 128 * float(2**54)
+
+
+# HLL replay: bucket = top 7 of the 60 md5 bits, rho = 54 -
+# bitlength of the low 53 bits (length(bin(w)) is identical in both
+# engines), denominator assembled exactly in int64, one IEEE division
+# by the SAME python-literal numerator the Spark side uses.
+ORACLES["hll_cardinality"] = f"""
+    WITH h AS (
+      SELECT o_orderpriority,
+        ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+          AS h60
+      FROM orders
+    ), r AS (
+      SELECT o_orderpriority, h60 >> 53 AS bucket,
+        CASE WHEN (h60 & ((1::BIGINT << 53) - 1)) = 0 THEN 54
+             ELSE 54 - length(bin(h60 & ((1::BIGINT << 53) - 1)))
+        END AS rho
+      FROM h
+    ), regs AS (
+      SELECT o_orderpriority, bucket, max(rho) AS reg
+      FROM r GROUP BY 1, 2
+    ), agg AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS buckets_hit,
+        CAST((128 - count(*)) * (1::BIGINT << 54)
+             + sum(1::BIGINT << (54 - reg)) AS BIGINT) AS denom
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT o_orderpriority,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT agg.o_orderpriority, buckets_hit, denom,
+      round({_hll_p7_num()!r} / CAST(denom AS DOUBLE), 6) AS hll_est,
+      exact_distinct
+    FROM agg JOIN ex USING (o_orderpriority)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -14142,12 +14216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "video_frame_stats": q_video_frame_stats,
         "streaming_session_stats": q_streaming_session_stats,
-        # --- round 9 ---
-        "html_extract": q_html_extract,
-        "language_id_learned": q_language_id_learned,
-        "gap_encoder_frozen": q_gap_encoder_frozen,
-        "adaptive_agg": q_adaptive_agg,
-        "pdf_text_stats": q_pdf_text_stats,
+        # --- round 9 --- (html_extract / language_id_learned /
+        # gap_encoder_frozen / adaptive_agg / pdf_text_stats are
+        # registered in the window above)
         "normalize_text": q_normalize_text,
         "dedup_keep_best": q_dedup_keep_best,
         "more_like_this": q_more_like_this,
@@ -14164,6 +14235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_test": q_mwu_test,
         "drift_chi2": q_drift_chi2,
         "robust_scale_group": q_robust_scale_group,
+        # --- round 9, second session ---
+        "hll_cardinality": q_hll_cardinality,
     }
 
 
