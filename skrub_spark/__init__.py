@@ -136,6 +136,8 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
 )
 from .dedup.strings import deduplicate_strings as deduplicate  # noqa: F401
+from .dedup.strings import jaro_winkler_join  # noqa: F401
+from .functions.text import jaro_winkler, jaro_winkler_py  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ann_index,
     cosine_knn_join,

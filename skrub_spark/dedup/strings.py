@@ -71,3 +71,56 @@ def deduplicate_strings(
         .select(col, out_col)
     )
     return df.join(broadcast(canon), on=col, how="left")
+
+
+def jaro_winkler_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    threshold: float = 0.84,
+    block: str = "first_token",
+) -> DataFrame:
+    """Blocked string-similarity join on Jaro-Winkler (the
+    record-linkage metric next to the Levenshtein/ngram modes of
+    ``fuzzy_join``): candidate pairs share a cheap BLOCK key —
+    ``first_token`` (lowercased first whitespace token) or
+    ``prefix2`` (first two lowercased chars, the classic Winkler
+    blocking since the metric front-weights prefixes anyway) — then
+    the Arrow-batched :func:`...functions.text.jaro_winkler` verifies
+    only candidates. Returns ``(name_a, name_b, jw)`` for pairs with
+    ``jw >= threshold``.
+
+    100 TB shape: the quadratic is confined to blocks (an equi-join
+    Catalyst shuffles/broadcasts like any other); the verify UDF
+    touches candidate pairs only. Blocking recall is the standard
+    trade — a typo inside the block key misses the pair. Self-join:
+    pass the same frame twice; the output keeps ``name_a < name_b``
+    then, dropping self/duplicate pairs."""
+    from ..functions.text import jaro_winkler
+
+    if block == "first_token":
+        bk = lambda c: F.split(F.lower(F.col(c)), r"\s+").getItem(0)  # noqa: E731
+    elif block == "prefix2":
+        bk = lambda c: F.substring(F.lower(F.col(c)), 1, 2)  # noqa: E731
+    else:
+        raise ValueError(f"jaro_winkler_join: unknown block {block!r}")
+    self_join = df_a is df_b and col_a == col_b
+    a = df_a.select(
+        F.col(col_a).alias("name_a"), bk(col_a).alias("__bk")
+    ).dropDuplicates(["name_a"])
+    b = df_b.select(
+        F.col(col_b).alias("name_b"), bk(col_b).alias("__bk")
+    ).dropDuplicates(["name_b"])
+    cand = a.join(b, "__bk")
+    cand = cand.filter(
+        F.col("name_a") < F.col("name_b")
+        if self_join
+        else F.col("name_a") != F.col("name_b")
+    )
+    return (
+        cand.withColumn("jw", jaro_winkler("name_a", "name_b"))
+        .filter(F.col("jw") >= F.lit(float(threshold)))
+        .select("name_a", "name_b", F.round("jw", 6).alias("jw"))
+    )

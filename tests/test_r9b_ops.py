@@ -92,3 +92,84 @@ def test_hll_p_validation(spark):
 
     with pytest.raises(ValueError):
         hll_registers(_hll_parts(spark, 10), "v", p=2)
+
+
+# ------------------------------------------------- Jaro-Winkler
+
+
+def test_jaro_winkler_known_values():
+    from skrub_spark.functions.text import jaro_winkler_py as jw
+
+    assert abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15
+    assert abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15
+    assert jw("abc", "abc") == 1.0
+    assert jw("", "") == 0.0  # DuckDB convention: empty -> 0
+    assert jw(None, "x") == 0.0
+    assert jw("abc", "xyz") == 0.0
+
+
+def test_jaro_winkler_matches_duckdb_bitexact():
+    """The oracle relies on bit-identity with DuckDB's builtin —
+    pin it over a random sweep (seeded, fast)."""
+    import random
+    import string
+
+    import duckdb
+
+    from skrub_spark.functions.text import jaro_winkler_py as jw
+
+    con = duckdb.connect()
+    random.seed(42)
+    for _ in range(1500):
+        alpha = random.choice(["ab", string.ascii_lowercase + " '#"])
+        a = "".join(
+            random.choice(alpha) for _ in range(random.randint(0, 25))
+        )
+        b = "".join(
+            random.choice(alpha) for _ in range(random.randint(0, 25))
+        )
+        got = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert got == jw(a, b), (a, b)
+
+
+def test_jaro_winkler_join_self(spark):
+    from skrub_spark.dedup.strings import jaro_winkler_join
+
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgets",), ("red widget",), ("blue bolt",)],
+        "name string",
+    )
+    out = jaro_winkler_join(df, df, "name", "name", threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["name_a"], r["name_b"]) == ("red widget", "red widgets")
+    assert r["jw"] > 0.9
+    # self/duplicate pairs dropped, a < b ordering enforced
+    assert all(x["name_a"] < x["name_b"] for x in out)
+
+
+def test_jaro_winkler_join_two_sided_blocking(spark):
+    from skrub_spark.dedup.strings import jaro_winkler_join
+
+    a = spark.createDataFrame([("acme corp",), ("zeta ltd",)], "n string")
+    b = spark.createDataFrame(
+        [("acme corporation",), ("acme inc",), ("beta llc",)], "m string"
+    )
+    rows = jaro_winkler_join(a, b, "n", "m", threshold=0.8).collect()
+    got = {(r["name_a"], r["name_b"]) for r in rows}
+    # 'zeta ltd' and 'beta llc' share no block key with anything
+    assert got == {("acme corp", "acme corporation"), ("acme corp", "acme inc")}
+
+
+def test_jaro_winkler_column_udf(spark):
+    from skrub_spark.functions.text import jaro_winkler, jaro_winkler_py
+
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("dixon", "dicksonx"), (None, "x")],
+        "a string, b string",
+    )
+    rows = df.select("a", "b", jaro_winkler("a", "b").alias("jw")).collect()
+    for r in rows:
+        assert r["jw"] == jaro_winkler_py(r["a"], r["b"])
