@@ -58,6 +58,7 @@ from .operators.intervals import (  # noqa: F401
 from .operators.impute import impute_median  # noqa: F401
 from .operators.winsorize import (  # noqa: F401
     group_quantiles,
+    weighted_group_quantiles,
     histogram_report,
     quantile_clip,
     quantile_discretize,

@@ -201,6 +201,75 @@ def group_quantiles(
     )
 
 
+def weighted_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    weight_col: str,
+    probs: list[float] = (0.25, 0.5, 0.75),
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles (weighted median & friends —
+    "median price weighted by units sold", survey-weighted
+    percentiles, token-weighted document stats): the smallest actual
+    value whose per-group cumulative WEIGHT reaches ``ceil(p·W)``,
+    with p at 1/10000 resolution — the same integer rank-selection
+    rule as :func:`group_quantiles`, so the emitted values are input
+    values and float columns replay bit-exactly.
+
+    ``weight_col`` must be non-negative and INTEGER-VALUED (cast to
+    long internally; pre-scale fractional weights — e.g. ×100 — to
+    keep the cut rule exact). Rows with NULL value or NULL/≤0 weight
+    are excluded from W and selection. int64 headroom: the cut
+    computes ``bp·W`` in long, bounding per-group total weight at
+    ~9.2e14 (document-token weights at 100 TB sit well inside; shard
+    the group key beyond that).
+
+    Scale shape (same as the unweighted SLA report): ONE
+    (group, value) weight-sum groupBy (map-side combined), a cumsum
+    window over per-group DISTINCT VALUES, one conditional-min agg.
+    Returns ``(group, w_total, <names...>)``. Battery oracle
+    ``weighted_median`` replays the rule."""
+    bps = [int(round(float(p) * 10000)) for p in probs]
+    if names is None:
+        names = [f"wq{bp}" for bp in bps]
+    counts = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(col).alias("v"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("__w") > 0))
+        .groupBy("__g", "v")
+        .agg(F.sum("__w").alias("c"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "__g",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("__g")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("w_total")]
+    for bp, name in zip(bps, names):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({bp}L * n + 9999L) div 10000L"),
+                    F.col("v"),
+                )
+            ).alias(name)
+        )
+    return (
+        cum.groupBy("__g").agg(*aggs).withColumnRenamed("__g", group_col)
+    )
+
+
 def histogram_report(
     df: DataFrame,
     col: str,

@@ -13724,6 +13724,53 @@ ORACLES["jw_name_pairs"] = """
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted quantiles (r9b,
+    operators/winsorize.py::weighted_group_quantiles — the weighted
+    median next to the unweighted SLA report): price quartiles + p90
+    per return flag weighted by units (l_quantity). Integer
+    basis-point cut over cumulative weights; emitted values are
+    input values, bit-exact."""
+    _prep(spark)
+    from .operators.winsorize import weighted_group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_group_quantiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        probs=(0.25, 0.5, 0.75, 0.9),
+        names=["q25", "q50", "q75", "q90"],
+    )
+
+
+ORACLES["weighted_median"] = """
+    WITH c AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v,
+        CAST(sum(w) OVER (
+          PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS cum,
+        CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS wt
+      FROM c
+    )
+    SELECT g AS l_returnflag,
+      CAST(max(wt) AS BIGINT) AS w_total,
+      min(CASE WHEN cum >= (2500 * wt + 9999) // 10000 THEN v END) AS q25,
+      min(CASE WHEN cum >= (5000 * wt + 9999) // 10000 THEN v END) AS q50,
+      min(CASE WHEN cum >= (7500 * wt + 9999) // 10000 THEN v END) AS q75,
+      min(CASE WHEN cum >= (9000 * wt + 9999) // 10000 THEN v END) AS q90
+    FROM cum GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -14292,6 +14339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 9, second session ---
         "hll_cardinality": q_hll_cardinality,
         "jw_name_pairs": q_jw_name_pairs,
+        "weighted_median": q_weighted_median,
     }
 
 

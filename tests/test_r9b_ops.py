@@ -173,3 +173,68 @@ def test_jaro_winkler_column_udf(spark):
     rows = df.select("a", "b", jaro_winkler("a", "b").alias("jw")).collect()
     for r in rows:
         assert r["jw"] == jaro_winkler_py(r["a"], r["b"])
+
+
+# ------------------------------------------ weighted group quantiles
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    from skrub_spark.operators.winsorize import weighted_group_quantiles
+
+    # g=a: values 1,2,3 with weights 1,1,8 -> W=10
+    #   q50: smallest v with cum >= 5  -> 3 (cum: 1,2,10)
+    #   q25: smallest v with cum >= ceil(2.5)=3 -> 3
+    # g=b: 10 w5, 20 w5 -> q50: cum >= 5 -> 10
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8),
+         ("b", 10.0, 5), ("b", 20.0, 5)],
+        "g string, v double, w long",
+    )
+    out = {
+        r["g"]: r
+        for r in weighted_group_quantiles(
+            df, "g", "v", "w", probs=(0.25, 0.5), names=["q25", "q50"]
+        ).collect()
+    }
+    assert out["a"]["w_total"] == 10
+    assert out["a"]["q25"] == 3.0 and out["a"]["q50"] == 3.0
+    assert out["b"]["q50"] == 10.0
+
+
+def test_weighted_quantiles_unit_weights_match_unweighted(spark):
+    from skrub_spark.operators.winsorize import (
+        group_quantiles,
+        weighted_group_quantiles,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+        F.lit(1).alias("w"),
+    )
+    a = {
+        r["g"]: (r["p5"], r["p95"])
+        for r in group_quantiles(
+            df, "g", "v", probs=(0.5, 0.95), names=["p5", "p95"]
+        ).collect()
+    }
+    b = {
+        r["g"]: (r["p5"], r["p95"])
+        for r in weighted_group_quantiles(
+            df, "g", "v", "w", probs=(0.5, 0.95), names=["p5", "p95"]
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_quantiles_null_and_zero_weight_excluded(spark):
+    from skrub_spark.operators.winsorize import weighted_group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0), ("a", 5.0, 3), ("a", None, 9), ("a", 9.0, None)],
+        "g string, v double, w long",
+    )
+    out = weighted_group_quantiles(df, "g", "v", "w", probs=(0.5,),
+                                   names=["q50"]).collect()
+    assert len(out) == 1
+    assert out[0]["w_total"] == 3 and out[0]["q50"] == 5.0
