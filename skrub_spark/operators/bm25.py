@@ -236,3 +236,49 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search (positional postings — the quoted-query
+    half of lexical retrieval that bag-of-words BM25 can't express):
+    documents whose token stream contains the phrase's tokens
+    CONSECUTIVELY, with occurrence counts and the first match
+    position. Returns ``(id_col, n_matches, first_pos)`` (positions
+    0-based over the tokenized stream).
+
+    Scale design: positions come from ONE posexplode of the same
+    tokenizer BM25 uses, immediately FILTERED to the phrase's terms —
+    the shuffle carries only those terms' postings, never the corpus
+    stream (the positional-index analogue of bm25_scores' pushdown).
+    An n-token phrase then chains n−1 (doc, pos)-equi-joins, each
+    right side pre-filtered to one term: occurrence k survives iff
+    term_i sits at pos+i for all i. Repeated words in the phrase work
+    naturally (each join matches positions independently). One final
+    map-side-combined groupBy yields counts. Battery oracle
+    ``phrase_hits`` replays it with a window-lead construction —
+    two independent formulations agreeing is the point."""
+    terms = [
+        t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t != ""
+    ]
+    if not terms:
+        raise ValueError("phrase_search: phrase has no tokens")
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(bm25_tokens(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    starts = toks.filter(F.col("term") == terms[0]).select("__id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            "__id", (F.col("pos") - i).alias("pos")
+        )
+        starts = starts.join(nxt, ["__id", "pos"])
+    return starts.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    ).withColumnRenamed("__id", id_col)

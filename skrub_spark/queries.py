@@ -13771,6 +13771,49 @@ ORACLES["weighted_median"] = """
 """
 
 
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (r9b, operators/bm25.py::phrase_search —
+    positional postings, the quoted-query path next to bag-of-words
+    BM25): documents containing the consecutive token pair
+    "sort key", with occurrence counts and first match position.
+    The oracle replays it via a window-lead formulation — two
+    independent constructions agreeing."""
+    _prep(spark)
+    from .operators.bm25 import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "sort key")
+
+
+# Oracle formulation: full tokenized stream + lead() — independent
+# of the Spark side's term-filtered positional join chain.
+ORACLES["phrase_hits"] = """
+    WITH tok AS (
+      SELECT doc_id,
+        list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          t -> t <> ''
+        ) AS ts
+      FROM documents
+    ), pos AS (
+      SELECT doc_id,
+        unnest(ts) AS term,
+        unnest(generate_series(0, len(ts) - 1)) AS p
+      FROM tok WHERE len(ts) > 0
+    ), led AS (
+      SELECT doc_id, term, p,
+        lead(term, 1) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+      FROM pos
+    )
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_matches,
+      CAST(min(p) AS BIGINT) AS first_pos
+    FROM led
+    WHERE term = 'sort' AND nxt = 'key'
+    GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -14340,6 +14383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "jw_name_pairs": q_jw_name_pairs,
         "weighted_median": q_weighted_median,
+        "phrase_hits": q_phrase_hits,
     }
 
 

@@ -238,3 +238,57 @@ def test_weighted_quantiles_null_and_zero_weight_excluded(spark):
                                    names=["q50"]).collect()
     assert len(out) == 1
     assert out[0]["w_total"] == 3 and out[0]["q50"] == 5.0
+
+
+# ------------------------------------------------- phrase search
+
+
+def test_phrase_search_counts_and_positions(spark):
+    from skrub_spark.operators.bm25 import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),   # "the cat" x2, first at 0
+            (2, "cat the cat the"),              # "the cat" x1 at pos 1
+            (3, "the dog"),                      # no match
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, "the cat").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 0
+    assert out[2]["n_matches"] == 1 and out[2]["first_pos"] == 1
+
+
+def test_phrase_search_repeated_word_phrase(spark):
+    from skrub_spark.operators.bm25 import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "go go go stop"), (2, "go stop go")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, "go go").collect()}
+    # "go go go" contains "go go" at positions 0 and 1
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 0
+    assert 2 not in out
+
+
+def test_phrase_search_three_words_and_punctuation(spark):
+    from skrub_spark.operators.bm25 import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "A fast, SORT-key scan"), (2, "fast sort. key!")],
+        "doc_id long, text string",
+    )
+    # tokenizer splits on non-alnum: both become ... fast sort key ...
+    out = phrase_search(docs, "fast sort key").collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_phrase_search_empty_phrase_raises(spark):
+    from skrub_spark.operators.bm25 import phrase_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_search(docs, "!!!")
