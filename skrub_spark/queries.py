@@ -13814,6 +13814,70 @@ ORACLES["phrase_hits"] = """
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (r9b,
+    report/bootstrap.py::bootstrap_mean_ci — the Chamandy/Google
+    massive-stream bootstrap with content-addressed md5 draws):
+    95% percentile CI for mean event value per event type, B=40
+    replicates. Exact decimal weighted sums, one IEEE division per
+    replicate, CI bounds as order statistics — bit-replayable."""
+    _prep(spark)
+    from .report.bootstrap import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "value", "event_id", ["event_type"], n_boot=40, alpha=0.05
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from .report.bootstrap import POISSON1_THRESHOLDS
+
+    w_expr = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)"
+        for t in POISSON1_THRESHOLDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS x,
+        event_id AS k
+      FROM events WHERE CAST(value AS DECIMAL(18,6)) IS NOT NULL
+    ), pt AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+        round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS point
+      FROM base GROUP BY 1
+    ), reps AS (
+      SELECT g, x, k, unnest(generate_series(1, 40)) AS b FROM base
+    ), hashed AS (
+      SELECT g, b, x,
+        ('0x' || substr(md5('bs' || CAST(b AS VARCHAR) || chr(31)
+                             || CAST(k AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM reps
+    ), wtd AS (
+      SELECT g, b, x, {w_expr} AS w FROM hashed
+    ), means AS (
+      SELECT g, b,
+        round(CAST(sum(x * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+          AS m
+      FROM wtd GROUP BY 1, 2 HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT g, m,
+        row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn,
+        count(*) OVER (PARTITION BY g) AS nb
+      FROM means
+    )
+    SELECT g AS event_type, n_rows, point,
+      min(CASE WHEN rn >= (250 * nb + 9999) // 10000 THEN m END) AS ci_lo,
+      min(CASE WHEN rn >= (9750 * nb + 9999) // 10000 THEN m END) AS ci_hi
+    FROM ranked JOIN pt USING (g)
+    GROUP BY 1, 2, 3
+    """
+
+
+ORACLES["bootstrap_ci"] = _bootstrap_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -14384,6 +14448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_name_pairs": q_jw_name_pairs,
         "weighted_median": q_weighted_median,
         "phrase_hits": q_phrase_hits,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 

@@ -292,3 +292,68 @@ def test_phrase_search_empty_phrase_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         phrase_search(docs, "!!!")
+
+
+# ------------------------------------------------ Poisson bootstrap
+
+
+def test_poisson_weights_distribution(spark):
+    """Draws behave like Poisson(1): mean ~1, var ~1, deterministic."""
+    from skrub_spark.report.bootstrap import poisson_weight
+
+    df = spark.range(20_000).select(
+        poisson_weight(F.col("id"), F.lit(1)).alias("w")
+    )
+    row = df.agg(
+        F.avg("w").alias("mu"),
+        F.var_pop("w").alias("v"),
+        F.max("w").alias("mx"),
+    ).first()
+    assert abs(row["mu"] - 1.0) < 0.03
+    assert abs(row["v"] - 1.0) < 0.05
+    assert row["mx"] <= 8
+
+
+def test_bootstrap_ci_covers_true_mean(spark):
+    """CI from a uniform[0,100] sample should bracket the sample
+    mean and be ordered lo <= point <= hi."""
+    from skrub_spark.report.bootstrap import bootstrap_mean_ci
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37 % 101)).cast("double").alias("v"),
+    )
+    r = bootstrap_mean_ci(df, "v", "k", n_boot=80).first()
+    assert r["ci_lo"] <= r["point"] <= r["ci_hi"]
+    # half-width of a mean of 5k uniform[0,100] draws ~ 2.3*1.96/2
+    assert (r["ci_hi"] - r["ci_lo"]) < 4.0
+    assert r["n_rows"] == 5_000
+
+
+def test_bootstrap_ci_partition_invariance(spark):
+    from skrub_spark.report.bootstrap import bootstrap_mean_ci
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    a = bootstrap_mean_ci(df, "v", "k", ["g"], n_boot=30).collect()
+    b = bootstrap_mean_ci(
+        df.repartition(23), "v", "k", ["g"], n_boot=30
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bootstrap_width_shrinks_with_n(spark):
+    from skrub_spark.report.bootstrap import bootstrap_mean_ci
+
+    small = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    big = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    ws = bootstrap_mean_ci(small, "v", "k", n_boot=60).first()
+    wb = bootstrap_mean_ci(big, "v", "k", n_boot=60).first()
+    assert (wb["ci_hi"] - wb["ci_lo"]) < (ws["ci_hi"] - ws["ci_lo"])
