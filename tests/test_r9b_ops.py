@@ -357,3 +357,51 @@ def test_bootstrap_width_shrinks_with_n(spark):
     ws = bootstrap_mean_ci(small, "v", "k", n_boot=60).first()
     wb = bootstrap_mean_ci(big, "v", "k", n_boot=60).first()
     assert (wb["ci_hi"] - wb["ci_lo"]) < (ws["ci_hi"] - ws["ci_lo"])
+
+
+# ------------------------------------------------- gazetteer tagging
+
+
+def test_gazetteer_single_and_multi_token(spark):
+    from skrub_spark.operators.gazetteer import gazetteer_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "I moved to New York City from York"),
+            (2, "york is not new"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["entity"]): (r["n_matches"], r["first_pos"])
+        for r in gazetteer_match(
+            docs, ["new york", "new york city", "york"]
+        ).collect()
+    }
+    # overlapping entities all match independently
+    assert out[(1, "new york")] == (1, 3)
+    assert out[(1, "new york city")] == (1, 3)
+    assert out[(1, "york")] == (2, 4)
+    assert out[(2, "york")] == (1, 0)
+    assert (2, "new york") not in out
+
+
+def test_gazetteer_tokenizer_view(spark):
+    from skrub_spark.operators.gazetteer import gazetteer_match
+
+    docs = spark.createDataFrame(
+        [(1, "A SORT-key; then sort  key again")],
+        "doc_id long, text string",
+    )
+    out = gazetteer_match(docs, ["Sort Key"]).collect()
+    assert len(out) == 1
+    assert out[0]["n_matches"] == 2  # punctuation/case-insensitive
+
+
+def test_gazetteer_empty_entity_raises(spark):
+    from skrub_spark.operators.gazetteer import gazetteer_match
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        gazetteer_match(docs, ["!!!"])
