@@ -13947,6 +13947,345 @@ def _gazetteer_oracle() -> str:
 ORACLES["gazetteer_hits"] = _gazetteer_oracle()
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join reduction (r9c,
+    operators/semi_join.py::bloom_semi_join — the generalized
+    runtime filter: the dim side's keys reduce to a broadcast
+    bitset and the fact scan drops non-candidates map-side BEFORE
+    the join's exchange; exact because Bloom filters have no false
+    negatives and the final join removes false positives): lineitem
+    semi-joined to the suppliers of one nation (~4% selectivity),
+    aggregated by return flag."""
+    _prep(spark)
+    from .operators.semi_join import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") == 3
+    )
+    kept = bloom_semi_join(li, dim, ("l_suppkey", "s_suppkey"), how="semi")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLES["bloom_semi_join"] = """
+    SELECT l_returnflag,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+    GROUP BY 1
+"""
+
+
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti mode of the runtime filter (r9c, semi_join.py — rows the
+    Bloom filter REJECTS are definite non-matches and bypass the
+    exact anti-join entirely; only the maybe-sliver pays it):
+    orders from customers with no negative-balance record."""
+    _prep(spark)
+    from .operators.semi_join import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") < 0
+    )
+    kept = bloom_semi_join(
+        orders, dim, ("o_custkey", "c_custkey"), how="anti"
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+ORACLES["bloom_anti_join"] = """
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS total_price
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY 1
+"""
+
+
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match (r9c,
+    operators/matching.py::mutual_best_match — the symmetric
+    linkage decision rule: keep a pair iff each side is the other's
+    best candidate; two window ranks over the blocked candidate
+    frame, no global state): customers matched to the same-nation
+    supplier with the closest account balance, kept only when the
+    choice is mutual."""
+    _prep(spark)
+    from .operators.matching import mutual_best_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = cust.join(
+        supp, cust["c_nationkey"] == supp["s_nationkey"], "inner"
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        # exact integer distance in cents
+        F.abs(
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+            - (F.col("s_acctbal").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("dist_cents"),
+    )
+    return mutual_best_match(
+        pairs, "c_custkey", "s_suppkey", "dist_cents", ascending=True
+    )
+
+
+ORACLES["mutual_best_match"] = """
+    WITH pairs AS (
+      SELECT c_custkey, s_suppkey,
+        abs(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            - CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS dist_cents
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY dist_cents, s_suppkey) AS rl,
+        row_number() OVER (PARTITION BY s_suppkey
+                           ORDER BY dist_cents, c_custkey) AS rr
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, dist_cents
+    FROM ranked WHERE rl = 1 AND rr = 1
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (r9c,
+    operators/matching.py::sorted_neighborhood_pairs — the
+    Hernández–Stolfo merge/purge method: global (key, id) order as
+    range buckets + per-bucket windows, boundary pairs stitched
+    exactly from w-row head/tail slivers, undersized buckets merged
+    driver-side): customer pairs within 3 positions in account-
+    balance order, scored by balance gap."""
+    _prep(spark)
+    from .operators.matching import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust, "c_custkey", "bal_cents", window=3
+    )
+    bal = cust.select(
+        F.col("c_custkey").alias("id"), F.col("bal_cents")
+    )
+    return (
+        pairs.join(bal.withColumnRenamed("id", "id_a2"),
+                   F.col("id_a") == F.col("id_a2"))
+        .withColumnRenamed("bal_cents", "bal_a")
+        .join(
+            bal.withColumnRenamed("id", "id_b2").withColumnRenamed(
+                "bal_cents", "bal_b"
+            ),
+            F.col("id_b") == F.col("id_b2"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("pos_dist").cast("int").alias("pos_dist"),
+            F.abs(F.col("bal_a") - F.col("bal_b")).alias("gap_cents"),
+        )
+    )
+
+
+ORACLES["sorted_neighborhood"] = """
+    WITH c AS (
+      SELECT c_custkey AS id,
+        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS bal_cents
+      FROM customer
+    ), pos AS (
+      SELECT id, bal_cents,
+        row_number() OVER (ORDER BY bal_cents, id) AS rn
+      FROM c
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(b.rn - a.rn AS INT) AS pos_dist,
+      abs(a.bal_cents - b.bal_cents) AS gap_cents
+    FROM pos a JOIN pos b
+      ON b.rn > a.rn AND b.rn <= a.rn + 3
+"""
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic permutation test (r9c,
+    report/permutation.py::permutation_test_means — the binomial
+    random-relabeling variant: the only permutation test that is
+    map-only at 100 TB, with content-addressed md5 draws and a
+    DECIMAL(38,0) threshold compare that replays in SQL): does mean
+    event value differ between clicks and purchases? B=60."""
+    _prep(spark)
+    from .report.permutation import permutation_test_means
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return permutation_test_means(
+        ev, "value", "event_type", "event_id", n_perm=60
+    )
+
+
+def _permutation_oracle(n_perm: int = 60) -> str:
+    return f"""
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS x,
+        event_id AS k
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+        AND CAST(value AS DECIMAL(18,6)) IS NOT NULL
+    ), stats AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+      FROM base GROUP BY 1
+    ), agg AS (
+      SELECT min(g) AS group_a, max(g) AS group_b,
+        min_by(n, g) AS n_a, max_by(n, g) AS n_b,
+        round(CAST(min_by(s, g) AS DOUBLE)
+              / CAST(min_by(n, g) AS DOUBLE), 6)
+        - round(CAST(max_by(s, g) AS DOUBLE)
+                / CAST(max_by(n, g) AS DOUBLE), 6) AS diff_obs
+      FROM stats
+    ), repl AS (
+      SELECT x, k, unnest(generate_series(1, {n_perm})) AS b FROM base
+    ), lab AS (
+      SELECT x, b,
+        (CAST(('0x' || substr(md5('pt' || CAST(b AS VARCHAR) || chr(31)
+                                  || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+              AS DECIMAL(38,0))
+         * CAST((SELECT n_a + n_b FROM agg) AS DECIMAL(38,0)))
+        < (CAST(1152921504606846976 AS DECIMAL(38,0))
+           * CAST((SELECT n_a FROM agg) AS DECIMAL(38,0))) AS is_a
+      FROM repl
+    ), diffs AS (
+      SELECT b,
+        round(CAST(sum(CASE WHEN is_a THEN x END) AS DOUBLE)
+              / CAST(count(CASE WHEN is_a THEN 1 END) AS DOUBLE), 6)
+        - round(CAST(sum(CASE WHEN NOT is_a THEN x END) AS DOUBLE)
+                / CAST(count(CASE WHEN NOT is_a THEN 1 END) AS DOUBLE), 6)
+          AS d
+      FROM lab GROUP BY 1
+      HAVING count(CASE WHEN is_a THEN 1 END) > 0
+         AND count(CASE WHEN NOT is_a THEN 1 END) > 0
+    ), perm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_perm_valid,
+        CAST(sum(CASE WHEN abs(d) >= abs((SELECT diff_obs FROM agg))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM diffs
+    )
+    SELECT group_a, group_b, n_a, n_b, diff_obs, n_perm_valid, n_ge,
+      round(CAST(1 + n_ge AS DOUBLE)
+            / CAST(1 + n_perm_valid AS DOUBLE), 6) AS p_value
+    FROM agg, perm
+    """
+
+
+ORACLES["permutation_test"] = _permutation_oracle()
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal intervals (r9c,
+    report/conformal.py::conformal_mean_intervals — distribution-
+    free ≥90% marginal coverage around the frozen train-mean
+    predictor; content-addressed md5 split, order-statistic q̂, all
+    bounded per-group output): per event type over event values."""
+    _prep(spark)
+    from .report.conformal import conformal_mean_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return conformal_mean_intervals(
+        ev, "value", "event_id", ["event_type"], alpha=0.1
+    )
+
+
+ORACLES["conformal_intervals"] = """
+    WITH base AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS y,
+        CAST(event_id AS VARCHAR) AS k
+      FROM events WHERE CAST(value AS DECIMAL(18,6)) IS NOT NULL
+    ), split AS (
+      SELECT *,
+        CASE
+          WHEN ('0x' || substr(md5('conf' || k), 1, 15))::BIGINT % 100 < 20
+            THEN 'test'
+          WHEN ('0x' || substr(md5('conf' || k), 1, 15))::BIGINT % 100 < 50
+            THEN 'cal'
+          ELSE 'train' END AS sp
+      FROM base
+    ), pred AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+        round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS pred
+      FROM split WHERE sp = 'train' GROUP BY 1
+    ), resid AS (
+      SELECT s.event_type, s.k,
+        abs(s.y - CAST(p.pred AS DECIMAL(18,6))) AS r
+      FROM split s JOIN pred p USING (event_type)
+      WHERE s.sp = 'cal'
+    ), ranked AS (
+      SELECT event_type, r,
+        row_number() OVER (PARTITION BY event_type ORDER BY r, k) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+      FROM resid
+    ), qhat AS (
+      SELECT event_type, n_cal, r AS qh
+      FROM ranked
+      WHERE rn = least((9000 * (n_cal + 1) + 9999) // 10000, n_cal)
+    ), test AS (
+      SELECT s.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN abs(s.y - CAST(p.pred AS DECIMAL(18,6)))
+                           <= q.qh
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM split s
+      JOIN pred p USING (event_type)
+      LEFT JOIN qhat q USING (event_type)
+      WHERE s.sp = 'test'
+      GROUP BY 1
+    )
+    SELECT p.event_type, p.n_train,
+      COALESCE(q.n_cal, 0) AS n_cal,
+      COALESCE(t.n_test, 0) AS n_test,
+      p.pred,
+      CAST(q.qh AS DOUBLE) AS qhat,
+      p.pred - CAST(q.qh AS DOUBLE) AS lo,
+      p.pred + CAST(q.qh AS DOUBLE) AS hi,
+      CASE WHEN q.qh IS NOT NULL THEN
+        round(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+      END AS coverage
+    FROM pred p
+    LEFT JOIN qhat q USING (event_type)
+    LEFT JOIN test t USING (event_type)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -14519,6 +14858,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": q_phrase_hits,
         "bootstrap_ci": q_bootstrap_ci,
         "gazetteer_hits": q_gazetteer_hits,
+        # --- round 9, third session ---
+        "bloom_semi_join": q_bloom_semi_join,
+        "bloom_anti_join": q_bloom_anti_join,
+        "mutual_best_match": q_mutual_best_match,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "permutation_test": q_permutation_test,
+        "conformal_intervals": q_conformal_intervals,
     }
 
 

@@ -1,0 +1,276 @@
+"""Round-9 third-session tests: bloom semi-join reduction, matching
+primitives, and the other r9c operator families."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ bloom_semi_join
+
+
+def _fact_dim(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 37) for i in range(500)] + [(9991, None)],
+        "rid long, k long",
+    )
+    dim = spark.createDataFrame(
+        [(3,), (11,), (36,), (99,)], "k long"
+    )
+    return fact, dim
+
+
+def test_bloom_semi_matches_plain_semi(spark):
+    from skrub_spark.operators.semi_join import bloom_semi_join
+
+    fact, dim = _fact_dim(spark)
+    got = bloom_semi_join(fact, dim, "k", how="semi").select("rid", "k")
+    want = fact.join(dim, "k", "left_semi").select("rid", "k")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_anti_matches_plain_anti_including_nulls(spark):
+    from skrub_spark.operators.semi_join import bloom_semi_join
+
+    fact, dim = _fact_dim(spark)
+    got = bloom_semi_join(fact, dim, "k", how="anti").select("rid", "k")
+    want = fact.join(dim, "k", "left_anti").select("rid", "k")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the NULL-key row is a definite non-match and must survive
+    assert got.where(F.col("rid") == 9991).count() == 1
+
+
+def test_bloom_inner_matches_plain_inner(spark):
+    from skrub_spark.operators.semi_join import bloom_semi_join
+
+    fact, dim = _fact_dim(spark)
+    dimv = dim.withColumn("payload", F.col("k") * 10)
+    got = bloom_semi_join(fact, dimv, "k", how="inner").select(
+        "rid", "payload"
+    )
+    want = fact.join(dimv, "k", "inner").select("rid", "payload")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every dim key passes the prefilter — the exactness invariant."""
+    from skrub_spark.functions.bloom import (
+        bloom_maybe_contains,
+        bloom_size_bits,
+        build_bloom_bits,
+    )
+
+    keys = spark.range(200).select(F.col("id").alias("k"))
+    m = bloom_size_bits(200)
+    bits = build_bloom_bits(keys, "k", m)
+    missed = keys.where(
+        ~bloom_maybe_contains(
+            F.col("k"), F.expr("array(" + ",".join(f"{b}L" for b in bits) + ")"), m
+        )
+    ).count()
+    assert missed == 0
+
+
+def test_bloom_rejects_bad_how(spark):
+    from skrub_spark.operators.semi_join import bloom_semi_join
+
+    fact, dim = _fact_dim(spark)
+    with pytest.raises(ValueError):
+        bloom_semi_join(fact, dim, "k", how="full")
+
+
+# --------------------------------------------- mutual_best_match
+
+
+def test_mutual_best_match_symmetry(spark):
+    from skrub_spark.operators.matching import mutual_best_match
+
+    # l1's best is r1 and vice versa; l2's best is r1 but r1 prefers
+    # l1 -> l2 unmatched.
+    pairs = spark.createDataFrame(
+        [
+            ("l1", "r1", 0.9),
+            ("l1", "r2", 0.5),
+            ("l2", "r1", 0.8),
+            ("l2", "r2", 0.4),
+        ],
+        "l string, r string, s double",
+    )
+    got = {
+        (r["l"], r["r"])
+        for r in mutual_best_match(pairs, "l", "r", "s").collect()
+    }
+    assert got == {("l1", "r1")}
+
+
+def test_mutual_best_match_ascending_and_ties(spark):
+    from skrub_spark.operators.matching import mutual_best_match
+
+    # distance mode; tie on (l1,r1) vs (l1,r2) breaks to the smaller
+    # partner id deterministically.
+    pairs = spark.createDataFrame(
+        [("l1", "r1", 2.0), ("l1", "r2", 2.0), ("l2", "r2", 1.0)],
+        "l string, r string, s double",
+    )
+    got = {
+        (r["l"], r["r"])
+        for r in mutual_best_match(
+            pairs, "l", "r", "s", ascending=True
+        ).collect()
+    }
+    assert got == {("l1", "r1"), ("l2", "r2")}
+
+
+# --------------------------------------- sorted_neighborhood_pairs
+
+
+def _brute_snm(rows, window):
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    out = set()
+    for i, (ida, _) in enumerate(order):
+        for j in range(i + 1, min(i + window + 1, len(order))):
+            out.add((ida, order[j][0], j - i))
+    return out
+
+
+@pytest.mark.parametrize("window,buckets", [(3, 4), (1, 2), (5, 7)])
+def test_snm_matches_brute_force(spark, window, buckets):
+    from skrub_spark.operators.matching import sorted_neighborhood_pairs
+
+    rows = [(i, (i * 37) % 101) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    got = {
+        (r["id_a"], r["id_b"], r["pos_dist"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=window, num_buckets=buckets
+        ).collect()
+    }
+    assert got == _brute_snm(rows, window)
+
+
+def test_snm_bucket_invariance_and_tiny_buckets(spark):
+    """Same pair set whatever the bucket count — including buckets
+    smaller than the window (the merge path)."""
+    from skrub_spark.operators.matching import sorted_neighborhood_pairs
+
+    rows = [(i, i % 7) for i in range(25)]  # heavy ties too
+    df = spark.createDataFrame(rows, "id long, k long")
+    ref = _brute_snm(rows, 4)
+    for nb in (1, 3, 13):
+        got = {
+            (r["id_a"], r["id_b"], r["pos_dist"])
+            for r in sorted_neighborhood_pairs(
+                df, "id", "k", window=4, num_buckets=nb
+            ).collect()
+        }
+        assert got == ref, f"num_buckets={nb}"
+
+
+def test_snm_null_keys_excluded_and_window_validation(spark):
+    from skrub_spark.operators.matching import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 11)], "id long, k long"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=2
+        ).collect()
+    }
+    assert got == {(1, 3)}
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "k", window=0)
+
+
+# ----------------------------------------- permutation_test_means
+
+
+def test_permutation_null_case_large_p(spark):
+    """Same distribution in both groups -> p nowhere near 0."""
+    from skrub_spark.report.permutation import permutation_test_means
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float((i // 2) % 10)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    r = permutation_test_means(df, "x", "g", "k", n_perm=50).first()
+    assert r["group_a"] == "a" and r["group_b"] == "b"
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert r["p_value"] > 0.2
+
+
+def test_permutation_shifted_means_small_p(spark):
+    from skrub_spark.report.permutation import permutation_test_means
+
+    rows = [(i, "a", float(i % 5)) for i in range(200)] + [
+        (1000 + i, "b", 50.0 + (i % 5)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    r = permutation_test_means(df, "x", "g", "k", n_perm=50).first()
+    assert abs(r["diff_obs"] + 50.0) < 1e-9
+    # no permuted relabeling can beat a 50-point shift
+    assert r["n_ge"] == 0
+    assert abs(r["p_value"] - 1.0 / 51.0) < 1e-5
+
+
+def test_permutation_deterministic_across_partitionings(spark):
+    from skrub_spark.report.permutation import permutation_test_means
+
+    rows = [(i, "a" if i % 3 == 0 else "b", float((i * 7) % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    r1 = permutation_test_means(df, "x", "g", "k", n_perm=40).first()
+    r2 = permutation_test_means(
+        df.repartition(17), "x", "g", "k", n_perm=40
+    ).first()
+    assert r1.asDict() == r2.asDict()
+
+
+# ------------------------------------- conformal_mean_intervals
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Marginal coverage on the held-out test split ~ >= 1 - alpha
+    (exchangeable data; allow small-sample slack)."""
+    from skrub_spark.report.conformal import conformal_mean_intervals
+
+    rows = [(i, "g", float((i * 131) % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, g string, y double")
+    r = conformal_mean_intervals(df, "y", "k", ["g"], alpha=0.1).first()
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == 2000
+    assert r["coverage"] >= 0.85
+    assert abs((r["hi"] - r["lo"]) / 2 - r["qhat"]) < 1e-9
+
+
+def test_conformal_empty_calibration_yields_null(spark):
+    from skrub_spark.report.conformal import conformal_mean_intervals
+
+    # 3 rows whose md5 buckets all land in train/test is unlikely;
+    # force it: cal_pct=0 guarantees an empty calibration split.
+    rows = [(i, "g", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, g string, y double")
+    r = conformal_mean_intervals(
+        df, "y", "k", ["g"], alpha=0.1, cal_pct=0
+    ).first()
+    assert r["qhat"] is None and r["coverage"] is None
+
+
+def test_conformal_qhat_is_calibration_order_statistic(spark):
+    from skrub_spark.report.conformal import conformal_mean_intervals
+
+    rows = [(i, "g", float((i * 17) % 29)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, g string, y double")
+    r = conformal_mean_intervals(df, "y", "k", ["g"], alpha=0.2).first()
+    # recompute driver-side
+    import hashlib
+
+    def bucket(k):
+        return int(hashlib.md5(f"conf{k}".encode()).hexdigest()[:15], 16) % 100
+
+    train = [y for k, _, y in rows if bucket(k) >= 50]
+    cal = [y for k, _, y in rows if 20 <= bucket(k) < 50]
+    pred = round(sum(train) / len(train), 6)
+    res = sorted(abs(y - pred) for y in cal)
+    rank = min((8000 * (len(cal) + 1) + 9999) // 10000, len(cal))
+    assert abs(r["qhat"] - res[rank - 1]) < 1e-9
