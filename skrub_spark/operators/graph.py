@@ -795,3 +795,159 @@ def weighted_distances(
         )
         dist = _ckpt(dist)
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction (r9c) over the undirected
+    simple graph: for every non-adjacent node pair with >=
+    ``min_common`` shared neighbors, the three classic scores —
+    common-neighbor count, Jaccard, and resource allocation
+    (Zhou/Lu/Zhang 2009, RA = sum over shared z of 1/deg(z), the
+    consistently strongest local index).
+
+    Exactness: counts are integers; Jaccard is ONE IEEE division of
+    exact integers (6dp round); RA ships INTEGER-scaled as
+    ``ra_scaled = sum(10^12 div deg(z))`` — no per-engine float
+    summation order anywhere, so the frame replays bit-identically
+    in SQL (battery query ``link_prediction``).
+
+    Scale: the wedge self-join is the quadratic step — each shared
+    neighbor z contributes deg(z)^2 candidate pairs. ``max_degree``
+    drops hub INTERMEDIATES above the cap (their wedges are
+    link-prediction noise — sharing a megahub says nothing), the
+    standard guard; full degrees still feed Jaccard. Returns
+    ``(node_a, node_b, common_neighbors, ra_scaled, jaccard)`` with
+    node_a < node_b.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    und = und.persist()
+    nbrs = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("z", "x")
+    deg = nbrs.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    mids = nbrs.join(deg, "z")
+    if max_degree is not None:
+        mids = mids.where(F.col("deg") <= max_degree)
+    left = mids.select("z", F.col("x").alias("na"), "deg")
+    right = mids.select("z", F.col("x").alias("nb"))
+    pairs = (
+        left.join(right, "z")
+        .where(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000000000L div deg"))
+            .cast("long")
+            .alias("ra_scaled"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    # drop already-adjacent pairs (na < nb matches und's a < b)
+    cand = pairs.join(
+        und,
+        (pairs["na"] == und["a"]) & (pairs["nb"] == und["b"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("z").alias("na"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("z").alias("nb"), F.col("deg").alias("degb"))
+    return (
+        cand.join(da, "na")
+        .join(db, "nb")
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            "common_neighbors",
+            "ra_scaled",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("dega") + F.col("degb") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected simple graph: the Pearson correlation of endpoint
+    degrees over all directed edge stubs (each undirected edge
+    counted in both orientations). Negative values are the
+    web/spam-graph signature (hubs linking to leaves), positive
+    values the social-graph signature — a one-row shape prior next
+    to ``triangle_stats``.
+
+    Exactness discipline (the numeric_associations recipe,
+    report/associations.py): all five moment sums are exact
+    DECIMAL(38,0) integers; the coefficient is computed with a
+    handful of IEEE ops (two correctly-rounded sqrts, one divide)
+    from those exact integers — bit-identical cross-engine.
+
+    Returns one row ``(n_stubs, assortativity)``; NULL coefficient
+    for degree-regular graphs (zero variance).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    stubs = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = stubs.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    joined = (
+        stubs.join(deg.withColumnRenamed("a", "__u"), F.col("a") == F.col("__u"))
+        .withColumnRenamed("deg", "du")
+        .drop("__u")
+        .join(deg.withColumnRenamed("a", "__v"), F.col("b") == F.col("__v"))
+        .withColumnRenamed("deg", "dv")
+        .drop("__v")
+    )
+    d38 = "decimal(38,0)"
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_stubs"),
+        F.sum(F.col("du").cast(d38)).alias("sx"),
+        F.sum((F.col("du").cast(d38) * F.col("dv").cast(d38))).alias("sxy"),
+        F.sum((F.col("du").cast(d38) * F.col("du").cast(d38))).alias("sxx"),
+    )
+    # by stub symmetry sum(dv)=sum(du) and sum(dv^2)=sum(du^2)
+    n = F.col("n_stubs").cast("double")
+    sx = F.col("sx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = n * sxx - sx * sx
+    return sums.select(
+        "n_stubs",
+        F.when(
+            # Sx=Sy and Sxx=Syy by stub symmetry, so the usual
+            # sqrt(varx)*sqrt(vary) denominator IS var exactly.
+            var > 0,
+            F.round((n * sxy - sx * sx) / var, 6),
+        ).alias("assortativity"),
+    )

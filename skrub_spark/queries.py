@@ -14286,6 +14286,168 @@ ORACLES["conformal_intervals"] = """
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (r9c,
+    operators/collocations.py::pmi_collocations — Church-Hanks
+    association ratio with NO IEEE log: the score ships as the
+    integer (N·c_xy·10⁶) div (c_x·c_y) in DECIMAL(38,0), monotone
+    in PMI and exact at 100 TB token counts): top-25 adjacent
+    bigrams over the documents corpus, min_count=5."""
+    _prep(spark)
+    from .operators.collocations import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", "doc_id", min_count=5, top_k=25)
+
+
+ORACLES["pmi_collocations"] = """
+    WITH tok AS (
+      SELECT list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          t -> t <> ''
+        ) AS ts
+      FROM documents
+    ), toks AS (
+      SELECT ts FROM tok WHERE len(ts) > 0
+    ), n_tok AS (
+      SELECT CAST(sum(len(ts)) AS BIGINT) AS n FROM toks
+    ), uni AS (
+      SELECT unnest(ts) AS w FROM toks
+    ), unic AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1
+    ), bi AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+      WHERE len(ts) > 1
+    ), bic AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, pair_count,
+      CAST((CAST((SELECT n FROM n_tok) AS HUGEINT)
+            * CAST(pair_count AS HUGEINT)
+            * CAST(1000000 AS HUGEINT))
+           // (CAST(u1.c AS HUGEINT) * CAST(u2.c AS HUGEINT))
+           AS BIGINT) AS score_scaled
+    FROM bic
+    JOIN unic u1 ON u1.w = bic.w1
+    JOIN unic u2 ON u2.w = bic.w2
+    ORDER BY score_scaled DESC, w1, w2
+    LIMIT 25
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (r9c, operators/graph.py::link_prediction —
+    common-neighbor / Jaccard / integer-scaled resource-allocation
+    scores over non-adjacent pairs of the planted 97-host graph;
+    the wedge join is the quadratic step, hub-capped in the general
+    API): pairs with ≥2 shared neighbors."""
+    _prep(spark)
+    from .operators.graph import link_prediction
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return link_prediction(edges, min_common=2)
+
+
+ORACLES["link_prediction"] = """
+    WITH e0 AS (
+      SELECT doc_id % 97 AS s, (doc_id * 31 + 7) % 97 AS d FROM documents
+      UNION ALL
+      SELECT doc_id % 97 AS s, (doc_id * 17 + 3) % 97 AS d FROM documents
+    ), e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s != d
+    ), nbrs AS (
+      SELECT a AS z, b AS x FROM e
+      UNION ALL SELECT b AS z, a AS x FROM e
+    ), deg AS (
+      SELECT z, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1
+    ), mids AS (
+      SELECT n.z, n.x, d.deg FROM nbrs n JOIN deg d USING (z)
+    ), pairs AS (
+      SELECT l.x AS na, r.x AS nb,
+        CAST(count(*) AS BIGINT) AS common_neighbors,
+        CAST(sum(1000000000000 // l.deg) AS BIGINT) AS ra_scaled
+      FROM mids l JOIN mids r ON l.z = r.z AND l.x < r.x
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), cand AS (
+      SELECT p.* FROM pairs p
+      ANTI JOIN e ON p.na = e.a AND p.nb = e.b
+    )
+    SELECT na AS node_a, nb AS node_b, common_neighbors, ra_scaled,
+      round(CAST(common_neighbors AS DOUBLE)
+            / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 6)
+        AS jaccard
+    FROM cand
+    JOIN deg da ON da.z = cand.na
+    JOIN deg db ON db.z = cand.nb
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (r9c,
+    operators/graph.py::degree_assortativity — Newman 2002 shape
+    prior: Pearson of endpoint degrees over edge stubs, all moment
+    sums exact DECIMAL(38,0), a handful of IEEE ops at the end) of
+    the planted host graph."""
+    _prep(spark)
+    from .operators.graph import degree_assortativity
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return degree_assortativity(edges)
+
+
+ORACLES["degree_assortativity"] = """
+    WITH e AS (
+      SELECT DISTINCT least(doc_id % 97, (doc_id * 31 + 7) % 97) AS a,
+             greatest(doc_id % 97, (doc_id * 31 + 7) % 97) AS b
+      FROM documents
+      WHERE (doc_id % 97) != ((doc_id * 31 + 7) % 97)
+    ), stubs AS (
+      SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT a AS z, CAST(count(*) AS BIGINT) AS deg
+      FROM stubs GROUP BY 1
+    ), j AS (
+      SELECT du.deg AS du, dv.deg AS dv
+      FROM stubs s
+      JOIN deg du ON du.z = s.a
+      JOIN deg dv ON dv.z = s.b
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_stubs,
+        CAST(sum(CAST(du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        CAST(sum(CAST(du AS DECIMAL(38,0)) * CAST(dv AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(CAST(du AS DECIMAL(38,0)) * CAST(du AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS sxx
+      FROM j
+    )
+    SELECT n_stubs,
+      CASE WHEN (CAST(n_stubs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 THEN
+        round((CAST(n_stubs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n_stubs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      END AS assortativity
+    FROM sums
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -14865,6 +15027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "permutation_test": q_permutation_test,
         "conformal_intervals": q_conformal_intervals,
+        "pmi_collocations": q_pmi_collocations,
+        "link_prediction": q_link_prediction,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 

@@ -274,3 +274,106 @@ def test_conformal_qhat_is_calibration_order_statistic(spark):
     res = sorted(abs(y - pred) for y in cal)
     rank = min((8000 * (len(cal) + 1) + 9999) // 10000, len(cal))
     assert abs(r["qhat"] - res[rank - 1]) < 1e-9
+
+
+# ------------------------------------------------ pmi_collocations
+
+
+def test_pmi_planted_collocation_wins(spark):
+    from skrub_spark.operators.collocations import pmi_collocations
+
+    # "zig zag" always adjacent; "foo"/"bar" common but independent.
+    docs = [
+        (i, "foo bar zig zag " + ("foo " * (i % 3)) + "bar") for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = pmi_collocations(df, "text", "doc_id", min_count=5, top_k=3).collect()
+    assert (top[0]["w1"], top[0]["w2"]) == ("zig", "zag")
+
+
+def test_pmi_min_count_filters_hapax(spark):
+    from skrub_spark.operators.collocations import pmi_collocations
+
+    docs = [(1, "rare pairx"), (2, "common word common word common word")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, "text", "doc_id", min_count=2, top_k=10).collect()
+    assert all((r["w1"], r["w2"]) != ("rare", "pairx") for r in rows)
+
+
+def test_pmi_score_matches_hand_computation(spark):
+    from skrub_spark.operators.collocations import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "aa bb") for i in range(7)], "doc_id long, text string"
+    )
+    r = pmi_collocations(df, "text", "doc_id", min_count=5, top_k=5).first()
+    # N=14, c_xy=7, c_aa=7, c_bb=7 -> 14*7*1e6 // 49 = 2000000
+    assert r["pair_count"] == 7 and r["score_scaled"] == 2_000_000
+
+
+# ------------------------------------------------ link_prediction
+
+
+def _lp_edges(spark):
+    # two triangles sharing a node + a pendant
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)],
+        "src long, dst long",
+    )
+
+
+def test_link_prediction_scores(spark):
+    from skrub_spark.operators.graph import link_prediction
+
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in link_prediction(_lp_edges(spark)).collect()
+    }
+    # 1-4: share neighbor 3 (deg 4); not adjacent
+    r = got[(1, 4)]
+    assert r["common_neighbors"] == 1
+    assert r["ra_scaled"] == 1000000000000 // 4
+    # deg(1)=2, deg(4)=2 -> jaccard = 1 / (2 + 2 - 1)
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+    # adjacent pairs never appear
+    assert (1, 2) not in got and (3, 5) not in got
+
+
+def test_link_prediction_max_degree_drops_hub_wedges(spark):
+    from skrub_spark.operators.graph import link_prediction
+
+    full = {
+        (r["node_a"], r["node_b"])
+        for r in link_prediction(_lp_edges(spark)).collect()
+    }
+    capped = {
+        (r["node_a"], r["node_b"])
+        for r in link_prediction(_lp_edges(spark), max_degree=3).collect()
+    }
+    # node 3 (deg 4) wedges vanish under the cap
+    assert (1, 4) in full and (1, 4) not in capped
+    assert capped <= full
+
+
+# ------------------------------------------ degree_assortativity
+
+
+def test_assortativity_star_is_negative(spark):
+    from skrub_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).first()
+    assert r["n_stubs"] == 10
+    assert r["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_null(spark):
+    from skrub_spark.operators.graph import degree_assortativity
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    r = degree_assortativity(cycle).first()
+    assert r["assortativity"] is None
