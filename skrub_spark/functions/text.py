@@ -523,3 +523,41 @@ def jaro_winkler(a: Column | str, b: Column | str) -> Column:
         )
 
     return _jw(a, b)
+
+
+def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
+    """zlib compression ratio (r9c) — compressed_bytes /
+    utf8_bytes of the column, the classic cheap quality signal
+    (Gopher, RefinedWeb: boilerplate/spam and generated gibberish
+    compress far better than natural prose; near-random noise
+    compresses worse). Complements the explicit repetition ratios
+    (operators/repetition.py) with a single model-free scalar.
+
+    Arrow-batched pandas UDF (zlib is C-speed; the batch never
+    leaves one task). Deterministic for a given zlib version and
+    ``level`` — but NOT cross-engine replayable (no SQL zlib), so
+    queries built on it are rows-only with pytest value contracts
+    (tests/test_r9c_ops.py pins UDF output == direct zlib).
+    Empty/NULL text → NULL.
+    """
+    import pandas as pd  # noqa: F401 (runtime dep of pandas_udf)
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        import pandas as pd
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, level)) / len(b), 6)
+
+        return pd.Series([one(t) for t in s], dtype="float64")
+
+    return _ratio(c)

@@ -178,3 +178,72 @@ def more_like_this(
         cos.withColumn("rank", F.row_number().over(rk).cast("int"))
         .filter(F.col("rank") <= F.lit(int(top_k)))
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_df: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Term burstiness (r9c) — Church & Gale's observation that
+    content words are BURSTY (clumped into few documents) while
+    function words are Poisson-spread. The statistic is the
+    variance-to-mean ratio (index of dispersion) of a term's
+    per-document count across ALL documents: ~1 for Poisson
+    function words, ≫1 for topical terms. Complements TF-IDF
+    (``keywords_tfidf`` above) with a corpus-level vocabulary
+    audit: burstiness-ranked terms are topic markers; a corpus
+    whose high-DF terms are all bursty is topically skewed.
+
+    Zeros never materialize: with N docs, T = Σc total occurrences
+    and S = Σc² over docs CONTAINING the term,
+    VMR = (N·S − T²) / ((N−1)·T) — three exact DECIMAL(38,0)
+    integers (T² overflows BIGINT at web-corpus counts), ONE IEEE
+    division, 6dp round. One tokenization pass, one
+    map-side-combined groupBy; the top-k is a bounded ordered
+    limit by (vmr desc, term).
+
+    Returns ``(term, doc_freq, total_count, vmr)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        ).alias("ts"),
+    ).where(F.size("ts") > 0)
+    toks = toks.persist()
+    n_docs = toks.select(F.count(F.lit(1)).cast("long").alias("nd"))
+    per_doc = (
+        toks.select("id", F.explode("ts").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    stats = (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("c").cast("long").alias("total_count"),
+            F.sum((F.col("c").cast(d38) * F.col("c").cast(d38))).alias("s2"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    t38 = F.col("total_count").cast(d38)
+    vmr = F.round(
+        (F.col("nd").cast(d38) * F.col("s2") - t38 * t38).cast("double")
+        / ((F.col("nd") - 1).cast(d38) * t38).cast("double"),
+        6,
+    )
+    out = (
+        stats.select("term", "doc_freq", "total_count", vmr.alias("vmr"))
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(top_k)
+        .localCheckpoint(eager=True)
+    )
+    toks.unpersist()
+    return out

@@ -627,3 +627,84 @@ def stl_decompose(
             ),
         )
     )
+
+
+def rolling_hampel(
+    series: DataFrame,
+    by: list[str],
+    period_col: str,
+    value_col: str,
+    *,
+    half_window: int = 3,
+    k: float = 3.0,
+) -> DataFrame:
+    """Rolling Hampel filter (r9c) — the robust time-series outlier
+    detector (Pearson/Hampel): a point is anomalous when it sits
+    more than ``k`` scaled-MADs from its centered rolling MEDIAN.
+    Unlike the global Hampel pass (report/outliers.py) this flags
+    LOCAL spikes in nonstationary series — the monitoring shape
+    (traffic dips, metric glitches) a global median misses.
+
+    Per group: a centered ``2·half_window+1``-row frame, median and
+    MAD as explicit order statistics over the frame's sorted array
+    (even n → mean of the middle two) — no percentile
+    interpolation, so the frame replays bit-identically in SQL.
+    MAD scales by the literal 1.4826 (consistency with σ under
+    normality); a zero-MAD frame flags any nonzero deviation.
+
+    Scale shape: one window pass partitioned by the series keys —
+    the frame is (2w+1) values regardless of series length, and the
+    per-period input is already aggregated (bounded per group), so
+    no unpartitioned window over row-scale data exists.
+
+    Returns ``(*by, period, value, med, mad, is_outlier)``.
+    """
+
+    def _median(arr):
+        n = F.size(arr)
+        mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        lo = F.element_at(arr, (n / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return F.when(n % 2 == 1, mid.cast("double")).otherwise(
+            (lo.cast("double") + hi.cast("double")) / F.lit(2.0)
+        )
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(period_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    vals = series.select(
+        *by,
+        F.col(period_col).alias("period"),
+        F.col(value_col).cast("double").alias("value"),
+        F.array_sort(
+            F.collect_list(F.col(value_col).cast("double")).over(w)
+        ).alias("__win"),
+    )
+    med = _median(F.col("__win"))
+    with_med = vals.withColumn("med", med).withColumn(
+        "__dev",
+        F.array_sort(
+            F.transform(
+                F.col("__win"), lambda x: F.abs(x - F.col("med"))
+            )
+        ),
+    )
+    mad = _median(F.col("__dev"))
+    out = with_med.withColumn("mad", mad).select(
+        *by,
+        "period",
+        "value",
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") == 0.0, F.abs(F.col("value") - F.col("med")) > 0
+        )
+        .otherwise(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+        )
+        .alias("is_outlier"),
+    )
+    return out

@@ -14448,6 +14448,161 @@ ORACLES["degree_assortativity"] = """
 """
 
 
+def q_rolling_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Hampel filter (r9c,
+    operators/sequence.py::rolling_hampel — local robust spike
+    detection: centered 7-row frame, median and MAD as explicit
+    order statistics over the frame's sorted array, scaled by the
+    literal 1.4826): daily error-event counts per event type."""
+    _prep(spark)
+    from .operators.sequence import rolling_hampel
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return rolling_hampel(
+        daily, ["event_type"], "day", "cnt", half_window=3, k=3.0
+    )
+
+
+ORACLES["rolling_hampel"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, CAST(cnt AS DOUBLE) AS value,
+        list_sort(list(CAST(cnt AS DOUBLE)) OVER (
+          PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+      FROM daily
+    ), med AS (
+      SELECT *, CASE WHEN len(w) % 2 = 1
+          THEN w[CAST((len(w) + 1) / 2 AS INT)]
+          ELSE (w[CAST(len(w) / 2 AS INT)]
+                + w[CAST(len(w) / 2 AS INT) + 1]) / 2.0 END AS med
+      FROM win
+    ), dev AS (
+      SELECT *, list_sort(list_transform(w, x -> abs(x - med))) AS d
+      FROM med
+    ), mad AS (
+      SELECT *, CASE WHEN len(d) % 2 = 1
+          THEN d[CAST((len(d) + 1) / 2 AS INT)]
+          ELSE (d[CAST(len(d) / 2 AS INT)]
+                + d[CAST(len(d) / 2 AS INT) + 1]) / 2.0 END AS mad
+      FROM dev
+    )
+    SELECT event_type, day AS period, value, med, mad,
+      CASE WHEN mad = 0.0 THEN abs(value - med) > 0
+           ELSE abs(value - med) > 3.0 * 1.4826 * mad END AS is_outlier
+    FROM mad
+"""
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (r9c,
+    operators/keywords.py::term_burstiness — Church-Gale index of
+    dispersion of per-doc term counts, zeros never materialized:
+    VMR = (N·Σc² − T²)/((N−1)·T) from three exact DECIMAL(38,0)
+    sums, one IEEE division): top-30 bursty terms, min_df=5."""
+    _prep(spark)
+    from .operators.keywords import term_burstiness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_burstiness(docs, "text", "doc_id", min_df=5, top_k=30)
+
+
+ORACLES["term_burstiness"] = """
+    WITH tok AS (
+      SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          t -> t <> '') AS ts
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, ts FROM tok WHERE len(ts) > 0
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+    ), per_doc AS (
+      SELECT doc_id, unnest(ts) AS term FROM toks
+    ), cnt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM per_doc GROUP BY 1, 2
+    ), stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+        CAST(sum(c) AS BIGINT) AS total_count,
+        CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS s2
+      FROM cnt GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT term, doc_freq, total_count,
+      round(CAST(CAST((SELECT n FROM nd) AS DECIMAL(38,0)) * s2
+                 - CAST(total_count AS DECIMAL(38,0))
+                   * CAST(total_count AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST((SELECT n FROM nd) - 1 AS DECIMAL(38,0))
+                   * CAST(total_count AS DECIMAL(38,0)) AS DOUBLE), 6)
+        AS vmr
+    FROM stats
+    ORDER BY vmr DESC, term
+    LIMIT 30
+"""
+
+
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (r9c,
+    functions/text.py::compression_ratio — the Gopher/RefinedWeb
+    model-free gibberish detector; zlib in an Arrow-batched pandas
+    UDF, deterministic per zlib version but with no SQL replay →
+    rows-only, value-pinned by pytest): per-language mean ratio and
+    extreme-compressibility share over the documents corpus."""
+    _prep(spark)
+    from .functions.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", compression_ratio(F.col("text")).alias("r")
+    ).where(F.col("r").isNotNull())
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("r"), 4).alias("mean_ratio"),
+        F.sum((F.col("r") < 0.35).cast("int"))
+        .cast("long")
+        .alias("n_high_compress"),
+    )
+
+
+def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention network (r9c — composition query: the
+    gazetteer tagger (operators/gazetteer.py) feeds a per-doc
+    entity-pair count, the edge list entity-resolution and graph
+    stages consume; one tokenization pass, pair join on doc_id)."""
+    _prep(spark)
+    from .operators.gazetteer import gazetteer_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = gazetteer_match(docs, _GAZETTEER_ENTITIES).select(
+        "doc_id", "entity"
+    )
+    a = hits.toDF("doc_id", "entity_a")
+    b = hits.toDF("doc_id", "entity_b")
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+ORACLES["entity_comention"] = f"""
+    WITH hits AS ({_gazetteer_oracle()})
+    SELECT a.entity AS entity_a, b.entity AS entity_b,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM hits a JOIN hits b
+      ON a.doc_id = b.doc_id AND a.entity < b.entity
+    GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -15030,6 +15185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "link_prediction": q_link_prediction,
         "degree_assortativity": q_degree_assortativity,
+        "rolling_hampel": q_rolling_hampel,
+        "term_burstiness": q_term_burstiness,
+        "compression_signal": q_compression_signal,
+        "entity_comention": q_entity_comention,
     }
 
 

@@ -377,3 +377,89 @@ def test_assortativity_regular_graph_null(spark):
     )
     r = degree_assortativity(cycle).first()
     assert r["assortativity"] is None
+
+
+# ------------------------------------------------- rolling_hampel
+
+
+def test_rolling_hampel_flags_planted_spike(spark):
+    from skrub_spark.operators.sequence import rolling_hampel
+
+    import datetime as dt
+
+    rows = [
+        ("a", dt.date(2024, 1, 1) + dt.timedelta(days=i),
+         100 + (i % 3) + (900 if i == 10 else 0))
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, cnt long")
+    out = {r["period"]: r for r in rolling_hampel(
+        df, ["g"], "day", "cnt", half_window=3
+    ).collect()}
+    spike_day = dt.date(2024, 1, 11)
+    assert out[spike_day]["is_outlier"] is True
+    flagged = [p for p, r in out.items() if r["is_outlier"]]
+    assert flagged == [spike_day]
+
+
+def test_rolling_hampel_zero_mad_rule(spark):
+    from skrub_spark.operators.sequence import rolling_hampel
+
+    import datetime as dt
+
+    rows = [("a", dt.date(2024, 1, 1) + dt.timedelta(days=i),
+             5 if i != 4 else 6) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, day date, cnt long")
+    out = {r["period"]: r for r in rolling_hampel(
+        df, ["g"], "day", "cnt", half_window=2
+    ).collect()}
+    # constant frame -> mad 0; the lone 6 deviates -> flagged
+    assert out[dt.date(2024, 1, 5)]["is_outlier"] is True
+    assert out[dt.date(2024, 1, 1)]["is_outlier"] is False
+
+
+# ------------------------------------------------ term_burstiness
+
+
+def test_burstiness_clumped_vs_spread(spark):
+    from skrub_spark.operators.keywords import term_burstiness
+
+    docs = [(1, "cat cat cat dog"), (2, "dog mouse cat"), (3, "dog bird"),
+            (4, "dog fish"), (5, "dog owl"), (6, "dog hen")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["term"]: r for r in term_burstiness(
+        df, "text", "doc_id", min_df=2, top_k=10
+    ).collect()}
+    # cat: N=6,T=4,S=10 -> (60-16)/20 = 2.2 ; dog uniform -> 0
+    assert abs(out["cat"]["vmr"] - 2.2) < 1e-9
+    assert out["dog"]["vmr"] == 0.0
+    assert out["cat"]["doc_freq"] == 2 and out["cat"]["total_count"] == 4
+
+
+# --------------------------------------------- compression_ratio
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from skrub_spark.functions.text import compression_ratio
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "x9$k2@pQ!7zR#mW5&vT1*nB8^cL4)jH6(fD3",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    got = {r["id"]: r["r"] for r in df.select(
+        "id", compression_ratio(F.col("t")).alias("r")).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+        else:
+            b = t.encode()
+            assert abs(got[i] - round(len(zlib.compress(b, 6)) / len(b), 6)) < 1e-12
+    # prose repeats compress much better than random-ish noise
+    assert got[0] < 0.2 and got[1] < 0.4 and got[2] > 0.8
