@@ -70,3 +70,87 @@ def percentile_normalize(
     if rank_col:
         sel.insert(0, F.col("__rank").alias(rank_col))
     return out.select(*df.columns, *sel)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    out_col: str = "qnorm",
+) -> DataFrame:
+    """Cross-group quantile normalization (r9c) — map every group's
+    values onto the POOLED distribution so groups become
+    rank-comparable (the bioinformatics array-normalization recipe,
+    Bolstad 2003, generalized to unequal group sizes by percentile
+    mapping): a row at within-group rank r of n_g takes the pooled
+    order statistic at rank ⌈r·N/n_g⌉.
+
+    Scale + exactness: the within-group rank is a per-group window
+    (row-scale but partitioned); the pooled side NEVER builds a
+    global row_number — pooled order statistics come from the
+    distinct-value frame with cumulative counts (the Spearman
+    distributed-rank shape, report/associations.py: an ordered pass
+    over D distinct values, D ≪ N), and each row's target rank is
+    resolved by a range join cum_prev < idx ≤ cum against that
+    bounded frame. Target ranks are exact integers
+    (⌈r·N/n_g⌉ = (r·N + n_g − 1) div n_g in DECIMAL(38,0)); the
+    mapped value is an input value verbatim — no arithmetic on
+    values at all, so the result replays bit-identically in SQL.
+
+    Returns ``(id, group, value, out_col)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+    ).where(F.col(value_col).isNotNull())
+    base = base.persist()
+    n_tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wg = Window.partitionBy("grp").orderBy(F.col("v").asc(), F.col("id").asc())
+    ranked = (
+        base.withColumn("r", F.row_number().over(wg).cast("long"))
+        .withColumn(
+            "n_g",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("grp"))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "idx",
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+                " + CAST(n_g AS DECIMAL(38,0)) - 1)"
+                " div CAST(n_g AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+    )
+    # pooled distinct values with cumulative counts: ordered pass
+    # over the D-distinct frame only.
+    dist = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.select(
+        F.col("v").alias("pv"),
+        F.sum("c").over(wv).cast("long").alias("cum"),
+    ).withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.lag("cum", 1).over(Window.orderBy(F.col("pv").asc())),
+            F.lit(0).cast("long"),
+        ),
+    )
+    out = ranked.join(
+        F.broadcast(cum),
+        (F.col("idx") > F.col("cum_prev")) & (F.col("idx") <= F.col("cum")),
+        "inner",
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        F.col("v").alias(value_col),
+        F.col("pv").alias(out_col),
+    )
+    return out

@@ -708,3 +708,161 @@ def rolling_hampel(
         .alias("is_outlier"),
     )
     return out
+
+
+def seasonal_naive_backtest(
+    series: DataFrame,
+    by: list[str],
+    period_col: str,
+    value_col: str,
+    *,
+    season: int = 7,
+) -> DataFrame:
+    """Rolling-origin backtest (r9c) of the two standard forecast
+    baselines over a per-period series: NAIVE (ŷ_t = y_{t-1}) and
+    SEASONAL-NAIVE (ŷ_t = y_{t-season}) — the skill floor any real
+    forecasting model must beat (Hyndman's golden rule), and the
+    fairest honest evaluation that needs no fitting at all: every
+    forecast uses only past rows, so there is no leakage by
+    construction.
+
+    Exactness: per-group MAE = Σ|err| / n (exact integer/decimal
+    sum, ONE IEEE division) and WAPE = Σ|err| / Σy (exact ratio —
+    the per-row-division MAPE would sum IEEE doubles in engine-
+    dependent order, so it is deliberately NOT emitted). Skill =
+    mae_seasonal / mae_naive, one further IEEE division.
+
+    Scale: the input is the already-aggregated period frame; lags
+    are one window pass partitioned by the series keys. Returns
+    ``(*by, n_eval, mae_naive, mae_seasonal, wape_seasonal,
+    skill)`` over periods where BOTH baselines have a forecast
+    (row position > season), making the two MAEs comparable.
+    """
+    w = Window.partitionBy(*by).orderBy(period_col)
+    lagged = series.select(
+        *by,
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+        F.lag(F.col(value_col).cast("decimal(18,6)"), 1).over(w).alias("f1"),
+        F.lag(F.col(value_col).cast("decimal(18,6)"), season)
+        .over(w)
+        .alias("fs"),
+    ).where(F.col("f1").isNotNull() & F.col("fs").isNotNull())
+    return lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("f1"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae_naive"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("fs"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae_seasonal"),
+        F.when(
+            F.sum("y") > 0,
+            F.round(
+                F.sum(F.abs(F.col("y") - F.col("fs"))).cast("double")
+                / F.sum("y").cast("double"),
+                6,
+            ),
+        ).alias("wape_seasonal"),
+        F.when(
+            F.sum(F.abs(F.col("y") - F.col("f1"))) > 0,
+            F.round(
+                F.sum(F.abs(F.col("y") - F.col("fs"))).cast("double")
+                / F.sum(F.abs(F.col("y") - F.col("f1"))).cast("double"),
+                6,
+            ),
+        ).alias("skill"),
+    )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample cross-correlation between two regular integer series
+    at lags −max_lag..+max_lag (positive lag: series ``a`` LEADS —
+    a_t pairs with b_{t+lag}); the lead-lag detector ("do errors
+    precede purchase dips?") next to ``autocorrelation``'s
+    within-series version.
+
+    Exactness (the autocorrelation identity, extended): with
+    full-series sums S_a, S_b over the n COMMON periods,
+    numerator·n² = Σ_pairs (n·a_t − S_a)(n·b_{t+k} − S_b) and each
+    denominator·n² = Σ_common (n·a − S_a)² — all exact
+    DECIMAL(38,0) integers; ccf is (num / (sqrt(da)·sqrt(db)))
+    from three exact integers via two correctly-rounded sqrts and
+    one divide, 6dp round. ``x_col`` must step by 1 (an epoch-day
+    index); only periods present in BOTH series enter n/S (gaps
+    drop pairs).
+
+    Returns ``(lag, n_pairs, ccf)``.
+    """
+    av = a.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("ya"),
+    )
+    bv = b.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("yb"),
+    )
+    common = av.join(bv, "x").persist()
+    d38 = "decimal(38,0)"
+    tot = common.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ya").cast("long").alias("sa"),
+        F.sum("yb").cast("long").alias("sb"),
+    )
+    cen = common.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (
+            F.col("n").cast(d38) * F.col("ya").cast(d38)
+            - F.col("sa").cast(d38)
+        ).alias("ca"),
+        (
+            F.col("n").cast(d38) * F.col("yb").cast(d38)
+            - F.col("sb").cast(d38)
+        ).alias("cb"),
+    )
+    den = cen.agg(
+        F.sum(F.col("ca") * F.col("ca")).alias("da"),
+        F.sum(F.col("cb") * F.col("cb")).alias("db"),
+    )
+    lags = common.sparkSession.range(
+        -max_lag, max_lag + 1
+    ).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        cen.select("x", "ca")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            cen.select(F.col("x").alias("x2"), "cb"),
+            F.col("x") + F.col("lag") == F.col("x2"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("num"),
+        )
+    )
+    out = pairs.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("da") > 0) & (F.col("db") > 0),
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("da").cast("double"))
+                    * F.sqrt(F.col("db").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("ccf"),
+    )
+    return out

@@ -14603,6 +14603,257 @@ ORACLES["entity_comention"] = f"""
 """
 
 
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (r9c,
+    operators/sequence.py::seasonal_naive_backtest — naive vs
+    seasonal-naive baselines, zero leakage by construction; MAE and
+    WAPE as exact-sum ratios, per-row-division MAPE deliberately
+    absent): daily counts per event type, weekly season."""
+    _prep(spark)
+    from .operators.sequence import seasonal_naive_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return seasonal_naive_backtest(
+        daily, ["event_type"], "day", "cnt", season=7
+    )
+
+
+ORACLES["seasonal_backtest"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type,
+        CAST(cnt AS DECIMAL(18,6)) AS y,
+        lag(CAST(cnt AS DECIMAL(18,6)), 1) OVER w AS f1,
+        lag(CAST(cnt AS DECIMAL(18,6)), 7) OVER w AS fs
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), ev AS (
+      SELECT * FROM lagged WHERE f1 IS NOT NULL AND fs IS NOT NULL
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_eval,
+      round(CAST(sum(abs(y - f1)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS mae_naive,
+      round(CAST(sum(abs(y - fs)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS mae_seasonal,
+      CASE WHEN sum(y) > 0 THEN
+        round(CAST(sum(abs(y - fs)) AS DOUBLE)
+              / CAST(sum(y) AS DOUBLE), 6) END AS wape_seasonal,
+      CASE WHEN sum(abs(y - f1)) > 0 THEN
+        round(CAST(sum(abs(y - fs)) AS DOUBLE)
+              / CAST(sum(abs(y - f1)) AS DOUBLE), 6) END AS skill
+    FROM ev GROUP BY 1
+"""
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (r9c,
+    operators/sequence.py::cross_correlation — the autocorrelation
+    n²-scaled integer identity extended to two series: numerator
+    and both denominators are exact DECIMAL(38,0), ccf is two
+    correctly-rounded sqrts + one divide): do error events lead
+    purchase counts across days, lags −5..+5?"""
+    _prep(spark)
+    from .operators.sequence import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = daily.where(F.col("event_type") == "error").select("d", "cnt")
+    b = daily.where(F.col("event_type") == "purchase").select("d", "cnt")
+    return cross_correlation(a, b, "d", "cnt", max_lag=5)
+
+
+ORACLES["cross_correlation"] = """
+    WITH daily AS (
+      SELECT event_type,
+        datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), av AS (SELECT d AS x, cnt AS ya FROM daily WHERE event_type = 'error'),
+    bv AS (SELECT d AS x, cnt AS yb FROM daily WHERE event_type = 'purchase'),
+    common AS (SELECT av.x, ya, yb FROM av JOIN bv USING (x)),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb
+      FROM common
+    ), cen AS (
+      SELECT x,
+        CAST(t.n AS DECIMAL(38,0)) * CAST(ya AS DECIMAL(38,0))
+          - CAST(t.sa AS DECIMAL(38,0)) AS ca,
+        CAST(t.n AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0))
+          - CAST(t.sb AS DECIMAL(38,0)) AS cb
+      FROM common, tot t
+    ), den AS (
+      SELECT CAST(sum(ca * ca) AS DECIMAL(38,0)) AS da,
+        CAST(sum(cb * cb) AS DECIMAL(38,0)) AS db
+      FROM cen
+    ), lags AS (
+      SELECT CAST(unnest(generate_series(-5, 5)) AS INT) AS lag
+    ), pairs AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(l.ca * r.cb) AS DECIMAL(38,0)) AS num
+      FROM cen l CROSS JOIN lags
+      JOIN cen r ON l.x + lag = r.x
+      GROUP BY 1
+    )
+    SELECT lag, n_pairs,
+      CASE WHEN da > 0 AND db > 0 THEN
+        round(CAST(num AS DOUBLE)
+              / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))), 6)
+      END AS ccf
+    FROM pairs, den
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization (r9c,
+    functions/ranknorm.py::quantile_normalize — per-group window
+    rank → pooled order statistic at ⌈r·N/n_g⌉ resolved by a range
+    join against the bounded distinct-value cumulative frame; the
+    mapped value is an input value verbatim, no arithmetic):
+    document lengths normalized across languages."""
+    _prep(spark)
+    from .functions.ranknorm import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", "lang", "doc_id")
+
+
+ORACLES["quantile_normalize"] = """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars AS v FROM documents
+      WHERE n_chars IS NOT NULL
+    ), n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    ranked AS (
+      SELECT doc_id, lang, v,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY v, doc_id)
+             AS BIGINT) AS r,
+        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_g
+      FROM base
+    ), idxd AS (
+      SELECT *, CAST((CAST(r AS HUGEINT) * (SELECT n FROM n_tot)
+                      + n_g - 1) // n_g AS BIGINT) AS idx
+      FROM ranked
+    ), dist AS (
+      SELECT v AS pv, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ), cum0 AS (
+      SELECT pv, CAST(sum(c) OVER (ORDER BY pv) AS BIGINT) AS cum
+      FROM dist
+    ), cum AS (
+      SELECT pv, cum,
+        CAST(COALESCE(lag(cum) OVER (ORDER BY pv), 0) AS BIGINT)
+          AS cum_prev
+      FROM cum0
+    )
+    SELECT i.doc_id, i.lang, i.v AS n_chars, c.pv AS qnorm
+    FROM idxd i JOIN cum c ON i.idx > c.cum_prev AND i.idx <= c.cum
+"""
+
+
+def q_group_mean_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH false-discovery-rate screen (r9c,
+    report/multitest.py — per-group EXACT permutation p-values
+    (count ratios from md5 relabeling) fed to Benjamini-Hochberg
+    step-up on the bounded m-row frame): which event types' mean
+    values deviate from the rest, at FDR 0.25?"""
+    _prep(spark)
+    from .report.multitest import bh_fdr, permutation_group_deviation
+
+    ev = load_table(spark, sf_dir, "events")
+    p = permutation_group_deviation(
+        ev, "value", "event_type", "event_id", n_perm=40
+    )
+    return bh_fdr(p, "p_value", alpha=0.25, group_col="group")
+
+
+def _group_fdr_oracle(n_perm: int = 40, alpha: float = 0.25) -> str:
+    return f"""
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS x,
+        event_id AS k
+      FROM events WHERE CAST(value AS DECIMAL(18,6)) IS NOT NULL
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s FROM base
+    ), per_g AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g, sum(x) AS s_g
+      FROM base GROUP BY 1
+    ), obs AS (
+      SELECT g, n_g,
+        round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6)
+        - round(CAST((SELECT s FROM tot) - s_g AS DOUBLE)
+                / CAST((SELECT n FROM tot) - n_g AS DOUBLE), 6)
+          AS diff_obs
+      FROM per_g
+    ), repl AS (
+      SELECT b.x, b.k, p.g AS g2, p.n_g,
+        unnest(generate_series(1, {n_perm})) AS b2
+      FROM base b CROSS JOIN per_g p
+    ), lab AS (
+      SELECT x, g2, b2,
+        (CAST(('0x' || substr(md5('pg' || g2 || chr(30)
+                || CAST(b2 AS VARCHAR) || chr(31)
+                || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+              AS DECIMAL(38,0))
+         * CAST((SELECT n FROM tot) AS DECIMAL(38,0)))
+        < (CAST(1152921504606846976 AS DECIMAL(38,0))
+           * CAST(n_g AS DECIMAL(38,0))) AS is_in
+      FROM repl
+    ), diffs AS (
+      SELECT g2, b2,
+        round(CAST(sum(CASE WHEN is_in THEN x END) AS DOUBLE)
+              / CAST(count(CASE WHEN is_in THEN 1 END) AS DOUBLE), 6)
+        - round(CAST(sum(CASE WHEN NOT is_in THEN x END) AS DOUBLE)
+                / CAST(count(CASE WHEN NOT is_in THEN 1 END) AS DOUBLE),
+                6) AS d
+      FROM lab GROUP BY 1, 2
+      HAVING count(CASE WHEN is_in THEN 1 END) > 0
+         AND count(CASE WHEN NOT is_in THEN 1 END) > 0
+    ), pv AS (
+      SELECT o.g AS grp, o.n_g, o.diff_obs,
+        CAST(count(*) AS BIGINT) AS n_perm_valid,
+        CAST(sum(CASE WHEN abs(d.d) >= abs(o.diff_obs)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        round(CAST(1 + sum(CASE WHEN abs(d.d) >= abs(o.diff_obs)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(1 + count(*) AS DOUBLE), 6) AS p_value
+      FROM diffs d JOIN obs o ON d.g2 = o.g
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_value, grp)
+                     AS BIGINT) AS p_rank,
+        CAST(count(*) OVER () AS BIGINT) AS m_tests
+      FROM pv
+    ), q AS (
+      SELECT *,
+        round(least(min(p_value * CAST(m_tests AS DOUBLE)
+                        / CAST(p_rank AS DOUBLE))
+                    OVER (ORDER BY p_rank DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), 1.0), 6) AS q_value,
+        max(CASE WHEN p_value <= CAST(p_rank AS DOUBLE) * {alpha}
+                                 / CAST(m_tests AS DOUBLE)
+            THEN p_rank END) OVER () AS k_max
+      FROM ranked
+    )
+    SELECT grp AS "group", n_g, diff_obs, n_perm_valid, n_ge, p_value,
+      p_rank, m_tests, q_value,
+      (k_max IS NOT NULL AND p_rank <= k_max) AS reject
+    FROM q
+    """
+
+
+ORACLES["group_mean_fdr"] = _group_fdr_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -15189,6 +15440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": q_term_burstiness,
         "compression_signal": q_compression_signal,
         "entity_comention": q_entity_comention,
+        "seasonal_backtest": q_seasonal_backtest,
+        "cross_correlation": q_cross_correlation,
+        "quantile_normalize": q_quantile_normalize,
+        "group_mean_fdr": q_group_mean_fdr,
     }
 
 

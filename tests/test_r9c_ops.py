@@ -463,3 +463,130 @@ def test_compression_ratio_matches_direct_zlib(spark):
             assert abs(got[i] - round(len(zlib.compress(b, 6)) / len(b), 6)) < 1e-12
     # prose repeats compress much better than random-ish noise
     assert got[0] < 0.2 and got[1] < 0.4 and got[2] > 0.8
+
+
+# ------------------------------------------ seasonal_naive_backtest
+
+
+def test_seasonal_backtest_perfect_weekly_series(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.sequence import seasonal_naive_backtest
+
+    # strict weekly pattern -> seasonal MAE 0, naive MAE > 0
+    rows = [("a", dt.date(2024, 1, 1) + dt.timedelta(days=i),
+             [10, 20, 30, 40, 50, 60, 70][i % 7]) for i in range(28)]
+    df = spark.createDataFrame(rows, "g string, day date, cnt long")
+    r = seasonal_naive_backtest(df, ["g"], "day", "cnt", season=7).first()
+    assert r["n_eval"] == 21
+    assert r["mae_seasonal"] == 0.0 and r["mae_naive"] > 0
+    assert r["skill"] == 0.0 and r["wape_seasonal"] == 0.0
+
+
+# ------------------------------------------------ cross_correlation
+
+
+def test_cross_correlation_planted_lead(spark):
+    from skrub_spark.operators.sequence import cross_correlation
+
+    # b is a shifted copy of a: b_{t+2} = a_t -> peak ccf at lag +2
+    vals = [(i * 17) % 23 for i in range(40)]
+    a = spark.createDataFrame(
+        [(i, vals[i]) for i in range(40)], "x long, y long"
+    )
+    b = spark.createDataFrame(
+        [(i + 2, vals[i]) for i in range(40)], "x long, y long"
+    )
+    out = {r["lag"]: r["ccf"] for r in cross_correlation(
+        a, b, "x", "y", max_lag=3
+    ).collect()}
+    assert out[2] == max(out.values())
+    # full-series normalization (the repo's acf convention) keeps
+    # even a perfect shifted copy below 1 on short windows
+    assert out[2] > 0.85
+
+
+# ------------------------------------------------ quantile_normalize
+
+
+def test_quantile_normalize_group_distributions_align(spark):
+    from skrub_spark.functions.ranknorm import quantile_normalize
+
+    # group a: 1..10, group b: 101..110 -> after qnorm both groups
+    # take values from the pooled set with matching rank profiles
+    rows = [(i, "a", i) for i in range(1, 11)] + [
+        (100 + i, "b", 100 + i) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, "v", "g", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["qnorm"])
+    assert sorted(by_g["a"]) == sorted(by_g["b"])
+    pooled = sorted([r[2] for r in rows])
+    # rank r of 10 -> pooled idx ceil(r*20/10) = 2r -> even positions
+    assert sorted(by_g["a"]) == [pooled[2 * r - 1] for r in range(1, 11)]
+
+
+def test_quantile_normalize_identity_single_group(spark):
+    from skrub_spark.functions.ranknorm import quantile_normalize
+
+    rows = [(i, "g", (i * 13) % 31) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, "v", "g", "id").collect()
+    # one group: the mapping is rank-preserving onto itself
+    assert sorted(r["qnorm"] for r in out) == sorted(r["v"] for r in out)
+
+
+# --------------------------------------------------------- bh_fdr
+
+
+def test_bh_fdr_textbook_example(spark):
+    from skrub_spark.report.multitest import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205]
+    df = spark.createDataFrame(
+        [(f"t{i}", p) for i, p in enumerate(ps)], "t string, p double"
+    )
+    out = {r["t"]: r for r in bh_fdr(
+        df, "p", alpha=0.05, group_col="t"
+    ).collect()}
+    # step-up at alpha=.05: k=2 (p_2=.008 <= 2*.05/8; p_3=.039 > .01875)
+    rejected = {t for t, r in out.items() if r["reject"]}
+    assert rejected == {"t0", "t1"}
+    # at alpha=.25 the step-up reaches k=8 (p_8=.205 <= .25): all reject
+    out25 = bh_fdr(df, "p", alpha=0.25, group_col="t").collect()
+    assert all(r["reject"] for r in out25)
+    assert out["t0"]["q_value"] == 0.008
+    assert out["t7"]["m_tests"] == 8 and out["t7"]["p_rank"] == 8
+
+
+def test_bh_fdr_no_rejections(spark):
+    from skrub_spark.report.multitest import bh_fdr
+
+    df = spark.createDataFrame(
+        [(f"t{i}", 0.5 + i / 100) for i in range(5)], "t string, p double"
+    )
+    out = bh_fdr(df, "p", alpha=0.05, group_col="t").collect()
+    assert all(not r["reject"] for r in out)
+    assert all(r["q_value"] <= 1.0 for r in out)
+
+
+def test_group_deviation_pvalues_flag_planted_group(spark):
+    from skrub_spark.report.multitest import permutation_group_deviation
+
+    rows = [(i, "g%d" % (i % 4), float(i % 7)) for i in range(400)]
+    rows += [(1000 + i, "hot", 100.0 + (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    out = {r["group"]: r for r in permutation_group_deviation(
+        df, "x", "g", "k", n_perm=30
+    ).collect()}
+    # the planted group is extreme -> smallest possible p
+    assert out["hot"]["p_value"] <= 1.0 / 31.0 + 1e-9
+    assert abs(out["hot"]["diff_obs"]) == max(
+        abs(r["diff_obs"]) for r in out.values()
+    )
+    # homogeneous groups alone -> no signal anywhere
+    df0 = spark.createDataFrame(rows[:400], "k long, g string, x double")
+    out0 = permutation_group_deviation(df0, "x", "g", "k", n_perm=30)
+    assert all(r["p_value"] > 0.1 for r in out0.collect())
