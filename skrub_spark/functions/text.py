@@ -561,3 +561,28 @@ def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
         return pd.Series([one(t) for t in s], dtype="float64")
 
     return _ratio(c)
+
+
+_SENT_MARK = "\x1f"
+
+
+def sentences(col: Column | str) -> Column:
+    """Sentence segmentation (r9c) as a pure-JVM Column — the
+    chunking precursor (operators/packing.py splits on characters;
+    retrieval/readability want sentence boundaries). Heuristic
+    chosen to be EXPRESSIBLE IN RE2 (DuckDB's engine has no
+    lookahead, so the usual boundary lookarounds are out): insert a
+    sentinel after every terminal-punctuation run followed by
+    whitespace — ``([.!?]+)\\s+ → $1\\x1f`` — then split on the
+    sentinel and trim. Abbreviation periods ("e.g. x") do split (no
+    dictionary pass — documented tradeoff); terminal runs without
+    trailing text do not produce empty sentences. Replays exactly
+    in SQL via regexp_replace(..., 'g') + regexp_split_to_array
+    (battery oracle ``sentence_stats``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(c, r"([.!?]+)\s+", r"$1" + _SENT_MARK)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )

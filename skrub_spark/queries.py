@@ -14854,6 +14854,237 @@ def _group_fdr_oracle(n_perm: int = 40, alpha: float = 0.25) -> str:
 ORACLES["group_mean_fdr"] = _group_fdr_oracle()
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (r9c,
+    operators/intervals.py::attribution_markov — journeys as a
+    first-order chain with absorbing CONV/NULL, K=8 integer
+    fixed-point absorption iterations per removal scenario, all on
+    the bounded channels² frame): event types as channels,
+    purchases as conversions."""
+    _prep(spark)
+    from .operators.intervals import attribution_markov
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_markov(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        conversion="purchase",
+        n_iter=8,
+    )
+
+
+def _markov_oracle(n_iter: int = 8, scale: int = 1_000_000_000) -> str:
+    prev = "p0"
+    iters = ""
+    for t in range(1, n_iter + 1):
+        iters += f""",
+    i{t} AS (
+      SELECT s.removed, m.src AS state, m.co,
+        CAST(sum(m.c * (CASE WHEN m.dst = '__conv__' THEN {scale}
+                        WHEN m.dst = '__null__'
+                          OR m.dst = s.removed THEN 0
+                        ELSE COALESCE(p.p, 0) END)) // m.co AS BIGINT)
+          AS p
+      FROM scen s CROSS JOIN mat m
+      LEFT JOIN {prev} p ON p.removed = s.removed AND p.state = m.dst
+      GROUP BY 1, 2, 3
+    )"""
+        prev = f"i{t}"
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+        event_type AS state
+      FROM events
+    ), rns AS (
+      SELECT *, row_number() OVER (PARTITION BY u ORDER BY us, eid)
+        AS rn
+      FROM ev
+    ), fc AS (
+      SELECT u, min(rn) AS conv_rn FROM rns
+      WHERE state = 'purchase' GROUP BY 1
+    ), kept AS (
+      SELECT r.* FROM rns r LEFT JOIN fc USING (u)
+      WHERE conv_rn IS NULL OR rn <= conv_rn
+    ), steps AS (
+      SELECT u, rn, state,
+        lead(state) OVER (PARTITION BY u ORDER BY rn) AS nxt
+      FROM kept
+    ), trans AS (
+      SELECT state AS src,
+        CASE WHEN nxt IS NULL THEN '__null__'
+             WHEN nxt = 'purchase' THEN '__conv__'
+             ELSE nxt END AS dst
+      FROM steps WHERE state != 'purchase'
+      UNION ALL
+      SELECT '__start__',
+        CASE WHEN state = 'purchase' THEN '__conv__' ELSE state END
+      FROM steps WHERE rn = 1
+    ), counts AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      FROM trans GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT src, CAST(sum(c) AS BIGINT) AS co FROM counts GROUP BY 1
+    ), mat AS (
+      SELECT counts.*, outdeg.co FROM counts JOIN outdeg USING (src)
+    ), scen AS (
+      SELECT DISTINCT src AS removed FROM counts
+      WHERE src != '__start__'
+      UNION ALL SELECT '__base__'
+    ), states AS (
+      SELECT DISTINCT src AS state FROM counts
+    ), p0 AS (
+      SELECT removed, state, CAST(0 AS BIGINT) AS p
+      FROM scen CROSS JOIN states
+    ){iters},
+    startp AS (
+      SELECT removed, p FROM {prev} WHERE state = '__start__'
+    ), basep AS (
+      SELECT p AS pb FROM startp WHERE removed = '__base__'
+    ), per_ch AS (
+      SELECT removed AS channel,
+        round(CAST((SELECT pb FROM basep) AS DOUBLE) / {scale}.0, 6)
+          AS base_cvr,
+        round(CAST(p AS DOUBLE) / {scale}.0, 6) AS removed_cvr,
+        (SELECT pb FROM basep) - p AS re_fp
+      FROM startp WHERE removed != '__base__'
+    ), tot AS (
+      SELECT CAST(sum(re_fp) AS BIGINT) AS te FROM per_ch
+    )
+    SELECT channel, base_cvr, removed_cvr,
+      round(CAST(re_fp AS DOUBLE) / {scale}.0, 6) AS removal_effect,
+      CASE WHEN (SELECT te FROM tot) > 0 THEN
+        round(CAST(re_fp AS DOUBLE)
+              / CAST((SELECT te FROM tot) AS DOUBLE), 6) END
+        AS attribution
+    FROM per_ch
+    """
+
+
+ORACLES["markov_attribution"] = _markov_oracle()
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (r9c, functions/text.py::sentences —
+    RE2-expressible boundary rule: sentinel after terminal-punct
+    runs + whitespace, split, trim; pure-JVM Columns): per-language
+    sentence counts and exact mean sentences/doc."""
+    _prep(spark)
+    from .functions.text import sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang", F.size(sentences(F.col("text"))).alias("ns")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ns").cast("long").alias("n_sentences"),
+        F.max("ns").cast("long").alias("max_sentences"),
+        F.round(
+            F.sum("ns").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_sentences"),
+    )
+
+
+ORACLES["sentence_stats"] = r"""
+    WITH seg AS (
+      SELECT lang,
+        len(list_filter(
+          list_transform(
+            string_split(
+              regexp_replace(text, '([.!?]+)\s+', '\1' || chr(31), 'g'),
+              chr(31)),
+            s -> trim(s)),
+          s -> s <> '')) AS ns
+      FROM documents
+    )
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(ns) AS BIGINT) AS n_sentences,
+      CAST(max(ns) AS BIGINT) AS max_sentences,
+      round(CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS mean_sentences
+    FROM seg GROUP BY 1
+"""
+
+
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe training-set construction (r9c — the
+    feature-store point-in-time pattern: for every purchase event,
+    features computed ONLY from the user's strictly-earlier events
+    via a rowsBetween(unboundedPreceding, -1) window on the total
+    (us, event_id) order; no future row can leak by construction):
+    label = purchase value, features = prior event count / value
+    sum / error count."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("us", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "u",
+        "eid",
+        "event_type",
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior"),
+        F.coalesce(F.sum("v").over(w), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_prior_value"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("n_prior_errors"),
+    )
+    return (
+        feat.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("eid").alias("event_id"),
+            F.col("u").alias("user_id"),
+            F.coalesce(F.col("n_prior"), F.lit(0).cast("long")).alias(
+                "n_prior"
+            ),
+            "sum_prior_value",
+            F.coalesce(
+                F.col("n_prior_errors"), F.lit(0).cast("long")
+            ).alias("n_prior_errors"),
+            F.col("v").cast("double").alias("label"),
+        )
+    )
+
+
+ORACLES["point_in_time_features"] = """
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+        event_type, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), feat AS (
+      SELECT u, eid, event_type, v,
+        CAST(count(*) OVER w AS BIGINT) AS n_prior,
+        CAST(COALESCE(sum(v) OVER w, 0) AS DOUBLE) AS sum_prior_value,
+        CAST(COALESCE(sum(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END) OVER w, 0) AS BIGINT)
+          AS n_prior_errors
+      FROM ev
+      WINDOW w AS (PARTITION BY u ORDER BY us, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT eid AS event_id, u AS user_id, n_prior, sum_prior_value,
+      n_prior_errors, CAST(v AS DOUBLE) AS label
+    FROM feat WHERE event_type = 'purchase'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -15444,6 +15675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_correlation": q_cross_correlation,
         "quantile_normalize": q_quantile_normalize,
         "group_mean_fdr": q_group_mean_fdr,
+        "markov_attribution": q_markov_attribution,
+        "sentence_stats": q_sentence_stats,
+        "point_in_time_features": q_point_in_time_features,
     }
 
 

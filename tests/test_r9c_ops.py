@@ -590,3 +590,150 @@ def test_group_deviation_pvalues_flag_planted_group(spark):
     df0 = spark.createDataFrame(rows[:400], "k long, g string, x double")
     out0 = permutation_group_deviation(df0, "x", "g", "k", n_perm=30)
     assert all(r["p_value"] > 0.1 for r in out0.collect())
+
+
+# ---------------------------------------------- attribution_markov
+
+
+def test_markov_attribution_symmetric_channels(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.intervals import attribution_markov
+
+    # two interchangeable channels A/B before every conversion ->
+    # equal removal effects and a 0.5/0.5 split
+    rows = []
+    eid = 0
+    for u in range(40):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=u)
+        first, second = ("A", "B") if u % 2 == 0 else ("B", "A")
+        for i, st in enumerate([first, second, "buy"]):
+            rows.append((u, t0 + dt.timedelta(minutes=i), eid, st))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, eid long, state string"
+    )
+    out = {r["channel"]: r for r in attribution_markov(
+        df, "u", "ts", "eid", "state", conversion="buy"
+    ).collect()}
+    assert set(out) == {"A", "B"}
+    # K=8 finite horizon + per-iteration floor -> slightly below 1
+    assert out["A"]["base_cvr"] == out["B"]["base_cvr"] > 0.995
+    assert abs(out["A"]["attribution"] - 0.5) < 1e-9
+    assert abs(out["B"]["attribution"] - 0.5) < 1e-9
+    # the chain is memoryless: removing A still leaves START->B->buy
+    assert out["A"]["removed_cvr"] == out["B"]["removed_cvr"]
+    assert out["A"]["removed_cvr"] < out["A"]["base_cvr"]
+
+
+def test_markov_attribution_gatekeeper_channel(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.intervals import attribution_markov
+
+    # C is on EVERY converting path; D on half -> C's removal effect
+    # strictly larger
+    rows, eid = [], 0
+    for u in range(40):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=u)
+        path = ["C", "D", "buy"] if u % 2 == 0 else ["C", "buy"]
+        for i, st in enumerate(path):
+            rows.append((u, t0 + dt.timedelta(minutes=i), eid, st))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, eid long, state string"
+    )
+    out = {r["channel"]: r for r in attribution_markov(
+        df, "u", "ts", "eid", "state", conversion="buy"
+    ).collect()}
+    assert out["C"]["removal_effect"] > out["D"]["removal_effect"]
+    assert out["C"]["removed_cvr"] == 0.0
+    assert abs(
+        out["C"]["attribution"] + out["D"]["attribution"] - 1.0
+    ) < 1e-6
+
+
+def test_markov_attribution_journeys_cut_at_first_conversion(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.intervals import attribution_markov
+
+    # channel E only ever appears AFTER the first conversion ->
+    # it must not appear in the output at all
+    rows, eid = [], 0
+    for u in range(10):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=u)
+        for i, st in enumerate(["A", "buy", "E", "E"]):
+            rows.append((u, t0 + dt.timedelta(minutes=i), eid, st))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, eid long, state string"
+    )
+    out = attribution_markov(
+        df, "u", "ts", "eid", "state", conversion="buy"
+    ).collect()
+    assert {r["channel"] for r in out} == {"A"}
+
+
+# -------------------------------------------------------- sentences
+
+
+def test_sentences_basic_segmentation(spark):
+    from skrub_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [(1, "Hello there. How are you? Fine! Trailing"),
+         (2, "One sentence only"),
+         (3, "Ends with period."),
+         (4, "")],
+        "id long, t string",
+    )
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", sentences(F.col("t")).alias("s")).collect()}
+    assert got[1] == ["Hello there.", "How are you?", "Fine!", "Trailing"]
+    assert got[2] == ["One sentence only"]
+    assert got[3] == ["Ends with period."]
+    assert got[4] == []
+
+
+def test_sentences_multi_punct_runs(spark):
+    from skrub_spark.functions.text import sentences
+
+    df = spark.createDataFrame([(1, "Wow!!! Really?! Yes.")], "id long, t string")
+    got = df.select(sentences(F.col("t")).alias("s")).first()["s"]
+    assert got == ["Wow!!!", "Really?!", "Yes."]
+
+
+# ------------------------------------------- point-in-time features
+
+
+def test_point_in_time_no_leakage(spark):
+    """Every feature value must be computable from strictly-earlier
+    events: replay driver-side and compare."""
+    import skrub_spark.queries as Q
+
+    out = Q.q_point_in_time_features(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    truth = {
+        r[0]: r
+        for r in con.execute(
+            """
+        SELECT event_id,
+          (SELECT count(*) FROM events e2
+           WHERE e2.user_id = e.user_id
+             AND (epoch_us(e2.ts), e2.event_id)
+                 < (epoch_us(e.ts), e.event_id)) AS n_prior
+        FROM events e WHERE event_type = 'purchase'
+        """
+        ).fetchall()
+    }
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_prior"] == truth[r["event_id"]][1]
