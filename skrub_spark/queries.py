@@ -15085,6 +15085,228 @@ ORACLES["point_in_time_features"] = """
 """
 
 
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (r9c,
+    report/experiment.py::cuped_adjust — Deng-Xu-Kohavi-Walker
+    2013: Y' = Y − θ(X − X̄) with pooled θ from exact decimal
+    moments; the industry-standard experiment sensitivity boost):
+    per-user second-half value vs first-half covariate, variant =
+    user parity."""
+    _prep(spark)
+    from .report.experiment import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    half = F.dayofmonth("ts") <= 15
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(~half, F.col("value").cast("decimal(18,6)")))
+        .alias("y"),
+        F.sum(F.when(half, F.col("value").cast("decimal(18,6)")))
+        .alias("x"),
+    ).where(F.col("y").isNotNull() & F.col("x").isNotNull())
+    pu = per_user.withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, "ctl").otherwise("trt"),
+    )
+    return cuped_adjust(pu, "y", "x", "variant")
+
+
+ORACLES["cuped_lift"] = """
+    WITH per_user AS (
+      SELECT user_id,
+        sum(CASE WHEN NOT day(ts) <= 15
+            THEN CAST(value AS DECIMAL(18,6)) END) AS y,
+        sum(CASE WHEN day(ts) <= 15
+            THEN CAST(value AS DECIMAL(18,6)) END) AS x
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'trt' END AS g,
+        CAST(CAST(y AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6,
+        CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+      FROM per_user WHERE y IS NOT NULL AND x IS NOT NULL
+    ), pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(y6 AS HUGEINT)) AS HUGEINT) AS sy,
+        CAST(sum(CAST(x6 AS HUGEINT)) AS HUGEINT) AS sx,
+        CAST(sum(CAST(x6 AS HUGEINT) * CAST(y6 AS HUGEINT)) AS HUGEINT)
+          AS sxy,
+        CAST(sum(CAST(x6 AS HUGEINT) * CAST(x6 AS HUGEINT)) AS HUGEINT)
+          AS sxx,
+        CAST(sum(CAST(y6 AS HUGEINT) * CAST(y6 AS HUGEINT)) AS HUGEINT)
+          AS syy
+      FROM base
+    ), per_v AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS nv,
+        CAST(sum(CAST(y6 AS HUGEINT)) AS HUGEINT) AS syv,
+        CAST(sum(CAST(x6 AS HUGEINT)) AS HUGEINT) AS sxv
+      FROM base GROUP BY 1
+    ), ab AS (
+      SELECT min(g) AS variant_a, max(g) AS variant_b,
+        min_by(nv, g) AS n_a, max_by(nv, g) AS n_b,
+        min_by(syv, g) AS sy_a, max_by(syv, g) AS sy_b,
+        min_by(sxv, g) AS sx_a, max_by(sxv, g) AS sx_b
+      FROM per_v
+    ), j AS (SELECT * FROM ab, pooled),
+    calc AS (
+      SELECT *,
+        round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+        round(CAST(sy_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * 1000000.0), 6) AS mean_a,
+        round(CAST(sy_b AS DOUBLE)
+              / (CAST(n_b AS DOUBLE) * 1000000.0), 6) AS mean_b,
+        round(CAST(sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * 1000000.0), 6) AS xbar,
+        round(CAST(sx_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * 1000000.0), 6) AS mx_a,
+        round(CAST(sx_b AS DOUBLE)
+              / (CAST(n_b AS DOUBLE) * 1000000.0), 6) AS mx_b,
+        CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+        CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+        CAST(n * syy - sy * sy AS DOUBLE) AS vary
+      FROM j
+    )
+    SELECT variant_a, variant_b, n_a, n_b, theta, mean_a, mean_b,
+      round(mean_a - mean_b, 6) AS lift_raw,
+      round(mean_a - theta * (mx_a - xbar), 6) AS adj_a,
+      round(mean_b - theta * (mx_b - xbar), 6) AS adj_b,
+      round(round(mean_a - theta * (mx_a - xbar), 6)
+            - round(mean_b - theta * (mx_b - xbar), 6), 6)
+        AS lift_cuped,
+      CASE WHEN varx > 0 AND vary > 0 THEN
+        round(cov_num * cov_num / (varx * vary) * 100, 6) END
+        AS var_reduction_pct
+    FROM calc
+"""
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance check (r9c,
+    report/experiment.py::covariate_balance — per-covariate
+    standardized mean difference, |SMD| > 0.1 the conventional
+    imbalance flag; ONE unpivot + one map-side-combined groupBy for
+    all covariates): pre-period user covariates vs assignment
+    parity."""
+    _prep(spark)
+    from .report.experiment import covariate_balance
+
+    ev = load_table(spark, sf_dir, "events")
+    pre = ev.where(F.dayofmonth("ts") <= 15)
+    per_user = pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    ).withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, "ctl").otherwise("trt"),
+    )
+    return covariate_balance(
+        per_user, ["n_events", "sum_value", "n_errors"], "variant"
+    )
+
+
+ORACLES["covariate_balance"] = """
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_errors,
+        CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'trt' END AS g
+      FROM events WHERE day(ts) <= 15 GROUP BY 1
+    ), unp AS (
+      SELECT g, 'n_events' AS cov,
+        CAST(n_events AS DECIMAL(18,6)) AS v FROM per_user
+      UNION ALL
+      SELECT g, 'sum_value', CAST(sum_value AS DECIMAL(18,6))
+      FROM per_user
+      UNION ALL
+      SELECT g, 'n_errors', CAST(n_errors AS DECIMAL(18,6))
+      FROM per_user
+    ), micro AS (
+      SELECT g, cov, CAST(v * 1000000 AS BIGINT) AS v6
+      FROM unp WHERE v IS NOT NULL
+    ), mom AS (
+      SELECT cov, g, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(v6 AS HUGEINT)) AS HUGEINT) AS s,
+        CAST(sum(CAST(v6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS HUGEINT)
+          AS s2
+      FROM micro GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.cov, a.n AS n_a, b.n AS n_b,
+        round(CAST(a.s AS DOUBLE)
+              / (CAST(a.n AS DOUBLE) * 1000000.0), 6) AS mean_a,
+        round(CAST(b.s AS DOUBLE)
+              / (CAST(b.n AS DOUBLE) * 1000000.0), 6) AS mean_b,
+        CAST(a.n * a.s2 - a.s * a.s AS DOUBLE)
+          / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)) / 1e12
+          AS v_a,
+        CAST(b.n * b.s2 - b.s * b.s AS DOUBLE)
+          / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)) / 1e12
+          AS v_b
+      FROM mom a JOIN mom b ON a.cov = b.cov AND a.g < b.g
+    )
+    SELECT cov AS covariate, n_a, n_b, mean_a, mean_b,
+      CASE WHEN sqrt((v_a + v_b) / 2.0) > 0 THEN
+        round((mean_a - mean_b) / sqrt((v_a + v_b) / 2.0), 6) END
+        AS smd,
+      CASE WHEN sqrt((v_a + v_b) / 2.0) > 0 THEN
+        abs(round((mean_a - mean_b) / sqrt((v_a + v_b) / 2.0), 6))
+          > 0.1 END AS imbalanced
+    FROM pairs
+"""
+
+
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (r9c,
+    report/experiment.py::did_estimate — the 2×2 estimator from
+    four exact-sum cell means): event values, treated = user
+    parity, post = second half of the month."""
+    _prep(spark)
+    from .report.experiment import did_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return did_estimate(
+        ev,
+        "value",
+        treated=(F.col("user_id") % 2 == 1),
+        post=(F.dayofmonth("ts") > 15),
+    )
+
+
+ORACLES["did_estimate"] = """
+    WITH base AS (
+      SELECT CAST(value AS DECIMAL(18,6)) AS y,
+        (user_id % 2 = 1) AS t, (day(ts) > 15) AS p
+      FROM events WHERE value IS NOT NULL
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(CASE WHEN t AND NOT p THEN y END) AS DOUBLE)
+              / CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+                     AS DOUBLE), 6) AS mean_t_pre,
+        round(CAST(sum(CASE WHEN t AND p THEN y END) AS DOUBLE)
+              / CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END)
+                     AS DOUBLE), 6) AS mean_t_post,
+        round(CAST(sum(CASE WHEN NOT t AND NOT p THEN y END) AS DOUBLE)
+              / CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+                     AS DOUBLE), 6) AS mean_c_pre,
+        round(CAST(sum(CASE WHEN NOT t AND p THEN y END) AS DOUBLE)
+              / CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+                     AS DOUBLE), 6) AS mean_c_post
+      FROM base
+    )
+    SELECT n, mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+      round(mean_t_post - mean_t_pre, 6) AS diff_treated,
+      round(mean_c_post - mean_c_pre, 6) AS diff_control,
+      round((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre), 6)
+        AS did
+    FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -15678,6 +15900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": q_markov_attribution,
         "sentence_stats": q_sentence_stats,
         "point_in_time_features": q_point_in_time_features,
+        "cuped_lift": q_cuped_lift,
+        "covariate_balance": q_covariate_balance,
+        "did_estimate": q_did_estimate,
     }
 
 

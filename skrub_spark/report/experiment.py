@@ -1,0 +1,295 @@
+"""Experimentation statistics (r9c): CUPED variance reduction,
+covariate balance, difference-in-differences.
+
+The three workhorses of a production experimentation stack, next to
+the significance tests (abtest.py, permutation.py, multitest.py):
+
+- ``cuped_adjust``: CUPED (Deng/Xu/Kohavi/Walker 2013) — shrink
+  metric variance with a pre-experiment covariate,
+  Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X). The industry-standard
+  sensitivity booster: same expectation, (1−ρ²)× the variance.
+- ``covariate_balance``: standardized mean difference per
+  covariate, |SMD| > 0.1 being the conventional imbalance flag —
+  the pre-test every quasi-experiment runs.
+- ``did_estimate``: the 2×2 difference-in-differences estimator
+  (post−pre for treated) − (post−pre for control).
+
+Exactness discipline (the repo's moment rule): every mean/cov/var
+is assembled from exact DECIMAL sums of DECIMAL(18,6)-cast inputs;
+doubles appear only in the final handful of IEEE ops (divides, one
+sqrt for SMD), each 6dp-rounded — so all three replay bit-identically
+in SQL. All outputs are bounded per-group frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_D = "decimal(18,6)"
+_D38 = "decimal(38,12)"
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric: Column | str,
+    covariate: Column | str,
+    variant: Column | str,
+) -> DataFrame:
+    """One-row CUPED readout for a two-variant experiment:
+    ``(variant_a, variant_b, n_a, n_b, theta, mean_a, mean_b,
+    lift_raw, adj_a, adj_b, lift_cuped, var_reduction_pct)``.
+
+    θ is computed on the POOLED sample (the standard choice — using
+    a per-variant θ would bias the estimate), adjusted means are
+    mean(Y) − θ·(mean(X) − X̄_pool) per variant, and
+    var_reduction_pct = ρ²·100 (the theoretical variance cut,
+    = corr(X,Y)² on the pooled sample).
+    """
+    y = F.col(metric) if isinstance(metric, str) else metric
+    x = F.col(covariate) if isinstance(covariate, str) else covariate
+    g = F.col(variant) if isinstance(variant, str) else variant
+    base = df.select(
+        g.cast("string").alias("g"),
+        (y.cast(_D) * 1000000).cast("long").alias("y6"),
+        (x.cast(_D) * 1000000).cast("long").alias("x6"),
+    ).filter(F.col("y6").isNotNull() & F.col("x6").isNotNull())
+    base = base.persist()
+    d0 = "decimal(38,0)"
+    pooled = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y6").cast(d0)).alias("sy"),
+        F.sum(F.col("x6").cast(d0)).alias("sx"),
+        F.sum(F.col("x6").cast(d0) * F.col("y6").cast(d0)).alias("sxy"),
+        F.sum(F.col("x6").cast(d0) * F.col("x6").cast(d0)).alias("sxx"),
+        F.sum(F.col("y6").cast(d0) * F.col("y6").cast(d0)).alias("syy"),
+    )
+    nn6 = F.col("n").cast("double") * F.lit(1000000.0)
+    # θ = (nΣxy − ΣxΣy)/(nΣxx − Σx²) in micro units — the 10¹²
+    # scaling cancels. Exact DECIMAL(38,0) integers, one IEEE divide.
+    theta = F.round(
+        (
+            F.col("n").cast(d0) * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).cast("double")
+        / (
+            F.col("n").cast(d0) * F.col("sxx")
+            - F.col("sx") * F.col("sx")
+        ).cast("double"),
+        6,
+    )
+    per_v = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum(F.col("y6").cast(d0)).alias("syv"),
+        F.sum(F.col("x6").cast(d0)).alias("sxv"),
+    )
+    a = per_v.orderBy("g").limit(1).select(
+        F.col("g").alias("variant_a"),
+        F.col("nv").alias("n_a"),
+        F.col("syv").alias("sy_a"),
+        F.col("sxv").alias("sx_a"),
+    )
+    b = per_v.orderBy(F.col("g").desc()).limit(1).select(
+        F.col("g").alias("variant_b"),
+        F.col("nv").alias("n_b"),
+        F.col("syv").alias("sy_b"),
+        F.col("sxv").alias("sx_b"),
+    )
+    row = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(pooled))
+        .withColumn("theta", theta)
+    )
+    mean_a = F.round(
+        F.col("sy_a").cast("double")
+        / (F.col("n_a").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    mean_b = F.round(
+        F.col("sy_b").cast("double")
+        / (F.col("n_b").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    xbar = F.round(F.col("sx").cast("double") / nn6, 6)
+    mx_a = F.round(
+        F.col("sx_a").cast("double")
+        / (F.col("n_a").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    mx_b = F.round(
+        F.col("sx_b").cast("double")
+        / (F.col("n_b").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    adj_a = F.round(mean_a - F.col("theta") * (mx_a - xbar), 6)
+    adj_b = F.round(mean_b - F.col("theta") * (mx_b - xbar), 6)
+    cov_num = (
+        F.col("n").cast(d0) * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    varx = (
+        F.col("n").cast(d0) * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    vary = (
+        F.col("n").cast(d0) * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    rho2 = F.when(
+        (varx > 0) & (vary > 0), cov_num * cov_num / (varx * vary)
+    )
+    return row.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        "theta",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("lift_raw"),
+        adj_a.alias("adj_a"),
+        adj_b.alias("adj_b"),
+        F.round(adj_a - adj_b, 6).alias("lift_cuped"),
+        F.round(rho2 * 100, 6).alias("var_reduction_pct"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    covariates: list[str],
+    variant: Column | str,
+    *,
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Standardized mean difference per covariate between the two
+    variants: ``(covariate, n_a, n_b, mean_a, mean_b, smd,
+    imbalanced)`` with SMD = (m_a − m_b)/√((v_a + v_b)/2) (pooled-
+    variance convention, sample variances with n−1). NULL smd for
+    degenerate (zero-variance) covariates.
+
+    One pass: the covariate list unpivots into (name, value) rows
+    map-side, then a single map-side-combined groupBy computes all
+    moments for all covariates at once.
+    """
+    g = F.col(variant) if isinstance(variant, str) else variant
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("cov"),
+                    F.col(c).cast(_D).alias("val"),
+                )
+                for c in covariates
+            ]
+        )
+    ).alias("e")
+    base = (
+        df.select(g.cast("string").alias("g"), stack)
+        .select(
+            "g",
+            F.col("e.cov").alias("cov"),
+            (F.col("e.val") * 1000000).cast("long").alias("v6"),
+        )
+        .filter(F.col("v6").isNotNull())
+    )
+    d0 = "decimal(38,0)"
+    mom = base.groupBy("cov", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v6").cast(d0)).alias("s"),
+        F.sum(F.col("v6").cast(d0) * F.col("v6").cast(d0)).alias("s2"),
+    )
+    a = mom.withColumnRenamed("g", "ga")
+    b = mom.select(
+        F.col("cov").alias("cov2"),
+        F.col("g").alias("gb"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("s2").alias("s2b"),
+    )
+    pairs = a.join(
+        b, (F.col("cov") == F.col("cov2")) & (F.col("ga") < F.col("gb"))
+    )
+    m_a = F.round(
+        F.col("s").cast("double")
+        / (F.col("n").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    m_b = F.round(
+        F.col("sb").cast("double")
+        / (F.col("nb").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    # sample variance (original units): exact micro² integer moment
+    # numerator, two IEEE divides mirrored in the oracle.
+    v_a = (
+        F.col("n").cast(d0) * F.col("s2") - F.col("s") * F.col("s")
+    ).cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    ) / F.lit(1e12)
+    v_b = (
+        F.col("nb").cast(d0) * F.col("s2b") - F.col("sb") * F.col("sb")
+    ).cast("double") / (
+        F.col("nb").cast("double") * (F.col("nb") - 1).cast("double")
+    ) / F.lit(1e12)
+    denom = F.sqrt((v_a + v_b) / F.lit(2.0))
+    smd = F.when(denom > 0, F.round((m_a - m_b) / denom, 6))
+    return pairs.select(
+        "cov",
+        F.col("n").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        m_a.alias("mean_a"),
+        m_b.alias("mean_b"),
+        smd.alias("smd"),
+        F.when(
+            smd.isNotNull(), F.abs(smd) > F.lit(float(flag_threshold))
+        ).alias("imbalanced"),
+    ).withColumnRenamed("cov", "covariate")
+
+
+def did_estimate(
+    df: DataFrame,
+    metric: Column | str,
+    treated: Column,
+    post: Column,
+) -> DataFrame:
+    """2×2 difference-in-differences:
+    ``(n, mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+    diff_treated, diff_control, did)`` — each mean an exact-sum
+    ratio, the estimator three IEEE subtractions of 6dp values.
+    ``treated``/``post`` are boolean Columns.
+    """
+    y = F.col(metric) if isinstance(metric, str) else metric
+    base = df.select(
+        y.cast(_D).alias("y"),
+        treated.cast("boolean").alias("t"),
+        post.cast("boolean").alias("p"),
+    ).filter(
+        F.col("y").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("p").isNotNull()
+    )
+
+    def cell(tv, pv):
+        cond = (F.col("t") == tv) & (F.col("p") == pv)
+        return F.round(
+            F.sum(F.when(cond, F.col("y"))).cast("double")
+            / F.sum(cond.cast("long")).cast("double"),
+            6,
+        )
+
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(True, False).alias("mean_t_pre"),
+        cell(True, True).alias("mean_t_post"),
+        cell(False, False).alias("mean_c_pre"),
+        cell(False, True).alias("mean_c_post"),
+    )
+    dt = F.col("mean_t_post") - F.col("mean_t_pre")
+    dc = F.col("mean_c_post") - F.col("mean_c_pre")
+    return agg.select(
+        "n",
+        "mean_t_pre",
+        "mean_t_post",
+        "mean_c_pre",
+        "mean_c_post",
+        F.round(dt, 6).alias("diff_treated"),
+        F.round(dc, 6).alias("diff_control"),
+        F.round(dt - dc, 6).alias("did"),
+    )

@@ -737,3 +737,71 @@ def test_point_in_time_no_leakage(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["n_prior"] == truth[r["event_id"]][1]
+
+
+# ----------------------------------------------------- experiment
+
+
+def test_cuped_reduces_to_raw_when_uncorrelated(spark):
+    from skrub_spark.report.experiment import cuped_adjust
+
+    # x constant -> theta undefined/0-variance path is excluded by
+    # construction; use x independent of y: theta ~ 0, adjusted lift
+    # ~ raw lift
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             float(i % 10), float((i * 7) % 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, y double, x double")
+    r = cuped_adjust(df, "y", "x", "g").first()
+    assert r["variant_a"] == "a" and r["variant_b"] == "b"
+    assert abs(r["lift_cuped"] - r["lift_raw"]) < 0.2
+    assert r["var_reduction_pct"] < 5
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    from skrub_spark.report.experiment import cuped_adjust
+
+    # y = x exactly -> rho^2 = 1 -> 100% variance reduction, theta=1
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, x double").withColumn(
+        "y", F.col("x")
+    )
+    r = cuped_adjust(df, "y", "x", "g").first()
+    assert abs(r["theta"] - 1.0) < 1e-9
+    assert abs(r["var_reduction_pct"] - 100.0) < 1e-6
+    # with y==x the adjustment removes ALL between-variant noise
+    assert abs(r["lift_cuped"]) < 1e-6
+
+
+def test_covariate_balance_flags_planted_imbalance(spark):
+    from skrub_spark.report.experiment import covariate_balance
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b",
+         float(i % 7),                       # balanced
+         float(i % 7) + (5.0 if i % 2 == 0 else 0.0))  # imbalanced
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, bal double, imb double")
+    out = {r["covariate"]: r for r in covariate_balance(
+        df, ["bal", "imb"], "g"
+    ).collect()}
+    assert out["imb"]["imbalanced"] is True
+    assert out["bal"]["imbalanced"] is False
+    assert abs(out["bal"]["smd"]) < 0.1 < abs(out["imb"]["smd"])
+
+
+def test_did_recovers_planted_effect(spark):
+    from skrub_spark.report.experiment import did_estimate
+
+    # control: 10 pre / 12 post (trend +2); treated: 11 pre / 18 post
+    # (trend +2 plus effect +5)
+    rows = []
+    for i in range(400):
+        t = i % 2 == 1
+        p = i % 4 >= 2
+        y = (11 if t else 10) + (2 if p else 0) + (5 if t and p else 0)
+        rows.append((i, t, p, float(y)))
+    df = spark.createDataFrame(rows, "id long, t boolean, p boolean, y double")
+    r = did_estimate(df, "y", treated=F.col("t"), post=F.col("p")).first()
+    assert r["did"] == 5.0
+    assert r["diff_treated"] == 7.0 and r["diff_control"] == 2.0
