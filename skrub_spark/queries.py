@@ -15307,6 +15307,150 @@ ORACLES["did_estimate"] = """
 """
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (r9c,
+    report/survival.py::nelson_aalen — KM's dual: H(t) = Σ d/n with
+    round(d/n,6) increments summed order-free in DECIMAL(38,6),
+    exp(−H) survival through the proven exp bridge): same
+    customer-lifetime frame as survival_km."""
+    _prep(spark)
+    from .report.survival import nelson_aalen
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        (
+            F.max(F.expr("unix_date(cast(o_orderdate as date))"))
+            - F.min(F.expr("unix_date(cast(o_orderdate as date))"))
+        ).alias("t"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("event"),
+    )
+    g = span.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        span.o_custkey == F.col("c_custkey"),
+    )
+    return nelson_aalen(g, "c_mktsegment", "t", "event")
+
+
+ORACLES["nelson_aalen"] = """
+    WITH span AS (
+      SELECT o_custkey,
+        CAST(max(epoch_us(o_orderdate) // 86400000000)
+           - min(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS t,
+        CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS e
+      FROM orders GROUP BY o_custkey
+    ), g AS (
+      SELECT c_mktsegment, t, e
+      FROM span JOIN customer ON o_custkey = c_custkey
+    ), per_t AS (
+      SELECT c_mktsegment AS grp, t,
+        CAST(sum(e) AS BIGINT) AS n_events,
+        CAST(sum(1 - e) AS BIGINT) AS n_censored
+      FROM g GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, CAST(sum(n_events + n_censored) AS BIGINT) AS tt
+      FROM per_t GROUP BY 1
+    ), risk AS (
+      SELECT p.grp, p.t, p.n_events,
+        tt - COALESCE(SUM(n_events + n_censored) OVER (
+          PARTITION BY p.grp ORDER BY p.t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS n_risk
+      FROM per_t p JOIN tot USING (grp)
+    ), terms AS (
+      SELECT grp, t, n_events, n_risk,
+        CASE WHEN n_events > 0
+          THEN round(CAST(n_events AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE), 6)
+          ELSE CAST(0.0 AS DOUBLE) END AS inc
+      FROM risk
+    )
+    SELECT grp AS c_mktsegment, t,
+      CAST(n_risk AS BIGINT) AS n_risk, n_events,
+      inc AS hazard_inc,
+      CAST(sum(CAST(inc AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        AS cum_hazard,
+      round(exp(-CAST(sum(CAST(inc AS DECIMAL(38,6))) OVER w
+                      AS DOUBLE)), 6) AS fh_survival
+    FROM terms
+    WINDOW w AS (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column profiling (r9c,
+    report/profiling.py::json_profile — per top-level key:
+    presence, null rate, regex-lattice type inference, distinct
+    count; one parse + one map-side-combined groupBy): a 4-key JSON
+    payload built byte-identically in both engines from event
+    columns."""
+    _prep(spark)
+    from .report.profiling import json_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"type": "'),
+        F.col("event_type"),
+        F.lit('", "k": '),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(', "amount": '),
+        F.col("value").cast("decimal(12,2)").cast("string"),
+        F.lit(', "flag": '),
+        F.when(F.col("event_id") % 2 == 0, "true").otherwise("false"),
+        F.lit(', "note": null}'),
+    )
+    return json_profile(ev.select(payload.alias("js")), "js")
+
+
+ORACLES["json_profile"] = """
+    WITH payload AS (
+      SELECT '{"type": "' || event_type || '", "k": '
+        || CAST(event_id % 7 AS VARCHAR) || ', "amount": '
+        || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+        || ', "flag": '
+        || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END)
+        || ', "note": null}' AS js
+      FROM events
+    ), keyed AS (
+      SELECT js, unnest(json_keys(js)) AS k FROM payload
+    ), pairs AS (
+      SELECT k, json_extract_string(js, '$.' || k) AS v FROM keyed
+    ), typed AS (
+      SELECT k, v,
+        v IS NULL AS is_null,
+        COALESCE(regexp_full_match(v, '-?[0-9]+'), false) AS is_int,
+        COALESCE(NOT regexp_full_match(v, '-?[0-9]+')
+          AND regexp_full_match(
+                v, '-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?'),
+          false) AS is_float,
+        COALESCE(v IN ('true', 'false'), false) AS is_bool
+      FROM pairs
+    )
+    SELECT k AS key,
+      CAST(count(*) AS BIGINT) AS n_present,
+      CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null,
+      CAST(sum(CASE WHEN NOT is_null AND is_int THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_int,
+      CAST(sum(CASE WHEN NOT is_null AND is_float THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_float,
+      CAST(sum(CASE WHEN NOT is_null AND is_bool THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_bool,
+      CAST(sum(CASE WHEN NOT is_null AND NOT is_int AND NOT is_float
+                    AND NOT is_bool THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_str,
+      CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM typed
+    GROUP BY 1
+    ORDER BY n_present DESC, key
+    LIMIT 200
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -15903,6 +16047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_lift": q_cuped_lift,
         "covariate_balance": q_covariate_balance,
         "did_estimate": q_did_estimate,
+        "nelson_aalen": q_nelson_aalen,
+        "json_profile": q_json_profile,
     }
 
 

@@ -205,3 +205,63 @@ def fk_audit(
             ).alias("orphan_row_rate"),
         )
     )
+
+
+def json_profile(
+    df: DataFrame, json_col: str, *, max_keys: int = 200
+) -> DataFrame:
+    """Semi-structured column profiler (r9c) — the TableReport
+    companion for JSON payload columns (event properties, API
+    logs): per top-level key, presence, null rate, inferred value
+    types, and distinct-value count.
+
+    Flat-parse via ``from_json(map<string,string>)`` (one JVM parse
+    per row, values stringified; nested objects/arrays profile as
+    their JSON text — honest for a TOP-LEVEL profile), then one
+    explode + one map-side-combined groupBy. Type inference is a
+    regex lattice (int ⊂ float; bool; null; else string) identical
+    in RE2 and Java. ``max_keys`` bounds the output (ordered by
+    n_present desc, key).
+
+    Returns ``(key, n_present, n_null, n_int, n_float, n_bool,
+    n_str, n_distinct)``.
+    """
+    pairs = (
+        df.select(
+            F.explode(
+                F.from_json(F.col(json_col), "map<string,string>")
+            ).alias("k", "v")
+        )
+    )
+    is_null = F.col("v").isNull()
+    is_int = F.col("v").rlike(r"^-?[0-9]+$")
+    is_float = (~is_int) & F.col("v").rlike(
+        r"^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$"
+    )
+    is_bool = F.col("v").isin("true", "false")
+    out = (
+        pairs.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.sum(is_null.cast("long")).cast("long").alias("n_null"),
+            F.sum((~is_null & is_int).cast("long"))
+            .cast("long")
+            .alias("n_int"),
+            F.sum((~is_null & is_float).cast("long"))
+            .cast("long")
+            .alias("n_float"),
+            F.sum((~is_null & is_bool).cast("long"))
+            .cast("long")
+            .alias("n_bool"),
+            F.sum(
+                (~is_null & ~is_int & ~is_float & ~is_bool).cast("long")
+            )
+            .cast("long")
+            .alias("n_str"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+        )
+        .orderBy(F.col("n_present").desc(), "k")
+        .limit(max_keys)
+        .withColumnRenamed("k", "key")
+    )
+    return out

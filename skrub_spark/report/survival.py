@@ -116,3 +116,80 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(ln_s.cast("double")), 6))
         .alias("survival"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Per-group Nelson–Aalen cumulative hazard (r9c) — the
+    estimator dual to ``kaplan_meier`` above: H(t) = Σ_{t_i ≤ t}
+    d_i/n_i. Preferred when hazard RATES are the question (failure
+    intensity over time, competing-risk building block) and better-
+    behaved than −ln(KM) in small risk sets.
+
+    Exactness: shares KM's counting frame and exact-integer risk
+    sets; each increment is ``round(d_i/n_i, 6)`` (ONE IEEE
+    division of exact integers) and the cumulative sum runs in
+    DECIMAL(38,6) — order-free, so the curve replays bit-identically
+    in SQL (battery oracle ``nelson_aalen``). The Fleming-Harrington
+    survival ``exp(−H)`` rides along through the proven exp bridge.
+
+    Returns ``(group, t, n_risk, n_events, hazard_inc, cum_hazard,
+    fh_survival)``.
+    """
+    d = F.col(event_col).cast("long")
+    per_t = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(duration_col).cast("long").alias("t"),
+            d.alias("e"),
+        )
+        .groupBy("grp", "t")
+        .agg(
+            F.sum("e").cast("long").alias("n_events"),
+            F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
+        )
+        .persist()
+    )
+    tot = per_t.groupBy("grp").agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("__tot")
+    )
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = per_t.join(F.broadcast(tot), "grp").withColumn(
+        "n_risk",
+        F.col("__tot")
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    inc = F.when(
+        F.col("n_events") > 0,
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    cum = F.sum(inc.cast("decimal(38,6)")).over(w_cum)
+    return risk.select(
+        F.col("grp").alias(group_col),
+        F.col("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        inc.alias("hazard_inc"),
+        cum.cast("double").alias("cum_hazard"),
+        F.round(F.exp(-cum.cast("double")), 6).alias("fh_survival"),
+    )

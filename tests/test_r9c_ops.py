@@ -805,3 +805,71 @@ def test_did_recovers_planted_effect(spark):
     r = did_estimate(df, "y", treated=F.col("t"), post=F.col("p")).first()
     assert r["did"] == 5.0
     assert r["diff_treated"] == 7.0 and r["diff_control"] == 2.0
+
+
+# ---------------------------------------------------- nelson_aalen
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from skrub_spark.report.survival import nelson_aalen
+
+    # g: events at t=1 (2 of 5 at risk), t=2 (1 of 3), censor at 2
+    rows = [
+        ("g", 1, 1), ("g", 1, 1), ("g", 2, 1), ("g", 2, 0), ("g", 3, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, e long")
+    out = {r["t"]: r for r in nelson_aalen(df, "grp", "t", "e").collect()}
+    assert out[1]["n_risk"] == 5 and out[1]["hazard_inc"] == 0.4
+    assert out[2]["n_risk"] == 3
+    assert abs(out[2]["hazard_inc"] - round(1 / 3, 6)) < 1e-12
+    assert abs(out[2]["cum_hazard"] - (0.4 + round(1 / 3, 6))) < 1e-12
+    # censored-only time contributes nothing
+    assert out[3]["hazard_inc"] == 0.0
+    assert out[3]["cum_hazard"] == out[2]["cum_hazard"]
+
+
+def test_nelson_aalen_vs_km_consistency(spark):
+    """exp(-H) >= KM survival pointwise (standard inequality)."""
+    from skrub_spark.report.survival import kaplan_meier, nelson_aalen
+
+    rows = [("g", (i * 3) % 11, 1 if i % 4 else 0) for i in range(80)]
+    df = spark.createDataFrame(rows, "grp string, t long, e long")
+    km = {r["t"]: r["survival"] for r in kaplan_meier(
+        df, "grp", "t", "e").collect()}
+    na = {r["t"]: r["fh_survival"] for r in nelson_aalen(
+        df, "grp", "t", "e").collect()}
+    for t in km:
+        assert na[t] >= km[t] - 1e-9
+
+
+# ----------------------------------------------------- json_profile
+
+
+def test_json_profile_type_lattice(spark):
+    from skrub_spark.report.profiling import json_profile
+
+    rows = [
+        (1, '{"a": 1, "b": "x", "c": 1.5, "d": true, "e": null}'),
+        (2, '{"a": 2, "b": "123", "c": -2.5e3, "d": false}'),
+        (3, '{"a": -7, "b": "y"}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, js string")
+    out = {r["key"]: r for r in json_profile(df, "js").collect()}
+    assert out["a"]["n_int"] == 3 and out["a"]["n_present"] == 3
+    # "123" stringifies to 123 -> counted int (documented lattice)
+    assert out["b"]["n_str"] == 2 and out["b"]["n_int"] == 1
+    assert out["c"]["n_float"] == 2
+    assert out["d"]["n_bool"] == 2
+    assert out["e"]["n_null"] == 1 and out["e"]["n_present"] == 1
+    assert out["a"]["n_distinct"] == 3
+
+
+def test_json_profile_malformed_rows_ignored(spark):
+    from skrub_spark.report.profiling import json_profile
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "not json"), (3, None)],
+        "id long, js string",
+    )
+    out = json_profile(df, "js").collect()
+    assert len(out) == 1 and out[0]["key"] == "a"
