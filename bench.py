@@ -237,6 +237,32 @@ HEADLINE = [
     "stl_daily",
     "mwu_test",
     "drift_chi2",
+    # --- round 9, third session ---
+    "bloom_semi_join",
+    "bloom_anti_join",
+    "mutual_best_match",
+    "sorted_neighborhood",
+    "permutation_test",
+    "conformal_intervals",
+    "pmi_collocations",
+    "link_prediction",
+    "degree_assortativity",
+    "rolling_hampel",
+    "term_burstiness",
+    "compression_signal",
+    "entity_comention",
+    "seasonal_backtest",
+    "cross_correlation",
+    "quantile_normalize",
+    "group_mean_fdr",
+    "markov_attribution",
+    "sentence_stats",
+    "point_in_time_features",
+    "cuped_lift",
+    "covariate_balance",
+    "did_estimate",
+    "nelson_aalen",
+    "json_profile",
     # pdf_text_stats / mime_sniff: payload SYNTHESIS (python
     # encoder loops) dominates like the image/audio queries —
     # timings live in CORRECTNESS_full_*.json.

@@ -1,0 +1,135 @@
+"""Collaborative-filtering recommendations via MLlib ALS (r9c).
+
+The classic implicit-feedback recommender over interaction counts
+(customer × part quantities here): MLlib's distributed alternating
+least squares (block-partitioned normal equations — the factor
+matrices shard across executors, so this trains at any interaction
+scale Spark can shuffle).
+
+Correctness contract: an iterative least-squares fit is float-
+accumulation-order dependent, so — like the repo's other MLlib fits
+(GBT/logistic in operators/interpolation_joiner.py) — the battery
+query is ROWS-ONLY, with pytest contracts pinning the semantics:
+reconstruction RMSE beats the global-mean baseline, and
+recommendations exclude already-seen items (the filter is exact
+set subtraction, not model behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def als_recommend(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    *,
+    rank: int = 8,
+    max_iter: int = 8,
+    reg: float = 0.1,
+    implicit: bool = True,
+    top_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k unseen-item recommendations per user:
+    ``(user, item, score, rec_rank)``.
+
+    ``implicit=True`` uses the Hu-Koren-Volinsky confidence
+    weighting (right for count data); the already-interacted items
+    are anti-joined out AFTER scoring, so every returned item is
+    genuinely novel to the user.
+    """
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import Window
+
+    base = interactions.select(
+        F.col(user_col).cast("int").alias("user"),
+        F.col(item_col).cast("int").alias("item"),
+        F.col(rating_col).cast("float").alias("rating"),
+    ).where(
+        F.col("user").isNotNull()
+        & F.col("item").isNotNull()
+        & F.col("rating").isNotNull()
+    )
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg,
+        implicitPrefs=implicit,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=seed,
+    )
+    model = als.fit(base)
+    # recommendForAllUsers returns a top-N dense array per user;
+    # over-fetch so the seen-item anti-join still leaves top_k.
+    seen_per_user = base.groupBy("user").agg(
+        F.countDistinct("item").alias("n_seen")
+    )
+    max_seen = seen_per_user.agg(F.max("n_seen")).first()[0] or 0
+    recs = (
+        model.recommendForAllUsers(int(top_k + max_seen))
+        .select("user", F.explode("recommendations").alias("r"))
+        .select("user", F.col("r.item").alias("item"), F.col("r.rating").alias("score"))
+    )
+    unseen = recs.join(
+        base.select("user", "item").distinct(), ["user", "item"], "left_anti"
+    )
+    w = Window.partitionBy("user").orderBy(
+        F.col("score").desc(), F.col("item").asc()
+    )
+    return (
+        unseen.withColumn("rec_rank", F.row_number().over(w))
+        .where(F.col("rec_rank") <= top_k)
+    )
+
+
+def als_rmse(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    **als_kwargs,
+) -> tuple[float, float]:
+    """(model reconstruction RMSE, global-mean-baseline RMSE) on
+    the training interactions — the pytest contract pair. Uses
+    explicit feedback (ratings reconstructed directly)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+
+    base = interactions.select(
+        F.col(user_col).cast("int").alias("user"),
+        F.col(item_col).cast("int").alias("item"),
+        F.col(rating_col).cast("float").alias("rating"),
+    )
+    kwargs = dict(
+        rank=8, maxIter=8, regParam=0.05, implicitPrefs=False, seed=42
+    )
+    kwargs.update(als_kwargs)
+    als = ALS(
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        **kwargs,
+    )
+    model = als.fit(base)
+    pred = model.transform(base)
+    ev = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+    rmse = ev.evaluate(pred)
+    gm = base.agg(F.avg("rating")).first()[0]
+    baseline = (
+        base.select(
+            F.pow(F.col("rating") - F.lit(gm), 2).alias("se")
+        )
+        .agg(F.sqrt(F.avg("se")))
+        .first()[0]
+    )
+    return float(rmse), float(baseline)

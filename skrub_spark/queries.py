@@ -15451,6 +15451,253 @@ ORACLES["json_profile"] = """
 """
 
 
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-correct churn-label construction (r9c — the label
+    half of the point_in_time_features pattern: churn(t) = user has
+    NO event in (t, t+7d], computed with one lead() over the total
+    per-user (us, event_id) order; rows in the final 7 days of the
+    observation window are emitted as label_valid = false rather
+    than silently mislabeled — right-censoring made explicit):
+    per-type churn rates over labelable events."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
+        "event_type",
+    )
+    horizon = 7 * 86400 * 1000000
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    obs_end = ev.agg(F.max("us").alias("end_us"))
+    lab = (
+        ev.withColumn("next_us", F.lead("us", 1).over(w))
+        .crossJoin(F.broadcast(obs_end))
+        .withColumn(
+            "label_valid", F.col("us") + F.lit(horizon) <= F.col("end_us")
+        )
+        .withColumn(
+            "churned",
+            F.col("next_us").isNull()
+            | (F.col("next_us") > F.col("us") + F.lit(horizon)),
+        )
+    )
+    return lab.where(F.col("label_valid")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labeled"),
+        F.sum(F.col("churned").cast("long")).cast("long").alias("n_churned"),
+        F.round(
+            F.sum(F.col("churned").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+ORACLES["churn_labels"] = """
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+        event_type
+      FROM events
+    ), obs AS (SELECT max(us) AS end_us FROM ev),
+    lab AS (
+      SELECT event_type,
+        (us + 604800000000 <= (SELECT end_us FROM obs)) AS label_valid,
+        (lead(us) OVER (PARTITION BY u ORDER BY us, eid) IS NULL
+         OR lead(us) OVER (PARTITION BY u ORDER BY us, eid)
+            > us + 604800000000) AS churned
+      FROM ev
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_labeled,
+      CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_churned,
+      round(CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+    FROM lab WHERE label_valid GROUP BY 1
+"""
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert percentiles (r9c — the latency half
+    of window_funnel: per user, first view → first later purchase
+    in integer seconds; p50/p90/p99 per user cohort via the exact
+    rank-selection rule (operators/winsorize.py::group_quantiles —
+    emitted values are input values, no interpolation))."""
+    _prep(spark)
+    from .operators.winsorize import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("u"),
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+    )
+    first_view = base.where(F.col("event_type") == "view").groupBy("u").agg(
+        F.min("us").alias("v_us")
+    )
+    conv = (
+        base.where(F.col("event_type") == "purchase")
+        .join(first_view, "u")
+        .where(F.col("us") >= F.col("v_us"))
+        .groupBy("u", "v_us")
+        .agg(F.min("us").alias("p_us"))
+        .select(
+            (F.col("u") % 3).alias("cohort"),
+            # integer div, NOT double-divide-then-cast: DuckDB's
+            # double->BIGINT cast rounds while Spark's truncates
+            F.expr("(p_us - v_us) div 1000000").alias("latency_s"),
+        )
+    )
+    return group_quantiles(
+        conv, "cohort", "latency_s", probs=[0.5, 0.9, 0.99],
+        names=["p50_s", "p90_s", "p99_s"],
+    )
+
+
+ORACLES["funnel_latency"] = """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS us, event_type FROM events
+    ), fv AS (
+      SELECT u, min(us) AS v_us FROM base
+      WHERE event_type = 'view' GROUP BY 1
+    ), conv AS (
+      SELECT b.u % 3 AS cohort,
+        CAST((min(b.us) - fv.v_us) // 1000000 AS BIGINT) AS latency_s
+      FROM base b JOIN fv ON b.u = fv.u
+      WHERE b.event_type = 'purchase' AND b.us >= fv.v_us
+      GROUP BY b.u, fv.v_us
+    ), counts AS (
+      SELECT cohort, latency_s AS v, CAST(count(*) AS BIGINT) AS c
+      FROM conv GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, v,
+        sum(c) OVER (PARTITION BY cohort ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum,
+        sum(c) OVER (PARTITION BY cohort) AS n
+      FROM counts
+    )
+    SELECT cohort, CAST(max(n) AS BIGINT) AS n,
+      min(CASE WHEN cum >= (5000 * n + 9999) // 10000 THEN v END)
+        AS p50_s,
+      min(CASE WHEN cum >= (9000 * n + 9999) // 10000 THEN v END)
+        AS p90_s,
+      min(CASE WHEN cum >= (9900 * n + 9999) // 10000 THEN v END)
+        AS p99_s
+    FROM cum GROUP BY 1
+"""
+
+
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (r9c,
+    operators/raking.py::ipf_rake — Deming-Stephan raking in
+    integer fixed point, K=10 alternating margin fits on the
+    bounded cross-tab, chained-CTE-replayable): calibrate the
+    nation × segment counts of the BIASED customers-with-orders
+    subsample back to full-population margins."""
+    _prep(spark)
+    from .operators.raking import ipf_rake
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    )
+    cells = with_orders.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    row_t = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    col_t = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    return ipf_rake(
+        cells, "c_nationkey", "c_mktsegment", "w", row_t, col_t,
+        n_iter=10,
+    )
+
+
+def _ipf_oracle(n_iter: int = 10, scale: int = 1_000_000) -> str:
+    prev = "w0"
+    iters = ""
+    for t in range(1, n_iter + 1):
+        iters += f""",
+    r{t} AS (
+      SELECT a, b,
+        CASE WHEN sum(v) OVER (PARTITION BY a) > 0
+          THEN CAST(CAST(v AS HUGEINT)
+                    * COALESCE((SELECT t FROM rt WHERE rt.a = {prev}.a), 0)
+                    * {scale}
+                    // sum(CAST(v AS HUGEINT)) OVER (PARTITION BY a)
+                    AS HUGEINT)
+          ELSE 0 END AS v
+      FROM {prev}
+    ),
+    c{t} AS (
+      SELECT a, b,
+        CASE WHEN sum(v) OVER (PARTITION BY b) > 0
+          THEN CAST(CAST(v AS HUGEINT)
+                    * COALESCE((SELECT t FROM ct WHERE ct.b = r{t}.b), 0)
+                    * {scale}
+                    // sum(CAST(v AS HUGEINT)) OVER (PARTITION BY b)
+                    AS HUGEINT)
+          ELSE 0 END AS v
+      FROM r{t}
+    )"""
+        prev = f"c{t}"
+    return f"""
+    WITH cells AS (
+      SELECT c_nationkey AS a, c_mktsegment AS b,
+        CAST(count(*) AS BIGINT) AS w
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      GROUP BY 1, 2
+    ), rt AS (
+      SELECT c_nationkey AS a, CAST(count(*) AS BIGINT) AS t
+      FROM customer GROUP BY 1
+    ), ct AS (
+      SELECT c_mktsegment AS b, CAST(count(*) AS BIGINT) AS t
+      FROM customer GROUP BY 1
+    ), w0 AS (
+      SELECT a, b, CAST(w AS HUGEINT) * {scale} AS v FROM cells
+    ){iters}
+    SELECT cells.a AS c_nationkey, cells.b AS c_mktsegment,
+      cells.w AS weight_raw,
+      round(CAST({prev}.v AS DOUBLE) / {scale}.0, 6) AS weight_raked
+    FROM cells JOIN {prev} ON cells.a = {prev}.a AND cells.b = {prev}.b
+    """
+
+
+ORACLES["ipf_raking"] = _ipf_oracle()
+
+
+def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering (r9c,
+    operators/recommend.py::als_recommend — MLlib distributed ALS,
+    implicit Hu-Koren-Volinsky weighting over customer × part
+    quantities, seen items anti-joined out). Iterative float fit →
+    ROWS-ONLY (the MLlib precedent: interpolation_join_gbt); RMSE-
+    beats-baseline and novelty contracts in tests/test_r9c_ops.py."""
+    _prep(spark)
+    from .operators.recommend import als_recommend
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("qty"))
+    )
+    return als_recommend(
+        inter, "o_custkey", "l_partkey", "qty", top_k=5, max_iter=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16049,6 +16296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_estimate": q_did_estimate,
         "nelson_aalen": q_nelson_aalen,
         "json_profile": q_json_profile,
+        "churn_labels": q_churn_labels,
+        "funnel_latency": q_funnel_latency,
+        "ipf_raking": q_ipf_raking,
+        "als_recommendations": q_als_recommendations,
     }
 
 

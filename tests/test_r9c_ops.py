@@ -873,3 +873,98 @@ def test_json_profile_malformed_rows_ignored(spark):
     )
     out = json_profile(df, "js").collect()
     assert len(out) == 1 and out[0]["key"] == "a"
+
+
+# ----------------------------------------------------- churn labels
+
+
+def test_churn_labels_censoring_and_horizon(spark):
+    import skrub_spark.queries as Q
+
+    out = {r["event_type"]: r for r in Q.q_churn_labels(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert out  # labelable rows exist
+    for r in out.values():
+        assert 0.0 <= r["churn_rate"] <= 1.0
+        assert r["n_churned"] <= r["n_labeled"]
+
+
+# ------------------------------------------------------- ipf_rake
+
+
+def test_ipf_margins_converge(spark):
+    from skrub_spark.operators.raking import ipf_rake
+
+    cells = spark.createDataFrame(
+        [(0, "A", 10), (0, "B", 30), (1, "A", 20), (1, "B", 40)],
+        "r long, c string, w long",
+    )
+    rt = spark.createDataFrame([(0, 50), (1, 50)], "r long, t long")
+    ct = spark.createDataFrame([("A", 60), ("B", 40)], "c string, t long")
+    out = ipf_rake(cells, "r", "c", "w", rt, ct, n_iter=20).collect()
+    rows = {}
+    colsum = {}
+    for x in out:
+        rows[x["r"]] = rows.get(x["r"], 0) + x["weight_raked"]
+        colsum[x["c"]] = colsum.get(x["c"], 0) + x["weight_raked"]
+    assert abs(rows[0] - 50) < 0.01 and abs(rows[1] - 50) < 0.01
+    assert abs(colsum["A"] - 60) < 0.01 and abs(colsum["B"] - 40) < 0.01
+
+
+def test_ipf_structural_zeros_preserved(spark):
+    from skrub_spark.operators.raking import ipf_rake
+
+    cells = spark.createDataFrame(
+        [(0, "A", 10), (1, "B", 10)], "r long, c string, w long"
+    )
+    rt = spark.createDataFrame([(0, 30), (1, 70)], "r long, t long")
+    ct = spark.createDataFrame([("A", 30), ("B", 70)], "c string, t long")
+    out = {(x["r"], x["c"]): x["weight_raked"] for x in ipf_rake(
+        cells, "r", "c", "w", rt, ct, n_iter=15).collect()}
+    # only the two existing cells come back, raked to their margins
+    assert set(out) == {(0, "A"), (1, "B")}
+    assert abs(out[(0, "A")] - 30) < 0.01
+    assert abs(out[(1, "B")] - 70) < 0.01
+
+
+def test_ipf_unrakeable_target_raises(spark):
+    import pytest as _pytest
+
+    from skrub_spark.operators.raking import ipf_rake
+
+    cells = spark.createDataFrame([(0, "A", 10)], "r long, c string, w long")
+    rt = spark.createDataFrame([(0, 10), (1, 90)], "r long, t long")
+    ct = spark.createDataFrame([("A", 100)], "c string, t long")
+    with _pytest.raises(ValueError):
+        ipf_rake(cells, "r", "c", "w", rt, ct)
+
+
+# ----------------------------------------------------------- ALS
+
+
+def test_als_beats_global_mean_baseline(spark):
+    from skrub_spark.operators.recommend import als_rmse
+
+    rows = []
+    # planted block structure: users 0-19 love items 0-9, users
+    # 20-39 love items 10-19
+    for u in range(40):
+        for i in range(20):
+            hot = (u < 20) == (i < 10)
+            rows.append((u, i, 5.0 if hot else 1.0))
+    df = spark.createDataFrame(rows, "u long, i long, r double")
+    rmse, baseline = als_rmse(df, "u", "i", "r", rank=4, maxIter=10)
+    assert rmse < 0.5 * baseline
+
+
+def test_als_recommendations_exclude_seen(spark):
+    from skrub_spark.operators.recommend import als_recommend
+
+    rows = [(u, i, 3.0) for u in range(30) for i in range(15) if (u + i) % 3]
+    df = spark.createDataFrame(rows, "u long, i long, r double")
+    seen = {(u, i) for u, i, _ in rows}
+    recs = als_recommend(df, "u", "i", "r", top_k=3, max_iter=5).collect()
+    assert recs
+    for r in recs:
+        assert (r["user"], r["item"]) not in seen
+        assert 1 <= r["rec_rank"] <= 3
