@@ -247,3 +247,74 @@ def term_burstiness(
     )
     toks.unpersist()
     return out
+
+
+def fightin_words(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a,
+    *,
+    alpha: float = 0.5,
+    min_count: int = 5,
+    top_k: int = 40,
+) -> DataFrame:
+    """Fightin' Words corpus comparison (r9c — Monroe, Colaresi &
+    Quinn 2008): which terms are over-represented in corpus A vs
+    the rest, scored by the Dirichlet-smoothed log-odds-ratio
+    z-statistic — THE method for "what changed between these two
+    corpora/epochs/sources" next to TF-IDF's "what characterizes
+    this doc". δ_w = ln[(y_aw+α)/(n_a+Aα−y_aw−α)] −
+    ln[(y_bw+α)/(n_b+Aα−y_bw−α)], σ² ≈ 1/(y_aw+α) + 1/(y_bw+α),
+    z = δ/σ.
+
+    Determinism: counts are exact integers; each ln is 6dp-rounded
+    (the survival-curve ln bridge, report/survival.py), the
+    variance terms are single IEEE reciprocals of exact halves
+    (α=0.5), and z rounds to 4dp — replays in SQL (battery oracle
+    ``fightin_words``). Output order (z desc, term) is total.
+
+    Returns top-k ``(term, count_a, count_b, delta, z)`` by z
+    (terms characteristic of A; negative tail = characteristic of
+    the rest).
+    """
+    toks = df.select(
+        (F.col(group_col) == F.lit(group_a)).alias("in_a"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("ya"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("yb"),
+    )
+    counts = counts.where(F.col("ya") + F.col("yb") >= min_count)
+    tot = counts.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    a = F.lit(float(alpha))
+    big_a = F.col("v").cast("double") * a
+    ya, yb = F.col("ya").cast("double"), F.col("yb").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ln1 = F.round(F.log((ya + a) / (na + big_a - ya - a)), 6)
+    ln2 = F.round(F.log((yb + a) / (nb + big_a - yb - a)), 6)
+    delta = ln1 - ln2
+    sigma2 = F.lit(1.0) / (ya + a) + F.lit(1.0) / (yb + a)
+    z = F.round(delta / F.sqrt(sigma2), 4)
+    return (
+        j.select(
+            "term",
+            F.col("ya").alias("count_a"),
+            F.col("yb").alias("count_b"),
+            F.round(delta, 6).alias("delta"),
+            z.alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "term")
+        .limit(top_k)
+    )

@@ -366,3 +366,71 @@ def sample_token_budget(
         df.withColumn("cum_before", cum_before)
         .filter(F.col("cum_before") < b)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    *,
+    n_total: int = 1000,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (r9c) — the
+    design step in front of the repo's stratified/exact-n samplers:
+    for a fixed budget, the variance-minimizing allocation samples
+    each stratum proportionally to N_h·σ_h (big AND volatile strata
+    get more), the textbook improvement over proportional
+    allocation when strata variances differ.
+
+    Exactness: σ_h comes from the exact integer-micro moment
+    identity (N·Σv² − (Σv)² in DECIMAL(38,0), one IEEE divide +
+    sqrt); n_h = floor(n_total·w_h/Σw_h) with the identical IEEE
+    ops in the SQL oracle (battery query ``neyman_allocation``).
+    Floor leaves up to |strata|−1 units unallocated — reported, not
+    silently redistributed. Zero-variance strata get weight 0 (one
+    unit of a constant stratum suffices; the caller decides).
+
+    Returns ``(stratum, n_rows, stddev, alloc_weight, n_alloc)``.
+    """
+    base = df.select(
+        F.col(stratum_col).alias("h"),
+        (F.col(value_col).cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v6"),
+    ).where(F.col("v6").isNotNull())
+    d0 = "decimal(38,0)"
+    mom = base.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v6").cast(d0)).alias("s"),
+        F.sum(F.col("v6").cast(d0) * F.col("v6").cast(d0)).alias("s2"),
+    )
+    sd = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            (F.col("n").cast(d0) * F.col("s2") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    wts = mom.select(
+        "h",
+        "n",
+        F.round(sd, 6).alias("stddev"),
+        (F.col("n").cast("double") * sd).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("wt"))
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("h").alias(stratum_col),
+            F.col("n").alias("n_rows"),
+            "stddev",
+            F.round(F.col("w") / F.col("wt"), 6).alias("alloc_weight"),
+            F.floor(
+                F.lit(float(n_total)) * F.col("w") / F.col("wt")
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )

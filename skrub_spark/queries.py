@@ -15698,6 +15698,103 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin' Words corpus comparison (r9c,
+    operators/keywords.py::fightin_words — Monroe-Colaresi-Quinn
+    2008 Dirichlet-smoothed log-odds z; 6dp ln bridge + 4dp z):
+    terms over-represented in English docs vs the rest."""
+    _prep(spark)
+    from .operators.keywords import fightin_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fightin_words(
+        docs, "text", "lang", "en", min_count=5, top_k=40
+    )
+
+
+ORACLES["fightin_words"] = """
+    WITH toks AS (
+      SELECT (lang = 'en') AS in_a, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        t -> t <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term,
+        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+        CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+      FROM toks GROUP BY 1 HAVING count(*) >= 5
+    ), tot AS (
+      SELECT CAST(sum(ya) AS BIGINT) AS na,
+        CAST(sum(yb) AS BIGINT) AS nb,
+        CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    ), j AS (SELECT * FROM counts, tot),
+    calc AS (
+      SELECT term, ya, yb,
+        round(ln((CAST(ya AS DOUBLE) + 0.5)
+                 / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE) * 0.5
+                    - CAST(ya AS DOUBLE) - 0.5)), 6)
+        - round(ln((CAST(yb AS DOUBLE) + 0.5)
+                   / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE) * 0.5
+                      - CAST(yb AS DOUBLE) - 0.5)), 6) AS delta,
+        1.0 / (CAST(ya AS DOUBLE) + 0.5)
+        + 1.0 / (CAST(yb AS DOUBLE) + 0.5) AS sigma2
+      FROM j
+    )
+    SELECT term, ya AS count_a, yb AS count_b,
+      round(delta, 6) AS delta,
+      round(delta / sqrt(sigma2), 4) AS z
+    FROM calc
+    ORDER BY z DESC, term
+    LIMIT 40
+"""
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (r9c,
+    operators/sampling.py::neyman_allocation — n_h ∝ N_h·σ_h from
+    exact integer-micro moments; the design step in front of the
+    stratified samplers): a 1000-row budget across event types by
+    value volatility."""
+    _prep(spark)
+    from .operators.sampling import neyman_allocation
+
+    ev = load_table(spark, sf_dir, "events")
+    return neyman_allocation(ev, "event_type", "value", n_total=1000)
+
+
+ORACLES["neyman_allocation"] = """
+    WITH base AS (
+      SELECT event_type AS h,
+        CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+      FROM events WHERE CAST(value AS DECIMAL(18,6)) IS NOT NULL
+    ), mom AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(v6 AS HUGEINT)) AS HUGEINT) AS s,
+        CAST(sum(CAST(v6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS HUGEINT)
+          AS s2
+      FROM base GROUP BY 1
+    ), wts AS (
+      SELECT h, n,
+        CASE WHEN n > 1 THEN
+          sqrt(CAST(n * s2 - s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+          / 1000000.0
+        ELSE 0.0 END AS sd
+      FROM mom
+    ), tot AS (
+      SELECT sum(CAST(n AS DOUBLE) * sd) AS wt FROM wts
+    )
+    SELECT h AS event_type, n AS n_rows,
+      round(sd, 6) AS stddev,
+      round(CAST(n AS DOUBLE) * sd / (SELECT wt FROM tot), 6)
+        AS alloc_weight,
+      CAST(floor(1000.0 * CAST(n AS DOUBLE) * sd / (SELECT wt FROM tot))
+           AS BIGINT) AS n_alloc
+    FROM wts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16300,6 +16397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "ipf_raking": q_ipf_raking,
         "als_recommendations": q_als_recommendations,
+        "fightin_words": q_fightin_words,
+        "neyman_allocation": q_neyman_allocation,
     }
 
 

@@ -968,3 +968,51 @@ def test_als_recommendations_exclude_seen(spark):
     for r in recs:
         assert (r["user"], r["item"]) not in seen
         assert 1 <= r["rec_rank"] <= 3
+
+
+# --------------------------------------------------- fightin_words
+
+
+def test_fightin_words_planted_marker_term(spark):
+    from skrub_spark.operators.keywords import fightin_words
+
+    docs = [(i, "a", "alpha shared words here") for i in range(30)]
+    docs += [(100 + i, "b", "beta shared words here") for i in range(30)]
+    df = spark.createDataFrame(docs, "id long, g string, text string")
+    out = fightin_words(df, "text", "g", "a", min_count=5, top_k=10).collect()
+    by_term = {r["term"]: r for r in out}
+    # 'alpha' is exclusive to corpus A -> top positive z;
+    # common terms sit near zero
+    assert out[0]["term"] == "alpha" and out[0]["z"] > 2
+    assert abs(by_term["shared"]["z"]) < 1
+    assert by_term["beta"]["z"] < -2
+
+
+def test_fightin_words_counts_exact(spark):
+    from skrub_spark.operators.keywords import fightin_words
+
+    docs = [(1, "a", "x x x y y"), (2, "b", "x y y y y")]
+    df = spark.createDataFrame(docs, "id long, g string, text string")
+    out = {r["term"]: r for r in fightin_words(
+        df, "text", "g", "a", min_count=4, top_k=10).collect()}
+    assert out["x"]["count_a"] == 3 and out["x"]["count_b"] == 1
+    assert out["y"]["count_a"] == 2 and out["y"]["count_b"] == 4
+
+
+# ----------------------------------------------- neyman_allocation
+
+
+def test_neyman_allocates_by_n_sigma(spark):
+    from skrub_spark.operators.sampling import neyman_allocation
+
+    rows = [(i, "low", float(5))             # zero variance
+            for i in range(100)]
+    rows += [(1000 + i, "hi", float(i % 100)) for i in range(100)]
+    rows += [(2000 + i, "mid", float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, h string, v double")
+    out = {r["h"]: r for r in neyman_allocation(
+        df, "h", "v", n_total=90).collect()}
+    assert out["low"]["n_alloc"] == 0 and out["low"]["stddev"] == 0.0
+    assert out["hi"]["n_alloc"] > out["mid"]["n_alloc"] > 0
+    assert sum(r["n_alloc"] for r in out.values()) <= 90
+    assert abs(sum(r["alloc_weight"] for r in out.values()) - 1.0) < 1e-6
