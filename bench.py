@@ -537,6 +537,78 @@ def scale_demos(spark) -> dict:
     )
     assert out["zorder_skip_x"] >= 0.5 and out["zorder_skip_y"] >= 0.5
     assert sortx_y == 0.0
+
+    # --- 8. Bloom runtime-filter join reduction (r9c): 10M-row fact
+    # semi-joined to a 500k-key dim (too many keys to broadcast as
+    # ROWS; the bitset is <=512KB) in the sort-merge regime (both
+    # broadcast paths disabled, incl. AQE's). The scale metric is
+    # ROWS ENTERING THE EXCHANGE: naive shuffles all 10M fact rows,
+    # bloom_semi_join drops ~99.4% map-side first
+    # (operators/semi_join.py). Wall times ride along for honesty —
+    # on local[32] tmpfs shuffle the legs are near parity (shuffle
+    # IO isn't the local bottleneck); on a network-shuffle cluster
+    # the rows-shuffled ratio IS the cost ratio. Legs asserted
+    # row-identical.
+    from skrub_spark.functions.bloom import (
+        bloom_attach, bloom_maybe_contains, bloom_size_bits,
+        build_bloom_bits,
+    )
+    from skrub_spark.operators.semi_join import bloom_semi_join
+
+    payload = F.concat_ws(
+        "",
+        *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(i)))
+            for i in range(4)
+        ],
+    ).alias("payload")
+    bf_fact = spark.range(10_000_000).select(
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100_000_000)).alias("k"),
+        payload,
+    )
+    bf_dim = spark.range(500_000).select(
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(100_000_000)).alias("k")
+    ).distinct()
+
+    def no_bcast(fn):
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            return with_conf(False, fn)
+        finally:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    n6 = no_bcast(
+        lambda: timed(
+            "semi_join_naive_s", bf_fact.join(bf_dim, "k", "left_semi")
+        )
+    )
+    n7 = no_bcast(
+        lambda: timed(
+            "semi_join_bloom_s",
+            bloom_semi_join(bf_fact, bf_dim, "k", how="semi"),
+        )
+    )
+    assert n6 == n7 and n6 > 0, (n6, n7)
+    m_bits = bloom_size_bits(500_000)
+    bits = build_bloom_bits(bf_dim, "k", m_bits)
+    pre_rows = (
+        bloom_attach(bf_fact, bits)
+        .where(
+            bloom_maybe_contains(
+                F.col("k"), F.col("__bloom_bits"), m_bits
+            )
+        )
+        .count()
+    )
+    out["semi_join_rows_shuffled_naive"] = 10_000_000
+    out["semi_join_rows_shuffled_bloom"] = pre_rows
+    print(
+        f"# demo bloom_semi_join: exchange input 10,000,000 -> "
+        f"{pre_rows} rows ({10_000_000 / max(pre_rows, 1):.0f}x "
+        f"shuffle reduction)",
+        file=sys.stderr,
+    )
+    assert pre_rows < 500_000
     return out
 
 
