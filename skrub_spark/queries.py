@@ -15795,6 +15795,103 @@ ORACLES["neyman_allocation"] = """
 """
 
 
+def q_streaming_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming spike flags across ≥2 REAL
+    micro-batches (r9c, streaming/ops.py::streaming_spike_flags —
+    per-key exact integer (count, sum) state, rows flagged against
+    the PRIOR batches' baseline mean only (batch-boundary
+    semantics: intra-batch order cannot matter), first batch emits
+    NULL flags): events split by the literal predicate
+    event_id % 2 = 0."""
+    import glob
+    import shutil
+    import uuid
+
+    from .streaming.ops import streaming_spike_flags
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src = _fresh_tmp("skrub_strspike_src_")
+    os.makedirs(src)
+    halves = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 != 0),
+    ]
+    for i, part in enumerate(halves):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "strspike_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_spike_flags(
+            stream, "event_type", "event_id", "value", factor=3.0
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    return spark.table(name).localCheckpoint(eager=True).select(
+        F.col("key").alias("event_type"),
+        F.col("id").alias("event_id"),
+        "value",
+        F.round(
+            F.col("baseline_sum6").cast("double")
+            / F.col("baseline_cnt").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("baseline_mean"),
+        "is_spike",
+    )
+
+
+ORACLES["streaming_spikes"] = """
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+    ), b0 AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000)
+                      AS BIGINT)) AS BIGINT) AS s6
+      FROM ev WHERE event_id % 2 = 0 GROUP BY 1
+    )
+    SELECT event_type, event_id, value,
+      CAST(NULL AS DOUBLE) AS baseline_mean,
+      CAST(NULL AS BOOLEAN) AS is_spike
+    FROM ev WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT e.event_type, e.event_id, e.value,
+      round(CAST(b0.s6 AS DOUBLE) / CAST(b0.cnt AS DOUBLE)
+            / 1000000.0, 6) AS baseline_mean,
+      CASE WHEN b0.cnt IS NOT NULL THEN
+        (CAST(CAST(round(e.value * 1000000) AS BIGINT) AS HUGEINT)
+           * b0.cnt * 1000000
+         >= CAST(3000000 AS HUGEINT) * b0.s6) END AS is_spike
+    FROM ev e LEFT JOIN b0 USING (event_type)
+    WHERE e.event_id % 2 != 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16399,6 +16496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_recommendations": q_als_recommendations,
         "fightin_words": q_fightin_words,
         "neyman_allocation": q_neyman_allocation,
+        "streaming_spikes": q_streaming_spikes,
     }
 
 

@@ -711,3 +711,90 @@ def streaming_heavy_hitters(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_spike_flags(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    *,
+    factor: float = 3.0,
+):
+    """Cross-batch spike flags (r9c) — the streaming twin of the
+    batch rolling-anomaly pass (operators/sequence.py::
+    rolling_hampel): per key the state store carries the exact
+    integer-micro (count, sum) of every PRIOR micro-batch, and each
+    row is flagged when value ≥ factor × that running baseline
+    mean. Baseline semantics are deliberately BATCH-BOUNDARY (rows
+    compare against earlier batches only, never their own batch):
+    that makes the result independent of intra-batch row order —
+    only the batch split matters — so with a literal split
+    predicate the DuckDB oracle replays it exactly (battery query
+    ``streaming_spikes``). First-batch rows have no baseline and
+    emit is_spike = NULL (explicit cold-start, not false).
+
+    The flag compare is exact integer arithmetic: value·10⁶·cnt ≥
+    factor·10⁶-scaled sum products — no IEEE division anywhere.
+    State per key: two longs; the grouped shuffle is the same hash
+    partitioning a batch groupBy would use.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    # baselines ship as the EXACT integer state pair (cnt, sum6) —
+    # the caller derives the mean with engine rounding (python
+    # round() is banker's; Spark/DuckDB round HALF_UP).
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("baseline_cnt", LongType()),
+            StructField("baseline_sum6", LongType()),
+            StructField("is_spike", BooleanType()),
+        ]
+    )
+    fac_num = int(round(float(factor) * 1000000))
+
+    def flag(key, pdfs, state):
+        import pandas as pd
+
+        cnt, s6 = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        v6 = (
+            (rows[value_col].astype("float64") * 1_000_000)
+            .round()
+            .astype("int64")
+        )
+        if cnt > 0:
+            # v >= factor * (s6/cnt)/1e6  <=>  v6*cnt*1e6 >= fac_num*s6
+            spikes = (
+                v6.astype(object) * int(cnt) * 1_000_000
+                >= int(fac_num) * int(s6)
+            ).astype(bool)
+        else:
+            spikes = None
+        out = pd.DataFrame(
+            {
+                "key": key[0],
+                "id": rows[id_col].astype("int64"),
+                "value": rows[value_col].astype("float64"),
+                "baseline_cnt": int(cnt) if cnt > 0 else None,
+                "baseline_sum6": int(s6) if cnt > 0 else None,
+                "is_spike": spikes,
+            }
+        )
+        state.update((int(cnt + len(rows)), int(s6 + int(v6.sum()))))
+        yield out
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        flag,
+        out_schema,
+        "cnt long, s6 long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

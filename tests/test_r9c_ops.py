@@ -1016,3 +1016,52 @@ def test_neyman_allocates_by_n_sigma(spark):
     assert out["hi"]["n_alloc"] > out["mid"]["n_alloc"] > 0
     assert sum(r["n_alloc"] for r in out.values()) <= 90
     assert abs(sum(r["alloc_weight"] for r in out.values()) - 1.0) < 1e-6
+
+
+# ----------------------------------------- streaming_spike_flags
+
+
+def test_streaming_spikes_cross_batch_baseline(spark, tmp_path):
+    import glob as _glob
+    import shutil as _shutil
+
+    from skrub_spark.streaming.ops import streaming_spike_flags
+
+    src = str(tmp_path / "src")
+    import os as _os
+
+    _os.makedirs(src)
+    # batch 0: key 'a' baseline mean 10; batch 1: one 9 (no spike),
+    # one 35 (>= 3x10 -> spike); key 'b' appears only in batch 1
+    batches = [
+        [(0, "a", 10.0), (2, "a", 10.0)],
+        [(1, "a", 9.0), (3, "a", 35.0), (5, "b", 100.0)],
+    ]
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = f"{src}/batch_{i}.parquet"
+        _shutil.copyfile(_glob.glob(f"{d}/part-*.parquet")[0], dst)
+        _os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_spike_flags(stream, "event_type", "event_id", "value")
+        .writeStream.format("memory")
+        .queryName("t_spikes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = {r["id"]: r for r in spark.table("t_spikes").collect()}
+    assert out[0]["is_spike"] is None  # cold start
+    assert out[1]["is_spike"] is False
+    assert out[3]["is_spike"] is True
+    assert out[3]["baseline_cnt"] == 2 and out[3]["baseline_sum6"] == 20_000_000
+    assert out[5]["is_spike"] is None  # key unseen before batch 1
