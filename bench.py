@@ -263,6 +263,17 @@ HEADLINE = [
     "did_estimate",
     "nelson_aalen",
     "json_profile",
+    "churn_labels",
+    "funnel_latency",
+    "ipf_raking",
+    "fightin_words",
+    "neyman_allocation",
+    "sliding_distinct_hll",
+    "prefix_completions",
+    # streaming_spikes excluded with the other streaming_* ops
+    # (state-store fixed overhead); als_recommendations excluded
+    # like the other MLlib fits (iterative fit wall time, not a
+    # query-engine throughput signal — timing lives in the battery).
     # pdf_text_stats / mime_sniff: payload SYNTHESIS (python
     # encoder loops) dominates like the image/audio queries —
     # timings live in CORRECTNESS_full_*.json.

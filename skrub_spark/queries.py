@@ -15892,6 +15892,158 @@ ORACLES["streaming_spikes"] = """
 """
 
 
+def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct via mergeable HLL (r9c — THE sketch
+    scale pattern: exact 7-day sliding COUNT(DISTINCT) re-scans
+    every window at 100 TB, while daily HLL registers merge by
+    register-wise max, so each day costs one bounded merge of 7
+    register frames (functions/sketches.py::hll_registers/merge/
+    estimate). Each daily register row fans out to the ≤7 target
+    days it serves — buckets/day × 7 rows, never data-scale).
+    Exact sliding distinct rides along for self-demonstration;
+    the raw-regime estimate and denominator replay bit-identically
+    in SQL."""
+    _prep(spark)
+    from .functions.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.expr("unix_date(to_date(ts))").cast("long").alias("day"),
+    )
+    from .functions.sketches import hll_registers
+
+    daily = hll_registers(ev, "uid", ["day"], p=7)
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fanned = (
+        daily.withColumn(
+            "target_day",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)),
+        )
+        .crossJoin(F.broadcast(span))
+        .where(F.col("target_day") <= F.col("d1"))
+        .groupBy("target_day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = hll_estimate(fanned, ["target_day"], p=7).select(
+        "target_day", "buckets_hit", "denom", "hll_est"
+    )
+    exact = (
+        ev.withColumn(
+            "target_day",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)),
+        )
+        .crossJoin(F.broadcast(span))
+        .where(F.col("target_day") <= F.col("d1"))
+        .groupBy("target_day")
+        .agg(F.count_distinct("uid").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "target_day")
+
+
+ORACLES["sliding_distinct_hll"] = f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id AS uid,
+        CAST(epoch_us(CAST(ts AS DATE)) // 86400000000 AS BIGINT)
+          AS day
+      FROM events
+    ), span AS (SELECT max(day) AS d1 FROM ev),
+    h AS (
+      SELECT day,
+        ('0x' || substr(md5(CAST(uid AS VARCHAR)), 1, 15))::BIGINT
+          AS h60
+      FROM ev
+    ), r AS (
+      SELECT day, h60 >> 53 AS bucket,
+        CASE WHEN (h60 & ((1::BIGINT << 53) - 1)) = 0 THEN 54
+             ELSE 54 - length(bin(h60 & ((1::BIGINT << 53) - 1)))
+        END AS rho
+      FROM h
+    ), daily AS (
+      SELECT day, bucket, max(rho) AS reg FROM r GROUP BY 1, 2
+    ), fanned AS (
+      SELECT t.target_day, bucket, max(reg) AS reg
+      FROM daily, LATERAL (
+        SELECT unnest(generate_series(day, day + 6)) AS target_day
+      ) t
+      WHERE t.target_day <= (SELECT d1 FROM span)
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT target_day,
+        CAST(count(*) AS BIGINT) AS buckets_hit,
+        CAST((128 - count(*)) * (1::BIGINT << 54)
+             + sum(1::BIGINT << (54 - reg)) AS BIGINT) AS denom
+      FROM fanned GROUP BY 1
+    ), ex AS (
+      SELECT t.target_day,
+        CAST(count(DISTINCT uid) AS BIGINT) AS exact_distinct
+      FROM ev, LATERAL (
+        SELECT unnest(generate_series(day, day + 6)) AS target_day
+      ) t
+      WHERE t.target_day <= (SELECT d1 FROM span)
+      GROUP BY 1
+    )
+    SELECT agg.target_day, buckets_hit, denom,
+      round({_hll_p7_num()!r} / CAST(denom AS DOUBLE), 6) AS hll_est,
+      exact_distinct
+    FROM agg JOIN ex USING (target_day)
+"""
+
+
+def q_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-suggest prefix index (r9c — the autocomplete side of
+    the retrieval stack next to BM25/phrase search: top-3 term
+    completions per 2-char prefix by corpus frequency, ties by
+    term; one tokenize pass + one count groupBy + one bounded
+    window over per-prefix candidates). At serving scale the output
+    IS the index: partition-prune by prefix and a lookup reads one
+    partition."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term")
+    ).where(F.length("term") >= 2)
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("prefix", F.substring("term", 1, 2))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("prefix", F.col("rank").cast("int").alias("rank"),
+                "term", "freq")
+    )
+
+
+ORACLES["prefix_completions"] = """
+    WITH terms AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        t -> t <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM terms WHERE length(term) >= 2 GROUP BY 1
+    ), ranked AS (
+      SELECT substr(term, 1, 2) AS prefix, term, freq,
+        row_number() OVER (PARTITION BY substr(term, 1, 2)
+                           ORDER BY freq DESC, term) AS rank
+      FROM counts
+    )
+    SELECT prefix, CAST(rank AS INT) AS rank, term, freq
+    FROM ranked WHERE rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16497,6 +16649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fightin_words": q_fightin_words,
         "neyman_allocation": q_neyman_allocation,
         "streaming_spikes": q_streaming_spikes,
+        "sliding_distinct_hll": q_sliding_distinct_hll,
+        "prefix_completions": q_prefix_completions,
     }
 
 

@@ -1065,3 +1065,47 @@ def test_streaming_spikes_cross_batch_baseline(spark, tmp_path):
     assert out[3]["is_spike"] is True
     assert out[3]["baseline_cnt"] == 2 and out[3]["baseline_sum6"] == 20_000_000
     assert out[5]["is_spike"] is None  # key unseen before batch 1
+
+
+# -------------------------------------- sliding HLL / completions
+
+
+def test_sliding_hll_window_equals_direct_sketch(spark):
+    """The fanned 7-day merge must equal sketching each window's
+    union directly (the hll_merge exactness property, windowed)."""
+    from skrub_spark.functions.sketches import hll_registers
+
+    rows = [((d * 31 + i) % 40, d) for d in range(10) for i in range(12)]
+    df = spark.createDataFrame(rows, "uid long, day long")
+    daily = hll_registers(df, "uid", ["day"], p=6)
+    fanned = (
+        daily.withColumn(
+            "target_day", F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+        )
+        .where(F.col("target_day") <= 9)
+        .groupBy("target_day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    got = {
+        (r["target_day"], r["bucket"]): r["reg"] for r in fanned.collect()
+    }
+    for t in range(0, 10):
+        win = df.where((F.col("day") >= t - 6) & (F.col("day") <= t))
+        direct = hll_registers(win, "uid", p=6).collect()
+        for r in direct:
+            assert got[(t, r["bucket"])] == r["reg"], (t, r)
+
+
+def test_prefix_completions_ranking(spark):
+    import skrub_spark.queries as Q
+
+    out = Q.q_prefix_completions(spark, "/root/testdata/sf0.001").collect()
+    by_prefix = {}
+    for r in out:
+        by_prefix.setdefault(r["prefix"], []).append(r)
+    for prefix, rows in by_prefix.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        freqs = [r["freq"] for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
+        assert all(r["term"].startswith(prefix) for r in rows)
