@@ -270,6 +270,9 @@ HEADLINE = [
     "neyman_allocation",
     "sliding_distinct_hll",
     "prefix_completions",
+    "conversation_stats",
+    "sft_turn_dedup",
+    "preference_bias",
     # streaming_spikes excluded with the other streaming_* ops
     # (state-store fixed overhead); als_recommendations excluded
     # like the other MLlib fits (iterative fit wall time, not a

@@ -16044,6 +16044,188 @@ ORACLES["prefix_completions"] = """
 """
 
 
+def _planted_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic role-tagged conversations built byte-identically
+    in both engines from the documents table (the json_profile
+    recipe): 2 or 4 alternating turns per doc, a shared canned
+    assistant reply every 7th doc (cross-conversation duplicates for
+    the dedup stage), a TAB-less garbage record every 11th (the
+    malformed path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    convo = F.concat_ws(
+        "\x1e",
+        F.concat(F.lit("user\t"), F.substring(t, 1, 60)),
+        F.concat(
+            F.lit("assistant\t"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("I cannot help with that request."),
+            ).otherwise(F.substring(t, 61, 80)),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("user\t"), F.substring(t, 141, 40)),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("assistant\t"), F.substring(t, 181, 60)),
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("garbage-no-tab")),
+    )
+    return docs.select(F.col("doc_id"), convo.alias("convo"))
+
+
+_CONVO_SQL = """
+      SELECT doc_id,
+        concat_ws(chr(30),
+          'user' || chr(9) || substr(text, 1, 60),
+          'assistant' || chr(9) ||
+            (CASE WHEN doc_id % 7 = 0
+              THEN 'I cannot help with that request.'
+              ELSE substr(text, 61, 80) END),
+          CASE WHEN doc_id % 3 = 0
+            THEN 'user' || chr(9) || substr(text, 141, 40) END,
+          CASE WHEN doc_id % 3 = 0
+            THEN 'assistant' || chr(9) || substr(text, 181, 60) END,
+          CASE WHEN doc_id % 11 = 0 THEN 'garbage-no-tab' END
+        ) AS convo
+      FROM documents
+"""
+
+_TURNS_SQL = f"""
+    convos AS ({_CONVO_SQL}),
+    recs AS (
+      SELECT doc_id AS conv_id, ts.rec,
+        CAST(ts.i - 1 AS INT) AS turn_idx
+      FROM convos, LATERAL (
+        SELECT unnest(string_split(convo, chr(30))) AS rec,
+          unnest(generate_series(1, len(string_split(convo, chr(30)))))
+            AS i
+      ) ts
+    ),
+    turns AS (
+      SELECT conv_id, turn_idx,
+        CASE WHEN strpos(rec, chr(9)) > 0
+          THEN split_part(rec, chr(9), 1) END AS role,
+        CASE WHEN strpos(rec, chr(9)) > 0
+          THEN substr(rec, strpos(rec, chr(9)) + 1)
+          ELSE rec END AS text
+      FROM recs
+    )
+"""
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation QA (r9c, operators/sft.py::parse_turns +
+    conversation_stats — role-alternation validation, per-role turn
+    counts, malformed-record visibility; one split/posexplode pass
+    + one lag window): planted conversations over documents."""
+    _prep(spark)
+    from .operators.sft import conversation_stats, parse_turns
+
+    convos = _planted_conversations(spark, sf_dir)
+    return conversation_stats(parse_turns(convos, "convo", "doc_id"))
+
+
+ORACLES["conversation_stats"] = f"""
+    WITH {_TURNS_SQL},
+    lagged AS (
+      SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        AS prev_role
+      FROM turns
+    )
+    SELECT conv_id,
+      CAST(count(*) AS BIGINT) AS n_turns,
+      CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_user,
+      CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_assistant,
+      CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_malformed,
+      max(CASE WHEN turn_idx = 0 THEN role = 'user' END)
+        AS starts_with_user,
+      (sum(CASE WHEN prev_role IS NOT NULL
+                AND prev_role IS NOT DISTINCT FROM role
+           THEN 1 ELSE 0 END) = 0) AS alternates,
+      CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+               ELSE 0 END) AS BIGINT) AS assistant_chars
+    FROM lagged GROUP BY 1
+"""
+
+
+def q_sft_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-turn dedup (r9c,
+    operators/sft.py::assistant_turn_dedup — the SFT memorization
+    vector: identical assistant replies across conversations;
+    md5 text hashing, min-length boilerplate floor)."""
+    _prep(spark)
+    from .operators.sft import assistant_turn_dedup, parse_turns
+
+    convos = _planted_conversations(spark, sf_dir)
+    return assistant_turn_dedup(
+        parse_turns(convos, "convo", "doc_id"), min_chars=20
+    )
+
+
+ORACLES["sft_turn_dedup"] = f"""
+    WITH {_TURNS_SQL}
+    SELECT md5(text) AS text_hash,
+      CAST(count(*) AS BIGINT) AS n_occurrences,
+      CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversations,
+      min(conv_id) AS example_conv_id
+    FROM turns
+    WHERE role = 'assistant' AND length(text) >= 20
+    GROUP BY 1
+    HAVING count(DISTINCT conv_id) > 1
+"""
+
+
+def q_preference_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair length-bias audit (r9c,
+    operators/sft.py::preference_bias_report — the
+    reward-model-gaming check: chosen_longer_rate far from 0.5
+    means length alone predicts the label): deterministic pairs
+    planted from document prefixes."""
+    _prep(spark)
+    from .operators.sft import preference_bias_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.substring(
+            F.col("text"), 1, (100 + F.col("doc_id") % 50).cast("int")
+        ).alias("chosen"),
+        F.substring(
+            F.col("text"), 1, (120 - F.col("doc_id") % 40).cast("int")
+        ).alias("rejected"),
+    )
+    return preference_bias_report(pairs, "chosen", "rejected")
+
+
+ORACLES["preference_bias"] = """
+    WITH pairs AS (
+      SELECT
+        length(substr(text, 1, CAST(100 + doc_id % 50 AS INT)))
+          AS lc,
+        length(substr(text, 1, CAST(120 - doc_id % 40 AS INT)))
+          AS lr
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_chosen_longer,
+      CAST(sum(CASE WHEN lc = lr THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_equal_len,
+      round(CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS chosen_longer_rate,
+      round(CAST(sum(lc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS mean_len_chosen,
+      round(CAST(sum(lr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS mean_len_rejected
+    FROM pairs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16651,6 +16833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_spikes": q_streaming_spikes,
         "sliding_distinct_hll": q_sliding_distinct_hll,
         "prefix_completions": q_prefix_completions,
+        "conversation_stats": q_conversation_stats,
+        "sft_turn_dedup": q_sft_turn_dedup,
+        "preference_bias": q_preference_bias,
     }
 
 

@@ -1109,3 +1109,50 @@ def test_prefix_completions_ranking(spark):
         freqs = [r["freq"] for r in rows]
         assert freqs == sorted(freqs, reverse=True)
         assert all(r["term"].startswith(prefix) for r in rows)
+
+
+# -------------------------------------------------------- SFT ops
+
+
+def _convos(spark):
+    rows = [
+        (1, "user\thi there\x1eassistant\thello friend how are you"),
+        (2, "user\tq\x1eassistant\thello friend how are you"),
+        (3, "assistant\tstarts wrong\x1eassistant\tdouble role here ok"),
+        (4, "no tab record"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, convo string")
+
+
+def test_parse_turns_and_stats(spark):
+    from skrub_spark.operators.sft import conversation_stats, parse_turns
+
+    turns = parse_turns(_convos(spark), "convo", "doc_id")
+    stats = {r["conv_id"]: r for r in conversation_stats(turns).collect()}
+    assert stats[1]["n_turns"] == 2 and stats[1]["alternates"] is True
+    assert stats[1]["starts_with_user"] is True
+    assert stats[3]["starts_with_user"] is False
+    assert stats[3]["alternates"] is False  # assistant twice in a row
+    assert stats[4]["n_malformed"] == 1 and stats[4]["n_user"] == 0
+    assert stats[1]["assistant_chars"] == len("hello friend how are you")
+
+
+def test_assistant_turn_dedup_cross_conversation(spark):
+    from skrub_spark.operators.sft import assistant_turn_dedup, parse_turns
+
+    turns = parse_turns(_convos(spark), "convo", "doc_id")
+    dups = assistant_turn_dedup(turns, min_chars=10).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_conversations"] == 2
+    assert dups[0]["example_conv_id"] == 1
+
+
+def test_preference_bias_planted(spark):
+    from skrub_spark.operators.sft import preference_bias_report
+
+    rows = [("longer chosen text", "short"), ("a", "bb"), ("xx", "yy")]
+    df = spark.createDataFrame(rows, "chosen string, rejected string")
+    r = preference_bias_report(df, "chosen", "rejected").first()
+    assert r["n_pairs"] == 3
+    assert r["n_chosen_longer"] == 1 and r["n_equal_len"] == 1
+    assert abs(r["chosen_longer_rate"] - round(1 / 3, 6)) < 1e-12
