@@ -14786,6 +14786,11 @@ def _group_fdr_oracle(n_perm: int = 40, alpha: float = 0.25) -> str:
     ), per_g AS (
       SELECT g, CAST(count(*) AS BIGINT) AS n_g, sum(x) AS s_g
       FROM base GROUP BY 1
+    ), cums AS (
+      SELECT *, CAST(COALESCE(sum(n_g) OVER (
+          ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) AS BIGINT) AS cum_g
+      FROM per_g
     ), obs AS (
       SELECT g, n_g,
         round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6)
@@ -14793,30 +14798,34 @@ def _group_fdr_oracle(n_perm: int = 40, alpha: float = 0.25) -> str:
                 / CAST((SELECT n FROM tot) - n_g AS DOUBLE), 6)
           AS diff_obs
       FROM per_g
+    ), thr AS (
+      SELECT g AS g2,
+        CAST(cum_g AS HUGEINT)
+          * CAST(1152921504606846976 AS HUGEINT) AS lo,
+        CAST(cum_g + n_g AS HUGEINT)
+          * CAST(1152921504606846976 AS HUGEINT) AS hi
+      FROM cums
     ), repl AS (
-      SELECT b.x, b.k, p.g AS g2, p.n_g,
-        unnest(generate_series(1, {n_perm})) AS b2
-      FROM base b CROSS JOIN per_g p
-    ), lab AS (
-      SELECT x, g2, b2,
-        (CAST(('0x' || substr(md5('pg' || g2 || chr(30)
-                || CAST(b2 AS VARCHAR) || chr(31)
-                || CAST(k AS VARCHAR)), 1, 15))::BIGINT
-              AS DECIMAL(38,0))
-         * CAST((SELECT n FROM tot) AS DECIMAL(38,0)))
-        < (CAST(1152921504606846976 AS DECIMAL(38,0))
-           * CAST(n_g AS DECIMAL(38,0))) AS is_in
+      SELECT x, k, unnest(generate_series(1, {n_perm})) AS b FROM base
+    ), drawn AS (
+      SELECT x, b,
+        CAST(('0x' || substr(md5('pg' || CAST(b AS VARCHAR) || chr(31)
+              || CAST(k AS VARCHAR)), 1, 15))::BIGINT AS HUGEINT)
+          * (SELECT n FROM tot) AS un
       FROM repl
+    ), assigned AS (
+      SELECT t.g2, d.b, d.x
+      FROM drawn d JOIN thr t ON d.un >= t.lo AND d.un < t.hi
+    ), sums AS (
+      SELECT g2, b, sum(x) AS si, CAST(count(*) AS BIGINT) AS ci
+      FROM assigned GROUP BY 1, 2
+      HAVING count(*) > 0 AND count(*) < (SELECT n FROM tot)
     ), diffs AS (
-      SELECT g2, b2,
-        round(CAST(sum(CASE WHEN is_in THEN x END) AS DOUBLE)
-              / CAST(count(CASE WHEN is_in THEN 1 END) AS DOUBLE), 6)
-        - round(CAST(sum(CASE WHEN NOT is_in THEN x END) AS DOUBLE)
-                / CAST(count(CASE WHEN NOT is_in THEN 1 END) AS DOUBLE),
-                6) AS d
-      FROM lab GROUP BY 1, 2
-      HAVING count(CASE WHEN is_in THEN 1 END) > 0
-         AND count(CASE WHEN NOT is_in THEN 1 END) > 0
+      SELECT g2, b,
+        round(CAST(si AS DOUBLE) / CAST(ci AS DOUBLE), 6)
+        - round(CAST((SELECT s FROM tot) - si AS DOUBLE)
+                / CAST((SELECT n FROM tot) - ci AS DOUBLE), 6) AS d
+      FROM sums
     ), pv AS (
       SELECT o.g AS grp, o.n_g, o.diff_obs,
         CAST(count(*) AS BIGINT) AS n_perm_valid,

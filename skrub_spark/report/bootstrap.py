@@ -104,7 +104,10 @@ def bootstrap_mean_ci(
             6,
         ).alias("point"),
     )
-    repl = base.select(
+    # spread the rows×B explode — a small input file otherwise pins
+    # all B replicates into its one scan task (r9c fix)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    repl = base.repartition(par).select(
         *by,
         "__x",
         "__k",

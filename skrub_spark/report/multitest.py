@@ -34,15 +34,20 @@ def permutation_group_deviation(
     salt: str = "pg",
 ) -> DataFrame:
     """For every group g: a permutation p-value for "does g's mean
-    differ from the rest?" — diff = mean(x | g) − mean(x | not g),
-    replicates relabel each row into a pseudo-group of expected
-    size n_g via independent md5 draws (P = n_g/n, the map-only
-    binomial variant — see permutation.py).
+    differ from the rest?" — diff = mean(x | g) − mean(x | not g).
 
-    Returns ``(group, n_g, diff_obs, n_perm_valid, n_ge, p_value)``
-    with p an exact count ratio. One pass shaped rows × B × m (m =
-    number of groups): fine for report-sized m; for thousands of
-    groups run per-shard.
+    Replicates draw ONE categorical pseudo-label per (row, b):
+    u = md5(salt, b, key) in 60-bit space lands in group g's slice
+    [cum_g·2⁶⁰, (cum_g+n_g)·2⁶⁰) of u·n (groups ordered
+    lexicographically, cumulative counts exact) — the standard
+    multi-group relabeling, ONE rows × B pass for ALL m groups
+    (not rows × B × m), with the slice match against the bounded
+    broadcast threshold frame. Every compare runs in DECIMAL(38,0)
+    so it replays in SQL; p-values are exact count ratios.
+
+    Returns ``(group, n_g, diff_obs, n_perm_valid, n_ge, p_value)``.
+    Replicates where a group's pseudo-slice lands empty (or
+    swallows everything) drop out of that group's counts.
     """
     v = F.col(value) if isinstance(value, str) else value
     g = F.col(group) if isinstance(group, str) else group
@@ -57,81 +62,100 @@ def permutation_group_deviation(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__x").alias("s"),
     )
+    wg = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     per_g = (
         base.groupBy("__g")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_g"),
             F.sum("__x").alias("s_g"),
         )
+        # bounded m-row frame: the ordered cumulative pass is fine
+        .withColumn(
+            "cum_g",
+            F.coalesce(F.sum("n_g").over(wg), F.lit(0)).cast("long"),
+        )
         .crossJoin(F.broadcast(tot))
-        .select(
-            "__g",
-            "n_g",
-            "n",
+    )
+    obs = per_g.select(
+        "__g",
+        "n_g",
+        (
             F.round(
                 F.col("s_g").cast("double") / F.col("n_g").cast("double"), 6
-            ).alias("m_in"),
-            F.round(
+            )
+            - F.round(
                 (F.col("s") - F.col("s_g")).cast("double")
                 / (F.col("n") - F.col("n_g")).cast("double"),
                 6,
-            ).alias("m_out"),
-        )
-        .withColumn("diff_obs", F.col("m_in") - F.col("m_out"))
-        .select("__g", "n_g", "n", "diff_obs")
+            )
+        ).alias("diff_obs"),
     )
-    # rows × B × m relabeled pass; the draw is per (group, b, key)
-    # so each group's test is an independent replay.
+    # ONE draw per (row, b); the m-row threshold table collects to
+    # the driver (codebook discipline) and assignment is a literal
+    # CASE chain — ONE u·n DECIMAL(38,0) multiply per row plus m
+    # ordered compares, all codegen (a broadcast range-join here
+    # re-evaluated the decimal product per threshold and cost 4x).
+    d0 = "decimal(38,0)"
+    cuts = sorted(
+        (r["__g"], int(r["cum_g"]) + int(r["n_g"]), int(r["n"]))
+        for r in per_g.select("__g", "cum_g", "n_g", "n").collect()
+    )
+    n_all = cuts[0][2]
+    # spread the rows×B explode across the cluster — a small input
+    # file otherwise pins all B replicates into its one scan task
+    par = base.sparkSession.sparkContext.defaultParallelism
     repl = (
-        base.crossJoin(
-            F.broadcast(per_g.select("__g", "n_g", "n").toDF("g2", "n_g", "n"))
-        )
+        base.repartition(par)
         .select(
             "__x",
             "__k",
-            "g2",
-            "n_g",
-            "n",
             F.explode(F.expr(f"sequence(1, {int(n_perm)})")).alias("b"),
         )
+        .withColumn("u", _u60(F.col("__k"), F.col("b"), salt))
         .withColumn(
-            "u",
-            _u60(
-                F.col("__k"),
-                F.concat(F.col("g2"), F.lit("\x1e"), F.col("b")),
-                salt,
-            ),
-        )
-        .withColumn(
-            "is_in",
-            (
-                F.col("u").cast("decimal(38,0)")
-                * F.col("n").cast("decimal(38,0)")
-                < F.lit(1 << 60).cast("decimal(38,0)")
-                * F.col("n_g").cast("decimal(38,0)")
-            ),
+            "un", F.col("u").cast(d0) * F.lit(n_all).cast(d0)
         )
     )
-    diffs = (
-        repl.groupBy("g2", "b")
-        .agg(
-            F.sum(F.when(F.col("is_in"), F.col("__x"))).alias("si"),
-            F.count(F.when(F.col("is_in"), F.lit(1))).cast("long").alias("ci"),
-            F.sum(F.when(~F.col("is_in"), F.col("__x"))).alias("so"),
-            F.count(F.when(~F.col("is_in"), F.lit(1))).cast("long").alias("co"),
+    from decimal import Decimal
+
+    assign = None
+    for gname, hi_count, _n in cuts:
+        hi = F.lit(Decimal(hi_count * (1 << 60))).cast(d0)
+        cond = F.col("un") < hi
+        assign = (
+            F.when(cond, F.lit(gname))
+            if assign is None
+            else assign.when(cond, F.lit(gname))
         )
-        .filter((F.col("ci") > 0) & (F.col("co") > 0))
+    assigned = repl.withColumn("g2", assign)
+    sums = (
+        assigned.groupBy("g2", "b")
+        .agg(
+            F.sum("__x").alias("si"),
+            F.count(F.lit(1)).cast("long").alias("ci"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("ci") > 0) & (F.col("ci") < F.col("n")))
         .select(
             "g2",
             "b",
             (
-                F.round(F.col("si").cast("double") / F.col("ci").cast("double"), 6)
-                - F.round(F.col("so").cast("double") / F.col("co").cast("double"), 6)
+                F.round(
+                    F.col("si").cast("double") / F.col("ci").cast("double"),
+                    6,
+                )
+                - F.round(
+                    (F.col("s") - F.col("si")).cast("double")
+                    / (F.col("n") - F.col("ci")).cast("double"),
+                    6,
+                )
             ).alias("d"),
         )
     )
     out = (
-        diffs.join(per_g.select(F.col("__g").alias("g2"), "diff_obs"), "g2")
+        sums.join(obs.select(F.col("__g").alias("g2"), "diff_obs"), "g2")
         .groupBy("g2", "diff_obs")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_perm_valid"),
@@ -139,7 +163,7 @@ def permutation_group_deviation(
             .cast("long")
             .alias("n_ge"),
         )
-        .join(per_g.select(F.col("__g").alias("g2"), "n_g"), "g2")
+        .join(obs.select(F.col("__g").alias("g2"), "n_g"), "g2")
         .select(
             F.col("g2").alias("group"),
             "n_g",

@@ -97,8 +97,10 @@ def permutation_test_means(
     # u·n exact at any corpus size (ANSI mode would raise on a long
     # overflow; non-ANSI would silently wrap — see ADVICE r8 on
     # target_encoder's headroom).
+    par = base.sparkSession.sparkContext.defaultParallelism
     repl = (
-        base.crossJoin(
+        base.repartition(par)
+        .crossJoin(
             F.broadcast(agg.select("n_a", (F.col("n_a") + F.col("n_b")).alias("n")))
         )
         .select(
