@@ -273,6 +273,7 @@ HEADLINE = [
     "conversation_stats",
     "sft_turn_dedup",
     "preference_bias",
+    "gains_table",
     # streaming_spikes excluded with the other streaming_* ops
     # (state-store fixed overhead); als_recommendations excluded
     # like the other MLlib fits (iterative fit wall time, not a

@@ -16235,6 +16235,122 @@ ORACLES["preference_bias"] = """
 """
 
 
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table (r9c — the model-eval artifact every
+    targeting model ships with: equal-frequency score deciles
+    (quantile_discretize's exact edge rule) of the FROZEN quality
+    classifier, cumulative capture of a deterministic positive
+    class from the best decile down; every rate an exact-count
+    IEEE division). Composes two proven replays: the frozen-score
+    CTE + the quantile-edge rule."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL
+    from .operators.quality_classifier import score_quality
+    from .operators.winsorize import quantile_discretize
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 6dp-rounded scores: the replayable grain the scores oracle
+    # uses (the raw sigmoid differs past 6dp between engines)
+    scored = score_quality(docs, QUALITY_MODEL).select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    binned = quantile_discretize(
+        scored, "quality_score", 10, "decile"
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("pos").cast("long")).cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("n_pos").cast("long").alias("tp"),
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("pos_rate"),
+            F.sum("n").over(w).cast("long").alias("cum_n"),
+            F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+            F.round(
+                F.sum("n_pos").over(w).cast("double")
+                / F.col("tp").cast("double"),
+                6,
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+                / (F.col("tp").cast("double") / F.col("tn").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def _gains_oracle() -> str:
+    edge_sel = ",\n        ".join(
+        f"min(CASE WHEN cum >= ({1000 * i} * n + 9999) // 10000"
+        f" THEN v END) AS e{i}"
+        for i in range(1, 10)
+    )
+    bin_expr = "\n           + ".join(
+        f"(CASE WHEN qs >= e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    return _quality_score_cte() + f"""
+    , scored AS (
+      SELECT s.doc_id, s.qs, (d.lang = 'en') AS pos
+      FROM s JOIN documents d ON s.doc_id = d.doc_id
+    ), vc AS (
+      SELECT qs AS v, count(*) AS c FROM scored GROUP BY 1
+    ), cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        AS cum
+      FROM vc
+    ), nt AS (SELECT count(*) AS n FROM scored),
+    e AS (
+      SELECT
+        {edge_sel}
+      FROM cum CROSS JOIN nt
+    ), binned AS (
+      SELECT doc_id, pos,
+        CAST({bin_expr} AS INTEGER) AS decile
+      FROM scored CROSS JOIN e
+    ), per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM binned GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+        CAST(sum(n_pos) AS BIGINT) AS tp
+      FROM per
+    )
+    SELECT decile, n, n_pos,
+      round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+      CAST(sum(n) OVER wd AS BIGINT) AS cum_n,
+      CAST(sum(n_pos) OVER wd AS BIGINT) AS cum_pos,
+      round(CAST(sum(n_pos) OVER wd AS DOUBLE)
+            / CAST((SELECT tp FROM tot) AS DOUBLE), 6) AS cum_gain,
+      round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST((SELECT tp FROM tot) AS DOUBLE)
+               / CAST((SELECT tn FROM tot) AS DOUBLE)), 6) AS lift
+    FROM per
+    WINDOW wd AS (ORDER BY decile DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+ORACLES["gains_table"] = _gains_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16845,6 +16961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "sft_turn_dedup": q_sft_turn_dedup,
         "preference_bias": q_preference_bias,
+        "gains_table": q_gains_table,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -1156,3 +1156,24 @@ def test_preference_bias_planted(spark):
     assert r["n_pairs"] == 3
     assert r["n_chosen_longer"] == 1 and r["n_equal_len"] == 1
     assert abs(r["chosen_longer_rate"] - round(1 / 3, 6)) < 1e-12
+
+
+# ------------------------------------------------------ gains_table
+
+
+def test_gains_table_invariants(spark):
+    import skrub_spark.queries as Q
+
+    rows = Q.q_gains_table(spark, "/root/testdata/sf0.001").orderBy(
+        F.col("decile").desc()
+    ).collect()
+    assert rows
+    # cumulative columns are monotone from the best decile down and
+    # the final row captures everything
+    cum_n = [r["cum_n"] for r in rows]
+    cum_pos = [r["cum_pos"] for r in rows]
+    assert cum_n == sorted(cum_n) and cum_pos == sorted(cum_pos)
+    assert abs(rows[-1]["cum_gain"] - 1.0) < 1e-9
+    assert cum_n[-1] == sum(r["n"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0 and r["lift"] >= 0.0
