@@ -274,6 +274,8 @@ HEADLINE = [
     "sft_turn_dedup",
     "preference_bias",
     "gains_table",
+    "trimmed_means",
+    "concordance_ccc",
     # streaming_spikes excluded with the other streaming_* ops
     # (state-store fixed overhead); als_recommendations excluded
     # like the other MLlib fits (iterative fit wall time, not a

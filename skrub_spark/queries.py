@@ -16351,6 +16351,159 @@ def _gains_oracle() -> str:
 ORACLES["gains_table"] = _gains_oracle()
 
 
+def q_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trimmed means (r9c — the robust location estimate
+    between mean and median: drop the lowest/highest 10% by the
+    exact integer rank rule (ranks via a per-group window over
+    (value, id) — a total order, so the trim set is deterministic),
+    then one exact decimal sum + one IEEE division): order totals
+    per priority, 10% trim each side."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n"),
+    )
+    # keep ranks in (floor(n/10), n - floor(n/10)]
+    kept = ranked.where(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
+ORACLES["trimmed_means"] = """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+        CAST(row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+          AS n
+      FROM orders
+    ), kept AS (
+      SELECT * FROM ranked
+      WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT o_orderpriority,
+      CAST(max(n) AS BIGINT) AS n_rows,
+      CAST(count(*) AS BIGINT) AS n_kept,
+      round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS trimmed_mean
+    FROM kept GROUP BY 1
+"""
+
+
+def q_concordance_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation (r9c — agreement between two
+    MEASUREMENTS of the same thing, penalizing both scatter AND
+    location/scale shift, unlike Pearson): header o_totalprice vs
+    the summed lineitem revenue of the same order. All five moment
+    sums exact integer-cents DECIMAL(38,0); CCC = 2·cov /
+    (varx + vary + n·(mx−my)²) assembled from the exact moments in
+    a fixed handful of IEEE ops."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(12,2)")
+                    - F.col("l_discount").cast("decimal(12,2)")
+                )
+            ).cast("decimal(18,4)")
+        ).alias("rev")
+    )
+    # integer 1e4-units (revenue has 4 decimals after the product)
+    j = orders.join(
+        rev, orders["o_orderkey"] == rev["l_orderkey"], "inner"
+    ).select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 10000)
+        .cast("long")
+        .alias("x"),
+        (F.col("rev") * 10000).cast("long").alias("y"),
+    )
+    d0 = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d0)).alias("sx"),
+        F.sum(F.col("y").cast(d0)).alias("sy"),
+        F.sum(F.col("x").cast(d0) * F.col("y").cast(d0)).alias("sxy"),
+        F.sum(F.col("x").cast(d0) * F.col("x").cast(d0)).alias("sxx"),
+        F.sum(F.col("y").cast(d0) * F.col("y").cast(d0)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("n").cast(d0) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n").cast(d0) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n").cast(d0) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    dm = (F.col("sx") - F.col("sy")).cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (F.lit(2.0) * cov) / (vx + vy + dm * dm),
+            6,
+        ).alias("ccc"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson"),
+    )
+
+
+ORACLES["concordance_ccc"] = """
+    WITH rev AS (
+      SELECT l_orderkey,
+        sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2))
+                    - CAST(l_discount AS DECIMAL(12,2)))
+                 AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+          AS x,
+        CAST(rev * 10000 AS BIGINT) AS y
+      FROM orders JOIN rev ON o_orderkey = l_orderkey
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+          AS sxy,
+        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+          AS sxx,
+        CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+          AS syy
+      FROM j
+    )
+    SELECT n,
+      round((2.0 * CAST(n * sxy - sx * sy AS DOUBLE))
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               + CAST(n * syy - sy * sy AS DOUBLE)
+               + CAST(sx - sy AS DOUBLE) * CAST(sx - sy AS DOUBLE)),
+            6) AS ccc,
+      round(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        AS pearson
+    FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -16962,6 +17115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_turn_dedup": q_sft_turn_dedup,
         "preference_bias": q_preference_bias,
         "gains_table": q_gains_table,
+        "trimmed_means": q_trimmed_means,
+        "concordance_ccc": q_concordance_ccc,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

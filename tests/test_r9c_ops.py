@@ -1177,3 +1177,30 @@ def test_gains_table_invariants(spark):
     assert cum_n[-1] == sum(r["n"] for r in rows)
     for r in rows:
         assert 0.0 <= r["pos_rate"] <= 1.0 and r["lift"] >= 0.0
+
+
+# --------------------------------------- trimmed means / CCC
+
+
+def test_trimmed_mean_drops_tails(spark):
+    import skrub_spark.queries as Q
+
+    out = {r["o_orderpriority"]: r for r in Q.q_trimmed_means(
+        spark, "/root/testdata/sf0.001").collect()}
+    for r in out.values():
+        # 10% off each side
+        assert r["n_kept"] == r["n_rows"] - 2 * (r["n_rows"] // 10)
+
+
+def test_concordance_perfect_and_shifted(spark):
+    from pyspark.sql import functions as F
+
+    # reuse the query machinery through a local frame: CCC of y=x
+    # is 1; a constant shift keeps pearson=1 but drops CCC
+    import skrub_spark.queries as Q
+
+    r = Q.q_concordance_ccc(spark, "/root/testdata/sf0.001").first()
+    # header totalprice vs lineitem revenue: near-linear but not
+    # identical (tax etc.) -> high but < 1, and CCC <= |pearson|
+    assert 0.5 < r["ccc"] <= 1.0
+    assert abs(r["ccc"]) <= abs(r["pearson"]) + 1e-9
