@@ -276,6 +276,7 @@ HEADLINE = [
     "gains_table",
     "trimmed_means",
     "concordance_ccc",
+    "jackknife_ratio",
     # streaming_spikes excluded with the other streaming_* ops
     # (state-store fixed overhead); als_recommendations excluded
     # like the other MLlib fits (iterative fit wall time, not a

@@ -16504,6 +16504,77 @@ ORACLES["concordance_ccc"] = """
 """
 
 
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife ratio-metric SE (r9c,
+    report/experiment.py::jackknife_ratio_se — delete-one-bucket
+    over md5 entity buckets, the standard SE for metrics whose
+    denominator is random; the G-row loo frame sums in PINNED
+    bucket order so even the float Σ replays): total event value
+    per purchase, users in 20 buckets."""
+    _prep(spark)
+    from .report.experiment import jackknife_ratio_se
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("num"),
+        (F.col("event_type") == "purchase")
+        .cast("int")
+        .cast("decimal(18,6)")
+        .alias("den"),
+    )
+    return jackknife_ratio_se(
+        base, "num", "den", "user_id", n_buckets=20
+    )
+
+
+ORACLES["jackknife_ratio"] = """
+    WITH base AS (
+      SELECT ('0x' || substr(md5('jk' || CAST(user_id AS VARCHAR)),
+                             1, 15))::BIGINT % 20 AS g,
+        CAST(value AS DECIMAL(18,6)) AS x,
+        CAST(CAST(event_type = 'purchase' AS INT) AS DECIMAL(18,6))
+          AS y
+      FROM events
+      WHERE value IS NOT NULL
+    ), per_g AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        sum(y) AS sy
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sx) AS tx,
+        sum(sy) AS ty, CAST(count(*) AS BIGINT) AS gn
+      FROM per_g
+    ), loo AS (
+      SELECT g, nt, gn,
+        round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE), 6) AS ratio,
+        round(CAST(tx - sx AS DOUBLE) / CAST(ty - sy AS DOUBLE), 6)
+          AS r_loo
+      FROM per_g, tot
+    ), stats AS (
+      SELECT *, sum(r_loo) OVER wall / CAST(gn AS DOUBLE) AS rbar
+      FROM loo
+      WINDOW wall AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    ), dev AS (
+      SELECT nt, gn, ratio, g,
+        (r_loo - rbar) * (r_loo - rbar) AS d2
+      FROM stats
+    ), agg AS (
+      SELECT nt, gn, ratio,
+        sum(d2) OVER wall AS ssd,
+        row_number() OVER (ORDER BY g) AS rn
+      FROM dev
+      WINDOW wall AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    )
+    SELECT nt AS n_rows, gn AS n_buckets, ratio,
+      round(sqrt(CAST(gn - 1 AS DOUBLE) / CAST(gn AS DOUBLE) * ssd),
+            6) AS jk_se
+    FROM agg WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -17117,6 +17188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table": q_gains_table,
         "trimmed_means": q_trimmed_means,
         "concordance_ccc": q_concordance_ccc,
+        "jackknife_ratio": q_jackknife_ratio,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -293,3 +293,122 @@ def did_estimate(
         F.round(dc, 6).alias("diff_control"),
         F.round(dt - dc, 6).alias("did"),
     )
+
+
+def jackknife_ratio_se(
+    df: DataFrame,
+    numerator: Column | str,
+    denominator: Column | str,
+    key: Column | str,
+    *,
+    n_buckets: int = 20,
+    salt: str = "jk",
+) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric
+    (revenue per session, clicks per user — metrics whose
+    denominator is itself random, where the naive per-row variance
+    is wrong). The standard production recipe: entities hash into
+    ``n_buckets`` content-addressed buckets (md5 — replayable
+    anywhere), the ratio is recomputed leaving each bucket out, and
+    SE² = (G−1)/G · Σ (r_(−g) − r̄)².
+
+    Determinism: bucket sums are exact DECIMAL; each leave-one-out
+    ratio is ONE IEEE division (6dp); the Σ over the G-row frame
+    runs as an ORDERED cumulative window (bucket order), not a
+    groupBy of doubles — float summation order is pinned, so the
+    report replays bit-identically in SQL (battery query
+    ``jackknife_ratio``).
+
+    Returns one row ``(n_rows, n_buckets, ratio, jk_se)``.
+    """
+    num = F.col(numerator) if isinstance(numerator, str) else numerator
+    den = F.col(denominator) if isinstance(denominator, str) else denominator
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    base = df.select(
+        bucket.alias("g"),
+        num.cast(_D).alias("x"),
+        den.cast(_D).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    per_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    tot = per_g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sx").alias("tx"),
+        F.sum("sy").alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    from pyspark.sql import Window
+
+    loo = per_g.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "nt",
+        "gn",
+        F.round(F.col("tx").cast("double") / F.col("ty").cast("double"), 6)
+        .alias("ratio"),
+        F.round(
+            (F.col("tx") - F.col("sx")).cast("double")
+            / (F.col("ty") - F.col("sy")).cast("double"),
+            6,
+        ).alias("r_loo"),
+    )
+    # ordered running mean/SS over the bounded G-row frame: float
+    # summation order pinned by bucket id
+    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stats = loo.select(
+        "nt",
+        "gn",
+        "ratio",
+        "g",
+        "r_loo",
+        F.sum("r_loo").over(wall).alias("sr"),
+    ).withColumn(
+        "rbar", F.col("sr") / F.col("gn").cast("double")
+    )
+    dev = stats.select(
+        "nt",
+        "gn",
+        "ratio",
+        "g",
+        ((F.col("r_loo") - F.col("rbar"))
+         * (F.col("r_loo") - F.col("rbar"))).alias("d2"),
+    )
+    agg = dev.select(
+        "nt",
+        "gn",
+        "ratio",
+        F.sum("d2").over(
+            Window.orderBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("ssd"),
+        F.row_number().over(Window.orderBy("g")).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return agg.select(
+        F.col("nt").alias("n_rows"),
+        F.col("gn").alias("n_buckets"),
+        "ratio",
+        F.round(
+            F.sqrt(
+                (F.col("gn") - 1).cast("double")
+                / F.col("gn").cast("double")
+                * F.col("ssd")
+            ),
+            6,
+        ).alias("jk_se"),
+    )

@@ -1205,3 +1205,31 @@ def test_concordance_perfect_and_shifted(spark):
     # CCC in [-1, 1] and |CCC| <= |Pearson| always
     assert -1.0 <= r["ccc"] <= 1.0
     assert abs(r["ccc"]) <= abs(r["pearson"]) + 1e-9
+
+
+# ------------------------------------------------ jackknife ratio
+
+
+def test_jackknife_se_shrinks_with_data(spark):
+    from skrub_spark.report.experiment import jackknife_ratio_se
+
+    def frame(n):
+        rows = [(i, float((i * 7) % 13 + 1), float(1 + (i % 3 == 0)))
+                for i in range(n)]
+        return spark.createDataFrame(rows, "k long, num double, den double")
+
+    small = jackknife_ratio_se(frame(200), "num", "den", "k").first()
+    big = jackknife_ratio_se(frame(5000), "num", "den", "k").first()
+    assert small["n_buckets"] == big["n_buckets"] == 20
+    assert big["jk_se"] < small["jk_se"]
+    assert big["jk_se"] > 0
+
+
+def test_jackknife_constant_ratio_zero_se(spark):
+    from skrub_spark.report.experiment import jackknife_ratio_se
+
+    # num = 3*den everywhere -> every leave-one-out ratio is 3
+    rows = [(i, 3.0 * (1 + i % 4), float(1 + i % 4)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, num double, den double")
+    r = jackknife_ratio_se(df, "num", "den", "k").first()
+    assert r["ratio"] == 3.0 and r["jk_se"] == 0.0
