@@ -277,6 +277,7 @@ HEADLINE = [
     "trimmed_means",
     "concordance_ccc",
     "jackknife_ratio",
+    "fulfillment_latency",
     # streaming_spikes excluded with the other streaming_* ops
     # (state-store fixed overhead); als_recommendations excluded
     # like the other MLlib fits (iterative fit wall time, not a
