@@ -99,8 +99,23 @@ def sorted_neighborhood_pairs(
         ).collect()
     }
     if not sizes:
+        # Empty fast path must carry the SAME schema as the
+        # non-empty path (ADVICE r9): derive the id type from the
+        # input instead of hardcoding long.
+        from pyspark.sql.types import (
+            IntegerType, StructField, StructType,
+        )
+
+        id_type = df.schema[id_col].dataType
         return spark.createDataFrame(
-            [], "id_a long, id_b long, pos_dist int"
+            [],
+            StructType(
+                [
+                    StructField("id_a", id_type),
+                    StructField("id_b", id_type),
+                    StructField("pos_dist", IntegerType()),
+                ]
+            ),
         )
     # Merge buckets left-to-right until each merged bucket (except
     # possibly the last) holds >= window rows.

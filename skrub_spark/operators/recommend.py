@@ -68,15 +68,45 @@ def als_recommend(
     model = als.fit(base)
     # recommendForAllUsers returns a top-N dense array per user;
     # over-fetch so the seen-item anti-join still leaves top_k.
+    # ADVICE r9: fetching top_k + max(n_seen) for EVERY user lets
+    # one heavy user inflate every user's recommendation array, so
+    # fetch top_k + p95(n_seen) for the bulk and top up only the
+    # heavy tail (n_seen > p95) at top_k + max(n_seen). Each user's
+    # fetch still covers top_k + their own n_seen, so the output is
+    # identical — the arrays shipped per user are just bounded by
+    # the typical, not the worst, history length.
     seen_per_user = base.groupBy("user").agg(
         F.countDistinct("item").alias("n_seen")
     )
-    max_seen = seen_per_user.agg(F.max("n_seen")).first()[0] or 0
-    recs = (
-        model.recommendForAllUsers(int(top_k + max_seen))
-        .select("user", F.explode("recommendations").alias("r"))
-        .select("user", F.col("r.item").alias("item"), F.col("r.rating").alias("score"))
+    bounds = seen_per_user.agg(
+        F.max("n_seen").alias("mx"),
+        F.expr("percentile_approx(n_seen, 0.95, 10000)").alias("p95"),
+    ).first()
+    max_seen = int(bounds["mx"] or 0)
+    p95_seen = int(bounds["p95"] or 0)
+
+    def _flatten(r):
+        return r.select(
+            "user", F.explode("recommendations").alias("r")
+        ).select(
+            "user",
+            F.col("r.item").alias("item"),
+            F.col("r.rating").alias("score"),
+        )
+
+    recs = _flatten(
+        model.recommendForAllUsers(int(top_k + min(max_seen, p95_seen)))
     )
+    if max_seen > p95_seen:
+        heavy = seen_per_user.where(
+            F.col("n_seen") > p95_seen
+        ).select("user")
+        heavy_recs = _flatten(
+            model.recommendForUserSubset(heavy, int(top_k + max_seen))
+        )
+        recs = recs.join(heavy, "user", "left_anti").unionByName(
+            heavy_recs
+        )
     unseen = recs.join(
         base.select("user", "item").distinct(), ["user", "item"], "left_anti"
     )

@@ -58,6 +58,7 @@ def cuped_adjust(
     d0 = "decimal(38,0)"
     pooled = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("g").cast("long").alias("__ng"),
         F.sum(F.col("y6").cast(d0)).alias("sy"),
         F.sum(F.col("x6").cast(d0)).alias("sx"),
         F.sum(F.col("x6").cast(d0) * F.col("y6").cast(d0)).alias("sxy"),
@@ -95,10 +96,30 @@ def cuped_adjust(
         F.col("syv").alias("sy_b"),
         F.col("sxv").alias("sx_b"),
     )
+    # ADVICE r9 (same pattern as permutation_test_means): the
+    # two-variant contract demands EXACTLY two labels; the min/max
+    # label selection would silently drop middle variants. The
+    # assert rides inside theta so Catalyst can't prune it.
     row = (
         a.crossJoin(b)
         .crossJoin(F.broadcast(pooled))
-        .withColumn("theta", theta)
+        .withColumn(
+            "theta",
+            F.when(
+                F.assert_true(
+                    F.col("__ng") == 2,
+                    F.concat(
+                        F.lit(
+                            "cuped_adjust requires exactly 2 variant "
+                            "labels, got "
+                        ),
+                        F.col("__ng").cast("string"),
+                    ),
+                ).isNull(),
+                theta,
+            ),
+        )
+        .drop("__ng")
     )
     mean_a = F.round(
         F.col("sy_a").cast("double")

@@ -72,16 +72,16 @@ def permutation_test_means(
         k.alias("__k"),
     ).filter(F.col("__x").isNotNull() & F.col("__g").isNotNull())
     # Bounded stats frame: one row — labels, sizes, observed diff.
-    stats = (
-        base.groupBy("__g")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("__x").alias("s"),
-        )
-        .orderBy("__g")
-        .limit(2)
+    # ADVICE r9 guard: the two-sample contract demands EXACTLY two
+    # labels; silently keeping the lexicographic min/max would give
+    # a wrong p-value on >2 groups. assert_true rides inside
+    # diff_obs (returns NULL on pass) so Catalyst can't prune it.
+    stats = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("s"),
     )
     agg = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
         F.min("__g").alias("group_a"),
         F.max("__g").alias("group_b"),
         F.min_by("n", "__g").cast("long").alias("n_a"),
@@ -90,9 +90,25 @@ def permutation_test_means(
         F.max_by("s", "__g").alias("s_b"),
     ).withColumn(
         "diff_obs",
-        F.round(F.col("s_a").cast("double") / F.col("n_a").cast("double"), 6)
-        - F.round(F.col("s_b").cast("double") / F.col("n_b").cast("double"), 6),
-    )
+        F.when(
+            F.assert_true(
+                F.col("__ng") == 2,
+                F.concat(
+                    F.lit(
+                        "permutation_test_means requires exactly 2 "
+                        "group labels, got "
+                    ),
+                    F.col("__ng").cast("string"),
+                ),
+            ).isNull(),
+            F.round(
+                F.col("s_a").cast("double") / F.col("n_a").cast("double"), 6
+            )
+            - F.round(
+                F.col("s_b").cast("double") / F.col("n_b").cast("double"), 6
+            ),
+        ),
+    ).drop("__ng")
     # rows × B map-only relabeling; the DECIMAL(38,0) product keeps
     # u·n exact at any corpus size (ANSI mode would raise on a long
     # overflow; non-ANSI would silently wrap — see ADVICE r8 on

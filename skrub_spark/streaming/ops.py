@@ -761,14 +761,20 @@ def streaming_spike_flags(
     fac_num = int(round(float(factor) * 1000000))
 
     def flag(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         cnt, s6 = state.get if state.exists else (0, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
-        v6 = (
-            (rows[value_col].astype("float64") * 1_000_000)
-            .round()
-            .astype("int64")
+        # HALF_UP (away-from-zero) micro conversion — pandas
+        # .round() is banker's (half-even), which disagrees with the
+        # Spark/DuckDB round(v*1e6) the oracle replays on exact .5s.
+        scaled = rows[value_col].astype("float64").to_numpy() * 1_000_000
+        v6 = pd.Series(
+            (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                "int64"
+            ),
+            index=rows.index,
         )
         if cnt > 0:
             # v >= factor * (s6/cnt)/1e6  <=>  v6*cnt*1e6 >= fac_num*s6
