@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
+from ..session import fan_out
 
 _WINNOW_SALT = "wn9|"
 
@@ -57,7 +58,8 @@ def winnow_fingerprints(
     threshold)."""
     grams = word_shingles(F.col(content_col), k)
     g = (
-        df.select(
+        fan_out(df.select(F.col(id_col), F.col(content_col)))
+        .select(
             F.col(id_col),
             F.posexplode(grams).alias("__p0", "__g"),
         )

@@ -91,10 +91,17 @@ def hashed_char_features(
 ) -> DataFrame:
     """Hashed char n-gram counts: one row per (doc, bucket) with the
     count of lowercased char n-grams hashing into that bucket. The
-    explode + groupBy is map-side combined; nothing leaves the JVM."""
+    explode + groupBy is map-side combined; nothing leaves the JVM.
+    The per-gram md5 stage is the CPU hot spot, so the input fans
+    out to full parallelism when the scan under-partitions (r10 —
+    a single-row-group parquet scan otherwise serializes the whole
+    gram stage onto one core; see session.fan_out)."""
+    from ..session import fan_out
+
     grams = char_ngrams(F.col(content_col), n)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(content_col)))
+        .select(F.col("id"), F.explode(grams).alias("g"))
         .select(
             "id", feature_bucket(F.col("g"), n_features, salt).alias("bucket")
         )

@@ -39,9 +39,16 @@ def classification_report(
     (label, pred) contingency reduce is the corpus-scale work."""
     lab = F.coalesce(F.col(label_col).cast("string"), F.lit(_NULL))
     prd = F.coalesce(F.col(pred_col).cast("string"), F.lit(_NULL))
+    # The contingency table is consumed by FOUR branches (n_true,
+    # n_pred, tp, totals); without an EAGER branch point each one
+    # recomputes the full upstream — concurrently, so a lazy
+    # .persist() doesn't even dedupe them (the learned-LID scoring
+    # pipeline in classification_eval measured 6.7s vs 0.5s for the
+    # bare scoring query at sf0.1, r10). cells is at most (k+1)²
+    # rows, so the eager checkpoint is codebook-sized.
     cells = df.groupBy(lab.alias("lab"), prd.alias("prd")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     nt = cells.groupBy(F.col("lab").alias("clazz")).agg(
         F.sum("c").alias("n_true")
     )

@@ -31,6 +31,32 @@ _DEFAULTS = {
 }
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Round-robin repartition ``df`` up to ``min_partitions``
+    (default ``sparkContext.defaultParallelism``) when its scan
+    under-partitions — and ONLY then.
+
+    Why: compute-heavy per-row stages (char-gram explode + md5
+    bucketing, Arrow-batched decoders) inherit the scan's
+    partitioning. A small-but-dense table written as ONE parquet
+    row group yields ONE task no matter how low
+    ``spark.sql.files.maxPartitionBytes`` goes (byte-range splits
+    collapse at row-group boundaries), serializing minutes of CPU
+    onto one core. On a real cluster the scan has ample partitions
+    and this is a no-op — the guard keeps the extra shuffle off the
+    100 TB path. Row order and partition assignment never reach any
+    result: callers are content-addressed/exact-decimal operators
+    (the repo's partitioning-invariance discipline).
+    """
+    par = int(
+        min_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def get_session(
     app_name: str = "skrub_spark",
     master: str | None = None,
