@@ -103,6 +103,7 @@ HEADLINE = [
     "topk_lsh_frozen",
     "semantic_dedup_exact",
     "bpe_stats_frozen",
+    "unigram_stats_frozen",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -227,7 +227,12 @@ from .encoders.gap_encoder import (  # noqa: F401
     fit_gap_frozen,
     gap_topics_frozen,
 )
-from .session import get_session  # noqa: F401
+from .operators.unigram_lm import (  # noqa: F401
+    UnigramModel,
+    train_unigram,
+    unigram_token_stats,
+)
+from .session import fan_out, get_session  # noqa: F401
 from .table_vectorizer import TableVectorizer, tabular_pipeline  # noqa: F401
 
 __version__ = "0.1.0"

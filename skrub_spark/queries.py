@@ -16645,6 +16645,144 @@ ORACLES["fulfillment_latency"] = """
 """
 
 
+
+# ----------------------------- round 10: unigram-LM tokenizer
+
+
+def q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-shape) tokenizer, self-trained
+    (r10, VERDICT r9 #1, operators/unigram_lm.py): EM over the
+    corpus word dict, then Viterbi token accounting per document.
+    ROWS-ONLY by nature — the EM E-step is float forward-backward
+    (summation-order-dependent ratios); the encoder itself is pinned
+    exactly by the FROZEN twin ``unigram_stats_frozen`` and the
+    pytest contracts in tests/test_r10_ops.py (hand-worked Viterbi,
+    EM-improves-likelihood, coverage properties)."""
+    _prep(spark)
+    from .operators.unigram_lm import train_unigram, unigram_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_unigram(
+        docs, "text", vocab_size=300, seed_size=1200, n_em=2,
+        max_words=10000,
+    )
+    return unigram_token_stats(docs, model)
+
+
+def q_unigram_stats_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM token accounting under the FROZEN piece table
+    (r10 — the bpe_stats_frozen precedent): with committed integer
+    micro-nat log-probs the Viterbi DP is exact BIGINT arithmetic,
+    and the DuckDB oracle replays it level-by-level (one chained
+    CTE per word position, max-score/min-pieces tie rule — see
+    _r10_frozen_oracles). Pins the ENCODER + accounting end-to-end
+    at both scales."""
+    _prep(spark)
+    from ._frozen import UNIGRAM_MODEL
+    from .operators.unigram_lm import UnigramModel, unigram_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = UnigramModel(
+        pieces=dict(UNIGRAM_MODEL["pieces"]),
+        max_piece_len=int(UNIGRAM_MODEL["max_piece_len"]),
+        max_word_len=int(UNIGRAM_MODEL["max_word_len"]),
+    )
+    return unigram_token_stats(docs, model)
+
+
+def _r10_frozen_oracles() -> dict[str, str]:
+    """Oracles generated from the round-10 committed literals in
+    ``skrub_spark/_frozen.py`` (the _r7_frozen_oracles rule).
+
+    unigram_stats_frozen: Viterbi as a bounded DP unrolled over word
+    positions — b{i} holds the best (score, n_pieces) for each
+    word prefix of length i, built from b{i-k} joined against the
+    piece table on substr(w, i-k+1, k); k=1 LEFT-joins so an
+    out-of-vocab character costs the fixed UNK penalty (total
+    coverage). Tie rule (max score, then fewest pieces) replays the
+    engine's viterbi_stats exactly; all arithmetic is BIGINT."""
+    from . import _frozen as fz
+    from .operators.unigram_lm import UNIGRAM_UNK_LP6
+
+    m = fz.UNIGRAM_MODEL
+    K = int(m["max_piece_len"])
+    L = int(m["max_word_len"])
+    vvals = ", ".join(
+        f"('{p}', CAST({lp} AS BIGINT))"
+        for p, lp in sorted(m["pieces"].items())
+    )
+    # every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    # plain CTEs, which would expand the chained DP exponentially
+    # (b{i} feeds up to K cand's plus wstats)
+    ctes = [
+        f"v(p, lp) AS MATERIALIZED (VALUES {vvals})",
+        (
+            "dw AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w0 "
+            "FROM documents)"
+        ),
+        (
+            f"dwt AS MATERIALIZED (SELECT doc_id, substr(w0, 1, {L}) "
+            "AS w FROM dw)"
+        ),
+        "words AS (SELECT DISTINCT w FROM dwt)",
+        (
+            "b0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS s, "
+            "CAST(0 AS BIGINT) AS np FROM words)"
+        ),
+    ]
+    for i in range(1, L + 1):
+        branches = [
+            (
+                f"SELECT b.w, b.s + COALESCE(v.lp, "
+                f"CAST({UNIGRAM_UNK_LP6} AS BIGINT)) AS s, "
+                f"b.np + 1 AS np FROM b{i - 1} b "
+                f"LEFT JOIN v ON v.p = substr(b.w, {i}, 1) "
+                f"WHERE len(b.w) >= {i}"
+            )
+        ]
+        for k in range(2, min(K, i) + 1):
+            branches.append(
+                f"SELECT b.w, b.s + v.lp AS s, b.np + 1 AS np "
+                f"FROM b{i - k} b "
+                f"JOIN v ON v.p = substr(b.w, {i - k + 1}, {k}) "
+                f"WHERE len(b.w) >= {i}"
+            )
+        ctes.append(f"cand{i} AS ({' UNION ALL '.join(branches)})")
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT w, s, np FROM ("
+            f"SELECT w, s, np, row_number() OVER "
+            f"(PARTITION BY w ORDER BY s DESC, np ASC) AS rn "
+            f"FROM cand{i}) WHERE rn = 1)"
+        )
+    wstats = " UNION ALL ".join(
+        f"SELECT w, s, np FROM b{i} WHERE len(w) = {i}"
+        for i in range(1, L + 1)
+    )
+    ctes.append(f"wstats AS ({wstats})")
+    ctes.append(
+        "agg AS (SELECT d.doc_id, COUNT(*) AS n_words, "
+        "SUM(ws.np) AS n_pieces, SUM(len(ws.w)) AS n_chars, "
+        "SUM(ws.s) AS ll6 "
+        "FROM dwt d JOIN wstats ws ON ws.w = d.w GROUP BY d.doc_id)"
+    )
+    q_uni = (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT d.doc_id,\n"
+        "  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,\n"
+        "  CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,\n"
+        "  CAST(COALESCE(a.ll6, 0) AS BIGINT) AS ll6,\n"
+        "  ROUND(CAST(COALESCE(a.n_chars, 0) AS DOUBLE)\n"
+        "        / CAST(greatest(COALESCE(a.n_pieces, 0), 1) "
+        "AS DOUBLE), 6) AS chars_per_piece\n"
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+    return {"unigram_stats_frozen": q_uni}
+
+
+ORACLES.update(_r10_frozen_oracles())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -17260,6 +17398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concordance_ccc": q_concordance_ccc,
         "jackknife_ratio": q_jackknife_ratio,
         "fulfillment_latency": q_fulfillment_latency,
+        # --- round 10 ---
+        # rows-only by nature (EM forward-backward is float);
+        # exactness pinned by the frozen twin + tests/test_r10_ops.py
+        "unigram_token_stats": q_unigram_token_stats,
+        "unigram_stats_frozen": q_unigram_stats_frozen,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -89,3 +89,123 @@ def test_als_recommend_heavy_tail_bounded(spark):
         F.col("u").alias("user"), F.col("i").alias("item")
     ).distinct()
     assert out.join(seen, ["user", "item"], "inner").count() == 0
+
+
+# --------------------------------- unigram-LM tokenizer (r10 #1)
+def test_viterbi_hand_worked():
+    from skrub_spark.operators.unigram_lm import viterbi_stats
+
+    pieces = {
+        "a": -1_000_000,
+        "b": -2_000_000,
+        "ab": -2_500_000,
+        "ba": -2_400_000,
+        "nan": -3_000_000,
+    }
+    # single piece beats two singles: ab(-2.5M) > a+b(-3M)
+    assert viterbi_stats("ab", pieces, 6) == (1, -2_500_000)
+    # a+ba(-3.4M) beats ab+a(-3.5M) and a+b+a(-4M)
+    assert viterbi_stats("aba", pieces, 6) == (2, -3_400_000)
+    # ba+nan+a = -2.4M-3M-1M = -6.4M
+    assert viterbi_stats("banana", pieces, 6) == (3, -6_400_000)
+
+
+def test_viterbi_unk_fallback_and_tie_rule():
+    from skrub_spark.operators.unigram_lm import (
+        UNIGRAM_UNK_LP6, viterbi_stats,
+    )
+
+    pieces = {"a": -1_000_000, "aa": -2_000_000}
+    # out-of-vocab chars always segment via the fixed UNK penalty
+    assert viterbi_stats("zq", pieces, 6) == (2, 2 * UNIGRAM_UNK_LP6)
+    # score tie between aa(-2M) and a+a(-2M): fewer pieces wins
+    assert viterbi_stats("aa", pieces, 6) == (1, -2_000_000)
+
+
+def test_viterbi_piece_count_bounds():
+    from skrub_spark.operators.unigram_lm import viterbi_stats
+
+    pieces = {c: -3_000_000 for c in "abcdefgh"}
+    pieces["abcd"] = -5_000_000
+    for w in ("abcdabcd", "hgfe", "abcd"):
+        np_, s = viterbi_stats(w, pieces, 6)
+        assert -(-len(w) // 6) <= np_ <= len(w)
+        assert s < 0
+
+
+def test_train_unigram_learns_pieces_and_coverage(spark):
+    from skrub_spark.operators.unigram_lm import train_unigram
+
+    rows = [("banana bandana cabana banana",), ("ban the bandana",)] * 30
+    df = spark.createDataFrame(rows, "text string")
+    m = train_unigram(
+        df, "text", vocab_size=40, seed_size=120, n_em=2, max_words=500
+    )
+    # all corpus single chars kept (coverage guarantee)
+    for ch in "banthecd":
+        assert ch in m.pieces
+    # at least one multi-char piece learned from the repeated mass
+    assert any(len(p) > 1 for p in m.pieces)
+    # lp6 are negative ints and the implied probs sum to ~1
+    import math
+
+    assert all(isinstance(v, int) and v < 0 for v in m.pieces.values())
+    assert abs(sum(math.exp(v / 1e6) for v in m.pieces.values()) - 1) < 1e-3
+
+
+def test_train_unigram_em_improves_likelihood(spark):
+    from pyspark.sql import functions as F
+    from skrub_spark.operators.unigram_lm import (
+        train_unigram, unigram_token_stats,
+    )
+
+    rows = [
+        ("banana bandana analysis of bananas",),
+        ("the bandana analysis again and again",),
+    ] * 25
+    df = spark.createDataFrame(rows, "text string").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    kw = dict(vocab_size=60, seed_size=150, max_words=500)
+    m0 = train_unigram(df, "text", n_em=0, **kw)
+    m3 = train_unigram(df, "text", n_em=3, **kw)
+    ll0 = unigram_token_stats(df, m0).agg(F.sum("ll6")).first()[0]
+    ll3 = unigram_token_stats(df, m3).agg(F.sum("ll6")).first()[0]
+    # EM must not make the corpus less likely than the raw seed
+    assert ll3 >= ll0
+
+
+def test_unigram_token_stats_frozen_invariance(spark, sf_dir):
+    from skrub_spark._frozen import UNIGRAM_MODEL
+    from skrub_spark.operators.unigram_lm import (
+        UnigramModel, unigram_token_stats,
+    )
+    from skrub_spark.sources import load_table
+
+    model = UnigramModel(
+        pieces=dict(UNIGRAM_MODEL["pieces"]),
+        max_piece_len=int(UNIGRAM_MODEL["max_piece_len"]),
+        max_word_len=int(UNIGRAM_MODEL["max_word_len"]),
+    )
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    a = unigram_token_stats(docs, model)
+    b = unigram_token_stats(docs.repartition(7), model)
+    cols = sorted(a.columns)
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_unigram_zero_word_docs(spark):
+    from skrub_spark.operators.unigram_lm import (
+        UnigramModel, unigram_token_stats,
+    )
+
+    m = UnigramModel(pieces={"a": -1_000_000})
+    df = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "aaa")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_token_stats(df, m).collect()}
+    assert out[1]["n_words"] == 0 and out[1]["n_pieces"] == 0
+    assert out[1]["ll6"] == 0 and out[1]["chars_per_piece"] == 0.0
+    assert out[2]["n_words"] == 1 and out[2]["n_pieces"] == 3

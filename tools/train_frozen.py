@@ -295,6 +295,37 @@ def _linkage_section(model):
     )
 
 
+
+_UNIGRAM_MARKER = "\n# unigram-LM tokenizer:"
+
+
+def train_unigram_model(spark, sf_dir):
+    from skrub_spark.operators.unigram_lm import train_unigram
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = train_unigram(
+        docs, "text", vocab_size=400, seed_size=2000, n_em=3,
+        max_words=20000,
+    )
+    return {
+        "max_piece_len": m.max_piece_len,
+        "max_word_len": m.max_word_len,
+        "pieces": dict(sorted(m.pieces.items())),
+    }
+
+
+def _unigram_section(model):
+    return (
+        f"{_UNIGRAM_MARKER} SentencePiece-shape unigram LM\n"
+        "# (tools/train_frozen.py::train_unigram_model; EM over the\n"
+        "# sf0.01 word dict, pruned to 400 pieces + full single-char\n"
+        "# coverage). pieces map piece -> lp6 = HALF_UP(ln p * 1e6),\n"
+        "# so Viterbi is exact integer DP in both engines\n"
+        f"UNIGRAM_MODEL = {model!r}\n"
+    )
+
+
 def make_stream_planes(dim=64, n_planes=8, n_tables=4, seed=42):
     rng = np.random.default_rng(seed)
     return [
@@ -313,7 +344,7 @@ def main():
 
     path = "/root/repo/skrub_spark/_frozen.py"
 
-    _ALL_MARKERS = (_LINKAGE_MARKER, _LID_MARKER, _GAP_MARKER)
+    _ALL_MARKERS = (_LINKAGE_MARKER, _LID_MARKER, _GAP_MARKER, _UNIGRAM_MARKER)
 
     def _replace_section(marker: str, section: str) -> None:
         """Replace ONE appended section in place, preserving every
@@ -350,6 +381,13 @@ def main():
         model = train_gap(spark, sf_dir)
         _replace_section(_GAP_MARKER, _gap_section(model))
         print(f"appended GAP_MODEL to {path}")
+        return
+
+    if "--append-unigram" in sys.argv:
+        # same replace discipline for the unigram-LM pieces
+        model = train_unigram_model(spark, sf_dir)
+        _replace_section(_UNIGRAM_MARKER, _unigram_section(model))
+        print(f"appended UNIGRAM_MODEL to {path}")
         return
 
     if "--append-lid" in sys.argv:
