@@ -104,6 +104,7 @@ HEADLINE = [
     "semantic_dedup_exact",
     "bpe_stats_frozen",
     "unigram_stats_frozen",
+    "lm_perplexity_kn",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

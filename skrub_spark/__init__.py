@@ -227,6 +227,11 @@ from .encoders.gap_encoder import (  # noqa: F401
     fit_gap_frozen,
     gap_topics_frozen,
 )
+from .operators.lm_filter import (  # noqa: F401
+    KNTrigramLM,
+    score_kn_perplexity,
+    train_kn_trigram,
+)
 from .operators.unigram_lm import (  # noqa: F401
     UnigramModel,
     train_unigram,

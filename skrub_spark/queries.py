@@ -16646,6 +16646,39 @@ ORACLES["fulfillment_latency"] = """
 
 
 
+def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney interpolated trigram perplexity (r10, VERDICT r9
+    #2, operators/lm_filter.py::train_kn_trigram) — the KenLM-shape
+    upgrade of the add-alpha CCNet filter: absolute discounting from
+    count-of-counts, continuation-count lower orders, all count
+    tables DataFrames. Scoring input is the corpus with a planted
+    out-of-vocabulary suffix (pure SQL concat, oracle replays it) so
+    every interpolation branch — seen trigram, bigram-continuation
+    backoff, unigram continuation, unseen-word floor — is exercised
+    and pinned. Exact oracle: DuckDB rebuilds the same count frames
+    and replays the fixed-parenthesization probability expression,
+    -ln rounded 6dp, DECIMAL(28,6) per-doc sums."""
+    _prep(spark)
+    from .operators.lm_filter import score_kn_perplexity, train_kn_trigram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_kn_trigram(docs, "text")
+    probe = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" kneser ney zzqxj")).alias("text"),
+    )
+    scored = score_kn_perplexity(probe, lm)
+    return scored.select(
+        "doc_id",
+        "n_ngrams",
+        "avg_nll",
+        (F.col("avg_nll").isNotNull() & (F.col("avg_nll") <= 3.5)).alias(
+            "keep"
+        ),
+    )
+
+
+
 # ----------------------------- round 10: unigram-LM tokenizer
 
 
@@ -16781,6 +16814,137 @@ def _r10_frozen_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_r10_frozen_oracles())
+
+
+ORACLES["lm_perplexity_kn"] = """
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '') AS words
+      FROM documents
+    ), pw AS MATERIALIZED (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(
+            lower(text || ' kneser ney zzqxj'), '[^a-z0-9]+'),
+                    x -> x != '') AS words
+      FROM documents
+    ), tocc AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(words) >= 3 THEN
+          list_transform(range(1, len(words) - 1),
+            i -> struct_pack(c := words[i] || ' ' || words[i+1],
+                             m := words[i+1], x := words[i+2]))
+        ELSE [] END) AS p
+      FROM w
+    ), t AS MATERIALIZED (
+      SELECT p.c AS ctx2, p.m AS w2, p.x AS w3 FROM tocc
+    ), tc AS MATERIALIZED (
+      SELECT ctx2, w2, w3, count(*) AS c3 FROM t GROUP BY 1, 2, 3
+    ), c2s AS MATERIALIZED (
+      SELECT ctx2, sum(c3) AS c2ctx, count(*) AS n1p_ctx
+      FROM tc GROUP BY 1
+    ), bc AS MATERIALIZED (
+      SELECT w2, w3, count(*) AS nc FROM tc GROUP BY 1, 2
+    ), w2s AS MATERIALIZED (
+      SELECT w2, sum(nc) AS ncs, count(*) AS n_after FROM bc GROUP BY 1
+    ), bocc AS (
+      SELECT unnest(
+        CASE WHEN len(words) >= 2 THEN
+          list_transform(range(1, len(words)),
+            i -> struct_pack(a := words[i], b := words[i+1]))
+        ELSE [] END) AS p
+      FROM w
+    ), bt AS (
+      SELECT DISTINCT p.a AS w1, p.b AS wb FROM bocc
+    ), uc AS MATERIALIZED (
+      SELECT wb AS wu, count(*) AS n1p FROM bt GROUP BY 1
+    ), sca AS MATERIALIZED (
+      SELECT
+        (SELECT CAST(sum(n1p) AS DOUBLE) FROM uc) AS t_types,
+        (SELECT CAST(count(*) AS DOUBLE) FROM uc) AS u_types,
+        (SELECT CAST(count(DISTINCT x) AS DOUBLE) + 1.0
+         FROM (SELECT unnest(words) AS x FROM w)) AS v,
+        (SELECT round(CASE WHEN
+            count(*) FILTER (n1p = 1) + 2 * count(*) FILTER (n1p = 2) > 0
+          THEN least(greatest(
+              CAST(count(*) FILTER (n1p = 1) AS DOUBLE)
+              / (count(*) FILTER (n1p = 1)
+                 + 2.0 * count(*) FILTER (n1p = 2)), 0.05), 0.95)
+          ELSE 0.5 END, 6) FROM uc) AS d1,
+        (SELECT round(CASE WHEN
+            count(*) FILTER (nc = 1) + 2 * count(*) FILTER (nc = 2) > 0
+          THEN least(greatest(
+              CAST(count(*) FILTER (nc = 1) AS DOUBLE)
+              / (count(*) FILTER (nc = 1)
+                 + 2.0 * count(*) FILTER (nc = 2)), 0.05), 0.95)
+          ELSE 0.5 END, 6) FROM bc) AS d2,
+        (SELECT round(CASE WHEN
+            count(*) FILTER (c3 = 1) + 2 * count(*) FILTER (c3 = 2) > 0
+          THEN least(greatest(
+              CAST(count(*) FILTER (c3 = 1) AS DOUBLE)
+              / (count(*) FILTER (c3 = 1)
+                 + 2.0 * count(*) FILTER (c3 = 2)), 0.05), 0.95)
+          ELSE 0.5 END, 6) FROM tc) AS d3
+    ), socc AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(words) >= 3 THEN
+          list_transform(range(1, len(words) - 1),
+            i -> struct_pack(c := words[i] || ' ' || words[i+1],
+                             m := words[i+1], x := words[i+2]))
+        ELSE [] END) AS p
+      FROM pw
+    ), s AS (
+      SELECT doc_id, p.c AS ctx2, p.m AS w2, p.x AS w3 FROM socc
+    ), j AS (
+      SELECT s.doc_id,
+        CAST(COALESCE(tc.c3, 0) AS DOUBLE) AS c3,
+        CAST(COALESCE(c2s.c2ctx, 0) AS DOUBLE) AS c2ctx,
+        CAST(COALESCE(c2s.n1p_ctx, 0) AS DOUBLE) AS n1p_ctx,
+        CAST(COALESCE(bc.nc, 0) AS DOUBLE) AS nc,
+        CAST(COALESCE(w2s.ncs, 0) AS DOUBLE) AS ncs,
+        CAST(COALESCE(w2s.n_after, 0) AS DOUBLE) AS n_after,
+        CAST(COALESCE(uc.n1p, 0) AS DOUBLE) AS n1p,
+        sca.t_types, sca.u_types, sca.v, sca.d1, sca.d2, sca.d3
+      FROM s
+      LEFT JOIN tc ON tc.ctx2 = s.ctx2 AND tc.w3 = s.w3
+      LEFT JOIN c2s ON c2s.ctx2 = s.ctx2
+      LEFT JOIN bc ON bc.w2 = s.w2 AND bc.w3 = s.w3
+      LEFT JOIN w2s ON w2s.w2 = s.w2
+      LEFT JOIN uc ON uc.wu = s.w3
+      CROSS JOIN sca
+    ), probs AS (
+      SELECT doc_id,
+        greatest(n1p - d1, 0.0) / t_types
+          + ((d1 * u_types) / t_types) * (1.0 / v) AS p1,
+        c3, c2ctx, n1p_ctx, nc, ncs, n_after, d2, d3
+      FROM j
+    ), probs2 AS (
+      SELECT doc_id,
+        CASE WHEN ncs > 0 THEN
+          greatest(nc - d2, 0.0) / ncs + ((d2 * n_after) / ncs) * p1
+        ELSE p1 END AS p2,
+        c3, c2ctx, n1p_ctx, d3
+      FROM probs
+    ), sc AS (
+      SELECT doc_id,
+        CAST(round(-ln(
+          CASE WHEN c2ctx > 0 THEN
+            greatest(c3 - d3, 0.0) / c2ctx
+              + ((d3 * n1p_ctx) / c2ctx) * p2
+          ELSE p2 END), 6) AS DECIMAL(28,6)) AS nll_q
+      FROM probs2
+    ), per AS (
+      SELECT doc_id, count(*) AS n_ngrams,
+             CAST(sum(nll_q) AS DOUBLE) / count(*) AS avg_nll
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           per.avg_nll,
+           (per.avg_nll IS NOT NULL AND per.avg_nll <= 3.5) AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per USING (doc_id)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -17403,6 +17567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactness pinned by the frozen twin + tests/test_r10_ops.py
         "unigram_token_stats": q_unigram_token_stats,
         "unigram_stats_frozen": q_unigram_stats_frozen,
+        "lm_perplexity_kn": q_lm_perplexity_kn,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter
