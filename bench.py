@@ -105,6 +105,7 @@ HEADLINE = [
     "bpe_stats_frozen",
     "unigram_stats_frozen",
     "lm_perplexity_kn",
+    "corpus_datasheet",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

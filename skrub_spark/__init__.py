@@ -227,6 +227,10 @@ from .encoders.gap_encoder import (  # noqa: F401
     fit_gap_frozen,
     gap_topics_frozen,
 )
+from .report.datasheet import (  # noqa: F401
+    corpus_datasheet,
+    datasheet_html,
+)
 from .operators.lm_filter import (  # noqa: F401
     KNTrigramLM,
     score_kn_perplexity,

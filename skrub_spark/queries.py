@@ -16646,6 +16646,24 @@ ORACLES["fulfillment_latency"] = """
 
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet / data card (r10, VERDICT r9 #4,
+    report/datasheet.py): size+token totals, language/source mix,
+    length histogram, exact-dup rate, eval-split contamination rate
+    and half-vs-half drift (length-PSI, lang-chi2) composed into one
+    long-format numeric frame — the artifact a corpus release ships.
+    Exact oracle: DuckDB recomputes every section; ratios are exact
+    counts through one IEEE division rounded 6dp, PSI/chi2 terms are
+    individually 6dp-rounded and DECIMAL-summed (order-independent).
+    The HTML rendering is pinned by a smoke pytest only."""
+    _prep(spark)
+    from .report.datasheet import corpus_datasheet
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datasheet(docs)
+
+
+
 def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kneser-Ney interpolated trigram perplexity (r10, VERDICT r9
     #2, operators/lm_filter.py::train_kn_trigram) — the KenLM-shape
@@ -16944,6 +16962,149 @@ ORACLES["lm_perplexity_kn"] = """
            (per.avg_nll IS NOT NULL AND per.avg_nll <= 3.5) AS keep
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN per USING (doc_id)
+"""
+
+
+ORACLES["corpus_datasheet"] = """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id AS id,
+             CAST(lang AS VARCHAR) AS lang,
+             CAST(source AS VARCHAR) AS source,
+             text,
+             CAST(length(text) AS BIGINT) AS nch,
+             CAST(len(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> x != '')) AS BIGINT) AS ntok
+      FROM documents
+    ), tot AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ntok) AS BIGINT) AS toks,
+             CAST(sum(nch) AS BIGINT) AS chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(count(DISTINCT source) AS BIGINT) AS ns,
+             CAST(count(DISTINCT text) AS BIGINT) AS nd,
+             CAST(max(nch) AS BIGINT) AS maxch
+      FROM base
+    ), corpus_s AS (
+      SELECT 'corpus' AS section, 'n_docs' AS metric,
+             CAST(n AS DOUBLE) AS value FROM tot
+      UNION ALL SELECT 'corpus', 'n_tokens', CAST(toks AS DOUBLE) FROM tot
+      UNION ALL SELECT 'corpus', 'total_chars', CAST(chars AS DOUBLE) FROM tot
+      UNION ALL SELECT 'corpus', 'avg_chars',
+        round(CAST(chars AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM tot
+      UNION ALL SELECT 'corpus', 'n_langs', CAST(nl AS DOUBLE) FROM tot
+      UNION ALL SELECT 'corpus', 'n_sources', CAST(ns AS DOUBLE) FROM tot
+    ), lang_mix AS (
+      SELECT 'lang_mix' AS section, COALESCE(lang, '<null>') AS metric,
+             round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS value
+      FROM (SELECT lang, count(*) AS c FROM base GROUP BY 1)
+      CROSS JOIN tot
+    ), source_mix AS (
+      SELECT 'source_mix' AS section, COALESCE(source, '<null>') AS metric,
+             round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS value
+      FROM (SELECT source, count(*) AS c FROM base GROUP BY 1)
+      CROSS JOIN tot
+    ), len_hist AS (
+      SELECT 'len_hist' AS section,
+             'bin_' || CAST(b AS VARCHAR) AS metric,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM (SELECT least(CAST(floor(nch * 10 / (maxch + 1)) AS INT), 9)
+              AS b FROM base CROSS JOIN tot)
+      GROUP BY b
+    ), dedup_s AS (
+      SELECT 'dedup' AS section, 'exact_dup_rate' AS metric,
+             round(CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS value
+      FROM tot
+    ), wsh AS (
+      SELECT id, (id % 97 = 0) AS ev,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS words
+      FROM base
+    ), grams AS MATERIALIZED (
+      SELECT DISTINCT id, ev, g FROM (
+        SELECT id, ev, unnest(CASE WHEN len(words) >= 8 THEN
+          list_transform(range(1, len(words) - 6),
+            i -> array_to_string(list_slice(words, i, i + 7), ' '))
+          ELSE [] END) AS g
+        FROM wsh)
+    ), evg AS (
+      SELECT DISTINCT g FROM grams WHERE ev
+    ), contn AS (
+      SELECT CAST(count(DISTINCT gr.id) AS BIGINT) AS nc
+      FROM grams gr JOIN evg ON evg.g = gr.g WHERE NOT gr.ev
+    ), splits AS (
+      SELECT CAST(sum(CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ne,
+             CAST(sum(CASE WHEN id % 97 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS nt
+      FROM base
+    ), cont_s AS (
+      SELECT 'contamination' AS section, 'n_eval_docs' AS metric,
+             CAST(ne AS DOUBLE) AS value FROM splits
+      UNION ALL SELECT 'contamination', 'n_train_docs',
+        CAST(nt AS DOUBLE) FROM splits
+      UNION ALL SELECT 'contamination', 'contaminated_rate',
+        round(CAST(nc AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE), 6)
+      FROM contn CROSS JOIN splits
+    ), hl AS (
+      SELECT (id % 2 = 0) AS ha,
+             least(CAST(floor(nch * 10 / (maxch + 1)) AS INT), 9) AS b,
+             count(*) AS c
+      FROM base CROSS JOIN tot GROUP BY 1, 2
+    ), hw AS (
+      SELECT b,
+        CAST(sum(CASE WHEN ha THEN c ELSE 0 END) AS BIGINT) AS ca,
+        CAST(sum(CASE WHEN NOT ha THEN c ELSE 0 END) AS BIGINT) AS cb
+      FROM hl GROUP BY b
+    ), hn AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM hw
+    ), psi_terms AS (
+      SELECT CAST(round((pa - pb) * ln(pa / pb), 6)
+               AS DECIMAL(18,6)) AS t
+      FROM (SELECT
+              (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)
+                AS pa,
+              (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)
+                AS pb
+            FROM hw CROSS JOIN hn)
+    ), psi_s AS (
+      SELECT 'drift' AS section, 'psi_length' AS metric,
+             round(CAST(sum(t) AS DOUBLE), 6) AS value FROM psi_terms
+    ), lcl AS (
+      SELECT (id % 2 = 0) AS ha, lang AS lg, count(*) AS c
+      FROM base GROUP BY 1, 2
+    ), lww AS (
+      SELECT lg,
+        CAST(sum(CASE WHEN ha THEN c ELSE 0 END) AS BIGINT) AS ca,
+        CAST(sum(CASE WHEN NOT ha THEN c ELSE 0 END) AS BIGINT) AS cb
+      FROM lcl GROUP BY lg
+    ), ltot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM lww
+    ), chi_terms AS (
+      SELECT CAST(round(
+        (CAST(ca AS DOUBLE) - ea) * (CAST(ca AS DOUBLE) - ea) / ea
+        + (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb,
+        6) AS DECIMAL(18,6)) AS t
+      FROM (SELECT ca, cb,
+              CAST(na AS DOUBLE) * (CAST(ca + cb AS DOUBLE)
+                / CAST(na + nb AS DOUBLE)) AS ea,
+              CAST(nb AS DOUBLE) * (CAST(ca + cb AS DOUBLE)
+                / CAST(na + nb AS DOUBLE)) AS eb
+            FROM lww CROSS JOIN ltot)
+    ), chi_s AS (
+      SELECT 'drift' AS section, 'chi2_lang' AS metric,
+             round(CAST(sum(t) AS DOUBLE), 6) AS value FROM chi_terms
+    )
+    SELECT * FROM corpus_s
+    UNION ALL SELECT * FROM lang_mix
+    UNION ALL SELECT * FROM source_mix
+    UNION ALL SELECT * FROM len_hist
+    UNION ALL SELECT * FROM dedup_s
+    UNION ALL SELECT * FROM cont_s
+    UNION ALL SELECT * FROM psi_s
+    UNION ALL SELECT * FROM chi_s
 """
 
 
@@ -17568,6 +17729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_token_stats": q_unigram_token_stats,
         "unigram_stats_frozen": q_unigram_stats_frozen,
         "lm_perplexity_kn": q_lm_perplexity_kn,
+        "corpus_datasheet": q_corpus_datasheet,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter
