@@ -16646,6 +16646,92 @@ ORACLES["fulfillment_latency"] = """
 
 
 
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once upsert sink (r10, VERDICT r9 #5,
+    streaming/ops.py::streaming_upsert_sink): the order changelog
+    (op = 'D' for orderkey % 13 == 0 else 'U') splits into
+    even/odd-orderkey files streamed with maxFilesPerTrigger=1;
+    each micro-batch foreachBatch-MERGEs into a VERSIONED snapshot
+    table keyed by the replay-stable batch id (version =
+    batch_id + 1), so a duplicate delivery is skipped — which this
+    query PROVES by replaying batch 1 against the finished table
+    and asserting the skip before returning the final snapshot.
+    Oracle: the last-batch-wins changelog winner per custkey
+    (ORDER BY batch DESC, seq DESC), dropped when it is a
+    tombstone."""
+    import glob
+    import shutil
+    import uuid
+
+    from .sources.snapshots import read_snapshot, snapshot_versions
+    from .streaming.ops import streaming_upsert_sink, upsert_batch
+
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "o_totalprice",
+    )
+    src = _fresh_tmp("skrub_strups_src_")
+    os.makedirs(src)
+    files = []
+    for i, part in enumerate(
+        (
+            ch.filter(F.col("o_orderkey") % 2 == 0),
+            ch.filter(F.col("o_orderkey") % 2 == 1),
+        )
+    ):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+        files.append(dst)
+    root = _fresh_tmp("skrub_strups_tbl_")
+    ckpt = _fresh_tmp("skrub_strups_ckpt_")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_upsert_sink(
+        stream, root, "o_custkey", "o_orderkey", "op", checkpoint=ckpt
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    # duplicate delivery: replaying batch 1 must be a no-op
+    before = snapshot_versions(root, spark)
+    applied = upsert_batch(
+        spark.read.parquet(files[1]),
+        root,
+        "o_custkey",
+        "o_orderkey",
+        "op",
+        batch_id=1,
+    )
+    after = snapshot_versions(root, spark)
+    if applied or after != before:
+        raise AssertionError(
+            "duplicate batch delivery was not idempotent: "
+            f"applied={applied}, versions {before} -> {after}"
+        )
+    return read_snapshot(spark, root).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+
 def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus datasheet / data card (r10, VERDICT r9 #4,
     report/datasheet.py): size+token totals, language/source mix,
@@ -17105,6 +17191,25 @@ ORACLES["corpus_datasheet"] = """
     UNION ALL SELECT * FROM cont_s
     UNION ALL SELECT * FROM psi_s
     UNION ALL SELECT * FROM chi_s
+"""
+
+
+ORACLES["streaming_upsert"] = """
+    WITH ch AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(o_orderkey % 2 AS INT) AS b
+      FROM orders
+    ), w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, op,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY b DESC, o_orderkey DESC) AS rn
+      FROM ch
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM w WHERE rn = 1 AND op != 'D'
 """
 
 
@@ -17730,6 +17835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_stats_frozen": q_unigram_stats_frozen,
         "lm_perplexity_kn": q_lm_perplexity_kn,
         "corpus_datasheet": q_corpus_datasheet,
+        "streaming_upsert": q_streaming_upsert,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

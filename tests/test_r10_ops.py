@@ -369,3 +369,52 @@ def test_corpus_datasheet_html_smoke(spark, sf_dir):
         "</html>",
     ):
         assert frag in html
+
+
+# --------------------------- exactly-once upsert sink (r10 #5)
+def test_upsert_batch_idempotent_replay(spark, tmp_path):
+    from skrub_spark.sources.snapshots import (
+        read_snapshot, snapshot_versions,
+    )
+    from skrub_spark.streaming.ops import upsert_batch
+
+    root = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, 10, "U", 5.0), (2, 11, "U", 6.0), (1, 12, "U", 7.0)],
+        "k long, seq long, op string, val double",
+    )
+    assert upsert_batch(b0, root, "k", "seq", "op", batch_id=0)
+    snap1 = sorted(map(tuple, read_snapshot(spark, root).collect()))
+    # duplicate delivery of batch 0: skipped, snapshot unchanged
+    assert not upsert_batch(b0, root, "k", "seq", "op", batch_id=0)
+    assert snapshot_versions(root, spark) == [1]
+    assert sorted(map(tuple, read_snapshot(spark, root).collect())) == snap1
+    # batch winner: k=1 keeps seq 12 (max within batch)
+    assert dict((r["k"], r["seq"]) for r in
+                read_snapshot(spark, root).collect()) == {1: 12, 2: 11}
+
+
+def test_upsert_batch_tombstone_and_versions(spark, tmp_path):
+    from skrub_spark.sources.snapshots import (
+        read_snapshot, snapshot_versions,
+    )
+    from skrub_spark.streaming.ops import upsert_batch
+
+    root = str(tmp_path / "tbl2")
+    b0 = spark.createDataFrame(
+        [(1, 10, "U", 5.0), (2, 11, "U", 6.0)],
+        "k long, seq long, op string, val double",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 20, "D", None), (3, 21, "U", 9.0)],
+        "k long, seq long, op string, val double",
+    )
+    assert upsert_batch(b0, root, "k", "seq", "op", batch_id=0)
+    assert upsert_batch(b1, root, "k", "seq", "op", batch_id=1)
+    assert snapshot_versions(root, spark) == [1, 2]
+    final = {r["k"]: r["val"] for r in read_snapshot(spark, root).collect()}
+    # k=1 tombstoned, k=2 survives from batch 0, k=3 inserted
+    assert final == {2: 6.0, 3: 9.0}
+    # earlier versions remain readable (time travel)
+    v1 = {r["k"] for r in read_snapshot(spark, root, 1).collect()}
+    assert v1 == {1, 2}
