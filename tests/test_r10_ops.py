@@ -418,3 +418,105 @@ def test_upsert_batch_tombstone_and_versions(spark, tmp_path):
     # earlier versions remain readable (time travel)
     v1 = {r["k"] for r in read_snapshot(spark, root, 1).collect()}
     assert v1 == {1, 2}
+
+
+# -------------------- adversarial-skew blocking contracts (r10 #7)
+def test_sorted_neighborhood_all_equal_sort_key(spark):
+    """Degenerate blocking key: EVERY row shares one sort-key value.
+    The total order falls back to id ties, the pair set must equal
+    the brute-force window over that order, and the pair count is
+    exactly bounded by n*window (no quadratic blowup)."""
+    from skrub_spark.operators.matching import sorted_neighborhood_pairs
+
+    n, w = 97, 3
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(n)], "id long, k double"
+    )
+    out = sorted_neighborhood_pairs(df, "id", "k", window=w)
+    got = sorted((r["id_a"], r["id_b"], r["pos_dist"]) for r in out.collect())
+    expect = sorted(
+        (i, j, j - i)
+        for i in range(n)
+        for j in range(i + 1, min(i + w + 1, n))
+    )
+    assert got == expect
+    assert len(got) == sum(max(0, n - j) for j in range(1, w + 1))
+
+
+def test_sorted_neighborhood_hot_key_with_unique_tail(spark):
+    """One hot key owning 90% of rows plus a sorted tail — the
+    boundary stitch across merged buckets must still produce the
+    exact window pair set of the (k, id) total order."""
+    from skrub_spark.operators.matching import sorted_neighborhood_pairs
+
+    rows = [(i, 5.0) for i in range(90)] + [
+        (100 + i, 10.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, k double")
+    out = sorted_neighborhood_pairs(df, "id", "k", window=2)
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    ids = [r[0] for r in order]
+    expect = sorted(
+        (ids[i], ids[j], j - i) if ids[i] < ids[j]
+        else (ids[j], ids[i], j - i)
+        for i in range(len(ids))
+        for j in range(i + 1, min(i + 3, len(ids)))
+    )
+    got = sorted((r["id_a"], r["id_b"], r["pos_dist"]) for r in out.collect())
+    assert got == expect
+
+
+def test_jw_join_hot_block_capped(spark):
+    """A single hot first-token block must be DROPPED by max_block,
+    not exploded quadratically; disjoint small blocks survive."""
+    from skrub_spark.dedup.strings import jaro_winkler_join
+
+    hot = [(f"smith variant{i}",) for i in range(50)]
+    cool = [("jones alpha",), ("jones alphaa",), ("parker beta",)]
+    df = spark.createDataFrame(hot + cool, "name string")
+    out = jaro_winkler_join(
+        df, df, "name", "name", threshold=0.5, max_block=10
+    ).collect()
+    # no pair from the capped hot block
+    assert all(not r["name_a"].startswith("smith") for r in out)
+    # the small jones block still matches
+    assert any(
+        r["name_a"] == "jones alpha" and r["name_b"] == "jones alphaa"
+        for r in out
+    )
+
+
+def test_jw_join_cap_disabled_matches_bruteforce(spark):
+    """With a generous cap the blocked join equals brute-force JW
+    over same-block pairs — the cap must not change small-block
+    results."""
+    import itertools
+
+    from skrub_spark.dedup.strings import jaro_winkler_join
+    from skrub_spark.functions.text import jaro_winkler
+
+    names = [
+        "martha stewart", "marhta stewart", "jonathan swift",
+        "jonathon swift", "peter parker",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = sorted(
+        (r["name_a"], r["name_b"])
+        for r in jaro_winkler_join(
+            df, df, "name", "name", threshold=0.9, max_block=10_000
+        ).collect()
+    )
+    # brute force within first-token blocks via the same UDF
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(sorted(names), 2)
+        if a.split()[0] == b.split()[0]
+    ]
+    pdf = spark.createDataFrame(pairs, "name_a string, name_b string")
+    brute = sorted(
+        (r["name_a"], r["name_b"])
+        for r in pdf.withColumn("jw", jaro_winkler("name_a", "name_b"))
+        .filter("jw >= 0.9")
+        .collect()
+    )
+    assert out == brute
