@@ -106,6 +106,8 @@ HEADLINE = [
     "unigram_stats_frozen",
     "lm_perplexity_kn",
     "corpus_datasheet",
+    "msprt_monitor",
+    "eb_shrunk_rates",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",
@@ -665,6 +667,7 @@ def main() -> None:
                 qs[name](spark, warm_dir).count()
             except Exception as e:  # noqa: BLE001
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
         print(
             f"# untimed sf0.001 warm-up pass: {time.time() - t0:.1f}s",
             file=sys.stderr,
@@ -676,6 +679,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # queries persist/checkpoint their own branch points (tfidf
+        # tf, LM count frames, contingency cells); across ~250
+        # sequential queries those blocks accumulate and LRU-thrash
+        # executor memory, inflating LATE queries by 2-3x (r10
+        # probe). Each query runs once, so dropping its cache after
+        # timing costs nothing and isolates measurements.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -85,7 +85,12 @@ from .operators.association import (  # noqa: F401
 )
 from .report.survival import kaplan_meier  # noqa: F401
 from .report.concentration import gini_concentration  # noqa: F401
-from .report.abtest import ab_proportion_test, mann_whitney_u  # noqa: F401
+from .report.abtest import (  # noqa: F401
+    ab_proportion_test,
+    eb_shrunk_rates,
+    mann_whitney_u,
+    msprt_two_proportion,
+)
 from .report.bootstrap import bootstrap_mean_ci, poisson_weight  # noqa: F401
 from .report.outliers import iqr_outliers, mad_outliers  # noqa: F401
 from .report.profiling import (  # noqa: F401

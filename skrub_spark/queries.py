@@ -16646,6 +16646,57 @@ ORACLES["fulfillment_latency"] = """
 
 
 
+def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test trajectory (r10,
+    report/abtest.py::msprt_two_proportion — the mixture-SPRT
+    "peeking" construction): orders split into two deterministic
+    arms (o_custkey parity) with a planted lift in arm 1
+    (o_orderkey % 7 conversions added), monitored cumulatively per
+    order month. The p_always_valid column is the running-min
+    mixture bound a dashboard may read at every checkpoint. Exact
+    oracle: cumulative integer counts -> the same
+    fixed-parenthesization lnLambda expression -> 6dp."""
+    _prep(spark)
+    from .report.abtest import msprt_two_proportion
+
+    orders = load_table(spark, sf_dir, "orders")
+    e = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("cp"),
+        (F.col("o_custkey") % 2).cast("string").alias("v"),
+        (
+            (F.col("o_orderkey") % 3 == 0)
+            | (
+                (F.col("o_custkey") % 2 == 1)
+                & (F.col("o_orderkey") % 7 == 0)
+            )
+        ).alias("c"),
+    )
+    return msprt_two_proportion(e, "v", "c", "cp", tau2=0.01, alpha=0.05)
+
+
+def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial rate shrinkage (r10,
+    report/abtest.py::eb_shrunk_rates): per-customer urgent-order
+    rates (roughly ten orders per customer — genuinely small n)
+    pulled toward the method-of-moments beta prior — the
+    small-n leaderboard fix. Exact oracle: rates 6dp-quantized into
+    integer micro space so the moment sums are exact, prior and
+    posterior replayed with the identical parenthesization."""
+    _prep(spark)
+    from .report.abtest import eb_shrunk_rates
+
+    orders = load_table(spark, sf_dir, "orders")
+    return eb_shrunk_rates(
+        orders.select(
+            "o_custkey",
+            (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        ),
+        "o_custkey",
+        "urgent",
+    )
+
+
+
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once upsert sink (r10, VERDICT r9 #5,
     streaming/ops.py::streaming_upsert_sink): the order changelog
@@ -17210,6 +17261,116 @@ ORACLES["streaming_upsert"] = """
            CAST(o_orderkey AS BIGINT) AS o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM w WHERE rn = 1 AND op != 'D'
+"""
+
+
+ORACLES["msprt_monitor"] = """
+    WITH e AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS cp,
+             CAST(o_custkey % 2 AS VARCHAR) AS v,
+             (o_orderkey % 3 = 0
+              OR (o_custkey % 2 = 1 AND o_orderkey % 7 = 0)) AS c
+      FROM orders
+    ), per AS (
+      SELECT cp, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM e GROUP BY 1, 2
+    ), wide AS (
+      SELECT cp,
+        CAST(sum(CASE WHEN v = '0' THEN n END) AS BIGINT) AS dna,
+        CAST(sum(CASE WHEN v = '0' THEN conv END) AS BIGINT) AS dca,
+        CAST(sum(CASE WHEN v = '1' THEN n END) AS BIGINT) AS dnb,
+        CAST(sum(CASE WHEN v = '1' THEN conv END) AS BIGINT) AS dcb
+      FROM per GROUP BY cp
+    ), cum AS (
+      SELECT cp,
+        CAST(sum(COALESCE(dna, 0)) OVER w AS BIGINT) AS na,
+        CAST(sum(COALESCE(dca, 0)) OVER w AS BIGINT) AS ca,
+        CAST(sum(COALESCE(dnb, 0)) OVER w AS BIGINT) AS nb,
+        CAST(sum(COALESCE(dcb, 0)) OVER w AS BIGINT) AS cb
+      FROM wide
+      WINDOW w AS (ORDER BY cp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), st AS (
+      SELECT cp, na, nb, ca, cb,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) END AS delta,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          ((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+          * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+          * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+        END AS vn
+      FROM cum
+    ), lam AS (
+      SELECT cp, na, nb, ca, cb, delta,
+        CASE WHEN vn IS NOT NULL AND vn > 0 THEN
+          0.5 * ln(vn / (vn + 0.01))
+          + ((delta * delta) * 0.01) / (2.0 * vn * (vn + 0.01))
+        END AS loglam
+      FROM st
+    ), pm AS (
+      SELECT cp, na, nb, ca, cb, delta, loglam,
+        CASE WHEN loglam IS NOT NULL THEN
+          least(1.0, exp(-loglam)) END AS p_m
+      FROM lam
+    ), run AS (
+      SELECT cp, na, nb, ca, cb, delta, loglam,
+        min(p_m) OVER (ORDER BY cp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pav
+      FROM pm
+    )
+    SELECT cp AS checkpoint,
+           na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+           round(delta, 6) AS delta,
+           round(loglam, 6) AS log_lambda,
+           round(pav, 6) AS p_always_valid,
+           CASE WHEN pav IS NOT NULL THEN pav <= 0.05 END AS significant
+    FROM run
+"""
+
+ORACLES["eb_shrunk_rates"] = """
+    WITH per AS (
+      SELECT o_custkey AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM orders GROUP BY 1
+    ), per3 AS (
+      SELECT g, n, conv,
+             round(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS raw_rate,
+             CAST(round(round(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                        * 1000000, 0) AS BIGINT) AS r6i
+      FROM per
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(r6i) AS DOUBLE) AS s1d,
+             CAST(sum(r6i * r6i) AS DOUBLE) AS s2d
+      FROM per3
+    ), pr AS (
+      SELECT CASE WHEN ok THEN round(m * ab, 6) END AS alpha,
+             CASE WHEN ok THEN round((1.0 - m) * ab, 6) END AS beta
+      FROM (
+        SELECT k, m, v, m * (1.0 - m) / v - 1.0 AS ab,
+               (k >= 2 AND v > 0 AND v < m * (1.0 - m)
+                AND (m * (1.0 - m) / v - 1.0) > 0) AS ok
+        FROM (
+          SELECT k,
+                 s1d / (CAST(k AS DOUBLE) * 1000000.0) AS m,
+                 s2d / (CAST(k AS DOUBLE) * 1000000.0 * 1000000.0)
+                 - (s1d / (CAST(k AS DOUBLE) * 1000000.0))
+                   * (s1d / (CAST(k AS DOUBLE) * 1000000.0)) AS v
+          FROM mom))
+    )
+    SELECT per3.g AS o_custkey, n, conv, raw_rate,
+      CASE WHEN alpha IS NOT NULL THEN
+        round((CAST(conv AS DOUBLE) + alpha)
+              / (CAST(n AS DOUBLE) + alpha + beta), 6)
+      ELSE raw_rate END AS shrunk_rate,
+      alpha, beta
+    FROM per3 CROSS JOIN pr
 """
 
 
@@ -17836,6 +17997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_kn": q_lm_perplexity_kn,
         "corpus_datasheet": q_corpus_datasheet,
         "streaming_upsert": q_streaming_upsert,
+        "msprt_monitor": q_msprt_monitor,
+        "eb_shrunk_rates": q_eb_shrunk_rates,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -166,3 +166,227 @@ def mann_whitney_u(
             var > 0, F.round((ua - mu) / F.sqrt(var), 6)
         ).alias("z"),
     )
+
+
+def msprt_two_proportion(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    checkpoint_col: str,
+    *,
+    tau2: float = 0.01,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Always-valid sequential two-proportion test (r10 — mixture
+    SPRT, Johari/Pekelis/Walsh "peeking problem" construction): the
+    p-value trajectory an experiment dashboard may read at EVERY
+    checkpoint without inflating false positives, unlike the fixed-
+    horizon z-test (:func:`ab_proportion_test`) which is only valid
+    once.
+
+    Per checkpoint (ordered ascending) over CUMULATIVE counts:
+      delta  = pa − pb,   pool = (ca+cb)/(na+nb)
+      Vn     = pool·(1−pool)·(1/na + 1/nb)
+      lnΛ    = 0.5·ln(Vn/(Vn+τ²)) + delta²·τ²/(2·Vn·(Vn+τ²))
+      p_m    = min(1, exp(−lnΛ));  p_always_valid = min over m'≤m
+    Checkpoints where either arm is empty or Vn = 0 carry a NULL
+    test (insufficient data) without breaking the running minimum.
+
+    Output: one row per checkpoint — ``(checkpoint, n_a, n_b,
+    conv_a, conv_b, delta, log_lambda, p_always_valid,
+    significant)``. Variants are the two DISTINCT values of
+    ``variant_col`` (lexicographic a < b; >2 variants raise via the
+    embedded assert, the cuped_adjust discipline).
+
+    Scale shape: ONE (checkpoint, variant) map-side-combined agg
+    collapses the corpus; cumulative windows run over the BOUNDED
+    checkpoint frame. Determinism: counts are exact integers; every
+    ratio is fixed-order IEEE; ln/exp agree across engines at the
+    6dp the outputs are rounded to."""
+    g = F.col(variant_col).cast("string")
+    per = (
+        df.select(
+            F.col(checkpoint_col).alias("cp"),
+            g.alias("v"),
+            F.col(converted_col).cast("boolean").alias("c"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("cp", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    labs = per.agg(
+        F.countDistinct("v").cast("long").alias("__ng"),
+        F.min("v").alias("va"),
+        F.max("v").alias("vb"),
+    )
+    wide = (
+        per.crossJoin(F.broadcast(labs))
+        .groupBy("cp")
+        .agg(
+            F.sum(F.when(F.col("v") == F.col("va"), F.col("n")))
+            .cast("long")
+            .alias("dna"),
+            F.sum(F.when(F.col("v") == F.col("va"), F.col("conv")))
+            .cast("long")
+            .alias("dca"),
+            F.sum(F.when(F.col("v") == F.col("vb"), F.col("n")))
+            .cast("long")
+            .alias("dnb"),
+            F.sum(F.when(F.col("v") == F.col("vb"), F.col("conv")))
+            .cast("long")
+            .alias("dcb"),
+            F.max("__ng").alias("__ng"),
+        )
+    )
+    w = Window.orderBy("cp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wide.select(
+        "cp",
+        "__ng",
+        F.sum(F.coalesce("dna", F.lit(0))).over(w).alias("na"),
+        F.sum(F.coalesce("dca", F.lit(0))).over(w).alias("ca"),
+        F.sum(F.coalesce("dnb", F.lit(0))).over(w).alias("nb"),
+        F.sum(F.coalesce("dcb", F.lit(0))).over(w).alias("cb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    t2 = F.lit(float(tau2))
+    delta = ca / na - cb / nb
+    pool = (ca + cb) / (na + nb)
+    vn = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    loglam = F.lit(0.5) * F.log(vn / (vn + t2)) + (
+        (delta * delta) * t2
+    ) / (F.lit(2.0) * vn * (vn + t2))
+    ok = (F.col("na") > 0) & (F.col("nb") > 0)
+    loglam_c = F.when(ok & (vn > 0), loglam)
+    p_m = F.when(
+        loglam_c.isNotNull(), F.least(F.lit(1.0), F.exp(-loglam_c))
+    )
+    wmin = Window.orderBy("cp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pav = F.min(p_m).over(wmin)
+    gate = F.when(
+        F.assert_true(
+            F.col("__ng") == 2,
+            F.concat(
+                F.lit(
+                    "msprt_two_proportion requires exactly 2 variant "
+                    "labels, got "
+                ),
+                F.col("__ng").cast("string"),
+            ),
+        ).isNull(),
+        F.round(F.when(ok, delta), 6),
+    )
+    return cum.select(
+        F.col("cp").alias("checkpoint"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("ca").alias("conv_a"),
+        F.col("cb").alias("conv_b"),
+        gate.alias("delta"),
+        F.round(loglam_c, 6).alias("log_lambda"),
+        F.round(pav, 6).alias("p_always_valid"),
+        F.when(pav.isNotNull(), pav <= F.lit(float(alpha))).alias(
+            "significant"
+        ),
+    )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial rate shrinkage (r10): per-group
+    conversion rates pulled toward the corpus prior, the standard
+    fix for small-n groups dominating a rate leaderboard.
+
+    Method-of-moments prior over the per-group RAW rates r_g (6dp-
+    quantized, so the moment sums are exact integers in micro
+    space): with m = mean(r), v = var(r),
+      α+β = m(1−m)/v − 1,  α = m·(α+β)
+    and the posterior mean per group is (conv + α)/(n + α + β).
+    Degenerate moments (v ≤ 0 or v ≥ m(1−m), fewer than 2 groups)
+    return the raw rate with NULL α/β — shrinkage needs a real
+    prior.
+
+    Output: ``(group, n, conv, raw_rate, shrunk_rate, alpha,
+    beta)``. Scale: ONE group agg; the moment pass runs over the
+    bounded per-group frame; the prior is two scalars broadcast
+    back. Rates round 6dp; moment sums are DECIMAL-exact."""
+    per = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(converted_col).cast("boolean").alias("c"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("conv"),
+        )
+        .withColumn(
+            "raw_rate",
+            F.round(
+                F.col("conv").cast("double") / F.col("n").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "r6i",
+            F.round(F.col("raw_rate") * 1000000, 0).cast("decimal(38,0)"),
+        )
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("r6i").alias("s1"),
+        F.sum(F.col("r6i") * F.col("r6i")).alias("s2"),
+    )
+    k = F.col("k").cast("double")
+    m = F.col("s1").cast("double") / (k * F.lit(1000000.0))
+    # v = E[r²] − m² over the 6dp-quantized rates (population var)
+    er2 = F.col("s2").cast("double") / (
+        k * F.lit(1000000.0) * F.lit(1000000.0)
+    )
+    v = er2 - m * m
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior_ok = (
+        (F.col("k") >= 2)
+        & (v > 0)
+        & (v < m * (F.lit(1.0) - m))
+        & (ab > 0)
+    )
+    prior = mom.select(
+        F.when(prior_ok, F.round(m * ab, 6)).alias("alpha"),
+        F.when(prior_ok, F.round((F.lit(1.0) - m) * ab, 6)).alias("beta"),
+    )
+    out = per.crossJoin(F.broadcast(prior))
+    shrunk = F.when(
+        F.col("alpha").isNotNull(),
+        F.round(
+            (F.col("conv").cast("double") + F.col("alpha"))
+            / (
+                F.col("n").cast("double")
+                + F.col("alpha")
+                + F.col("beta")
+            ),
+            6,
+        ),
+    ).otherwise(F.col("raw_rate"))
+    return out.select(
+        F.col("g").alias(group_col),
+        "n",
+        "conv",
+        "raw_rate",
+        shrunk.alias("shrunk_rate"),
+        "alpha",
+        "beta",
+    )

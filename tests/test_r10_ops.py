@@ -520,3 +520,86 @@ def test_jw_join_cap_disabled_matches_bruteforce(spark):
         .collect()
     )
     assert out == brute
+
+
+# ------------------- sequential testing + EB shrinkage (r10 extra)
+def test_msprt_planted_effect_goes_significant(spark):
+    from skrub_spark.report.abtest import msprt_two_proportion
+
+    rows = []
+    # arm a converts 10%, arm b 40%; 8 checkpoints x 200/arm
+    for cp in range(8):
+        for i in range(200):
+            rows.append((cp, "a", i % 10 == 0))
+            rows.append((cp, "b", i % 10 < 4))
+    df = spark.createDataFrame(rows, "cp int, v string, c boolean")
+    out = msprt_two_proportion(df, "v", "c", "cp", tau2=0.01)
+    rs = sorted(out.collect(), key=lambda r: r["checkpoint"])
+    # p trajectory is monotone non-increasing (running min)
+    ps = [r["p_always_valid"] for r in rs]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+    assert rs[-1]["significant"] is True
+    assert rs[-1]["delta"] < 0  # a converts less than b
+    # cumulative counts grow to the full corpus
+    assert rs[-1]["n_a"] == rs[-1]["n_b"] == 8 * 200
+
+
+def test_msprt_null_effect_stays_insignificant(spark):
+    from skrub_spark.report.abtest import msprt_two_proportion
+
+    rows = []
+    for cp in range(6):
+        for i in range(150):
+            rows.append((cp, "a", i % 5 == 0))
+            rows.append((cp, "b", i % 5 == 1))
+    df = spark.createDataFrame(rows, "cp int, v string, c boolean")
+    rs = msprt_two_proportion(df, "v", "c", "cp").collect()
+    # identical 20% rates: the always-valid p never crosses 0.05
+    assert all(r["significant"] is False for r in rs)
+    assert all(r["p_always_valid"] > 0.5 for r in rs)
+
+
+def test_msprt_three_variants_raise(spark):
+    from skrub_spark.report.abtest import msprt_two_proportion
+
+    df = spark.createDataFrame(
+        [(0, "a", True), (0, "b", False), (0, "c", True)],
+        "cp int, v string, c boolean",
+    )
+    with pytest.raises(Exception, match="exactly 2 variant"):
+        msprt_two_proportion(df, "v", "c", "cp").collect()
+
+
+def test_eb_shrinkage_pulls_small_groups_to_prior(spark):
+    from skrub_spark.report.abtest import eb_shrunk_rates
+
+    rows = []
+    # 30 big groups at ~30% conversion
+    for g in range(30):
+        for i in range(100):
+            rows.append((f"big{g}", (i + g) % 10 < 3))
+    # tiny group: 2/2 converted (raw rate 1.0 — leaderboard noise)
+    rows += [("tiny", True), ("tiny", True)]
+    df = spark.createDataFrame(rows, "g string, c boolean")
+    out = {r["g"]: r for r in eb_shrunk_rates(df, "g", "c").collect()}
+    t = out["tiny"]
+    assert t["raw_rate"] == 1.0
+    # shrunk hard toward the ~0.3 prior mean
+    assert t["shrunk_rate"] < 0.8
+    assert t["alpha"] is not None and t["beta"] is not None
+    # big groups barely move
+    b = out["big0"]
+    assert abs(b["shrunk_rate"] - b["raw_rate"]) < 0.05
+    # posterior means stay probabilities
+    assert all(0.0 <= r["shrunk_rate"] <= 1.0 for r in out.values())
+
+
+def test_eb_shrinkage_degenerate_prior_returns_raw(spark):
+    from skrub_spark.report.abtest import eb_shrunk_rates
+
+    # all groups identical rate -> zero variance -> no prior
+    rows = [(f"g{g}", i % 2 == 0) for g in range(5) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, c boolean")
+    out = eb_shrunk_rates(df, "g", "c").collect()
+    assert all(r["alpha"] is None and r["beta"] is None for r in out)
+    assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
