@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_datasheet",
     "msprt_monitor",
     "eb_shrunk_rates",
+    "holt_winters",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -232,6 +232,10 @@ from .encoders.gap_encoder import (  # noqa: F401
     fit_gap_frozen,
     gap_topics_frozen,
 )
+from .operators.forecast import (  # noqa: F401
+    holt_winters_forecast,
+    hw_recurrence,
+)
 from .report.datasheet import (  # noqa: F401
     corpus_datasheet,
     datasheet_html,

@@ -33,7 +33,6 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from ..session import fan_out
 
 
 def bm25_tokens(col: Column) -> Column:
@@ -62,7 +61,7 @@ def bm25_scores(
     if not terms:
         raise ValueError("empty query")
 
-    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+    toks = docs.select(
         F.col(id_col), bm25_tokens(F.col(text_col)).alias("__toks")
     )
     lens = toks.select(id_col, F.size("__toks").alias("dl"))
@@ -137,7 +136,7 @@ def build_bm25_index(
     n_buckets — internal plumbing only, so the fast JVM hash is fine
     (scores never depend on it). Build cost is ONE (id, term)
     groupBy over the corpus; done once, searched many."""
-    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+    toks = docs.select(
         F.col(id_col), bm25_tokens(F.col(text_col)).alias("__toks")
     )
     lens = toks.select(id_col, F.size("__toks").alias("dl"))
@@ -269,7 +268,7 @@ def phrase_search(
     ]
     if not terms:
         raise ValueError("phrase_search: phrase has no tokens")
-    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+    toks = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(bm25_tokens(F.col(text_col))).alias("pos", "term"),
     ).filter(F.col("term").isin(terms))

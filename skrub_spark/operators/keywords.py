@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..session import fan_out
 
 
 def tfidf_keywords(
@@ -38,7 +37,7 @@ def tfidf_keywords(
     ``(id_col, term, tf, df, score, kw_rank)``. Ties break by term
     (ascending), so the ranking is deterministic; documents with no
     tokens yield no rows."""
-    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+    toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     # tf is a branch point (both the scores and the df/idf reduce
@@ -114,7 +113,7 @@ def more_like_this(
         probes = spark.createDataFrame(
             [(p,) for p in probe_ids], f"__pid {docs.schema[id_col].dataType.simpleString()}"
         )
-    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+    toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = (
@@ -209,7 +208,7 @@ def term_burstiness(
 
     Returns ``(term, doc_freq, total_count, vmr)``.
     """
-    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
@@ -279,7 +278,7 @@ def fightin_words(
     (terms characteristic of A; negative tail = characteristic of
     the rest).
     """
-    toks = fan_out(df.select(F.col(group_col), F.col(text_col))).select(
+    toks = df.select(
         (F.col(group_col) == F.lit(group_a)).alias("in_a"),
         F.explode(
             F.filter(

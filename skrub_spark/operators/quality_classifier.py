@@ -68,18 +68,15 @@ def hashed_text_features(
     """Hashed n-gram counts: one row per (doc, bucket) with the count
     of lowercased whitespace unigrams (and word bigrams when
     ``bigrams``) hashing into that bucket. The explode + groupBy is
-    map-side combined; nothing leaves the JVM. The per-unit md5
-    stage is the CPU hot spot, so the input fans out to full
-    parallelism when the scan under-partitions (r10; see
-    session.fan_out)."""
-    from ..session import fan_out
-
+    map-side combined; nothing leaves the JVM. (r10 note: a
+    fan_out here was measured NET-NEGATIVE — unigram+bigram md5
+    work per doc is too small to amortize the extra shuffle, unlike
+    the char-trigram pipeline in operators/language_id.py.)"""
     units = F.transform(tokens(F.col(content_col)), lambda t: F.lower(t))
     if bigrams:
         units = F.concat(units, word_shingles(F.col(content_col), 2))
     return (
-        fan_out(df.select(F.col(id_col).alias("id"), F.col(content_col)))
-        .select("id", F.explode(units).alias("u"))
+        df.select(F.col(id_col).alias("id"), F.explode(units).alias("u"))
         .select("id", feature_bucket(F.col("u"), n_features, salt).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -16646,6 +16646,25 @@ ORACLES["fulfillment_latency"] = """
 
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive forecast (r10,
+    operators/forecast.py::holt_winters_forecast): daily revenue
+    per order priority over the last 112 days, weekly seasonality,
+    14-day horizon. The recurrence is EXACT integer-micro DP (6dp
+    requantize after every update — the gap_encoder discipline), so
+    the DuckDB oracle replays it with a recursive CTE carrying the
+    (l, b, s1..s7) state columns; outputs are plain micro/1e6
+    divisions, identical IEEE in both engines."""
+    _prep(spark)
+    from .operators.forecast import holt_winters_forecast
+
+    orders = load_table(spark, sf_dir, "orders")
+    return holt_winters_forecast(
+        orders, "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+
+
+
 def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential test trajectory (r10,
     report/abtest.py::msprt_two_proportion — the mixture-SPRT
@@ -17374,6 +17393,105 @@ ORACLES["eb_shrunk_rates"] = """
 """
 
 
+def _r10_hw_oracle() -> str:
+    """Recursive-CTE replay of the exact integer-micro Holt-Winters
+    recurrence (operators/forecast.py::hw_recurrence): state rides
+    as (l, b, s1..s7) HUGEINT columns; each recursive step textually
+    expands the HALF_UP /1e6 requantization (integer arithmetic, so
+    the duplicated l_new sub-expression is exact)."""
+
+    def d6(x: str) -> str:
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN (({x}) + 500000) // 1000000 "
+            f"ELSE -((-({x}) + 500000) // 1000000) END)"
+        )
+
+    def d7(x: str) -> str:
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN (({x}) + 3) // 7 "
+            f"ELSE -((-({x}) + 3) // 7) END)"
+        )
+
+    a = "CAST(300000 AS HUGEINT)"
+    na = "CAST(700000 AS HUGEINT)"
+    bb = "CAST(100000 AS HUGEINT)"
+    nb = "CAST(900000 AS HUGEINT)"
+    gg = "CAST(300000 AS HUGEINT)"
+    ng = "CAST(700000 AS HUGEINT)"
+    l_new = d6(f"{a} * (gr.y6 - st.s1) + {na} * (st.l + st.b)")
+    b_new = d6(f"{bb} * ({l_new} - st.l) + {nb} * st.b")
+    s_new = d6(f"{gg} * (gr.y6 - {l_new}) + {ng} * st.s1")
+    ycols = ", ".join(
+        f"MAX(CASE WHEN t = {i} THEN y6 END) AS y{i}" for i in range(1, 8)
+    )
+    scols = ", ".join(f"y{i} - mean1 AS s{i}" for i in range(1, 8))
+    scase = " ".join(
+        f"WHEN {h} THEN s{h + 1}" for h in range(0, 7)
+    )
+    return f"""
+    WITH RECURSIVE maxd AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+    ), daily AS MATERIALIZED (
+      SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 1000000
+                  AS HUGEINT) AS y6
+      FROM orders CROSS JOIN maxd
+      WHERE CAST(o_orderdate AS DATE) >= d1 - CAST(111 AS INT)
+      GROUP BY 1, 2
+    ), grid AS MATERIALIZED (
+      SELECT base.g, base.t, base.d,
+             COALESCE(v.y6, CAST(0 AS HUGEINT)) AS y6
+      FROM (
+        SELECT gs.g, ds.t, ds.d
+        FROM (SELECT DISTINCT g FROM daily) gs
+        CROSS JOIN (SELECT t, (SELECT d1 FROM maxd)
+                      - CAST(112 - t AS INT) AS d
+                    FROM (SELECT CAST(unnest(range(1, 113)) AS INT) AS t)) ds
+      ) base
+      LEFT JOIN daily v ON v.g = base.g AND v.d = base.d
+    ), init AS MATERIALIZED (
+      SELECT g, mean1 AS l0, {d7("mean2 - mean1")} AS b0, {scols}
+      FROM (
+        SELECT g, {d7("sum1")} AS mean1, {d7("sum2")} AS mean2,
+               y1, y2, y3, y4, y5, y6c AS y6, y7
+        FROM (
+          SELECT g, {ycols.replace("MAX(CASE WHEN t = 6 THEN y6 END) AS y6",
+                                   "MAX(CASE WHEN t = 6 THEN y6 END) AS y6c")},
+                 SUM(CASE WHEN t BETWEEN 1 AND 7 THEN y6 END) AS sum1,
+                 SUM(CASE WHEN t BETWEEN 8 AND 14 THEN y6 END) AS sum2
+          FROM grid GROUP BY g))
+    ), step AS (
+      SELECT g, 7 AS t, l0 AS l, b0 AS b, s1, s2, s3, s4, s5, s6, s7,
+             CAST(NULL AS HUGEINT) AS yhat6, CAST(NULL AS HUGEINT) AS yobs6
+      FROM init
+      UNION ALL
+      SELECT st.g, st.t + 1, {l_new}, {b_new},
+             st.s2, st.s3, st.s4, st.s5, st.s6, st.s7, {s_new},
+             st.l + st.b + st.s1, gr.y6
+      FROM step st JOIN grid gr ON gr.g = st.g AND gr.t = st.t + 1
+    ), fitted AS (
+      SELECT g, t, yobs6, yhat6 FROM step WHERE t >= 8
+    ), last AS (
+      SELECT * FROM step WHERE t = 112
+    ), fc AS (
+      SELECT g, 112 + h AS t, CAST(NULL AS HUGEINT) AS yobs6,
+             l + CAST(h AS HUGEINT) * b
+               + (CASE (h - 1) % 7 {scase} END) AS yhat6
+      FROM last CROSS JOIN (SELECT unnest(range(1, 15)) AS h)
+    ), allrows AS (
+      SELECT * FROM fitted UNION ALL SELECT * FROM fc
+    )
+    SELECT g AS o_orderpriority,
+           (SELECT d1 FROM maxd) - CAST(112 - t AS INT) AS day,
+           CAST(yobs6 AS DOUBLE) / 1000000.0 AS y,
+           CAST(yhat6 AS DOUBLE) / 1000000.0 AS yhat
+    FROM allrows
+    """
+
+
+ORACLES["holt_winters"] = _r10_hw_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -17999,6 +18117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": q_streaming_upsert,
         "msprt_monitor": q_msprt_monitor,
         "eb_shrunk_rates": q_eb_shrunk_rates,
+        "holt_winters": q_holt_winters,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -603,3 +603,76 @@ def test_eb_shrinkage_degenerate_prior_returns_raw(spark):
     out = eb_shrunk_rates(df, "g", "c").collect()
     assert all(r["alpha"] is None and r["beta"] is None for r in out)
     assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
+
+
+# ----------------------------- Holt-Winters forecast (r10 extra)
+def test_hw_recurrence_tracks_seasonal_trend():
+    """On an exactly seasonal + linear series the smoother locks on:
+    late one-step-ahead fits and all forecasts stay close."""
+    from skrub_spark.operators.forecast import hw_recurrence
+
+    season = [0, 5, 9, 3, -4, -8, -5]  # weekly shape, sums to 0
+    def f(t):
+        return 100.0 + 2.0 * t + season[t % 7]
+
+    y6 = [int(round(f(t) * 1e6)) for t in range(70)]
+    fitted, fc = hw_recurrence(
+        y6, alpha6=300000, beta6=100000, gamma6=300000,
+        period=7, horizon=14,
+    )
+    for t in range(56, 70):
+        assert abs(fitted[t] / 1e6 - f(t)) < 2.0
+    for h in range(14):
+        assert abs(fc[h] / 1e6 - f(70 + h)) < 3.0
+
+
+def test_hw_recurrence_integer_determinism():
+    from skrub_spark.operators.forecast import hw_recurrence
+
+    y6 = [((t * 37) % 11) * 1_000_000 + 500_000 for t in range(30)]
+    a = hw_recurrence(y6, alpha6=300000, beta6=100000,
+                      gamma6=300000, period=7, horizon=5)
+    b = hw_recurrence(list(y6), alpha6=300000, beta6=100000,
+                      gamma6=300000, period=7, horizon=5)
+    assert a == b
+    assert all(isinstance(v, int) for v in a[1])
+
+
+def test_hw_forecast_shapes_and_invariance(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.forecast import holt_winters_forecast
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for g in ("a", "b"):
+        for t in range(120):
+            val = 50.0 + (3.0 if g == "a" else -1.0) * (t % 7) + t * 0.5
+            rows.append((g, base + dt.timedelta(days=t), round(val, 2)))
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    out = holt_winters_forecast(
+        df, "g", "d", "v", period=7, horizon=14, max_days=112
+    )
+    rs = out.collect()
+    # per group: (112 - 7) fitted rows + 14 forecasts
+    per_g = {}
+    for r in rs:
+        per_g.setdefault(r["g"], []).append(r)
+    for g, lst in per_g.items():
+        assert len(lst) == (112 - 7) + 14
+        assert sum(1 for r in lst if r["y"] is None) == 14
+    # partitioning invariance (exact integer recurrence)
+    rs2 = holt_winters_forecast(
+        df.repartition(9), "g", "d", "v",
+        period=7, horizon=14, max_days=112,
+    ).collect()
+    key = lambda r: (r["g"], r["day"])  # noqa: E731
+    assert sorted(map(tuple, rs)) == sorted(map(tuple, rs2))
+
+
+def test_hw_forecast_requires_two_periods():
+    from skrub_spark.operators.forecast import hw_recurrence
+
+    with pytest.raises(ValueError, match="need >="):
+        hw_recurrence([1] * 10, alpha6=300000, beta6=100000,
+                      gamma6=300000, period=7, horizon=3)
