@@ -109,6 +109,8 @@ HEADLINE = [
     "msprt_monitor",
     "eb_shrunk_rates",
     "holt_winters",
+    "cusum_monitor",
+    "quantile_ci",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

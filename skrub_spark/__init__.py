@@ -233,9 +233,11 @@ from .encoders.gap_encoder import (  # noqa: F401
     gap_topics_frozen,
 )
 from .operators.forecast import (  # noqa: F401
+    cusum_monitor,
     holt_winters_forecast,
     hw_recurrence,
 )
+from .operators.winsorize import quantile_ci  # noqa: F401
 from .report.datasheet import (  # noqa: F401
     corpus_datasheet,
     datasheet_html,

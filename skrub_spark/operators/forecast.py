@@ -164,3 +164,91 @@ def holt_winters_forecast(
     return out.select(
         F.col("g").alias(group_col), "day", "y", "yhat"
     )
+
+
+def cusum_monitor(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    *,
+    baseline_days: int = 28,
+    max_days: int = 112,
+    k_div: int = 20,
+    h_div: int = 2,
+) -> DataFrame:
+    """Two-sided CUSUM change monitor (r10 — the Page 1954 control
+    chart, the sequential drift detector next to the batch PSI/KS
+    reports in report/drift.py): per group over the dense daily
+    grid (same zero-filled last-``max_days`` construction as
+    :func:`holt_winters_forecast`),
+
+        Sp_t = max(0, Sp_{t-1} + (y_t − μ0 − k))
+        Sn_t = max(0, Sn_{t-1} + (μ0 − y_t − k))
+
+    with alarm when either sum exceeds h, then RESET to 0 (the
+    standard restart rule). μ0 is the exact micro mean of the first
+    ``baseline_days`` grid days; the slack and threshold derive
+    from it as integer divisions k = μ0/k_div, h = μ0/h_div — every
+    quantity is an exact integer, so the trajectory replays
+    bit-identically in the oracle's recursive CTE (the
+    holt_winters precedent).
+
+    Output: ``(group_col, day, y, s_pos, s_neg, alarm)`` for every
+    grid day after the baseline window."""
+    import datetime as _dt
+
+    m = int(baseline_days)
+    md = int(max_days)
+    if not (0 < m < md):
+        raise ValueError("cusum_monitor: need 0 < baseline_days < max_days")
+    day = F.col(day_col).cast("date")
+    max_day = df.agg(F.max(day)).first()[0]
+    if max_day is None:
+        raise ValueError("cusum_monitor: empty input")
+    start = max_day - _dt.timedelta(days=md - 1)
+    daily = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            day.alias("d"),
+            F.col(value_col).cast("decimal(12,2)").alias("v"),
+        )
+        .where((F.col("d") >= F.lit(start)) & (F.col("d") <= F.lit(max_day)))
+        .groupBy("g", "d")
+        .agg((F.sum("v") * 1000000).cast("long").alias("y6"))
+    )
+    kd, hd = int(k_div), int(h_div)
+
+    def run(pdf):
+        import pandas as pd
+
+        g = pdf["g"].iloc[0]
+        by_day = dict(zip(pdf["d"], pdf["y6"]))
+        days = [start + _dt.timedelta(days=i) for i in range(md)]
+        y6 = [int(by_day.get(d, 0)) for d in days]
+        mu = _divn(sum(y6[:m]), m)
+        k6 = _divn(mu, kd)
+        h6 = _divn(mu, hd)
+        sp = sn = 0
+        rows = []
+        for i in range(m, md):
+            sp = max(0, sp + (y6[i] - mu - k6))
+            sn = max(0, sn + (mu - y6[i] - k6))
+            alarm = sp > h6 or sn > h6
+            rows.append(
+                (g, days[i], y6[i] / 1e6, sp / 1e6, sn / 1e6, alarm)
+            )
+            if alarm:
+                sp = sn = 0
+        return pd.DataFrame(
+            rows, columns=["g", "day", "y", "s_pos", "s_neg", "alarm"]
+        )
+
+    out = daily.groupBy("g").applyInPandas(
+        run,
+        "g string, day date, y double, s_pos double, s_neg double, "
+        "alarm boolean",
+    )
+    return out.select(
+        F.col("g").alias(group_col), "day", "y", "s_pos", "s_neg", "alarm"
+    )

@@ -374,3 +374,80 @@ def robust_scale_by_group(
         )
         .drop("__rg", "q1", "med", "q3")
     )
+
+
+def quantile_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    q_num: int = 1,
+    q_den: int = 2,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Distribution-free confidence interval for a per-group
+    quantile via order statistics (r10 — completes the CI family
+    next to the Poisson bootstrap for means, report/bootstrap.py):
+    the point estimate is the exact rank-selection quantile
+    (rank ⌈n·q⌉, integer arithmetic — the group_quantiles rule) and
+    the interval is the classic binomial order-statistic bracket in
+    its normal approximation,
+
+        lo_rank = max(1, ⌊n·q − z·√(n·q(1−q))⌋)
+        hi_rank = min(n, ⌈n·q + z·√(n·q(1−q))⌉ + 1)
+
+    q rides as the RATIONAL q_num/q_den so the point rank is exact;
+    the bracket ranks are one fixed-order IEEE expression over the
+    exact n (sqrt is correctly rounded, so both engines agree
+    bit-for-bit). Output: one row per group — ``(group_cols…, n,
+    q_est, ci_lo, ci_hi)``.
+
+    Scale shape: ONE per-group window pass (row_number + count over
+    the same partitioning — a single shuffle), then a conditional
+    aggregation; no global sort."""
+    if not (0 < q_num < q_den):
+        raise ValueError("quantile_ci: need 0 < q_num < q_den")
+    gp = Window.partitionBy(*group_cols)
+    w = gp.orderBy(F.col("__v").asc())
+    ranked = (
+        df.select(
+            *group_cols, F.col(value_col).cast("double").alias("__v")
+        )
+        .where(F.col("__v").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(gp))
+    )
+    qn, qd = int(q_num), int(q_den)
+    r0 = F.expr(f"CAST((__n * {qn} + {qd - 1}) DIV {qd} AS BIGINT)")
+    qdbl = F.lit(float(qn)) / F.lit(float(qd))
+    nq = F.col("__n").cast("double") * qdbl
+    s = F.sqrt(nq * (F.lit(1.0) - qdbl))
+    zl = F.lit(float(z))
+    lo = F.greatest(
+        F.lit(1).cast("long"), F.floor(nq - zl * s).cast("long")
+    )
+    hi = F.least(
+        F.col("__n").cast("long"),
+        F.ceil(nq + zl * s).cast("long") + 1,
+    )
+    marked = ranked.select(
+        *group_cols,
+        "__rn",
+        "__n",
+        "__v",
+        r0.alias("__r0"),
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+    return marked.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.min(F.when(F.col("__rn") == F.col("__r0"), F.col("__v"))).alias(
+            "q_est"
+        ),
+        F.min(F.when(F.col("__rn") == F.col("__lo"), F.col("__v"))).alias(
+            "ci_lo"
+        ),
+        F.min(F.when(F.col("__rn") == F.col("__hi"), F.col("__v"))).alias(
+            "ci_hi"
+        ),
+    )

@@ -676,3 +676,80 @@ def test_hw_forecast_requires_two_periods():
     with pytest.raises(ValueError, match="need >="):
         hw_recurrence([1] * 10, alpha6=300000, beta6=100000,
                       gamma6=300000, period=7, horizon=3)
+
+
+# --------------------------------- CUSUM + quantile CI (r10 extra)
+def test_cusum_detects_planted_shift(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.forecast import cusum_monitor
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for t in range(112):
+        # stable 100.00/day for 80 days, then a +60% level shift
+        v = 100.0 if t < 80 else 160.0
+        rows.append(("g", base + dt.timedelta(days=t), v))
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    out = sorted(
+        cusum_monitor(df, "g", "d", "v").collect(),
+        key=lambda r: r["day"],
+    )
+    pre = [r for r in out if r["day"] < base + dt.timedelta(days=80)]
+    post = [r for r in out if r["day"] >= base + dt.timedelta(days=80)]
+    assert all(not r["alarm"] for r in pre)
+    assert any(r["alarm"] for r in post)
+    # first alarm arrives within a couple of days of the shift
+    first = min(r["day"] for r in post if r["alarm"])
+    assert (first - base).days <= 82
+    # reset rule: the row after an alarm restarts accumulation
+    assert all(r["s_pos"] >= 0 and r["s_neg"] >= 0 for r in out)
+
+
+def test_cusum_partitioning_invariant(spark):
+    import datetime as dt
+
+    from skrub_spark.operators.forecast import cusum_monitor
+
+    base = dt.date(2024, 3, 1)
+    rows = [
+        (g, base + dt.timedelta(days=t), float((t * 13 + ord(g)) % 50))
+        for g in "ab"
+        for t in range(112)
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    a = sorted(map(tuple, cusum_monitor(df, "g", "d", "v").collect()))
+    b = sorted(
+        map(
+            tuple,
+            cusum_monitor(df.repartition(11), "g", "d", "v").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_quantile_ci_brackets_median(spark):
+    from skrub_spark.operators.winsorize import quantile_ci
+
+    rows = [("g", float(v)) for v in range(1, 202)]  # 1..201
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = quantile_ci(df, ["g"], "v").first()
+    assert r["n"] == 201
+    assert r["q_est"] == 101.0  # exact median, rank ceil(201/2)=101
+    assert r["ci_lo"] < 101.0 < r["ci_hi"]
+    # ~95% bracket on n=201: about +/- 14 ranks around the median
+    assert 80.0 <= r["ci_lo"] <= 95.0
+    assert 107.0 <= r["ci_hi"] <= 122.0
+
+
+def test_quantile_ci_other_quantile_and_bounds(spark):
+    from skrub_spark.operators.winsorize import quantile_ci
+
+    rows = [("g", float(v)) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = quantile_ci(df, ["g"], "v", q_num=9, q_den=10).first()
+    assert r["q_est"] == 18.0  # rank ceil(20*0.9) = 18
+    # bracket clamped inside [1, n]
+    assert 1.0 <= r["ci_lo"] <= r["q_est"] <= r["ci_hi"] <= 20.0
+    with pytest.raises(ValueError, match="0 < q_num < q_den"):
+        quantile_ci(df, ["g"], "v", q_num=3, q_den=2)
