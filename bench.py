@@ -111,6 +111,8 @@ HEADLINE = [
     "holt_winters",
     "cusum_monitor",
     "quantile_ci",
+    "log_rank",
+    "cmh_stratified",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -83,7 +83,8 @@ from .operators.association import (  # noqa: F401
     association_rules,
     item_cooccurrence,
 )
-from .report.survival import kaplan_meier  # noqa: F401
+from .report.experiment import cmh_stratified  # noqa: F401
+from .report.survival import kaplan_meier, log_rank_test  # noqa: F401
 from .report.concentration import gini_concentration  # noqa: F401
 from .report.abtest import (  # noqa: F401
     ab_proportion_test,

@@ -433,3 +433,118 @@ def jackknife_ratio_se(
             6,
         ).alias("jk_se"),
     )
+
+
+def cmh_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    variant_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 analysis (r10 — the
+    confounder-adjusted companion to the pooled z-test in
+    report/abtest.py): one 2x2 table per stratum, pooled into the
+    Mantel-Haenszel odds ratio OR_MH = Σ(a_i d_i/n_i)/Σ(b_i c_i/n_i)
+    and the CMH χ² = (Σa_i − ΣE_i)²/ΣV_i with
+    E_i = r1_i c1_i/n_i and V_i = r1 r2 c1 c2 / (n_i²(n_i−1)) —
+    the right test when the variant split varies by stratum
+    (Simpson's-paradox insurance).
+
+    Returns one row: ``(variant_a, variant_b, n_strata, n_a, n_b,
+    conv_a, conv_b, or_mh, chi2)``. Exactly two variant labels
+    (embedded assert). Per-stratum terms are fixed-order IEEE over
+    exact counts, rounded 6dp, DECIMAL-summed — order-independent;
+    a zero denominator (no discordant mass) yields NULL or_mh."""
+    base = df.select(
+        F.col(stratum_col).cast("string").alias("s"),
+        F.col(variant_col).cast("string").alias("g"),
+        F.col(converted_col).cast("boolean").alias("c"),
+    ).filter(F.col("g").isNotNull())
+    labs = base.agg(
+        F.countDistinct("g").cast("long").alias("__ng"),
+        F.min("g").alias("ga"),
+        F.max("g").alias("gb"),
+    )
+    cells = (
+        base.crossJoin(F.broadcast(labs))
+        .groupBy("s")
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.sum(
+                F.when((F.col("g") == F.col("ga")) & F.col("c"), 1).otherwise(0)
+            ).cast("long").alias("a"),
+            F.sum(
+                F.when((F.col("g") == F.col("ga")) & ~F.col("c"), 1).otherwise(0)
+            ).cast("long").alias("b"),
+            F.sum(
+                F.when((F.col("g") == F.col("gb")) & F.col("c"), 1).otherwise(0)
+            ).cast("long").alias("cc"),
+            F.sum(
+                F.when((F.col("g") == F.col("gb")) & ~F.col("c"), 1).otherwise(0)
+            ).cast("long").alias("d"),
+        )
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("cc").cast("double")
+    dd = F.col("d").cast("double")
+    n = a + b + c + dd
+    r1 = a + b
+    r2 = c + dd
+    c1 = a + c
+    c2 = b + dd
+    e = r1 * c1 / n
+    v = F.when(
+        n > 1, r1 * r2 * c1 * c2 / (n * n * (n - F.lit(1.0)))
+    ).otherwise(F.lit(0.0))
+    terms = cells.where((F.col("a") + F.col("b") > 0) & (F.col("cc") + F.col("d") > 0)).select(
+        F.round(a * dd / n, 6).cast("decimal(18,6)").alias("num"),
+        F.round(b * c / n, 6).cast("decimal(18,6)").alias("den"),
+        F.round(a - e, 6).cast("decimal(18,6)").alias("oe"),
+        F.round(v, 6).cast("decimal(18,6)").alias("vv"),
+        F.col("a").alias("ai"),
+        F.col("cc").alias("ci"),
+        (F.col("a") + F.col("b")).alias("nai"),
+        (F.col("cc") + F.col("d")).alias("nbi"),
+    )
+    agg = (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_strata"),
+            F.sum("nai").cast("long").alias("n_a"),
+            F.sum("nbi").cast("long").alias("n_b"),
+            F.sum("ai").cast("long").alias("conv_a"),
+            F.sum("ci").cast("long").alias("conv_b"),
+            F.sum("num").cast("double").alias("num_s"),
+            F.sum("den").cast("double").alias("den_s"),
+            F.sum("oe").cast("double").alias("oe_s"),
+            F.sum("vv").cast("double").alias("v_s"),
+        )
+        .crossJoin(F.broadcast(labs))
+    )
+    gate = F.when(
+        F.assert_true(
+            F.col("__ng") == 2,
+            F.concat(
+                F.lit("cmh_stratified requires exactly 2 variant labels, got "),
+                F.col("__ng").cast("string"),
+            ),
+        ).isNull(),
+        F.when(
+            F.col("den_s") > 0,
+            F.round(F.col("num_s") / F.col("den_s"), 6),
+        ),
+    )
+    return agg.select(
+        F.col("ga").alias("variant_a"),
+        F.col("gb").alias("variant_b"),
+        "n_strata",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        gate.alias("or_mh"),
+        F.when(
+            F.col("v_s") > 0,
+            F.round(F.col("oe_s") * F.col("oe_s") / F.col("v_s"), 6),
+        ).alias("chi2"),
+    )

@@ -193,3 +193,148 @@ def nelson_aalen(
         cum.cast("double").alias("cum_hazard"),
         F.round(F.exp(-cum.cast("double")), 6).alias("fh_survival"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test (r10 — the hypothesis
+    test the Kaplan-Meier / Nelson-Aalen curves above feed): are
+    the two survival curves the same?
+
+    At every distinct duration t with pooled events d_t, with n_gt
+    at risk per group: E_at = d_t·n_at/n_t and
+    Var_t = d_t·(n_at/n_t)·(1−n_at/n_t)·(n_t−d_t)/(n_t−1);
+    the statistic is χ² = (Σ(d_at − E_at))² / ΣVar_t and
+    z = Σ(d_at − E_at)/√ΣVar_t (negative when group a has FEWER
+    events than expected, i.e. better survival).
+
+    Returns one row: ``(group_a, group_b, n_a, n_b, events_a,
+    events_b, o_minus_e, variance, chi2, z)``. Exactly two group
+    labels are required (embedded assert — the cuped discipline).
+
+    Determinism: risk sets are exact integer window arithmetic over
+    the bounded per-duration frame (the kaplan_meier discipline);
+    each per-time term is ONE fixed-order IEEE expression over
+    exact integers rounded 6dp, summed as DECIMAL(18,6) —
+    order-independent."""
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("e"),
+    ).filter(F.col("t").isNotNull() & F.col("g").isNotNull())
+    labs = base.agg(
+        F.countDistinct("g").cast("long").alias("__ng"),
+        F.min("g").alias("ga"),
+        F.max("g").alias("gb"),
+    )
+    per_t = (
+        base.crossJoin(F.broadcast(labs))
+        .groupBy("t")
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.max("ga").alias("ga"),
+            F.max("gb").alias("gb"),
+            F.sum(F.when(F.col("g") == F.col("ga"), 1).otherwise(0))
+            .cast("long")
+            .alias("ra"),  # removals (events+censor) at t, group a
+            F.sum(F.when(F.col("g") == F.col("gb"), 1).otherwise(0))
+            .cast("long")
+            .alias("rb"),
+            F.sum(
+                F.when(F.col("g") == F.col("ga"), F.col("e")).otherwise(0)
+            )
+            .cast("long")
+            .alias("da"),
+            F.sum(
+                F.when(F.col("g") == F.col("gb"), F.col("e")).otherwise(0)
+            )
+            .cast("long")
+            .alias("db"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tots = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = tots.crossJoin(F.broadcast(labs)).agg(
+        F.sum(F.when(F.col("g") == F.col("ga"), F.col("n")))
+        .cast("long")
+        .alias("na_tot"),
+        F.sum(F.when(F.col("g") == F.col("gb"), F.col("n")))
+        .cast("long")
+        .alias("nb_tot"),
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (
+            F.col("na_tot")
+            - F.coalesce(F.sum("ra").over(w), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("nb_tot")
+            - F.coalesce(F.sum("rb").over(w), F.lit(0))
+        ).alias("n2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d1, d2 = F.col("da").cast("double"), F.col("db").cast("double")
+    n = n1 + n2
+    d = d1 + d2
+    e1 = d * (n1 / n)
+    v = F.when(
+        (d > 0) & (n > 1),
+        d * (n1 / n) * (F.lit(1.0) - n1 / n) * ((n - d) / (n - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    terms = risk.where(F.col("da") + F.col("db") > 0).select(
+        F.round(d1 - e1, 6).cast("decimal(18,6)").alias("oe"),
+        F.round(v, 6).cast("decimal(18,6)").alias("vv"),
+        F.col("da"),
+        F.col("db"),
+    )
+    agg = (
+        terms.agg(
+            F.sum("da").cast("long").alias("events_a"),
+            F.sum("db").cast("long").alias("events_b"),
+            F.sum("oe").cast("double").alias("oe_sum"),
+            F.sum("vv").cast("double").alias("v_sum"),
+        )
+        .crossJoin(F.broadcast(labs))
+        .crossJoin(F.broadcast(tot))
+        .withColumnsRenamed(
+            {"ga": "group_a", "gb": "group_b",
+             "na_tot": "n_a", "nb_tot": "n_b"}
+        )
+    )
+    gate = F.when(
+        F.assert_true(
+            F.col("__ng") == 2,
+            F.concat(
+                F.lit("log_rank_test requires exactly 2 group labels, got "),
+                F.col("__ng").cast("string"),
+            ),
+        ).isNull(),
+        F.round("oe_sum", 6),
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        gate.alias("o_minus_e"),
+        F.round("v_sum", 6).alias("variance"),
+        F.when(
+            F.col("v_sum") > 0,
+            F.round(
+                F.col("oe_sum") * F.col("oe_sum") / F.col("v_sum"), 6
+            ),
+        ).alias("chi2"),
+        F.when(
+            F.col("v_sum") > 0,
+            F.round(F.col("oe_sum") / F.sqrt("v_sum"), 6),
+        ).alias("z"),
+    )

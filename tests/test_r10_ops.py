@@ -753,3 +753,78 @@ def test_quantile_ci_other_quantile_and_bounds(spark):
     assert 1.0 <= r["ci_lo"] <= r["q_est"] <= r["ci_hi"] <= 20.0
     with pytest.raises(ValueError, match="0 < q_num < q_den"):
         quantile_ci(df, ["g"], "v", q_num=3, q_den=2)
+
+
+# ---------------------------- log-rank + CMH (r10 extra)
+def test_log_rank_separated_groups_significant(spark):
+    from skrub_spark.report.survival import log_rank_test
+
+    rows = []
+    # group a: events early (t ~ 2-6); group b: events late (t ~ 20-24)
+    for i in range(80):
+        rows.append(("a", 2 + i % 5, 1))
+        rows.append(("b", 20 + i % 5, 1))
+    df = spark.createDataFrame(rows, "g string, t long, e long")
+    r = log_rank_test(df, "g", "t", "e").first()
+    assert r["group_a"] == "a" and r["group_b"] == "b"
+    assert r["n_a"] == r["n_b"] == 80
+    assert r["chi2"] > 50.0  # wildly separated curves
+    assert r["o_minus_e"] > 0  # a has MORE early events than expected
+
+
+def test_log_rank_identical_groups_null(spark):
+    from skrub_spark.report.survival import log_rank_test
+
+    rows = []
+    for i in range(60):
+        t = 1 + (i % 10)
+        rows.append(("a", t, 1 if i % 4 else 0))
+        rows.append(("b", t, 1 if i % 4 else 0))
+    df = spark.createDataFrame(rows, "g string, t long, e long")
+    r = log_rank_test(df, "g", "t", "e").first()
+    # identical distributions: O-E is exactly zero by symmetry
+    assert abs(r["o_minus_e"]) < 1e-6
+    assert r["chi2"] < 0.01
+
+
+def test_log_rank_censoring_shrinks_risk_sets(spark):
+    from skrub_spark.report.survival import log_rank_test
+
+    rows = [("a", 5, 1), ("a", 3, 0), ("b", 5, 1), ("b", 8, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, e long")
+    r = log_rank_test(df, "g", "t", "e").first()
+    assert r["events_a"] == 1 and r["events_b"] == 2
+    assert r["variance"] > 0
+
+
+def test_cmh_confounded_strata(spark):
+    """Classic Simpson setup: within every stratum arm b converts
+    MORE, but stratum sizes make the pooled rate misleading — CMH
+    must side with the within-stratum direction (OR < 1 for arm a
+    vs b ordering a='x', b='y')."""
+    from skrub_spark.report.experiment import cmh_stratified
+
+    rows = []
+    # stratum s1: x mostly, low conversion; y converts better
+    rows += [("s1", "x", i < 10) for i in range(100)]    # 10%
+    rows += [("s1", "y", i < 4) for i in range(20)]      # 20%
+    # stratum s2: y mostly, but high base rate
+    rows += [("s2", "x", i < 12) for i in range(20)]     # 60%
+    rows += [("s2", "y", i < 70) for i in range(100)]    # 70%
+    df = spark.createDataFrame(rows, "s string, v string, c boolean")
+    r = cmh_stratified(df, "s", "v", "c").first()
+    assert r["variant_a"] == "x" and r["variant_b"] == "y"
+    assert r["n_strata"] == 2
+    assert r["or_mh"] is not None and r["or_mh"] < 1.0
+    assert r["chi2"] is not None and r["chi2"] >= 0.0
+
+
+def test_cmh_three_variants_raise(spark):
+    from skrub_spark.report.experiment import cmh_stratified
+
+    df = spark.createDataFrame(
+        [("s", "a", True), ("s", "b", False), ("s", "c", True)],
+        "s string, v string, c boolean",
+    )
+    with pytest.raises(Exception, match="exactly 2 variant"):
+        cmh_stratified(df, "s", "v", "c").collect()
