@@ -113,6 +113,7 @@ HEADLINE = [
     "quantile_ci",
     "log_rank",
     "cmh_stratified",
+    "yuen_test",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -91,6 +91,7 @@ from .report.abtest import (  # noqa: F401
     eb_shrunk_rates,
     mann_whitney_u,
     msprt_two_proportion,
+    yuen_trimmed_test,
 )
 from .report.bootstrap import bootstrap_mean_ci, poisson_weight  # noqa: F401
 from .report.outliers import iqr_outliers, mad_outliers  # noqa: F401

@@ -16681,6 +16681,96 @@ def q_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_yuen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen 20%-trimmed two-sample test (r10,
+    report/abtest.py::yuen_trimmed_test): order totals by customer
+    parity — the robust companion to the mean tests, immune to the
+    heavy right tail of revenue. Exact oracle: rank-exact trimming
+    and winsorized DECIMAL moments, one fixed-order IEEE tail."""
+    _prep(spark)
+    from .report.abtest import yuen_trimmed_test
+
+    orders = load_table(spark, sf_dir, "orders")
+    return yuen_trimmed_test(
+        orders.select(
+            "o_totalprice",
+            (F.col("o_custkey") % 2).cast("string").alias("arm"),
+        ),
+        "o_totalprice",
+        "arm",
+    )
+
+
+
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift flags across ≥2 REAL micro-batches
+    (r10, streaming/ops.py::streaming_cusum): events split into
+    even/odd-event_id files; per event type the state store carries
+    the two (cum, min-cum) integer pairs of the reflected-random-
+    walk identity, so the no-reset CUSUM trajectory is exact and
+    the oracle replays it with plain running-sum/min WINDOW
+    functions over the literal batch order (event_id % 2,
+    event_id)."""
+    import glob
+    import shutil
+    import uuid
+
+    from .streaming.ops import streaming_cusum
+
+    _prep(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = _fresh_tmp("skrub_strcusum_src_")
+    os.makedirs(src)
+    for i, part in enumerate(
+        (
+            events.filter(F.col("event_id") % 2 == 0),
+            events.filter(F.col("event_id") % 2 == 1),
+        )
+    ):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "strcusum_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_cusum(
+            stream,
+            "event_type",
+            "event_id",
+            "value",
+            mu6=50_000_000,
+            k6=5_000_000,
+            h6=500_000_000,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    return spark.table(name).select(
+        "key", "id", "value", "s_pos6", "s_neg6", "alarm"
+    )
+
+
+
 def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-group log-rank test (r10,
     report/survival.py::log_rank_test): do urgent/high-priority
@@ -17842,6 +17932,111 @@ ORACLES["cmh_stratified"] = """
 """
 
 
+ORACLES["streaming_cusum"] = """
+    WITH v AS (
+      SELECT event_type AS key, event_id AS id, value,
+        CAST(CASE WHEN value * 1000000 >= 0
+             THEN floor(value * 1000000 + 0.5)
+             ELSE -floor(-(value * 1000000) + 0.5) END AS BIGINT)
+          AS v6,
+        CAST(event_id % 2 AS INT) AS b
+      FROM events
+    ), c AS (
+      SELECT key, id, value, b,
+        sum(v6 - 50000000 - 5000000) OVER w AS cp,
+        sum(50000000 - v6 - 5000000) OVER w AS cn
+      FROM v
+      WINDOW w AS (PARTITION BY key ORDER BY b, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+      SELECT key, id, value, b,
+        CAST(cp - least(CAST(0 AS HUGEINT), min(cp) OVER w2)
+          AS BIGINT) AS s_pos6,
+        CAST(cn - least(CAST(0 AS HUGEINT), min(cn) OVER w2)
+          AS BIGINT) AS s_neg6
+      FROM c
+      WINDOW w2 AS (PARTITION BY key ORDER BY b, id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT key, CAST(id AS BIGINT) AS id, value, s_pos6, s_neg6,
+           (s_pos6 > 500000000 OR s_neg6 > 500000000) AS alarm
+    FROM m
+"""
+
+
+ORACLES["yuen_test"] = """
+    WITH base AS (
+      SELECT CAST(o_custkey % 2 AS VARCHAR) AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS v6
+      FROM orders
+    ), ranked AS (
+      SELECT g, v6,
+        row_number() OVER (PARTITION BY g ORDER BY v6) AS rn,
+        count(*) OVER (PARTITION BY g) AS n
+      FROM base
+    ), r2 AS (
+      SELECT g, v6, rn, n, (n * 1) // 5 AS gg FROM ranked
+    ), per AS (
+      SELECT g,
+        CAST(max(n) AS BIGINT) AS n,
+        CAST(max(gg) AS BIGINT) AS gg,
+        CAST(min(CASE WHEN rn = gg + 1 THEN v6 END) AS BIGINT) AS lo6,
+        CAST(min(CASE WHEN rn = n - gg THEN v6 END) AS BIGINT) AS hi6,
+        sum(CASE WHEN rn > gg AND rn <= n - gg
+                 THEN CAST(v6 AS HUGEINT) END) AS sk,
+        sum(CASE WHEN rn > gg AND rn <= n - gg
+                 THEN CAST(v6 AS HUGEINT) * CAST(v6 AS HUGEINT) END)
+          AS skk
+      FROM r2 GROUP BY g
+    ), stats AS (
+      SELECT g, n, n - 2 * gg AS h,
+        CAST(sk AS DOUBLE)
+          / (CAST(n - 2 * gg AS DOUBLE) * 1000000.0) AS tmean,
+        sk + CAST(gg AS HUGEINT) * CAST(lo6 AS HUGEINT)
+           + CAST(gg AS HUGEINT) * CAST(hi6 AS HUGEINT) AS sw,
+        skk + CAST(gg AS HUGEINT)
+                * (CAST(lo6 AS HUGEINT) * CAST(lo6 AS HUGEINT))
+            + CAST(gg AS HUGEINT)
+                * (CAST(hi6 AS HUGEINT) * CAST(hi6 AS HUGEINT)) AS sww
+      FROM per
+    ), st2 AS (
+      SELECT g, n, h, tmean,
+        (CAST(sww AS DOUBLE)
+         - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1.0))
+        / 1000000000000.0 AS d
+      FROM stats
+    ), agg AS (
+      SELECT
+        max(CASE WHEN g = '0' THEN n END) AS n_a,
+        max(CASE WHEN g = '1' THEN n END) AS n_b,
+        max(CASE WHEN g = '0' THEN h END) AS h_a,
+        max(CASE WHEN g = '1' THEN h END) AS h_b,
+        max(CASE WHEN g = '0' THEN tmean END) AS tma,
+        max(CASE WHEN g = '1' THEN tmean END) AS tmb,
+        max(CASE WHEN g = '0' THEN d END) AS da,
+        max(CASE WHEN g = '1' THEN d END) AS db
+      FROM st2
+    )
+    SELECT '0' AS group_a, '1' AS group_b,
+      CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      CAST(h_a AS BIGINT) AS h_a, CAST(h_b AS BIGINT) AS h_b,
+      round(tma, 6) AS tmean_a,
+      round(tmb, 6) AS tmean_b,
+      round(tma - tmb, 6) AS diff,
+      CASE WHEN da + db > 0 AND h_a > 1 AND h_b > 1
+           THEN round(sqrt(da + db), 6) END AS se,
+      CASE WHEN da + db > 0 AND h_a > 1 AND h_b > 1
+           THEN round((tma - tmb) / sqrt(da + db), 6) END AS t,
+      CASE WHEN da + db > 0 AND h_a > 1 AND h_b > 1
+           THEN round((da + db) * (da + db)
+             / (da * da / (CAST(h_a AS DOUBLE) - 1.0)
+                + db * db / (CAST(h_b AS DOUBLE) - 1.0)), 6) END AS df
+    FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -18472,6 +18667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_ci": q_quantile_ci,
         "log_rank": q_log_rank,
         "cmh_stratified": q_cmh_stratified,
+        "streaming_cusum": q_streaming_cusum,
+        "yuen_test": q_yuen_test,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

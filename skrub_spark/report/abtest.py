@@ -390,3 +390,172 @@ def eb_shrunk_rates(
         "alpha",
         "beta",
     )
+
+
+def yuen_trimmed_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    trim_num: int = 1,
+    trim_den: int = 5,
+) -> DataFrame:
+    """Yuen's two-sample trimmed-mean t-test (r10 — the robust
+    companion to the mean tests above; Yuen 1974): compare
+    γ-trimmed means with winsorized variances, the standard answer
+    when heavy tails make the plain t-test fragile.
+
+    Per group (γ = trim_num/trim_den as a RATIONAL, g = ⌊n·γ⌋,
+    h = n − 2g): trimmed mean over ranks g+1..n−g; winsorized
+    moments clamp the tails to the boundary order statistics
+    x_(g+1) / x_(n−g); d = s²_w·(n−1)/(h·(h−1));
+    t = (m̄t_a − m̄t_b)/√(d_a + d_b) with Welch-Satterthwaite df.
+
+    Returns one row: ``(group_a, group_b, n_a, n_b, h_a, h_b,
+    tmean_a, tmean_b, diff, se, t, df)``. Exactly two group labels
+    (embedded assert). Exactness: values quantize to 6dp micro
+    ints; all sums are DECIMAL-exact; ranks are exact window
+    integers; the final handful of IEEE ops is fixed-order, 6dp."""
+    d0 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        (F.col(value_col).cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v6"),
+    ).filter(F.col("v6").isNotNull() & F.col("g").isNotNull())
+    gp = Window.partitionBy("g")
+    w = gp.orderBy(F.col("v6").asc())
+    tn, td = int(trim_num), int(trim_den)
+    if not (0 <= tn * 2 < td):
+        raise ValueError("yuen_trimmed_test: need 0 <= 2*trim < 1")
+    ranked = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(gp))
+        .withColumn(
+            "gg", F.expr(f"CAST((n * {tn}) DIV {td} AS BIGINT)")
+        )
+    )
+    kept = (F.col("rn") > F.col("gg")) & (
+        F.col("rn") <= F.col("n") - F.col("gg")
+    )
+    per = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("gg").cast("long").alias("gg"),
+        F.min(F.when(F.col("rn") == F.col("gg") + 1, F.col("v6")))
+        .cast("long")
+        .alias("lo6"),
+        F.min(
+            F.when(F.col("rn") == F.col("n") - F.col("gg"), F.col("v6"))
+        )
+        .cast("long")
+        .alias("hi6"),
+        F.sum(F.when(kept, F.col("v6").cast(d0))).alias("sk"),
+        F.sum(
+            F.when(kept, F.col("v6").cast(d0) * F.col("v6").cast(d0))
+        ).alias("skk"),
+    )
+    h = F.col("n") - 2 * F.col("gg")
+    sw = (
+        F.col("sk")
+        + F.col("gg").cast(d0) * F.col("lo6").cast(d0)
+        + F.col("gg").cast(d0) * F.col("hi6").cast(d0)
+    )
+    sww = (
+        F.col("skk")
+        + F.col("gg").cast(d0)
+        * (F.col("lo6").cast(d0) * F.col("lo6").cast(d0))
+        + F.col("gg").cast(d0)
+        * (F.col("hi6").cast(d0) * F.col("hi6").cast(d0))
+    )
+    stats = per.select(
+        "g",
+        "n",
+        h.alias("h"),
+        (F.col("sk").cast("double") / (h.cast("double") * F.lit(1e6)))
+        .alias("tmean"),
+        sw.alias("sw"),
+        sww.alias("sww"),
+    )
+    # winsorized sample variance in micro^2:
+    # s2w = (sww − sw²/n)/(n−1); d = s2w·(n−1)/(h(h−1)) = (sww −
+    # sw²/n)/(h(h−1)) — in value units divide by 1e12
+    dvar = (
+        (
+            F.col("sww").cast("double")
+            - F.col("sw").cast("double")
+            * F.col("sw").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (
+            F.col("h").cast("double")
+            * (F.col("h").cast("double") - F.lit(1.0))
+        )
+        / F.lit(1e12)
+    )
+    labs = base.agg(
+        F.countDistinct("g").cast("long").alias("__ng"),
+        F.min("g").alias("ga"),
+        F.max("g").alias("gb"),
+    )
+    st2 = stats.withColumn("d", dvar)
+    agg = (
+        st2.crossJoin(F.broadcast(labs))
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.max("ga").alias("group_a"),
+            F.max("gb").alias("group_b"),
+            F.max(F.when(F.col("g") == F.col("ga"), F.col("n"))).alias("n_a"),
+            F.max(F.when(F.col("g") == F.col("gb"), F.col("n"))).alias("n_b"),
+            F.max(F.when(F.col("g") == F.col("ga"), F.col("h"))).alias("h_a"),
+            F.max(F.when(F.col("g") == F.col("gb"), F.col("h"))).alias("h_b"),
+            F.max(F.when(F.col("g") == F.col("ga"), F.col("tmean"))).alias(
+                "tma"
+            ),
+            F.max(F.when(F.col("g") == F.col("gb"), F.col("tmean"))).alias(
+                "tmb"
+            ),
+            F.max(F.when(F.col("g") == F.col("ga"), F.col("d"))).alias("da"),
+            F.max(F.when(F.col("g") == F.col("gb"), F.col("d"))).alias("db"),
+        )
+    )
+    se = F.sqrt(F.col("da") + F.col("db"))
+    tstat = (F.col("tma") - F.col("tmb")) / se
+    dfw = (
+        (F.col("da") + F.col("db"))
+        * (F.col("da") + F.col("db"))
+        / (
+            F.col("da") * F.col("da")
+            / (F.col("h_a").cast("double") - F.lit(1.0))
+            + F.col("db") * F.col("db")
+            / (F.col("h_b").cast("double") - F.lit(1.0))
+        )
+    )
+    gate = F.when(
+        F.assert_true(
+            F.col("__ng") == 2,
+            F.concat(
+                F.lit(
+                    "yuen_trimmed_test requires exactly 2 group labels, got "
+                ),
+                F.col("__ng").cast("string"),
+            ),
+        ).isNull(),
+        F.round(F.col("tma") - F.col("tmb"), 6),
+    )
+    ok = (F.col("da") + F.col("db") > 0) & (F.col("h_a") > 1) & (
+        F.col("h_b") > 1
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "h_a",
+        "h_b",
+        F.round("tma", 6).alias("tmean_a"),
+        F.round("tmb", 6).alias("tmean_b"),
+        gate.alias("diff"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(tstat, 6)).alias("t"),
+        F.when(ok, F.round(dfw, 6)).alias("df"),
+    )

@@ -884,3 +884,95 @@ def streaming_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    mu6: int,
+    k6: int,
+    h6: int,
+):
+    """Streaming one-sided-pair CUSUM drift flags (r10 — the
+    sequential companion to the batch reset-on-alarm monitor in
+    operators/forecast.py::cusum_monitor): per key, over rows
+    ordered by ``id_col`` across micro-batches,
+
+        Sp_t = max(0, Sp_{t−1} + (v_t − μ − k))
+        Sn_t = max(0, Sn_{t−1} + (μ − v_t − k))
+
+    WITHOUT alarm reset — which admits the reflected-random-walk
+    identity S_t = cum_t − min(0, min_{j≤t} cum_j), so the state per
+    key is TWO integer pairs ((cum, min-cum) per side, 32 bytes)
+    and the whole trajectory is exact integer-micro arithmetic: the
+    DuckDB oracle replays it with plain running-sum/running-min
+    WINDOW functions — no recursion, any scale.
+
+    μ, k, h arrive as micro literals. Values quantize HALF_UP
+    (away-from-zero) like streaming_spike_flags. Output per row:
+    ``(key, id, value, s_pos6, s_neg6, alarm)`` with the S columns
+    as exact micro integers."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("s_pos6", LongType()),
+            StructField("s_neg6", LongType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    mu_, k_, h_ = int(mu6), int(k6), int(h6)
+
+    def run(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        cp, mp, cn, mn = state.get if state.exists else (0, 0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(id_col, kind="mergesort")
+        scaled = rows[value_col].astype("float64").to_numpy() * 1_000_000
+        v6 = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            "int64"
+        )
+        sp, sn, al = [], [], []
+        for v in v6.tolist():
+            cp += v - mu_ - k_
+            mp = min(mp, cp)
+            cn += mu_ - v - k_
+            mn = min(mn, cn)
+            s_p = cp - min(0, mp)
+            s_n = cn - min(0, mn)
+            sp.append(s_p)
+            sn.append(s_n)
+            al.append(s_p > h_ or s_n > h_)
+        state.update((int(cp), int(mp), int(cn), int(mn)))
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "id": rows[id_col].astype("int64").to_numpy(),
+                "value": rows[value_col].astype("float64").to_numpy(),
+                "s_pos6": sp,
+                "s_neg6": sn,
+                "alarm": al,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        run,
+        out_schema,
+        "cp long, mp long, cn long, mn long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -828,3 +828,94 @@ def test_cmh_three_variants_raise(spark):
     )
     with pytest.raises(Exception, match="exactly 2 variant"):
         cmh_stratified(df, "s", "v", "c").collect()
+
+
+# ------------------- streaming CUSUM + Yuen test (r10 extra)
+def test_streaming_cusum_identity_matches_reset_free_loop(spark, tmp_path):
+    """Two real micro-batches; the reflected-walk state must equal
+    a reset-free reference loop over the full ordered stream."""
+    import glob
+    import shutil
+
+    from skrub_spark.streaming.ops import streaming_cusum
+
+    rows = [(i, "k", float(10 + (i * 7) % 25)) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, t string, value double")
+    src = str(tmp_path / "src")
+    import os as _os
+
+    _os.makedirs(src)
+    for i, part in enumerate(
+        (df.filter("event_id % 2 = 0"), df.filter("event_id % 2 = 1"))
+    ):
+        d = str(tmp_path / f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = _os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(glob.glob(_os.path.join(d, "part-*.parquet"))[0], dst)
+        _os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_cusum(
+            stream, "t", "event_id", "value",
+            mu6=20_000_000, k6=2_000_000, h6=60_000_000,
+        )
+        .writeStream.format("memory")
+        .queryName("cusum_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["id"]: (r["s_pos6"], r["s_neg6"], r["alarm"])
+        for r in spark.table("cusum_test").collect()
+    }
+    # reference: reset-free CUSUM over (id%2, id) order
+    order = sorted(rows, key=lambda r: (r[0] % 2, r[0]))
+    sp = sn = 0
+    for i, _, v in order:
+        v6 = int(v * 1e6)
+        sp = max(0, sp + (v6 - 20_000_000 - 2_000_000))
+        sn = max(0, sn + (20_000_000 - v6 - 2_000_000))
+        assert got[i] == (sp, sn, sp > 60_000_000 or sn > 60_000_000)
+
+
+def test_yuen_trimmed_ignores_outliers(spark):
+    from skrub_spark.report.abtest import yuen_trimmed_test
+
+    rows = [("a", float(10 + i % 3)) for i in range(50)]
+    rows += [("b", float(10 + i % 3)) for i in range(50)]
+    # plant huge outliers in arm b only — a trimmed test must not move
+    rows += [("b", 1e6)] * 5 + [("b", -1e6)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = yuen_trimmed_test(df, "v", "g").first()
+    assert abs(r["tmean_a"] - r["tmean_b"]) < 0.5
+    assert r["t"] is None or abs(r["t"]) < 3.0
+    # raw means would differ hugely; h trims the tails
+    assert r["h_b"] == 60 - 2 * (60 // 5)
+
+
+def test_yuen_detects_core_shift(spark):
+    from skrub_spark.report.abtest import yuen_trimmed_test
+
+    rows = [("a", float(10 + i % 3)) for i in range(60)]
+    rows += [("b", float(14 + i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = yuen_trimmed_test(df, "v", "g").first()
+    assert r["diff"] < 0  # a below b
+    assert r["t"] < -10.0
+    assert r["df"] > 10.0
+
+
+def test_yuen_three_groups_raise(spark):
+    from skrub_spark.report.abtest import yuen_trimmed_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)] * 5, "g string, v double"
+    )
+    with pytest.raises(Exception, match="exactly 2 group"):
+        yuen_trimmed_test(df, "v", "g").collect()
