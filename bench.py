@@ -114,6 +114,7 @@ HEADLINE = [
     "log_rank",
     "cmh_stratified",
     "yuen_test",
+    "tokenizer_fertility",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -16681,6 +16681,47 @@ def q_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility comparison (r10): per language, mean
+    chars-per-token under the FROZEN BPE merges vs the FROZEN
+    unigram-LM pieces — the metric that picks a tokenizer for a
+    corpus (fertility differences across languages are the classic
+    SentencePiece-vs-BPE argument). Composes the two frozen
+    encoders per doc, joins the corpus lang, and aggregates the
+    6dp per-doc ratios as exact DECIMAL means. Oracle: the two
+    committed frozen oracles ride as CTE bodies joined on doc_id."""
+    _prep(spark)
+    uni = q_unigram_stats_frozen(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_pieces").alias("u_pieces"),
+        F.col("chars_per_piece").alias("u_cpp"),
+    )
+    bpe = q_bpe_stats_frozen(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_bpe_tokens").alias("b_tokens"),
+        F.col("chars_per_token").alias("b_cpt"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = docs.join(uni, "doc_id").join(bpe, "doc_id")
+    d = "decimal(18,6)"
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("u_pieces").cast("long").alias("unigram_pieces"),
+        F.sum("b_tokens").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.sum(F.col("u_cpp").cast(d)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("unigram_chars_per_piece"),
+        F.round(
+            F.sum(F.col("b_cpt").cast(d)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bpe_chars_per_token"),
+    )
+
+
+
 def q_yuen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yuen 20%-trimmed two-sample test (r10,
     report/abtest.py::yuen_trimmed_test): order totals by customer
@@ -18037,6 +18078,38 @@ ORACLES["yuen_test"] = """
 """
 
 
+def _r10_fertility_oracle() -> str:
+    """Compose the two committed frozen-tokenizer oracles as CTE
+    bodies (nested WITH is legal) and aggregate per language."""
+    u = ORACLES["unigram_stats_frozen"]
+    b = ORACLES["bpe_stats_frozen"]
+    return f"""
+    WITH u AS MATERIALIZED ({u}),
+    bp AS MATERIALIZED ({b}),
+    j AS (
+      SELECT d.lang, u.n_pieces AS u_pieces,
+             u.chars_per_piece AS u_cpp,
+             bp.n_bpe_tokens AS b_tokens,
+             bp.chars_per_token AS b_cpt
+      FROM documents d
+      JOIN u ON u.doc_id = d.doc_id
+      JOIN bp ON bp.doc_id = d.doc_id
+    )
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(u_pieces) AS BIGINT) AS unigram_pieces,
+      CAST(sum(b_tokens) AS BIGINT) AS bpe_tokens,
+      round(CAST(sum(CAST(u_cpp AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS unigram_chars_per_piece,
+      round(CAST(sum(CAST(b_cpt AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS bpe_chars_per_token
+    FROM j GROUP BY lang
+    """
+
+
+ORACLES["tokenizer_fertility"] = _r10_fertility_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -18669,6 +18742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmh_stratified": q_cmh_stratified,
         "streaming_cusum": q_streaming_cusum,
         "yuen_test": q_yuen_test,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

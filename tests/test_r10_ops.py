@@ -919,3 +919,18 @@ def test_yuen_three_groups_raise(spark):
     )
     with pytest.raises(Exception, match="exactly 2 group"):
         yuen_trimmed_test(df, "v", "g").collect()
+
+
+# -------------------------------- tokenizer fertility (r10 extra)
+def test_tokenizer_fertility_all_langs_sane(spark):
+    from skrub_spark.queries import q_tokenizer_fertility
+
+    rows = q_tokenizer_fertility(spark, "/root/testdata/sf0.001").collect()
+    langs = {r["lang"] for r in rows}
+    assert len(langs) >= 3
+    for r in rows:
+        assert r["n_docs"] > 0
+        # fertility bounded: pieces are 1..6 chars, BPE tokens >=1 char
+        assert 1.0 <= r["unigram_chars_per_piece"] <= 6.5
+        assert r["bpe_chars_per_token"] >= 1.0
+        assert r["unigram_pieces"] > 0 and r["bpe_tokens"] > 0
