@@ -18767,6 +18767,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("conversation_stats", "range_join_incidents"),
         ("sliding_distinct_hll", "lpa_communities"),
         ("sorted_neighborhood", "winnowing_pairs"),
+        # r10 swaps: eight round-10 flagships rotate into the window,
+        # each displacing a same-family (or family-still-represented)
+        # r9 veteran — unigram_stats_frozen (tokenizers keep a frozen
+        # exact encoder; bpe_stats_frozen rotates out), lm_perplexity_kn
+        # (the KN upgrade replaces the add-alpha filter),
+        # corpus_datasheet (carries PSI/chi2 drift, displacing
+        # drift_ks), streaming_upsert (streaming keeps
+        # near_dup_flags; exactly-once sink is the fresh shape),
+        # log_rank (survival keeps representation via the test that
+        # consumes the KM curves), holt_winters (forecasting;
+        # impute_median demoted — imputation stays in the full
+        # battery), msprt_monitor (experimentation alongside
+        # cuped_lift; datetime_features demoted — encoders keep
+        # gap_encoder_frozen + session_encoder_features),
+        # cusum_monitor (sequential monitoring; audience_overlap
+        # demoted). All displaced queries stay in the full battery.
+        ("unigram_stats_frozen", "bpe_stats_frozen"),
+        ("lm_perplexity_kn", "lm_perplexity_filter"),
+        ("corpus_datasheet", "drift_ks"),
+        ("streaming_upsert", "streaming_dedup"),
+        ("log_rank", "survival_km"),
+        ("holt_winters", "impute_median"),
+        ("msprt_monitor", "datetime_features"),
+        ("cusum_monitor", "audience_overlap"),
     ):
         ip, idm = names.index(promoted), names.index(demoted)
         names[ip], names[idm] = names[idm], names[ip]

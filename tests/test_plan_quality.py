@@ -887,3 +887,79 @@ def test_group_quantiles_distinct_value_frames(spark):
     plan = plan_of(q_latency_sla(spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert "rangepartitioning" not in plan
+
+
+def test_kn_scoring_no_python_in_hot_path(spark):
+    """KN trigram scoring must stay JVM-side: no Python eval
+    operators anywhere in the scoring plan (the count frames join,
+    the probability expression is pure Column arithmetic)."""
+    from skrub_spark.operators.lm_filter import (
+        score_kn_perplexity, train_kn_trigram,
+    )
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    lm = train_kn_trigram(docs, "text")
+    plan = plan_of(score_kn_perplexity(docs, lm))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_datasheet_column_pruning(spark):
+    """The datasheet touches text/lang/source but must NEVER read
+    the props-free columns it doesn't use — scans stay pruned."""
+    from skrub_spark.report.datasheet import corpus_datasheet
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = formatted(corpus_datasheet(docs))
+    for rs in plan.split("ReadSchema:")[1:]:
+        head = rs.splitlines()[0]
+        assert "n_chars" not in head  # stored column never needed
+
+
+def test_unigram_stats_partial_aggregation(spark):
+    """The (doc, word) join side aggregates with a partial
+    (map-side) HashAggregate before the shuffle — the Zipf
+    discipline the module docstring claims."""
+    from skrub_spark._frozen import UNIGRAM_MODEL
+    from skrub_spark.operators.unigram_lm import (
+        UnigramModel, unigram_token_stats,
+    )
+    from skrub_spark.sources import load_table
+
+    model = UnigramModel(
+        pieces=dict(UNIGRAM_MODEL["pieces"]),
+        max_piece_len=int(UNIGRAM_MODEL["max_piece_len"]),
+    )
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(unigram_token_stats(docs, model))
+    # partial_count markers appear in partial aggregates
+    assert "partial_" in plan
+
+
+def test_holt_winters_single_shuffle_to_groups(spark):
+    """The HW daily aggregation shuffles ONCE on (group, day) and
+    once more for the per-group recurrence — no extra exchanges
+    sneak in."""
+    from skrub_spark.operators.forecast import holt_winters_forecast
+    from skrub_spark.sources import load_table
+
+    orders = load_table(spark, SF, "orders")
+    df = holt_winters_forecast(
+        orders, "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:2000]
+
+
+def test_quantile_ci_one_shuffle(spark):
+    """row_number + count ride the SAME window partitioning — one
+    exchange total."""
+    from skrub_spark.operators.winsorize import quantile_ci
+    from skrub_spark.sources import load_table
+
+    cust = load_table(spark, SF, "customer")
+    plan = plan_of(quantile_ci(cust, ["c_mktsegment"], "c_acctbal"))
+    assert plan.count("Exchange hashpartitioning") == 1
