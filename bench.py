@@ -115,6 +115,7 @@ HEADLINE = [
     "cmh_stratified",
     "yuen_test",
     "tokenizer_fertility",
+    "unigram_packing",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

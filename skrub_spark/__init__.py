@@ -251,6 +251,7 @@ from .operators.lm_filter import (  # noqa: F401
 )
 from .operators.unigram_lm import (  # noqa: F401
     UnigramModel,
+    segment_text,
     train_unigram,
     unigram_token_stats,
 )

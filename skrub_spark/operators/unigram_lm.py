@@ -331,3 +331,113 @@ def train_unigram(
         max_piece_len=int(max_piece_len),
         max_word_len=UNIGRAM_MAX_WORD_LEN,
     )
+
+
+def viterbi_segment(
+    word: str, pieces: dict[str, int], max_piece_len: int
+) -> list[str]:
+    """The best segmentation itself (backtrace of
+    :func:`viterbi_stats` — same max-score / fewest-pieces rule,
+    with the SHORTEST last piece preferred on exact (score, count)
+    ties so the split is fully deterministic)."""
+    L = len(word)
+    best: list[tuple[int, int, int] | None] = [(0, 0, 0)] + [None] * L
+    for i in range(1, L + 1):
+        cand: tuple[int, int, int] | None = None
+        for k in range(1, min(max_piece_len, i) + 1):
+            prev = best[i - k]
+            if prev is None:
+                continue
+            lp = pieces.get(word[i - k : i])
+            if lp is None:
+                if k != 1:
+                    continue
+                lp = UNIGRAM_UNK_LP6
+            c = (prev[0] + lp, prev[1] + 1, k)
+            if (
+                cand is None
+                or c[0] > cand[0]
+                or (c[0] == cand[0] and c[1] < cand[1])
+                or (c[0] == cand[0] and c[1] == cand[1] and c[2] < cand[2])
+            ):
+                cand = c
+        best[i] = cand
+    out: list[str] = []
+    i = L
+    while i > 0:
+        k = best[i][2]
+        out.append(word[i - k : i])
+        i -= k
+    out.reverse()
+    return out
+
+
+def segment_text(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Encode documents to piece sequences: ``(id_col, out_col)``
+    with ``out_col`` an array<string> — the usable tokenizer API on
+    top of the stats queries. Runs Viterbi once per DISTINCT word
+    (Zipf memoization), joins back by occurrence, and reassembles
+    per doc in word order. Word boundaries follow words_az09 with
+    the MAX_WORD_LEN truncation — identical to
+    :func:`unigram_token_stats`, so ``size(pieces)`` equals its
+    ``n_pieces``."""
+    dw = (
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
+            F.posexplode(words_az09(text_col)).alias("pos", "w0"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.substring("w0", 1, UNIGRAM_MAX_WORD_LEN).alias("w"),
+        )
+    )
+    pieces = dict(model.pieces)
+    k_max = int(model.max_piece_len)
+
+    def seg(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            ws = pdf["w"].tolist()
+            out = []
+            for w in ws:
+                got = memo.get(w)
+                if got is None:
+                    got = viterbi_segment(w, pieces, k_max)
+                    memo[w] = got
+                out.append(got)
+            yield pd.DataFrame({"w": ws, "ps": out})
+
+    seg_words = dw.select("w").distinct().mapInPandas(
+        seg, "w string, ps array<string>"
+    )
+    per_doc = (
+        dw.join(seg_words, "w")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "ps"))
+                ).getField("ps")
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(out_col), F.array().cast("array<string>")
+            ).alias(out_col),
+        )
+    )

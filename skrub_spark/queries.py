@@ -16681,6 +16681,30 @@ def q_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_unigram_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing (r10): pack_training_chunks
+    driven by the FROZEN unigram-LM piece counts instead of the
+    whitespace proxy — the budget a real training run packs
+    against. Composes two exact pieces (unigram_stats_frozen +
+    the running-sum packing arithmetic), so the oracle is the
+    unigram CTE feeding the same integer cumsum."""
+    _prep(spark)
+    from .operators.packing import pack_training_chunks
+
+    stats = q_unigram_stats_frozen(spark, sf_dir).select(
+        "doc_id", "n_pieces"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return pack_training_chunks(
+        docs.join(stats, "doc_id"),
+        "n_pieces",
+        chunk_tokens=2048,
+        order_col="doc_id",
+        by="lang",
+    )
+
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility comparison (r10): per language, mean
     chars-per-token under the FROZEN BPE merges vs the FROZEN
@@ -18110,6 +18134,31 @@ def _r10_fertility_oracle() -> str:
 ORACLES["tokenizer_fertility"] = _r10_fertility_oracle()
 
 
+def _r10_unigram_packing_oracle() -> str:
+    u = ORACLES["unigram_stats_frozen"]
+    return f"""
+    WITH u AS MATERIALIZED ({u}),
+    t AS (
+      SELECT d.doc_id, d.lang, u.n_pieces
+      FROM documents d JOIN u ON u.doc_id = d.doc_id
+    ), c AS (
+      SELECT doc_id, lang, n_pieces,
+        SUM(n_pieces) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_pieces,
+      CAST((cum - n_pieces) // 2048 AS BIGINT) AS start_chunk,
+      CAST(GREATEST(cum - 1, cum - n_pieces) // 2048 AS BIGINT)
+        AS end_chunk,
+      CAST((cum - n_pieces) % 2048 AS BIGINT) AS chunk_offset
+    FROM c
+    """
+
+
+ORACLES["unigram_packing"] = _r10_unigram_packing_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -18743,6 +18792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cusum": q_streaming_cusum,
         "yuen_test": q_yuen_test,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "unigram_packing": q_unigram_packing,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -934,3 +934,59 @@ def test_tokenizer_fertility_all_langs_sane(spark):
         assert 1.0 <= r["unigram_chars_per_piece"] <= 6.5
         assert r["bpe_chars_per_token"] >= 1.0
         assert r["unigram_pieces"] > 0 and r["bpe_tokens"] > 0
+
+
+# ------------------------- unigram encode API (r10 extra)
+def test_viterbi_segment_reassembles_word():
+    from skrub_spark.operators.unigram_lm import (
+        viterbi_segment, viterbi_stats,
+    )
+
+    pieces = {
+        "a": -1_000_000, "b": -2_000_000, "ab": -2_500_000,
+        "ba": -2_400_000, "nan": -3_000_000, "n": -2_500_000,
+    }
+    for w in ("ab", "aba", "banana", "zq", "nanab"):
+        segs = viterbi_segment(w, pieces, 6)
+        assert "".join(segs) == w
+        np_, s = viterbi_stats(w, pieces, 6)
+        assert len(segs) == np_
+        # path score re-derives ll6 exactly
+        import skrub_spark.operators.unigram_lm as um
+        total = sum(
+            pieces.get(p, um.UNIGRAM_UNK_LP6) for p in segs
+        )
+        assert total == s
+
+
+def test_segment_text_matches_stats(spark):
+    from skrub_spark._frozen import UNIGRAM_MODEL
+    from skrub_spark.operators.unigram_lm import (
+        UnigramModel, segment_text, unigram_token_stats,
+    )
+    from skrub_spark.sources import load_table
+
+    model = UnigramModel(
+        pieces=dict(UNIGRAM_MODEL["pieces"]),
+        max_piece_len=int(UNIGRAM_MODEL["max_piece_len"]),
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    st = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_token_stats(docs, model).collect()
+    }
+    enc = segment_text(docs, model).collect()
+    for r in enc:
+        assert len(r["pieces"]) == st[r["doc_id"]]
+    # word order preserved: pieces concatenation equals the word stream
+    from pyspark.sql import functions as F2
+    from skrub_spark.functions.text import words_az09
+
+    words = {
+        r["doc_id"]: "".join(w[:24] for w in r["ws"])
+        for r in docs.select(
+            "doc_id", words_az09("text").alias("ws")
+        ).collect()
+    }
+    for r in enc:
+        assert "".join(r["pieces"]) == words[r["doc_id"]]
