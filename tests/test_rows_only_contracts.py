@@ -115,3 +115,43 @@ def test_image_decode_stats_matches_hand_decode(spark, sf_dir):
         assert r["decode_ok"] is True
         assert abs(r["px_mean"] - float(px.mean())) < 1e-3
         assert abs(r["px_std"] - float(px.std())) < 1e-3
+
+
+def test_unigram_em_expected_counts_match_numpy(spark):
+    """unigram_token_stats' training query is rows-only (float EM);
+    this pins the E-step math: the distributed forward-backward
+    expected counts must equal a from-scratch numpy enumeration of
+    ALL segmentations of a small word (probability-weighted piece
+    counts)."""
+    from itertools import product
+
+    from skrub_spark.operators.unigram_lm import _expected_counts
+
+    probs = {"a": 0.3, "b": 0.2, "ab": 0.25, "ba": 0.25}
+    word, cnt = "aba", 4
+    df = spark.createDataFrame([(word, cnt)], "w string, c long")
+    got = {
+        r["piece"]: r["ec"]
+        for r in _expected_counts(df, probs, 2).collect()
+    }
+
+    # enumerate segmentations of 'aba' over the vocab
+    def segs(w):
+        if not w:
+            yield []
+            return
+        for p in probs:
+            if w.startswith(p):
+                for rest in segs(w[len(p):]):
+                    yield [p] + rest
+
+    paths = list(segs(word))
+    weights = [np.prod([probs[p] for p in path]) for path in paths]
+    z = sum(weights)
+    expect: dict[str, float] = {}
+    for path, wgt in zip(paths, weights):
+        for p in path:
+            expect[p] = expect.get(p, 0.0) + cnt * wgt / z
+    assert set(got) == set(expect)
+    for p in expect:
+        assert abs(got[p] - expect[p]) < 1e-9, (p, got[p], expect[p])
