@@ -112,7 +112,6 @@ def holt_winters_forecast(
     engines, no rounding needed."""
     import datetime as _dt
 
-    spark = df.sparkSession
     m = int(period)
     day = F.col(day_col).cast("date")
     max_day = df.agg(F.max(day)).first()[0]
