@@ -116,6 +116,7 @@ HEADLINE = [
     "yuen_test",
     "tokenizer_fertility",
     "unigram_packing",
+    "isotonic_quality",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

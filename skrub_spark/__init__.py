@@ -83,6 +83,7 @@ from .operators.association import (  # noqa: F401
     association_rules,
     item_cooccurrence,
 )
+from .report.evaluation import isotonic_calibration  # noqa: F401
 from .report.experiment import cmh_stratified  # noqa: F401
 from .report.survival import kaplan_meier, log_rank_test  # noqa: F401
 from .report.concentration import gini_concentration  # noqa: F401

@@ -16681,6 +16681,36 @@ def q_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_isotonic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the frozen quality
+    classifier against its stopword teacher (r10,
+    report/evaluation.py::isotonic_calibration): the monotone
+    score->rate map a sampler would consume instead of the raw
+    sigmoid when calibration_eval shows drift. The PAV fit uses the
+    closed-form minimax identity over the bounded 50-bin frame, so
+    the oracle replays it with plain joins over exact prefix
+    sums."""
+    _prep(spark)
+    from ._frozen import QUALITY_MODEL, QUALITY_TEACHER_THRESHOLD
+    from .functions.text import quality_columns
+    from .operators.quality_classifier import score_quality
+    from .report.evaluation import isotonic_calibration
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality(docs, QUALITY_MODEL).select(
+        "doc_id",
+        F.round("quality_score", 6).alias("score"),
+        (
+            quality_columns(F.col("text"))["stopword_ratio"]
+            >= F.lit(float(QUALITY_TEACHER_THRESHOLD))
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return isotonic_calibration(scored, "score", "label", n_bins=50)
+
+
+
 def q_unigram_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware sequence packing (r10): pack_training_chunks
     driven by the FROZEN unigram-LM piece counts instead of the
@@ -18159,6 +18189,75 @@ def _r10_unigram_packing_oracle() -> str:
 ORACLES["unigram_packing"] = _r10_unigram_packing_oracle()
 
 
+def _r10_isotonic_oracle() -> str:
+    """PAV via the minimax identity over the bounded bin frame —
+    joins over exact integer prefix sums (see
+    report/evaluation.py::isotonic_calibration); scores/teacher
+    spliced from the proven frozen replays."""
+    teacher = """
+      SELECT doc_id,
+        CASE WHEN
+          CAST(len(list_filter(
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x != ''),
+                 t -> lower(t) IN
+                   ('the','a','an','and','or','of','to','in','is','it')))
+               AS DOUBLE)
+          / GREATEST(len(list_filter(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 x -> x != '')), 1)
+          >= CAST(0.060976 AS DOUBLE)
+        THEN 1 ELSE 0 END AS y
+      FROM documents
+    """
+    return f"""
+    WITH p AS ( {ORACLES["quality_classifier_scores"]} ),
+    l AS ( {teacher} ),
+    b AS (
+      SELECT least(49, CAST(floor(round(p.quality_score, 6)
+                                  * CAST(50 AS DOUBLE)) AS INTEGER))
+               AS bin,
+             l.y
+      FROM p JOIN l USING (doc_id)
+      WHERE p.quality_score IS NOT NULL
+    ), bins AS MATERIALIZED (
+      SELECT bin, CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM b GROUP BY 1
+    ), pre AS MATERIALIZED (
+      SELECT bin, w, s,
+        sum(w) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cw,
+        sum(s) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cs
+      FROM bins
+    ), ranges AS MATERIALIZED (
+      SELECT lo.i, hi.j,
+        CAST(hi.cs1 - lo.cs0 AS DOUBLE)
+          / CAST(hi.cw1 - lo.cw0 AS DOUBLE) AS a
+      FROM (SELECT bin AS i, cw - w AS cw0, cs - s AS cs0 FROM pre) lo
+      JOIN (SELECT bin AS j, cw AS cw1, cs AS cs1 FROM pre) hi
+        ON lo.i <= hi.j
+    ), inner1 AS (
+      SELECT k.bin AS k, r.i, min(r.a) AS m
+      FROM ranges r
+      JOIN (SELECT bin FROM bins) k
+        ON r.i <= k.bin AND k.bin <= r.j
+      GROUP BY 1, 2
+    ), iso AS (
+      SELECT k, max(m) AS iso FROM inner1 GROUP BY 1
+    )
+    SELECT b2.bin, b2.w AS n,
+      round(CAST(b2.s AS DOUBLE) / CAST(b2.w AS DOUBLE), 6)
+        AS rate_raw,
+      round(iso.iso, 6) AS rate_iso
+    FROM bins b2 JOIN iso ON iso.k = b2.bin
+    """
+
+
+ORACLES["isotonic_quality"] = _r10_isotonic_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -18793,6 +18892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yuen_test": q_yuen_test,
         "tokenizer_fertility": q_tokenizer_fertility,
         "unigram_packing": q_unigram_packing,
+        "isotonic_quality": q_isotonic_quality,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -990,3 +990,77 @@ def test_segment_text_matches_stats(spark):
     }
     for r in enc:
         assert "".join(r["pieces"]) == words[r["doc_id"]]
+
+
+# ------------------------- isotonic calibration (r10 extra)
+def _pav_reference(w, s):
+    """Textbook sequential pool-adjacent-violators on (weight, sum)
+    blocks — the independent reference for the minimax identity."""
+    blocks = [[wi, si] for wi, si in zip(w, s)]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and (
+            out[-2][1] * out[-1][0] > out[-1][1] * out[-2][0]
+        ):  # prev mean > cur mean -> pool (exact rational compare)
+            b2 = out.pop()
+            out[-1][0] += b2[0]
+            out[-1][1] += b2[1]
+    fitted = []
+    for wi, si in out:
+        fitted.extend([si / wi] * 1)
+    # expand back to per-input-block values
+    expanded = []
+    i = 0
+    for wi, si in out:
+        # count how many original blocks were pooled into this one
+        acc_w = 0
+        k = 0
+        while acc_w < wi:
+            acc_w += w[i + k]
+            k += 1
+        expanded.extend([si / wi] * k)
+        i += k
+    return expanded
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    from skrub_spark.report.evaluation import isotonic_calibration
+
+    # craft rates that violate monotonicity: bins at .0,.1,...
+    data = [
+        (0.05, 8, 10),   # rate .8  (violator: later bins lower)
+        (0.15, 2, 10),
+        (0.25, 5, 10),
+        (0.35, 3, 10),
+        (0.45, 9, 10),
+        (0.55, 4, 10),
+    ]
+    rows = []
+    for score, pos, n in data:
+        rows += [(score, 1)] * pos + [(score, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["bin"]: r["rate_iso"]
+        for r in isotonic_calibration(df, "score", "label", n_bins=10)
+        .collect()
+    }
+    ref = _pav_reference([10] * 6, [d[1] for d in data])
+    for b, expect in zip((0, 1, 2, 3, 4, 5), ref):
+        assert abs(got[b] - expect) < 1e-6, (b, got[b], expect)
+    # monotone non-decreasing by construction
+    vals = [got[b] for b in sorted(got)]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from skrub_spark.report.evaluation import isotonic_calibration
+
+    rows = []
+    for i, pos in enumerate((1, 3, 5, 7, 9)):
+        rows += [(0.05 + 0.1 * i, 1)] * pos
+        rows += [(0.05 + 0.1 * i, 0)] * (10 - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = isotonic_calibration(df, "score", "label", n_bins=10).collect()
+    for r in out:
+        assert abs(r["rate_iso"] - r["rate_raw"]) < 1e-9
