@@ -48,6 +48,10 @@ def fan_out(df, min_partitions: int | None = None):
     result: callers are content-addressed/exact-decimal operators
     (the repo's partitioning-invariance discipline).
     """
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame; micro-batch sources
+        # set their own parallelism, so the guard is a no-op there
+        return df
     par = int(
         min_partitions
         or df.sparkSession.sparkContext.defaultParallelism

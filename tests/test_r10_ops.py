@@ -1064,3 +1064,25 @@ def test_isotonic_already_monotone_is_identity(spark):
     out = isotonic_calibration(df, "score", "label", n_bins=10).collect()
     for r in out:
         assert abs(r["rate_iso"] - r["rate_raw"]) < 1e-9
+
+
+# ------------------------------------- fan_out guard (r10 polish)
+def test_fan_out_streaming_noop(spark, tmp_path):
+    from skrub_spark.session import fan_out
+
+    d = str(tmp_path / "p")
+    spark.createDataFrame([(1, "x")], "id long, t string").write.parquet(d)
+    stream = spark.readStream.schema("id long, t string").parquet(d)
+    out = fan_out(stream)
+    assert out.isStreaming  # returned untouched, no .rdd crash
+
+
+def test_fan_out_batch_reaches_parallelism(spark):
+    from skrub_spark.session import fan_out
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    one = df.coalesce(1)
+    assert fan_out(one, 4).rdd.getNumPartitions() >= 4
+    # already-wide input passes through without an extra shuffle
+    wide = df.repartition(8)
+    assert fan_out(wide, 4) is wide
