@@ -17525,8 +17525,10 @@ ORACLES["corpus_datasheet"] = """
              CAST(sum(cb) AS BIGINT) AS nb FROM lww
     ), chi_terms AS (
       SELECT CAST(round(
-        (CAST(ca AS DOUBLE) - ea) * (CAST(ca AS DOUBLE) - ea) / ea
-        + (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb,
+        CASE WHEN ea > 0 AND eb > 0 THEN
+          (CAST(ca AS DOUBLE) - ea) * (CAST(ca AS DOUBLE) - ea) / ea
+          + (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb
+        ELSE 0.0 END,
         6) AS DECIMAL(18,6)) AS t
       FROM (SELECT ca, cb,
               CAST(na AS DOUBLE) * (CAST(ca + cb AS DOUBLE)

@@ -243,11 +243,15 @@ def corpus_datasheet(
     ).cast("double")
     ea = F.col("na").cast("double") * pool
     eb = F.col("nb").cast("double") * pool
-    term = (F.col("ca").cast("double") - ea) * (
-        F.col("ca").cast("double") - ea
-    ) / ea + (F.col("cb").cast("double") - eb) * (
-        F.col("cb").cast("double") - eb
-    ) / eb
+    term = F.when(
+        (ea > 0) & (eb > 0),
+        (F.col("ca").cast("double") - ea)
+        * (F.col("ca").cast("double") - ea)
+        / ea
+        + (F.col("cb").cast("double") - eb)
+        * (F.col("cb").cast("double") - eb)
+        / eb,
+    ).otherwise(F.lit(0.0))  # a fully-empty half has no chi2 mass
     chi2 = (
         lw2.select(F.round(term, 6).cast("decimal(18,6)").alias("t"))
         .agg(F.sum("t").cast("double").alias("value"))
