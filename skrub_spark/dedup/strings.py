@@ -119,11 +119,16 @@ def jaro_winkler_join(
     b = df_b.select(
         F.col(col_b).alias("name_b"), bk(col_b).alias("__bk")
     ).dropDuplicates(["name_b"])
+    # Count DISTINCT names per block over the union of both sides —
+    # summing per-side rows would double-count shared names (a
+    # self-join block would be dropped at max_block/2), diverging
+    # from the documented "more than max_block distinct names" cap
+    # (r10 advice item).
     sizes = (
-        a.select("__bk")
-        .unionAll(b.select("__bk"))
+        a.select("__bk", F.col("name_a").alias("__nm"))
+        .unionAll(b.select("__bk", F.col("name_b").alias("__nm")))
         .groupBy("__bk")
-        .agg(F.count(F.lit(1)).alias("__bs"))
+        .agg(F.countDistinct("__nm").alias("__bs"))
     )
     ok_blocks = sizes.filter(
         F.col("__bs") <= int(max_block)

@@ -261,8 +261,13 @@ def train_unigram(
     Bounded driver state throughout: the word dict stays a
     DataFrame (top ``max_words`` by frequency — Zipf holds ~all
     mass); only vocab-sized (piece, count) aggregates are ever
-    collected. Deterministic: top-k ties break lexicographically,
-    EM is fixed-iteration, and the final quantization is HALF_UP."""
+    collected. Deterministic given a fixed input layout: top-k ties
+    break lexicographically, EM is fixed-iteration, collected rows
+    are sorted by key before dict construction, driver-side sums are
+    math.fsum over sorted keys, and the final quantization is
+    HALF_UP. (The one residual float-order freedom is Spark's
+    distributed ``sum(ec)`` partition-merge order; for a pinned
+    replay use the frozen model via ``tools/train_frozen.py``.)"""
     wc = (
         fan_out(df.select(F.col(text_col)))
         .select(F.explode(words_az09(text_col)).alias("w0"))
@@ -291,31 +296,38 @@ def train_unigram(
         .collect()
     )
     weights = {r["p"]: float(r["m"]) for r in seed}
-    # coverage: every single char present in the corpus words
-    chars = wc.selectExpr(
-        "explode(split(w, '')) AS ch", "c"
-    ).where(F.col("ch") != "").groupBy("ch").agg(
-        F.sum("c").cast("long").alias("m")
-    ).collect()
+    # coverage: every single char present in the corpus words.
+    # collect() row order is NOT deterministic — sort by key before
+    # building the dict, and fsum over sorted keys, so piece probs
+    # are bit-identical between runs (r10 advice item).
+    chars = sorted(
+        wc.selectExpr("explode(split(w, '')) AS ch", "c")
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.sum("c").cast("long").alias("m"))
+        .collect(),
+        key=lambda r: r["ch"],
+    )
     for r in chars:
         weights.setdefault(r["ch"], float(r["m"]))
-    tot = sum(weights.values())
+    tot = math.fsum(weights[p] for p in sorted(weights))
     probs = {p: m / tot for p, m in weights.items()}
     singles = {p for p in probs if len(p) == 1}
     # ---- EM
     for _ in range(int(n_em)):
-        ec_rows = (
+        ec_rows = sorted(
             _expected_counts(wc, probs, int(max_piece_len))
             .groupBy("piece")
             .agg(F.sum("ec").alias("ec"))
-            .collect()
+            .collect(),
+            key=lambda r: r["piece"],
         )
         counts = {r["piece"]: float(r["ec"]) for r in ec_rows}
         # keep singles alive with a floor so coverage never collapses
-        floor = max(sum(counts.values()), 1.0) * 1e-9
+        floor = max(math.fsum(counts[p] for p in sorted(counts)), 1.0) * 1e-9
         for ch in singles:
             counts[ch] = max(counts.get(ch, 0.0), floor)
-        tot = sum(counts.values())
+        tot = math.fsum(counts[p] for p in sorted(counts))
         probs = {p: c / tot for p, c in counts.items() if c > 0.0}
     # ---- prune to vocab_size: singles always kept
     multi = sorted(

@@ -272,31 +272,35 @@ def msprt_two_proportion(
         Window.unboundedPreceding, Window.currentRow
     )
     pav = F.min(p_m).over(wmin)
-    gate = F.when(
-        F.assert_true(
-            F.col("__ng") == 2,
-            F.concat(
-                F.lit(
-                    "msprt_two_proportion requires exactly 2 variant "
-                    "labels, got "
+    # Gate EVERY output column on the exactly-2-labels assert so
+    # Catalyst column pruning can't drop the contract (r10 advice).
+    def _gated(col):
+        return F.when(
+            F.assert_true(
+                F.col("__ng") == 2,
+                F.concat(
+                    F.lit(
+                        "msprt_two_proportion requires exactly 2 variant "
+                        "labels, got "
+                    ),
+                    F.col("__ng").cast("string"),
                 ),
-                F.col("__ng").cast("string"),
-            ),
-        ).isNull(),
-        F.round(F.when(ok, delta), 6),
-    )
+            ).isNull(),
+            col,
+        )
+
     return cum.select(
-        F.col("cp").alias("checkpoint"),
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
-        F.col("ca").alias("conv_a"),
-        F.col("cb").alias("conv_b"),
-        gate.alias("delta"),
-        F.round(loglam_c, 6).alias("log_lambda"),
-        F.round(pav, 6).alias("p_always_valid"),
-        F.when(pav.isNotNull(), pav <= F.lit(float(alpha))).alias(
-            "significant"
-        ),
+        _gated(F.col("cp")).alias("checkpoint"),
+        _gated(F.col("na")).alias("n_a"),
+        _gated(F.col("nb")).alias("n_b"),
+        _gated(F.col("ca")).alias("conv_a"),
+        _gated(F.col("cb")).alias("conv_b"),
+        _gated(F.round(F.when(ok, delta), 6)).alias("delta"),
+        _gated(F.round(loglam_c, 6)).alias("log_lambda"),
+        _gated(F.round(pav, 6)).alias("p_always_valid"),
+        _gated(
+            F.when(pav.isNotNull(), pav <= F.lit(float(alpha)))
+        ).alias("significant"),
     )
 
 
@@ -530,32 +534,37 @@ def yuen_trimmed_test(
             / (F.col("h_b").cast("double") - F.lit(1.0))
         )
     )
-    gate = F.when(
-        F.assert_true(
-            F.col("__ng") == 2,
-            F.concat(
-                F.lit(
-                    "yuen_trimmed_test requires exactly 2 group labels, got "
+    # Gate EVERY output column on the exactly-2-labels assert so
+    # Catalyst column pruning can't drop the contract (r10 advice).
+    def _gated(col):
+        return F.when(
+            F.assert_true(
+                F.col("__ng") == 2,
+                F.concat(
+                    F.lit(
+                        "yuen_trimmed_test requires exactly 2 group "
+                        "labels, got "
+                    ),
+                    F.col("__ng").cast("string"),
                 ),
-                F.col("__ng").cast("string"),
-            ),
-        ).isNull(),
-        F.round(F.col("tma") - F.col("tmb"), 6),
-    )
+            ).isNull(),
+            col,
+        )
+
     ok = (F.col("da") + F.col("db") > 0) & (F.col("h_a") > 1) & (
         F.col("h_b") > 1
     )
     return agg.select(
-        "group_a",
-        "group_b",
-        "n_a",
-        "n_b",
-        "h_a",
-        "h_b",
-        F.round("tma", 6).alias("tmean_a"),
-        F.round("tmb", 6).alias("tmean_b"),
-        gate.alias("diff"),
-        F.when(ok, F.round(se, 6)).alias("se"),
-        F.when(ok, F.round(tstat, 6)).alias("t"),
-        F.when(ok, F.round(dfw, 6)).alias("df"),
+        _gated(F.col("group_a")).alias("group_a"),
+        _gated(F.col("group_b")).alias("group_b"),
+        _gated(F.col("n_a")).alias("n_a"),
+        _gated(F.col("n_b")).alias("n_b"),
+        _gated(F.col("h_a")).alias("h_a"),
+        _gated(F.col("h_b")).alias("h_b"),
+        _gated(F.round("tma", 6)).alias("tmean_a"),
+        _gated(F.round("tmb", 6)).alias("tmean_b"),
+        _gated(F.round(F.col("tma") - F.col("tmb"), 6)).alias("diff"),
+        _gated(F.when(ok, F.round(se, 6))).alias("se"),
+        _gated(F.when(ok, F.round(tstat, 6))).alias("t"),
+        _gated(F.when(ok, F.round(dfw, 6))).alias("df"),
     )

@@ -189,9 +189,20 @@ def corpus_datasheet(
         )
         .crossJoin(
             F.broadcast(
+                # coalesce: an empty doc-id-parity half must yield 0, not
+                # NULL, so the PSI stays finite and matches the oracle's
+                # zero-filled wide rows (same guard as the chi2 section)
                 hsum.agg(
-                    F.sum(F.when(F.col("ha"), F.col("hn"))).cast("long").alias("na"),
-                    F.sum(F.when(~F.col("ha"), F.col("hn"))).cast("long").alias("nb"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("ha"), F.col("hn"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("na"),
+                    F.coalesce(
+                        F.sum(F.when(~F.col("ha"), F.col("hn"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("nb"),
                 )
             )
         )

@@ -46,6 +46,16 @@ def classification_report(
     # pipeline in classification_eval measured 6.7s vs 0.5s for the
     # bare scoring query at sf0.1, r10). cells is at most (k+1)²
     # rows, so the eager checkpoint is codebook-sized.
+    #
+    # API-boundary tradeoff (documented, r10 advice): eager=True
+    # executes the upstream AT CALL TIME, and localCheckpoint blocks
+    # are NOT replayable — on a cluster, losing the executor holding
+    # them fails downstream actions instead of recomputing, and the
+    # blocks are released by GC of the DataFrame, not by
+    # spark.catalog.clearCache(). For a (k+1)²-row frame consumed
+    # immediately, that exposure window is negligible and the
+    # concurrent-branch dedup is worth it; callers needing lineage
+    # durability can persist()+count() the INPUT df themselves.
     cells = df.groupBy(lab.alias("lab"), prd.alias("prd")).agg(
         F.count(F.lit(1)).alias("c")
     ).localCheckpoint(eager=True)

@@ -521,30 +521,42 @@ def cmh_stratified(
         )
         .crossJoin(F.broadcast(labs))
     )
-    gate = F.when(
-        F.assert_true(
-            F.col("__ng") == 2,
-            F.concat(
-                F.lit("cmh_stratified requires exactly 2 variant labels, got "),
-                F.col("__ng").cast("string"),
-            ),
-        ).isNull(),
-        F.when(
-            F.col("den_s") > 0,
-            F.round(F.col("num_s") / F.col("den_s"), 6),
-        ),
-    )
+    # Gate EVERY output column on the exactly-2-labels assert — if it
+    # rode on a single column, Catalyst column pruning could drop the
+    # asserted column and a >2-label misuse would silently return
+    # min/max-label results (r10 advice item).
+    def _gated(col):
+        return F.when(
+            F.assert_true(
+                F.col("__ng") == 2,
+                F.concat(
+                    F.lit(
+                        "cmh_stratified requires exactly 2 variant labels, got "
+                    ),
+                    F.col("__ng").cast("string"),
+                ),
+            ).isNull(),
+            col,
+        )
+
     return agg.select(
-        F.col("ga").alias("variant_a"),
-        F.col("gb").alias("variant_b"),
-        "n_strata",
-        "n_a",
-        "n_b",
-        "conv_a",
-        "conv_b",
-        gate.alias("or_mh"),
-        F.when(
-            F.col("v_s") > 0,
-            F.round(F.col("oe_s") * F.col("oe_s") / F.col("v_s"), 6),
+        _gated(F.col("ga")).alias("variant_a"),
+        _gated(F.col("gb")).alias("variant_b"),
+        _gated(F.col("n_strata")).alias("n_strata"),
+        _gated(F.col("n_a")).alias("n_a"),
+        _gated(F.col("n_b")).alias("n_b"),
+        _gated(F.col("conv_a")).alias("conv_a"),
+        _gated(F.col("conv_b")).alias("conv_b"),
+        _gated(
+            F.when(
+                F.col("den_s") > 0,
+                F.round(F.col("num_s") / F.col("den_s"), 6),
+            )
+        ).alias("or_mh"),
+        _gated(
+            F.when(
+                F.col("v_s") > 0,
+                F.round(F.col("oe_s") * F.col("oe_s") / F.col("v_s"), 6),
+            )
         ).alias("chi2"),
     )

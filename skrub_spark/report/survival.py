@@ -308,33 +308,43 @@ def log_rank_test(
              "na_tot": "n_a", "nb_tot": "n_b"}
         )
     )
-    gate = F.when(
-        F.assert_true(
-            F.col("__ng") == 2,
-            F.concat(
-                F.lit("log_rank_test requires exactly 2 group labels, got "),
-                F.col("__ng").cast("string"),
-            ),
-        ).isNull(),
-        F.round("oe_sum", 6),
-    )
+    # Gate EVERY output column on the exactly-2-labels assert so
+    # Catalyst column pruning can't drop the contract (r10 advice).
+    def _gated(col):
+        return F.when(
+            F.assert_true(
+                F.col("__ng") == 2,
+                F.concat(
+                    F.lit(
+                        "log_rank_test requires exactly 2 group labels, got "
+                    ),
+                    F.col("__ng").cast("string"),
+                ),
+            ).isNull(),
+            col,
+        )
+
     return agg.select(
-        "group_a",
-        "group_b",
-        "n_a",
-        "n_b",
-        "events_a",
-        "events_b",
-        gate.alias("o_minus_e"),
-        F.round("v_sum", 6).alias("variance"),
-        F.when(
-            F.col("v_sum") > 0,
-            F.round(
-                F.col("oe_sum") * F.col("oe_sum") / F.col("v_sum"), 6
-            ),
+        _gated(F.col("group_a")).alias("group_a"),
+        _gated(F.col("group_b")).alias("group_b"),
+        _gated(F.col("n_a")).alias("n_a"),
+        _gated(F.col("n_b")).alias("n_b"),
+        _gated(F.col("events_a")).alias("events_a"),
+        _gated(F.col("events_b")).alias("events_b"),
+        _gated(F.round("oe_sum", 6)).alias("o_minus_e"),
+        _gated(F.round("v_sum", 6)).alias("variance"),
+        _gated(
+            F.when(
+                F.col("v_sum") > 0,
+                F.round(
+                    F.col("oe_sum") * F.col("oe_sum") / F.col("v_sum"), 6
+                ),
+            )
         ).alias("chi2"),
-        F.when(
-            F.col("v_sum") > 0,
-            F.round(F.col("oe_sum") / F.sqrt("v_sum"), 6),
+        _gated(
+            F.when(
+                F.col("v_sum") > 0,
+                F.round(F.col("oe_sum") / F.sqrt("v_sum"), 6),
+            )
         ).alias("z"),
     )
