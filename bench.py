@@ -117,6 +117,9 @@ HEADLINE = [
     "tokenizer_fertility",
     "unigram_packing",
     "isotonic_quality",
+    # r11 additions
+    "doremi_weights",
+    "doremi_mixture",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -18260,6 +18260,167 @@ def _r10_isotonic_oracle() -> str:
 ORACLES["isotonic_quality"] = _r10_isotonic_oracle()
 
 
+# ---------------------------------------------------------------------------
+# r11: DoReMi-lite domain-mixture reweighting
+# ---------------------------------------------------------------------------
+
+_DOREMI_ETA = "2.0"
+_DOREMI_SMOOTH = 0.02
+_DOREMI_ITER = 8
+
+
+def _doremi_loss_cols(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc (proxy, reference) loss pair for the
+    battery: proxy = ln(n_chars) (a length-compression proxy for
+    bits-per-doc), reference = ln(280 + doc_id % 40) (a varied
+    baseline so the per-example clipping path is exercised — some
+    docs in every domain land below their reference). Any real loss
+    pair (e.g. KN-trigram vs add-alpha perplexities from
+    operators/lm_filter.py) plugs into the same columns."""
+    return docs.select(
+        "source",
+        F.log(F.col("n_chars").cast("double")).alias("loss"),
+        F.log(
+            F.lit(280.0) + (F.col("doc_id") % 40).cast("double")
+        ).alias("ref_loss"),
+    )
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (r11,
+    operators/doremi.py::doremi_weights — Xie et al. 2023): K=8
+    smoothed Group-DRO multiplicative updates over the per-source
+    clipped excess-loss signal, entirely in integer micro space
+    after one map-side-combined groupBy, so the whole chain replays
+    as textually-expanded SQL CTEs. Domains whose proxy loss is
+    furthest above the reference end up with the largest mixture
+    weight (learning-headroom-first token budgeting)."""
+    _prep(spark)
+    from .operators.doremi import doremi_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doremi_weights(
+        _doremi_loss_cols(docs),
+        "source",
+        "loss",
+        "ref_loss",
+        eta=float(_DOREMI_ETA),
+        smoothing=_DOREMI_SMOOTH,
+        n_iter=_DOREMI_ITER,
+    )
+
+
+def _doremi_oracle(
+    n_iter: int = _DOREMI_ITER,
+    eta: str = _DOREMI_ETA,
+    smoothing: float = _DOREMI_SMOOTH,
+    scale: int = 1_000_000,
+) -> str:
+    c6 = int(round(smoothing * scale))
+    prev = "i0"
+    iters = ""
+    for t in range(1, n_iter + 1):
+        iters += f""",
+    p{t} AS (
+      SELECT domain, n_docs, e6, m6,
+        CAST((a6 * m6) // {scale} AS HUGEINT) AS ap
+      FROM {prev}
+    ),
+    i{t} AS (
+      SELECT domain, n_docs, e6, m6,
+        CAST((({scale} - {c6}) * ((ap * {scale}) // (SUM(ap) OVER ())))
+             // {scale} + {c6} // (COUNT(*) OVER ()) AS HUGEINT) AS a6
+      FROM p{t}
+    )"""
+        prev = f"i{t}"
+    return f"""
+    WITH per AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST((2 * CAST(sum(CAST(
+          greatest(
+            CAST(round(ln(CAST(n_chars AS DOUBLE)), 6) AS DECIMAL(18,6))
+            - CAST(round(ln(280.0 + CAST(doc_id % 40 AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)),
+            CAST('0' AS DECIMAL(18,6)))
+          * {scale} AS BIGINT)) AS HUGEINT)
+          + count(*)) // (2 * count(*)) AS BIGINT) AS e6
+      FROM documents GROUP BY 1
+    ), m AS (
+      SELECT domain, n_docs, e6,
+        CAST(CAST(round(exp({eta} * CAST(e6 AS DOUBLE) / {scale}.0), 6)
+             AS DECIMAL(18,6)) * {scale} AS BIGINT) AS m6
+      FROM per
+    ), i0 AS (
+      SELECT domain, n_docs, e6, m6,
+        CAST({scale} // (SELECT count(*) FROM m) AS HUGEINT) AS a6
+      FROM m
+    ){iters}
+    SELECT domain, n_docs,
+      round(CAST(e6 AS DOUBLE) / {scale}.0, 6) AS excess_loss,
+      round(CAST(m6 AS DOUBLE) / {scale}.0, 6) AS multiplier,
+      round(CAST(a6 AS DOUBLE) / {scale}.0, 6) AS weight
+    FROM {prev}
+    """
+
+
+ORACLES["doremi_weights"] = _doremi_oracle()
+
+_DOREMI_BUDGET = 200
+
+
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi weights FEEDING the deterministic mixture sampler
+    (r11 composition, operators/doremi.py::doremi_targets →
+    operators/sampling.py::sample_to_targets): the learned
+    per-domain weights become integer row targets for a
+    200-row budget, and membership is the content-addressed md5
+    rule — the full optimizer→sampler chain replays bit-exactly in
+    one oracle."""
+    _prep(spark)
+    from .operators.doremi import doremi_targets, doremi_weights
+    from .operators.sampling import sample_to_targets
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = doremi_weights(
+        _doremi_loss_cols(docs),
+        "source",
+        "loss",
+        "ref_loss",
+        eta=float(_DOREMI_ETA),
+        smoothing=_DOREMI_SMOOTH,
+        n_iter=_DOREMI_ITER,
+    )
+    targets = doremi_targets(w, _DOREMI_BUDGET)
+    kept = sample_to_targets(docs, "source", targets, key="doc_id", salt="doremi11")
+    return kept.select("doc_id", "source")
+
+
+def _doremi_mixture_oracle() -> str:
+    chain = _doremi_oracle().strip()
+    assert chain.startswith("WITH ") and "SELECT domain, n_docs," in chain
+    with_part, _final = chain.rsplit("SELECT domain, n_docs,", 1)
+    last = f"i{_DOREMI_ITER}"
+    return f"""
+    {with_part}
+    , tgt AS (
+      SELECT domain, n_docs AS cnt,
+        CAST(({_DOREMI_BUDGET} * a6) // 1000000 AS BIGINT) AS tgt
+      FROM {last}
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN tgt ON tgt.domain = d.source
+    WHERE ('0x' || substr(md5('doremi11' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100000000
+          < CASE WHEN tgt.tgt <= 0 THEN 0 ELSE
+              least(100000000,
+                    greatest(1, (100000000 * least(tgt.tgt, tgt.cnt)) // tgt.cnt))
+            END
+    """
+
+
+ORACLES["doremi_mixture"] = _doremi_mixture_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -18895,6 +19056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "unigram_packing": q_unigram_packing,
         "isotonic_quality": q_isotonic_quality,
+        # r11: DoReMi-lite mixture optimizer + sampler composition
+        "doremi_weights": q_doremi_weights,
+        "doremi_mixture": q_doremi_mixture,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter
