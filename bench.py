@@ -120,6 +120,7 @@ HEADLINE = [
     # r11 additions
     "doremi_weights",
     "doremi_mixture",
+    "als_topk_frozen",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

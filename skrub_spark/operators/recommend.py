@@ -119,6 +119,83 @@ def als_recommend(
     )
 
 
+def als_topk_frozen(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    *,
+    model: dict | None = None,
+    top_k: int = 5,
+) -> DataFrame:
+    """EXACT frozen-factor serving twin of :func:`als_recommend`
+    (r11 — the tree_compile/_frozen.py precedent applied to the last
+    rows-only scoring path): the iterative MLlib FIT stays
+    rows-only by nature, but once the user/item factor tables are
+    frozen to 6dp literals (``_frozen.ALS_MODEL``, pilot cohort x
+    item slice), top-k scoring is pure integer-micro dot products —
+    ``score12 = sum(u6_f * i6_f)`` in exact BIGINT (units 1e-12) —
+    with the already-seen pairs anti-joined out of the CURRENT-scale
+    interactions and a deterministic (score desc, item asc)
+    tie-break. Bit-replayable by a SQL oracle at every scale.
+
+    Returns ``(custkey, partkey, score, rec_rank)``; ``score`` is
+    the one-IEEE-division double ``score12 / 1e12`` (no rounding —
+    division is exactly rounded, so both engines emit the identical
+    double).
+
+    100 TB shape: the factor tables are codebook-sized literals
+    (the cross join is |cohort| x |slice|, broadcast); the
+    corpus-scale work is the seen-pairs distinct + anti-join. For a
+    full-catalog serve, route factors through the quantized ANN
+    path (similarity/quantize.py) instead of the cross join.
+    """
+    from pyspark.sql import Window
+
+    if model is None:
+        from .._frozen import ALS_MODEL as model  # type: ignore[no-redef]
+    rank = int(model["rank"])
+    ucols = [f"u{j}" for j in range(1, rank + 1)]
+    icols = [f"i{j}" for j in range(1, rank + 1)]
+    spark = interactions.sparkSession
+
+    def _micro(rows, idname, cols):
+        return spark.createDataFrame(
+            [
+                tuple([int(r[0])] + [int(round(float(x) * 1e6)) for x in r[1:]])
+                for r in rows
+            ],
+            [idname] + cols,
+        )
+
+    uf = _micro(model["users"], "custkey", ucols)
+    itf = _micro(model["items"], "partkey", icols)
+    dot = None
+    for uc, ic in zip(ucols, icols):
+        t = F.col(uc) * F.col(ic)
+        dot = t if dot is None else dot + t
+    scored = uf.crossJoin(F.broadcast(itf)).select(
+        "custkey", "partkey", dot.cast("long").alias("score12")
+    )
+    seen = interactions.select(
+        F.col(user_col).cast("int").alias("custkey"),
+        F.col(item_col).cast("int").alias("partkey"),
+    ).distinct()
+    unseen = scored.join(seen, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("score12").desc(), F.col("partkey").asc()
+    )
+    return (
+        unseen.withColumn("rec_rank", F.row_number().over(w))
+        .where(F.col("rec_rank") <= int(top_k))
+        .select(
+            "custkey",
+            "partkey",
+            (F.col("score12").cast("double") / F.lit(1e12)).alias("score"),
+            "rec_rank",
+        )
+    )
+
+
 def als_rmse(
     interactions: DataFrame,
     user_col: str,

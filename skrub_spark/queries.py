@@ -18421,6 +18421,83 @@ def _doremi_mixture_oracle() -> str:
 ORACLES["doremi_mixture"] = _doremi_mixture_oracle()
 
 
+def q_als_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS frozen serving twin (r11,
+    operators/recommend.py::als_topk_frozen — the tree_compile /
+    _frozen.py precedent applied to ALS): the MLlib fit stays
+    rows-only (`als_recommendations`), but top-k scoring over the
+    frozen pilot-cohort factor tables is exact integer-micro dot
+    products with the CURRENT-scale seen pairs anti-joined out and
+    a deterministic tie-break — the serving path of a recommender,
+    exact-oracled at every scale."""
+    _prep(spark)
+    from .operators.recommend import als_topk_frozen
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select("o_custkey", "l_partkey")
+    return als_topk_frozen(inter, "o_custkey", "l_partkey", top_k=5)
+
+
+def _als_frozen_oracle(top_k: int = 5) -> str:
+    """GENERATED from ``_frozen.ALS_MODEL`` (static per commit):
+    VALUES factor tables in integer micro, exact BIGINT dot
+    products, current-scale seen anti-join, rank-capped."""
+    from ._frozen import ALS_MODEL as m
+
+    rank = int(m["rank"])
+    ucols = ", ".join(f"u{j}" for j in range(1, rank + 1))
+    icols = ", ".join(f"i{j}" for j in range(1, rank + 1))
+    uvals = ", ".join(
+        "(" + ", ".join(
+            [str(int(r[0]))] + [str(int(round(float(x) * 1e6))) for x in r[1:]]
+        ) + ")"
+        for r in m["users"]
+    )
+    ivals = ", ".join(
+        "(" + ", ".join(
+            [str(int(r[0]))] + [str(int(round(float(x) * 1e6))) for x in r[1:]]
+        ) + ")"
+        for r in m["items"]
+    )
+    dot = " + ".join(
+        f"CAST(u{j} AS BIGINT) * i{j}" for j in range(1, rank + 1)
+    )
+    return f"""
+    WITH uf(custkey, {ucols}) AS (VALUES {uvals}),
+    itf(partkey, {icols}) AS (VALUES {ivals}),
+    seen AS (
+      SELECT DISTINCT CAST(o_custkey AS INT) AS custkey,
+             CAST(l_partkey AS INT) AS partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), sc AS (
+      SELECT custkey, partkey, CAST({dot} AS BIGINT) AS s12
+      FROM uf CROSS JOIN itf
+    ), un AS (
+      SELECT sc.custkey, sc.partkey, sc.s12
+      FROM sc LEFT JOIN seen
+        ON sc.custkey = seen.custkey AND sc.partkey = seen.partkey
+      WHERE seen.custkey IS NULL
+    ), rk AS (
+      SELECT custkey, partkey, s12,
+        row_number() OVER (
+          PARTITION BY custkey ORDER BY s12 DESC, partkey ASC
+        ) AS rec_rank
+      FROM un
+    )
+    SELECT custkey, partkey,
+      CAST(s12 AS DOUBLE) / 1000000000000.0 AS score,
+      CAST(rec_rank AS INT) AS rec_rank
+    FROM rk WHERE rec_rank <= {int(top_k)}
+    """
+
+
+ORACLES["als_topk_frozen"] = _als_frozen_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -19059,6 +19136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: DoReMi-lite mixture optimizer + sampler composition
         "doremi_weights": q_doremi_weights,
         "doremi_mixture": q_doremi_mixture,
+        # r11: ALS frozen serving twin (exact integer-micro scoring)
+        "als_topk_frozen": q_als_topk_frozen,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -108,6 +108,82 @@ def test_doremi_targets_budget(spark):
     assert t["a"] > t["b"] > t["c"] >= 0
 
 
+# ---------------------------------------------------------------------------
+# ALS frozen serving twin
+# ---------------------------------------------------------------------------
+
+
+def test_als_frozen_matches_numpy_reference(spark):
+    """The integer-micro dot-product scoring must equal a numpy
+    float reference on the frozen factors (to the 1e-12 quantum) and
+    respect the (score desc, item asc) tie-break."""
+    import numpy as np
+
+    from skrub_spark._frozen import ALS_MODEL
+    from skrub_spark.operators.recommend import als_topk_frozen
+
+    empty = spark.createDataFrame([], "u int, i int")
+    out = als_topk_frozen(empty, "u", "i", top_k=3).collect()
+    users = {int(r[0]): np.array(r[1:], dtype="float64") for r in ALS_MODEL["users"]}
+    items = {int(r[0]): np.array(r[1:], dtype="float64") for r in ALS_MODEL["items"]}
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["custkey"], []).append(r)
+    assert set(by_user) == set(users)
+    for u, recs in by_user.items():
+        recs = sorted(recs, key=lambda r: r["rec_rank"])
+        assert [r["rec_rank"] for r in recs] == [1, 2, 3]
+        # numpy reference: top-3 by (score desc, item asc)
+        scores = sorted(
+            ((float(users[u] @ v), -i) for i, v in items.items()),
+            reverse=True,
+        )[:3]
+        for got, (s, negi) in zip(recs, scores):
+            assert got["partkey"] == -negi
+            assert got["score"] == pytest.approx(s, abs=2e-6)
+
+
+def test_als_frozen_excludes_seen(spark):
+    """A (user, item) pair present in the interactions must never be
+    recommended; removing pairs changes only those users' lists."""
+    from skrub_spark._frozen import ALS_MODEL
+    from skrub_spark.operators.recommend import als_topk_frozen
+
+    u0 = int(ALS_MODEL["users"][0][0])
+    empty = spark.createDataFrame([], "u int, i int")
+    base = als_topk_frozen(empty, "u", "i", top_k=2).collect()
+    top = [r for r in base if r["custkey"] == u0 and r["rec_rank"] == 1][0]
+    seen = spark.createDataFrame([(u0, top["partkey"])], "u int, i int")
+    out = als_topk_frozen(seen, "u", "i", top_k=2).collect()
+    assert all(
+        not (r["custkey"] == u0 and r["partkey"] == top["partkey"])
+        for r in out
+    )
+    # unaffected users keep identical lists
+    others_base = sorted(
+        tuple(r) for r in base if r["custkey"] != u0 and r["rec_rank"] == 1
+    )
+    others_new = sorted(
+        tuple(r) for r in out if r["custkey"] != u0 and r["rec_rank"] == 1
+    )
+    assert others_base == others_new
+
+
+def test_als_frozen_partitioning_invariance(spark):
+    from skrub_spark._frozen import ALS_MODEL
+    from skrub_spark.operators.recommend import als_topk_frozen
+
+    u0 = int(ALS_MODEL["users"][0][0])
+    i0 = int(ALS_MODEL["items"][0][0])
+    seen = spark.createDataFrame([(u0, i0)] * 3, "u int, i int")
+    a = sorted(tuple(r) for r in als_topk_frozen(seen, "u", "i").collect())
+    b = sorted(
+        tuple(r)
+        for r in als_topk_frozen(seen.repartition(7), "u", "i").collect()
+    )
+    assert a == b
+
+
 def test_doremi_smoothing_validation(spark):
     from skrub_spark.operators.doremi import doremi_weights
 

@@ -326,6 +326,76 @@ def _unigram_section(model):
     )
 
 
+_ALS_MARKER = "\n# ALS serving twin:"
+
+
+def train_als(spark, sf_dir):
+    """Fit the pilot-cohort ALS whose SERVING path the battery
+    replays exactly: interactions are the same customer x part
+    quantities as q_als_recommendations, restricted to a
+    deterministic pilot cohort (custkey % 25 == 0) and item slice
+    (partkey % 10 == 0) so the frozen factor tables stay
+    codebook-sized; rank 4, implicit feedback, seed 42."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    from skrub_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .where(
+            (F.col("o_custkey") % 25 == 0) & (F.col("l_partkey") % 10 == 0)
+        )
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("qty"))
+        .select(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+            F.col("qty").cast("float").alias("rating"),
+        )
+    )
+    als = ALS(
+        rank=4,
+        maxIter=8,
+        regParam=0.1,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=42,
+    )
+    model = als.fit(inter)
+
+    def _factors(fdf):
+        return sorted(
+            [int(r["id"])] + [round(float(x), 6) for x in r["features"]]
+            for r in fdf.collect()
+        )
+
+    return {
+        "rank": 4,
+        "users": _factors(model.userFactors),
+        "items": _factors(model.itemFactors),
+    }
+
+
+def _als_section(model):
+    return (
+        f"{_ALS_MARKER} pilot-cohort factor tables\n"
+        "# (tools/train_frozen.py::train_als; MLlib implicit ALS rank\n"
+        "# 4 at sf0.01 over custkey%25==0 x partkey%10==0\n"
+        "# interactions). Rows are [id, f1..f4] at 6dp; scoring is\n"
+        "# exact integer-micro dot products in both engines\n"
+        f"ALS_MODEL = {model!r}\n"
+    )
+
+
 def make_stream_planes(dim=64, n_planes=8, n_tables=4, seed=42):
     rng = np.random.default_rng(seed)
     return [
@@ -344,7 +414,8 @@ def main():
 
     path = "/root/repo/skrub_spark/_frozen.py"
 
-    _ALL_MARKERS = (_LINKAGE_MARKER, _LID_MARKER, _GAP_MARKER, _UNIGRAM_MARKER)
+    _ALL_MARKERS = (_LINKAGE_MARKER, _LID_MARKER, _GAP_MARKER,
+                    _UNIGRAM_MARKER, _ALS_MARKER)
 
     def _replace_section(marker: str, section: str) -> None:
         """Replace ONE appended section in place, preserving every
@@ -388,6 +459,13 @@ def main():
         model = train_unigram_model(spark, sf_dir)
         _replace_section(_UNIGRAM_MARKER, _unigram_section(model))
         print(f"appended UNIGRAM_MODEL to {path}")
+        return
+
+    if "--append-als" in sys.argv:
+        # same replace discipline for the ALS factor tables
+        model = train_als(spark, sf_dir)
+        _replace_section(_ALS_MARKER, _als_section(model))
+        print(f"appended ALS_MODEL to {path}")
         return
 
     if "--append-lid" in sys.argv:
