@@ -121,6 +121,7 @@ HEADLINE = [
     "doremi_weights",
     "doremi_mixture",
     "als_topk_frozen",
+    "lm_perplexity_kn5",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

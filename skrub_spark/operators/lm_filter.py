@@ -424,3 +424,379 @@ def score_kn_perplexity(
         F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
         F.col("avg_nll").cast("double").alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------
+# Order-n interpolated Kneser-Ney (r11, VERDICT r10 #3): real CCNet
+# scores with a KenLM 5-gram; this generalizes the r10 trigram to
+# any order with per-order count-of-counts discounts and a top-order
+# min-count prune so the largest count frame stays shuffle-friendly
+# at 100 TB. Same disciplines as order 3: every count table is a
+# DataFrame (vocabulary unbounded), continuation counts come from
+# DISTINCT (k+1)-gram types, discounts are 6dp scalars, and scoring
+# is one fixed-parenthesization chain over exact integer counts ->
+# -ln rounded 6dp -> DECIMAL(28,6) per-doc sums (exact SQL replay:
+# the GENERATED oracle `lm_perplexity_kn5`).
+
+
+@dataclass
+class KNNgramLM:
+    """Interpolated Kneser-Ney order-``n`` LM as DataFrames + scalars.
+
+    - ``top_counts`` (kn_ctx, kn_w, c): n-gram counts, ctx = n-1
+      words, PRUNED to ``c > prune`` (KenLM-style per-order prune,
+      top order only — it is the frame that grows fastest).
+    - ``top_ctx`` (kn_ctx, c_ctx, n1p_ctx): derived AFTER pruning,
+      so the model is self-consistent over the pruned counts.
+    - ``cont[k]`` (kn_ctx, kn_w, nc) for k = 2..n-1: continuation
+      counts N1+(. ctx w) from distinct (k+1)-gram types.
+    - ``cont_ctx[k]`` (kn_ctx, ncs, n_after).
+    - ``uni_cont`` (kn_w, n1p): N1+(. w) from distinct bigram types.
+    Scalars: vocab_size (+1 unseen slot), t_types, u_types,
+    ``discounts[k]`` for k = 1..n."""
+
+    n: int
+    top_counts: DataFrame
+    top_ctx: DataFrame
+    cont: dict
+    cont_ctx: dict
+    uni_cont: DataFrame
+    vocab_size: float
+    t_types: float
+    u_types: float
+    discounts: dict
+    prune: int
+
+
+def _explode_grams(
+    df: DataFrame, text_col: str, id_cols: list[str], g: int
+) -> DataFrame:
+    """Explode the g-gram strings of each document: one ``gram``
+    column ("w1 .. wg"). ONE shingle array per row (the slices the
+    r10 trigram built per context column are interpreted HOFs that
+    cost ~g x rows each — building the widest gram once and
+    re-splitting the bounded g-word string AFTER the explode
+    measured 3x faster for g = 5)."""
+    from ..functions.text import _shifted_shingles
+    from ..session import fan_out
+
+    words = words_az09(text_col)
+    return fan_out(df.select(*id_cols, F.col(text_col))).select(
+        *id_cols,
+        F.explode(_shifted_shingles(words, g, " ")).alias("gram"),
+    )
+
+
+def _ngram_occurrences(
+    df: DataFrame, text_col: str, id_cols: list[str], n: int
+) -> DataFrame:
+    """n-gram occurrence rows carrying EVERY suffix context:
+    ``kn_ctx{k}`` (k-1 trailing context words, k = 2..n) + ``kn_w``
+    — derived per exploded gram from its bounded n-word array."""
+    arr = F.split(F.col("gram"), " ")
+    return _explode_grams(df, text_col, id_cols, n).select(
+        *id_cols,
+        *[
+            F.array_join(F.slice(arr, n - k + 1, k - 1), " ").alias(
+                f"kn_ctx{k}"
+            )
+            for k in range(2, n + 1)
+        ],
+        F.element_at(arr, n).alias("kn_w"),
+    )
+
+
+def _gram_types_mid(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """DISTINCT (k+1)-gram types split as (first word dropped):
+    ``(kn_ctx, kn_w)`` with kn_ctx = the k-1 middle words — one row
+    per (w0, ctx, w) type, so ``groupBy(kn_ctx, kn_w).count()`` is
+    the continuation count N1+(. ctx w)."""
+    g = k + 1
+    arr = F.split(F.col("gram"), " ")
+    return (
+        _explode_grams(df, text_col, [], g)
+        .select(
+            F.element_at(arr, 1).alias("w0"),
+            F.array_join(F.slice(arr, 2, k - 1), " ").alias("kn_ctx"),
+            F.element_at(arr, g).alias("kn_w"),
+        )
+        .distinct()
+    )
+
+
+def train_kn_ngram(
+    df: DataFrame, text_col: str = "text", *, n: int = 5, prune: int = 0
+) -> KNNgramLM:
+    """Train the interpolated-KN order-``n`` model on the trusted
+    corpus. ``prune``: drop top-order n-grams with count <= prune
+    BEFORE deriving the context stats (pruned grams fall through the
+    interpolation to the continuation orders — never zero).
+
+    Distributed shape: THREE corpus passes — the top-order
+    occurrence pass, one FUSED distinct-types pass covering every
+    middle order g = 3..n-1 at once (the n-gram types reuse the
+    cached ``top_full``), and the bigram-types pass — each an
+    explode + map-side-combined groupBy; the per-order discounts
+    come from one union aggregate over the already-cached count
+    frames. Driver state is n+3 scalars. The cached frames are
+    materialized EAGERLY in dependency order (count() per corpus
+    pass): concurrent branches of a lazy persist each recompute the
+    upstream (measured 2x on this exact lineage, r10 memory), so
+    sequencing the three passes is what keeps training at three
+    passes."""
+    if n < 3:
+        raise ValueError(f"train_kn_ngram: n must be >= 3, got {n}")
+    occ = _ngram_occurrences(df, text_col, [], n)
+    ctx_cols = [f"kn_ctx{k}" for k in range(2, n + 1)]
+    # grouping by every suffix context is the same key as
+    # (kn_ctx{n}, kn_w) — the lower contexts are suffix functions of
+    # kn_ctx{n} and ride along for free
+    top_full = (
+        occ.groupBy(*ctx_cols, "kn_w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    top_full.count()  # pass 1 materialized before its many consumers
+    top_counts = (
+        top_full.where(F.col("c") > int(prune))
+        .select(F.col(f"kn_ctx{n}").alias("kn_ctx"), "kn_w", "c")
+        .persist()
+    )
+    top_ctx = (
+        top_counts.groupBy("kn_ctx")
+        .agg(F.sum("c").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_ctx"))
+        .persist()
+    )
+    cont: dict = {}
+    cont_ctx: dict = {}
+    if n > 3:
+        # fused middle-orders pass: every g = k+1 in 3..n-1 emits its
+        # tagged (k, w0, mid, w) type rows into ONE distinct + groupBy
+        mids = _gram_types_mid(df, text_col, 2).select(
+            F.lit(2).alias("ko"), "kn_ctx", "kn_w"
+        )
+        for k in range(3, n - 1):
+            mids = mids.unionAll(
+                _gram_types_mid(df, text_col, k).select(
+                    F.lit(k).alias("ko"), "kn_ctx", "kn_w"
+                )
+            )
+        mid_counts = (
+            mids.groupBy("ko", "kn_ctx", "kn_w")
+            .agg(F.count(F.lit(1)).alias("nc"))
+            .persist()
+        )
+        mid_counts.count()  # pass 2 materialized
+    for k in range(2, n):
+        if k == n - 1:
+            # n-gram types ARE the rows of top_full (unpruned)
+            types = top_full.select(
+                F.col(f"kn_ctx{n - 1}").alias("kn_ctx"), "kn_w"
+            )
+            ck = types.groupBy("kn_ctx", "kn_w").agg(
+                F.count(F.lit(1)).alias("nc")
+            )
+        else:
+            ck = mid_counts.where(F.col("ko") == k).select(
+                "kn_ctx", "kn_w", "nc"
+            )
+        cont[k] = ck.persist()
+        cont_ctx[k] = (
+            cont[k]
+            .groupBy("kn_ctx")
+            .agg(F.sum("nc").alias("ncs"), F.count(F.lit(1)).alias("n_after"))
+            .persist()
+        )
+    words = words_az09(text_col)
+    nw = F.size(words)
+    empty = F.array().cast("array<string>")
+    has = nw >= 2
+    from ..session import fan_out
+
+    bt = (
+        fan_out(df.select(F.col(text_col)))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.when(has, F.slice(words, 1, nw - 1))
+                    .otherwise(empty)
+                    .alias("a"),
+                    F.when(has, F.slice(words, 2, nw - 1))
+                    .otherwise(empty)
+                    .alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("wb"))
+        .distinct()
+    )
+    uni_cont = (
+        bt.groupBy(F.col("wb").alias("kn_w"))
+        .agg(F.count(F.lit(1)).alias("n1p"))
+        .persist()
+    )
+    uni_cont.count()  # pass 3 materialized (sequential: an A/B of
+    # fusing the three pass materializations into one union job read
+    # 25.7s vs 15.5s here — concurrent heavy branches contend)
+    # ONE action collects every scalar: per-order count-of-counts
+    # (over the cached frames), t/u continuation totals, and the
+    # vocabulary size (the only uncached branch — a single
+    # explode+distinct corpus scan, so no concurrent duplication)
+    cfc = uni_cont.select(F.lit(1).alias("o"), F.col("n1p").alias("v"))
+    for k in range(2, n):
+        cfc = cfc.unionAll(
+            cont[k].select(F.lit(k).alias("o"), F.col("nc").alias("v"))
+        )
+    cfc = cfc.unionAll(
+        top_counts.select(F.lit(n).alias("o"), F.col("c").alias("v"))
+    )
+    scalars = (
+        cfc.groupBy("o")
+        .agg(
+            F.count(F.when(F.col("v") == 1, 1)).cast("long").alias("a"),
+            F.count(F.when(F.col("v") == 2, 1)).cast("long").alias("b"),
+        )
+        .select(F.lit("cc").alias("kind"), "o", "a", "b")
+        .unionAll(
+            uni_cont.agg(
+                F.sum("n1p").cast("long").alias("a"),
+                F.count(F.lit(1)).cast("long").alias("b"),
+            ).select(F.lit("tu").alias("kind"), F.lit(0).alias("o"), "a", "b")
+        )
+        .unionAll(
+            df.select(F.explode(words_az09(text_col)).alias("w"))
+            .agg(F.countDistinct("w").cast("long").alias("a"))
+            .select(
+                F.lit("v").alias("kind"),
+                F.lit(0).alias("o"),
+                "a",
+                F.lit(0).cast("long").alias("b"),
+            )
+        )
+        .collect()
+    )
+
+    def _disc(n1: int, n2: int) -> float:
+        if n1 + 2 * n2 == 0:
+            return 0.5
+        return round(min(max(n1 / (n1 + 2.0 * n2), 0.05), 0.95), 6)
+
+    discounts = {
+        int(r["o"]): _disc(int(r["a"]), int(r["b"]))
+        for r in scalars
+        if r["kind"] == "cc"
+    }
+    for k in range(1, n + 1):
+        discounts.setdefault(k, 0.5)
+    tu = next(r for r in scalars if r["kind"] == "tu")
+    t_types, u_types = float(tu["a"] or 0), float(tu["b"] or 0)
+    if t_types <= 0:
+        raise ValueError(
+            "train_kn_ngram: corpus has no bigrams — cannot build "
+            "continuation counts"
+        )
+    vocab = next(r for r in scalars if r["kind"] == "v")["a"] or 0
+    return KNNgramLM(
+        n=n,
+        top_counts=top_counts,
+        top_ctx=top_ctx,
+        cont=cont,
+        cont_ctx=cont_ctx,
+        uni_cont=uni_cont,
+        vocab_size=float(int(vocab) + 1),
+        t_types=t_types,
+        u_types=u_types,
+        discounts=discounts,
+        prune=int(prune),
+    )
+
+
+def score_kn_ngram_perplexity(
+    df: DataFrame,
+    lm: KNNgramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the order-n
+    KN model: ``(id_col, n_ngrams, avg_nll)``; docs with fewer than
+    n words score NULL. Fixed parenthesization per order (the
+    GENERATED DuckDB oracle mirrors it verbatim):
+
+      p1   = greatest(n1p - D1, 0)/T + ((D1*U)/T)*(1/V)
+      p_k  = ncs_k>0 ? greatest(nc_k - D_k, 0)/ncs_k
+                       + ((D_k*n_after_k)/ncs_k)*p_{k-1} : p_{k-1}
+      p_n  = c_ctx>0 ? greatest(c - D_n, 0)/c_ctx
+                       + ((D_n*n1p_ctx)/c_ctx)*p_{n-1} : p_{n-1}
+    """
+    n = lm.n
+    occ = _ngram_occurrences(df, text_col, [id_col], n)
+    j = (
+        occ.join(
+            lm.top_counts.select(
+                F.col("kn_ctx").alias(f"kn_ctx{n}"), "kn_w", "c"
+            ),
+            [f"kn_ctx{n}", "kn_w"],
+            "left",
+        ).join(
+            lm.top_ctx.select(
+                F.col("kn_ctx").alias(f"kn_ctx{n}"), "c_ctx", "n1p_ctx"
+            ),
+            f"kn_ctx{n}",
+            "left",
+        )
+    )
+    for k in range(2, n):
+        j = j.join(
+            lm.cont[k].select(
+                F.col("kn_ctx").alias(f"kn_ctx{k}"),
+                "kn_w",
+                F.col("nc").alias(f"nc{k}"),
+            ),
+            [f"kn_ctx{k}", "kn_w"],
+            "left",
+        ).join(
+            lm.cont_ctx[k].select(
+                F.col("kn_ctx").alias(f"kn_ctx{k}"),
+                F.col("ncs").alias(f"ncs{k}"),
+                F.col("n_after").alias(f"na{k}"),
+            ),
+            f"kn_ctx{k}",
+            "left",
+        )
+    j = j.join(lm.uni_cont, "kn_w", "left")
+    t, u, v = F.lit(lm.t_types), F.lit(lm.u_types), F.lit(lm.vocab_size)
+    d1 = F.lit(lm.discounts[1])
+    n1p = F.coalesce(F.col("n1p"), F.lit(0)).cast("double")
+    p = F.greatest(n1p - d1, F.lit(0.0)) / t + ((d1 * u) / t) * (
+        F.lit(1.0) / v
+    )
+    for k in range(2, n):
+        dk = F.lit(lm.discounts[k])
+        nck = F.coalesce(F.col(f"nc{k}"), F.lit(0)).cast("double")
+        ncsk = F.coalesce(F.col(f"ncs{k}"), F.lit(0)).cast("double")
+        nak = F.coalesce(F.col(f"na{k}"), F.lit(0)).cast("double")
+        p = F.when(
+            ncsk > 0,
+            F.greatest(nck - dk, F.lit(0.0)) / ncsk
+            + ((dk * nak) / ncsk) * p,
+        ).otherwise(p)
+    dn = F.lit(lm.discounts[n])
+    c = F.coalesce(F.col("c"), F.lit(0)).cast("double")
+    c_ctx = F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double")
+    n1p_ctx = F.coalesce(F.col("n1p_ctx"), F.lit(0)).cast("double")
+    p = F.when(
+        c_ctx > 0,
+        F.greatest(c - dn, F.lit(0.0)) / c_ctx
+        + ((dn * n1p_ctx) / c_ctx) * p,
+    ).otherwise(p)
+    scored = j.withColumn("nll_q", F.round(-F.log(p), 6).cast("decimal(28,6)"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        (F.sum("nll_q").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.col("avg_nll").cast("double").alias("avg_nll"),
+    )

@@ -18498,6 +18498,238 @@ def _als_frozen_oracle(top_k: int = 5) -> str:
 ORACLES["als_topk_frozen"] = _als_frozen_oracle()
 
 
+_KN5_PROBE = " kneser ney five gram zzqxj"
+
+
+def q_lm_perplexity_kn5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 interpolated Kneser-Ney perplexity (r11, VERDICT r10
+    #3, operators/lm_filter.py::train_kn_ngram — the real-CCNet
+    KenLM order): per-order count-of-counts discounts, continuation
+    counts from distinct (k+1)-gram types, and a top-order min-count
+    PRUNE (c > 1) so the 5-gram frame stays shuffle-friendly —
+    pruned grams fall through the interpolation, and the oracle
+    replays the pruning exactly. The CCNet shape proper: the model
+    trains on the TRUSTED slice (lang='en' — Wikipedia's role) and
+    scores the whole corpus; the scoring input carries a planted OOV
+    suffix so every backoff rung (5→4→3→2→1→unseen floor) is
+    exercised and pinned."""
+    _prep(spark)
+    from .operators.lm_filter import score_kn_ngram_perplexity, train_kn_ngram
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    lm = train_kn_ngram(
+        docs.where(F.col("lang") == "en"), "text", n=5, prune=1
+    )
+    probe = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_KN5_PROBE)).alias("text")
+    )
+    scored = score_kn_ngram_perplexity(probe, lm)
+    return scored.select(
+        "doc_id",
+        "n_ngrams",
+        "avg_nll",
+        (F.col("avg_nll").isNotNull() & (F.col("avg_nll") <= 3.5)).alias(
+            "keep"
+        ),
+    )
+
+
+def _kn_ngram_oracle(n: int = 5, prune: int = 1, probe: str = _KN5_PROBE) -> str:
+    """GENERATED order-n KN oracle: rebuilds every count frame
+    (top-order with the same prune, per-order continuation types,
+    bigram types), the per-order count-of-counts discounts, and the
+    fixed-parenthesization probability chain — mirroring
+    score_kn_ngram_perplexity op for op."""
+
+    def _join_words(lo: str, k: int) -> str:
+        # words[lo] || ' ' || words[lo+1] ... (k words)
+        return " || ' ' || ".join(f"words[{lo}+{j}]" for j in range(k))
+
+    # top-order occurrence struct: c{k} = k-1 trailing ctx words
+    packs = []
+    for k in range(2, n + 1):
+        packs.append(f"c{k} := {_join_words(f'i+{n - k}', k - 1)}")
+    packs.append(f"x := words[i+{n - 1}]")
+    topp = ", ".join(packs)
+    ctx_cols = ", ".join(f"c{k}" for k in range(2, n + 1))
+    dsc = (
+        "round(CASE WHEN count(*) FILTER ({col} = 1)"
+        " + 2 * count(*) FILTER ({col} = 2) > 0 THEN"
+        " least(greatest(CAST(count(*) FILTER ({col} = 1) AS DOUBLE)"
+        " / (count(*) FILTER ({col} = 1)"
+        " + 2.0 * count(*) FILTER ({col} = 2)), 0.05), 0.95)"
+        " ELSE 0.5 END, 6)"
+    )
+    ctes = [
+        (
+            "w AS MATERIALIZED (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(lower(text),"
+            " '[^a-z0-9]+'), x -> x != '') AS words FROM documents"
+            " WHERE lang = 'en')"
+        ),
+        (
+            "pw AS MATERIALIZED (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(lower(text ||"
+            f" '{probe}'), '[^a-z0-9]+'), x -> x != '') AS words"
+            " FROM documents)"
+        ),
+        (
+            f"tocc AS (SELECT unnest(CASE WHEN len(words) >= {n} THEN"
+            f" list_transform(range(1, len(words) - {n - 2}),"
+            f" i -> struct_pack({topp})) ELSE [] END) AS p FROM w)"
+        ),
+        (
+            "tcf AS MATERIALIZED (SELECT "
+            + ", ".join(f"p.c{k} AS c{k}" for k in range(2, n + 1))
+            + ", p.x AS x, count(*) AS c FROM tocc GROUP BY "
+            + ", ".join(str(i + 1) for i in range(n))
+            + ")"
+        ),
+        (
+            f"tc AS MATERIALIZED (SELECT c{n} AS ctx, x, c FROM tcf"
+            f" WHERE c > {prune})"
+        ),
+        (
+            "tctx AS MATERIALIZED (SELECT ctx, sum(c) AS c_ctx,"
+            " count(*) AS n1p_ctx FROM tc GROUP BY 1)"
+        ),
+        (
+            f"cont{n - 1} AS MATERIALIZED (SELECT c{n - 1} AS ctx, x,"
+            " count(*) AS nc FROM tcf GROUP BY 1, 2)"
+        ),
+        (
+            f"cctx{n - 1} AS MATERIALIZED (SELECT ctx, sum(nc) AS ncs,"
+            f" count(*) AS n_after FROM cont{n - 1} GROUP BY 1)"
+        ),
+    ]
+    for k in range(2, n - 1):
+        g = k + 1
+        ctes.append(
+            f"ty{k} AS (SELECT DISTINCT p.a AS a, p.m AS ctx, p.x AS x"
+            f" FROM (SELECT unnest(CASE WHEN len(words) >= {g} THEN"
+            f" list_transform(range(1, len(words) - {g - 2}),"
+            f" i -> struct_pack(a := words[i],"
+            f" m := {_join_words('i+1', k - 1)},"
+            f" x := words[i+{g - 1}])) ELSE [] END) AS p FROM w) q)"
+        )
+        ctes.append(
+            f"cont{k} AS MATERIALIZED (SELECT ctx, x, count(*) AS nc"
+            f" FROM ty{k} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cctx{k} AS MATERIALIZED (SELECT ctx, sum(nc) AS ncs,"
+            f" count(*) AS n_after FROM cont{k} GROUP BY 1)"
+        )
+    ctes += [
+        (
+            "bocc AS (SELECT unnest(CASE WHEN len(words) >= 2 THEN"
+            " list_transform(range(1, len(words)),"
+            " i -> struct_pack(a := words[i], b := words[i+1]))"
+            " ELSE [] END) AS p FROM w)"
+        ),
+        "bt AS (SELECT DISTINCT p.a AS w1, p.b AS wb FROM bocc)",
+        (
+            "uc AS MATERIALIZED (SELECT wb AS wu, count(*) AS n1p"
+            " FROM bt GROUP BY 1)"
+        ),
+    ]
+    dlines = [
+        "(SELECT CAST(sum(n1p) AS DOUBLE) FROM uc) AS t_types",
+        "(SELECT CAST(count(*) AS DOUBLE) FROM uc) AS u_types",
+        (
+            "(SELECT CAST(count(DISTINCT x) AS DOUBLE) + 1.0"
+            " FROM (SELECT unnest(words) AS x FROM w)) AS v"
+        ),
+        f"(SELECT {dsc.format(col='n1p')} FROM uc) AS d1",
+        f"(SELECT {dsc.format(col='c')} FROM tc) AS d{n}",
+    ]
+    for k in range(2, n):
+        dlines.append(f"(SELECT {dsc.format(col='nc')} FROM cont{k}) AS d{k}")
+    ctes.append("sca AS MATERIALIZED (SELECT " + ", ".join(dlines) + ")")
+    ctes.append(
+        f"socc AS (SELECT doc_id, unnest(CASE WHEN len(words) >= {n}"
+        f" THEN list_transform(range(1, len(words) - {n - 2}),"
+        f" i -> struct_pack({topp})) ELSE [] END) AS p FROM pw)"
+    )
+    jsel = [
+        "s.doc_id",
+        "CAST(COALESCE(tc.c, 0) AS DOUBLE) AS c",
+        "CAST(COALESCE(tctx.c_ctx, 0) AS DOUBLE) AS c_ctx",
+        "CAST(COALESCE(tctx.n1p_ctx, 0) AS DOUBLE) AS n1p_ctx",
+        "CAST(COALESCE(uc.n1p, 0) AS DOUBLE) AS n1p",
+    ]
+    jfrom = [
+        (
+            "(SELECT doc_id, "
+            + ", ".join(f"p.c{k} AS c{k}" for k in range(2, n + 1))
+            + ", p.x AS x FROM socc) s"
+        ),
+        f"LEFT JOIN tc ON tc.ctx = s.c{n} AND tc.x = s.x",
+        f"LEFT JOIN tctx ON tctx.ctx = s.c{n}",
+        "LEFT JOIN uc ON uc.wu = s.x",
+    ]
+    for k in range(2, n):
+        jsel.append(f"CAST(COALESCE(n{k}.nc, 0) AS DOUBLE) AS nc{k}")
+        jsel.append(f"CAST(COALESCE(x{k}.ncs, 0) AS DOUBLE) AS ncs{k}")
+        jsel.append(f"CAST(COALESCE(x{k}.n_after, 0) AS DOUBLE) AS na{k}")
+        jfrom.append(
+            f"LEFT JOIN cont{k} n{k} ON n{k}.ctx = s.c{k} AND n{k}.x = s.x"
+        )
+        jfrom.append(f"LEFT JOIN cctx{k} x{k} ON x{k}.ctx = s.c{k}")
+    jsel.append("sca.*")
+    jfrom.append("CROSS JOIN sca")
+    ctes.append(
+        "j AS (SELECT " + ", ".join(jsel) + " FROM " + " ".join(jfrom) + ")"
+    )
+    carry = (
+        "c, c_ctx, n1p_ctx, "
+        + ", ".join(f"nc{k}, ncs{k}, na{k}" for k in range(2, n))
+        + ", "
+        + ", ".join(f"d{k}" for k in range(2, n + 1))
+    )
+    ctes.append(
+        "pr1 AS (SELECT doc_id, greatest(n1p - d1, 0.0) / t_types"
+        " + ((d1 * u_types) / t_types) * (1.0 / v) AS p, "
+        + carry
+        + " FROM j)"
+    )
+    prev = "pr1"
+    for k in range(2, n):
+        ctes.append(
+            f"pr{k} AS (SELECT doc_id, CASE WHEN ncs{k} > 0 THEN"
+            f" greatest(nc{k} - d{k}, 0.0) / ncs{k}"
+            f" + ((d{k} * na{k}) / ncs{k}) * p ELSE p END AS p, "
+            + carry
+            + f" FROM {prev})"
+        )
+        prev = f"pr{k}"
+    ctes.append(
+        "sc AS (SELECT doc_id, CAST(round(-ln(CASE WHEN c_ctx > 0 THEN"
+        f" greatest(c - d{n}, 0.0) / c_ctx"
+        f" + ((d{n} * n1p_ctx) / c_ctx) * p ELSE p END), 6)"
+        f" AS DECIMAL(28,6)) AS nll_q FROM {prev})"
+    )
+    ctes.append(
+        "per AS (SELECT doc_id, count(*) AS n_ngrams,"
+        " CAST(sum(nll_q) AS DOUBLE) / count(*) AS avg_nll"
+        " FROM sc GROUP BY doc_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "    SELECT d.doc_id,\n"
+        "      CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,\n"
+        "      per.avg_nll,\n"
+        "      (per.avg_nll IS NOT NULL AND per.avg_nll <= 3.5) AS keep\n"
+        "    FROM (SELECT DISTINCT doc_id FROM documents) d\n"
+        "    LEFT JOIN per USING (doc_id)"
+    )
+
+
+ORACLES["lm_perplexity_kn5"] = _kn_ngram_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -19138,6 +19370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_mixture": q_doremi_mixture,
         # r11: ALS frozen serving twin (exact integer-micro scoring)
         "als_topk_frozen": q_als_topk_frozen,
+        # r11: order-5 Kneser-Ney with top-order pruning
+        "lm_perplexity_kn5": q_lm_perplexity_kn5,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter
