@@ -122,6 +122,7 @@ HEADLINE = [
     "doremi_mixture",
     "als_topk_frozen",
     "lm_perplexity_kn5",
+    "incremental_join",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -328,6 +328,107 @@ def test_kn_order_validation(spark):
         train_kn_ngram(_kn_docs(spark, ["a b c"]), "text", n=2)
 
 
+# ---------------------------------------------------------------------------
+# Delta-join incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _ivm_frames(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 6.0), (3, 20, 7.0), (4, 30, 8.0)],
+        "okey int, jk int, pa double",
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (40, "z")], "jk int, pb string"
+    )
+    view = a.join(b, "jk").select("okey", "jk", "pa", "pb")
+    return a, b, view
+
+
+def _refresh(spark, da, db):
+    from skrub_spark.operators.cdc import refresh_join
+
+    a, b, view = _ivm_frames(spark)
+    delta_a = (
+        spark.createDataFrame(da, "op string, okey int, jk int, pa double")
+        if da
+        else None
+    )
+    delta_b = (
+        spark.createDataFrame(db, "op string, jk int, pb string")
+        if db
+        else None
+    )
+    out = refresh_join(
+        view, a, b, delta_a, delta_b, a_key="okey", b_key="jk", on="jk"
+    )
+    return sorted(tuple(r) for r in out.collect())
+
+
+def _full(spark, da, db):
+    a, b, _ = _ivm_frames(spark)
+    arows = {r["okey"]: (r["okey"], r["jk"], r["pa"]) for r in a.collect()}
+    for op, okey, jk, pa in da or []:
+        if op == "D":
+            arows.pop(okey, None)
+        else:
+            arows[okey] = (okey, jk, pa)
+    brows = {r["jk"]: (r["jk"], r["pb"]) for r in b.collect()}
+    for op, jk, pb in db or []:
+        if op == "D":
+            brows.pop(jk, None)
+        else:
+            brows[jk] = (jk, pb)
+    return sorted(
+        (okey, jk, pa, brows[jk][1])
+        for okey, jk, pa in arows.values()
+        if jk in brows
+    )
+
+
+@pytest.mark.parametrize(
+    "da,db",
+    [
+        # fact-side update + insert + delete
+        ([("U", 1, 10, 50.0), ("I", 9, 20, 9.0), ("D", 3, None, None)], []),
+        # dimension-side rewrite + delete tombstone (drops ALL its
+        # fact rows) + insert that LIGHTS UP a dark fact (jk=30)
+        ([], [("U", 10, "x2"), ("D", 20, None), ("I", 30, "w")]),
+        # both sides change at once, incl. the dA x dB corner: a new
+        # fact joining a new dimension row
+        (
+            [("I", 9, 50, 9.5), ("U", 2, 10, 60.0), ("D", 4, None, None)],
+            [("I", 50, "v"), ("U", 10, "x3"), ("D", 20, None)],
+        ),
+        # no-op deltas
+        ([], []),
+    ],
+)
+def test_refresh_join_matches_full_recompute(spark, da, db):
+    assert _refresh(spark, da, db) == _full(spark, da, db)
+
+
+def test_refresh_join_is_broadcast_only(spark):
+    """The maintenance plan must broadcast the deltas — no
+    sort-merge/shuffle join of the base or view sides. The view is
+    materialized first (as in production, where it is a table): an
+    unmaterialized view recomputes its own defining join inside the
+    plan, which is not the maintenance path under test."""
+    from skrub_spark.operators.cdc import refresh_join
+
+    a, b, view = _ivm_frames(spark)
+    view = spark.createDataFrame(view.collect(), view.schema)
+    da = spark.createDataFrame(
+        [("U", 1, 10, 50.0)], "op string, okey int, jk int, pa double"
+    )
+    out = refresh_join(
+        view, a, b, da, None, a_key="okey", b_key="jk", on="jk"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_doremi_smoothing_validation(spark):
     from skrub_spark.operators.doremi import doremi_weights
 
