@@ -429,6 +429,131 @@ def test_refresh_join_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+# ---------------------------------------------------------------------------
+# Streaming late-data side output
+# ---------------------------------------------------------------------------
+
+
+def _run_late_stream(spark, tmp_path, rows, *, window_us, lateness_us):
+    """rows: (event_id, key, ts_us); batch 0 = even ids, batch 1 =
+    odd ids. Returns (summed agg dict, late id set)."""
+    import glob
+    import os as _os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from skrub_spark.streaming.ops import streaming_late_data
+
+    df = spark.createDataFrame(
+        rows, "event_id long, key string, ts_us long"
+    )
+    src = str(tmp_path / f"src_{uuid.uuid4().hex[:6]}")
+    _os.makedirs(src)
+    for i, part in enumerate(
+        (df.filter("event_id % 2 = 0"), df.filter("event_id % 2 = 1"))
+    ):
+        d = src + f"_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = _os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(glob.glob(_os.path.join(d, "part-*.parquet"))[0], dst)
+        _os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "late_test_" + uuid.uuid4().hex[:6]
+    q = (
+        streaming_late_data(
+            stream,
+            "key",
+            "ts_us",
+            "event_id",
+            window_us=window_us,
+            lateness_us=lateness_us,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    mem = spark.table(name)
+    agg = {
+        (r["key"], r["window_start_us"]): r["n"]
+        for r in mem.where("kind = 'agg'")
+        .groupBy("key", "window_start_us")
+        .agg(F.sum("n_rows").cast("long").alias("n"))
+        .collect()
+    }
+    late = {r["late_id"] for r in mem.where("kind = 'late'").collect()}
+    return agg, late
+
+
+def test_late_data_quarantines_planted_rows(spark, tmp_path):
+    """Rows older than (max prior event time - lateness) land in the
+    quarantine output; on-time counts exclude exactly them."""
+    w, lateness = 100, 50
+    rows = (
+        # batch 0 (even ids): ts up to 1000 -> watermark = 950
+        [(0, "a", 950), (2, "a", 1000), (4, "a", 120)]
+        # batch 1 (odd ids): 955 is inside lateness (>= 950); 10 and
+        # 899 are late (< 950); 1100 advances the clock
+        + [(1, "a", 955), (3, "a", 10), (5, "a", 899), (7, "a", 1100)]
+    )
+    agg, late = _run_late_stream(
+        spark, tmp_path, rows, window_us=w, lateness_us=lateness
+    )
+    assert late == {3, 5}
+    # on-time rows: 950,1000,120 (batch 0) + 955,1100 (batch 1)
+    assert agg == {
+        ("a", 900): 2,
+        ("a", 1000): 1,
+        ("a", 100): 1,
+        ("a", 1100): 1,
+    }
+
+
+def test_late_data_no_late_equals_batch_agg(spark, tmp_path):
+    """With nothing late, the summed partial counts equal the batch
+    tumbling-window aggregation bit-for-bit."""
+    w = 100
+    rows = [
+        (i, "k" + str(i % 2), 1000 + i * 37) for i in range(40)
+    ]  # odd batch has LARGER ts than even max? ensure no late: use
+    # monotone-by-batch ts: evens 1000.., odds all >= even max
+    rows = [
+        (i, "g", (1000 + i * 3) if i % 2 == 0 else (2000 + i * 3))
+        for i in range(40)
+    ]
+    agg, late = _run_late_stream(
+        spark, tmp_path, rows, window_us=w, lateness_us=10
+    )
+    assert late == set()
+    import collections
+
+    ref = collections.Counter(
+        ("g", (ts // w) * w) for _, _, ts in rows
+    )
+    assert agg == dict(ref)
+
+
+def test_late_data_first_batch_never_late(spark, tmp_path):
+    """No prior state -> batch-0 rows are never quarantined, however
+    old; keys appearing only in batch 1 are also never late."""
+    rows = [(0, "a", 5), (2, "a", 99999), (1, "b", 7)]
+    agg, late = _run_late_stream(
+        spark, tmp_path, rows, window_us=10, lateness_us=1
+    )
+    assert late == set()
+    assert sum(v for (k, _), v in agg.items() if k == "a") == 2
+    assert sum(v for (k, _), v in agg.items() if k == "b") == 1
+
+
 def test_doremi_smoothing_validation(spark):
     from skrub_spark.operators.doremi import doremi_weights
 
