@@ -123,6 +123,8 @@ HEADLINE = [
     "als_topk_frozen",
     "lm_perplexity_kn5",
     "incremental_join",
+    "ccnet_buckets",
+    "unimax_allocation",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",
@@ -687,20 +689,41 @@ def main() -> None:
             f"# untimed sf0.001 warm-up pass: {time.time() - t0:.1f}s",
             file=sys.stderr,
         )
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
-        # queries persist/checkpoint their own branch points (tfidf
-        # tf, LM count frames, contingency cells); across ~250
-        # sequential queries those blocks accumulate and LRU-thrash
-        # executor memory, inflating LATE queries by 2-3x (r10
-        # probe). Each query runs once, so dropping its cache after
-        # timing costs nothing and isolates measurements.
-        spark.catalog.clearCache()
+    # r11 (VERDICT r10 #5): this box swings ±15% between runs, which
+    # made every >1.4x mover ambiguous and cost two rounds of
+    # re-litigating noise. The committed bench pair therefore runs
+    # SPARK_GRAFT_BENCH_LEGS legs (3 for the committed artifacts)
+    # and reports the per-query MEDIAN; the raw legs land in
+    # BENCH_detail.json. Default stays 1 leg so the driver's
+    # per-round run fits its timeout.
+    legs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "1")))
+    leg_timings: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for leg in range(legs):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            leg_timings[name].append(dt)
+            print(
+                f"# [{leg + 1}/{legs}] {name}: {dt:.2f}s ({n} rows)",
+                file=sys.stderr,
+            )
+            # queries persist/checkpoint their own branch points
+            # (tfidf tf, LM count frames, contingency cells); across
+            # ~250 sequential queries those blocks accumulate and
+            # LRU-thrash executor memory, inflating LATE queries by
+            # 2-3x (r10 probe). Each query runs once per leg, so
+            # dropping its cache after timing costs nothing and
+            # isolates measurements.
+            spark.catalog.clearCache()
+    import statistics
+
+    timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in leg_timings.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -714,6 +737,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "legs": legs,
+        "raw_legs": leg_timings,
         "scale_demos": demos,
         "sf": sf_val,
     }
@@ -722,7 +747,9 @@ def main() -> None:
     # parses as null (BENCH_r08.json). Emit the full JSON first (and
     # persist it to a file next to this script), then end with ONE
     # compact line that survives any tail window.
-    print(json.dumps(full))
+    # raw legs live only in BENCH_detail.json — the printed line is
+    # already ~190 entries and the driver keeps an output tail
+    print(json.dumps({k: v for k, v in full.items() if k != "raw_legs"}))
     try:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"

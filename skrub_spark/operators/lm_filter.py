@@ -160,9 +160,14 @@ def perplexity_filter(
 ) -> DataFrame:
     """CCNet-style head selection: adds ``avg_nll`` and a ``keep``
     flag (``avg_nll <= max_avg_nll``; unscoreable docs are dropped).
-    Pass a :class:`KNTrigramLM` (r10) for Kneser-Ney smoothing; an
-    :class:`NgramLM` scores add-alpha as before."""
-    if isinstance(lm, KNTrigramLM):
+    Pass a :class:`KNTrigramLM` (r10) or order-n :class:`KNNgramLM`
+    (r11) for Kneser-Ney smoothing; an :class:`NgramLM` scores
+    add-alpha as before."""
+    if isinstance(lm, KNNgramLM):
+        scores = score_kn_ngram_perplexity(
+            df, lm, text_col=text_col, id_col=id_col
+        )
+    elif isinstance(lm, KNTrigramLM):
         scores = score_kn_perplexity(
             df, lm, text_col=text_col, id_col=id_col
         )
@@ -800,3 +805,48 @@ def score_kn_ngram_perplexity(
         F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
         F.col("avg_nll").cast("double").alias("avg_nll"),
     )
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    lang_col: str,
+    score_col: str,
+    id_col: str,
+    *,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al. 2019
+    §4.3 — the step AFTER scoring): within each language, rank
+    documents by perplexity ascending and cut into |labels|
+    equal-count buckets ('head' = most in-domain; CCNet trains on
+    head+middle and discards tail, or reweights per bucket).
+
+    Exact integer bucketing: ``bucket = ((rank-1) * k) DIV count``
+    over a total order (score asc, id asc) — no ntile remainder
+    ambiguity, bit-replayable in SQL. Unscoreable documents (NULL
+    score — fewer words than the LM order) come back labeled
+    'unscored' rather than silently dropped.
+
+    100 TB shape: one per-language window sort (the heaviest op —
+    CCNet itself shards this per language) + a map-only label."""
+    from pyspark.sql import Window
+
+    k = len(labels)
+    scored = scores.where(F.col(score_col).isNotNull())
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(lang_col))
+    rn = F.row_number().over(w)
+    idx = F.expr(f"CAST((__rn - 1) * {k} AS BIGINT) DIV __cnt")
+    lab = F.array(*[F.lit(x) for x in labels])
+    bucketed = (
+        scored.withColumn("__rn", rn)
+        .withColumn("__cnt", cnt)
+        .withColumn("bucket", F.element_at(lab, (idx + 1).cast("int")))
+        .drop("__rn", "__cnt")
+    )
+    unscored = scores.where(F.col(score_col).isNull()).withColumn(
+        "bucket", F.lit("unscored")
+    )
+    return bucketed.unionByName(unscored)

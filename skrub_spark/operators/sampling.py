@@ -434,3 +434,61 @@ def neyman_allocation(
             .alias("n_alloc"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining" — the budget-constrained successor to
+    temperature sampling): distribute a total row ``budget`` across
+    strata so every stratum gets an equal share, EXCEPT that no
+    stratum repeats more than ``max_epochs`` times — the epoch cap
+    is what prevents a low-resource language from being memorized.
+
+    The waterfilling scan: visit strata by ascending size; each gets
+    ``min(max_epochs * n_d, remaining DIV strata_left)`` — if the
+    cap binds, its leftover share flows to the larger strata. Exact
+    integer arithmetic over the |strata|-row frame, driver-side (the
+    IPF codebook discipline); a recursive-CTE oracle replays the
+    scan (battery ``unimax_allocation``). One groupBy count is the
+    corpus-scale work.
+
+    Returns ``(strata, n_rows, allocation, epochs)`` with
+    ``epochs = round(allocation / n_rows, 6)`` (<= max_epochs).
+    Feed ``allocation`` into :func:`sample_to_targets` (epochs <= 1
+    strata) or a repeat-loader (epochs > 1)."""
+    if int(budget) < 0 or int(max_epochs) < 1:
+        raise ValueError("unimax_allocation: budget >= 0, max_epochs >= 1")
+    counts = sorted(
+        (
+            (r[0], int(r[1]))
+            for r in df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda kv: (kv[1], str(kv[0])),
+    )
+    remaining = int(budget)
+    left = len(counts)
+    rows = []
+    for s, n in counts:
+        alloc = min(int(max_epochs) * n, remaining // left) if left else 0
+        remaining -= alloc
+        left -= 1
+        rows.append((s, n, alloc))
+    spark = df.sparkSession
+    out = spark.createDataFrame(rows, [strata_col, "n_rows", "allocation"])
+    return out.select(
+        strata_col,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("allocation").cast("long").alias("allocation"),
+        F.round(
+            F.col("allocation").cast("double") / F.col("n_rows"), 6
+        ).alias("epochs"),
+    )

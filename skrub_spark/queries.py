@@ -18952,6 +18952,165 @@ ORACLES["streaming_late_data"] = f"""
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language perplexity bucketing (r11,
+    operators/lm_filter.py::ccnet_buckets — Wenzek et al. 2019 §4.3,
+    the step AFTER lm_perplexity_filter's scoring): within each
+    language, rank documents by add-alpha bigram avg_nll and cut
+    into exact-integer head/middle/tail terciles (((rank-1)*3) DIV
+    count — no ntile remainder ambiguity); unscoreable docs come
+    back 'unscored'. Returns per (lang, bucket) doc counts plus the
+    bucket's nll range — the corpus card CCNet publishes."""
+    _prep(spark)
+    from .operators.lm_filter import (
+        ccnet_buckets,
+        score_ngram_perplexity,
+        train_ngram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    lm = train_ngram_lm(docs, "text", n=2)
+    scored = docs.join(
+        score_ngram_perplexity(docs, lm, alpha=1.0), "doc_id"
+    )
+    b = ccnet_buckets(scored, "lang", "avg_nll", "doc_id")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.round("avg_nll", 6)).alias("nll_min"),
+        F.max(F.round("avg_nll", 6)).alias("nll_max"),
+    )
+
+
+ORACLES["ccnet_buckets"] = """
+    WITH w AS (
+      SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '') AS words
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(words) >= 2 THEN
+          list_transform(range(1, len(words)),
+            i -> struct_pack(gram := words[i] || ' ' || words[i+1],
+                             ctx := words[i]))
+        ELSE [] END) AS p
+      FROM w
+    ), pairs AS (
+      SELECT doc_id, p.gram AS gram, p.ctx AS ctx FROM occ
+    ), cnt AS (
+      SELECT gram, count(*) AS c FROM pairs GROUP BY gram
+    ), ctxc AS (
+      SELECT ctx, count(*) AS ctx_c FROM pairs GROUP BY ctx
+    ), v AS (
+      SELECT count(DISTINCT x) AS vs
+      FROM (SELECT unnest(words) AS x FROM w)
+    ), sc AS (
+      SELECT p.doc_id,
+        CAST(round(-ln((cnt.c + 1.0) / (ctxc.ctx_c + 1.0 * v.vs)), 6)
+             AS DECIMAL(28,6)) AS nll_q
+      FROM pairs p JOIN cnt USING (gram) JOIN ctxc USING (ctx)
+      CROSS JOIN v
+    ), per AS (
+      SELECT doc_id, CAST(sum(nll_q) AS DOUBLE) / count(*) AS avg_nll
+      FROM sc GROUP BY doc_id
+    ), scored AS (
+      SELECT w.doc_id, w.lang, per.avg_nll
+      FROM w LEFT JOIN per USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, lang, avg_nll,
+        row_number() OVER (
+          PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC
+        ) AS rn,
+        count(*) OVER (PARTITION BY lang) AS cnt
+      FROM scored WHERE avg_nll IS NOT NULL
+    ), lab AS (
+      SELECT lang,
+        ['head', 'middle', 'tail'][
+          CAST((CAST(rn - 1 AS BIGINT) * 3) // cnt AS INTEGER) + 1
+        ] AS bucket,
+        avg_nll
+      FROM ranked
+      UNION ALL
+      SELECT lang, 'unscored', avg_nll
+      FROM scored WHERE avg_nll IS NULL
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           min(round(avg_nll, 6)) AS nll_min,
+           max(round(avg_nll, 6)) AS nll_max
+    FROM lab GROUP BY 1, 2
+"""
+
+_UNIMAX_BUDGET = 900
+_UNIMAX_EPOCHS = 3
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (r11,
+    operators/sampling.py::unimax_allocation — Chung et al. 2023):
+    waterfill a 900-row budget across sources ascending-by-size with
+    a 3-epoch cap — the budget-constrained successor to
+    temperature_mixture, and the third leg of the mixture family
+    next to doremi_weights (loss-driven) and mixture_sample
+    (target-driven). Exact integers end to end; the oracle replays
+    the scan with a recursive CTE."""
+    _prep(spark)
+    from .operators.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    # synthetic SKEWED strata (~1/15, 2/15, 4/15, 8/15 of the corpus
+    # via an integer CASE on doc_id % 15) so the epoch cap BINDS for
+    # the small strata — the raw sources are uniform in the fixture
+    m = F.col("doc_id") % 15
+    skewed = docs.withColumn(
+        "stratum",
+        F.when(m == 0, "g0")
+        .when(m < 3, "g1")
+        .when(m < 7, "g2")
+        .otherwise("g3"),
+    )
+    return unimax_allocation(
+        skewed,
+        "stratum",
+        budget=_UNIMAX_BUDGET,
+        max_epochs=_UNIMAX_EPOCHS,
+    )
+
+
+ORACLES["unimax_allocation"] = f"""
+    WITH RECURSIVE c AS (
+      SELECT CASE WHEN doc_id % 15 = 0 THEN 'g0'
+                  WHEN doc_id % 15 < 3 THEN 'g1'
+                  WHEN doc_id % 15 < 7 THEN 'g2'
+                  ELSE 'g3' END AS stratum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), s AS (
+      SELECT stratum, n,
+        row_number() OVER (ORDER BY n ASC, stratum ASC) AS rn,
+        count(*) OVER () AS d
+      FROM c
+    ), r(rn, remaining, left_n, stratum, n, alloc) AS (
+      SELECT 0, CAST({_UNIMAX_BUDGET} AS HUGEINT),
+             (SELECT CAST(d AS BIGINT) FROM s LIMIT 1),
+             CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+             CAST(0 AS HUGEINT)
+      UNION ALL
+      SELECT s.rn,
+        r.remaining - least(CAST({_UNIMAX_EPOCHS} AS HUGEINT) * s.n,
+                            r.remaining // r.left_n),
+        r.left_n - 1, s.stratum, s.n,
+        least(CAST({_UNIMAX_EPOCHS} AS HUGEINT) * s.n,
+              r.remaining // r.left_n)
+      FROM r JOIN s ON s.rn = r.rn + 1
+    )
+    SELECT stratum, n AS n_rows, CAST(alloc AS BIGINT) AS allocation,
+           round(CAST(alloc AS DOUBLE) / n, 6) AS epochs
+    FROM r WHERE rn > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -19598,6 +19757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join": q_incremental_join,
         # r11: event-time allowed-lateness + quarantine side output
         "streaming_late_data": q_streaming_late_data,
+        # r11: CCNet perplexity terciles + UniMax budget waterfilling
+        "ccnet_buckets": q_ccnet_buckets,
+        "unimax_allocation": q_unimax_allocation,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -554,6 +554,86 @@ def test_late_data_first_batch_never_late(spark, tmp_path):
     assert sum(v for (k, _), v in agg.items() if k == "b") == 1
 
 
+# ---------------------------------------------------------------------------
+# CCNet buckets + UniMax allocation
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_exact_terciles(spark):
+    from skrub_spark.operators.lm_filter import ccnet_buckets
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [
+        (100, "en", None),
+        (200, "fr", 1.0),
+        (201, "fr", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_nll double"
+    )
+    out = ccnet_buckets(df, "lang", "avg_nll", "doc_id").collect()
+    en = {r["doc_id"]: r["bucket"] for r in out if r["lang"] == "en"}
+    # 9 scored docs -> exact thirds, ordered by nll
+    assert [en[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert en[100] == "unscored"
+    fr = {r["doc_id"]: r["bucket"] for r in out if r["lang"] == "fr"}
+    # 2 docs over 3 buckets: rank rule gives head + middle... exact:
+    # ((1-1)*3)//2 = 0 head, ((2-1)*3)//2 = 1 middle
+    assert fr == {200: "head", 201: "middle"}
+
+
+def test_unimax_waterfill_cap_and_share(spark):
+    from skrub_spark.operators.sampling import unimax_allocation
+
+    rows = (
+        [("tiny", i) for i in range(10)]
+        + [("mid", i) for i in range(100)]
+        + [("big", i) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "s string, i int")
+    out = {
+        r["s"]: (r["n_rows"], r["allocation"], r["epochs"])
+        for r in unimax_allocation(
+            df, "s", budget=900, max_epochs=2
+        ).collect()
+    }
+    # ascending scan: tiny gets min(2*10, 900//3)=20 (cap binds),
+    # mid gets min(200, 880//2)=200 (cap binds), big gets
+    # min(2000, 680//1)=680 (share binds)
+    assert out["tiny"] == (10, 20, 2.0)
+    assert out["mid"] == (100, 200, 2.0)
+    assert out["big"] == (1000, 680, 0.68)
+    assert sum(v[1] for v in out.values()) == 900
+
+
+def test_unimax_budget_exceeds_caps(spark):
+    """When the budget exceeds every stratum's cap, each stratum is
+    capped at max_epochs * n (leftover budget goes unspent)."""
+    from skrub_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 10, "s string, i int"
+    )
+    out = {
+        r["s"]: r["allocation"]
+        for r in unimax_allocation(
+            df, "s", budget=10_000, max_epochs=3
+        ).collect()
+    }
+    assert out == {"a": 15, "b": 30}
+
+
+def test_unimax_validation(spark):
+    from skrub_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame([("a", 1)], "s string, i int")
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "s", budget=-1)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "s", budget=10, max_epochs=0)
+
+
 def test_doremi_smoothing_validation(spark):
     from skrub_spark.operators.doremi import doremi_weights
 
