@@ -19808,6 +19808,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("holt_winters", "impute_median"),
         ("msprt_monitor", "datetime_features"),
         ("cusum_monitor", "audience_overlap"),
+        # r11 swaps: six round-11 flagships rotate into the window,
+        # each displacing a same-family (or family-still-represented)
+        # veteran — lm_perplexity_kn5 (the order-5 upgrade replaces
+        # the r10 trigram, which stays in the full battery),
+        # doremi_weights (mixture OPTIMIZER; hash_split demoted —
+        # sampling stays via the doremi->sample_to_targets chain),
+        # doremi_mixture (the optimizer->sampler composition;
+        # pack_chunks demoted — packing stays via
+        # pretraining_pipeline), als_topk_frozen (frozen serving
+        # path; association_rules demoted — co-occurrence recsys
+        # stays in the full battery), incremental_join (delta-join
+        # IVM; adaptive_agg demoted — strategy-selection stays via
+        # bucketed_join_revenue), streaming_late_data (allowed-
+        # lateness quarantine; streaming_near_dup_flags demoted —
+        # streaming keeps streaming_upsert + late_data, near-dup
+        # keeps incremental_near_dedup/minhash in-window). All
+        # displaced queries stay in the full battery.
+        ("lm_perplexity_kn5", "lm_perplexity_kn"),
+        ("doremi_weights", "hash_split"),
+        ("doremi_mixture", "pack_chunks"),
+        ("als_topk_frozen", "association_rules"),
+        ("incremental_join", "adaptive_agg"),
+        ("streaming_late_data", "streaming_near_dup_flags"),
     ):
         ip, idm = names.index(promoted), names.index(demoted)
         names[ip], names[idm] = names[idm], names[ip]
