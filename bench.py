@@ -125,6 +125,7 @@ HEADLINE = [
     "incremental_join",
     "ccnet_buckets",
     "unimax_allocation",
+    "kcenter_coreset",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

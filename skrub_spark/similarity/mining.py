@@ -155,3 +155,110 @@ def truncation_recall(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def kcenter_select(
+    emb,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    seed_id=None,
+):
+    """Greedy k-center coreset selection (r11 — Gonzalez 1985
+    farthest-point traversal, the diversity-sampling complement to
+    SemDeDup: instead of REMOVING near-duplicates, PICK the k most
+    mutually-distant exemplars, the standard seed set for
+    cluster-balanced curation and eval-probe selection; 2-approx to
+    the optimal k-center radius).
+
+    Exactness: coordinates are quantized to integer MICRO units
+    (round(x, 6) x 1e6 as BIGINT) before any distance, so squared
+    L2 is exact integer arithmetic — order-independent, bit-equal
+    in any engine — and the argmax (farthest point, ties to the
+    LOWEST id) is replayable by a chained-CTE SQL oracle (battery
+    ``kcenter_coreset``). The quantization IS the operator's
+    documented metric (1e-6 per-coordinate resolution).
+
+    Distributed shape: k-1 passes, each a broadcast join against
+    the single new center + one running least() + one max(struct)
+    argmax aggregate (map-side combined). Driver state: the k
+    chosen (id, vector) pairs — codebook-sized. At 100 TB one pass
+    per center is the honest greedy cost; for k in the thousands
+    use the cell-bucketed kmeans seeding in dedup/embedding.py
+    instead.
+
+    Returns ``(rank, id, mind2)``: selection order, chosen id, and
+    the point's exact min squared micro-distance to the previously
+    chosen set (NULL for the seed). ``seed_id`` defaults to the
+    smallest id (deterministic)."""
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    spark = emb.sparkSession
+    q = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: (F.round(x, 6).cast("decimal(18,6)") * 1000000).cast(
+                "long"
+            ),
+        ).alias("__v"),
+    ).persist()
+    if seed_id is None:
+        seed_id = q.agg(F.min("__id")).first()[0]
+    seed_row = q.where(F.col("__id") == seed_id).first()
+    if seed_row is None:
+        raise ValueError(f"kcenter_select: seed id {seed_id!r} not found")
+    chosen = [(int(seed_row["__id"]), list(seed_row["__v"]), None)]
+
+    def _d2(center_vec):
+        # explicit per-dimension terms (dim is bounded) instead of a
+        # zip_with/aggregate lambda pair — interpreted HOFs over a
+        # literal array measured ~3x slower per pass
+        expr = None
+        for i, x in enumerate(center_vec):
+            d = F.element_at("__v", i + 1) - F.lit(int(x))
+            t = d * d
+            expr = t if expr is None else expr + t
+        return expr.cast("long")
+
+    # ONE job per iteration: the frame carries (id, vector, min-d2),
+    # so each round is a map-only least() update, and the argmax
+    # aggregate both populates the new cache and returns the next
+    # center WITH its vector (array field rides in the max-struct —
+    # (m, -id) is unique, so the array never decides the ordering).
+    def _argmax(frame):
+        return frame.agg(
+            F.max(
+                F.struct(
+                    F.col("__m"),
+                    (-F.col("__id")).alias("__n"),
+                    F.col("__v"),
+                )
+            )
+        ).first()[0]
+
+    mind = q.select("__id", "__v", _d2(chosen[0][1]).alias("__m")).persist()
+    top = _argmax(mind)
+    for _ in range(int(k) - 1):
+        if top is None:
+            break
+        nid, nvec = -int(top["__n"]), list(top["__v"])
+        chosen.append((nid, nvec, int(top["__m"])))
+        if len(chosen) >= int(k):
+            break
+        nxt = mind.select(
+            "__id", "__v", F.least(F.col("__m"), _d2(nvec)).alias("__m")
+        ).persist()
+        top = _argmax(nxt)
+        mind.unpersist()
+        mind = nxt
+    mind.unpersist()
+    q.unpersist()
+    out = spark.createDataFrame(
+        [(i + 1, cid, m) for i, (cid, _, m) in enumerate(chosen)],
+        "rank int, id long, mind2 long",
+    )
+    return out.withColumnRenamed("id", id_col)

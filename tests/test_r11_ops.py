@@ -634,6 +634,91 @@ def test_unimax_validation(spark):
         unimax_allocation(df, "s", budget=10, max_epochs=0)
 
 
+# ---------------------------------------------------------------------------
+# k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_greedy_reference(spark):
+    """The distributed selection must equal a driver-side greedy
+    farthest-point reference over the same micro-quantized metric,
+    including the lowest-id tie-break."""
+    import itertools
+
+    vecs = {
+        0: [0.0, 0.0],
+        1: [1.0, 0.0],
+        2: [0.0, 1.0],
+        3: [10.0, 10.0],
+        4: [10.0, 10.0],  # exact duplicate of 3 -> tie-break on id
+        5: [5.0, 5.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    from skrub_spark.similarity.mining import kcenter_select
+
+    got = [
+        (r["rank"], r["vec_id"], r["mind2"])
+        for r in sorted(
+            kcenter_select(df, "vec_id", "embedding", k=4).collect()
+        )
+    ]
+    # reference greedy in exact ints (micro = x * 1e6)
+    q = {i: [round(x * 1e6) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    chosen = [0]
+    expect = [(1, 0, None)]
+    mind = {i: d2(q[i], q[0]) for i in q if i != 0}
+    for r in range(2, 5):
+        best = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        expect.append((r, best[0], best[1]))
+        chosen.append(best[0])
+        del mind[best[0]]
+        for i in mind:
+            mind[i] = min(mind[i], d2(q[i], q[best[0]]))
+    assert got == expect
+    # the duplicate of an already-chosen point is never picked early
+    assert got[1][1] == 3 and 4 not in [g[1] for g in got[:3]]
+    del itertools
+
+
+def test_kcenter_partitioning_invariance(spark):
+    from skrub_spark.similarity.mining import kcenter_select
+
+    rows = [
+        (i, [float((i * 7) % 13), float((i * 3) % 11), float(i % 5)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        tuple(r) for r in kcenter_select(df, "vec_id", "embedding", k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            df.repartition(7), "vec_id", "embedding", k=5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_kcenter_validation(spark):
+    from skrub_spark.similarity.mining import kcenter_select
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kcenter_select(df, "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError, match="seed"):
+        kcenter_select(df, "vec_id", "embedding", k=1, seed_id=99)
+
+
 def test_doremi_smoothing_validation(spark):
     from skrub_spark.operators.doremi import doremi_weights
 
