@@ -126,6 +126,8 @@ HEADLINE = [
     "ccnet_buckets",
     "unimax_allocation",
     "kcenter_coreset",
+    "attribution_time_decay",
+    "psm_pairs",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -380,3 +380,110 @@ def attribution_markov(
             ),
         ).alias("attribution"),
     )
+
+
+def attribution_time_decay(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    *,
+    conversion: str,
+    lookback_us: int,
+    halflife_us: int,
+) -> DataFrame:
+    """Time-decay multi-touch attribution (r11 — the recency-aware
+    member of the attribution family, between last-touch's
+    winner-take-all and linear's equal split): each qualifying
+    touch's credit is proportional to ``0.5 ** (age / halflife)``
+    (a touch one half-life before the conversion earns half the
+    weight of a same-instant touch), normalized per conversion.
+
+    Exactness: per-touch weights are rounded to 6dp and summed as
+    exact DECIMAL (order-independent); the credit is one IEEE
+    division + round — the same bridge as the rest of the battery
+    (exact oracle ``attribution_time_decay``). A conversion whose
+    every in-window touch rounds to weight 0 emits NULL credits
+    (no mass to split); no-touch conversions emit one NULL-touch
+    row, matching :func:`attribution_linear`.
+
+    Shape: identical to linear — one entity-key equi-join with the
+    window predicate; per-entity work bounded by that entity's
+    event count, no corpus-wide window."""
+    us = F.expr(f"unix_micros({ts_col})")
+    ev = df.select(
+        F.col(entity_col).alias("entity"),
+        us.alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(state_col).alias("state"),
+    )
+    conv = ev.filter(F.col("state") == conversion).select(
+        "entity",
+        F.col("eid").alias("conversion_id"),
+        F.col("us").alias("conversion_us"),
+    )
+    touch = ev.filter(F.col("state") != conversion).select(
+        "entity",
+        F.col("eid").alias("touch_id"),
+        F.col("us").alias("touch_us"),
+        F.col("state").alias("touch_state"),
+    )
+    j = conv.join(touch, "entity", "inner").filter(
+        (
+            (F.col("touch_us") < F.col("conversion_us"))
+            | (
+                (F.col("touch_us") == F.col("conversion_us"))
+                & (F.col("touch_id") < F.col("conversion_id"))
+            )
+        )
+        & (
+            F.col("touch_us")
+            > F.col("conversion_us") - F.lit(int(lookback_us))
+        )
+    )
+    w6 = F.round(
+        F.pow(
+            F.lit(0.5),
+            (F.col("conversion_us") - F.col("touch_us")).cast("double")
+            / F.lit(float(halflife_us)),
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    weighted = j.withColumn("__w6", w6)
+    nw = Window.partitionBy("entity", "conversion_id")
+    scored = (
+        weighted.withColumn("__sw", F.sum("__w6").over(nw))
+        .select(
+            "entity",
+            "conversion_id",
+            "conversion_us",
+            "touch_id",
+            "touch_us",
+            "touch_state",
+            F.col("__w6").cast("double").alias("weight"),
+            F.when(
+                F.col("__sw") > 0,
+                F.round(
+                    F.col("__w6").cast("double")
+                    / F.col("__sw").cast("double"),
+                    6,
+                ),
+            ).alias("credit"),
+        )
+    )
+    base = conv.join(
+        scored.select("entity", "conversion_id").distinct(),
+        ["entity", "conversion_id"],
+        "left_anti",
+    ).select(
+        "entity",
+        "conversion_id",
+        "conversion_us",
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(None).cast("long").alias("touch_us"),
+        F.lit(None).cast("string").alias("touch_state"),
+        F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("double").alias("credit"),
+    )
+    return scored.unionByName(base)

@@ -560,3 +560,91 @@ def cmh_stratified(
             )
         ).alias("chi2"),
     )
+
+
+def psm_match(
+    df: DataFrame,
+    id_col: str,
+    treat_col: str,
+    score_col: str,
+    *,
+    caliper: float,
+) -> DataFrame:
+    """Propensity-score matching (r11 — the missing member of the
+    causal toolkit next to CUPED/DiD/covariate-balance: Rosenbaum &
+    Rubin 1983): match every TREATED unit to its nearest CONTROL by
+    propensity score, within a caliper, WITH replacement (the
+    deterministic, embarrassingly-parallel variant; greedy
+    without-replacement is order-dependent by construction). Ties
+    break to the LOWER control id.
+
+    Exactness: scores quantize to integer micro (round 6dp x 1e6) —
+    distances are exact integers and the argmin replays in SQL
+    (battery oracle ``psm_pairs``). The score itself should come
+    from a FROZEN model (the quality-classifier discipline): an
+    iterative logistic fit is rows-only by nature, but scoring and
+    matching are exact.
+
+    100 TB shape: candidates come from score-BUCKET blocking
+    (bucket width = caliper, treated side explodes to its 3
+    neighboring buckets) — an equi-join, never all-pairs; the
+    argmin is a map-side-combined min(struct). Returns one row per
+    treated unit: ``(treated_id, control_id, t_score, c_score,
+    dist)`` with NULL control columns when nothing lies within the
+    caliper."""
+    cal6 = int(round(float(caliper) * 1_000_000))
+    if cal6 <= 0:
+        raise ValueError("psm_match: caliper must be > 0")
+    s6 = (
+        F.round(F.col(score_col).cast("double"), 6).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias("uid"),
+        F.col(treat_col).cast("boolean").alias("t"),
+        s6.alias("s6"),
+    ).where(F.col("s6").isNotNull())
+    treated = base.where("t").select(
+        F.col("uid").alias("treated_id"), F.col("s6").alias("ts6")
+    )
+    control = base.where(~F.col("t")).select(
+        F.col("uid").alias("control_id"),
+        F.col("s6").alias("cs6"),
+        F.expr(f"s6 DIV {cal6}").alias("__b"),
+    )
+    cand = treated.select(
+        "treated_id",
+        "ts6",
+        F.explode(
+            F.array(
+                F.expr(f"ts6 DIV {cal6} - 1"),
+                F.expr(f"ts6 DIV {cal6}"),
+                F.expr(f"ts6 DIV {cal6} + 1"),
+            )
+        ).alias("__b"),
+    ).join(control, "__b")
+    best = (
+        cand.withColumn("__d", F.abs(F.col("ts6") - F.col("cs6")))
+        .where(F.col("__d") <= cal6)
+        .groupBy("treated_id", "ts6")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__d").alias("d"),
+                    F.col("control_id").alias("cid"),
+                    F.col("cs6").alias("cs"),
+                )
+            ).alias("m")
+        )
+    )
+    sc = F.lit(1_000_000.0)
+    return (
+        treated.join(best, ["treated_id", "ts6"], "left")
+        .select(
+            "treated_id",
+            F.col("m.cid").alias("control_id"),
+            F.round(F.col("ts6").cast("double") / sc, 6).alias("t_score"),
+            F.round(F.col("m.cs").cast("double") / sc, 6).alias("c_score"),
+            F.round(F.col("m.d").cast("double") / sc, 6).alias("dist"),
+        )
+    )

@@ -719,6 +719,103 @@ def test_kcenter_validation(spark):
         kcenter_select(df, "vec_id", "embedding", k=1, seed_id=99)
 
 
+# ---------------------------------------------------------------------------
+# Time-decay attribution + propensity matching
+# ---------------------------------------------------------------------------
+
+
+def test_time_decay_attribution_weights(spark):
+    """A touch one half-life older earns half the weight; credits
+    normalize to 1 per conversion; no-touch conversions emit one
+    NULL row."""
+    import datetime as dt
+
+    from skrub_spark.operators.intervals import attribution_time_decay
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    h = dt.timedelta(days=1)
+    rows = [
+        (1, t0 - 2 * h, 1, "view"),   # weight 0.25
+        (1, t0 - h, 2, "click"),      # weight 0.5
+        (1, t0, 3, "purchase"),
+        (2, t0, 4, "purchase"),       # no touches
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, ts timestamp, eid long, state string"
+    )
+    out = attribution_time_decay(
+        df, "user", "ts", "eid", "state",
+        conversion="purchase",
+        lookback_us=7 * 86_400_000_000,
+        halflife_us=86_400_000_000,
+    ).collect()
+    u1 = sorted(
+        (r["touch_id"], r["weight"], r["credit"])
+        for r in out
+        if r["entity"] == 1
+    )
+    assert u1 == [
+        (1, pytest.approx(0.25), pytest.approx(1 / 3)),
+        (2, pytest.approx(0.5), pytest.approx(2 / 3)),
+    ]
+    u2 = [r for r in out if r["entity"] == 2]
+    assert len(u2) == 1 and u2[0]["touch_id"] is None
+    assert u2[0]["credit"] is None
+
+
+def test_psm_matches_nearest_within_caliper(spark):
+    from skrub_spark.report.experiment import psm_match
+
+    rows = [
+        # treated
+        (1, True, 0.50),
+        (2, True, 0.90),   # nothing within caliper
+        (3, True, 0.30),   # exact tie between controls 12 and 13
+        # controls
+        (10, False, 0.51),
+        (11, False, 0.46),
+        (12, False, 0.31),
+        (13, False, 0.29),
+        (14, False, 0.70),
+    ]
+    df = spark.createDataFrame(rows, "uid long, t boolean, s double")
+    out = {
+        r["treated_id"]: (r["control_id"], r["dist"])
+        for r in psm_match(df, "uid", "t", "s", caliper=0.05).collect()
+    }
+    assert out[1] == (10, pytest.approx(0.01))
+    assert out[2] == (None, None)  # caliper excludes 0.70 and all
+    assert out[3][0] == 12  # tie at dist 0.01 -> lower control id
+    assert out[3][1] == pytest.approx(0.01)
+
+
+def test_psm_blocking_equals_bruteforce(spark):
+    """Bucket blocking must not lose any within-caliper candidate:
+    compare against a brute-force argmin over all pairs."""
+    from skrub_spark.report.experiment import psm_match
+
+    rows = [(i, i % 3 == 0, round(0.001 * ((i * 37) % 997), 6)) for i in range(200)]
+    df = spark.createDataFrame(rows, "uid long, t boolean, s double")
+    got = {
+        r["treated_id"]: (r["control_id"], r["dist"])
+        for r in psm_match(df, "uid", "t", "s", caliper=0.01).collect()
+    }
+    treated = [(i, s) for i, t, s in rows if t]
+    controls = [(i, s) for i, t, s in rows if not t]
+    for tid, ts in treated:
+        cands = sorted(
+            (abs(round(ts * 1e6) - round(cs * 1e6)), cid)
+            for cid, cs in controls
+            if abs(round(ts * 1e6) - round(cs * 1e6)) <= 10000
+        )
+        if not cands:
+            assert got[tid] == (None, None)
+        else:
+            d, cid = cands[0]
+            assert got[tid][0] == cid
+            assert got[tid][1] == pytest.approx(d / 1e6)
+
+
 def test_doremi_smoothing_validation(spark):
     from skrub_spark.operators.doremi import doremi_weights
 
