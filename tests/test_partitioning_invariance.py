@@ -62,8 +62,14 @@ SAMPLED = [
     "corpus_datasheet",
     "isotonic_quality",
     "doremi_weights",
+    "doremi_mixture",
     "als_topk_frozen",
     "incremental_join",
+    "ccnet_buckets",
+    "unimax_allocation",
+    "kcenter_coreset",
+    "attribution_time_decay",
+    "psm_pairs",
 ]
 
 _ORIG_LOAD = Q.load_table
