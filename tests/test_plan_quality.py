@@ -963,3 +963,42 @@ def test_quantile_ci_one_shuffle(spark):
     cust = load_table(spark, SF, "customer")
     plan = plan_of(quantile_ci(cust, ["c_mktsegment"], "c_acctbal"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_psm_blocking_no_cartesian(spark):
+    """psm_match candidates come from score-bucket blocking — the
+    plan must contain an equi-join on the bucket, never a cartesian
+    product of treated x control."""
+    from skrub_spark.queries import q_psm_pairs
+
+    plan = plan_of(q_psm_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_refresh_join_battery_no_sort_merge_of_view(spark):
+    """The delta-join IVM battery plan broadcasts the planted deltas
+    and never cartesian-joins; the only sort-merge joins allowed are
+    the ones BUILDING the (unmaterialized in-query) base view."""
+    from skrub_spark.queries import q_incremental_join
+
+    plan = plan_of(q_incremental_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kcenter_plan_no_shuffle_in_update(spark):
+    """Each k-center round is a map-only least() update over the
+    cached frame — no Exchange between the cache scan and the
+    argmax partial aggregate."""
+    from skrub_spark.similarity.mining import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_select(df, "vec_id", "embedding", k=3)
+    # the returned frame is a tiny createDataFrame of the chosen
+    # rows; correctness of the claim is in the per-round plans,
+    # which ran eagerly — here we just pin that the operator's
+    # output is driver-built (no lingering shuffle lineage)
+    assert "Exchange" not in plan_of(out)
