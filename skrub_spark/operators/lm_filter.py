@@ -827,26 +827,79 @@ def ccnet_buckets(
     score — fewer words than the LM order) come back labeled
     'unscored' rather than silently dropped.
 
-    100 TB shape: one per-language window sort (the heaviest op —
-    CCNet itself shards this per language) + a map-only label."""
+    100 TB shape (distributed-rank, r12 rewrite): NO corpus-frame
+    per-language window — a Spark window partition cannot span
+    tasks, so ``row_number() OVER (PARTITION BY lang)`` would put
+    an entire language (≈half the corpus for English at CCNet
+    scale) in ONE task. Instead the corpus reduces to its
+    per-(lang, score) DISTINCT-value counts (map-side-combined
+    groupBy); the language-partitioned cumulative sum runs over
+    that bounded distinct-score frame only; each score group's
+    first/last global rank decides its bucket span by the exact
+    integer rule; and rows re-join their group's label map-only.
+    The id tie-break (a (lang, score)-partitioned row_number) is
+    applied ONLY to rows of the ≤ k−1 score groups per language
+    that straddle a bucket boundary — bounded work unless a single
+    tied score spans a boundary with corpus-scale multiplicity
+    (degenerate for continuous perplexities). Output is
+    bit-identical to the single-window formulation."""
     from pyspark.sql import Window
 
     k = len(labels)
     scored = scores.where(F.col(score_col).isNotNull())
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+    grp = scored.groupBy(
+        F.col(lang_col).alias("__lang"), F.col(score_col).alias("__s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    w_prev = (
+        Window.partitionBy("__lang")
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(lang_col))
-    rn = F.row_number().over(w)
-    idx = F.expr(f"CAST((__rn - 1) * {k} AS BIGINT) DIV __cnt")
+    grp = (
+        grp.withColumn(
+            "__cum_prev",
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "__cnt",
+            F.sum("__c").over(Window.partitionBy("__lang")).cast("long"),
+        )
+        .withColumn("__b_first", F.expr(f"(__cum_prev * {k}) DIV __cnt"))
+        .withColumn(
+            "__b_last",
+            F.expr(f"((__cum_prev + __c - 1) * {k}) DIV __cnt"),
+        )
+    )
     lab = F.array(*[F.lit(x) for x in labels])
-    bucketed = (
-        scored.withColumn("__rn", rn)
-        .withColumn("__cnt", cnt)
-        .withColumn("bucket", F.element_at(lab, (idx + 1).cast("int")))
-        .drop("__rn", "__cnt")
+    joined = scored.join(
+        grp,
+        (F.col(lang_col) == F.col("__lang"))
+        & (F.col(score_col) == F.col("__s")),
+    )
+    uniform = joined.where(F.col("__b_first") == F.col("__b_last")).select(
+        *scores.columns,
+        F.element_at(lab, (F.col("__b_first") + 1).cast("int")).alias(
+            "bucket"
+        ),
+    )
+    w_tie = Window.partitionBy(lang_col, score_col).orderBy(
+        F.col(id_col).asc()
+    )
+    boundary = (
+        joined.where(F.col("__b_first") != F.col("__b_last"))
+        .withColumn("__rg", F.row_number().over(w_tie).cast("long"))
+        .select(
+            *scores.columns,
+            F.element_at(
+                lab,
+                (
+                    F.expr(f"((__cum_prev + __rg - 1) * {k}) DIV __cnt")
+                    + 1
+                ).cast("int"),
+            ).alias("bucket"),
+        )
     )
     unscored = scores.where(F.col(score_col).isNull()).withColumn(
         "bucket", F.lit("unscored")
     )
-    return bucketed.unionByName(unscored)
+    return uniform.unionByName(boundary).unionByName(unscored)

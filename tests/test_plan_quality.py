@@ -1002,3 +1002,30 @@ def test_kcenter_plan_no_shuffle_in_update(spark):
     # which ran eagerly — here we just pin that the operator's
     # output is driver-built (no lingering shuffle lineage)
     assert "Exchange" not in plan_of(out)
+
+
+def test_ccnet_no_corpus_language_window(spark):
+    """ccnet_buckets (r12 distributed-rank rewrite): the corpus
+    frame must never see a window partitioned by language alone —
+    at CCNet scale one language is ~half the corpus and a window
+    partition cannot span tasks. The id tie-break row_number
+    partitions by (lang, score); the lang-only windows run solely
+    over the bounded distinct-score frame (they aggregate the __c
+    count column, never corpus rows)."""
+    from skrub_spark.operators.lm_filter import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i % 5)) for i in range(30)],
+        "doc_id long, lang string, avg_nll double",
+    )
+    plan = plan_of(ccnet_buckets(df, "lang", "avg_nll", "doc_id"))
+    saw_row_number = False
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            saw_row_number = True
+            # partition spec (second bracket group) must include the
+            # score column, not lang alone
+            assert "avg_nll" in line.split("], [")[1]
+        if "windowspecdefinition(__lang" in line:
+            assert "sum(__c" in line
+    assert saw_row_number
