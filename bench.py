@@ -128,6 +128,7 @@ HEADLINE = [
     "kcenter_coreset",
     "attribution_time_decay",
     "psm_pairs",
+    "bfd_packing",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -586,3 +586,110 @@ def sentences(col: Column | str) -> Column:
         F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
         lambda s: s != "",
     )
+
+
+def luhn_valid(digits: Column | str) -> Column:
+    """Luhn mod-10 checksum validity of a digit string (ISO/IEC
+    7812 — the card-number check digit): from the RIGHT, double
+    every second digit, subtract 9 when >9, sum, valid iff ≡ 0
+    (mod 10). Pure Column arithmetic over the reversed char array
+    (one interpreted-HOF pass over a ≤19-char array — bounded, not
+    corpus-scale); bit-replayable in any SQL engine. Empty / non-
+    digit input returns false rather than NULL."""
+    c = F.col(digits) if isinstance(digits, str) else digits
+    chars = F.filter(F.split(F.reverse(c), ""), lambda x: x != "")
+    vals = F.transform(
+        chars,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            F.when(
+                (F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9
+            ).otherwise((F.ascii(ch) - 48) * 2),
+        ).otherwise(F.ascii(ch) - 48),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda a, x: a + x)
+    return (
+        c.rlike("^[0-9]+$")
+        & (F.length(c) >= 2)
+        & (F.pmod(total, F.lit(10)) == 0)
+    )
+
+
+def iban_valid(iban: Column | str) -> Column:
+    """IBAN mod-97 validity (ISO 13616): move the first four chars
+    to the end, map letters A→10 … Z→35, and the resulting decimal
+    number must be ≡ 1 (mod 97). The modulus folds incrementally —
+    acc = (acc·10 + digit) mod 97, letters contribute two digits
+    (acc·100 + value) — so the arithmetic never leaves int64 (one
+    interpreted-HOF pass over a ≤34-char array). Case-sensitive:
+    lowercase letters fail (IBANs are uppercase by standard)."""
+    c = F.col(iban) if isinstance(iban, str) else iban
+    rearranged = F.concat(
+        F.substring(c, 5, 2147483647), F.substring(c, 1, 4)
+    )
+    chars = F.filter(F.split(rearranged, ""), lambda x: x != "")
+    acc = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, ch: F.when(
+            ch.rlike("^[0-9]$"),
+            F.pmod(a * 10 + (F.ascii(ch) - 48), F.lit(97).cast("long")),
+        ).otherwise(
+            F.pmod(a * 100 + (F.ascii(ch) - 55), F.lit(97).cast("long"))
+        ),
+    )
+    return (
+        c.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+        & (F.length(c).between(15, 34))
+        & (acc == 1)
+    )
+
+
+# candidate shapes for checksum-validated redaction; every pattern
+# parses identically in Java regex and RE2 (the DuckDB oracle
+# replays extraction + validation + replacement bit-exactly)
+_CARD_CANDIDATES = (
+    r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{1,7}\b",  # 4-4-4-rest groups
+    r"\b\d{13,19}\b",  # contiguous PAN
+)
+_IBAN_CANDIDATE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+
+
+def redact_pii_checksum(
+    col: Column | str,
+    *,
+    card_token: str = "<CARD>",
+    iban_token: str = "<IBAN>",
+) -> Column:
+    """Checksum-validating PII redaction (r12 — the production
+    upgrade of `redact_pii`'s regex-only pass, which over-fires on
+    any card-shaped digit run: order ids, timestamps, hashes).
+    Card-number-shaped candidates are redacted ONLY if their digits
+    pass Luhn mod-10; IBAN-shaped candidates only if they pass ISO
+    13616 mod-97. Extraction (`regexp_extract_all` on
+    RE2-replayable patterns), validation (`luhn_valid` /
+    `iban_valid` integer Column arithmetic) and replacement
+    (literal `replace` folded over the validated candidates) are
+    all JVM-side Column ops — map-only, no shuffle, no Python; the
+    per-row candidate arrays are text-bounded, not corpus-bounded.
+    Compose AFTER `redact_pii` for emails/IPs/phones — its phone
+    pattern claims digit runs only when this pass has already
+    consumed validated PANs, so run this first when combining
+    (battery `pii_checksum` pins the composition)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _CARD_CANDIDATES:
+        cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 0))
+        valid = F.filter(
+            cands,
+            lambda x: luhn_valid(F.regexp_replace(x, "[^0-9]", "")),
+        )
+        c = F.aggregate(
+            valid, c, lambda acc, x: F.replace(acc, x, F.lit(card_token))
+        )
+    ib = F.array_distinct(
+        F.regexp_extract_all(c, F.lit(_IBAN_CANDIDATE), 0)
+    )
+    valid_ib = F.filter(ib, lambda x: iban_valid(x))
+    return F.aggregate(
+        valid_ib, c, lambda acc, x: F.replace(acc, x, F.lit(iban_token))
+    )

@@ -19316,6 +19316,97 @@ ORACLES["psm_pairs"] = """
 """
 
 
+def q_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing (r12,
+    operators/packing.py::bfd_pack — whole-sequence bin packing for
+    SFT / inference batching; `pack_training_chunks` cuts across
+    docs, this keeps each sequence intact and minimizes pad waste):
+    documents bin-packed by whitespace token count into 96-token
+    bins within 8 content-addressed shards. Returns per-(shard,
+    bin) fill stats; oversize docs (>96 tokens) surface as the
+    NULL-bin row per shard. The DuckDB oracle replays the exact BFD
+    assignment with ONE recursive CTE that advances every shard one
+    ranked item per step, carrying bins as a LIST<STRUCT(rem,id)>
+    and picking min-(rem,id) among fitting bins."""
+    _prep(spark)
+    from .operators.packing import bfd_pack
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    packed = bfd_pack(
+        docs, "n_tok", "doc_id", capacity=96, n_shards=8, salt="bfd12"
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("used_tokens"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "n_seqs",
+            "used_tokens",
+            F.when(
+                F.col("bin_id").isNotNull(),
+                F.lit(96).cast("long") - F.col("used_tokens"),
+            ).alias("waste"),
+        )
+    )
+
+
+ORACLES["bfd_packing"] = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x != '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_tok,
+        ('0x' || substr(md5('bfd12' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 8 AS shard
+      FROM toks
+    ), ranked AS (
+      SELECT shard, doc_id, n_tok,
+        row_number() OVER (
+          PARTITION BY shard ORDER BY n_tok DESC, doc_id ASC
+        ) AS rn
+      FROM sharded WHERE n_tok <= 96
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id,
+        [{'rem': 96 - n_tok, 'id': CAST(0 AS BIGINT)}] AS bins
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT shard, rn, doc_id, n_tok,
+        CASE WHEN best.id IS NULL THEN nb ELSE best.id END AS bin_id,
+        CASE WHEN best.id IS NULL
+             THEN list_append(bins, {'rem': 96 - n_tok, 'id': nb})
+             ELSE list_append(list_filter(bins, b -> b.id != best.id),
+                              {'rem': best.rem - n_tok, 'id': best.id})
+        END AS bins
+      FROM (
+        SELECT r.shard, r.rn, r.doc_id, r.n_tok, p.bins,
+               CAST(len(p.bins) AS BIGINT) AS nb,
+               list_sort(list_filter(p.bins, b -> b.rem >= r.n_tok))[1]
+                 AS best
+        FROM pack p JOIN ranked r
+          ON r.shard = p.shard AND r.rn = p.rn + 1
+      )
+    )
+    SELECT shard, bin_id, n_seqs, used_tokens, waste FROM (
+      SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(n_tok) AS BIGINT) AS used_tokens,
+             CAST(96 - sum(n_tok) AS BIGINT) AS waste
+      FROM pack GROUP BY shard, bin_id
+      UNION ALL
+      SELECT shard, NULL, CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT), NULL
+      FROM sharded WHERE n_tok > 96 GROUP BY shard
+    )
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -19971,6 +20062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_time_decay": q_attribution_time_decay,
         # r11: propensity-score caliper matching (frozen score)
         "psm_pairs": q_psm_pairs,
+        # r12: best-fit-decreasing whole-sequence packing
+        "bfd_packing": q_bfd_packing,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

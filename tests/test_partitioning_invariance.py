@@ -70,6 +70,7 @@ SAMPLED = [
     "kcenter_coreset",
     "attribution_time_decay",
     "psm_pairs",
+    "bfd_packing",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -1,0 +1,160 @@
+"""Round-12 operator contracts: best-fit-decreasing sequence
+packing, checksum-validating PII, streaming decontamination gate,
+preference-pair construction, frozen KN serving twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# BFD packing
+# ---------------------------------------------------------------------------
+
+
+def _len_frame(spark, lengths, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, int(l)) for i, l in enumerate(lengths)],
+        "doc_id long, n_tok long",
+    )
+
+
+def test_bfd_capacity_respected_and_known_assignment(spark):
+    """One shard, known lengths: BFD places 60,50,30,25,20 into bins
+    of 100 as [60,30]=bin0? — derive by hand: decreasing order
+    60,50,30,25,20. 60→bin0(rem40). 50→no fit in 40? fits (50>40 no)
+    → bin1(rem50). 30→best fit = bin0 rem40→rem10. 25→bin1 rem50→25.
+    20→bin1 rem25→5. Bins: 0={60,30}, 1={50,25,20}."""
+    from skrub_spark.operators.packing import bfd_pack
+
+    df = _len_frame(spark, [60, 50, 30, 25, 20])
+    out = bfd_pack(
+        df, "n_tok", "doc_id", capacity=100, n_shards=1, salt="k"
+    ).collect()
+    by_len = {r["n_tok"]: r["bin_id"] for r in out}
+    assert by_len[60] == by_len[30] != by_len[50]
+    assert by_len[50] == by_len[25] == by_len[20]
+    fills = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tok"]
+    assert all(v <= 100 for v in fills.values())
+
+
+def test_bfd_best_fit_not_first_fit(spark):
+    """Distinguish BFD from FFD: lengths 70, 60, 30 with capacity
+    100. Decreasing: 70(bin0 rem30), 60(bin1 rem40), 30 — first fit
+    would take bin0? rem30 fits exactly; BEST fit also bin0 (rem30 <
+    rem40). Use 70, 65, 30, 25: 70→b0(30), 65→b1(35), 30→best=b0
+    (rem30 tighter than 35) → b0 full, 25→b1(rem35→10). FFD would
+    give the same here; a true separator: 50,40,30 cap 100 —
+    50→b0(50), 40→b0(rem50→10) best fit... need bins with different
+    rems where first-opened has MORE room. 80→b0(20), 50→b1(50),
+    20→best-fit picks b0 (rem20 exact) not b1; first-fit ALSO picks
+    b0. BFD≠FFD needs: bins rem [30, 20], item 15 → BFD picks rem20
+    bin (second), FFD picks rem30 bin (first). Build: cap 100, items
+    70, 80, 15: 80→b0(rem20), 70→b1(rem30), 15→BFD: b0 (rem20).
+    """
+    from skrub_spark.operators.packing import bfd_pack
+
+    df = _len_frame(spark, [70, 80, 15])
+    out = bfd_pack(
+        df, "n_tok", "doc_id", capacity=100, n_shards=1, salt="k"
+    ).collect()
+    by_len = {r["n_tok"]: r["bin_id"] for r in out}
+    # 80 opens bin0; 70 opens bin1; 15 best-fits into 80's bin
+    assert by_len[15] == by_len[80]
+    assert by_len[15] != by_len[70]
+
+
+def test_bfd_padding_beats_naive_next_fit(spark):
+    """On a mixed-length corpus, BFD's bin count (= padding) must
+    beat arrival-order next-fit packing."""
+    from skrub_spark.operators.packing import bfd_pack
+
+    lengths = [((i * 37) % 90) + 8 for i in range(300)]
+    df = _len_frame(spark, lengths)
+    out = bfd_pack(
+        df, "n_tok", "doc_id", capacity=128, n_shards=4, salt="p"
+    ).collect()
+    n_bins_bfd = len({(r["shard"], r["bin_id"]) for r in out})
+    # naive next-fit in doc_id order, same shards
+    shards = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        shards.setdefault(r["shard"], []).append(r["n_tok"])
+    n_bins_naive = 0
+    for ls in shards.values():
+        rem = -1
+        for l in ls:
+            if l > rem:
+                n_bins_naive += 1
+                rem = 128
+            rem -= l
+    assert n_bins_bfd < n_bins_naive
+
+
+def test_bfd_shard_invariance_and_null_oversize(spark):
+    from skrub_spark.operators.packing import bfd_pack
+
+    rows = [(i, ((i * 53) % 140) + 1) for i in range(150)] + [
+        (900, None)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    kw = dict(capacity=96, n_shards=4, salt="inv")
+    a = sorted(
+        map(
+            tuple,
+            bfd_pack(df.repartition(13), "n_tok", "doc_id", **kw)
+            .fillna(-1)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            bfd_pack(df.coalesce(1), "n_tok", "doc_id", **kw)
+            .fillna(-1)
+            .collect(),
+        )
+    )
+    assert a == b
+    oversize = {r for r in a if r[1] != -1 and r[1] > 96}
+    assert all(r[3] == -1 for r in oversize)  # bin_id NULL
+    null_len = [r for r in a if r[1] == -1]
+    assert len(null_len) == 1 and null_len[0][3] == -1
+
+
+def test_bfd_negative_length_raises(spark):
+    from skrub_spark.operators.packing import bfd_pack
+
+    df = _len_frame(spark, [10, -3])
+    with pytest.raises(Exception, match="negative"):
+        bfd_pack(
+            df, "n_tok", "doc_id", capacity=96, n_shards=1, salt="n"
+        ).collect()
+
+
+def test_bfd_validates_params(spark):
+    from skrub_spark.operators.packing import bfd_pack
+
+    df = _len_frame(spark, [10])
+    with pytest.raises(ValueError):
+        bfd_pack(df, "n_tok", "doc_id", capacity=0)
+    with pytest.raises(ValueError):
+        bfd_pack(df, "n_tok", "doc_id", capacity=10, n_shards=0)
+
+
+def test_packing_report_exact(spark):
+    from skrub_spark.operators.packing import bfd_pack, packing_report
+
+    df = _len_frame(spark, [60, 50, 30, 25, 20, 200])
+    packed = bfd_pack(
+        df, "n_tok", "doc_id", capacity=100, n_shards=1, salt="k"
+    )
+    r = packing_report(packed, "n_tok", 100).collect()[0]
+    assert r["n_bins"] == 2
+    assert r["n_seqs"] == 5
+    assert r["used_tokens"] == 185
+    assert r["alloc_tokens"] == 200
+    assert r["n_unpacked"] == 1
+    assert abs(r["padding_frac"] - (1 - 185 / 200)) < 1e-12
