@@ -129,6 +129,7 @@ HEADLINE = [
     "attribution_time_decay",
     "psm_pairs",
     "bfd_packing",
+    "pii_checksum",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

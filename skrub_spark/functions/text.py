@@ -677,8 +677,12 @@ def redact_pii_checksum(
     consumed validated PANs, so run this first when combining
     (battery `pii_checksum` pins the composition)."""
     c = F.col(col) if isinstance(col, str) else col
+    # no array_distinct: duplicate candidates make the fold a no-op,
+    # and occurrence order is the one ordering both engines agree on
+    # (a literal replace of candidate A can clobber a candidate B that
+    # contains A, so fold order is part of the contract)
     for pat in _CARD_CANDIDATES:
-        cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 0))
+        cands = F.regexp_extract_all(c, F.lit(pat), 0)
         valid = F.filter(
             cands,
             lambda x: luhn_valid(F.regexp_replace(x, "[^0-9]", "")),
@@ -686,9 +690,7 @@ def redact_pii_checksum(
         c = F.aggregate(
             valid, c, lambda acc, x: F.replace(acc, x, F.lit(card_token))
         )
-    ib = F.array_distinct(
-        F.regexp_extract_all(c, F.lit(_IBAN_CANDIDATE), 0)
-    )
+    ib = F.regexp_extract_all(c, F.lit(_IBAN_CANDIDATE), 0)
     valid_ib = F.filter(ib, lambda x: iban_valid(x))
     return F.aggregate(
         valid_ib, c, lambda acc, x: F.replace(acc, x, F.lit(iban_token))

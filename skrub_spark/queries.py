@@ -19407,6 +19407,156 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+_PII_CARDS = (
+    "4111111111111111",  # Luhn-valid (Visa test PAN)
+    "5500005555555559",  # Luhn-valid
+    "4111 1111 1111 1111",  # Luhn-valid, spaced
+    "6011000990139424",  # Luhn-valid
+    "4111111111111112",  # INVALID (check digit off by one)
+    "1234567890123456",  # INVALID
+)
+_PII_IBANS = (
+    "DE89370400440532013000",  # mod-97 valid
+    "GB82WEST12345698765432",  # mod-97 valid
+    "FR1420041010050500013M02606",  # mod-97 valid
+    "DE89370400440532013001",  # INVALID
+    "GB82WEST12345698765431",  # INVALID
+)
+
+
+def _luhn_sql(digits_expr: str) -> str:
+    """DuckDB Luhn mod-10 of a digit-string expression (1-based
+    list index — DuckDB lambdas index from 1, Spark's from 0, so
+    the doubled positions are the EVEN 1-based ones)."""
+    ch = f"(ascii(substr(reverse({digits_expr}), i, 1)) - 48)"
+    return (
+        f"(list_sum(list_transform(range(1, len({digits_expr}) + 1),"
+        f" i -> CASE WHEN i % 2 = 0 THEN"
+        f" CASE WHEN 2 * {ch} > 9 THEN 2 * {ch} - 9 ELSE 2 * {ch} END"
+        f" ELSE {ch} END)) % 10 = 0"
+        f" AND regexp_matches({digits_expr}, '^[0-9]+$'))"
+    )
+
+
+def _iban_sql(x: str) -> str:
+    """DuckDB IBAN mod-97 validity of expression ``x``: rearrange,
+    expand letters to two digits, then fold 9-digit chunks through
+    (acc*10^len + chunk) mod 97 — the chunking keeps every
+    intermediate in int64 (the expanded string can exceed 38 digits,
+    past HUGEINT)."""
+    expanded = (
+        f"array_to_string(list_transform(list_filter("
+        f"regexp_split_to_array(substr({x}, 5, 100) || substr({x}, 1, 4),"
+        f" ''), ch -> ch != ''),"
+        f" ch -> CASE WHEN ch BETWEEN '0' AND '9' THEN ch"
+        f" ELSE CAST(ascii(ch) - 55 AS VARCHAR) END), '')"
+    )
+    fold = (
+        f"list_reduce(list_prepend('0',"
+        f" regexp_extract_all({expanded}, '.{{1,9}}')),"
+        f" (a, c) -> CAST((CAST(a AS BIGINT)"
+        f" * CAST('1' || repeat('0', len(c)) AS BIGINT)"
+        f" + CAST(c AS BIGINT)) % 97 AS VARCHAR))"
+    )
+    return (
+        f"(regexp_matches({x}, '^[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}$')"
+        f" AND len({x}) BETWEEN 15 AND 34 AND {fold} = '1')"
+    )
+
+
+def q_pii_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validating PII redaction (r12,
+    functions/text.py::redact_pii_checksum — the production upgrade
+    of `pii_redaction`'s regex-only pass, which over-fires on any
+    card-shaped digit run): plant one card candidate (4 Luhn-valid
+    incl. a spaced PAN, 2 invalid), one IBAN candidate (3 mod-97
+    valid, 2 invalid) and a doc-derived 15-digit run per document,
+    then redact with checksum validation FIRST and the regex
+    email/IP/phone chain second — invalid candidates must survive
+    the checksum pass (and fall through to <PHONE> when
+    digit-run-shaped), valid ones become <CARD>/<IBAN>. Exact
+    byte-level oracle: DuckDB replays extraction, Luhn and mod-97
+    integer validation, and the literal-replace fold."""
+    _prep(spark)
+    from .functions.text import redact_pii, redact_pii_checksum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    card = F.element_at(
+        F.array(*[F.lit(x) for x in _PII_CARDS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    iban = F.element_at(
+        F.array(*[F.lit(x) for x in _PII_IBANS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    run = F.concat(
+        F.lit("9"), F.lpad(F.col("doc_id").cast("string"), 14, "0")
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" pay "),
+            card,
+            F.lit(" ref "),
+            run,
+            F.lit(" acct "),
+            iban,
+            F.lit(" end"),
+        ).alias("text2"),
+    )
+    return planted.select(
+        "doc_id",
+        redact_pii(redact_pii_checksum(F.col("text2"))).alias("redacted"),
+    )
+
+
+def _pii_checksum_oracle() -> str:
+    cards = ", ".join(f"'{c}'" for c in _PII_CARDS)
+    ibans = ", ".join(f"'{c}'" for c in _PII_IBANS)
+    luhn = _luhn_sql("regexp_replace(x, '[^0-9]', '', 'g')")
+    iban_ok = _iban_sql("x")
+    spaced = r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{1,7}\b"
+    plain = r"\b\d{13,19}\b"
+    iban_pat = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+        substr(text, 1, 40) || ' pay '
+          || [{cards}][CAST(doc_id % 6 + 1 AS INTEGER)]
+          || ' ref ' || '9' || lpad(CAST(doc_id AS VARCHAR), 14, '0')
+          || ' acct ' || [{ibans}][CAST(doc_id % 5 + 1 AS INTEGER)]
+          || ' end' AS t
+      FROM documents
+    ), p1 AS (
+      SELECT doc_id, list_reduce(list_prepend(t,
+        list_filter(regexp_extract_all(t, '{spaced}'), x -> {luhn})),
+        (acc, x) -> replace(acc, x, '<CARD>')) AS t
+      FROM base
+    ), p2 AS (
+      SELECT doc_id, list_reduce(list_prepend(t,
+        list_filter(regexp_extract_all(t, '{plain}'), x -> {luhn})),
+        (acc, x) -> replace(acc, x, '<CARD>')) AS t
+      FROM p1
+    ), p3 AS (
+      SELECT doc_id, list_reduce(list_prepend(t,
+        list_filter(regexp_extract_all(t, '{iban_pat}'), x -> {iban_ok})),
+        (acc, x) -> replace(acc, x, '<IBAN>')) AS t
+      FROM p2
+    )
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+        '<EMAIL>', 'g'),
+        '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+        '\\+?\\d[\\d \\-]{{6,}}\\d', '<PHONE>', 'g') AS redacted
+    FROM p3
+    """
+
+
+ORACLES["pii_checksum"] = _pii_checksum_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -20064,6 +20214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_pairs": q_psm_pairs,
         # r12: best-fit-decreasing whole-sequence packing
         "bfd_packing": q_bfd_packing,
+        # r12: Luhn/IBAN checksum-validated PII redaction
+        "pii_checksum": q_pii_checksum,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -71,6 +71,7 @@ SAMPLED = [
     "attribution_time_decay",
     "psm_pairs",
     "bfd_packing",
+    "pii_checksum",
 ]
 
 _ORIG_LOAD = Q.load_table

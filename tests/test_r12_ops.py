@@ -158,3 +158,91 @@ def test_packing_report_exact(spark):
     assert r["alloc_tokens"] == 200
     assert r["n_unpacked"] == 1
     assert abs(r["padding_frac"] - (1 - 185 / 200)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Checksum-validating PII
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_known_values(spark):
+    from skrub_spark.functions.text import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),
+        ("5500005555555559", True),
+        ("6011000990139424", True),
+        ("4111111111111112", False),
+        ("1234567890123456", False),
+        ("79927398713", True),   # the canonical Luhn example
+        ("79927398710", False),
+        ("", False),
+        ("abc", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {
+        r["s"]: r["ok"]
+        for r in df.select("s", luhn_valid("s").alias("ok")).collect()
+    }
+    for s, want in cases:
+        assert got[s] == want, s
+
+
+def test_iban_known_values(spark):
+    from skrub_spark.functions.text import iban_valid
+
+    cases = [
+        ("DE89370400440532013000", True),
+        ("GB82WEST12345698765432", True),
+        ("FR1420041010050500013M02606", True),
+        ("DE89370400440532013001", False),
+        ("GB82WEST12345698765431", False),
+        ("de89370400440532013000", False),  # lowercase fails
+        ("DE8937", False),  # too short
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {
+        r["s"]: r["ok"]
+        for r in df.select("s", iban_valid("s").alias("ok")).collect()
+    }
+    for s, want in cases:
+        assert got[s] == want, s
+
+
+def test_checksum_redaction_composition(spark):
+    """Valid PAN/IBAN → tokens; invalid ones survive the checksum
+    pass; composing redact_pii afterwards turns the surviving
+    digit runs into <PHONE> but never eats a validated <CARD>."""
+    from skrub_spark.functions.text import redact_pii, redact_pii_checksum
+
+    text = (
+        "pay 4111111111111111 or 4111 1111 1111 1111 "
+        "order 1234567890123456 iban DE89370400440532013000 "
+        "bad DE89370400440532013001 end"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    r1 = df.select(
+        redact_pii_checksum("text").alias("r")
+    ).collect()[0]["r"]
+    assert r1.count("<CARD>") == 2
+    assert "<IBAN>" in r1
+    assert "1234567890123456" in r1  # invalid PAN untouched
+    assert "DE89370400440532013001" in r1  # invalid IBAN untouched
+    r2 = df.select(
+        redact_pii(redact_pii_checksum("text")).alias("r")
+    ).collect()[0]["r"]
+    assert r2.count("<CARD>") == 2  # phones never eat validated PANs
+    assert "<PHONE>" in r2  # the invalid PAN falls through to phone
+    assert "1234567890123456" not in r2
+
+
+def test_checksum_redaction_no_overfire(spark):
+    """A 16-digit order id that fails Luhn must NOT be redacted by
+    the checksum pass (the exact over-fire redact_pii has)."""
+    from skrub_spark.functions.text import redact_pii_checksum
+
+    df = spark.createDataFrame(
+        [("order 1111111111111111 ok",)], "text string"
+    )
+    r = df.select(redact_pii_checksum("text").alias("r")).collect()[0]
+    assert r["r"] == "order 1111111111111111 ok"
