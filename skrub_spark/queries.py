@@ -19407,6 +19407,100 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate across ≥2 REAL micro-batches
+    (r12, streaming/ops.py::streaming_decontaminate — the streaming
+    twin of `decontaminate_train`): documents split into even/odd
+    batch files stream through a foreachBatch gate holding the eval
+    set (doc_id % 7 == 0) as broadcast state — persisted distinct
+    gram hashes + Bloom bitset built ONCE before the stream starts.
+    Docs sharing any 8-gram with the eval corpus divert to the
+    quarantine side output, the rest pass through clean; eval docs
+    streaming through quarantine themselves (their grams are the
+    state). The oracle replays the gram decision and the literal
+    batch split."""
+    import glob
+    import shutil
+    import uuid
+
+    from .streaming.ops import streaming_decontaminate
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _fresh_tmp("skrub_strdecon_src_")
+    os.makedirs(src)
+    for i, part in enumerate(
+        (
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+    ):
+        d = f"{src}_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = _fresh_tmp("skrub_strdecon_out_")
+    ckpt = _fresh_tmp("skrub_strdecon_ck_")
+    q = streaming_decontaminate(
+        stream,
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "text",
+        "doc_id",
+        ngram=8,
+        out_path=out,
+        checkpoint_path=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s")
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if n_batches < 2:
+        raise AssertionError(
+            f"expected >=2 data micro-batches, got {n_batches}"
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", "kind", "n_shingles", "n_contaminated", "batch_id"
+    )
+
+
+ORACLES["streaming_decontaminate"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x != '') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(words) >= 8 THEN
+          list_distinct(list_transform(range(1, len(words) - 6),
+            i -> array_to_string(list_slice(words, i, i + 7), ' ')))
+        ELSE [] END AS sh
+      FROM w
+    ), eg AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 7 = 0
+    ), t AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), hits AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM t JOIN eg USING (g) GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+      CASE WHEN COALESCE(h.n_hit, 0) > 0
+           THEN 'quarantine' ELSE 'clean' END AS kind,
+      CAST(len(sh) AS BIGINT) AS n_shingles,
+      CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+      CAST(doc_id % 2 AS BIGINT) AS batch_id
+    FROM s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 _PII_CARDS = (
     "4111111111111111",  # Luhn-valid (Visa test PAN)
     "5500005555555559",  # Luhn-valid
@@ -20216,6 +20310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfd_packing": q_bfd_packing,
         # r12: Luhn/IBAN checksum-validated PII redaction
         "pii_checksum": q_pii_checksum,
+        # r12: streaming decontamination gate (quarantine side output)
+        "streaming_decontaminate": q_streaming_decontaminate,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter
