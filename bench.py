@@ -130,6 +130,7 @@ HEADLINE = [
     "psm_pairs",
     "bfd_packing",
     "pii_checksum",
+    "preference_pairs",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -158,3 +158,110 @@ def preference_bias_report(
             6,
         ).alias("mean_len_rejected"),
     )
+
+
+def preference_pairs(
+    responses: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    rank_col: str,
+    *,
+    strategy: str = "best_vs_rest",
+    dedup_across_prompts: bool = True,
+    min_chars: int = 1,
+    length_match_tol: int = 10,
+) -> DataFrame:
+    """Chosen/rejected preference-pair construction from per-prompt
+    RANKED response lists (r12 — the DPO/RLHF data-assembly step
+    upstream of `preference_bias_report`): ``rank_col`` is the
+    human/model ranking within each prompt (lower = better).
+
+    Hygiene before pairing (the `assistant_turn_dedup` discipline):
+    within a prompt, duplicate response texts collapse to their
+    best rank (a (text, text) pair carries no signal); responses
+    whose exact text appears under MORE THAN ONE prompt are dropped
+    entirely when ``dedup_across_prompts`` (canned replies are the
+    memorization vector — and a reward model pair with a canned
+    side teaches the canned reply, not the preference). Responses
+    shorter
+    than ``min_chars`` are dropped.
+
+    ``strategy``: 'best_vs_rest' (the common DPO shape — the top
+    response against every strictly-worse one), 'adjacent'
+    (consecutive ranks only — the hardest, most informative
+    margins), or 'all' (every strictly-ordered pair). Ties in rank
+    NEVER produce a pair (no signal); the within-prompt order is
+    totalized by (rank asc, response asc) so the output is
+    partitioning-invariant.
+
+    Every pair carries ``length_matched`` = |len(chosen) −
+    len(rejected)| ≤ ``length_match_tol`` — the length-matched
+    control subset: `preference_bias_report` over it separates
+    genuine quality signal from the length confound the full set
+    may hide (pinned in tests).
+
+    100 TB shape: one groupBy per dedup rung (map-side combined),
+    one left-anti against the (bounded) cross-prompt duplicate
+    texts, windows partitioned by prompt over the per-prompt
+    response lists (bounded by responses-per-prompt, never corpus-
+    wide), and one per-prompt self-equi-join. Returns ``(prompt,
+    chosen, rejected, chosen_rank, rejected_rank,
+    length_matched)``."""
+    from pyspark.sql import Window
+
+    if strategy not in ("best_vs_rest", "adjacent", "all"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    base = responses.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(response_col).alias("resp"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).where(
+        F.col(response_col).isNotNull()
+        & (F.length(response_col) >= int(min_chars))
+        & F.col(rank_col).isNotNull()
+    )
+    r1 = base.groupBy("prompt", "resp").agg(F.min("rank").alias("rank"))
+    if dedup_across_prompts:
+        multi = (
+            r1.groupBy("resp")
+            .agg(F.count_distinct("prompt").alias("__np"))
+            .where(F.col("__np") > 1)
+            .select("resp")
+        )
+        r1 = r1.join(multi, "resp", "left_anti")
+    w = Window.partitionBy("prompt").orderBy(
+        F.col("rank").asc(), F.col("resp").asc()
+    )
+    rr = r1.select("prompt", "resp", "rank").withColumn(
+        "pos", F.row_number().over(w)
+    )
+    left = rr.select(
+        "prompt",
+        F.col("resp").alias("chosen"),
+        F.col("rank").alias("chosen_rank"),
+        F.col("pos").alias("__lpos"),
+    )
+    right = rr.select(
+        "prompt",
+        F.col("resp").alias("rejected"),
+        F.col("rank").alias("rejected_rank"),
+        F.col("pos").alias("__rpos"),
+    )
+    joined = left.join(right, "prompt").where(
+        F.col("chosen_rank") < F.col("rejected_rank")
+    )
+    if strategy == "best_vs_rest":
+        joined = joined.where(F.col("__lpos") == 1)
+    elif strategy == "adjacent":
+        joined = joined.where(F.col("__rpos") == F.col("__lpos") + 1)
+    return joined.select(
+        "prompt",
+        "chosen",
+        "rejected",
+        "chosen_rank",
+        "rejected_rank",
+        (
+            F.abs(F.length("chosen") - F.length("rejected"))
+            <= int(length_match_tol)
+        ).alias("length_matched"),
+    )

@@ -19407,6 +19407,82 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction from ranked responses (r12,
+    operators/sft.py::preference_pairs — the DPO data-assembly step
+    feeding preference_bias_report): 50 synthetic prompts with ~10
+    ranked responses each (document prefixes, ranks cycling 1..6 so
+    ties are exercised), every 11th response a planted CANNED reply
+    shared across prompts — the cross-prompt dedup must drop all of
+    them; within-prompt duplicate texts collapse to their best
+    rank; best_vs_rest pairing with a 20-char length-match flag.
+    The oracle replays dedup, the (rank, text) total order, and the
+    pairing joins exactly."""
+    _prep(spark)
+    from .operators.sft import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    resp = docs.select(
+        F.concat(
+            F.lit("p"), (F.col("doc_id") % 50).cast("string")
+        ).alias("prompt"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("CANNED thanks for asking have a nice day"),
+        )
+        .otherwise(
+            F.substring(
+                "text", 1, (60 + (F.col("doc_id") % 7) * 15).cast("int")
+            )
+        )
+        .alias("response"),
+        F.expr("(doc_id div 50) % 6 + 1").cast("long").alias("rnk"),
+    )
+    return preference_pairs(
+        resp,
+        "prompt",
+        "response",
+        "rnk",
+        strategy="best_vs_rest",
+        length_match_tol=20,
+    )
+
+
+ORACLES["preference_pairs"] = """
+    WITH resp AS (
+      SELECT 'p' || CAST(doc_id % 50 AS VARCHAR) AS prompt,
+        CASE WHEN doc_id % 11 = 0
+             THEN 'CANNED thanks for asking have a nice day'
+             ELSE substr(text, 1, CAST(60 + (doc_id % 7) * 15 AS INT))
+        END AS resp,
+        CAST((doc_id // 50) % 6 + 1 AS BIGINT) AS rnk
+      FROM documents
+    ), r0 AS (
+      SELECT prompt, resp, min(rnk) AS rnk
+      FROM resp
+      WHERE resp IS NOT NULL AND length(resp) >= 1
+      GROUP BY 1, 2
+    ), multi AS (
+      SELECT resp FROM r0 GROUP BY resp
+      HAVING count(DISTINCT prompt) > 1
+    ), r1 AS (
+      SELECT * FROM r0 WHERE resp NOT IN (SELECT resp FROM multi)
+    ), rr AS (
+      SELECT prompt, resp, rnk,
+        row_number() OVER (
+          PARTITION BY prompt ORDER BY rnk ASC, resp ASC
+        ) AS pos
+      FROM r1
+    )
+    SELECT l.prompt, l.resp AS chosen, r.resp AS rejected,
+      CAST(l.rnk AS BIGINT) AS chosen_rank,
+      CAST(r.rnk AS BIGINT) AS rejected_rank,
+      abs(length(l.resp) - length(r.resp)) <= 20 AS length_matched
+    FROM rr l JOIN rr r ON l.prompt = r.prompt AND l.rnk < r.rnk
+    WHERE l.pos = 1
+"""
+
+
 def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming decontamination gate across ≥2 REAL micro-batches
     (r12, streaming/ops.py::streaming_decontaminate — the streaming
@@ -20312,6 +20388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_checksum": q_pii_checksum,
         # r12: streaming decontamination gate (quarantine side output)
         "streaming_decontaminate": q_streaming_decontaminate,
+        # r12: DPO preference-pair construction
+        "preference_pairs": q_preference_pairs,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -72,6 +72,7 @@ SAMPLED = [
     "psm_pairs",
     "bfd_packing",
     "pii_checksum",
+    "preference_pairs",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -356,3 +356,147 @@ def test_streaming_decon_matches_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert stream_clean == batch_keep
+
+
+# ---------------------------------------------------------------------------
+# Preference pairs
+# ---------------------------------------------------------------------------
+
+
+def _resp_frame(spark, rows):
+    return spark.createDataFrame(rows, "prompt string, resp string, rnk long")
+
+
+def test_preference_pairs_best_vs_rest_and_ties(spark):
+    from skrub_spark.operators.sft import preference_pairs
+
+    rows = [
+        ("p1", "best answer", 1),
+        ("p1", "ok answer", 2),
+        ("p1", "also rank two", 2),  # tie with ok answer
+        ("p1", "bad answer", 3),
+        ("p2", "solo", 1),  # no pair possible
+    ]
+    out = preference_pairs(
+        _resp_frame(spark, rows), "prompt", "resp", "rnk"
+    ).collect()
+    got = {(r["chosen"], r["rejected"]) for r in out}
+    assert got == {
+        ("best answer", "ok answer"),
+        ("best answer", "also rank two"),
+        ("best answer", "bad answer"),
+    }
+    # ties never pair with each other
+    assert ("ok answer", "also rank two") not in got
+
+
+def test_preference_pairs_strategies(spark):
+    from skrub_spark.operators.sft import preference_pairs
+
+    rows = [
+        ("p", "a", 1),
+        ("p", "b", 2),
+        ("p", "c", 3),
+    ]
+    adj = {
+        (r["chosen"], r["rejected"])
+        for r in preference_pairs(
+            _resp_frame(spark, rows), "prompt", "resp", "rnk",
+            strategy="adjacent",
+        ).collect()
+    }
+    assert adj == {("a", "b"), ("b", "c")}
+    al = {
+        (r["chosen"], r["rejected"])
+        for r in preference_pairs(
+            _resp_frame(spark, rows), "prompt", "resp", "rnk",
+            strategy="all",
+        ).collect()
+    }
+    assert al == {("a", "b"), ("a", "c"), ("b", "c")}
+    with pytest.raises(ValueError):
+        preference_pairs(
+            _resp_frame(spark, rows), "prompt", "resp", "rnk",
+            strategy="nope",
+        )
+
+
+def test_preference_pairs_dedup(spark):
+    from skrub_spark.operators.sft import preference_pairs
+
+    rows = [
+        ("p1", "CANNED", 1),   # cross-prompt duplicate → dropped
+        ("p2", "CANNED", 1),
+        ("p1", "real one", 2),
+        ("p1", "real two", 3),
+        ("p1", "real two", 1),  # within-prompt dup → best rank wins
+        ("p2", "other", 2),
+    ]
+    out = preference_pairs(
+        _resp_frame(spark, rows), "prompt", "resp", "rnk"
+    ).collect()
+    texts = {r["chosen"] for r in out} | {r["rejected"] for r in out}
+    assert "CANNED" not in texts
+    # p1 after dedup: real two@1, real one@2 → one pair
+    got = {(r["prompt"], r["chosen"], r["rejected"]) for r in out}
+    assert got == {("p1", "real two", "real one")}
+    # dedup off keeps canned pairs
+    out2 = preference_pairs(
+        _resp_frame(spark, rows), "prompt", "resp", "rnk",
+        dedup_across_prompts=False,
+    ).collect()
+    assert any(
+        r["chosen"] == "CANNED" or r["rejected"] == "CANNED" for r in out2
+    )
+
+
+def test_preference_pairs_length_matched_controls_bias(spark):
+    """Planted length bias: chosen always much longer than rejected
+    EXCEPT equal-length control pairs. The full-set bias report
+    reads chosen_longer_rate 0.75; the length_matched subset reads
+    0.0 — the control separates quality signal from the length
+    confound."""
+    from skrub_spark.operators.sft import (
+        preference_bias_report, preference_pairs,
+    )
+
+    rows = []
+    for p in range(20):
+        rows.append((f"p{p}", "x" * 100 + f" uniq{p}", 1))
+        rows.append((f"p{p}", f"short {p}", 2))  # much shorter
+        rows.append((f"p{p}", "y" * 100 + f" uneq{p}", 3))  # same len
+        rows.append((f"p{p}", "z" * 30 + f" mid{p}", 4))
+    pairs = preference_pairs(
+        spark.createDataFrame(rows, "prompt string, resp string, rnk long"),
+        "prompt", "resp", "rnk", length_match_tol=0,
+    )
+    full = preference_bias_report(pairs, "chosen", "rejected").collect()[0]
+    assert full["n_pairs"] == 60
+    # the report rounds to 6dp
+    assert abs(full["chosen_longer_rate"] - 2 / 3) < 1e-6
+    ctl = preference_bias_report(
+        pairs.where("length_matched"), "chosen", "rejected"
+    ).collect()[0]
+    assert ctl["n_pairs"] == 20
+    assert ctl["chosen_longer_rate"] == 0.0
+
+
+def test_preference_pairs_partitioning_invariant(spark):
+    from skrub_spark.operators.sft import preference_pairs
+
+    rows = [
+        (f"p{i % 7}", f"resp {i} " + "w" * (i % 13), (i % 5) + 1)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "prompt string, resp string, rnk long")
+    a = sorted(
+        map(tuple, preference_pairs(
+            df.repartition(11), "prompt", "resp", "rnk"
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, preference_pairs(
+            df.coalesce(1), "prompt", "resp", "rnk"
+        ).collect())
+    )
+    assert a == b
