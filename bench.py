@@ -131,6 +131,7 @@ HEADLINE = [
     "bfd_packing",
     "pii_checksum",
     "preference_pairs",
+    "kn_frozen",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

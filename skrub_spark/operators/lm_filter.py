@@ -903,3 +903,79 @@ def ccnet_buckets(
         "bucket", F.lit("unscored")
     )
     return uniform.unionByName(boundary).unionByName(unscored)
+
+
+def kn_to_frozen(lm: KNNgramLM) -> dict:
+    """Serialize a trained `KNNgramLM` to a committed-literal dict
+    (the `tools/train_frozen.py` freeze discipline — r12): every
+    count table collected SORTED (deterministic file diffs), counts
+    as exact ints, discounts already 6dp. Only sensible when the
+    tables are codebook-sized — at order n the cont[k] tables hold
+    the distinct (k+1)-gram types, which stay literal-sized only
+    while vocab^k is bounded (order 3 at this corpus's vocab; an
+    order-5 model's cont tables are corpus-sized and belong in
+    parquet, not a frozen literal)."""
+    def rows(df, cols, ints):
+        out = []
+        for r in df.collect():
+            out.append(
+                [int(r[c]) if c in ints else r[c] for c in cols]
+            )
+        return sorted(out)
+
+    return {
+        "n": int(lm.n),
+        "prune": int(lm.prune),
+        "vocab_size": float(lm.vocab_size),
+        "t_types": float(lm.t_types),
+        "u_types": float(lm.u_types),
+        "discounts": {int(k): float(v) for k, v in lm.discounts.items()},
+        "top_counts": rows(lm.top_counts, ["kn_ctx", "kn_w", "c"], {"c"}),
+        "top_ctx": rows(
+            lm.top_ctx, ["kn_ctx", "c_ctx", "n1p_ctx"], {"c_ctx", "n1p_ctx"}
+        ),
+        "cont": {
+            int(k): rows(v, ["kn_ctx", "kn_w", "nc"], {"nc"})
+            for k, v in lm.cont.items()
+        },
+        "cont_ctx": {
+            int(k): rows(v, ["kn_ctx", "ncs", "n_after"], {"ncs", "n_after"})
+            for k, v in lm.cont_ctx.items()
+        },
+        "uni_cont": rows(lm.uni_cont, ["kn_w", "n1p"], {"n1p"}),
+    }
+
+
+def kn_from_frozen(spark, model: dict) -> KNNgramLM:
+    """Rebuild a `KNNgramLM` from a frozen dict: scoring against it
+    is the SERVING path — the codebook-sized tables broadcast into
+    `score_kn_ngram_perplexity`'s joins, so the corpus-scale work
+    is one map-only pass (no training passes, no shuffles beyond
+    the per-doc aggregation). Battery `kn_frozen` replays it
+    bit-exactly from the same literals."""
+    def df(rows, schema):
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+    return KNNgramLM(
+        n=int(model["n"]),
+        top_counts=df(
+            model["top_counts"], "kn_ctx string, kn_w string, c long"
+        ),
+        top_ctx=df(
+            model["top_ctx"], "kn_ctx string, c_ctx long, n1p_ctx long"
+        ),
+        cont={
+            int(k): df(v, "kn_ctx string, kn_w string, nc long")
+            for k, v in model["cont"].items()
+        },
+        cont_ctx={
+            int(k): df(v, "kn_ctx string, ncs long, n_after long")
+            for k, v in model["cont_ctx"].items()
+        },
+        uni_cont=df(model["uni_cont"], "kn_w string, n1p long"),
+        vocab_size=float(model["vocab_size"]),
+        t_types=float(model["t_types"]),
+        u_types=float(model["u_types"]),
+        discounts={int(k): float(v) for k, v in model["discounts"].items()},
+        prune=int(model["prune"]),
+    )

@@ -19407,6 +19407,128 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+_KN_FROZEN_KEEP = 4.2
+
+
+def q_kn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen Kneser-Ney serving twin (r12 — the unigram/BPE/ALS
+    freeze precedent applied to the KN family: `lm_perplexity_kn5`
+    trains in-query, the honest end-to-end cost, while THIS entry
+    scores with the committed order-3 count tables from
+    `_frozen.KN_MODEL` so the corpus-scale work is one map-only
+    pass with codebook-sized broadcast joins — the serving path a
+    real pipeline runs after amortizing the fit). The scoring input
+    carries the planted OOV suffix so every backoff rung
+    (3→2→1→unseen floor) is exercised. The oracle replays the
+    same fixed-parenthesization chain from VALUES tables."""
+    _prep(spark)
+    from ._frozen import KN_MODEL
+    from .operators.lm_filter import (
+        kn_from_frozen,
+        score_kn_ngram_perplexity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_KN5_PROBE)).alias("text")
+    )
+    lm = kn_from_frozen(spark, KN_MODEL)
+    scored = score_kn_ngram_perplexity(probe, lm)
+    return scored.select(
+        "doc_id",
+        "n_ngrams",
+        "avg_nll",
+        (
+            F.col("avg_nll").isNotNull()
+            & (F.col("avg_nll") <= _KN_FROZEN_KEEP)
+        ).alias("keep"),
+    )
+
+
+def _kn_frozen_oracle() -> str:
+    """GENERATED from ``_frozen.KN_MODEL`` (static per commit):
+    VALUES count tables + literal discounts, then the same n=3
+    fixed-parenthesization probability chain as the in-query KN
+    oracle."""
+    from ._frozen import KN_MODEL as m
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    tc = ", ".join(
+        f"({q(a)}, {q(b)}, {int(c)})" for a, b, c in m["top_counts"]
+    )
+    tctx = ", ".join(
+        f"({q(a)}, {int(b)}, {int(c)})" for a, b, c in m["top_ctx"]
+    )
+    cont2 = ", ".join(
+        f"({q(a)}, {q(b)}, {int(c)})" for a, b, c in m["cont"][2]
+    )
+    cctx2 = ", ".join(
+        f"({q(a)}, {int(b)}, {int(c)})" for a, b, c in m["cont_ctx"][2]
+    )
+    uc = ", ".join(f"({q(a)}, {int(b)})" for a, b in m["uni_cont"])
+    d1 = repr(float(m["discounts"][1]))
+    d2 = repr(float(m["discounts"][2]))
+    d3 = repr(float(m["discounts"][3]))
+    t = repr(float(m["t_types"]))
+    u = repr(float(m["u_types"]))
+    v = repr(float(m["vocab_size"]))
+    return f"""
+    WITH tc(ctx, x, c) AS (VALUES {tc}),
+    tctx(ctx, c_ctx, n1p_ctx) AS (VALUES {tctx}),
+    cont2(ctx, x, nc) AS (VALUES {cont2}),
+    cctx2(ctx, ncs, n_after) AS (VALUES {cctx2}),
+    uc(wu, n1p) AS (VALUES {uc}),
+    pw AS (SELECT doc_id,
+      list_filter(regexp_split_to_array(lower(text || '{_KN5_PROBE}'),
+                  '[^a-z0-9]+'), y -> y != '') AS words
+      FROM documents),
+    socc AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 3 THEN
+      list_transform(range(1, len(words) - 1),
+        i -> struct_pack(c2 := words[i+1],
+                         c3 := words[i] || ' ' || words[i+1],
+                         x := words[i+2])) ELSE [] END) AS p FROM pw),
+    s AS (SELECT doc_id, p.c2 AS c2, p.c3 AS c3, p.x AS x FROM socc),
+    j AS (SELECT s.doc_id,
+      CAST(COALESCE(tc.c, 0) AS DOUBLE) AS c,
+      CAST(COALESCE(tctx.c_ctx, 0) AS DOUBLE) AS c_ctx,
+      CAST(COALESCE(tctx.n1p_ctx, 0) AS DOUBLE) AS n1p_ctx,
+      CAST(COALESCE(uc.n1p, 0) AS DOUBLE) AS n1p,
+      CAST(COALESCE(n2.nc, 0) AS DOUBLE) AS nc2,
+      CAST(COALESCE(x2.ncs, 0) AS DOUBLE) AS ncs2,
+      CAST(COALESCE(x2.n_after, 0) AS DOUBLE) AS na2
+     FROM s
+     LEFT JOIN tc ON tc.ctx = s.c3 AND tc.x = s.x
+     LEFT JOIN tctx ON tctx.ctx = s.c3
+     LEFT JOIN uc ON uc.wu = s.x
+     LEFT JOIN cont2 n2 ON n2.ctx = s.c2 AND n2.x = s.x
+     LEFT JOIN cctx2 x2 ON x2.ctx = s.c2),
+    pr1 AS (SELECT doc_id, greatest(n1p - {d1}, 0.0) / {t}
+      + (({d1} * {u}) / {t}) * (1.0 / {v}) AS p,
+      c, c_ctx, n1p_ctx, nc2, ncs2, na2 FROM j),
+    pr2 AS (SELECT doc_id, CASE WHEN ncs2 > 0 THEN
+      greatest(nc2 - {d2}, 0.0) / ncs2 + (({d2} * na2) / ncs2) * p
+      ELSE p END AS p, c, c_ctx, n1p_ctx FROM pr1),
+    sc AS (SELECT doc_id, CAST(round(-ln(CASE WHEN c_ctx > 0 THEN
+      greatest(c - {d3}, 0.0) / c_ctx + (({d3} * n1p_ctx) / c_ctx) * p
+      ELSE p END), 6) AS DECIMAL(28,6)) AS nll_q FROM pr2),
+    per AS (SELECT doc_id, count(*) AS n_ngrams,
+      CAST(sum(nll_q) AS DOUBLE) / count(*) AS avg_nll
+      FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      per.avg_nll,
+      (per.avg_nll IS NOT NULL AND per.avg_nll <= {_KN_FROZEN_KEEP})
+        AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per USING (doc_id)
+    """
+
+
+ORACLES["kn_frozen"] = _kn_frozen_oracle()
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction from ranked responses (r12,
     operators/sft.py::preference_pairs — the DPO data-assembly step
@@ -20390,6 +20512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decontaminate": q_streaming_decontaminate,
         # r12: DPO preference-pair construction
         "preference_pairs": q_preference_pairs,
+        # r12: frozen Kneser-Ney serving twin
+        "kn_frozen": q_kn_frozen,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

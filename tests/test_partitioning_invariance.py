@@ -73,6 +73,7 @@ SAMPLED = [
     "bfd_packing",
     "pii_checksum",
     "preference_pairs",
+    "kn_frozen",
 ]
 
 _ORIG_LOAD = Q.load_table

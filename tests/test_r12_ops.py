@@ -500,3 +500,74 @@ def test_preference_pairs_partitioning_invariant(spark):
         ).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Frozen KN serving twin
+# ---------------------------------------------------------------------------
+
+
+def test_kn_freeze_roundtrip_scoring_identical(spark):
+    """kn_from_frozen(kn_to_frozen(lm)) must score BIT-IDENTICALLY
+    to the live-trained model — the freeze is a serialization, not
+    an approximation."""
+    from skrub_spark.operators.lm_filter import (
+        kn_from_frozen,
+        kn_to_frozen,
+        score_kn_ngram_perplexity,
+        train_kn_ngram,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog "
+                "the quick brown cat sleeps")
+            for i in range(4)
+        ]
+        + [(9, "a very different sentence with other words entirely")],
+        "doc_id long, text string",
+    )
+    lm = train_kn_ngram(corpus, "text", n=3, prune=0)
+    frozen = kn_to_frozen(lm)
+    lm2 = kn_from_frozen(spark, frozen)
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "unseen zz words qq here pp"),
+            (3, "the quick brown unseen tail"),
+            (4, "xy"),  # too short -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, score_kn_ngram_perplexity(probe, lm).collect())
+    )
+    b = sorted(
+        map(tuple, score_kn_ngram_perplexity(probe, lm2).collect())
+    )
+    assert a == b
+    # the frozen dict survives a repr round-trip (the _frozen.py
+    # commit format)
+    import ast as _ast
+
+    assert _ast.literal_eval(repr(frozen)) == frozen
+
+
+def test_kn_frozen_model_committed_shape():
+    from skrub_spark._frozen import KN_MODEL as m
+
+    assert m["n"] == 3
+    assert set(m["discounts"]) == {1, 2, 3}
+    assert all(0.05 <= d <= 0.95 for d in m["discounts"].values())
+    assert len(m["top_counts"]) > 50
+    assert all(c > m["prune"] for _, _, c in m["top_counts"])
+    # self-consistency: top_ctx sums the pruned top_counts
+    import collections
+
+    by_ctx = collections.Counter()
+    tot = collections.Counter()
+    for ctx, w, c in m["top_counts"]:
+        by_ctx[ctx] += 1
+        tot[ctx] += c
+    for ctx, c_ctx, n1p in m["top_ctx"]:
+        assert tot[ctx] == c_ctx and by_ctx[ctx] == n1p

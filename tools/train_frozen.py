@@ -396,6 +396,40 @@ def _als_section(model):
     )
 
 
+_KN_MARKER = "\n# Frozen Kneser-Ney serving twin:"
+
+
+def train_kn(spark, sf_dir):
+    """Train the order-3 interpolated-KN model whose SERVING path
+    the battery replays exactly: same trusted slice (lang='en') and
+    tokenization as lm_perplexity_kn5, order 3 with top-order prune
+    c > 2 so every table is codebook-sized (the cont tables of an
+    order-5 model are corpus-sized distinct-type frames — they
+    belong in parquet, not a committed literal; order 3 at this
+    corpus's 31-word vocab keeps the whole model ~1.3k rows)."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.lm_filter import kn_to_frozen, train_kn_ngram
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    lm = train_kn_ngram(
+        docs.where(F.col("lang") == "en"), "text", n=3, prune=2
+    )
+    return kn_to_frozen(lm)
+
+
+def _kn_section(model):
+    return (
+        f"{_KN_MARKER} order-3 interpolated KN count tables\n"
+        "# (tools/train_frozen.py::train_kn; trained on the sf0.01\n"
+        "# lang='en' slice, top-order prune c > 2). Tables are exact\n"
+        "# integer counts, discounts 6dp; scoring replays the fixed\n"
+        "# parenthesization chain in both engines\n"
+        f"KN_MODEL = {model!r}\n"
+    )
+
+
 def make_stream_planes(dim=64, n_planes=8, n_tables=4, seed=42):
     rng = np.random.default_rng(seed)
     return [
@@ -415,7 +449,7 @@ def main():
     path = "/root/repo/skrub_spark/_frozen.py"
 
     _ALL_MARKERS = (_LINKAGE_MARKER, _LID_MARKER, _GAP_MARKER,
-                    _UNIGRAM_MARKER, _ALS_MARKER)
+                    _UNIGRAM_MARKER, _ALS_MARKER, _KN_MARKER)
 
     def _replace_section(marker: str, section: str) -> None:
         """Replace ONE appended section in place, preserving every
@@ -466,6 +500,13 @@ def main():
         model = train_als(spark, sf_dir)
         _replace_section(_ALS_MARKER, _als_section(model))
         print(f"appended ALS_MODEL to {path}")
+        return
+
+    if "--append-kn" in sys.argv:
+        # same replace discipline for the frozen KN count tables
+        model = train_kn(spark, sf_dir)
+        _replace_section(_KN_MARKER, _kn_section(model))
+        print(f"appended KN_MODEL to {path}")
         return
 
     if "--append-lid" in sys.argv:
