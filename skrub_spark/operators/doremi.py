@@ -117,6 +117,9 @@ def doremi_weights(
         )
         .withColumn(
             "m6",
+            # try_cast: under ANSI a DECIMAL(18,6) overflow would
+            # throw an opaque ArithmeticException mid-collect; NULL
+            # instead routes to the ValueError below (ADVICE r11)
             (
                 F.round(
                     F.exp(
@@ -125,10 +128,10 @@ def doremi_weights(
                         / F.lit(float(scale))
                     ),
                     6,
-                ).cast("decimal(18,6)")
+                ).try_cast("decimal(18,6)")
                 * scale
             )
-            .cast("long"),
+            .try_cast("long"),
         )
     )
     rows = sorted(per.collect(), key=lambda r: str(r["domain"]))
@@ -142,7 +145,19 @@ def doremi_weights(
         )
     d_n = len(rows)
     a6 = {r["domain"]: scale // d_n for r in rows}
-    m6 = {r["domain"]: int(r["m6"]) for r in rows}
+    m6 = {}
+    for r in rows:
+        if r["m6"] is None:
+            # exp(eta * excess) overflowed DECIMAL(18,6) — the
+            # caller almost certainly passed raw perplexities
+            # instead of log-losses (ADVICE r11)
+            raise ValueError(
+                "doremi_weights: multiplier overflow for domain "
+                f"{r['domain']!r} (exp(eta * excess_loss) exceeds "
+                "DECIMAL(18,6)); pass log-space losses or use a "
+                "smaller eta"
+            )
+        m6[r["domain"]] = int(r["m6"])
     for _ in range(int(n_iter)):
         ap = {d: (a6[d] * m6[d]) // scale for d in a6}
         s = sum(ap.values())

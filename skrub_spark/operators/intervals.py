@@ -411,6 +411,14 @@ def attribution_time_decay(
     Shape: identical to linear — one entity-key equi-join with the
     window predicate; per-entity work bounded by that entity's
     event count, no corpus-wide window."""
+    if int(lookback_us) <= 0 or int(halflife_us) <= 0:
+        # halflife_us = 0 would divide by zero in the decay exponent
+        # and silently NULL every credit (ADVICE r11); match the
+        # sibling operators' validation style
+        raise ValueError(
+            "attribution_time_decay: lookback_us and halflife_us "
+            "must be > 0"
+        )
     us = F.expr(f"unix_micros({ts_col})")
     ev = df.select(
         F.col(entity_col).alias("entity"),

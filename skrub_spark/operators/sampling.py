@@ -465,6 +465,14 @@ def unimax_allocation(
     strata) or a repeat-loader (epochs > 1)."""
     if int(budget) < 0 or int(max_epochs) < 1:
         raise ValueError("unimax_allocation: budget >= 0, max_epochs >= 1")
+    def _scan_key(kv):
+        # ascending size, ties on the NATIVE stratum value (ADVICE
+        # r11: str(key) ordered integer strata as '10' < '2'); a
+        # NULL stratum sorts after non-NULL ties without comparing
+        # across types
+        n, s = kv[1], kv[0]
+        return (n, 1, "") if s is None else (n, 0, s)
+
     counts = sorted(
         (
             (r[0], int(r[1]))
@@ -472,7 +480,7 @@ def unimax_allocation(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         ),
-        key=lambda kv: (kv[1], str(kv[0])),
+        key=_scan_key,
     )
     remaining = int(budget)
     left = len(counts)
@@ -483,7 +491,25 @@ def unimax_allocation(
         left -= 1
         rows.append((s, n, alloc))
     spark = df.sparkSession
-    out = spark.createDataFrame(rows, [strata_col, "n_rows", "allocation"])
+    if not rows:
+        # createDataFrame([], [names]) cannot infer types (ADVICE
+        # r11) — build the empty frame with the input's stratum type
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    df.schema[strata_col],
+                    StructField("n_rows", LongType()),
+                    StructField("allocation", LongType()),
+                ]
+            ),
+        )
+    else:
+        out = spark.createDataFrame(
+            rows, [strata_col, "n_rows", "allocation"]
+        )
     return out.select(
         strata_col,
         F.col("n_rows").cast("long").alias("n_rows"),

@@ -591,7 +591,8 @@ def psm_match(
     argmin is a map-side-combined min(struct). Returns one row per
     treated unit: ``(treated_id, control_id, t_score, c_score,
     dist)`` with NULL control columns when nothing lies within the
-    caliper."""
+    caliper; a treated unit with a NULL score also keeps its row
+    (t_score and all control columns NULL) rather than vanishing."""
     cal6 = int(round(float(caliper) * 1_000_000))
     if cal6 <= 0:
         raise ValueError("psm_match: caliper must be > 0")
@@ -603,16 +604,20 @@ def psm_match(
         F.col(id_col).cast("long").alias("uid"),
         F.col(treat_col).cast("boolean").alias("t"),
         s6.alias("s6"),
-    ).where(F.col("s6").isNotNull())
+    )
+    # NULL-score TREATED units stay (one output row per treated
+    # unit, all non-id columns NULL — ADVICE r11: the old isNotNull
+    # filter silently dropped them, contradicting the docstring);
+    # NULL-score controls can never match and are dropped.
     treated = base.where("t").select(
         F.col("uid").alias("treated_id"), F.col("s6").alias("ts6")
     )
-    control = base.where(~F.col("t")).select(
+    control = base.where(~F.col("t") & F.col("s6").isNotNull()).select(
         F.col("uid").alias("control_id"),
         F.col("s6").alias("cs6"),
         F.expr(f"s6 DIV {cal6}").alias("__b"),
     )
-    cand = treated.select(
+    cand = treated.where(F.col("ts6").isNotNull()).select(
         "treated_id",
         "ts6",
         F.explode(

@@ -245,6 +245,12 @@ def kcenter_select(
     for _ in range(int(k) - 1):
         if top is None:
             break
+        # max min-distance 0 means every remaining point coincides
+        # with a chosen center (k exceeds the distinct vectors, or
+        # duplicates dominate) — stop rather than re-select a chosen
+        # id into the coreset (ADVICE r11)
+        if int(top["__m"]) == 0:
+            break
         nid, nvec = -int(top["__n"]), list(top["__v"])
         chosen.append((nid, nvec, int(top["__m"])))
         if len(chosen) >= int(k):

@@ -571,3 +571,102 @@ def test_kn_frozen_model_committed_shape():
         tot[ctx] += c
     for ctx, c_ctx, n1p in m["top_ctx"]:
         assert tot[ctx] == c_ctx and by_ctx[ctx] == n1p
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 regressions
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_overflow_raises_clear_error(spark):
+    """Raw perplexities instead of log-losses must fail loudly, not
+    TypeError on a NULL decimal."""
+    from skrub_spark.operators.doremi import doremi_weights
+
+    rows = [("web", 5000.0, 10.0), ("code", 40.0, 10.0)]
+    df = spark.createDataFrame(
+        rows, "domain string, loss double, ref_loss double"
+    )
+    with pytest.raises(
+        ValueError, match="overflow.*log-space losses"
+    ):
+        doremi_weights(df, "domain", "loss", "ref_loss", eta=1.0)
+
+
+def test_psm_null_score_treated_kept(spark):
+    from skrub_spark.report.experiment import psm_match
+
+    rows = [
+        (1, True, 0.5),
+        (2, True, None),  # NULL-score treated: row must survive
+        (3, False, 0.5001),
+        (4, False, None),  # NULL-score control: never matches
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, t boolean, score double"
+    )
+    out = {
+        r["treated_id"]: r
+        for r in psm_match(df, "uid", "t", "score", caliper=0.01).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["control_id"] == 3
+    assert out[2]["control_id"] is None
+    assert out[2]["t_score"] is None
+
+
+def test_kcenter_stops_on_duplicate_vectors(spark):
+    from skrub_spark.similarity.mining import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]),
+         (4, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_select(df, "vec_id", "embedding", k=4).collect()
+    ids = [r["vec_id"] for r in out]
+    # only 2 distinct vectors exist: selection stops at 2, no
+    # duplicate ids
+    assert len(ids) == len(set(ids)) == 2
+    assert ids == [1, 3]
+
+
+def test_unimax_empty_and_integer_strata(spark):
+    from skrub_spark.operators.sampling import unimax_allocation
+
+    empty = spark.createDataFrame([], "s string, i int")
+    assert unimax_allocation(empty, "s", budget=100).count() == 0
+    # integer strata with EQUAL counts: the tie must break on the
+    # native value (2 before 10), so stratum 2 is visited first and
+    # absorbs the remainder rounding
+    rows = [(2, i) for i in range(5)] + [(10, i) for i in range(5)]
+    df = spark.createDataFrame(rows, "s int, i int")
+    out = {
+        r["s"]: r["allocation"]
+        for r in unimax_allocation(df, "s", budget=9, max_epochs=4)
+        .collect()
+    }
+    # scan: s=2 first (9 DIV 2 = 4), then s=10 gets 5
+    assert out == {2: 4, 10: 5}
+
+
+def test_attribution_time_decay_validates(spark):
+    from skrub_spark.operators.intervals import attribution_time_decay
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click")],
+        "user_id long, ts string, event_id long, state string",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "state",
+    )
+    with pytest.raises(ValueError, match="halflife|lookback"):
+        attribution_time_decay(
+            df, "user_id", "ts", "event_id", "state",
+            conversion="purchase", lookback_us=1000, halflife_us=0,
+        )
+    with pytest.raises(ValueError, match="halflife|lookback"):
+        attribution_time_decay(
+            df, "user_id", "ts", "event_id", "state",
+            conversion="purchase", lookback_us=0, halflife_us=1000,
+        )
