@@ -132,6 +132,8 @@ HEADLINE = [
     "pii_checksum",
     "preference_pairs",
     "kn_frozen",
+    "rouge_eval",
+    "bleu_corpus",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

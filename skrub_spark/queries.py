@@ -19407,6 +19407,160 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair ROUGE-2 (r12, report/texteval.py::rouge_n — the
+    reference-overlap score of generation eval): candidate =
+    chars 1..150 of each document, reference = chars 30..199 —
+    overlapping windows, so every pair lands strictly between the
+    identical and disjoint extremes. Clipped bigram counts are
+    exact integers (explode → groupBy → equi-join → sum of min);
+    the three ratios are single IEEE divisions rounded 6dp."""
+    _prep(spark)
+    from .report.texteval import rouge_n
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        "doc_id",
+        F.substring("text", 1, 150).alias("cand"),
+        F.substring("text", 30, 170).alias("ref"),
+    )
+    return rouge_n(pairs, "cand", "ref", "doc_id", n=2)
+
+
+ORACLES["rouge_eval"] = """
+    WITH p AS (
+      SELECT doc_id AS pid, substr(text, 1, 150) AS cand,
+             substr(text, 30, 170) AS ref
+      FROM documents
+    ), wc AS (
+      SELECT pid, list_filter(regexp_split_to_array(lower(cand),
+               '[^a-z0-9]+'), x -> x != '') AS w FROM p
+    ), wr AS (
+      SELECT pid, list_filter(regexp_split_to_array(lower(ref),
+               '[^a-z0-9]+'), x -> x != '') AS w FROM p
+    ), gc AS (
+      SELECT pid, g, count(*) AS nc FROM (
+        SELECT pid, unnest(CASE WHEN len(w) >= 2 THEN
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+          ELSE [] END) AS g FROM wc) GROUP BY 1, 2
+    ), gr AS (
+      SELECT pid, g, count(*) AS nr FROM (
+        SELECT pid, unnest(CASE WHEN len(w) >= 2 THEN
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+          ELSE [] END) AS g FROM wr) GROUP BY 1, 2
+    ), ov AS (
+      SELECT pid, CAST(sum(least(nc, nr)) AS BIGINT) AS overlap
+      FROM gc JOIN gr USING (pid, g) GROUP BY 1
+    ), tc AS (
+      SELECT pid, CAST(sum(nc) AS BIGINT) AS n_cand FROM gc GROUP BY 1
+    ), tr AS (
+      SELECT pid, CAST(sum(nr) AS BIGINT) AS n_ref FROM gr GROUP BY 1
+    )
+    SELECT p.pid AS doc_id,
+      COALESCE(tc.n_cand, 0) AS n_cand,
+      COALESCE(tr.n_ref, 0) AS n_ref,
+      COALESCE(ov.overlap, 0) AS overlap,
+      CASE WHEN COALESCE(tc.n_cand, 0) > 0 THEN
+        round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE)
+              / CAST(tc.n_cand AS DOUBLE), 6) END AS precision,
+      CASE WHEN COALESCE(tr.n_ref, 0) > 0 THEN
+        round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE)
+              / CAST(tr.n_ref AS DOUBLE), 6) END AS recall,
+      CASE WHEN COALESCE(tc.n_cand, 0) + COALESCE(tr.n_ref, 0) > 0 THEN
+        round(2.0 * CAST(COALESCE(ov.overlap, 0) AS DOUBLE)
+              / CAST(tc.n_cand + tr.n_ref AS DOUBLE), 6) END AS f1
+    FROM p
+    LEFT JOIN tc USING (pid) LEFT JOIN tr USING (pid)
+    LEFT JOIN ov USING (pid)
+"""
+
+
+def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-4 (r12, report/texteval.py::bleu_corpus):
+    same candidate/reference windows as rouge_eval; four clipped
+    modified precisions from ONE relational pass per order, the
+    brevity penalty, and the geometric mean over the ROUNDED p_k
+    (so the oracle replays the final float bit-for-bit)."""
+    _prep(spark)
+    from .report.texteval import bleu_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        "doc_id",
+        F.substring("text", 1, 150).alias("cand"),
+        F.substring("text", 30, 170).alias("ref"),
+    )
+    return bleu_corpus(pairs, "cand", "ref", "doc_id", max_n=4)
+
+
+def _bleu_oracle(max_n: int = 4) -> str:
+    grams = (
+        "SELECT pid, unnest(CASE WHEN len(w) >= {k} THEN"
+        " list_transform(range(1, len(w) - {km2}),"
+        " i -> {join}) ELSE [] END) AS g FROM {src}"
+    )
+    ctes = [
+        (
+            "p AS (SELECT doc_id AS pid, substr(text, 1, 150) AS cand,"
+            " substr(text, 30, 170) AS ref FROM documents)"
+        ),
+        (
+            "wc AS (SELECT pid, list_filter(regexp_split_to_array("
+            "lower(cand), '[^a-z0-9]+'), x -> x != '') AS w FROM p)"
+        ),
+        (
+            "wr AS (SELECT pid, list_filter(regexp_split_to_array("
+            "lower(ref), '[^a-z0-9]+'), x -> x != '') AS w FROM p)"
+        ),
+    ]
+    for k in range(1, max_n + 1):
+        join = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+        g = grams.format(k=k, km2=k - 2, join=join, src="wc")
+        r = grams.format(k=k, km2=k - 2, join=join, src="wr")
+        ctes.append(
+            f"gc{k} AS (SELECT pid, g, count(*) AS nc FROM ({g})"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"gr{k} AS (SELECT pid, g, count(*) AS nr FROM ({r})"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT round(CAST((SELECT COALESCE("
+            f"sum(least(nc, nr)), 0) FROM gc{k} JOIN gr{k}"
+            " USING (pid, g)) AS DOUBLE) / CAST(greatest((SELECT"
+            f" COALESCE(sum(nc), 0) FROM gc{k}), 1) AS DOUBLE), 6)"
+            f" AS p{k})"
+        )
+    ctes.append(
+        "lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+        " CAST(sum(len(wc.w)) AS BIGINT) AS cand_len,"
+        " CAST(sum(len(wr.w)) AS BIGINT) AS ref_len"
+        " FROM wc JOIN wr USING (pid))"
+    )
+    pk = ", ".join(f"p{k}" for k in range(1, max_n + 1))
+    crosses = " CROSS JOIN ".join(f"s{k}" for k in range(1, max_n + 1))
+    lnsum = " + ".join(f"ln(p{k})" for k in range(1, max_n + 1))
+    allpos = " AND ".join(f"p{k} > 0" for k in range(1, max_n + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n_pairs, cand_len, ref_len, {pk},
+      round(least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE)
+            / CAST(greatest(cand_len, 1) AS DOUBLE))), 6) AS bp,
+      CASE WHEN {allpos} THEN
+        round(round(least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE)
+              / CAST(greatest(cand_len, 1) AS DOUBLE))), 6)
+              * exp(({lnsum}) / {float(max_n)}), 6) END AS bleu
+    FROM lens CROSS JOIN {crosses}
+    """
+    )
+
+
+ORACLES["bleu_corpus"] = _bleu_oracle()
+
+
 _KN_FROZEN_KEEP = 4.2
 
 
@@ -20514,6 +20668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         # r12: frozen Kneser-Ney serving twin
         "kn_frozen": q_kn_frozen,
+        # r12: generation-eval reference-overlap metrics
+        "rouge_eval": q_rouge_eval,
+        "bleu_corpus": q_bleu_corpus,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

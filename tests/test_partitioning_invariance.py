@@ -74,6 +74,8 @@ SAMPLED = [
     "pii_checksum",
     "preference_pairs",
     "kn_frozen",
+    "rouge_eval",
+    "bleu_corpus",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -670,3 +670,63 @@ def test_attribution_time_decay_validates(spark):
             df, "user_id", "ts", "event_id", "state",
             conversion="purchase", lookback_us=0, halflife_us=1000,
         )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE / BLEU
+# ---------------------------------------------------------------------------
+
+
+def test_rouge_known_values(spark):
+    from skrub_spark.report.texteval import rouge_n
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "aa bb cc", "dd ee ff"),
+            (3, "xy", "ab cd"),  # cand too short for bigrams
+        ],
+        "pid long, cand string, ref string",
+    )
+    out = {
+        r["pid"]: r
+        for r in rouge_n(pairs, "cand", "ref", "pid", n=2).collect()
+    }
+    assert out[1]["precision"] == out[1]["recall"] == out[1]["f1"] == 1.0
+    assert out[1]["overlap"] == 5
+    assert out[2]["overlap"] == 0 and out[2]["f1"] == 0.0
+    assert out[3]["n_cand"] == 0 and out[3]["precision"] is None
+    # clipping: repeated candidate gram can't overlap more than ref has
+    rep = spark.createDataFrame(
+        [(1, "a b a b a b", "a b c")], "pid long, cand string, ref string"
+    )
+    r = rouge_n(rep, "cand", "ref", "pid", n=2).collect()[0]
+    # cand bigrams: "a b"x3, "b a"x2; ref: "a b","b c" -> clipped = 1
+    assert r["overlap"] == 1 and r["n_cand"] == 5
+
+
+def test_bleu_identical_and_brevity(spark):
+    from skrub_spark.report.texteval import bleu_corpus
+
+    same = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8", "w1 w2 w3 w4 w5 w6 w7 w8")],
+        "pid long, cand string, ref string",
+    )
+    r = bleu_corpus(same, "cand", "ref", "pid").collect()[0]
+    assert r["bp"] == 1.0 and r["bleu"] == 1.0
+    # short candidate: perfect precisions but BP < 1
+    short = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")],
+        "pid long, cand string, ref string",
+    )
+    r2 = bleu_corpus(short, "cand", "ref", "pid").collect()[0]
+    assert r2["p4"] == 1.0
+    assert r2["bp"] < 1.0
+    assert abs(r2["bleu"] - r2["bp"]) < 1e-6
+    # any zero p_k -> NULL bleu (no smoothing)
+    zero = spark.createDataFrame(
+        [(1, "a b c d", "a x b y c z d q")],
+        "pid long, cand string, ref string",
+    )
+    r3 = bleu_corpus(zero, "cand", "ref", "pid").collect()[0]
+    assert r3["bleu"] is None
