@@ -134,6 +134,8 @@ HEADLINE = [
     "kn_frozen",
     "rouge_eval",
     "bleu_corpus",
+    "reservoir_sample",
+    "weighted_reservoir",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -518,3 +518,76 @@ def unimax_allocation(
             F.col("allocation").cast("double") / F.col("n_rows"), 6
         ).alias("epochs"),
     )
+
+
+def reservoir_sample(
+    df: DataFrame, key: str | Column, k: int, salt: str = ""
+) -> DataFrame:
+    """EXACT-k deterministic uniform sample (r12 — the fixed-SIZE
+    complement to `deterministic_sample`'s fixed-FRACTION rule, and
+    the global twin of `cap_per_group`): keep the k rows whose
+    content-addressed md5 hex is smallest (ties on the key string,
+    so duplicate keys still order totally). Same k rows on every
+    run, engine, cluster size, and partitioning — the property a
+    seeded reservoir loses the moment partitioning changes.
+
+    100 TB shape: ``ORDER BY hash LIMIT k`` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps + one driver
+    merge of p·k rows, NO global sort, NO corpus window. The SQL
+    oracle replays the order bit-for-bit (battery
+    ``reservoir_sample``)."""
+    if int(k) < 0:
+        raise ValueError("reservoir_sample: k must be >= 0")
+    kc = F.col(key) if isinstance(key, str) else key
+    s = F.coalesce(kc.cast("string"), F.lit("\x00<null>"))
+    h = F.md5(F.concat(F.lit(salt), s))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), s.asc())
+        .limit(int(k))
+        .drop("__h")
+    )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-k weight-proportional sample WITHOUT replacement
+    (Efraimidis & Spirakis 2006, r12): each row draws a
+    deterministic uniform u from 52 md5 bits and keeps the k
+    LARGEST ``ln(u) / w`` — equivalent to ranking by u^(1/w), so a
+    row's inclusion probability scales with its weight (the A-ES
+    one-pass reservoir, made content-addressed: same k rows on any
+    partitioning, and the float scores replay bit-for-bit in SQL —
+    u = (h52 + 0.5) / 2^52 is exact double arithmetic, ln and the
+    divide are single IEEE ops). Rows with NULL or non-positive
+    weight are excluded (E-S is undefined there — a zero weight
+    must never be sampled and w < 0 is caller error, documented
+    rather than raised to keep the operator map-only).
+
+    Same TakeOrderedAndProject shape as `reservoir_sample` — no
+    global sort, no window. Battery oracle:
+    ``weighted_reservoir``."""
+    if int(k) < 0:
+        raise ValueError("weighted_reservoir_sample: k must be >= 0")
+    kc = F.col(key) if isinstance(key, str) else key
+    s = F.coalesce(kc.cast("string"), F.lit("\x00<null>"))
+    h52 = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 13), 16, 10)
+        .cast("long"),
+        F.lit(1 << 52),
+    )
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    score = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__s", score)
+        .orderBy(F.col("__s").desc(), s.asc())
+        .limit(int(k))
+        .drop("__s")
+    )

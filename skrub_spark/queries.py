@@ -19407,6 +19407,63 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic uniform sample (r12,
+    operators/sampling.py::reservoir_sample — fixed SIZE where
+    deterministic_sample fixes the FRACTION): the 100 documents
+    with the smallest content-addressed md5. Compiles to
+    TakeOrderedAndProject (per-partition top-k heaps, no global
+    sort); the oracle replays the hex order."""
+    _prep(spark)
+    from .operators.sampling import reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return reservoir_sample(docs, "doc_id", 100, salt="res12")
+
+
+ORACLES["reservoir_sample"] = """
+    SELECT doc_id FROM documents
+    ORDER BY md5('res12' || CAST(doc_id AS VARCHAR)) ASC,
+             CAST(doc_id AS VARCHAR) ASC
+    LIMIT 100
+"""
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weight-proportional sample without replacement
+    (r12, operators/sampling.py::weighted_reservoir_sample —
+    Efraimidis–Spirakis A-ES made content-addressed): 100 documents
+    by the largest ln(u)/n_chars with u drawn from 52 md5 bits.
+    u = (h52 + 0.5)/2^52 is exact double arithmetic and ln / the
+    divide are single IEEE ops, so the oracle replays the float
+    ORDER bit-for-bit."""
+    _prep(spark)
+    from .operators.sampling import weighted_reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return weighted_reservoir_sample(
+        docs, "doc_id", "n_chars", 100, salt="wres12"
+    )
+
+
+ORACLES["weighted_reservoir"] = """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+        ('0x' || substr(md5('wres12' || CAST(doc_id AS VARCHAR)),
+                        1, 13))::BIGINT % 4503599627370496 AS h52
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM h
+    ORDER BY ln((CAST(h52 AS DOUBLE) + 0.5) / 4503599627370496.0)
+             / CAST(n_chars AS DOUBLE) DESC,
+             CAST(doc_id AS VARCHAR) ASC
+    LIMIT 100
+"""
+
+
 def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair ROUGE-2 (r12, report/texteval.py::rouge_n — the
     reference-overlap score of generation eval): candidate =
@@ -20671,6 +20728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: generation-eval reference-overlap metrics
         "rouge_eval": q_rouge_eval,
         "bleu_corpus": q_bleu_corpus,
+        # r12: exact-k content-addressed reservoir samplers
+        "reservoir_sample": q_reservoir_sample,
+        "weighted_reservoir": q_weighted_reservoir,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -76,6 +76,8 @@ SAMPLED = [
     "kn_frozen",
     "rouge_eval",
     "bleu_corpus",
+    "reservoir_sample",
+    "weighted_reservoir",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -730,3 +730,70 @@ def test_bleu_identical_and_brevity(spark):
     )
     r3 = bleu_corpus(zero, "cand", "ref", "pid").collect()[0]
     assert r3["bleu"] is None
+
+
+# ---------------------------------------------------------------------------
+# Reservoir samplers
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_exact_k_and_invariant(spark):
+    from skrub_spark.operators.sampling import reservoir_sample
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    a = {r["k"] for r in reservoir_sample(df, "k", 50, "s").collect()}
+    b = {
+        r["k"]
+        for r in reservoir_sample(
+            df.repartition(13), "k", 50, "s"
+        ).collect()
+    }
+    assert len(a) == 50 and a == b
+    # different salt -> different (decorrelated) sample
+    c = {r["k"] for r in reservoir_sample(df, "k", 50, "t").collect()}
+    assert a != c
+    # k > n returns all rows; k = 0 none
+    assert reservoir_sample(df, "k", 1000, "s").count() == 500
+    assert reservoir_sample(df, "k", 0, "s").count() == 0
+
+
+def test_reservoir_plan_no_global_sort(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject —
+    per-partition heaps, never a full Exchange+Sort of the corpus."""
+    from skrub_spark.operators.sampling import reservoir_sample
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    plan = (
+        reservoir_sample(df.repartition(8), "k", 5, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_reservoir_proportional_and_guards(spark):
+    from skrub_spark.operators.sampling import weighted_reservoir_sample
+
+    # two weight classes: heavy rows (w=50) must dominate the
+    # sample over light rows (w=1) -- E-S inclusion scales with w
+    rows = [(i, 50.0) for i in range(100)] + [
+        (i + 1000, 1.0) for i in range(100)
+    ] + [(5000, None), (5001, 0.0), (5002, -3.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = [
+        r["k"]
+        for r in weighted_reservoir_sample(df, "k", "w", 60, "s").collect()
+    ]
+    assert len(out) == 60
+    heavy = sum(1 for k in out if k < 1000)
+    assert heavy > 45  # ~58 expected; wildly above the uniform 30
+    assert not any(k >= 5000 for k in out)  # null/zero/neg excluded
+    # invariance
+    out2 = {
+        r["k"]
+        for r in weighted_reservoir_sample(
+            df.repartition(7), "k", "w", 60, "s"
+        ).collect()
+    }
+    assert set(out) == out2
