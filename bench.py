@@ -136,6 +136,7 @@ HEADLINE = [
     "bleu_corpus",
     "reservoir_sample",
     "weighted_reservoir",
+    "dl_name_pairs",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

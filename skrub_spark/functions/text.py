@@ -695,3 +695,75 @@ def redact_pii_checksum(
     return F.aggregate(
         valid_ib, c, lambda acc, x: F.replace(acc, x, F.lit(iban_token))
     )
+
+
+def damerau_levenshtein_py(a: str | None, b: str | None) -> int | None:
+    """Reference FULL Damerau-Levenshtein distance
+    (Lowrance–Wagner 1975: insert/delete/substitute + transposition
+    of two characters possibly separated by intervening edits —
+    NOT the restricted OSA variant), pinned to DuckDB's builtin
+    ``damerau_levenshtein`` convention (verified pairwise over
+    random strings in tests/test_r12_ops.py: e.g. 'ca'→'abc' is 2
+    under full DL, 3 under OSA). NULL either side → NULL; empty →
+    other side's length. Used row-wise by the Arrow-batched
+    :func:`damerau_levenshtein` column."""
+    if a is None or b is None:
+        return None
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            m = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][m] + (i - k - 1) + 1 + (j - m - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def damerau_levenshtein(a: Column | str, b: Column | str) -> Column:
+    """Full Damerau-Levenshtein distance column (r12 — the
+    transposition-aware edit distance record linkage wants for
+    typo'd names, next to Spark's builtin ``levenshtein`` which
+    charges a swap 2 edits). Arrow-batched pandas UDF over
+    :func:`damerau_levenshtein_py` — O(|a|·|b|) per pair on short
+    keys; apply only to BLOCKED candidate frames
+    (``dedup.strings.damerau_levenshtein_join``), never a raw cross
+    join. Bit-identical to DuckDB's builtin, so battery oracles
+    replay it exactly (``dl_name_pairs``)."""
+    import pandas as pd
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+
+    @F.pandas_udf("long")
+    def _dl(sa, sb):
+        return pd.Series(
+            [damerau_levenshtein_py(x, y) for x, y in zip(sa, sb)],
+            dtype="Int64",
+        )
+
+    return _dl(a, b)

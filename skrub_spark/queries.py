@@ -19407,6 +19407,39 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def q_dl_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked full-Damerau-Levenshtein join (r12,
+    dedup/strings.py::damerau_levenshtein_join +
+    functions/text.py::damerau_levenshtein — the
+    transposition-aware edit distance next to jw_name_pairs'
+    Jaro-Winkler; bit-identical to DuckDB's builtin, pinned over a
+    12k random sweep in tests/test_r12_ops.py): part names within
+    distance 4 sharing a first-token block, length-difference
+    prefiltered JVM-side before the Arrow verify."""
+    _prep(spark)
+    from .dedup.strings import damerau_levenshtein_join
+
+    part = load_table(spark, sf_dir, "part")
+    return damerau_levenshtein_join(
+        part, part, "p_name", "p_name", max_dist=4
+    )
+
+
+ORACLES["dl_name_pairs"] = """
+    WITH d AS (SELECT DISTINCT p_name FROM part),
+    t AS (
+      SELECT p_name,
+        regexp_split_to_array(lower(p_name), '\\s+')[1] AS bk
+      FROM d
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+      CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl
+    FROM t a JOIN t b ON a.bk = b.bk AND a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+      AND damerau_levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic uniform sample (r12,
     operators/sampling.py::reservoir_sample — fixed SIZE where
@@ -20731,6 +20764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: exact-k content-addressed reservoir samplers
         "reservoir_sample": q_reservoir_sample,
         "weighted_reservoir": q_weighted_reservoir,
+        # r12: blocked full-Damerau-Levenshtein join
+        "dl_name_pairs": q_dl_name_pairs,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -78,6 +78,7 @@ SAMPLED = [
     "bleu_corpus",
     "reservoir_sample",
     "weighted_reservoir",
+    "dl_name_pairs",
 ]
 
 _ORIG_LOAD = Q.load_table

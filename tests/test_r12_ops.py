@@ -797,3 +797,68 @@ def test_weighted_reservoir_proportional_and_guards(spark):
         ).collect()
     }
     assert set(out) == out2
+
+
+# ---------------------------------------------------------------------------
+# Damerau-Levenshtein
+# ---------------------------------------------------------------------------
+
+
+def test_dl_bit_identical_to_duckdb():
+    """Full DL (Lowrance-Wagner), not OSA: pinned pairwise to
+    DuckDB's builtin over a random sweep + the OSA-separating
+    canonical case."""
+    import random
+
+    import duckdb
+
+    from skrub_spark.functions.text import damerau_levenshtein_py
+
+    assert damerau_levenshtein_py("ca", "abc") == 2  # OSA would say 3
+    assert damerau_levenshtein_py("ab", "ba") == 1
+    assert damerau_levenshtein_py("kitten", "sitting") == 3
+    assert damerau_levenshtein_py("", "abc") == 3
+    assert damerau_levenshtein_py(None, "x") is None
+    con = duckdb.connect()
+    rng = random.Random(7)
+    for _ in range(4000):
+        a = "".join(
+            rng.choice("abcde") for _ in range(rng.randint(0, 8))
+        )
+        b = "".join(
+            rng.choice("abcde") for _ in range(rng.randint(0, 8))
+        )
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein_py(a, b) == want, (a, b)
+
+
+def test_dl_join_blocked_and_capped(spark):
+    from skrub_spark.dedup.strings import damerau_levenshtein_join
+
+    rows = [
+        ("alpha green box",),
+        ("alpha gren box",),   # deletion: 1
+        ("alpha grene box",),  # transposition: 1
+        ("beta green box",),   # different block
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    out = {
+        (r["name_a"], r["name_b"]): r["dl"]
+        for r in damerau_levenshtein_join(
+            df, df, "name", "name", max_dist=2
+        ).collect()
+    }
+    assert out[("alpha green box", "alpha gren box")] == 1
+    assert out[("alpha gren box", "alpha grene box")] == 1
+    assert not any("beta" in a or "beta" in b for a, b in out)
+    # hot-block cap drops the whole block
+    assert (
+        damerau_levenshtein_join(
+            df, df, "name", "name", max_dist=2, max_block=2
+        )
+        .filter(F.col("name_a").startswith("alpha"))
+        .count()
+        == 0
+    )
