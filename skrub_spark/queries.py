@@ -19413,30 +19413,54 @@ def q_dl_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/text.py::damerau_levenshtein — the
     transposition-aware edit distance next to jw_name_pairs'
     Jaro-Winkler; bit-identical to DuckDB's builtin, pinned over a
-    12k random sweep in tests/test_r12_ops.py): part names within
-    distance 4 sharing a first-token block, length-difference
-    prefiltered JVM-side before the Arrow verify."""
+    12k random sweep in tests/test_r12_ops.py): a part-name subset
+    plus planted LAST-TWO-CHAR transposition typos (DL says 1 where
+    plain Levenshtein says 2 — the metric's whole point), joined at
+    max_dist 1 within first-token blocks."""
     _prep(spark)
     from .dedup.strings import damerau_levenshtein_join
 
     part = load_table(spark, sf_dir, "part")
+    base = (
+        part.where(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_name").alias("name"), "p_partkey")
+    )
+    ln = F.length("name")
+    swapped = base.where(F.col("p_partkey") % 30 == 0).select(
+        F.concat(
+            F.substring(F.col("name"), 1, ln - 2),
+            F.substring(F.col("name"), ln, 1),
+            F.substring(F.col("name"), ln - 1, 1),
+        ).alias("name")
+    )
+    names = base.select("name").unionByName(swapped)
     return damerau_levenshtein_join(
-        part, part, "p_name", "p_name", max_dist=4
+        names, names, "name", "name", max_dist=1
     )
 
 
 ORACLES["dl_name_pairs"] = """
-    WITH d AS (SELECT DISTINCT p_name FROM part),
-    t AS (
-      SELECT p_name,
-        regexp_split_to_array(lower(p_name), '\\s+')[1] AS bk
-      FROM d
+    WITH base AS (
+      SELECT p_name AS name, p_partkey FROM part WHERE p_partkey % 10 = 0
+    ), swapped AS (
+      SELECT substr(name, 1, length(name) - 2)
+             || substr(name, length(name), 1)
+             || substr(name, length(name) - 1, 1) AS name
+      FROM base WHERE p_partkey % 30 = 0
+    ), names AS (
+      SELECT DISTINCT name FROM (
+        SELECT name FROM base UNION ALL SELECT name FROM swapped)
+    ), t AS (
+      SELECT name,
+        regexp_split_to_array(lower(name), '\\s+')[1] AS bk
+      FROM names
     )
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-      CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl
-    FROM t a JOIN t b ON a.bk = b.bk AND a.p_name < b.p_name
-    WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
-      AND damerau_levenshtein(a.p_name, b.p_name) <= 4
+    SELECT a.name AS name_a, b.name AS name_b,
+      CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dl
+    FROM t a JOIN t b ON a.bk = b.bk AND a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= 1
+      AND levenshtein(a.name, b.name) <= 2
+      AND damerau_levenshtein(a.name, b.name) <= 1
 """
 
 
