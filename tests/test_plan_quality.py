@@ -1029,3 +1029,86 @@ def test_ccnet_no_corpus_language_window(spark):
         if "windowspecdefinition(__lang" in line:
             assert "sum(__c" in line
     assert saw_row_number
+
+
+def test_pii_checksum_no_python_in_plan(spark):
+    """Checksum PII is pure Column work — extraction, Luhn/IBAN
+    integer folds, and the replace fold must all stay JVM-side (no
+    BatchEvalPython / ArrowEvalPython nodes)."""
+    from skrub_spark.functions.text import redact_pii_checksum
+
+    df = spark.createDataFrame(
+        [("pay 4111111111111111 iban DE89370400440532013000",)],
+        "text string",
+    )
+    plan = plan_of(df.select(redact_pii_checksum("text").alias("r")))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bfd_pack_single_shuffle_to_shards(spark):
+    """bfd_pack's packable branch: ONE hash exchange on the shard
+    key feeding the Arrow-batched group map — no other shuffle."""
+    from skrub_spark.operators.packing import bfd_pack
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 5) for i in range(100)],
+        "doc_id long, n_tok long",
+    )
+    plan = plan_of(
+        bfd_pack(df.repartition(4), "n_tok", "doc_id",
+                 capacity=96, n_shards=4)
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    # the packable branch shuffles once on shard; the union's rest
+    # branch is map-only (its only Exchange is the input repartition)
+    assert plan.count("Exchange hashpartitioning(shard") == 1
+
+
+def test_kn_frozen_scoring_broadcasts_model(spark):
+    """Frozen-KN serving: every model join must broadcast the
+    codebook-sized table — a sort-merge join of the corpus against
+    a 300-row literal frame means the broadcast threshold broke."""
+    from skrub_spark._frozen import KN_MODEL
+    from skrub_spark.operators.lm_filter import (
+        kn_from_frozen, score_kn_ngram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    lm = kn_from_frozen(spark, KN_MODEL)
+    plan = plan_of(score_kn_ngram_perplexity(docs, lm), execute=True)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "BatchEvalPython" not in plan
+
+
+def test_preference_pairs_windows_prompt_partitioned(spark):
+    """preference_pairs' only window is the per-prompt (rank, text)
+    row_number — never a corpus-wide unpartitioned window."""
+    from skrub_spark.operators.sft import preference_pairs
+
+    df = spark.createDataFrame(
+        [(f"p{i % 5}", f"r{i}", i % 3 + 1) for i in range(50)],
+        "prompt string, resp string, rnk long",
+    )
+    plan = plan_of(preference_pairs(df, "prompt", "resp", "rnk"))
+    for line in plan.splitlines():
+        if "row_number()" in line and "windowspecdefinition" in line:
+            assert "windowspecdefinition(prompt" in line
+
+
+def test_rouge_no_python_no_cartesian(spark):
+    from skrub_spark.report.texteval import bleu_corpus, rouge_n
+
+    pairs = spark.createDataFrame(
+        [(i, "a b c d e", "a b c x y") for i in range(10)],
+        "pid long, cand string, ref string",
+    )
+    p1 = plan_of(rouge_n(pairs, "cand", "ref", "pid", n=2))
+    assert "BatchEvalPython" not in p1
+    assert "CartesianProduct" not in p1
+    p2 = plan_of(bleu_corpus(pairs, "cand", "ref", "pid", max_n=2))
+    assert "BatchEvalPython" not in p2
+    assert "CartesianProduct" not in p2
