@@ -137,6 +137,7 @@ HEADLINE = [
     "reservoir_sample",
     "weighted_reservoir",
     "dl_name_pairs",
+    "bradley_terry",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

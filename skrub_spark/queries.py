@@ -19407,6 +19407,153 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+_BT_ITER = 6
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry arena ranking (r12,
+    operators/arena.py::bradley_terry — the Chatbot-Arena shape:
+    pairwise battles → latent strengths via Hunter's MM, run as the
+    DoReMi exact-integer driver loop over the bounded
+    per-(winner, loser) count frame): battles are line 1 vs line 2
+    of each order (items = part brands, winner = higher extended
+    price, price ties skipped), 6 MM iterations in integer micro
+    units. The oracle replays every iteration as chained HUGEINT
+    CTEs."""
+    _prep(spark)
+    from .operators.arena import bradley_terry
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    tagged = li.join(
+        F.broadcast(part), li["l_partkey"] == F.col("p_partkey")
+    )
+    a = tagged.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.col("p_brand").alias("b1"),
+        F.col("l_extendedprice").alias("pr1"),
+    )
+    b = tagged.where(F.col("l_linenumber") == 2).select(
+        "l_orderkey",
+        F.col("p_brand").alias("b2"),
+        F.col("l_extendedprice").alias("pr2"),
+    )
+    battles = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pr1") != F.col("pr2"))
+        .select(
+            F.when(F.col("pr1") > F.col("pr2"), F.col("b1"))
+            .otherwise(F.col("b2"))
+            .alias("winner"),
+            F.when(F.col("pr1") > F.col("pr2"), F.col("b2"))
+            .otherwise(F.col("b1"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry(battles, "winner", "loser", n_iter=_BT_ITER)
+
+
+def _bt_oracle(n_iter: int = _BT_ITER) -> str:
+    ctes = [
+        (
+            "a AS (SELECT l_orderkey, p_brand AS b1,"
+            " l_extendedprice AS pr1 FROM lineitem"
+            " JOIN part ON l_partkey = p_partkey"
+            " WHERE l_linenumber = 1)"
+        ),
+        (
+            "b AS (SELECT l_orderkey, p_brand AS b2,"
+            " l_extendedprice AS pr2 FROM lineitem"
+            " JOIN part ON l_partkey = p_partkey"
+            " WHERE l_linenumber = 2)"
+        ),
+        (
+            "bat AS (SELECT CASE WHEN pr1 > pr2 THEN b1 ELSE b2 END AS w,"
+            " CASE WHEN pr1 > pr2 THEN b2 ELSE b1 END AS l"
+            " FROM a JOIN b USING (l_orderkey) WHERE pr1 != pr2)"
+        ),
+        (
+            "cnt AS MATERIALIZED (SELECT w, l,"
+            " CAST(count(*) AS HUGEINT) AS n"
+            " FROM bat WHERE w != l GROUP BY 1, 2)"
+        ),
+        (
+            "items AS MATERIALIZED (SELECT DISTINCT item FROM"
+            " (SELECT w AS item FROM cnt UNION SELECT l FROM cnt))"
+        ),
+        (
+            "prs AS MATERIALIZED (SELECT"
+            " CASE WHEN w < l THEN w ELSE l END AS i,"
+            " CASE WHEN w < l THEN l ELSE w END AS j,"
+            " CAST(sum(n) AS HUGEINT) AS n FROM cnt GROUP BY 1, 2)"
+        ),
+        (
+            "wins AS MATERIALIZED (SELECT w AS item,"
+            " CAST(sum(n) AS HUGEINT) AS wn FROM cnt GROUP BY 1)"
+        ),
+        (
+            "nb AS MATERIALIZED (SELECT item,"
+            " CAST(sum(n) AS BIGINT) AS nbat FROM"
+            " (SELECT i AS item, n FROM prs"
+            " UNION ALL SELECT j, n FROM prs) GROUP BY 1)"
+        ),
+        (
+            "edges AS MATERIALIZED (SELECT i AS item, j AS opp, n"
+            " FROM prs UNION ALL SELECT j, i, n FROM prs)"
+        ),
+        "k AS (SELECT CAST(count(*) AS HUGEINT) AS ni FROM items)",
+        (
+            "it0 AS MATERIALIZED (SELECT item,"
+            " CAST(1000000 AS HUGEINT) AS p6 FROM items)"
+        ),
+    ]
+    for t in range(1, n_iter + 1):
+        prev = f"it{t-1}"
+        ctes.append(
+            f"d{t} AS (SELECT e.item,"
+            " sum((e.n * CAST(1000000000000 AS HUGEINT))"
+            " // (x.p6 + y.p6)) AS den"
+            f" FROM edges e JOIN {prev} x ON x.item = e.item"
+            f" JOIN {prev} y ON y.item = e.opp GROUP BY 1)"
+        )
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT i.item,"
+            " greatest(CAST(1 AS HUGEINT),"
+            " (COALESCE(w.wn, 0) * CAST(1000000000000 AS HUGEINT))"
+            " // d.den) AS p6"
+            f" FROM items i JOIN d{t} d USING (item)"
+            " LEFT JOIN wins w USING (item))"
+        )
+        ctes.append(
+            f"it{t} AS MATERIALIZED (SELECT u.item,"
+            " greatest(CAST(1 AS HUGEINT),"
+            " (u.p6 * k.ni * 1000000)"
+            f" // (SELECT sum(p6) FROM u{t})) AS p6"
+            f" FROM u{t} u CROSS JOIN k)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT i.item,
+      CAST(COALESCE(w.wn, 0) AS BIGINT) AS n_wins,
+      nb.nbat AS n_battles,
+      CAST(p.p6 AS DOUBLE) / 1000000.0 AS score
+    FROM items i
+    LEFT JOIN wins w USING (item)
+    JOIN nb USING (item)
+    JOIN it{n_iter} p USING (item)
+    """
+    )
+
+
+ORACLES["bradley_terry"] = _bt_oracle()
+
+
 def q_dl_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked full-Damerau-Levenshtein join (r12,
     dedup/strings.py::damerau_levenshtein_join +
@@ -20790,6 +20937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": q_weighted_reservoir,
         # r12: blocked full-Damerau-Levenshtein join
         "dl_name_pairs": q_dl_name_pairs,
+        # r12: Bradley-Terry arena ranking
+        "bradley_terry": q_bradley_terry,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

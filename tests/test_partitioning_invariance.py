@@ -79,6 +79,7 @@ SAMPLED = [
     "reservoir_sample",
     "weighted_reservoir",
     "dl_name_pairs",
+    "bradley_terry",
 ]
 
 _ORIG_LOAD = Q.load_table

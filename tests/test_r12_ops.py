@@ -862,3 +862,57 @@ def test_dl_join_blocked_and_capped(spark):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry arena ranking
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_recovers_planted_order(spark):
+    from skrub_spark.operators.arena import bradley_terry
+
+    rows = (
+        [("A", "B")] * 9 + [("B", "A")] * 1
+        + [("B", "C")] * 9 + [("C", "B")] * 1
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+    )
+    df = spark.createDataFrame(rows, "w string, l string")
+    out = {r["item"]: r for r in bradley_terry(df, "w", "l").collect()}
+    assert out["A"]["score"] > out["B"]["score"] > out["C"]["score"]
+    assert out["A"]["n_wins"] == 18 and out["A"]["n_battles"] == 20
+    # normalization: mean strength 1 (sum = |items|) up to micro
+    # flooring
+    assert abs(sum(r["score"] for r in out.values()) - 3.0) < 1e-4
+
+
+def test_bradley_terry_guards(spark):
+    from skrub_spark.operators.arena import bradley_terry
+
+    # self-battles and NULLs ignored; never-winner floors at 1e-6
+    rows = [("A", "B"), ("A", "B"), ("A", "A"), (None, "B"), ("A", None)]
+    df = spark.createDataFrame(rows, "w string, l string")
+    out = {r["item"]: r for r in bradley_terry(df, "w", "l").collect()}
+    assert set(out) == {"A", "B"}
+    assert out["A"]["n_battles"] == 2
+    assert out["B"]["n_wins"] == 0
+    assert out["B"]["score"] >= 1e-6
+    # empty input -> typed empty frame
+    empty = spark.createDataFrame([], "w string, l string")
+    assert bradley_terry(empty, "w", "l").count() == 0
+    with pytest.raises(ValueError):
+        bradley_terry(df, "w", "l", n_iter=0)
+
+
+def test_bradley_terry_partitioning_invariant(spark):
+    from skrub_spark.operators.arena import bradley_terry
+
+    rows = [
+        (f"m{i % 7}", f"m{(i * 3 + 1) % 7}")
+        for i in range(300)
+        if i % 7 != (i * 3 + 1) % 7
+    ]
+    df = spark.createDataFrame(rows, "w string, l string")
+    a = sorted(map(tuple, bradley_terry(df.repartition(11), "w", "l").collect()))
+    b = sorted(map(tuple, bradley_terry(df.coalesce(1), "w", "l").collect()))
+    assert a == b
