@@ -138,6 +138,8 @@ HEADLINE = [
     "weighted_reservoir",
     "dl_name_pairs",
     "bradley_terry",
+    "cohen_kappa",
+    "fleiss_kappa",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -19407,6 +19407,130 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def _annotator_cols():
+    base = F.col("doc_id") % 4
+    lab = lambda e: F.concat(F.lit("c"), e.cast("string"))  # noqa: E731
+    r1 = lab(base)
+    r2 = F.when(
+        F.col("doc_id") % 7 == 0, lab((base + 1) % 4)
+    ).otherwise(lab(base))
+    r3 = F.when(
+        F.col("doc_id") % 5 == 0, lab((base + 2) % 4)
+    ).otherwise(lab(base))
+    return r1, r2, r3
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (r12, report/agreement.py::cohen_kappa — the
+    two-rater labeling-QA statistic upstream of preference_pairs):
+    two planted annotators over documents (rater 2 disagrees on
+    every 7th item). kappa is ONE IEEE division on the exact
+    integer ratio (A·n − S)/(n² − S)."""
+    _prep(spark)
+    from .report.agreement import cohen_kappa
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    r1, r2, _ = _annotator_cols()
+    return cohen_kappa(
+        docs.select(r1.alias("a"), r2.alias("b")), "a", "b"
+    )
+
+
+ORACLES["cohen_kappa"] = """
+    WITH lab AS (
+      SELECT 'c' || CAST(doc_id % 4 AS VARCHAR) AS a,
+        CASE WHEN doc_id % 7 = 0
+             THEN 'c' || CAST((doc_id % 4 + 1) % 4 AS VARCHAR)
+             ELSE 'c' || CAST(doc_id % 4 AS VARCHAR) END AS b
+      FROM documents
+    ), cells AS (
+      SELECT a, b, CAST(count(*) AS HUGEINT) AS c FROM lab GROUP BY 1, 2
+    ), na AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+    nb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+    s AS (
+      SELECT COALESCE(sum(na * nb), 0) AS s
+      FROM na JOIN nb ON na.a = nb.b
+    ), t AS (
+      SELECT sum(c) AS n,
+        COALESCE(sum(CASE WHEN a = b THEN c END), 0) AS ag
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(ag AS BIGINT) AS n_agree,
+      round(CAST(ag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+      round(CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+      CASE WHEN n * n != s THEN
+        round(CAST(ag * n - s AS DOUBLE) / CAST(n * n - s AS DOUBLE), 6)
+      END AS kappa
+    FROM t CROSS JOIN s
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (r12, report/agreement.py::fleiss_kappa —
+    fixed-panel agreement): three planted annotators (disagreement
+    planted on every 7th and 5th item), one (item, rating) row per
+    vote. kappa is ONE IEEE division on the exact integer ratio
+    from the module docstring."""
+    _prep(spark)
+    from .report.agreement import fleiss_kappa
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    r1, r2, r3 = _annotator_cols()
+    votes = (
+        docs.select("doc_id", r1.alias("rating"))
+        .unionByName(docs.select("doc_id", r2.alias("rating")))
+        .unionByName(docs.select("doc_id", r3.alias("rating")))
+    )
+    return fleiss_kappa(votes, "doc_id", "rating", n_raters=3)
+
+
+ORACLES["fleiss_kappa"] = """
+    WITH votes AS (
+      SELECT doc_id, 'c' || CAST(doc_id % 4 AS VARCHAR) AS r
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN 'c' || CAST((doc_id % 4 + 1) % 4 AS VARCHAR)
+             ELSE 'c' || CAST(doc_id % 4 AS VARCHAR) END
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'c' || CAST((doc_id % 4 + 2) % 4 AS VARCHAR)
+             ELSE 'c' || CAST(doc_id % 4 AS VARCHAR) END
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, r, CAST(count(*) AS HUGEINT) AS c
+      FROM votes GROUP BY 1, 2
+    ), q AS (
+      SELECT COALESCE(sum(c * c), 0) AS q,
+        CAST(count(DISTINCT doc_id) AS HUGEINT) AS n_items
+      FROM cells
+    ), ctot AS (
+      SELECT COALESCE(sum(cj * cj), 0) AS csq FROM (
+        SELECT r, sum(c) AS cj FROM cells GROUP BY 1)
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+      CAST(3 AS BIGINT) AS n_raters,
+      CASE WHEN n_items > 0 THEN
+        round(CAST(q - n_items * 3 AS DOUBLE)
+              / CAST(n_items * 3 * 2 AS DOUBLE), 6) END AS p_bar,
+      CASE WHEN n_items > 0 THEN
+        round(CAST(csq AS DOUBLE)
+              / CAST(n_items * 3 * n_items * 3 AS DOUBLE), 6)
+      END AS p_e,
+      CASE WHEN n_items * 3 * 2 * (n_items * 3 * n_items * 3 - csq)
+                != 0 THEN
+        round(CAST((q - n_items * 3) * n_items * 3 * n_items * 3
+                   - csq * n_items * 3 * 2 AS DOUBLE)
+              / CAST(n_items * 3 * 2
+                     * (n_items * 3 * n_items * 3 - csq) AS DOUBLE), 6)
+      END AS kappa
+    FROM q CROSS JOIN ctot
+"""
+
+
 _BT_ITER = 6
 
 
@@ -20939,6 +21063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_name_pairs": q_dl_name_pairs,
         # r12: Bradley-Terry arena ranking
         "bradley_terry": q_bradley_terry,
+        # r12: inter-annotator agreement
+        "cohen_kappa": q_cohen_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -80,6 +80,8 @@ SAMPLED = [
     "weighted_reservoir",
     "dl_name_pairs",
     "bradley_terry",
+    "cohen_kappa",
+    "fleiss_kappa",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -916,3 +916,59 @@ def test_bradley_terry_partitioning_invariant(spark):
     a = sorted(map(tuple, bradley_terry(df.repartition(11), "w", "l").collect()))
     b = sorted(map(tuple, bradley_terry(df.coalesce(1), "w", "l").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+
+def test_cohen_kappa_textbook(spark):
+    from skrub_spark.report.agreement import cohen_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r["po"], r["pe"], r["kappa"]) == (0.7, 0.5, 0.4)
+    # perfect agreement -> 1; single shared category -> NULL
+    perfect = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    assert cohen_kappa(perfect, "a", "b").collect()[0]["kappa"] is None
+    two = spark.createDataFrame(
+        [("x", "x"), ("y", "y")], "a string, b string"
+    )
+    assert two.count() == 2
+    assert cohen_kappa(two, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+def test_fleiss_kappa_textbook(spark):
+    """The canonical Fleiss (1971) worked example: 14 raters, 10
+    items, 5 categories -> kappa 0.2099."""
+    from skrub_spark.report.agreement import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for i, row in enumerate(table):
+        for cat, cnt in enumerate(row):
+            rows += [(i, str(cat))] * cnt
+    df = spark.createDataFrame(rows, "item long, rating string")
+    r = fleiss_kappa(df, "item", "rating", n_raters=14).collect()[0]
+    assert r["n_items"] == 10
+    assert abs(r["kappa"] - 0.209931) < 1e-6
+    # items with the wrong panel size are dropped
+    extra = df.unionByName(
+        spark.createDataFrame([(99, "0")], "item long, rating string")
+    )
+    r2 = fleiss_kappa(extra, "item", "rating", n_raters=14).collect()[0]
+    assert r2["n_items"] == 10 and r2["kappa"] == r["kappa"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fleiss_kappa(df, "item", "rating", n_raters=1)
