@@ -140,6 +140,7 @@ HEADLINE = [
     "bradley_terry",
     "cohen_kappa",
     "fleiss_kappa",
+    "clustering_ari",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

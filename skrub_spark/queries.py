@@ -19407,6 +19407,61 @@ ORACLES["bfd_packing"] = r"""
 """
 
 
+def q_clustering_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index (r12,
+    report/agreement.py::adjusted_rand_index — judging a dedup /
+    clustering assignment against gold): documents' lang partition
+    vs a planted corruption of it (every 6th doc relabeled by
+    source), landing strictly between independence (~0) and
+    identity (1). One IEEE division on exact DECIMAL(38,0)
+    integers; the oracle replays them in HUGEINT."""
+    _prep(spark)
+    from .report.agreement import adjusted_rand_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 6 == 0, F.col("source"))
+        .otherwise(F.col("lang"))
+        .alias("pred"),
+    )
+    return adjusted_rand_index(docs, "lang", "pred")
+
+
+ORACLES["clustering_ari"] = """
+    WITH lab AS (
+      SELECT lang AS a,
+        CASE WHEN doc_id % 6 = 0 THEN source ELSE lang END AS b
+      FROM documents
+      WHERE lang IS NOT NULL
+        AND (CASE WHEN doc_id % 6 = 0 THEN source ELSE lang END)
+            IS NOT NULL
+    ), cells AS (
+      SELECT a, b, CAST(count(*) AS HUGEINT) AS c FROM lab GROUP BY 1, 2
+    ), sij AS (
+      SELECT COALESCE(sum(c * (c - 1)), 0) AS sij2,
+             COALESCE(sum(c), 0) AS n
+      FROM cells
+    ), sa AS (
+      SELECT COALESCE(sum(ai * (ai - 1)), 0) AS sa2 FROM (
+        SELECT a, sum(c) AS ai FROM cells GROUP BY 1)
+    ), sb AS (
+      SELECT COALESCE(sum(bj * (bj - 1)), 0) AS sb2 FROM (
+        SELECT b, sum(c) AS bj FROM cells GROUP BY 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      CAST(sij2 / 2 AS BIGINT) AS s_ij,
+      CAST(sa2 / 2 AS BIGINT) AS s_a,
+      CAST(sb2 / 2 AS BIGINT) AS s_b,
+      CASE WHEN n * (n - 1) * (sa2 + sb2) - 2 * sa2 * sb2 != 0 THEN
+        round(CAST(2 * (sij2 * n * (n - 1) - sa2 * sb2) AS DOUBLE)
+              / CAST(n * (n - 1) * (sa2 + sb2)
+                     - 2 * sa2 * sb2 AS DOUBLE), 6)
+      END AS ari
+    FROM sij CROSS JOIN sa CROSS JOIN sb
+"""
+
+
 def _annotator_cols():
     base = F.col("doc_id") % 4
     lab = lambda e: F.concat(F.lit("c"), e.cast("string"))  # noqa: E731
@@ -21063,9 +21118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_name_pairs": q_dl_name_pairs,
         # r12: Bradley-Terry arena ranking
         "bradley_terry": q_bradley_terry,
-        # r12: inter-annotator agreement
+        # r12: inter-annotator agreement + clustering agreement
         "cohen_kappa": q_cohen_kappa,
         "fleiss_kappa": q_fleiss_kappa,
+        "clustering_ari": q_clustering_ari,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -146,3 +146,77 @@ def fleiss_kappa(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("kappa"),
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame, label_a_col: str, label_b_col: str
+) -> DataFrame:
+    """Adjusted Rand index between two partitions of the same rows
+    (Hubert & Arabie 1985 — the standard score for judging a dedup
+    clustering against gold labels; chance-corrected, so random
+    assignments score ~0 and identical partitions 1). Rows with a
+    NULL on either side are dropped.
+
+    Exact single-division form (multiply the usual expression
+    through by 2·C(n,2)):
+
+        ARI = 2·(S_ij·C − S_a·S_b) / (C·(S_a + S_b) − 2·S_a·S_b)
+
+    with S_ij = Σ C(n_ij,2) over the contingency cells, S_a/S_b the
+    row/column analogues, C = C(n,2) — all exact DECIMAL(38,0)
+    integers from three map-side-combined groupBys (the contingency
+    frame is |labels_a|·|labels_b|, never row-scale), so the score
+    is ONE IEEE division. Degenerate partitions (denominator 0 —
+    both sides a single cluster, or all singletons on both sides)
+    yield NULL rather than an arbitrary convention. Returns
+    ``(n_rows, s_ij, s_a, s_b, ari)``."""
+    a = F.col(label_a_col).cast("string")
+    b = F.col(label_b_col).cast("string")
+    base = df.select(a.alias("a"), b.alias("b")).where(
+        a.isNotNull() & b.isNotNull()
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast(_D).alias("c")
+    )
+
+    def pairs2(col):
+        # 2*C(c,2) = c*(c-1): keep the doubled form so every
+        # intermediate stays an integer
+        return F.sum(F.col(col) * (F.col(col) - 1))
+
+    sij = cells.agg(
+        pairs2("c").alias("sij2"), F.sum("c").alias("n")
+    ).select(
+        F.coalesce("sij2", F.lit(0).cast(_D)).alias("sij2"),
+        F.coalesce("n", F.lit(0).cast(_D)).alias("n"),
+    )
+    sa = (
+        cells.groupBy("a")
+        .agg(F.sum("c").alias("ai"))
+        .agg(pairs2("ai").alias("sa2"))
+        .select(F.coalesce("sa2", F.lit(0).cast(_D)).alias("sa2"))
+    )
+    sb = (
+        cells.groupBy("b")
+        .agg(F.sum("c").alias("bj"))
+        .agg(pairs2("bj").alias("sb2"))
+        .select(F.coalesce("sb2", F.lit(0).cast(_D)).alias("sb2"))
+    )
+    j = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    n = F.col("n")
+    c2 = n * (n - 1)  # 2*C(n,2)
+    num = F.lit(2).cast(_D) * (
+        F.col("sij2") * c2 - F.col("sa2") * F.col("sb2")
+    )
+    den = c2 * (F.col("sa2") + F.col("sb2")) - F.lit(2).cast(_D) * (
+        F.col("sa2") * F.col("sb2")
+    )
+    return j.select(
+        n.cast("long").alias("n_rows"),
+        (F.col("sij2") / 2).cast("long").alias("s_ij"),
+        (F.col("sa2") / 2).cast("long").alias("s_a"),
+        (F.col("sb2") / 2).cast("long").alias("s_b"),
+        F.when(
+            den != 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("ari"),
+    )

@@ -82,6 +82,7 @@ SAMPLED = [
     "bradley_terry",
     "cohen_kappa",
     "fleiss_kappa",
+    "clustering_ari",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -972,3 +972,16 @@ def test_fleiss_kappa_textbook(spark):
 
     with _pytest.raises(ValueError):
         fleiss_kappa(df, "item", "rating", n_raters=1)
+
+
+def test_adjusted_rand_index_known_values(spark):
+    from skrub_spark.report.agreement import adjusted_rand_index
+
+    def ari(la, lb):
+        df = spark.createDataFrame(list(zip(la, lb)), "a int, b int")
+        return adjusted_rand_index(df, "a", "b").collect()[0]["ari"]
+
+    assert ari([0, 0, 1, 1], [0, 0, 1, 1]) == 1.0
+    assert ari([0, 0, 1, 1], [1, 1, 0, 0]) == 1.0  # label-permutation invariant
+    assert ari([0, 0, 1, 2], [0, 0, 1, 1]) == 0.571429  # sklearn doc value
+    assert ari([0, 1, 2, 3], [0, 1, 2, 3]) is None  # degenerate singletons
