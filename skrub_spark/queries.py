@@ -21193,6 +21193,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("als_topk_frozen", "association_rules"),
         ("incremental_join", "adaptive_agg"),
         ("streaming_late_data", "streaming_near_dup_flags"),
+        # r12 swaps: eight round-12 flagships rotate into the window,
+        # each displacing a same-family (or family-still-represented)
+        # veteran — bfd_packing (whole-sequence packing; dedup_exact
+        # demoted, dedup keeps incremental_near_dedup/minhash/
+        # semantic_dedup_exact/decontaminate), pii_checksum
+        # (checksum-validated PII replaces the k-anonymity row in the
+        # privacy family), streaming_decontaminate (streaming keeps
+        # late_data + the new gate; streaming_upsert demoted),
+        # kn_frozen (frozen serving; unigram_stats_frozen demoted —
+        # frozen family keeps gap/als/kn), preference_pairs (SFT
+        # construction; conversation_stats demoted — SFT stays via
+        # the pair builder), bradley_terry (arena ranking;
+        # embedding_dedup_lsh demoted — similarity keeps
+        # topk_pq/semantic_dedup_exact/minhash), fleiss_kappa
+        # (labeling QA; cusum_monitor demoted — monitoring keeps
+        # msprt/holt_winters/datasheet drift), ccnet_buckets (the r11
+        # weak-item rewrite, now distributed-rank;
+        # quality_classifier_scores demoted — learned quality stays
+        # via language_id_learned + the kn5 row). All displaced
+        # queries stay in the full battery.
+        ("bfd_packing", "dedup_exact"),
+        ("pii_checksum", "k_anonymity_audit"),
+        ("streaming_decontaminate", "streaming_upsert"),
+        ("kn_frozen", "unigram_stats_frozen"),
+        ("preference_pairs", "conversation_stats"),
+        ("bradley_terry", "embedding_dedup_lsh"),
+        ("fleiss_kappa", "cusum_monitor"),
+        ("ccnet_buckets", "quality_classifier_scores"),
     ):
         ip, idm = names.index(promoted), names.index(demoted)
         names[ip], names[idm] = names[idm], names[ip]
