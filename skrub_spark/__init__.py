@@ -259,4 +259,28 @@ from .operators.unigram_lm import (  # noqa: F401
 from .session import fan_out, get_session  # noqa: F401
 from .table_vectorizer import TableVectorizer, tabular_pipeline  # noqa: F401
 
+# round 12
+from .dedup.strings import damerau_levenshtein_join  # noqa: F401
+from .functions.text import (  # noqa: F401
+    damerau_levenshtein,
+    iban_valid,
+    luhn_valid,
+    redact_pii_checksum,
+)
+from .operators.arena import bradley_terry  # noqa: F401
+from .operators.lm_filter import kn_from_frozen, kn_to_frozen  # noqa: F401
+from .operators.packing import bfd_pack, packing_report  # noqa: F401
+from .operators.sampling import (  # noqa: F401
+    reservoir_sample,
+    weighted_reservoir_sample,
+)
+from .operators.sft import preference_pairs  # noqa: F401
+from .report.agreement import (  # noqa: F401
+    adjusted_rand_index,
+    cohen_kappa,
+    fleiss_kappa,
+)
+from .report.texteval import bleu_corpus, rouge_n  # noqa: F401
+from .streaming.ops import streaming_decontaminate  # noqa: F401
+
 __version__ = "0.1.0"
