@@ -141,6 +141,9 @@ HEADLINE = [
     "cohen_kappa",
     "fleiss_kappa",
     "clustering_ari",
+    "krippendorff_alpha",
+    "uplift_qini",
+    "ipw_ate",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -148,6 +148,117 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rating_col: str,
+    *,
+    max_raters: int = 8,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) from one row per
+    (unit, rating) vote — the generalization of Cohen/Fleiss that
+    tolerates MISSING ratings and a varying number of raters per
+    unit (Krippendorff 2004, the content-analysis standard; the
+    right agreement statistic when an annotation pool is spread
+    unevenly over items, as real labeling queues are).
+
+    Semantics: NULL ratings are dropped; units with fewer than 2
+    ratings are dropped (no pairable information); units with more
+    than ``max_raters`` ratings are DROPPED, a documented bound
+    that keeps the per-unit pair denominators inside one fixed
+    integer scale — audit panel sizes upstream with a groupBy if
+    that drop matters.
+
+    Exact-integer form: with n_uc the count of category c in unit
+    u, m_u = Σ_c n_uc the unit's ratings, P = Σ_u m_u the pairable
+    total, n_c = Σ_u n_uc the margins, S = Σ_c n_c², and
+    L = lcm(1..max_raters−1):
+
+        DoL = Σ_u (L/(m_u−1)) · Σ_c n_uc·(m_u − n_uc)
+        α   = 1 − DoL·(P−1) / (L·(P² − S))
+
+    Every term is an exact DECIMAL(38,0) integer (L/(m_u−1) divides
+    exactly by construction), so alpha is ONE IEEE division; the
+    observed/expected disagreements Do = DoL/(L·P) and
+    De = (P² − S)/(P·(P−1)) are each a single division too. α is
+    NULL when De = 0 (a single observed category — chance
+    disagreement saturates). Returns ``(n_units, n_ratings, do,
+    de, alpha)``.
+
+    Plan shape (100 TB): two map-side-combined groupBys — the
+    per-(unit, category) cell frame and its per-unit totals, which
+    re-join co-partitioned on the unit key (Catalyst reuses the
+    shuffle) — then scalar aggregates; the margins frame is
+    |categories| rows and broadcast.
+    """
+    import math
+
+    if int(max_raters) < 2:
+        raise ValueError("krippendorff_alpha: max_raters must be >= 2")
+    mr = int(max_raters)
+    lcm = math.lcm(*range(1, mr))
+    r = F.col(rating_col).cast("string")
+    base = df.select(
+        F.col(unit_col).alias("u"), r.alias("r")
+    ).where(r.isNotNull())
+    cells = base.groupBy("u", "r").agg(
+        F.count(F.lit(1)).cast(_D).alias("c")
+    )
+    per_unit = cells.groupBy("u").agg(F.sum("c").alias("m"))
+    kept = cells.join(per_unit, "u").where(
+        (F.col("m") >= 2) & (F.col("m") <= mr)
+    )
+    ell = F.lit(lcm).cast(_D)
+    top = kept.agg(
+        F.sum(
+            (ell / (F.col("m") - 1)).cast(_D)
+            * F.col("c")
+            * (F.col("m") - F.col("c"))
+        ).alias("dol"),
+        F.sum("c").alias("p"),
+        F.count_distinct("u").cast(_D).alias("n_units"),
+    ).select(
+        F.coalesce("dol", F.lit(0).cast(_D)).alias("dol"),
+        F.coalesce("p", F.lit(0).cast(_D)).alias("p"),
+        "n_units",
+    )
+    marg = (
+        kept.groupBy("r")
+        .agg(F.sum("c").alias("nc"))
+        .agg(F.sum(F.col("nc") * F.col("nc")).alias("s"))
+        .select(F.coalesce("s", F.lit(0).cast(_D)).alias("s"))
+    )
+    j = top.crossJoin(F.broadcast(marg))
+    p = F.col("p")
+    dol = F.col("dol")
+    s = F.col("s")
+    de_den = p * (p - 1)
+    de_num = p * p - s
+    return j.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        p.cast("long").alias("n_ratings"),
+        F.when(
+            p > 0,
+            F.round(
+                dol.cast("double") / (ell * p).cast("double"), 6
+            ),
+        ).alias("do"),
+        F.when(
+            de_den > 0,
+            F.round(de_num.cast("double") / de_den.cast("double"), 6),
+        ).alias("de"),
+        F.when(
+            de_num != 0,
+            F.round(
+                (F.lit(1).cast("double"))
+                - (dol * (p - 1)).cast("double")
+                / (ell * de_num).cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+
+
 def adjusted_rand_index(
     df: DataFrame, label_a_col: str, label_b_col: str
 ) -> DataFrame:

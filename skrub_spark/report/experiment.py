@@ -653,3 +653,234 @@ def psm_match(
             F.round(F.col("m.d").cast("double") / sc, 6).alias("dist"),
         )
     )
+
+
+def uplift_curve(
+    df: DataFrame,
+    score_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini / uplift curve by score decile (r12b — the model-eval
+    artifact for TREATMENT-EFFECT models, the uplift analogue of
+    ``gains_table``: Radcliffe 2007's Qini curve is the standard
+    acceptance gate before an uplift model picks who gets the
+    costly intervention). One row per equal-frequency score bucket
+    (``quantile_discretize``'s exact edge rule, best bucket first):
+
+    - ``uplift_cum`` — cumulative treated outcome rate minus
+      cumulative control outcome rate down to this bucket,
+    - ``qini`` — Qini value Yt − Yc·Nt/Nc at this depth, computed
+      as the single exact ratio (Yt·Nc − Yc·Nt)/Nc,
+    - ``qini_random`` — the random-targeting diagonal at the same
+      depth, (YT·NC − YC·NT)·n/(NC·N); ``qini − qini_random`` > 0
+      is where the model beats random targeting.
+
+    Rows with a NULL score, treatment, or outcome are dropped.
+    Every count/sum is an exact DECIMAL(38,0) integer (outcomes are
+    cast to long — binary or integer-valued outcomes; pre-quantize
+    continuous outcomes upstream), so each reported rate is one
+    IEEE division, 6dp-rounded. Buckets with no control (or no
+    treated) exposure yield NULL uplift/qini rather than a
+    convention.
+
+    Plan shape (100 TB): the score histogram + distinct-value
+    cumsum from ``quantile_discretize`` (bounded by distinct
+    scores), one map-side-combined per-bucket groupBy, and windows
+    over the ``n_bins``-row frame only. No corpus-scale window, no
+    driver loop.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.winsorize import quantile_discretize
+
+    _DI = "decimal(38,0)"
+    s = F.col(score_col)
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("long")
+    base = df.select(
+        s.alias("__s"), t.alias("__t"), y.alias("__y")
+    ).where(s.isNotNull() & t.isNotNull() & y.isNotNull())
+    binned = quantile_discretize(base, "__s", n_bins, "bucket")
+    per = binned.groupBy("bucket").agg(
+        F.sum(F.col("__t").cast(_DI)).alias("nt"),
+        F.sum((1 - F.col("__t")).cast(_DI)).alias("nc"),
+        F.sum(
+            F.when(F.col("__t") == 1, F.col("__y"))
+            .otherwise(0)
+            .cast(_DI)
+        ).alias("yt"),
+        F.sum(
+            F.when(F.col("__t") == 0, F.col("__y"))
+            .otherwise(0)
+            .cast(_DI)
+        ).alias("yc"),
+    )
+    tot = per.agg(
+        F.sum("nt").alias("tnt"),
+        F.sum("nc").alias("tnc"),
+        F.sum("yt").alias("tyt"),
+        F.sum("yc").alias("tyc"),
+    )
+    wd = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "bucket",
+        "nt",
+        "nc",
+        "yt",
+        "yc",
+        F.sum("nt").over(wd).alias("cnt"),
+        F.sum("nc").over(wd).alias("cnc"),
+        F.sum("yt").over(wd).alias("cyt"),
+        F.sum("yc").over(wd).alias("cyc"),
+    ).crossJoin(F.broadcast(tot))
+    cnt, cnc = F.col("cnt"), F.col("cnc")
+    cyt, cyc = F.col("cyt"), F.col("cyc")
+    tnt, tnc = F.col("tnt"), F.col("tnc")
+    tyt, tyc = F.col("tyt"), F.col("tyc")
+    n_all = tnt + tnc
+    return cum.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("nt").cast("long").alias("n_t"),
+        F.col("nc").cast("long").alias("n_c"),
+        F.col("yt").cast("long").alias("y_t"),
+        F.col("yc").cast("long").alias("y_c"),
+        cnt.cast("long").alias("cum_n_t"),
+        cnc.cast("long").alias("cum_n_c"),
+        cyt.cast("long").alias("cum_y_t"),
+        cyc.cast("long").alias("cum_y_c"),
+        F.when(
+            (cnt > 0) & (cnc > 0),
+            F.round(
+                cyt.cast("double") / cnt.cast("double")
+                - cyc.cast("double") / cnc.cast("double"),
+                6,
+            ),
+        ).alias("uplift_cum"),
+        F.when(
+            cnc > 0,
+            F.round(
+                (cyt * cnc - cyc * cnt).cast("double")
+                / cnc.cast("double"),
+                6,
+            ),
+        ).alias("qini"),
+        F.when(
+            (tnc > 0) & (n_all > 0),
+            F.round(
+                ((tyt * tnc - tyc * tnt) * (cnt + cnc)).cast("double")
+                / (tnc * n_all).cast("double"),
+                6,
+            ),
+        ).alias("qini_random"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    *,
+    trim: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with
+    Hajek (self-normalized) weighting and symmetric propensity
+    trimming (r12b — the estimator PSM's matched pairs
+    approximate; IPW uses EVERY unit, reweighted by 1/e(x), and is
+    the standard observational-ATE baseline, Horvitz-Thompson 1952
+    / Hirano-Imbens 2001). One output row: ``(n, n_treated,
+    n_control, n_trimmed, mean_treated, mean_control, ate)``.
+
+    Units with propensity outside [trim, 1−trim] are excluded and
+    counted in ``n_trimmed`` (the standard overlap guard — weights
+    explode as e→0/1); NULL treatment/outcome/propensity rows are
+    dropped. Exactness: propensities are 6dp-quantized (the score
+    grain every frozen classifier in this repo emits), weights
+    become the exact integers round(1e12/e6)/round(1e12/(1e6−e6))
+    in DECIMAL(38,0), outcomes integer-valued (pre-quantize
+    continuous metrics upstream), so each Hajek mean is ONE IEEE
+    division of exact integer sums and the ATE is their 6dp-rounded
+    difference — bit-replayable in HUGEINT SQL.
+
+    Plan shape (100 TB): a single map-side-combined aggregate over
+    the filtered frame; no join, no window, no driver loop.
+    """
+    if not (0 <= float(trim) < 0.5):
+        raise ValueError("ipw_ate: trim must be in [0, 0.5)")
+    _DI = "decimal(38,0)"
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("long")
+    e6 = F.round(F.col(propensity_col).cast("double") * 1e6, 0).cast(
+        "long"
+    )
+    lo = int(round(float(trim) * 1_000_000))
+    hi = 1_000_000 - lo
+    base = df.select(
+        t.alias("__t"), y.alias("__y"), e6.alias("__e6")
+    ).where(t.isNotNull() & y.isNotNull() & e6.isNotNull())
+    kept = (F.col("__e6") >= lo) & (F.col("__e6") <= hi)
+    wt = F.round(F.lit(1e12) / F.col("__e6"), 0).cast(_DI)
+    wc = F.round(
+        F.lit(1e12) / (F.lit(1_000_000) - F.col("__e6")), 0
+    ).cast(_DI)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
+            "n_trimmed"
+        ),
+        F.sum(
+            F.when(kept & (F.col("__t") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_treated"),
+        F.sum(
+            F.when(kept & (F.col("__t") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_control"),
+        F.sum(
+            F.when(kept & (F.col("__t") == 1), wt).otherwise(
+                F.lit(0).cast(_DI)
+            )
+        ).alias("swt"),
+        F.sum(
+            F.when(
+                kept & (F.col("__t") == 1),
+                wt * F.col("__y").cast(_DI),
+            ).otherwise(F.lit(0).cast(_DI))
+        ).alias("swty"),
+        F.sum(
+            F.when(kept & (F.col("__t") == 0), wc).otherwise(
+                F.lit(0).cast(_DI)
+            )
+        ).alias("swc"),
+        F.sum(
+            F.when(
+                kept & (F.col("__t") == 0),
+                wc * F.col("__y").cast(_DI),
+            ).otherwise(F.lit(0).cast(_DI))
+        ).alias("swcy"),
+    )
+    mt = F.when(
+        F.col("swt") > 0,
+        F.round(
+            F.col("swty").cast("double") / F.col("swt").cast("double"),
+            6,
+        ),
+    )
+    mc = F.when(
+        F.col("swc") > 0,
+        F.round(
+            F.col("swcy").cast("double") / F.col("swc").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("n_all").alias("n"),
+        "n_treated",
+        "n_control",
+        "n_trimmed",
+        mt.alias("mean_treated"),
+        mc.alias("mean_control"),
+        F.round(mt - mc, 6).alias("ate"),
+    )

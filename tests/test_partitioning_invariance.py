@@ -83,6 +83,9 @@ SAMPLED = [
     "cohen_kappa",
     "fleiss_kappa",
     "clustering_ari",
+    "krippendorff_alpha",
+    "uplift_qini",
+    "ipw_ate",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -985,3 +985,103 @@ def test_adjusted_rand_index_known_values(spark):
     assert ari([0, 0, 1, 1], [1, 1, 0, 0]) == 1.0  # label-permutation invariant
     assert ari([0, 0, 1, 2], [0, 0, 1, 1]) == 0.571429  # sklearn doc value
     assert ari([0, 1, 2, 3], [0, 1, 2, 3]) is None  # degenerate singletons
+
+
+def test_krippendorff_alpha_hand(spark):
+    """Hand-computed variable-panel case: units (a,a), (a,b),
+    (a,a,b) and one single-vote unit (dropped) -> Do = 4/7,
+    De = 10/21, alpha = 1 - 84/70 = -0.2."""
+    from skrub_spark.report.agreement import krippendorff_alpha
+
+    rows = (
+        [(1, "a"), (1, "a")]
+        + [(2, "a"), (2, "b")]
+        + [(3, "a"), (3, "a"), (3, "b")]
+        + [(4, "a")]
+    )
+    df = spark.createDataFrame(rows, "u long, r string")
+    r = krippendorff_alpha(df, "u", "r").collect()[0]
+    assert r["n_units"] == 3 and r["n_ratings"] == 7
+    assert r["do"] == 0.571429 and r["de"] == 0.47619
+    assert r["alpha"] == -0.2
+
+
+def test_krippendorff_alpha_edges(spark):
+    from skrub_spark.report.agreement import krippendorff_alpha
+
+    # perfect agreement across >=2 categories -> 1
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "u long, r string"
+    )
+    assert (
+        krippendorff_alpha(perfect, "u", "r").collect()[0]["alpha"]
+        == 1.0
+    )
+    # single observed category -> NULL (chance saturates)
+    one = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "u long, r string"
+    )
+    assert (
+        krippendorff_alpha(one, "u", "r").collect()[0]["alpha"] is None
+    )
+    # units above max_raters are dropped
+    big = spark.createDataFrame(
+        [(1, "a")] * 9 + [(2, "a"), (2, "b")], "u long, r string"
+    )
+    r = krippendorff_alpha(big, "u", "r", max_raters=8).collect()[0]
+    assert r["n_units"] == 1 and r["n_ratings"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        krippendorff_alpha(one, "u", "r", max_raters=1)
+
+
+def test_uplift_curve_hand(spark):
+    """Planted 2-bucket case: treated convert at high scores,
+    control at low -> top bucket qini 1.0, uplift 1/6; full-depth
+    qini 0 (equal totals)."""
+    from skrub_spark.report.experiment import uplift_curve
+
+    rows = []
+    pos_t = {4: 1, 3: 1, 2: 0, 1: 0}
+    pos_c = {4: 0, 3: 0, 2: 1, 1: 1}
+    for s in (1, 2, 3, 4):
+        rows += [
+            (s, 1, pos_t[s]),
+            (s, 1, 0),
+            (s, 0, pos_c[s]),
+            (s, 0, 0),
+        ]
+    df = spark.createDataFrame(rows, "s int, t int, y int")
+    out = {
+        r["bucket"]: r
+        for r in uplift_curve(df, "s", "t", "y", 2).collect()
+    }
+    top, full = out[1], out[0]
+    assert (top["cum_n_t"], top["cum_n_c"]) == (6, 6)
+    assert (top["cum_y_t"], top["cum_y_c"]) == (2, 1)
+    assert top["uplift_cum"] == 0.166667 and top["qini"] == 1.0
+    assert full["uplift_cum"] == 0.0 and full["qini"] == 0.0
+    assert top["qini_random"] == 0.0 and full["qini_random"] == 0.0
+
+
+def test_ipw_ate_hand(spark):
+    """Constant propensity 0.5 -> IPW reduces to the plain
+    difference of means; off-support units land in n_trimmed."""
+    from skrub_spark.report.experiment import ipw_ate
+
+    rows = (
+        [(1, 1, 0.5), (1, 1, 0.5), (1, 0, 0.5), (1, 0, 0.5)]
+        + [(0, 1, 0.5), (0, 0, 0.5), (0, 0, 0.5), (0, 0, 0.5)]
+        + [(1, 1, 0.001), (0, 1, 0.999)]
+    )
+    df = spark.createDataFrame(rows, "t int, y int, e double")
+    r = ipw_ate(df, "t", "y", "e", trim=0.05).collect()[0]
+    assert r["n"] == 10 and r["n_trimmed"] == 2
+    assert r["n_treated"] == 4 and r["n_control"] == 4
+    assert r["mean_treated"] == 0.5 and r["mean_control"] == 0.25
+    assert r["ate"] == 0.25
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ipw_ate(df, "t", "y", "e", trim=0.7)
