@@ -144,6 +144,8 @@ HEADLINE = [
     "krippendorff_alpha",
     "uplift_qini",
     "ipw_ate",
+    "t_closeness",
+    "dp_histogram",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -20682,6 +20682,121 @@ ORACLES["ipw_ate"] = """
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity + t-closeness audit (r12b,
+    report/privacy.py::t_closeness_report — the two release gates
+    past plain k-anonymity): quasi = (nation, market segment),
+    sensitive = account-balance band (exact integer cents, shifted
+    positive so the band DIV floors identically cross-engine).
+    Entropy sums 6dp-quantized c·ln(c) micro terms exactly; tvd's
+    numerator is exact integer arithmetic — both single IEEE
+    divisions."""
+    _prep(spark)
+    from .report.privacy import t_closeness_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(c_acctbal * 100 AS BIGINT) + 100000) div 200000"
+        ).alias("bal_band"),
+    )
+    return t_closeness_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3, t=0.2
+    )
+
+
+ORACLES["t_closeness"] = """
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST((CAST(c_acctbal * 100 AS BIGINT) + 100000) // 200000
+             AS VARCHAR) AS s
+      FROM customer
+    ), cells AS (
+      SELECT c_nationkey, c_mktsegment, s,
+        CAST(count(*) AS HUGEINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), gtot AS (
+      SELECT c_nationkey, c_mktsegment, sum(c) AS n
+      FROM cells GROUP BY 1, 2
+    ), marg AS (
+      SELECT s, sum(c) AS m FROM cells GROUP BY 1
+    ), tot AS (SELECT sum(m) AS N FROM marg),
+    per AS (
+      SELECT cells.c_nationkey, cells.c_mktsegment,
+        max(n) AS n,
+        CAST(count(*) AS BIGINT) AS l_distinct,
+        sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                       * 1e6, 0) AS HUGEINT)) AS t6,
+        sum(abs(c * (SELECT N FROM tot) - n * m)) AS num,
+        sum(m) AS mp,
+        max((SELECT N FROM tot)) AS Nx
+      FROM cells
+      JOIN gtot ON cells.c_nationkey = gtot.c_nationkey
+        AND cells.c_mktsegment = gtot.c_mktsegment
+      JOIN marg ON cells.s = marg.s
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+      l_distinct,
+      round(ln(CAST(n AS DOUBLE))
+            - CAST(t6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+        AS entropy,
+      round(CAST(num + n * (Nx - mp) AS DOUBLE)
+            / CAST(2 * n * Nx AS DOUBLE), 6) AS tvd,
+      (round(ln(CAST(n AS DOUBLE))
+             - CAST(t6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+       < round(ln(3.0), 6)) AS risky_l,
+      (round(CAST(num + n * (Nx - mp) AS DOUBLE)
+             / CAST(2 * n * Nx AS DOUBLE), 6) > 0.2) AS risky_t
+    FROM per
+"""
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded differentially-private histogram (r12b,
+    report/privacy.py::dp_histogram — Laplace mechanism with a
+    DETERMINISTIC md5-seeded draw, so the release replays
+    bit-identically): order counts per priority at epsilon 1.0.
+    The oracle re-derives the same 53-bit uniform and inverse-CDF
+    noise."""
+    _prep(spark)
+    from .report.privacy import dp_histogram
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority"
+    )
+    return dp_histogram(
+        orders, ["o_orderpriority"], epsilon=1.0, seed="dp-r12"
+    )
+
+
+ORACLES["dp_histogram"] = """
+    WITH counts AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), noised AS (
+      SELECT o_orderpriority, n,
+        ((CAST(('0x' || substr(md5('dp-r12' || chr(31)
+                || o_orderpriority), 1, 15))::BIGINT
+           % 9007199254740992 AS DOUBLE) + 0.5)
+         / 9007199254740992.0) - 0.5 AS u
+      FROM counts
+    ), fin AS (
+      SELECT o_orderpriority,
+        round(CAST(n AS DOUBLE)
+              + (-1.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 6)
+          AS noisy_n
+      FROM noised
+    )
+    SELECT o_orderpriority, noisy_n,
+      greatest(CAST(0 AS BIGINT),
+               CAST(round(noisy_n, 0) AS BIGINT)) AS dp_n,
+      CAST(1.0 AS DOUBLE) AS epsilon
+    FROM fin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -21366,6 +21481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12b: uplift-model evaluation + observational ATE
         "uplift_qini": q_uplift_qini,
         "ipw_ate": q_ipw_ate,
+        # r12b: privacy release gates (entropy-l / t-closeness, DP)
+        "t_closeness": q_t_closeness,
+        "dp_histogram": q_dp_histogram,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -86,6 +86,8 @@ SAMPLED = [
     "krippendorff_alpha",
     "uplift_qini",
     "ipw_ate",
+    "t_closeness",
+    "dp_histogram",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -1085,3 +1085,93 @@ def test_ipw_ate_hand(spark):
 
     with _pt.raises(ValueError):
         ipw_ate(df, "t", "y", "e", trim=0.7)
+
+
+def test_t_closeness_hand(spark):
+    """Hand case: group A = {x:1, y:2} of corpus {x:2, y:2, z:1}:
+    entropy = ln(3) - (2 ln 2)/3, tvd = 1/2(|1/3-2/5| + |2/3-2/5|
+    + |0-1/5|) = 4/15 -> risky_t at t=0.2; singleton-sensitive
+    group B -> entropy 0, risky_l."""
+    from skrub_spark.report.privacy import t_closeness_report
+
+    import math
+
+    rows = [("A", "x"), ("A", "y"), ("A", "y"), ("B", "x"), ("B", "z")]
+    df = spark.createDataFrame(rows, "g string, s0 string")
+    out = {
+        r["g"]: r
+        for r in t_closeness_report(
+            df, ["g"], "s0", l=2, t=0.2
+        ).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert a["n"] == 3 and a["l_distinct"] == 2
+    assert a["entropy"] == round(math.log(3) - 2 * math.log(2) / 3, 6)
+    assert a["tvd"] == round(4 / 15, 6)
+    # entropy ln3 - 2ln2/3 = 0.6365 < ln(2): skew-flagged at l=2
+    assert a["risky_t"] and a["risky_l"]
+    assert b["n"] == 2 and b["l_distinct"] == 2
+    # B = {x:1, z:1}: entropy ln(2) >= ln(2) -> not risky at l=2
+    assert b["entropy"] == round(math.log(2), 6) and not b["risky_l"]
+    # NULL sensitive is its own category
+    withnull = spark.createDataFrame(
+        [("A", "x"), ("A", None)], "g string, s0 string"
+    )
+    r = t_closeness_report(withnull, ["g"], "s0").collect()[0]
+    assert r["l_distinct"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t_closeness_report(df, [], "s0")
+    with _pt.raises(ValueError):
+        t_closeness_report(df, ["g"], "s0", t=1.5)
+
+
+def test_dp_histogram_properties(spark):
+    """Determinism, seed-sensitivity, epsilon scaling, and the
+    no-true-count release contract."""
+    from skrub_spark.report.privacy import dp_histogram
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "g string")
+    r1 = dp_histogram(df, ["g"], epsilon=1.0, seed="s1")
+    assert r1.columns == ["g", "noisy_n", "dp_n", "epsilon"]
+    a = {r["g"]: r for r in r1.collect()}
+    b = {r["g"]: r for r in r1.collect()}
+    assert a == b  # deterministic replay
+    # same seed, re-built plan -> identical draw
+    c = {
+        r["g"]: r
+        for r in dp_histogram(
+            df, ["g"], epsilon=1.0, seed="s1"
+        ).collect()
+    }
+    assert a == c
+    # different seed -> different noise (overwhelmingly)
+    d = {
+        r["g"]: r
+        for r in dp_histogram(
+            df, ["g"], epsilon=1.0, seed="s2"
+        ).collect()
+    }
+    assert any(a[g]["noisy_n"] != d[g]["noisy_n"] for g in a)
+    # noise scales ~1/epsilon: same uniform, bigger epsilon ->
+    # strictly smaller |noise|
+    e = {
+        r["g"]: r
+        for r in dp_histogram(
+            df, ["g"], epsilon=10.0, seed="s1"
+        ).collect()
+    }
+    for g in a:
+        n_true = {"a": 50, "b": 30, "c": 20}[g]
+        big = abs(a[g]["noisy_n"] - n_true)
+        small = abs(e[g]["noisy_n"] - n_true)
+        assert small < big or (big == 0 and small == 0)
+        assert a[g]["dp_n"] >= 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dp_histogram(df, ["g"], epsilon=0.0)
+    with _pt.raises(ValueError):
+        dp_histogram(df, [], epsilon=1.0)
