@@ -146,6 +146,8 @@ HEADLINE = [
     "ipw_ate",
     "t_closeness",
     "dp_histogram",
+    "rho_selection",
+    "irt_rasch",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

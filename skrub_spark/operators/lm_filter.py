@@ -979,3 +979,53 @@ def kn_from_frozen(spark, model: dict) -> KNNgramLM:
         discounts={int(k): float(v) for k, v in model["discounts"].items()},
         prune=int(model["prune"]),
     )
+
+
+def rho_select(
+    cur_scores: DataFrame,
+    ref_scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    nll_col: str = "avg_nll",
+) -> DataFrame:
+    """RHO-loss-style learnability selection (r12b — Mindermann et
+    al. 2022's reducible-holdout-loss principle, composed from this
+    module's two scoring paths: pick the documents whose loss under
+    the CURRENT model most exceeds their loss under a REFERENCE
+    model trained elsewhere — high-excess points are learnable but
+    not yet learned; low/negative excess is either mastered or
+    noise). Returns the top-``k`` rows ``(id, nll_model, nll_ref,
+    rho)`` with ``rho = round(nll_model − nll_ref, 6)``, ordered by
+    (rho DESC, id ASC) — the deterministic total order.
+
+    Documents missing either score (too short for one model's
+    order) are excluded: an excess needs both sides.
+
+    Plan shape (100 TB): one equi-join of the two score frames on
+    the id key, then ORDER BY + LIMIT, which Spark compiles to
+    TakeOrderedAndProject — per-partition top-k heaps and a
+    driver merge of p·k rows, never a global sort (the
+    reservoir_sample discipline).
+    """
+    if int(k) < 1:
+        raise ValueError("rho_select: k must be >= 1")
+    cur = cur_scores.select(
+        F.col(id_col).alias("__id"),
+        F.col(nll_col).alias("__cur"),
+    ).where(F.col(nll_col).isNotNull())
+    ref = ref_scores.select(
+        F.col(id_col).alias("__id"),
+        F.col(nll_col).alias("__ref"),
+    ).where(F.col(nll_col).isNotNull())
+    j = cur.join(ref, "__id")
+    rho = F.round(F.col("__cur") - F.col("__ref"), 6)
+    return (
+        j.select(
+            F.col("__id").alias(id_col),
+            F.round("__cur", 6).alias("nll_model"),
+            F.round("__ref", 6).alias("nll_ref"),
+            rho.alias("rho"),
+        )
+        .orderBy(F.col("rho").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -20039,7 +20039,7 @@ def q_kn_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kn_frozen_oracle() -> str:
+def _kn_frozen_oracle(suffix: str | None = None) -> str:
     """GENERATED from ``_frozen.KN_MODEL`` (static per commit):
     VALUES count tables + literal discounts, then the same n=3
     fixed-parenthesization probability chain as the in-query KN
@@ -20068,6 +20068,7 @@ def _kn_frozen_oracle() -> str:
     t = repr(float(m["t_types"]))
     u = repr(float(m["u_types"]))
     v = repr(float(m["vocab_size"]))
+    sfx = _KN5_PROBE if suffix is None else suffix
     return f"""
     WITH tc(ctx, x, c) AS (VALUES {tc}),
     tctx(ctx, c_ctx, n1p_ctx) AS (VALUES {tctx}),
@@ -20075,7 +20076,7 @@ def _kn_frozen_oracle() -> str:
     cctx2(ctx, ncs, n_after) AS (VALUES {cctx2}),
     uc(wu, n1p) AS (VALUES {uc}),
     pw AS (SELECT doc_id,
-      list_filter(regexp_split_to_array(lower(text || '{_KN5_PROBE}'),
+      list_filter(regexp_split_to_array(lower(text || '{sfx}'),
                   '[^a-z0-9]+'), y -> y != '') AS words
       FROM documents),
     socc AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 3 THEN
@@ -20797,6 +20798,196 @@ ORACLES["dp_histogram"] = """
 """
 
 
+def q_rho_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss learnability selection (r12b,
+    operators/lm_filter.py::rho_select — Mindermann 2022 composed
+    from two proven scoring replays): current model = add-one
+    bigram trained in-query on the corpus (the lm_perplexity_filter
+    path), reference = the committed frozen KN trigram scored on
+    RAW text (probe suffix empty), rho = excess NLL, top-200 by
+    (rho DESC, doc_id). The oracle nests both full scoring queries
+    as CTEs and replays the same total order."""
+    _prep(spark)
+    from ._frozen import KN_MODEL
+    from .operators.lm_filter import (
+        kn_from_frozen,
+        rho_select,
+        score_kn_ngram_perplexity,
+        score_ngram_perplexity,
+        train_ngram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs, "text", n=2)
+    cur = score_ngram_perplexity(docs, lm, alpha=1.0)
+    ref = score_kn_ngram_perplexity(
+        docs.select("doc_id", "text"),
+        kn_from_frozen(spark, KN_MODEL),
+    )
+    return rho_select(cur, ref, 200)
+
+
+def _rho_oracle() -> str:
+    cur = """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x != '') AS words
+          FROM documents
+        ), occ AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(words) >= 2 THEN
+              list_transform(range(1, len(words)),
+                i -> struct_pack(gram := words[i] || ' ' || words[i+1],
+                                 ctx := words[i]))
+            ELSE [] END) AS p
+          FROM w
+        ), pairs AS (
+          SELECT doc_id, p.gram AS gram, p.ctx AS ctx FROM occ
+        ), cnt AS (
+          SELECT gram, count(*) AS c FROM pairs GROUP BY gram
+        ), ctxc AS (
+          SELECT ctx, count(*) AS ctx_c FROM pairs GROUP BY ctx
+        ), v AS (
+          SELECT count(DISTINCT x) AS vs
+          FROM (SELECT unnest(words) AS x FROM w)
+        ), sc AS (
+          SELECT p.doc_id,
+            CAST(round(-ln((cnt.c + 1.0) / (ctxc.ctx_c + 1.0 * v.vs)), 6)
+                 AS DECIMAL(28,6)) AS nll_q
+          FROM pairs p JOIN cnt USING (gram) JOIN ctxc USING (ctx)
+          CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(sum(nll_q) AS DOUBLE) / count(*) AS avg_nll
+        FROM sc GROUP BY doc_id
+    """
+    return f"""
+    WITH cur AS ({cur}),
+    ref AS ({_kn_frozen_oracle(suffix="")})
+    SELECT cur.doc_id,
+      round(cur.avg_nll, 6) AS nll_model,
+      round(ref.avg_nll, 6) AS nll_ref,
+      round(cur.avg_nll - ref.avg_nll, 6) AS rho
+    FROM cur JOIN ref ON cur.doc_id = ref.doc_id
+    WHERE cur.avg_nll IS NOT NULL AND ref.avg_nll IS NOT NULL
+    ORDER BY round(cur.avg_nll - ref.avg_nll, 6) DESC, cur.doc_id
+    LIMIT 200
+    """
+
+
+ORACLES["rho_selection"] = _rho_oracle()
+
+
+def q_irt_rasch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasch 1PL PROX calibration (r12b,
+    report/agreement.py::rasch_prox — annotator ability and item
+    difficulty on one logit scale): persons = customer-key cohorts,
+    items = order priorities with planted difficulty (threshold =
+    the priority's leading digit, so '5-LOW' is all-correct and
+    exercises the extreme-item drop). Logits are 6dp micro
+    integers, the item mean is the exact HALF_UP integer mean, and
+    both PROX variances come from exact HUGEINT sums of squares."""
+    _prep(spark)
+    from .report.agreement import rasch_prox
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("p"), (F.col("o_custkey") % 20).cast("string")
+        ).alias("person"),
+        F.col("o_orderpriority").alias("item"),
+        (
+            (F.col("o_custkey") * 7 + F.col("o_orderkey")) % 5
+            < F.substring("o_orderpriority", 1, 1).cast("int")
+        )
+        .cast("int")
+        .alias("correct"),
+    )
+    return rasch_prox(orders, "person", "item", "correct")
+
+
+ORACLES["irt_rasch"] = """
+    WITH base AS (
+      SELECT 'p' || CAST(o_custkey % 20 AS VARCHAR) AS p,
+        o_orderpriority AS i,
+        CASE WHEN (o_custkey * 7 + o_orderkey) % 5 <
+          CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+          THEN 1 ELSE 0 END AS c
+      FROM orders
+    ), items AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS ni,
+        CAST(sum(c) AS BIGINT) AS si
+      FROM base GROUP BY 1
+    ), kept_items AS (
+      SELECT * FROM items WHERE si > 0 AND si < ni
+    ), base2 AS (
+      SELECT base.p, base.i, base.c
+      FROM base JOIN kept_items ON base.i = kept_items.i
+    ), pers AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS lp,
+        CAST(sum(c) AS BIGINT) AS rp
+      FROM base2 GROUP BY 1
+    ), kept_pers AS (
+      SELECT * FROM pers WHERE rp > 0 AND rp < lp
+    ), it AS (
+      SELECT i, ni, si,
+        CAST(round(ln(CAST(ni - si AS DOUBLE) / CAST(si AS DOUBLE))
+                   * 1e6, 0) AS HUGEINT) AS q
+      FROM kept_items
+    ), isum AS (
+      SELECT sum(q) AS qs, CAST(count(*) AS HUGEINT) AS ki FROM it
+    ), mu AS (
+      SELECT CASE WHEN qs >= 0 THEN (2 * qs + ki) // (2 * ki)
+             ELSE -((-2 * qs + ki) // (2 * ki)) END AS mu
+      FROM isum
+    ), itc AS (
+      SELECT i, ni, si, q - (SELECT mu FROM mu) AS d FROM it
+    ), ivar AS (
+      SELECT sum(d * d) AS sdd, CAST(count(*) AS HUGEINT) AS ki2
+      FROM itc
+    ), pe AS (
+      SELECT p, lp, rp,
+        CAST(round(ln(CAST(rp AS DOUBLE) / CAST(lp - rp AS DOUBLE))
+                   * 1e6, 0) AS HUGEINT) AS q
+      FROM kept_pers
+    ), pvar AS (
+      SELECT sum(q * q) AS sqq, sum(q) AS sq,
+        CAST(count(*) AS HUGEINT) AS kp
+      FROM pe
+    ), sc AS (
+      SELECT
+        CASE WHEN ki2 > 1 THEN
+          CAST(sdd AS DOUBLE) / 1e12 / CAST(ki2 - 1 AS DOUBLE)
+        END AS vd,
+        CASE WHEN kp > 1 THEN
+          (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+             * CAST(sq AS DOUBLE) / CAST(kp AS DOUBLE))
+          / 1e12 / CAST(kp - 1 AS DOUBLE)
+        END AS vb
+      FROM ivar CROSS JOIN pvar
+    ), ex AS (
+      SELECT
+        CASE WHEN 1.0 - vb * vd / 8.35 > 0 THEN
+          sqrt((1.0 + vb / 2.89) / (1.0 - vb * vd / 8.35))
+        END AS exi,
+        CASE WHEN 1.0 - vb * vd / 8.35 > 0 THEN
+          sqrt((1.0 + vd / 2.89) / (1.0 - vb * vd / 8.35))
+        END AS exp_
+      FROM sc
+    )
+    SELECT 'item' AS kind, i AS id, ni AS n_obs, si AS n_correct,
+      round(CAST(d AS DOUBLE) / 1e6, 6) AS logit,
+      round(CAST(d AS DOUBLE) / 1e6 * (SELECT exi FROM ex), 6)
+        AS measure
+    FROM itc
+    UNION ALL
+    SELECT 'person', p, lp, rp,
+      round(CAST(q AS DOUBLE) / 1e6, 6),
+      round(CAST(q AS DOUBLE) / 1e6 * (SELECT exp_ FROM ex), 6)
+    FROM pe
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -21484,6 +21675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12b: privacy release gates (entropy-l / t-closeness, DP)
         "t_closeness": q_t_closeness,
         "dp_histogram": q_dp_histogram,
+        # r12b: RHO-loss cross-model data selection
+        "rho_selection": q_rho_selection,
+        # r12b: Rasch PROX annotator/item calibration
+        "irt_rasch": q_irt_rasch,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -331,3 +331,178 @@ def adjusted_rand_index(
             den != 0, F.round(num.cast("double") / den.cast("double"), 6)
         ).alias("ari"),
     )
+
+
+def rasch_prox(
+    df: DataFrame,
+    person_col: str,
+    item_col: str,
+    correct_col: str,
+) -> DataFrame:
+    """Rasch 1PL calibration by the PROX normal approximation
+    (Cohen 1979 / Wright & Stone 1979 — the labeling-QA step past
+    agreement scores: put ANNOTATOR ability and ITEM difficulty on
+    one logit scale, so a rater's errors on hard items stop
+    counting like errors on easy ones). One row per kept item and
+    per kept person: ``(kind 'item'|'person', id, n_obs,
+    n_correct, logit, measure)``.
+
+    Procedure (the standard complete-design approximation, applied
+    to the observed marginals; repeated (person, item) attempts
+    simply accumulate):
+      1. item marginals; EXTREME items (all correct / none) are
+         dropped — their logit is infinite by construction,
+      2. person marginals over the kept items; extreme persons
+         dropped likewise,
+      3. raw logits d_i = ln((N_i−S_i)/S_i), b_p = ln(R_p/(L_p−R_p)),
+         items mean-centered,
+      4. PROX expansion: D_i = d_i·sqrt((1+V_b/2.89)/(1−V_b·V_d/8.35)),
+         B_p = b_p·sqrt((1+V_d/2.89)/(1−V_b·V_d/8.35)).
+
+    Exactness: logits are 6dp-quantized to integer micro units
+    before any sum, the item mean uses the exact HALF_UP integer
+    mean, and both variances come from exact DECIMAL(38,0) sums of
+    squared micro logits — so every output is a fixed chain of IEEE
+    ops on exact integers, 6dp-rounded, bit-replayable in SQL.
+    Degenerate spreads (PROX denominator ≤ 0, or fewer than 2 kept
+    items/persons) yield NULL measures.
+
+    Plan shape (100 TB): two map-side-combined marginal groupBys
+    (the (person,item) frame never materializes beyond its reduce);
+    items are codebook-sized and broadcast into the person filter;
+    the four variance scalars ride one-row broadcast cross joins.
+    """
+    p = F.col(person_col).cast("string")
+    i = F.col(item_col).cast("string")
+    c = F.col(correct_col).cast("int")
+    base = df.select(
+        p.alias("__p"), i.alias("__i"), c.alias("__c")
+    ).where(p.isNotNull() & i.isNotNull() & c.isNotNull())
+    items = base.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni"),
+        F.sum("__c").cast("long").alias("__si"),
+    )
+    kept_items = items.where(
+        (F.col("__si") > 0) & (F.col("__si") < F.col("__ni"))
+    )
+    base2 = base.join(
+        F.broadcast(kept_items.select("__i")), "__i", "left_semi"
+    )
+    pers = base2.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__lp"),
+        F.sum("__c").cast("long").alias("__rp"),
+    )
+    kept_pers = pers.where(
+        (F.col("__rp") > 0) & (F.col("__rp") < F.col("__lp"))
+    )
+    q_i = F.round(
+        F.log(
+            (F.col("__ni") - F.col("__si")).cast("double")
+            / F.col("__si").cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast(_D)
+    q_p = F.round(
+        F.log(
+            F.col("__rp").cast("double")
+            / (F.col("__lp") - F.col("__rp")).cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast(_D)
+    it = kept_items.withColumn("__q", q_i)
+    pe = kept_pers.withColumn("__q", q_p)
+    # exact HALF_UP integer mean of the item logits (doremi rule);
+    # works for negative sums too via the sign split
+    isum = it.agg(
+        F.sum("__q").alias("__qs"),
+        F.count(F.lit(1)).cast(_D).alias("__ki"),
+    ).select(
+        F.when(
+            F.col("__qs") >= 0,
+            (F.lit(2).cast(_D) * F.col("__qs") + F.col("__ki")),
+        )
+        .otherwise(
+            F.lit(2).cast(_D) * F.col("__qs") - F.col("__ki")
+        )
+        .alias("__num2"),
+        F.col("__ki"),
+    ).select(
+        F.expr("CAST(__num2 div (2 * __ki) AS decimal(38,0))").alias(
+            "__mu"
+        ),
+        F.col("__ki"),
+    )
+    itc = it.crossJoin(F.broadcast(isum)).withColumn(
+        "__d", F.col("__q") - F.col("__mu")
+    )
+    ivar = itc.agg(
+        F.sum(F.col("__d") * F.col("__d")).alias("__sdd"),
+        F.count(F.lit(1)).cast(_D).alias("__ki2"),
+    )
+    pvar = pe.agg(
+        F.sum(F.col("__q") * F.col("__q")).alias("__sqq"),
+        F.sum("__q").alias("__sq"),
+        F.count(F.lit(1)).cast(_D).alias("__kp"),
+    )
+    # variances in logit^2 (double, from exact integer sums)
+    vd = F.when(
+        F.col("__ki2") > 1,
+        F.col("__sdd").cast("double")
+        / 1e12
+        / (F.col("__ki2") - 1).cast("double"),
+    )
+    vb = F.when(
+        F.col("__kp") > 1,
+        (
+            F.col("__sqq").cast("double")
+            - F.col("__sq").cast("double")
+            * F.col("__sq").cast("double")
+            / F.col("__kp").cast("double")
+        )
+        / 1e12
+        / (F.col("__kp") - 1).cast("double"),
+    )
+    den = F.lit(1.0) - vb * vd / F.lit(8.35)
+    ex_i = F.when(
+        den > 0, F.sqrt((F.lit(1.0) + vb / F.lit(2.89)) / den)
+    )
+    ex_p = F.when(
+        den > 0, F.sqrt((F.lit(1.0) + vd / F.lit(2.89)) / den)
+    )
+    scal = (
+        ivar.crossJoin(F.broadcast(pvar))
+        .select(ex_i.alias("__exi"), ex_p.alias("__exp"))
+    )
+    out_i = (
+        itc.crossJoin(F.broadcast(scal))
+        .select(
+            F.lit("item").alias("kind"),
+            F.col("__i").alias("id"),
+            F.col("__ni").alias("n_obs"),
+            F.col("__si").alias("n_correct"),
+            F.round(F.col("__d").cast("double") / 1e6, 6).alias(
+                "logit"
+            ),
+            F.round(
+                F.col("__d").cast("double") / 1e6 * F.col("__exi"), 6
+            ).alias("measure"),
+        )
+    )
+    out_p = (
+        pe.crossJoin(F.broadcast(scal))
+        .select(
+            F.lit("person").alias("kind"),
+            F.col("__p").alias("id"),
+            F.col("__lp").alias("n_obs"),
+            F.col("__rp").alias("n_correct"),
+            F.round(F.col("__q").cast("double") / 1e6, 6).alias(
+                "logit"
+            ),
+            F.round(
+                F.col("__q").cast("double") / 1e6 * F.col("__exp"), 6
+            ).alias("measure"),
+        )
+    )
+    return out_i.unionByName(out_p)

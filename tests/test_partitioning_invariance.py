@@ -88,6 +88,8 @@ SAMPLED = [
     "ipw_ate",
     "t_closeness",
     "dp_histogram",
+    "rho_selection",
+    "irt_rasch",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -1175,3 +1175,99 @@ def test_dp_histogram_properties(spark):
         dp_histogram(df, ["g"], epsilon=0.0)
     with _pt.raises(ValueError):
         dp_histogram(df, [], epsilon=1.0)
+
+
+def test_rho_select_hand(spark):
+    from skrub_spark.operators.lm_filter import rho_select
+
+    cur = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0), (3, 4.0), (4, None), (6, 9.0)],
+        "doc_id long, avg_nll double",
+    )
+    ref = spark.createDataFrame(
+        [(1, 2.0), (2, 3.5), (3, 1.0), (4, 1.0), (5, 1.0)],
+        "doc_id long, avg_nll double",
+    )
+    out = rho_select(cur, ref, 2).collect()
+    # excesses: d1=3.0, d2=-0.5, d3=3.0; d4 null cur, d5/d6 missing
+    # one side -> excluded. tie 3.0 broken by doc_id asc.
+    assert [(r["doc_id"], r["rho"]) for r in out] == [
+        (1, 3.0),
+        (3, 3.0),
+    ]
+    assert out[0]["nll_model"] == 5.0 and out[0]["nll_ref"] == 2.0
+    # k larger than survivors -> all three
+    assert rho_select(cur, ref, 10).count() == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rho_select(cur, ref, 0)
+
+
+def test_rasch_prox_reference(spark):
+    """Pure-Python PROX reference (same quantization) over a small
+    mixed grid; plus ordering/extreme-drop invariants."""
+    import math
+
+    from skrub_spark.report.agreement import rasch_prox
+
+    # persons p0..p3, items easy/hard/allpass; allpass is extreme
+    rows = []
+    grid = {
+        ("p0", "easy"): [1, 1, 1, 0],
+        ("p0", "hard"): [1, 0, 0, 0],
+        ("p1", "easy"): [1, 1, 0, 0],
+        ("p1", "hard"): [0, 0, 0, 1],
+        ("p2", "easy"): [1, 0, 1, 1],
+        ("p2", "hard"): [0, 0, 1, 0],
+        ("p3", "easy"): [0, 1, 1, 1],
+        ("p3", "hard"): [1, 1, 0, 0],
+    }
+    for (p, i), cs in grid.items():
+        rows += [(p, i, c) for c in cs]
+    rows += [(p, "allpass", 1) for p in ("p0", "p1", "p2", "p3")]
+    df = spark.createDataFrame(rows, "p string, i string, c int")
+    out = rasch_prox(df, "p", "i", "c").collect()
+    kinds = {(r["kind"], r["id"]): r for r in out}
+    assert ("item", "allpass") not in kinds  # extreme dropped
+    # reference computation
+    it_m = {}
+    for (p, i), cs in grid.items():
+        ni, si = it_m.get(i, (0, 0))
+        it_m[i] = (ni + len(cs), si + sum(cs))
+    q_i = {
+        i: round(math.log((n - s) / s) * 1e6)
+        for i, (n, s) in it_m.items()
+    }
+    qs, ki = sum(q_i.values()), len(q_i)
+    mu = (2 * qs + ki) // (2 * ki) if qs >= 0 else -(
+        (-2 * qs + ki) // (2 * ki)
+    )
+    d = {i: q - mu for i, q in q_i.items()}
+    vd = sum(x * x for x in d.values()) / 1e12 / (ki - 1)
+    pe_m = {}
+    for (p, i), cs in grid.items():
+        lp, rp = pe_m.get(p, (0, 0))
+        pe_m[p] = (lp + len(cs), rp + sum(cs))
+    q_p = {
+        p: round(math.log(r / (n - r)) * 1e6)
+        for p, (n, r) in pe_m.items()
+    }
+    kp = len(q_p)
+    sq, sqq = sum(q_p.values()), sum(x * x for x in q_p.values())
+    vb = (sqq - sq * sq / kp) / 1e12 / (kp - 1)
+    den = 1.0 - vb * vd / 8.35
+    exi = math.sqrt((1.0 + vb / 2.89) / den)
+    exp_ = math.sqrt((1.0 + vd / 2.89) / den)
+    for i in ("easy", "hard"):
+        r = kinds[("item", i)]
+        assert r["logit"] == round(d[i] / 1e6, 6)
+        assert r["measure"] == round(d[i] / 1e6 * exi, 6)
+    for p in ("p0", "p1", "p2", "p3"):
+        r = kinds[("person", p)]
+        assert r["measure"] == round(q_p[p] / 1e6 * exp_, 6)
+    # easy item is easier (lower difficulty) than hard
+    assert (
+        kinds[("item", "easy")]["measure"]
+        < kinds[("item", "hard")]["measure"]
+    )
