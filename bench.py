@@ -148,6 +148,9 @@ HEADLINE = [
     "dp_histogram",
     "rho_selection",
     "irt_rasch",
+    "ab_power",
+    "aipw_ate",
+    "skipgram_pairs",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

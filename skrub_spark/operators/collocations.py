@@ -117,3 +117,120 @@ def pmi_collocations(
         )
     finally:
         toks.unpersist()
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 2,
+    subsample_t: float = 1e-3,
+    min_count: int = 1,
+    seed: str = "",
+) -> DataFrame:
+    """Skip-gram (center, context) training-pair extraction with
+    frequent-word subsampling (r12b — the word2vec data-prep stage,
+    Mikolov et al. 2013: every embedding trainer consumes exactly
+    this pair-count frame; the aggregated counts also feed PPMI /
+    SGNS-factorization pipelines directly). Returns ``(center,
+    context, cnt)`` with ``cnt >= min_count``.
+
+    Faithful to the reference implementation: an occurrence of word
+    w survives with probability p_keep = min(1, (sqrt(f/t)+1)·t/f)
+    (f its corpus relative frequency, t = ``subsample_t``), and the
+    ±``window`` context applies to the COMPRESSED sequence (dropped
+    tokens close the gap). The survival draw is DETERMINISTIC:
+    u = first 60 md5 bits of (seed ‖ doc ‖ pos ‖ word) / 2^60 —
+    the engine-portable hash_split discipline — so the extraction
+    replays bit-identically and is shard-order-independent.
+
+    Plan shape (100 TB): tokenize + posexplode (map-only), one
+    map-side-combined frequency groupBy joined back on the word
+    key, per-doc rank + self-join BOTH partitioned on the doc key
+    (bounded by document length — Catalyst reuses the shuffle), and
+    one final pair-count reduce. The corpus total rides a one-row
+    broadcast cross join. No Python, no corpus-wide window.
+    """
+    from pyspark.sql import Window
+
+    if int(window) < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    if not float(subsample_t) > 0:
+        raise ValueError("skipgram_pairs: subsample_t must be > 0")
+    if int(min_count) < 1:
+        raise ValueError("skipgram_pairs: min_count must be >= 1")
+    w_sz = int(window)
+    toks = df.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(_token_array(F.col(text_col))).alias(
+            "__pos", "__w"
+        ),
+    )
+    freq = toks.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
+    )
+    tot = freq.agg(F.sum("__c").alias("__tc"))
+    t = float(subsample_t)
+    f = F.col("__c").cast("double") / F.col("__tc").cast("double")
+    p_keep = F.least(
+        F.lit(1.0),
+        (F.sqrt(f / F.lit(t)) + F.lit(1.0)) * (F.lit(t) / f),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("__d").cast("string"),
+                        F.col("__pos").cast("string"),
+                        F.col("__w"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    kept = (
+        toks.join(freq, "__w")
+        .crossJoin(F.broadcast(tot))
+        .where(u < p_keep)
+        .select("__d", "__pos", "__w")
+    )
+    wd = Window.partitionBy("__d").orderBy("__pos")
+    seq = kept.withColumn("__r", F.row_number().over(wd))
+    a = seq.select(
+        F.col("__d"),
+        F.col("__r").alias("__ra"),
+        F.col("__w").alias("__wa"),
+    )
+    b = seq.select(
+        F.col("__d").alias("__d2"),
+        F.col("__r").alias("__rb"),
+        F.col("__w").alias("__wb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__d") == F.col("__d2"))
+        & (F.col("__rb") > F.col("__ra"))
+        & (F.col("__rb") <= F.col("__ra") + w_sz),
+    )
+    both = pairs.select(
+        F.col("__wa").alias("center"), F.col("__wb").alias("context")
+    ).unionAll(
+        pairs.select(
+            F.col("__wb").alias("center"),
+            F.col("__wa").alias("context"),
+        )
+    )
+    out = both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return out.where(F.col("cnt") >= int(min_count))

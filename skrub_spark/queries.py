@@ -20988,6 +20988,233 @@ ORACLES["irt_rasch"] = """
 """
 
 
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power / MDE sizing report (r12b,
+    report/abtest.py::ab_power_report — the pre-experiment
+    calculator: detectable lift at current traffic + required n per
+    arm for a 2% target, z constants embedded as exact literals so
+    no erf-inverse is needed in either engine): order totalprice by
+    priority, alpha 0.05, power 0.8. Variance is the single exact
+    integer ratio (nΣx²−(Σx)²)/(n(n−1)) in micro² space."""
+    _prep(spark)
+    from .report.abtest import ab_power_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ab_power_report(
+        orders,
+        "o_totalprice",
+        "o_orderpriority",
+        alpha=0.05,
+        power=0.80,
+        mde_rel=0.02,
+    )
+
+
+def _ab_power_oracle() -> str:
+    from .report.abtest import _Z_ALPHA, _Z_POWER
+
+    z = repr(_Z_ALPHA[0.05] + _Z_POWER[0.80])
+    return f"""
+    WITH agg AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS HUGEINT) AS n,
+        sum(CAST(o_totalprice * 1000000 AS HUGEINT)) AS sx,
+        sum(CAST(o_totalprice * 1000000 AS HUGEINT)
+            * CAST(o_totalprice * 1000000 AS HUGEINT)) AS sxx
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), m AS (
+      SELECT o_orderpriority, n,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+        CASE WHEN n > 1 THEN
+          CAST(n * sxx - sx * sx AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE) / 1e12
+        END AS var,
+        CASE WHEN n > 1 THEN
+          CAST((2 * (n * sxx - sx * sx) + n * (n - 1) * 1000000)
+               // (2 * n * (n - 1) * 1000000) AS DOUBLE) / 1e6
+        END AS var6,
+        CAST(n // 2 AS DOUBLE) AS n_arm
+      FROM agg
+    ), e AS (
+      SELECT o_orderpriority, n, mean, var, var6,
+        CASE WHEN n_arm > 0 AND var > 0 THEN
+          {z} * sqrt(2.0 * var / n_arm)
+        END AS mde_abs,
+        mean * CAST(0.02 AS DOUBLE) AS target_abs
+      FROM m
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+      round(mean, 6) AS mean,
+      var6 AS variance,
+      round(mde_abs, 6) AS mde_abs,
+      CASE WHEN mean != 0 THEN round(mde_abs / mean, 6)
+      END AS mde_rel_achievable,
+      CASE WHEN var > 0 AND target_abs != 0 THEN
+        CAST(ceil(2.0 * var * {z} * {z}
+                  / (target_abs * target_abs)) AS BIGINT)
+      END AS n_per_arm_target
+    FROM e
+    """
+
+
+ORACLES["ab_power"] = _ab_power_oracle()
+
+
+def q_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW ATE (r12b,
+    report/experiment.py::aipw_ate): same planted propensity and
+    treatment/outcome as ipw_ate plus two planted 6dp
+    outcome-model scores; influence-function SE and 95% CI. The
+    per-row pseudo-outcome is a fixed IEEE chain, 6dp-quantized,
+    so the corpus sums replay exactly in HUGEINT."""
+    _prep(spark)
+    from .report.experiment import aipw_ate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 2).cast("int").alias("treated"),
+        (F.col("l_returnflag") == "R")
+        .cast("int")
+        .cast("double")
+        .alias("converted"),
+        (
+            ((F.col("l_orderkey") * 7) % 1000).cast("double") / 1000.0
+        ).alias("propensity"),
+        (
+            ((F.col("l_partkey") * 13) % 800).cast("double") / 1000.0
+            + 0.1
+        ).alias("m1"),
+        (
+            ((F.col("l_partkey") * 17) % 800).cast("double") / 1000.0
+            + 0.05
+        ).alias("m0"),
+    )
+    return aipw_ate(
+        li,
+        "treated",
+        "converted",
+        "propensity",
+        "m1",
+        "m0",
+        trim=0.05,
+    )
+
+
+ORACLES["aipw_ate"] = """
+    WITH base AS (
+      SELECT CAST(l_suppkey % 2 AS INTEGER) AS t,
+        CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+             AS DOUBLE) AS y,
+        round(CAST((l_orderkey * 7) % 1000 AS DOUBLE)
+              / 1000.0 * 1e6, 0) AS e6,
+        round(CAST((l_partkey * 13) % 800 AS DOUBLE) / 1000.0
+              + 0.1, 6) AS m1,
+        round(CAST((l_partkey * 17) % 800 AS DOUBLE) / 1000.0
+              + 0.05, 6) AS m0
+      FROM lineitem
+    ), psi AS (
+      SELECT t, e6,
+        CASE WHEN e6 BETWEEN 50000 AND 950000 THEN
+          CAST(round((m1 - m0
+            + CAST(t AS DOUBLE) * (y - m1) / (e6 / 1e6)
+            - (1.0 - CAST(t AS DOUBLE)) * (y - m0)
+              / (1.0 - e6 / 1e6)) * 1e6, 0) AS HUGEINT)
+        END AS p6
+      FROM base
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN p6 IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_trimmed,
+        COALESCE(sum(p6), 0) AS sp,
+        COALESCE(sum(p6 * p6), 0) AS spp,
+        CAST(count(p6) AS HUGEINT) AS nk
+      FROM psi
+    ), fin AS (
+      SELECT n, n_trimmed, nk,
+        CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / 1e6 AS ate,
+        sqrt((CASE WHEN nk > 1 THEN
+          (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+             * CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE))
+          / 1e12 / CAST(nk - 1 AS DOUBLE) END)
+          / CAST(nk AS DOUBLE)) AS se
+      FROM agg
+    )
+    SELECT n, n_trimmed,
+      CASE WHEN nk > 0 THEN round(ate, 6) END AS ate,
+      round(se, 6) AS se,
+      round(ate - 1.959963984540054 * se, 6) AS ci_lo,
+      round(ate + 1.959963984540054 * se, 6) AS ci_hi
+    FROM fin
+"""
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair extraction with Mikolov subsampling (r12b,
+    operators/collocations.py::skipgram_pairs): window ±2 over the
+    subsample-compressed sequence, t = 1e-3 (frequent words in the
+    documents corpus get probabilistically dropped via the
+    deterministic md5 draw), pairs kept at cnt >= 2."""
+    _prep(spark)
+    from .operators.collocations import skipgram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skipgram_pairs(
+        docs,
+        "text",
+        "doc_id",
+        window=2,
+        subsample_t=1e-3,
+        min_count=2,
+        seed="sg",
+    )
+
+
+ORACLES["skipgram_pairs"] = """
+    WITH pw AS (
+      SELECT doc_id AS d,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '') AS words
+      FROM documents
+    ), tk AS (
+      SELECT d, t.pos AS pos, t.w AS w FROM (
+        SELECT d, unnest(list_transform(range(1, len(words) + 1),
+          i -> struct_pack(pos := i - 1, w := words[i]))) AS t
+        FROM pw) s
+    ), freq AS (
+      SELECT w, CAST(count(*) AS HUGEINT) AS c FROM tk GROUP BY 1
+    ), tot AS (SELECT sum(c) AS tc FROM freq),
+    kept AS (
+      SELECT d, pos, w
+      FROM tk JOIN freq USING (w) CROSS JOIN tot
+      WHERE CAST(('0x' || substr(md5('sg' || ':'
+              || CAST(d AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+              || ':' || w), 1, 15))::BIGINT AS DOUBLE)
+            / 1152921504606846976.0
+        < least(CAST(1.0 AS DOUBLE),
+            (sqrt((CAST(c AS DOUBLE) / CAST(tc AS DOUBLE))
+                  / CAST(0.001 AS DOUBLE)) + 1.0)
+            * (CAST(0.001 AS DOUBLE)
+               / (CAST(c AS DOUBLE) / CAST(tc AS DOUBLE))))
+    ), seq AS (
+      SELECT d, w,
+        row_number() OVER (PARTITION BY d ORDER BY pos) AS r
+      FROM kept
+    ), pairs AS (
+      SELECT a.w AS wa, b.w AS wb
+      FROM seq a JOIN seq b
+        ON a.d = b.d AND b.r > a.r AND b.r <= a.r + 2
+    ), bidir AS (
+      SELECT wa AS center, wb AS context FROM pairs
+      UNION ALL
+      SELECT wb, wa FROM pairs
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+    FROM bidir GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -21679,6 +21906,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rho_selection": q_rho_selection,
         # r12b: Rasch PROX annotator/item calibration
         "irt_rasch": q_irt_rasch,
+        # r12b: pre-experiment power / MDE sizing
+        "ab_power": q_ab_power,
+        # r12b: doubly-robust AIPW treatment effect
+        "aipw_ate": q_aipw_ate,
+        # r12b: word2vec skip-gram pair extraction
+        "skipgram_pairs": q_skipgram_pairs,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

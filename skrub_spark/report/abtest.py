@@ -568,3 +568,126 @@ def yuen_trimmed_test(
         _gated(F.when(ok, F.round(tstat, 6))).alias("t"),
         _gated(F.when(ok, F.round(dfw, 6))).alias("df"),
     )
+
+
+# two-sided z for alpha, and z for power — the universal normal
+# quantiles every power calculator hard-codes (16-digit doubles, so
+# Spark and SQL replays see the same literal)
+_Z_ALPHA = {
+    0.01: 2.5758293035489004,
+    0.05: 1.959963984540054,
+    0.10: 1.6448536269514722,
+}
+_Z_POWER = {
+    0.80: 0.8416212335729143,
+    0.90: 1.2815515655446004,
+    0.95: 1.6448536269514722,
+}
+
+
+def ab_power_report(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str | None = None,
+    *,
+    alpha: float = 0.05,
+    power: float = 0.80,
+    mde_rel: float = 0.02,
+) -> DataFrame:
+    """Pre-experiment power / MDE sizing from historical metric data
+    (r12b — the calculator every experimentation platform runs
+    before an A/B test: given this metric's variance, what lift is
+    detectable at the current traffic, and how many units per arm
+    does the TARGET lift need; two-sample z approximation with a
+    50/50 split, Kohavi et al.'s standard formulas):
+
+      mde_abs  = (z_{1−α/2} + z_{power}) · sqrt(2σ²/n_arm),  n_arm = n/2
+      n_target = ceil(2σ²(z_{1−α/2} + z_{power})² / (mean·mde_rel)²)
+
+    One row per group (or one row total): ``(group?, n, mean,
+    variance, mde_abs, mde_rel_achievable, n_per_arm_target)``.
+    ``mde_rel_achievable`` = mde_abs/mean. Groups with n < 2 or
+    zero variance (or zero mean for the relative targets) yield
+    NULLs rather than a convention.
+
+    alpha must be one of {0.01, 0.05, 0.10} and power one of
+    {0.80, 0.90, 0.95} — the z constants are embedded as exact
+    double literals so the whole chain replays bit-identically in
+    SQL (no erf inverse in either engine).
+
+    Exactness: the metric is cast to DECIMAL(18,6) micro integers;
+    n, Σx, Σx² are exact DECIMAL(38,0), variance is the single
+    exact ratio (nΣx² − (Σx)²)/(n(n−1)) — so each output is a fixed
+    IEEE chain, 6dp-rounded. ONE map-side-combined groupBy; no
+    window, no join.
+    """
+    a, p = round(float(alpha), 2), round(float(power), 2)
+    if a not in _Z_ALPHA:
+        raise ValueError(
+            "ab_power_report: alpha must be one of 0.01/0.05/0.10"
+        )
+    if p not in _Z_POWER:
+        raise ValueError(
+            "ab_power_report: power must be one of 0.80/0.90/0.95"
+        )
+    if not float(mde_rel) > 0:
+        raise ValueError("ab_power_report: mde_rel must be > 0")
+    z = _Z_ALPHA[a] + _Z_POWER[p]
+    _DI = "decimal(38,0)"
+    x6 = (
+        F.col(metric_col).cast("decimal(18,6)") * 1_000_000
+    ).cast(_DI)
+    base = df.where(F.col(metric_col).isNotNull())
+    keys = [F.col(group_col)] if group_col else []
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(_DI).alias("__n"),
+        F.sum(x6).alias("__sx"),
+        F.sum(x6 * x6).alias("__sxx"),
+    )
+    n = F.col("__n")
+    mean = F.col("__sx").cast("double") / n.cast("double") / 1e6
+    var = F.when(
+        n > 1,
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+            "double"
+        )
+        / (n * (n - 1)).cast("double")
+        / 1e12,
+    )
+    n_arm = F.expr("CAST(__n div 2 AS double)")
+    mde_abs = F.when(
+        (n_arm > 0) & (var > 0),
+        F.lit(z) * F.sqrt(F.lit(2.0) * var / n_arm),
+    )
+    target_abs = mean * F.lit(float(mde_rel))
+    n_target = F.when(
+        (var > 0) & (target_abs != 0),
+        F.ceil(
+            F.lit(2.0) * var * F.lit(z) * F.lit(z)
+            / (target_abs * target_abs)
+        ).cast("long"),
+    )
+    # displayed variance via the exact HALF_UP integer rule: at
+    # price-squared magnitudes round(double, 6) is not
+    # engine-portable (the 6th decimal is past double precision)
+    var6 = F.when(
+        n > 1,
+        F.expr(
+            "CAST((2 * (__n * __sxx - __sx * __sx)"
+            " + __n * (__n - 1) * 1000000)"
+            " div (2 * __n * (__n - 1) * 1000000)"
+            " AS decimal(38,0))"
+        ).cast("double")
+        / 1e6,
+    )
+    out_cols = ([F.col(group_col)] if group_col else []) + [
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        var6.alias("variance"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.when(mean != 0, F.round(mde_abs / mean, 6)).alias(
+            "mde_rel_achievable"
+        ),
+        n_target.alias("n_per_arm_target"),
+    ]
+    return agg.select(*out_cols)

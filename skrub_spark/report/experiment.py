@@ -884,3 +884,106 @@ def ipw_ate(
         mc.alias("mean_control"),
         F.round(mt - mc, 6).alias("ate"),
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    m1_col: str,
+    m0_col: str,
+    *,
+    trim: float = 0.01,
+) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect (r12b —
+    Robins-Rotnitzky-Zhao 1994; the estimator that stays consistent
+    if EITHER the propensity model OR the outcome models are right,
+    completing the causal family next to ``psm_match`` and
+    ``ipw_ate``). Inputs are scored frames: a propensity e(x) and
+    the two outcome-model predictions m1(x), m0(x) (from any frozen
+    scorer; 6dp grain). One output row: ``(n, n_trimmed, ate, se,
+    ci_lo, ci_hi)`` with the influence-function standard error and
+    a 95% normal CI.
+
+    Per-unit pseudo-outcome
+      ψ = m1 − m0 + T(Y − m1)/e − (1−T)(Y − m0)/(1−e)
+    is evaluated as a FIXED per-row IEEE chain on the 6dp-quantized
+    inputs, then 6dp-quantized itself — so the corpus sums Σψ and
+    Σψ² are exact DECIMAL(38,0) integers (order-independent), and
+    ate/se are single IEEE chains off them. Units with e outside
+    [trim, 1−trim] are dropped into ``n_trimmed``; NULL inputs are
+    dropped.
+
+    Plan shape (100 TB): ONE map-side-combined aggregate — no
+    join, no window, no driver loop.
+    """
+    if not (0 <= float(trim) < 0.5):
+        raise ValueError("aipw_ate: trim must be in [0, 0.5)")
+    _DI = "decimal(38,0)"
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    e6 = F.round(F.col(propensity_col).cast("double") * 1e6, 0)
+    m1 = F.round(F.col(m1_col).cast("double"), 6)
+    m0 = F.round(F.col(m0_col).cast("double"), 6)
+    lo = float(int(round(float(trim) * 1_000_000)))
+    hi = 1_000_000.0 - lo
+    base = df.select(
+        t.alias("__t"),
+        y.alias("__y"),
+        e6.alias("__e6"),
+        m1.alias("__m1"),
+        m0.alias("__m0"),
+    ).where(
+        t.isNotNull()
+        & y.isNotNull()
+        & e6.isNotNull()
+        & m1.isNotNull()
+        & m0.isNotNull()
+    )
+    kept = (F.col("__e6") >= lo) & (F.col("__e6") <= hi)
+    e = F.col("__e6") / F.lit(1e6)
+    tt = F.col("__t").cast("double")
+    psi = (
+        F.col("__m1")
+        - F.col("__m0")
+        + tt * (F.col("__y") - F.col("__m1")) / e
+        - (F.lit(1.0) - tt)
+        * (F.col("__y") - F.col("__m0"))
+        / (F.lit(1.0) - e)
+    )
+    psi6 = F.round(psi * 1e6, 0).cast(_DI)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
+            "n_trimmed"
+        ),
+        F.sum(F.when(kept, psi6)).alias("__sp"),
+        F.sum(F.when(kept, psi6 * psi6)).alias("__spp"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast(_DI).alias("__nk"),
+    )
+    nk = F.col("__nk")
+    ate = F.col("__sp").cast("double") / nk.cast("double") / 1e6
+    # influence-function variance: (Σψ² − (Σψ)²/n)/(n−1), then
+    # se = sqrt(var/n)
+    var = F.when(
+        nk > 1,
+        (
+            F.col("__spp").cast("double")
+            - F.col("__sp").cast("double")
+            * F.col("__sp").cast("double")
+            / nk.cast("double")
+        )
+        / 1e12
+        / (nk - 1).cast("double"),
+    )
+    se = F.sqrt(var / nk.cast("double"))
+    z = 1.959963984540054
+    return agg.select(
+        F.col("n_all").alias("n"),
+        "n_trimmed",
+        F.when(nk > 0, F.round(ate, 6)).alias("ate"),
+        F.round(se, 6).alias("se"),
+        F.round(ate - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(ate + F.lit(z) * se, 6).alias("ci_hi"),
+    )

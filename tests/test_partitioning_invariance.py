@@ -90,6 +90,9 @@ SAMPLED = [
     "dp_histogram",
     "rho_selection",
     "irt_rasch",
+    "ab_power",
+    "aipw_ate",
+    "skipgram_pairs",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -1271,3 +1271,107 @@ def test_rasch_prox_reference(spark):
         kinds[("item", "easy")]["measure"]
         < kinds[("item", "hard")]["measure"]
     )
+
+
+def test_ab_power_hand(spark):
+    import math
+
+    from skrub_spark.report.abtest import _Z_ALPHA, _Z_POWER, ab_power_report
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "m double"
+    )
+    r = ab_power_report(
+        df, "m", alpha=0.05, power=0.80, mde_rel=0.02
+    ).collect()[0]
+    z = _Z_ALPHA[0.05] + _Z_POWER[0.80]
+    var = 20 / 12  # (n*Sxx - Sx^2)/(n(n-1)) exactly
+    assert r["n"] == 4 and r["mean"] == 2.5
+    assert r["variance"] == round(var, 6)
+    mde = z * math.sqrt(2 * var / 2.0)
+    assert r["mde_abs"] == round(mde, 6)
+    assert r["mde_rel_achievable"] == round(mde / 2.5, 6)
+    assert r["n_per_arm_target"] == math.ceil(
+        2 * var * z * z / (2.5 * 0.02) ** 2
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ab_power_report(df, "m", alpha=0.03)
+    with _pt.raises(ValueError):
+        ab_power_report(df, "m", power=0.5)
+
+
+def test_aipw_ate_reduces_to_diff_means(spark):
+    """e=0.5 and zero outcome models -> AIPW == difference of
+    means; SE from the influence function."""
+    import math
+
+    from skrub_spark.report.experiment import aipw_ate
+
+    rows = (
+        [(1, 1.0, 0.5, 0.0, 0.0)] * 2
+        + [(1, 0.0, 0.5, 0.0, 0.0)] * 2
+        + [(0, 1.0, 0.5, 0.0, 0.0)]
+        + [(0, 0.0, 0.5, 0.0, 0.0)] * 3
+        + [(1, 1.0, 0.001, 0.0, 0.0)]  # trimmed
+    )
+    df = spark.createDataFrame(
+        rows, "t int, y double, e double, m1 double, m0 double"
+    )
+    r = aipw_ate(df, "t", "y", "e", "m1", "m0", trim=0.05).collect()[0]
+    assert r["n"] == 9 and r["n_trimmed"] == 1
+    assert r["ate"] == 0.25
+    # psi: [2,2,0,0,-2,0,0,0]; var=(12-0.5)/7, se=sqrt(var/8)
+    se = math.sqrt((12 - 4 / 8) / 7 / 8)
+    assert r["se"] == round(se, 6)
+    assert r["ci_lo"] == round(0.25 - 1.959963984540054 * se, 6)
+    assert r["ci_hi"] == round(0.25 + 1.959963984540054 * se, 6)
+
+
+def test_skipgram_pairs_window_and_subsample(spark):
+    from skrub_spark.operators.collocations import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    # t=1.0 -> p_keep = min(1,(sqrt(f)+1)/f*...) >= 1: nothing drops
+    out = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(
+            docs, window=1, subsample_t=1.0, min_count=1
+        ).collect()
+    }
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    assert out[("b", "c")] == 1 and out[("c", "b")] == 1
+    assert ("a", "c") not in out  # window 1 only adjacents
+    # window 2 reaches two steps
+    out2 = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(
+            docs, window=2, subsample_t=1.0, min_count=1
+        ).collect()
+    }
+    assert out2[("a", "c")] == 1 and out2[("b", "d")] == 1
+    # aggressive subsampling drops occurrences of the frequent word
+    big = spark.createDataFrame(
+        [(i, "the quick " + "the " * 30) for i in range(40)],
+        "doc_id long, text string",
+    )
+    full = (
+        skipgram_pairs(big, window=1, subsample_t=1.0, min_count=1)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    sub = (
+        skipgram_pairs(big, window=1, subsample_t=1e-6, min_count=1)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert sub is None or sub < full
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        skipgram_pairs(docs, window=0)
+    with _pt.raises(ValueError):
+        skipgram_pairs(docs, subsample_t=0.0)
