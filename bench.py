@@ -151,6 +151,8 @@ HEADLINE = [
     "ab_power",
     "aipw_ate",
     "skipgram_pairs",
+    "drift_wasserstein",
+    "best_of_n",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -265,3 +265,110 @@ def preference_pairs(
             <= int(length_match_tol)
         ).alias("length_matched"),
     )
+
+
+def best_of_n_curve(
+    df: DataFrame,
+    prompt_col: str,
+    reward_col: str,
+    id_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Expected best-of-n reward curve from per-prompt scored
+    response pools (r12b — the rejection-sampling calculator every
+    RLHF/BoN pipeline consults: how much does reward improve if we
+    sample n candidates and keep the best? Order-statistics over
+    the empirical per-prompt reward distribution, sampling WITH
+    replacement):
+
+        E[max of n] = Σ_i r_(i) · ((i/m)^n − ((i−1)/m)^n)
+
+    with r_(1..m) the prompt's rewards ascending. One output row
+    per (pool size m, n): ``(m, n, n_prompts, exp_best)`` averaged
+    over all prompts with that pool size — pooling by m keeps the
+    cross-prompt mean ONE exact integer ratio, Σ_p N_p / (k·m^n),
+    since every prompt in the group shares the denominator m^n.
+
+    Exactness: rewards are 6dp-quantized; the rank powers i^n are
+    built by repeated DECIMAL multiplication (never IEEE pow), so
+    each per-prompt numerator N_p = Σ r6·(i^n − (i−1)^n) is an
+    exact DECIMAL(38,0) integer and ``exp_best`` a single IEEE
+    division. Ties in reward are handled by an id tie-break; the
+    formula's value is tie-order invariant. NULL rewards are
+    dropped. ``m^max_n`` must stay inside DECIMAL(38,0) — fine for
+    any realistic pool (m ≤ 10^9 at n=4).
+
+    Plan shape (100 TB): one per-prompt rank window (bounded by the
+    pool size), a JVM array explode of the ``max_n`` per-row terms,
+    and two map-side-combined groupBys. No driver loop.
+    """
+    if int(max_n) < 1:
+        raise ValueError("best_of_n_curve: max_n must be >= 1")
+    from pyspark.sql import Window
+
+    _DI = "decimal(38,0)"
+    nn = int(max_n)
+    r6 = F.round(F.col(reward_col).cast("double") * 1e6, 0).cast(
+        _DI
+    )
+    base = df.select(
+        F.col(prompt_col).alias("__pr"),
+        r6.alias("__r6"),
+        F.col(id_col).alias("__rid"),
+    ).where(F.col(reward_col).isNotNull())
+    wp = Window.partitionBy("__pr").orderBy(
+        F.col("__r6").asc(), F.col("__rid").asc()
+    )
+    wm = Window.partitionBy("__pr")
+    ranked = base.select(
+        "__pr",
+        "__r6",
+        F.row_number().over(wp).cast(_DI).alias("__i"),
+        F.count(F.lit(1)).over(wm).cast(_DI).alias("__m"),
+    )
+
+    def ipow(col, k):
+        out = F.lit(1).cast(_DI)
+        for _ in range(k):
+            out = out * col
+        return out
+
+    i, im1, m = F.col("__i"), F.col("__i") - 1, F.col("__m")
+    structs = [
+        F.struct(
+            F.lit(k).alias("n"),
+            (F.col("__r6") * (ipow(i, k) - ipow(im1, k))).alias(
+                "term"
+            ),
+            ipow(m, k).alias("mpow"),
+        )
+        for k in range(1, nn + 1)
+    ]
+    terms = ranked.select(
+        "__pr", "__m", F.explode(F.array(*structs)).alias("__t")
+    ).select(
+        "__pr",
+        "__m",
+        F.col("__t.n").alias("__n"),
+        F.col("__t.term").alias("__term"),
+        F.col("__t.mpow").alias("__mpow"),
+    )
+    per_prompt = terms.groupBy("__pr", "__m", "__n").agg(
+        F.sum("__term").alias("__np"), F.max("__mpow").alias("__mp")
+    )
+    out = per_prompt.groupBy("__m", "__n").agg(
+        F.count(F.lit(1)).cast(_DI).alias("__k"),
+        F.sum("__np").alias("__s"),
+        F.max("__mp").alias("__mp2"),
+    )
+    return out.select(
+        F.col("__m").cast("long").alias("m"),
+        F.col("__n").cast("int").alias("n"),
+        F.col("__k").cast("long").alias("n_prompts"),
+        F.round(
+            F.col("__s").cast("double")
+            / (F.col("__k") * F.col("__mp2")).cast("double")
+            / 1e6,
+            6,
+        ).alias("exp_best"),
+    )

@@ -21215,6 +21215,136 @@ ORACLES["skipgram_pairs"] = """
 """
 
 
+def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein drift (r12b,
+    report/drift.py::wasserstein_1d — the how-far-did-mass-move
+    companion to PSI/KS/chi2 in the drift family): extended price
+    of returned vs non-returned line items. Exact integer step
+    terms |cum_r·n_c − cum_c·n_r|·Δv6 summed in DECIMAL(38,0);
+    w1 is one IEEE division."""
+    _prep(spark)
+    from .report.drift import wasserstein_1d
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return wasserstein_1d(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+    )
+
+
+ORACLES["drift_wasserstein"] = """
+    WITH a AS (
+      SELECT CAST(l_extendedprice * 1000000 AS BIGINT) AS v,
+        count(*) AS rc
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), b AS (
+      SELECT CAST(l_extendedprice * 1000000 AS BIGINT) AS v,
+        count(*) AS cc
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+    ), m AS (
+      SELECT COALESCE(a.v, b.v) AS v, COALESCE(rc, 0) AS rc,
+        COALESCE(cc, 0) AS cc
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), c AS (
+      SELECT v,
+        sum(rc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r,
+        sum(cc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_c,
+        lead(v) OVER (ORDER BY v) - v AS dv
+      FROM m
+    ), t AS (
+      SELECT sum(rc) AS n_ref FROM m
+    ), u AS (
+      SELECT sum(cc) AS n_cur FROM m
+    ), agg AS (
+      SELECT COALESCE(sum(CASE WHEN dv IS NOT NULL THEN
+          CAST(abs(cum_r * (SELECT n_cur FROM u)
+                   - cum_c * (SELECT n_ref FROM t)) AS HUGEINT)
+          * CAST(dv AS HUGEINT) END), 0) AS s,
+        min(v) AS vmin, max(v) AS vmax
+      FROM c
+    )
+    SELECT 'l_extendedprice' AS col_name,
+      CAST((SELECT n_ref FROM t) AS BIGINT) AS n_ref,
+      CAST((SELECT n_cur FROM u) AS BIGINT) AS n_cur,
+      CASE WHEN (SELECT n_ref FROM t) * (SELECT n_cur FROM u) > 0
+        THEN round(CAST(s AS DOUBLE)
+          / (CAST((SELECT n_ref FROM t) AS DOUBLE)
+             * CAST((SELECT n_cur FROM u) AS DOUBLE)) / 1e6, 6)
+      END AS w1,
+      CASE WHEN (SELECT n_ref FROM t) * (SELECT n_cur FROM u) > 0
+          AND vmax > vmin
+        THEN round((CAST(s AS DOUBLE)
+          / (CAST((SELECT n_ref FROM t) AS DOUBLE)
+             * CAST((SELECT n_cur FROM u) AS DOUBLE)) / 1e6)
+          / (CAST(vmax - vmin AS DOUBLE) / 1e6), 6)
+      END AS w1_norm
+    FROM agg
+"""
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n reward curve (r12b,
+    operators/sft.py::best_of_n_curve): prompts = doc_id % 100,
+    planted 6dp rewards, n = 1..4. The rank powers are exact
+    DECIMAL products; each (m, n) mean is one integer ratio."""
+    _prep(spark)
+    from .operators.sft import best_of_n_curve
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 100).alias("prompt"),
+        (
+            ((F.col("doc_id") * 37) % 1000).cast("double") / 1000.0
+        ).alias("reward"),
+        F.col("doc_id"),
+    )
+    return best_of_n_curve(docs, "prompt", "reward", "doc_id", 4)
+
+
+def _best_of_n_oracle() -> str:
+    selects = []
+    for k in range(1, 5):
+        ip = " * ".join(["i"] * k)
+        im = " * ".join(["(i - 1)"] * k)
+        mp = " * ".join(["m"] * k)
+        selects.append(
+            f"SELECT pr, m, {k} AS n, r6 * ({ip} - {im}) AS term,"
+            f" {mp} AS mpow FROM ranked"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH base AS (
+      SELECT doc_id % 100 AS pr,
+        CAST(round(CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0
+                   * 1e6, 0) AS HUGEINT) AS r6,
+        doc_id AS rid
+      FROM documents
+    ), ranked AS (
+      SELECT pr, r6,
+        CAST(row_number() OVER (PARTITION BY pr
+             ORDER BY r6, rid) AS HUGEINT) AS i,
+        CAST(count(*) OVER (PARTITION BY pr) AS HUGEINT) AS m
+      FROM base
+    ), terms AS (
+      {union}
+    ), per_prompt AS (
+      SELECT pr, m, n, sum(term) AS np, max(mpow) AS mp
+      FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT CAST(m AS BIGINT) AS m, CAST(n AS INTEGER) AS n,
+      CAST(count(*) AS BIGINT) AS n_prompts,
+      round(CAST(sum(np) AS DOUBLE)
+            / CAST(count(*) * max(mp) AS DOUBLE) / 1e6, 6)
+        AS exp_best
+    FROM per_prompt GROUP BY 1, 2
+    """
+
+
+ORACLES["best_of_n"] = _best_of_n_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -21912,6 +22042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aipw_ate": q_aipw_ate,
         # r12b: word2vec skip-gram pair extraction
         "skipgram_pairs": q_skipgram_pairs,
+        # r12b: Wasserstein numeric drift
+        "drift_wasserstein": q_drift_wasserstein,
+        # r12b: best-of-n rejection-sampling reward curve
+        "best_of_n": q_best_of_n,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

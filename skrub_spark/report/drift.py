@@ -323,3 +323,95 @@ def chi2_drift(
         F.col("tc").cast("long").alias("n_current"),
         F.round("chi2", 6).alias("chi2"),
     )
+
+
+def wasserstein_1d(
+    ref: DataFrame, cur: DataFrame, column: str
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 (earth-mover) distance between
+    ``ref`` and ``cur`` on a numeric ``column`` (r12b — the drift
+    metric that sees HOW FAR mass moved, which PSI's bins and KS's
+    supremum both miss; the standard numeric-drift companion:
+    W1 = ∫|F_ref − F_cur| dv). ONE row: ``(col_name, n_ref, n_cur,
+    w1, w1_norm)`` with ``w1_norm = w1/(max−min)`` (scale-free;
+    NULL for a degenerate single-value support).
+
+    Exactness: values are 6dp-quantized to integer micro units; on
+    the merged distinct-value frame each step contributes the exact
+    integer |cum_ref·n_cur − cum_cur·n_ref| · Δv6, summed in
+    DECIMAL(38,0), so w1 is ONE IEEE division — bit-replayable in
+    SQL. NULLs are dropped. Integer-exactness needs n_ref·n_cur <
+    2^63 (the ks_statistic bound); ANSI mode raises beyond it.
+
+    Shape (100 TB): one counting groupBy per side (shuffles the
+    value column only), a full-outer merge of the DISTINCT value
+    frames, one cumulative window over distinct values (bounded by
+    cardinality — quantize first for unbounded continuous data),
+    one scalar aggregate.
+    """
+    from pyspark.sql import Window
+
+    v6 = (F.col(column).cast("decimal(18,6)") * 1_000_000).cast(
+        "long"
+    )
+    a = (
+        ref.select(v6.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    b = (
+        cur.select(v6.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    m = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("v")
+    c = m.select(
+        "v",
+        F.sum("rc").over(w).alias("cum_r"),
+        F.sum("cc").over(w).alias("cum_c"),
+        (F.lead("v").over(wn) - F.col("v")).alias("dv"),
+    )
+    rt = ref.select(v6.alias("x")).filter(
+        F.col("x").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n_ref"))
+    ct = cur.select(v6.alias("x")).filter(
+        F.col("x").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n_cur"))
+    c = c.join(F.broadcast(rt)).join(F.broadcast(ct))
+    _DI = "decimal(38,0)"
+    num = F.abs(
+        F.col("cum_r") * F.col("n_cur")
+        - F.col("cum_c") * F.col("n_ref")
+    ).cast(_DI)
+    term = F.when(
+        F.col("dv").isNotNull(), num * F.col("dv").cast(_DI)
+    )
+    agg = c.agg(
+        F.coalesce(F.sum(term), F.lit(0).cast(_DI)).alias("s"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+    nn = (
+        F.col("n_ref").cast("double") * F.col("n_cur").cast("double")
+    )
+    w1 = F.col("s").cast("double") / nn / 1e6
+    rng = (F.col("vmax") - F.col("vmin")).cast("double") / 1e6
+    return agg.select(
+        F.lit(column).alias("col_name"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.when(nn > 0, F.round(w1, 6)).alias("w1"),
+        F.when((nn > 0) & (rng > 0), F.round(w1 / rng, 6)).alias(
+            "w1_norm"
+        ),
+    )

@@ -93,6 +93,8 @@ SAMPLED = [
     "ab_power",
     "aipw_ate",
     "skipgram_pairs",
+    "drift_wasserstein",
+    "best_of_n",
 ]
 
 _ORIG_LOAD = Q.load_table

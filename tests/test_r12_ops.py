@@ -1375,3 +1375,57 @@ def test_skipgram_pairs_window_and_subsample(spark):
         skipgram_pairs(docs, window=0)
     with _pt.raises(ValueError):
         skipgram_pairs(docs, subsample_t=0.0)
+
+
+def test_wasserstein_hand(spark):
+    from skrub_spark.report.drift import wasserstein_1d
+
+    ref = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    r = wasserstein_1d(ref, cur, "x").collect()[0]
+    # shifting a distribution by 1 moves W1 by exactly 1
+    assert r["w1"] == 1.0 and r["w1_norm"] == 0.5
+    assert r["n_ref"] == 2 and r["n_cur"] == 2
+    same = wasserstein_1d(ref, ref, "x").collect()[0]
+    assert same["w1"] == 0.0
+    deg = spark.createDataFrame([(5.0,)], "x double")
+    d = wasserstein_1d(deg, deg, "x").collect()[0]
+    assert d["w1"] == 0.0 and d["w1_norm"] is None
+
+
+def test_best_of_n_hand(spark):
+    from skrub_spark.operators.sft import best_of_n_curve
+
+    rows = [
+        ("A", 0.0, 1),
+        ("A", 1.0, 2),
+        ("B", 1.0, 3),
+        ("B", 1.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt string, reward double, rid long"
+    )
+    out = {
+        (r["m"], r["n"]): r
+        for r in best_of_n_curve(df, "prompt", "reward", "rid", 2)
+        .collect()
+    }
+    # prompt A: E1 = .5, E2 = 0*(1/4) + 1*(3/4) = .75; B: 1, 1
+    assert out[(2, 1)]["exp_best"] == 0.75
+    assert out[(2, 2)]["exp_best"] == 0.875
+    assert out[(2, 1)]["n_prompts"] == 2
+    # curve is monotone nondecreasing in n for any pool
+    big = spark.createDataFrame(
+        [("p", (i * 7 % 10) / 10.0, i) for i in range(10)],
+        "prompt string, reward double, rid long",
+    )
+    curve = {
+        r["n"]: r["exp_best"]
+        for r in best_of_n_curve(big, "prompt", "reward", "rid", 4)
+        .collect()
+    }
+    assert curve[1] <= curve[2] <= curve[3] <= curve[4]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        best_of_n_curve(df, "prompt", "reward", "rid", 0)
