@@ -153,6 +153,8 @@ HEADLINE = [
     "skipgram_pairs",
     "drift_wasserstein",
     "best_of_n",
+    "fairness_report",
+    "label_issues",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

@@ -21345,6 +21345,138 @@ def _best_of_n_oracle() -> str:
 ORACLES["best_of_n"] = _best_of_n_oracle()
 
 
+def q_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit (r12b,
+    report/evaluation.py::fairness_report): groups = market
+    segment, label = positive balance, planted classifier pred;
+    demographic-parity / equal-opportunity / predictive-parity
+    rates as exact-count IEEE divisions, plus the __overall__
+    row."""
+    _prep(spark)
+    from .report.evaluation import fairness_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal") > 0).cast("int").alias("label"),
+        ((F.col("c_custkey") % 3) != 0).cast("int").alias("pred"),
+    )
+    return fairness_report(cust, "c_mktsegment", "label", "pred")
+
+
+ORACLES["fairness_report"] = """
+    WITH base AS (
+      SELECT c_mktsegment AS g,
+        CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y,
+        CASE WHEN c_custkey % 3 != 0 THEN 1 ELSE 0 END AS p
+      FROM customer
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS np_l,
+        CAST(sum(p) AS BIGINT) AS np_p,
+        CAST(sum(y * p) AS BIGINT) AS tp,
+        CAST(sum((1 - y) * p) AS BIGINT) AS fp
+      FROM base GROUP BY 1
+      UNION ALL
+      SELECT '__overall__', CAST(count(*) AS BIGINT),
+        CAST(sum(y) AS BIGINT), CAST(sum(p) AS BIGINT),
+        CAST(sum(y * p) AS BIGINT),
+        CAST(sum((1 - y) * p) AS BIGINT)
+      FROM base
+    )
+    SELECT g AS "group", n, np_l AS n_pos_label,
+      np_p AS n_pos_pred,
+      round(CAST(np_p AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        AS pred_rate,
+      CASE WHEN np_l > 0 THEN
+        round(CAST(tp AS DOUBLE) / CAST(np_l AS DOUBLE), 6)
+      END AS tpr,
+      CASE WHEN n > np_l THEN
+        round(CAST(fp AS DOUBLE) / CAST(n - np_l AS DOUBLE), 6)
+      END AS fpr,
+      CASE WHEN np_p > 0 THEN
+        round(CAST(tp AS DOUBLE) / CAST(np_p AS DOUBLE), 6)
+      END AS ppv
+    FROM per
+"""
+
+
+def q_label_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label audit (r12b,
+    report/evaluation.py::label_issues): planted 3-class labels and
+    6dp scores over documents; thresholds as exact integer
+    cross-products p6·n ≥ S, suggested = qualifying argmax by
+    (p6 DESC, class ASC)."""
+    _prep(spark)
+    from .report.evaluation import label_issues
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string"))
+        .alias("label"),
+        (((F.col("doc_id") * 11) % 1000).cast("double") / 1000.0)
+        .alias("p0"),
+        (((F.col("doc_id") * 23) % 1000).cast("double") / 1000.0)
+        .alias("p1"),
+        (((F.col("doc_id") * 31) % 1000).cast("double") / 1000.0)
+        .alias("p2"),
+    )
+    return label_issues(
+        docs,
+        "doc_id",
+        "label",
+        {"c0": "p0", "c1": "p1", "c2": "p2"},
+    )
+
+
+ORACLES["label_issues"] = """
+    WITH base AS (
+      SELECT doc_id, 'c' || CAST(doc_id % 3 AS VARCHAR) AS lab,
+        CAST(round(CAST((doc_id * 11) % 1000 AS DOUBLE) / 1000.0
+                   * 1e6, 0) AS HUGEINT) AS p0,
+        CAST(round(CAST((doc_id * 23) % 1000 AS DOUBLE) / 1000.0
+                   * 1e6, 0) AS HUGEINT) AS p1,
+        CAST(round(CAST((doc_id * 31) % 1000 AS DOUBLE) / 1000.0
+                   * 1e6, 0) AS HUGEINT) AS p2
+      FROM documents
+    ), thr AS (
+      SELECT
+        COALESCE(sum(CASE WHEN lab = 'c0' THEN p0 END), 0) AS ts0,
+        CAST(sum(CASE WHEN lab = 'c0' THEN 1 ELSE 0 END)
+             AS HUGEINT) AS tn0,
+        COALESCE(sum(CASE WHEN lab = 'c1' THEN p1 END), 0) AS ts1,
+        CAST(sum(CASE WHEN lab = 'c1' THEN 1 ELSE 0 END)
+             AS HUGEINT) AS tn1,
+        COALESCE(sum(CASE WHEN lab = 'c2' THEN p2 END), 0) AS ts2,
+        CAST(sum(CASE WHEN lab = 'c2' THEN 1 ELSE 0 END)
+             AS HUGEINT) AS tn2
+      FROM base
+    ), longf AS (
+      SELECT doc_id, lab, 'c0' AS cls, p0 AS p6, 0 AS rk FROM base
+      UNION ALL
+      SELECT doc_id, lab, 'c1', p1, 1 FROM base
+      UNION ALL
+      SELECT doc_id, lab, 'c2', p2, 2 FROM base
+    ), qual AS (
+      SELECT l.doc_id, l.lab, l.cls, l.p6,
+        row_number() OVER (PARTITION BY l.doc_id
+          ORDER BY l.p6 DESC, l.rk ASC) AS rn
+      FROM longf l CROSS JOIN thr
+      WHERE (l.cls = 'c0' AND tn0 > 0 AND l.p6 * tn0 >= ts0)
+         OR (l.cls = 'c1' AND tn1 > 0 AND l.p6 * tn1 >= ts1)
+         OR (l.cls = 'c2' AND tn2 > 0 AND l.p6 * tn2 >= ts2)
+    ), best AS (
+      SELECT doc_id, lab, cls, p6 FROM qual WHERE rn = 1
+    )
+    SELECT b.doc_id, b.lab AS label, b.cls AS suggested,
+      round(CAST(CASE b.lab WHEN 'c0' THEN base.p0
+             WHEN 'c1' THEN base.p1 ELSE base.p2 END AS DOUBLE)
+            / 1e6, 6) AS p_label,
+      round(CAST(b.p6 AS DOUBLE) / 1e6, 6) AS p_suggested
+    FROM best b JOIN base ON b.doc_id = base.doc_id
+    WHERE b.cls != b.lab
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -22046,6 +22178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_wasserstein": q_drift_wasserstein,
         # r12b: best-of-n rejection-sampling reward curve
         "best_of_n": q_best_of_n,
+        # r12b: group-fairness audit
+        "fairness_report": q_fairness_report,
+        # r12b: confident-learning label-noise audit
+        "label_issues": q_label_issues,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -412,3 +412,181 @@ def isotonic_calibration(
             F.round("iso", 6).alias("rate_iso"),
         )
     )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier (r12b — the
+    governance gate next to the privacy family: Feldman 2015
+    demographic parity, Hardt 2016 equalized odds / equal
+    opportunity, all from ONE confusion-matrix groupBy): one row
+    per group plus an ``__overall__`` row, with
+    ``(group, n, n_pos_label, n_pos_pred, pred_rate, tpr, fpr,
+    ppv)``. Demographic parity compares ``pred_rate`` across rows;
+    equal opportunity compares ``tpr``; predictive parity ``ppv``.
+
+    Labels/predictions are truthy ints (0/1); NULL label, pred, or
+    group rows are dropped. Every rate is one IEEE division of
+    exact counts, 6dp-rounded; undefined rates (no positives / no
+    predicted positives in a group) are NULL rather than 0 — a
+    silent 0 reads as a catastrophic gap.
+
+    Plan: ONE map-side-combined groupBy over the group key plus a
+    grand-total aggregate unioned in. No join, no window.
+    """
+    g = F.col(group_col).cast("string")
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    base = df.select(
+        g.alias("__g"), y.alias("__y"), p.alias("__p")
+    ).where(g.isNotNull() & y.isNotNull() & p.isNotNull())
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("np_l"),
+            F.sum("__p").cast("long").alias("np_p"),
+            F.sum(F.col("__y") * F.col("__p")).cast("long").alias(
+                "tp"
+            ),
+            F.sum((1 - F.col("__y")) * F.col("__p"))
+            .cast("long")
+            .alias("fp"),
+        ]
+
+    per = base.groupBy("__g").agg(*aggs())
+    tot = base.agg(*aggs()).select(
+        F.lit("__overall__").alias("__g"), "*"
+    )
+    u = per.unionByName(tot)
+    n = F.col("n").cast("double")
+    npl = F.col("np_l").cast("double")
+    npp = F.col("np_p").cast("double")
+    return u.select(
+        F.col("__g").alias("group"),
+        "n",
+        F.col("np_l").alias("n_pos_label"),
+        F.col("np_p").alias("n_pos_pred"),
+        F.round(npp / n, 6).alias("pred_rate"),
+        F.when(
+            F.col("np_l") > 0,
+            F.round(F.col("tp").cast("double") / npl, 6),
+        ).alias("tpr"),
+        F.when(
+            F.col("n") > F.col("np_l"),
+            F.round(
+                F.col("fp").cast("double") / (n - npl), 6
+            ),
+        ).alias("fpr"),
+        F.when(
+            F.col("np_p") > 0,
+            F.round(F.col("tp").cast("double") / npp, 6),
+        ).alias("ppv"),
+    )
+
+
+def label_issues(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    prob_cols: "dict[str, str]",
+) -> DataFrame:
+    """Confident-learning label-noise detection (r12b — Northcutt
+    et al. 2021's cleanlab rule, the standard pre-training label
+    audit: a row is a probable MISLABEL when some OTHER class's
+    predicted probability clears that class's self-confidence
+    threshold t_j = mean prob_j among rows labeled j). Returns the
+    flagged rows only: ``(id, label, suggested, p_label,
+    p_suggested)``.
+
+    ``prob_cols`` maps each class value to its probability column
+    (a frozen classifier's per-class scores). Probabilities are
+    6dp-quantized; the threshold test runs as the EXACT integer
+    cross-product p6_j·n_j ≥ S_j (no division), and the suggested
+    class is the qualifying argmax by (p6 DESC, class ASC) — fully
+    deterministic. Rows whose own label column is NULL, or with any
+    NULL probability, are dropped. A class with no labeled rows
+    never qualifies (its threshold is undefined, not zero).
+
+    Plan shape (100 TB): ONE map-side-combined aggregate builds all
+    K thresholds (conditional sums, no groupBy), broadcast back as
+    a one-row cross join; the flag itself is a map-only Column
+    program. No window, no self-join.
+    """
+    if not prob_cols:
+        raise ValueError("label_issues: prob_cols must be non-empty")
+    classes = sorted(prob_cols)
+    _DI = "decimal(38,0)"
+    lab = F.col(label_col).cast("string")
+    sel = [F.col(id_col).alias("__id"), lab.alias("__lab")]
+    # rows labeled outside the class set carry no threshold to
+    # test against — dropped, like NULLs
+    cond = lab.isNotNull() & lab.isin(classes)
+    for k in classes:
+        c = F.col(prob_cols[k])
+        cond = cond & c.isNotNull()
+        sel.append(
+            F.round(c.cast("double") * 1e6, 0)
+            .cast(_DI)
+            .alias(f"__p_{k}")
+        )
+    base = df.select(*sel).where(cond)
+    taggs = []
+    for k in classes:
+        is_k = (F.col("__lab") == k).cast(_DI)
+        taggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("__lab") == k, F.col(f"__p_{k}"))),
+                F.lit(0).cast(_DI),
+            ).alias(f"__ts_{k}")
+        )
+        taggs.append(F.sum(is_k).alias(f"__tn_{k}"))
+    thr = base.agg(*taggs)
+    j = base.crossJoin(F.broadcast(thr))
+    structs = []
+    for rank, k in enumerate(classes):
+        q = (
+            (F.col(f"__tn_{k}") > 0)
+            & (
+                F.col(f"__p_{k}") * F.col(f"__tn_{k}")
+                >= F.col(f"__ts_{k}")
+            )
+        ).cast("int")
+        structs.append(
+            F.struct(
+                q.alias("q"),
+                F.col(f"__p_{k}").alias("p6"),
+                F.lit(-rank).alias("nr"),
+                F.lit(k).alias("cls"),
+            )
+        )
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    p_label = F.coalesce(
+        *[
+            F.when(F.col("__lab") == k, F.col(f"__p_{k}"))
+            for k in classes
+        ]
+    )
+    flagged = j.select(
+        F.col("__id").alias(id_col),
+        F.col("__lab").alias("label"),
+        best.alias("__b"),
+        p_label.alias("__pl"),
+    ).where(
+        (F.col("__b.q") == 1) & (F.col("__b.cls") != F.col("label"))
+    )
+    return flagged.select(
+        id_col,
+        "label",
+        F.col("__b.cls").alias("suggested"),
+        F.round(F.col("__pl").cast("double") / 1e6, 6).alias(
+            "p_label"
+        ),
+        F.round(F.col("__b.p6").cast("double") / 1e6, 6).alias(
+            "p_suggested"
+        ),
+    )

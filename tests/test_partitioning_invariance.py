@@ -95,6 +95,8 @@ SAMPLED = [
     "skipgram_pairs",
     "drift_wasserstein",
     "best_of_n",
+    "fairness_report",
+    "label_issues",
 ]
 
 _ORIG_LOAD = Q.load_table

@@ -1429,3 +1429,68 @@ def test_best_of_n_hand(spark):
 
     with _pt.raises(ValueError):
         best_of_n_curve(df, "prompt", "reward", "rid", 0)
+
+
+def test_fairness_report_hand(spark):
+    from skrub_spark.report.evaluation import fairness_report
+
+    rows = (
+        [("a", 1, 1)] * 3 + [("a", 1, 0)] * 1 + [("a", 0, 1)] * 2
+        + [("a", 0, 0)] * 2
+        + [("b", 1, 1)] * 1 + [("b", 1, 0)] * 3 + [("b", 0, 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, y int, p int")
+    out = {
+        r["group"]: r
+        for r in fairness_report(df, "g", "y", "p").collect()
+    }
+    a, b, o = out["a"], out["b"], out["__overall__"]
+    assert (a["n"], a["pred_rate"], a["tpr"], a["fpr"], a["ppv"]) == (
+        8, 0.625, 0.75, 0.5, 0.6,
+    )
+    assert (b["pred_rate"], b["tpr"], b["fpr"]) == (0.125, 0.25, 0.0)
+    assert o["n"] == 16 and o["pred_rate"] == 0.375
+    # no-positive group -> NULL tpr, not 0
+    neg = spark.createDataFrame(
+        [("c", 0, 1), ("c", 0, 0)], "g string, y int, p int"
+    )
+    r = {
+        x["group"]: x
+        for x in fairness_report(neg, "g", "y", "p").collect()
+    }["c"]
+    assert r["tpr"] is None and r["fpr"] == 0.5
+
+
+def test_label_issues_hand(spark):
+    from skrub_spark.report.evaluation import label_issues
+
+    # kept labeled-a rows: 1,2,4,6 -> t_a = mean(.9,.7,.2,.81)
+    # = .6525; labeled-b rows: 3,5 -> t_b = mean(.6,.1) = .35
+    rows = [
+        (1, "a", 0.9, 0.1),
+        (2, "a", 0.7, 0.2),
+        (3, "b", 0.1, 0.6),
+        (4, "a", 0.2, 0.8),   # pb=0.8 >= 0.6 -> flagged, suggest b
+        (5, "b", 0.85, 0.1),  # pa=0.85 >= 0.8 -> flagged, suggest a
+        (6, "a", 0.81, 0.9),  # both qualify; argmax pb -> suggest b
+        (7, "x", 0.9, 0.9),   # label outside class set -> dropped
+        (8, "a", None, 0.9),  # NULL prob -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lab string, pa double, pb double"
+    )
+    out = {
+        r["id"]: r
+        for r in label_issues(
+            df, "id", "lab", {"a": "pa", "b": "pb"}
+        ).collect()
+    }
+    assert set(out) == {4, 5, 6}
+    assert out[4]["suggested"] == "b" and out[4]["p_suggested"] == 0.8
+    assert out[5]["suggested"] == "a"
+    assert out[6]["suggested"] == "b"
+    assert out[4]["p_label"] == 0.2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_issues(df, "id", "lab", {})
