@@ -155,6 +155,8 @@ HEADLINE = [
     "best_of_n",
     "fairness_report",
     "label_issues",
+    "linkage_eval",
+    "competing_risks",
     "string_encoder_frozen",
     "incremental_embedding_dedup",
     "scored_pipeline",

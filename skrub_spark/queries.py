@@ -21477,6 +21477,166 @@ ORACLES["label_issues"] = """
 """
 
 
+def q_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise clustering P/R/F1 (r12b,
+    report/agreement.py::pairwise_cluster_eval — the
+    record-linkage/dedup acceptance metric): predicted clusters = a
+    planted corruption of the documents lang partition (every 5th
+    doc reassigned by source), gold = lang. Doubled pair counts in
+    exact DECIMAL(38,0); F1 is one exact ratio 2TP/(P+G)."""
+    _prep(spark)
+    from .report.agreement import pairwise_cluster_eval
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 5 == 0, F.col("source"))
+        .otherwise(F.col("lang"))
+        .alias("pred"),
+        F.col("lang").alias("gold"),
+    )
+    return pairwise_cluster_eval(docs, "pred", "gold")
+
+
+ORACLES["linkage_eval"] = """
+    WITH lab AS (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN source ELSE lang END AS a,
+        lang AS b
+      FROM documents
+      WHERE lang IS NOT NULL
+        AND (CASE WHEN doc_id % 5 = 0 THEN source ELSE lang END)
+            IS NOT NULL
+    ), cells AS (
+      SELECT a, b, CAST(count(*) AS HUGEINT) AS c FROM lab GROUP BY 1, 2
+    ), tp AS (
+      SELECT COALESCE(sum(c * (c - 1)), 0) AS tp2,
+        COALESCE(sum(c), 0) AS n
+      FROM cells
+    ), pp AS (
+      SELECT COALESCE(sum(ai * (ai - 1)), 0) AS pp2 FROM (
+        SELECT a, sum(c) AS ai FROM cells GROUP BY 1)
+    ), gp AS (
+      SELECT COALESCE(sum(bj * (bj - 1)), 0) AS gp2 FROM (
+        SELECT b, sum(c) AS bj FROM cells GROUP BY 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      CAST(tp2 / 2 AS BIGINT) AS tp_pairs,
+      CAST(pp2 / 2 AS BIGINT) AS pred_pairs,
+      CAST(gp2 / 2 AS BIGINT) AS gold_pairs,
+      CASE WHEN pp2 > 0 THEN
+        round(CAST(tp2 AS DOUBLE) / CAST(pp2 AS DOUBLE), 6)
+      END AS precision,
+      CASE WHEN gp2 > 0 THEN
+        round(CAST(tp2 AS DOUBLE) / CAST(gp2 AS DOUBLE), 6)
+      END AS recall,
+      CASE WHEN pp2 + gp2 > 0 THEN
+        round(CAST(2 * tp2 AS DOUBLE) / CAST(pp2 + gp2 AS DOUBLE), 6)
+      END AS f1
+    FROM tp CROSS JOIN pp CROSS JOIN gp
+"""
+
+
+def q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence (r12b,
+    report/survival.py::aalen_johansen — competing-risks lifetime
+    curves, the correct replacement for 1−KM per cause): duration =
+    customer first→last order span, cause 0 = never finished
+    (censored), else cause 1/2 by customer-key parity; groups =
+    market segment. The any-cause KM bridge and the 6dp-quantized
+    CIF increments replay exactly."""
+    _prep(spark)
+    from .report.survival import aalen_johansen
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        (
+            F.max(F.expr("unix_date(cast(o_orderdate as date))"))
+            - F.min(F.expr("unix_date(cast(o_orderdate as date))"))
+        ).alias("t"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("ev"),
+    )
+    g = span.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        span["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        "c_mktsegment",
+        "t",
+        F.when(F.col("ev") == 0, 0)
+        .otherwise(1 + (F.col("o_custkey") % 2))
+        .cast("long")
+        .alias("cause"),
+    )
+    return aalen_johansen(g, "c_mktsegment", "t", "cause")
+
+
+ORACLES["competing_risks"] = """
+    WITH span AS (
+      SELECT o_custkey,
+        CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+             AS BIGINT)
+        - CAST(min(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) AS t,
+        max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT c_mktsegment AS grp, t,
+        CASE WHEN ev = 0 THEN 0
+             ELSE 1 + o_custkey % 2 END AS cause
+      FROM span JOIN customer ON o_custkey = c_custkey
+    ), per_t AS (
+      SELECT grp, t,
+        CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+        CAST(sum(CASE WHEN cause <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS cens
+      FROM g GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, sum(d + cens) AS tt FROM per_t GROUP BY 1
+    ), risk AS (
+      SELECT per_t.grp, t, d, cens,
+        tt - COALESCE(sum(d + cens) OVER (PARTITION BY per_t.grp
+          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t JOIN tot ON per_t.grp = tot.grp
+    ), km AS (
+      SELECT grp, t, n_risk,
+        COALESCE(sum(CAST(CASE WHEN d > 0 AND d < n_risk THEN
+            round(ln(CAST(n_risk - d AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE)), 6)
+          ELSE 0.0 END AS DECIMAL(38,6))) OVER (PARTITION BY grp
+          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), CAST(0 AS DECIMAL(38,6))) AS ln_prev,
+        COALESCE(max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+          OVER (PARTITION BY grp ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS wiped_prev
+      FROM risk
+    ), base AS (
+      SELECT grp, t, n_risk,
+        CASE WHEN wiped_prev = 1 THEN 0.0
+             ELSE exp(CAST(ln_prev AS DOUBLE)) END AS sprev
+      FROM km
+    ), per_tc AS (
+      SELECT grp, t, cause, CAST(count(*) AS BIGINT) AS dk
+      FROM g WHERE cause > 0 GROUP BY 1, 2, 3
+    ), j AS (
+      SELECT per_tc.grp, per_tc.t, cause, n_risk, dk,
+        CAST(round(sprev * CAST(dk AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE), 6)
+             AS DECIMAL(38,6)) AS inc
+      FROM per_tc JOIN base
+        ON per_tc.grp = base.grp AND per_tc.t = base.t
+    )
+    SELECT grp AS c_mktsegment, t, cause,
+      CAST(n_risk AS BIGINT) AS n_risk, dk AS n_events,
+      round(CAST(sum(inc) OVER (PARTITION BY grp, cause ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE), 6) AS cif
+    FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so the top-50 window is curated to contain at
@@ -22182,6 +22342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness_report": q_fairness_report,
         # r12b: confident-learning label-noise audit
         "label_issues": q_label_issues,
+        # r12b: linkage eval + competing risks
+        "linkage_eval": q_linkage_eval,
+        "competing_risks": q_competing_risks,
     }
     # r9c swap (third session): six new-family flagships rotate into
     # the driver's 50-entry window — bloom_semi_join (runtime-filter

@@ -506,3 +506,76 @@ def rasch_prox(
         )
     )
     return out_i.unionByName(out_p)
+
+
+def pairwise_cluster_eval(
+    df: DataFrame, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering
+    against gold (r12b — the standard record-linkage / dedup
+    evaluation: of all within-cluster pairs the system formed, how
+    many are truly coreferent, and how many true pairs did it
+    find). One row: ``(n_rows, tp_pairs, pred_pairs, gold_pairs,
+    precision, recall, f1)``.
+
+    Reuses the ARI contingency machinery: with doubled pair counts
+    2·TP = Σ c_ij(c_ij−1), 2·P = Σ a_i(a_i−1), 2·G = Σ b_j(b_j−1)
+    (all exact DECIMAL(38,0) from three map-side-combined
+    groupBys), precision/recall are single IEEE divisions and
+    F1 = 2TP/(P+G) ONE exact ratio. Rows with a NULL on either
+    side are dropped; empty pair sets yield NULL scores.
+    """
+    a = F.col(pred_col).cast("string")
+    b = F.col(gold_col).cast("string")
+    base = df.select(a.alias("a"), b.alias("b")).where(
+        a.isNotNull() & b.isNotNull()
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast(_D).alias("c")
+    )
+
+    def pairs2(col):
+        return F.sum(F.col(col) * (F.col(col) - 1))
+
+    tp = cells.agg(
+        pairs2("c").alias("tp2"), F.sum("c").alias("n")
+    ).select(
+        F.coalesce("tp2", F.lit(0).cast(_D)).alias("tp2"),
+        F.coalesce("n", F.lit(0).cast(_D)).alias("n"),
+    )
+    pp = (
+        cells.groupBy("a")
+        .agg(F.sum("c").alias("ai"))
+        .agg(pairs2("ai").alias("pp2"))
+        .select(F.coalesce("pp2", F.lit(0).cast(_D)).alias("pp2"))
+    )
+    gp = (
+        cells.groupBy("b")
+        .agg(F.sum("c").alias("bj"))
+        .agg(pairs2("bj").alias("gp2"))
+        .select(F.coalesce("gp2", F.lit(0).cast(_D)).alias("gp2"))
+    )
+    j = tp.crossJoin(F.broadcast(pp)).crossJoin(F.broadcast(gp))
+    tp2, pp2, gp2 = F.col("tp2"), F.col("pp2"), F.col("gp2")
+    return j.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (tp2 / 2).cast("long").alias("tp_pairs"),
+        (pp2 / 2).cast("long").alias("pred_pairs"),
+        (gp2 / 2).cast("long").alias("gold_pairs"),
+        F.when(
+            pp2 > 0,
+            F.round(tp2.cast("double") / pp2.cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            gp2 > 0,
+            F.round(tp2.cast("double") / gp2.cast("double"), 6),
+        ).alias("recall"),
+        F.when(
+            pp2 + gp2 > 0,
+            F.round(
+                (F.lit(2).cast(_D) * tp2).cast("double")
+                / (pp2 + gp2).cast("double"),
+                6,
+            ),
+        ).alias("f1"),
+    )

@@ -97,6 +97,8 @@ SAMPLED = [
     "best_of_n",
     "fairness_report",
     "label_issues",
+    "linkage_eval",
+    "competing_risks",
 ]
 
 _ORIG_LOAD = Q.load_table

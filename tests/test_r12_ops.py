@@ -1494,3 +1494,74 @@ def test_label_issues_hand(spark):
 
     with _pt.raises(ValueError):
         label_issues(df, "id", "lab", {})
+
+
+def test_pairwise_cluster_eval_hand(spark):
+    from skrub_spark.report.agreement import pairwise_cluster_eval
+
+    # pred {1,2},{3}; gold {1},{2,3}: TP=0, P=1, G=1 -> f1 0
+    df = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "q"), (3, "y", "q")],
+        "id long, pred string, gold string",
+    )
+    r = pairwise_cluster_eval(df, "pred", "gold").collect()[0]
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (
+        0, 1, 1,
+    )
+    assert r["precision"] == 0.0 and r["f1"] == 0.0
+    # perfect clustering -> all 1
+    perf = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "p"), (3, "y", "q")],
+        "id long, pred string, gold string",
+    )
+    r2 = pairwise_cluster_eval(perf, "pred", "gold").collect()[0]
+    assert (r2["precision"], r2["recall"], r2["f1"]) == (1.0, 1.0, 1.0)
+    # half-right: pred {1,2,3} gold {1,2},{3}: TP=1, P=3, G=1
+    half = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "p"), (3, "x", "q")],
+        "id long, pred string, gold string",
+    )
+    r3 = pairwise_cluster_eval(half, "pred", "gold").collect()[0]
+    assert (r3["tp_pairs"], r3["pred_pairs"], r3["gold_pairs"]) == (
+        1, 3, 1,
+    )
+    assert r3["precision"] == round(1 / 3, 6) and r3["recall"] == 1.0
+    assert r3["f1"] == 0.5
+    # all singletons -> NULL scores, not 0/0
+    sing = spark.createDataFrame(
+        [(1, "x", "p"), (2, "y", "q")], "id long, pred string, gold string"
+    )
+    r4 = pairwise_cluster_eval(sing, "pred", "gold").collect()[0]
+    assert r4["f1"] is None
+
+
+def test_aalen_johansen_hand(spark):
+    """Textbook 6-subject case, single group: CIFs sum to 1-S and
+    match the hand-walked product-limit chain."""
+    import math
+
+    from skrub_spark.report.survival import aalen_johansen
+
+    # t=1: cause1 death (n=6); t=2: censored (n=5); t=3: cause2
+    # (n=4); t=4: cause1 (n=3)
+    rows = [
+        ("g", 1, 1), ("g", 2, 0), ("g", 3, 2), ("g", 4, 1),
+        ("g", 5, 0), ("g", 6, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, cause long")
+    out = {
+        (r["t"], r["cause"]): r
+        for r in aalen_johansen(df, "grp", "t", "cause").collect()
+    }
+    # S(0)=1 -> inc(t=1,c1) = 1*1/6
+    assert out[(1, 1)]["cif"] == round(1 / 6, 6)
+    # S(1-)... S after t=1 = 5/6 (via the 6dp-ln bridge)
+    s1 = math.exp(round(math.log(5 / 6), 6))
+    inc3 = round(s1 * 1 / 4, 6)
+    assert out[(3, 2)]["cif"] == inc3
+    s3 = math.exp(
+        round(math.log(5 / 6), 6) + round(math.log(3 / 4), 6)
+    )
+    inc4 = round(s3 * 1 / 3, 6)
+    assert out[(4, 1)]["cif"] == round(round(1 / 6, 6) + inc4, 6)
+    assert out[(1, 1)]["n_risk"] == 6 and out[(4, 1)]["n_risk"] == 3
