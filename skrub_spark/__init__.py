@@ -283,4 +283,30 @@ from .report.agreement import (  # noqa: F401
 from .report.texteval import bleu_corpus, rouge_n  # noqa: F401
 from .streaming.ops import streaming_decontaminate  # noqa: F401
 
+# round 12, second session
+from .operators.collocations import skipgram_pairs  # noqa: F401
+from .operators.lm_filter import rho_select  # noqa: F401
+from .operators.sft import best_of_n_curve  # noqa: F401
+from .report.abtest import ab_power_report  # noqa: F401
+from .report.agreement import (  # noqa: F401
+    krippendorff_alpha,
+    pairwise_cluster_eval,
+    rasch_prox,
+)
+from .report.drift import wasserstein_1d  # noqa: F401
+from .report.evaluation import (  # noqa: F401
+    fairness_report,
+    label_issues,
+)
+from .report.experiment import (  # noqa: F401
+    aipw_ate,
+    ipw_ate,
+    uplift_curve,
+)
+from .report.privacy import (  # noqa: F401
+    dp_histogram,
+    t_closeness_report,
+)
+from .report.survival import aalen_johansen  # noqa: F401
+
 __version__ = "0.1.0"

@@ -22444,6 +22444,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("bradley_terry", "embedding_dedup_lsh"),
         ("fleiss_kappa", "cusum_monitor"),
         ("ccnet_buckets", "quality_classifier_scores"),
+        # r12b swaps (second session): eight new-family flagships
+        # rotate in, each displacing a same-family (or family-still-
+        # represented) veteran — krippendorff_alpha (the missing-
+        # data generalization supersedes fleiss in-window; both
+        # kappas stay in the full battery), uplift_qini (treatment-
+        # effect eval; doremi stays repped by doremi_weights),
+        # drift_wasserstein (numeric drift; text extraction keeps
+        # html_extract), skipgram_pairs (embedding data prep; dedup
+        # keeps incremental_near_dedup/semantic_dedup_exact/
+        # decontaminate), competing_risks (survival upgrade over
+        # log_rank), label_issues (label QA; robust outliers stay
+        # via iqr/hampel in the battery), rho_selection (data
+        # selection; skyline stays in the battery), aipw_ate
+        # (doubly-robust causal; experimentation keeps
+        # msprt_monitor). All displaced queries stay in the full
+        # battery.
+        ("krippendorff_alpha", "fleiss_kappa"),
+        ("uplift_qini", "doremi_mixture"),
+        ("drift_wasserstein", "pdf_text_stats"),
+        ("skipgram_pairs", "minhash_dedup_pairs"),
+        ("competing_risks", "log_rank"),
+        ("label_issues", "mad_outliers"),
+        ("rho_selection", "skyline_parts"),
+        ("aipw_ate", "cuped_lift"),
     ):
         ip, idm = names.index(promoted), names.index(demoted)
         names[ip], names[idm] = names[idm], names[ip]

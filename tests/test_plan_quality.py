@@ -1112,3 +1112,91 @@ def test_rouge_no_python_no_cartesian(spark):
     p2 = plan_of(bleu_corpus(pairs, "cand", "ref", "pid", max_n=2))
     assert "BatchEvalPython" not in p2
     assert "CartesianProduct" not in p2
+
+
+def test_rho_select_take_ordered(spark):
+    """rho_select's top-k compiles to TakeOrderedAndProject —
+    per-partition heaps, never a global range sort."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.operators.lm_filter import rho_select
+
+    cur = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("avg_nll"),
+    )
+    ref = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("double").alias("avg_nll"),
+    )
+    plan = plan_of(rho_select(cur, ref, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_label_issues_map_only_after_broadcast(spark):
+    """label_issues: one aggregate for the thresholds, a broadcast
+    back, then a map-only flag — no corpus groupBy on the flag
+    path, no window, no Python."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.report.evaluation import label_issues
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.concat(F.lit("c"), (F.col("doc_id") % 2).cast("string"))
+        .alias("lab"),
+        (F.col("doc_id") % 10 / 10.0).alias("pa"),
+        (F.col("doc_id") % 7 / 7.0).alias("pb"),
+    )
+    plan = plan_of(
+        label_issues(docs, "doc_id", "lab", {"c0": "pa", "c1": "pb"})
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wasserstein_distinct_value_window(spark):
+    """wasserstein_1d: the cumulative window runs over the merged
+    DISTINCT value frame (post-aggregation), and the per-side
+    shuffles carry only the value column — no Python, no
+    cartesian."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.report.drift import wasserstein_1d
+    from skrub_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    out = wasserstein_1d(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+    )
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the window sits above HashAggregate outputs (distinct values)
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_skipgram_doc_partitioned_joins(spark):
+    """skipgram_pairs: the rank window and pair self-join both key
+    on the doc id (bounded per-doc work); no Python, no cartesian,
+    no corpus-wide unpartitioned window."""
+    from skrub_spark.operators.collocations import skipgram_pairs
+    from skrub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        skipgram_pairs(docs, "text", "doc_id", window=2,
+                       subsample_t=1.0)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PartitionBy: []" not in plan
