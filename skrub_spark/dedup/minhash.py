@@ -111,22 +111,31 @@ def dedup_minhash_pairs(
         F.pmod(F.xxhash64("gram"), F.lit(_M)).alias("__h1"),
         F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(_M)).alias("__h2"),
     )
+    # the n_components min-aggregates and the band keys are parsed
+    # from expr strings (identical trees): the python-composed
+    # per-component loops cost ~1.5-3 s of py4j driver chatter per
+    # query build (measured r12-opt)
+    mins_sql = ", ".join(
+        f"min(__h1 + {k} * __h2) AS h{k}" for k in range(n_components)
+    )
     mins = hashed.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
-        *[
-            F.min(F.col("__h1") + F.lit(k) * F.col("__h2")).alias(f"h{k}")
-            for k in range(n_components)
-        ],
+        F.expr(f"struct({mins_sql})").alias("__hs"),
     )
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
+    band_sql = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"__hs.h{b * rows_per_band + r}" for r in range(rows_per_band)
         )
+        + f", {b})"
         for b in range(n_bands)
-    ]
+    )
     banded = mins.select(
-        "id", "n_grams", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        "id",
+        "n_grams",
+        F.posexplode(F.expr(f"array({band_sql})")).alias(
+            "band_idx", "band_key"
+        ),
     )
     # Within-bucket pairs in ONE shuffle: collect each bucket's members
     # and expand ordered pairs JVM-side with nested `transform` — the
@@ -245,15 +254,18 @@ def minhash_buckets(
             "__h2"
         ),
     )
-    sig = h.groupBy(id_col).agg(
-        *[
-            F.min(F.pmod(F.col("__h1") + F.lit(k) * F.col("__h2"), p)).alias(
-                f"__c{k}"
-            )
-            for k in range(n_components)
-        ]
+    # parsed expr strings for the n_components min-aggregates and
+    # the signature array (same py4j-chatter rationale as the
+    # xxhash path above; trees identical)
+    sig_sql = ", ".join(
+        f"min(pmod(__h1 + {k} * __h2, CAST({_MERSENNE_P} AS BIGINT)))"
+        f" AS c{k}"
+        for k in range(n_components)
     )
-    sig_arr = F.array(*[F.col(f"__c{k}") for k in range(n_components)])
+    sig = h.groupBy(id_col).agg(F.expr(f"struct({sig_sql})").alias("__cs"))
+    sig_arr = F.expr(
+        "array(" + ",".join(f"__cs.c{k}" for k in range(n_components)) + ")"
+    )
     return sig.select(
         F.col(id_col),
         F.posexplode(

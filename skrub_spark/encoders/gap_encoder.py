@@ -514,10 +514,13 @@ def gap_topics_frozen(
     n_iter = int(model["n_iter"])
     wt1 = float(model["wt1"])
     const = float(model["const"])
-    topics = [
-        F.expr(
-            "array(" + ",".join(f"CAST({h:.6f} AS DOUBLE)" for h in row) + ")"
-        )
+    # topic arrays kept as SQL TEXT so the per-iteration update
+    # expressions below can embed them into single parsed strings —
+    # the python-composed per-topic zip_with/aggregate loop cost
+    # ~2.5 s of py4j driver chatter per query build (measured
+    # r12-opt); the parsed trees are identical
+    topics_sql = [
+        "array(" + ",".join(f"CAST({h:.6f} AS DOUBLE)" for h in row) + ")"
         for row in model["topics"]
     ]
     entries = (
@@ -543,43 +546,40 @@ def gap_topics_frozen(
         ),
     )
     w0 = float(f"{1.0 / k:.6f}")
-    for j in range(k):
-        cur = cur.withColumn(f"__w{j}", F.lit(w0))
-
-    def _wh(e):
-        acc = None
-        for j in range(k):
-            t = F.col(f"__w{j}") * F.element_at(topics[j], e["b"] + 1)
-            acc = t if acc is None else acc + t
-        return acc + F.lit(1e-6)
-
-    zero = F.lit(0).cast("decimal(28,6)")
+    cur = cur.withColumns({f"__w{j}": F.lit(w0) for j in range(k)})
+    # The multiplicative-update arithmetic below is the SAME
+    # expression tree the former python-composed loop built
+    # (transform / zip_with / aggregate / round in the same order,
+    # same double literals via repr round-trip) — parsed from one
+    # string per column instead of hundreds of py4j Column calls.
+    wh = (
+        "("
+        + " + ".join(
+            f"__w{j} * element_at({topics_sql[j]}, e.b + 1)"
+            for j in range(k)
+        )
+        + " + CAST('1e-06' AS DOUBLE))"
+    )
     for _ in range(n_iter):
         cur = cur.withColumn(
-            "__r", F.transform("__e", lambda e: e["tf"] / _wh(e))
+            "__r", F.expr(f"transform(__e, e -> e.tf / {wh})")
         )
-        news = []
-
-        def _term_fn(hj):
-            # exact 2-arity lambda: a default arg would make Spark
-            # pass the element index as a third argument
-            return lambda r, e: F.round(
-                r * F.element_at(hj, e["b"] + 1), 6
-            ).cast("decimal(28,6)")
-
+        news = {}
         for j in range(k):
-            terms = F.zip_with("__r", "__e", _term_fn(topics[j]))
-            s = F.aggregate(
-                terms, zero, lambda a, x: (a + x).cast("decimal(28,6)")
+            s = (
+                "aggregate("
+                f"zip_with(__r, __e, (r, e) -> CAST(round("
+                f"r * element_at({topics_sql[j]}, e.b + 1), 6"
+                ") AS DECIMAL(28,6))), "
+                "CAST(0 AS DECIMAL(28,6)), "
+                "(acc, x) -> CAST(acc + x AS DECIMAL(28,6)))"
             )
-            news.append(
-                F.round(
-                    F.col(f"__w{j}") * s.cast("double") / F.lit(wt1)
-                    + F.lit(const),
-                    6,
-                )
+            news[f"__w{j}"] = F.expr(
+                f"round(__w{j} * CAST({s} AS DOUBLE) / "
+                f"CAST('{wt1!r}' AS DOUBLE) + CAST('{const!r}' AS DOUBLE)"
+                ", 6)"
             )
-        cur = cur.withColumns({f"__w{j}": news[j] for j in range(k)})
+        cur = cur.withColumns(news)
     return cur.select(
         *df.columns,
         *[

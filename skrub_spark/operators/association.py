@@ -59,12 +59,17 @@ def association_rules(
     6dp-rounded.
     """
     ms = int(min_support_count)
+    # persisted: THREE consumers (the basket count, the item
+    # supports, and the pair join's kept frame) each re-executed
+    # the distinct shuffle when b was left lazy (r12-opt — the
+    # plan embedded the subtree three times)
     b = (
         baskets.select(
             F.col(basket_col).alias("basket"),
             F.col(item_col).alias("item"),
         )
         .distinct()
+        .persist()
     )
     n_baskets = b.agg(
         F.countDistinct("basket").cast("long").alias("n")
@@ -98,23 +103,32 @@ def association_rules(
         .join(F.broadcast(cb), "item_b")
         .crossJoin(F.broadcast(n_baskets))
     )
-    fwd = enriched.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "pair_count",
-        F.col("count_a").alias("__ca"),
-        F.col("count_b").alias("__cb"),
-        "n",
-    )
-    rev = enriched.select(
-        F.col("item_b").alias("antecedent"),
-        F.col("item_a").alias("consequent"),
-        "pair_count",
-        F.col("count_b").alias("__ca"),
-        F.col("count_a").alias("__cb"),
-        "n",
-    )
-    both = fwd.unionByName(rev)
+    # both rule directions from ONE pass over the enriched pairs:
+    # the former fwd/rev self-union embedded — and EXECUTED — the
+    # whole pair-join pipeline twice (physical union branches share
+    # no subtree; r12-opt, guide §2.4). Row set is identical.
+    both = enriched.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("pair_count").alias("pair_count"),
+                    F.col("count_a").alias("__ca"),
+                    F.col("count_b").alias("__cb"),
+                    F.col("n").alias("n"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("pair_count").alias("pair_count"),
+                    F.col("count_b").alias("__ca"),
+                    F.col("count_a").alias("__cb"),
+                    F.col("n").alias("n"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     return both.select(
         "antecedent",
         "consequent",

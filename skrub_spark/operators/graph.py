@@ -252,51 +252,53 @@ def hits(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # r12-opt half-step shape: checkpoint the UNNORMALIZED per-node
+    # sums first (one heavy job: join + map-side-combined sum + the
+    # nodes left-join), then read the normalizer max off the
+    # checkpointed |V| frame (a trivial second job) and normalize as
+    # a lazy map over the checkpoint. The former shape persisted the
+    # raw sums, ran the max aggregate as its own HEAVY job
+    # (materializing the persist), then ran the nodes-join+checkpoint
+    # as a second heavy job — same job count, but one of the two was
+    # redundant heavy work. Normalization math is unchanged
+    # (identical literal-embedded integer floor-div).
     for _ in range(int(n_iter)):
-        ar = (
-            e.join(h.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum("h").alias("ar"))
-            .persist()
+        araw = _ckpt(
+            nodes.join(
+                e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("h").alias("ar"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            ).select("node", F.coalesce("ar", F.lit(0)).alias("ar"))
         )
-        am_v = ar.agg(F.max("ar").alias("am")).first()["am"]
+        am_v = araw.agg(F.max("ar").alias("am")).first()["am"]
         if not am_v:  # None (no rows) or 0 — normalization impossible
             raise ValueError("hits: authority normalizer is empty/zero")
         am = int(am_v)
-        a = (
+        a = araw.select(
+            "node",
+            F.expr(f"(ar * {SCALE_H}L) div {am}L").alias("a"),
+        )
+        hraw = _ckpt(
             nodes.join(
-                ar.withColumnRenamed("dst", "node"), "node", "left"
-            )
-            .select(
+                e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("a").alias("hr"))
+                .withColumnRenamed("src", "node"),
                 "node",
-                F.expr(
-                    f"(coalesce(ar, 0L) * {SCALE_H}L) div {am}L"
-                ).alias("a"),
-            )
+                "left",
+            ).select("node", F.coalesce("hr", F.lit(0)).alias("hr"))
         )
-        a = _ckpt(a)
-        hr = (
-            e.join(a.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.sum("a").alias("hr"))
-            .persist()
-        )
-        hm_v = hr.agg(F.max("hr").alias("hm")).first()["hm"]
+        hm_v = hraw.agg(F.max("hr").alias("hm")).first()["hm"]
         if not hm_v:
             raise ValueError("hits: hub normalizer is empty/zero")
         hm = int(hm_v)
-        h = (
-            nodes.join(
-                hr.withColumnRenamed("src", "node"), "node", "left"
-            )
-            .select(
-                "node",
-                F.expr(
-                    f"(coalesce(hr, 0L) * {SCALE_H}L) div {hm}L"
-                ).alias("h"),
-            )
+        h = hraw.select(
+            "node",
+            F.expr(f"(hr * {SCALE_H}L) div {hm}L").alias("h"),
         )
-        h = _ckpt(h)
     return (
         h.join(a.withColumnRenamed("a", "auth_fp"), "node")
         .select(

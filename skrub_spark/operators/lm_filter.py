@@ -255,19 +255,13 @@ def _tri_occurrences(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFr
     )
 
 
-def _discount(counts: DataFrame, col: str) -> float:
-    """Absolute discount n1/(n1 + 2 n2) from one count-of-counts
-    aggregate, clamped into [0.05, 0.95] then 6dp-rounded (0.5
-    fallback for degenerate corpora). The clamp is load-bearing: a
-    corpus where no type has count 1 gives n1 = 0 -> D = 0, which
-    zeroes the unseen-word interpolation floor and makes -ln blow
-    up (observed at sf0.1); KenLM bounds its discounts the same
-    way."""
-    r = counts.agg(
-        F.count(F.when(F.col(col) == 1, 1)).alias("n1"),
-        F.count(F.when(F.col(col) == 2, 1)).alias("n2"),
-    ).first()
-    n1, n2 = int(r["n1"]), int(r["n2"])
+def _disc_scalar(n1: int, n2: int) -> float:
+    """Absolute discount n1/(n1 + 2 n2), clamped into [0.05, 0.95]
+    then 6dp-rounded (0.5 fallback for degenerate corpora). The
+    clamp is load-bearing: a corpus where no type has count 1 gives
+    n1 = 0 -> D = 0, which zeroes the unseen-word interpolation
+    floor and makes -ln blow up (observed at sf0.1); KenLM bounds
+    its discounts the same way."""
     if n1 + 2 * n2 == 0:
         return 0.5
     return round(min(max(n1 / (n1 + 2.0 * n2), 0.05), 0.95), 6)
@@ -332,21 +326,62 @@ def train_kn_trigram(df: DataFrame, text_col: str = "text") -> KNTrigramLM:
         .agg(F.count(F.lit(1)).alias("n1p"))
         .persist()
     )
-    sc = uni_cont.agg(
-        F.sum("n1p").cast("long").alias("t"),
-        F.count(F.lit(1)).cast("long").alias("u"),
-    ).first()
-    t_types, u_types = float(sc["t"] or 0), float(sc["u"] or 0)
+    # pass 1 materialized eagerly: in the fused scalar job below,
+    # the bi_cont and tri count-of-counts branches BOTH read
+    # tri_counts — left lazy, each concurrent branch would recompute
+    # the corpus explode+groupBy (the r10 lazy-persist lesson).
+    tri_counts.count()
+    # ONE fused driver action replaces the former five (t/u totals,
+    # vocabulary, and the three per-order count-of-counts each ran
+    # their own .first()): a union of one-row aggregates, each
+    # source frame read exactly once (same discipline as the
+    # order-n trainer's fused `cfc` collect). ~5 sequential
+    # job round-trips -> 1 (r12-opt, guide §1.2 'fewer passes').
+    def _cc(col):
+        return [
+            F.count(F.when(F.col(col) == 1, 1)).cast("long").alias("a"),
+            F.count(F.when(F.col(col) == 2, 1)).cast("long").alias("b"),
+        ]
+
+    zero = F.lit(0).cast("long")
+    scalars = (
+        uni_cont.agg(
+            *_cc("n1p"),
+            F.sum("n1p").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("u"),
+        )
+        .select(F.lit("uni").alias("kind"), "a", "b", "t", "u")
+        .unionAll(
+            bi_cont.agg(*_cc("nc")).select(
+                F.lit("bi").alias("kind"), "a", "b",
+                zero.alias("t"), zero.alias("u"),
+            )
+        )
+        .unionAll(
+            tri_counts.agg(*_cc("c3")).select(
+                F.lit("tri").alias("kind"), "a", "b",
+                zero.alias("t"), zero.alias("u"),
+            )
+        )
+        .unionAll(
+            df.select(F.explode(words_az09(text_col)).alias("w"))
+            .agg(F.countDistinct("w").cast("long").alias("a"))
+            .select(
+                F.lit("v").alias("kind"), "a", zero.alias("b"),
+                zero.alias("t"), zero.alias("u"),
+            )
+        )
+        .collect()
+    )
+    by = {r["kind"]: r for r in scalars}
+    t_types = float(by["uni"]["t"] or 0)
+    u_types = float(by["uni"]["u"] or 0)
     if t_types <= 0:
         raise ValueError(
             "train_kn_trigram: corpus has no bigrams — cannot build "
             "continuation counts"
         )
-    vocab = (
-        df.select(F.explode(words_az09(text_col)).alias("w"))
-        .agg(F.countDistinct("w"))
-        .first()[0]
-    )
+    vocab = by["v"]["a"] or 0
     return KNTrigramLM(
         tri_counts=tri_counts,
         ctx2_stats=ctx2_stats,
@@ -356,9 +391,9 @@ def train_kn_trigram(df: DataFrame, text_col: str = "text") -> KNTrigramLM:
         vocab_size=float(int(vocab) + 1),
         t_types=t_types,
         u_types=u_types,
-        d1=_discount(uni_cont, "n1p"),
-        d2=_discount(bi_cont, "nc"),
-        d3=_discount(tri_counts, "c3"),
+        d1=_disc_scalar(int(by["uni"]["a"]), int(by["uni"]["b"])),
+        d2=_disc_scalar(int(by["bi"]["a"]), int(by["bi"]["b"])),
+        d3=_disc_scalar(int(by["tri"]["a"]), int(by["tri"]["b"])),
     )
 
 

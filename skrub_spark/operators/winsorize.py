@@ -140,6 +140,107 @@ def quantile_discretize(
     )
 
 
+def quantile_discretize_multi(
+    df: DataFrame,
+    cols: list,
+    n_bins: int = 4,
+    out_cols: list | None = None,
+) -> DataFrame:
+    """Equal-frequency binning of SEVERAL columns in ONE corpus
+    aggregation — bin-for-bin identical to chaining
+    :func:`quantile_discretize` per column, but the corpus is read
+    once for ALL cut points instead of once per column, and the
+    binning is a single broadcast of one edges row (r12-opt,
+    guide §2.4: the chained form re-aggregated the input per column
+    AND serialized each pass behind the previous pass's broadcast).
+
+    Exactness precondition: every column must be integral or
+    decimal-typed (≤ 6 fractional digits) — values are stacked
+    through an exact ``decimal(38,6)`` cast so per-column edges and
+    comparisons replay bit-identically. Float columns must use the
+    single-column form (their cast would round).
+    """
+    n_bins = int(n_bins)
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    cols = list(cols)
+    out_cols = list(out_cols) if out_cols else [f"{c}_bin" for c in cols]
+    if len(out_cols) != len(cols):
+        raise ValueError("out_cols must match cols")
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if not (
+            dt in ("tinyint", "smallint", "int", "bigint")
+            or dt.startswith("decimal")
+        ):
+            raise ValueError(
+                f"quantile_discretize_multi: column {c!r} has type "
+                f"{dt}; only integral/decimal columns bin exactly "
+                "through the stacked decimal cast — use "
+                "quantile_discretize per column instead"
+            )
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"),
+                        F.col(c).cast("decimal(38,6)").alias("v"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.m").alias("m"), F.col("p.v").alias("v"))
+    counts = (
+        stacked.filter(F.col("v").isNotNull())
+        .groupBy("m", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "m", "v", F.col("c"), F.sum("c").over(w).alias("cum")
+    )
+    n_per = counts.groupBy("m").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(n_per), "m")
+    edge_aggs = []
+    for mi in range(len(cols)):
+        for i in range(1, n_bins):
+            bp = round(10000 * i / n_bins)
+            edge_aggs.append(
+                F.min(
+                    F.when(
+                        (F.col("m") == mi)
+                        & (
+                            F.col("cum")
+                            >= F.expr(f"({bp}L * n + 9999L) div 10000L")
+                        ),
+                        F.col("v"),
+                    )
+                ).alias(f"__e_{mi}_{i}")
+            )
+    edges = j.agg(*edge_aggs)
+    out = df.join(F.broadcast(edges))
+    new_cols = {}
+    for mi, (c, oc) in enumerate(zip(cols, out_cols)):
+        v = F.col(c)
+        bin_ix = F.lit(0)
+        for i in range(1, n_bins):
+            bin_ix = bin_ix + (v >= F.col(f"__e_{mi}_{i}")).cast("int")
+        new_cols[oc] = F.when(v.isNotNull(), bin_ix.cast("int"))
+    return out.withColumns(new_cols).drop(
+        *[
+            f"__e_{mi}_{i}"
+            for mi in range(len(cols))
+            for i in range(1, n_bins)
+        ]
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     group_col: str,

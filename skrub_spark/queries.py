@@ -5864,7 +5864,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut-point rule, aggregated to per-cell counts and exact
     decimal revenue."""
     _prep(spark)
-    from .operators.winsorize import quantile_discretize
+    from .operators.winsorize import quantile_discretize_multi
 
     orders = load_table(spark, sf_dir, "orders")
     day = F.expr("unix_date(cast(o_orderdate as date))")
@@ -5886,11 +5886,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
-        .persist()  # three discretize passes re-aggregate it
+        .persist()  # read twice: the fused edges pass + the binning
     )
-    binned = quantile_discretize(rfm, "recency", 5, "r_bin")
-    binned = quantile_discretize(binned, "frequency", 5, "f_bin")
-    binned = quantile_discretize(binned, "monetary", 5, "m_bin")
+    # r12-opt: ONE fused cut-point pass for all three metrics
+    # (bin-for-bin identical to the former three chained
+    # quantile_discretize passes, which re-aggregated rfm per metric
+    # and serialized each pass behind the previous one's broadcast)
+    binned = quantile_discretize_multi(
+        rfm,
+        ["recency", "frequency", "monetary"],
+        5,
+        ["r_bin", "f_bin", "m_bin"],
+    )
     return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary").cast("double").alias("total_monetary"),

@@ -55,6 +55,14 @@ def corpus_datasheet(
 ) -> DataFrame:
     """The datasheet's numeric core: ``(section, metric, value)``
     rows (value is a double — exact counts or 6dp ratios)."""
+    from pyspark import StorageLevel
+
+    # persisted: every datasheet section aggregates this frame, and
+    # left lazy each union branch re-executed the per-row
+    # tokenization (size(words_az09)) — ~8 corpus re-scans in one
+    # action (r12-opt). MEMORY_AND_DISK so a 100 TB corpus spills
+    # instead of OOMing; the bench/battery clear the cache after
+    # each query.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).cast("string").alias("lang"),
@@ -62,7 +70,7 @@ def corpus_datasheet(
         F.col(text_col).alias("text"),
         F.length(text_col).cast("long").alias("nch"),
         F.size(words_az09(text_col)).cast("long").alias("ntok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("ntok").cast("long").alias("toks"),

@@ -207,22 +207,34 @@ def kcenter_select(
         ).alias("__v"),
     ).persist()
     if seed_id is None:
-        seed_id = q.agg(F.min("__id")).first()[0]
-    seed_row = q.where(F.col("__id") == seed_id).first()
-    if seed_row is None:
-        raise ValueError(f"kcenter_select: seed id {seed_id!r} not found")
+        # ONE job instead of two (min-id scan + seed-row fetch): ids
+        # are unique, so min(struct(id, vec)) IS the min-id row and
+        # the vector rides along in the struct.
+        seed_row = q.agg(F.min(F.struct("__id", "__v"))).first()[0]
+        if seed_row is None:
+            raise ValueError("kcenter_select: empty input frame")
+    else:
+        seed_row = q.where(F.col("__id") == seed_id).first()
+        if seed_row is None:
+            raise ValueError(
+                f"kcenter_select: seed id {seed_id!r} not found"
+            )
     chosen = [(int(seed_row["__id"]), list(seed_row["__v"]), None)]
 
     def _d2(center_vec):
         # explicit per-dimension terms (dim is bounded) instead of a
         # zip_with/aggregate lambda pair — interpreted HOFs over a
-        # literal array measured ~3x slower per pass
-        expr = None
-        for i, x in enumerate(center_vec):
-            d = F.element_at("__v", i + 1) - F.lit(int(x))
-            t = d * d
-            expr = t if expr is None else expr + t
-        return expr.cast("long")
+        # literal array measured ~3x slower per pass. Built as ONE
+        # parsed expr string: the python-composed 64-term loop cost
+        # ~1-3 s of py4j driver chatter PER CENTER (~8-10 s per
+        # k=8 call, measured r12-opt) vs ~1 ms parsed; the parsed
+        # tree is the identical left-folded integer sum.
+        terms = " + ".join(
+            f"(element_at(__v, {i + 1}) - {int(x)}L) * "
+            f"(element_at(__v, {i + 1}) - {int(x)}L)"
+            for i, x in enumerate(center_vec)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
 
     # ONE job per iteration: the frame carries (id, vector, min-d2),
     # so each round is a map-only least() update, and the argmax

@@ -61,16 +61,29 @@ def fit_scalar_quantizer(
     }
 
 
+def _dlit(v: float) -> str:
+    """SQL text for an exact double literal: a string cast parses via
+    Double.parseDouble, so round-tripping ``repr(float)`` (shortest
+    form) reproduces the identical IEEE value — no decimal-literal
+    type inference in between."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
 def _lo_arr(q: dict) -> Column:
-    return F.array(*[F.lit(v).cast("double") for v in q["lo"]])
+    # ONE parsed expr string instead of a dim-length F.lit loop: each
+    # py4j Column call costs ~5-15 ms of driver round-trip, so a
+    # 64-dim literal array built in Python costs ~1 s of pure driver
+    # chatter per query BUILD (measured r12-opt) vs ~1 ms parsed.
+    return F.expr("array(" + ",".join(_dlit(v) for v in q["lo"]) + ")")
 
 
 def _span_arr(q: dict) -> Column:
-    return F.array(
-        *[
-            F.lit(h).cast("double") - F.lit(l).cast("double")
-            for l, h in zip(q["lo"], q["hi"])
-        ]
+    return F.expr(
+        "array("
+        + ",".join(
+            f"{_dlit(h)} - {_dlit(l)}" for l, h in zip(q["lo"], q["hi"])
+        )
+        + ")"
     )
 
 
@@ -137,17 +150,36 @@ def topk_cosine_quantized(
     from ..functions.vector import cosine_similarity
 
     n = len(quantizer["lo"])
-    # quantize the query through the SAME Column expression as the
-    # corpus (a one-row job): Python round() is half-even while SQL
-    # round is HALF_UP — routing both sides through the engine keeps
-    # the codes bit-identical to what an oracle recomputes
-    spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [([float(v) for v in query_vec],)], f"{vec_col} array<double>"
-    )
-    qcodes = list(
-        quantize_embeddings(qdf, quantizer, vec_col, "__qc").first()["__qc"]
-    )
+    # quantize the query ON THE DRIVER with the engine's exact
+    # rounding: Python round() is half-even, but SQL round(double)
+    # is BigDecimal.valueOf(x).setScale(0, HALF_UP) — i.e. HALF_UP
+    # over the double's shortest decimal representation, which
+    # Decimal(repr(x)) reproduces bit-exactly (both sides emit the
+    # shortest round-tripping decimal, and any non-tie rounds the
+    # same way because every representation of one double lies on
+    # one side of the .5 boundary). This replaces a ONE-ROW Spark
+    # job whose dim-literal plan cost ~6-10 s of build+planning per
+    # query (measured r12-opt); the arithmetic order matches
+    # quantize_embeddings exactly: (x - lo) * 255.0 / s, then round.
+    import decimal
+
+    def _round_half_up(t: float) -> int:
+        return int(
+            decimal.Decimal(repr(t)).to_integral_value(
+                rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    qcodes = []
+    for x, lo, hi in zip(query_vec, quantizer["lo"], quantizer["hi"]):
+        s = float(hi) - float(lo)
+        if s == 0.0:
+            qcodes.append(0)
+        else:
+            d = float(x) - float(lo)
+            qcodes.append(
+                min(255, max(0, _round_half_up(d * 255.0 / s)))
+            )
     assert len(qcodes) == n
     qhat = [
         quantizer["lo"][i] + qcodes[i] * (quantizer["hi"][i] - quantizer["lo"][i]) / 255.0
@@ -161,16 +193,13 @@ def topk_cosine_quantized(
     # per sf0.1 probe); fused it is ~4. Arithmetic order matches
     # quantize_embeddings/dequantize_expr exactly:
     # lo + round((x-lo)*255/s) * s / 255.
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(lo).cast("double").alias("lo"),
-                (F.lit(hi).cast("double") - F.lit(lo).cast("double")).alias(
-                    "s"
-                ),
-            )
+    params = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('lo', {_dlit(lo)}, 's', {_dlit(hi)} - {_dlit(lo)})"
             for lo, hi in zip(quantizer["lo"], quantizer["hi"])
-        ]
+        )
+        + ")"
     )
     xhat = F.zip_with(
         F.col(vec_col),
@@ -190,7 +219,7 @@ def topk_cosine_quantized(
         * p["s"]
         / 255.0,
     )
-    qlit = F.array(*[F.lit(v).cast("double") for v in qhat])
+    qlit = F.expr("array(" + ",".join(_dlit(v) for v in qhat) + ")")
     # the query's norm is a constant: fold it in Python (same
     # sequential sum order as the engine's aggregate) instead of
     # re-running a dim-length literal aggregate per row
