@@ -135,17 +135,24 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # The caller's pair pipeline (LSH banding, cosine verify, ...) is
+    # often the expensive part; without a persist it would execute up
+    # to four times — size probe, edge collect, and once per branch of
+    # the singleton union. Project to the two id columns first so only
+    # the narrow frame is cached.
+    pairs = pairs.select(col_a, col_b).persist()
     edges = (
         pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     if local_threshold:
-        # one cheap count gates the fast path; limit()+count keeps
-        # the probe bounded even when the pair list is huge
-        probe = edges.limit(local_threshold + 1).count()
-        if probe <= local_threshold:
-            rows = edges.collect()
+        # one bounded probe gates the fast path: limit()+collect keeps
+        # the driver transfer bounded even when the pair list is huge,
+        # and on the (common) small side it doubles as the edge
+        # collect — one job instead of a count followed by a collect
+        rows = edges.limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
             if rows:
                 labels = _union_find_local(pairs.sparkSession, rows)
             else:

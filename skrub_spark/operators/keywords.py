@@ -131,6 +131,9 @@ def more_like_this(
             6,
         ).alias("idf"),
     )
+    # persisted: consumed by norms, the probe postings and the dots
+    # join — left lazy each branch would rebuild the idf broadcast,
+    # including its full corpus count scan, once per consumer
     w = tf.join(F.broadcast(idf), "term").select(
         id_col,
         "term",
@@ -138,11 +141,12 @@ def more_like_this(
         F.round(F.col("tf").cast("double") * F.col("idf"), 6)
         .cast("decimal(18,6)")
         .alias("w"),
-    )
-    # norms use ALL terms (max_df prunes only the candidate join)
+    ).persist()
+    # norms use ALL terms (max_df prunes only the candidate join);
+    # persisted: read twice (probe norms + candidate norms)
     norms = w.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
-    ).filter(F.col("n2") > 0)
+    ).filter(F.col("n2") > 0).persist()
     postings = w if max_df is None else w.filter(F.col("df") <= int(max_df))
     pw = postings.join(
         F.broadcast(probes),

@@ -1206,3 +1206,35 @@ def test_connected_components_local_matches_distributed(spark):
         for r in connected_components(pairs, local_threshold=3).collect()
     }
     assert over == dist
+
+
+def test_connected_components_probe_boundary(spark):
+    """r12: the fast-path size probe is one bounded limit+collect
+    (formerly a count job followed by a collect job). Pin the exact
+    boundary: an edge set of size == local_threshold takes the LOCAL
+    path, size == local_threshold + 1 the distributed one — both
+    with identical labels, including the self-pair singleton that
+    only _with_singletons recovers."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    pairs = spark.createDataFrame(
+        edges + [(99, 99)], "id_a int, id_b int"
+    )
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    at = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            pairs, local_threshold=len(edges)
+        ).collect()
+    }
+    just_under = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            pairs, local_threshold=len(edges) - 1
+        ).collect()
+    }
+    assert at == want
+    assert just_under == want
+    assert (99, 99) in want
