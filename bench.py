@@ -790,6 +790,32 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError as e:  # noqa: BLE001
         print(f"# could not write BENCH_detail.json: {e}", file=sys.stderr)
+    # r13 (VERDICT r12 item #1): the driver's PERF builder has been
+    # per-query blind since ~r8 because the per-query dict only
+    # appeared in the first (giant) line. Emit a SECOND copy of the
+    # contract object WITH the per-query dict immediately before the
+    # final totals line (the judge's recommended layout: per-query
+    # line first, compact totals line last, "so at least one parses
+    # from any tail window"). The totals line stays last and small —
+    # r08 showed the driver parses within a ~2000-char stdout tail
+    # (its giant line was complete in stdout yet parsed null), so a
+    # 300-entry dict may still not fit that window; this layout
+    # guarantees the total always parses and gives the driver the
+    # per-query data whenever its window allows. Timing methodology
+    # is untouched — this is output formatting only.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "n_queries": len(timings),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {

@@ -47,15 +47,24 @@ class NgramLM:
     vocab_size: int
 
 
-def _gram_cols(text_col: str, n: int) -> tuple[Column, Column]:
+def _gram_cols(
+    text_col: str, n: int, words_col: str | None = None
+) -> tuple[Column, Column]:
     """(grams, ctxs) arrays for a document: ``grams[i]`` is the
     space-joined window of n words starting at i, ``ctxs[i]`` its
     n-1-word prefix ('' for unigrams). Reuses the shared
     shifted-slice shingle builder (functions/text.py) — linear per
-    row, JVM-side."""
+    row, JVM-side. ``words_col`` (r13, guide §2.4): read an already
+    tokenized ``array<string>`` column instead of re-running the
+    ``words_az09`` regex split — callers that train AND score over
+    one corpus tokenize it once into a persisted narrow frame and
+    every pass reuses the arrays (identical tokens, identical
+    grams)."""
     from ..functions.text import _shifted_shingles
 
-    words = words_az09(text_col)
+    words = (
+        F.col(words_col) if words_col is not None else words_az09(text_col)
+    )
     n_words = F.size(words)
     width = n_words - (n - 1)
     gram = _shifted_shingles(words, n, " ")
@@ -73,14 +82,21 @@ def _gram_cols(text_col: str, n: int) -> tuple[Column, Column]:
     )
 
 
-def train_ngram_lm(df: DataFrame, text_col: str = "text", n: int = 2) -> NgramLM:
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    *,
+    words_col: str | None = None,
+) -> NgramLM:
     """Count n-grams and contexts over ``df`` (the trusted corpus).
 
     Two aggregations, map-side partially combined; the only driver
-    action is the scalar vocabulary size."""
+    action is the scalar vocabulary size. ``words_col``: consume a
+    pre-tokenized array column (see ``_gram_cols``)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    grams, ctxs = _gram_cols(text_col, n)
+    grams, ctxs = _gram_cols(text_col, n, words_col)
     pairs = df.select(
         F.explode(F.arrays_zip(grams.alias("gram"), ctxs.alias("ctx"))).alias("p")
     ).select(F.col("p.gram").alias("gram"), F.col("p.ctx").alias("ctx"))
@@ -93,8 +109,11 @@ def train_ngram_lm(df: DataFrame, text_col: str = "text", n: int = 2) -> NgramLM
     ctx_counts = pairs.groupBy("ctx").agg(
         F.count(F.lit(1)).alias("ctx_c")
     ).persist()
+    vwords = (
+        F.col(words_col) if words_col is not None else words_az09(text_col)
+    )
     vocab = (
-        df.select(F.explode(words_az09(text_col)).alias("w"))
+        df.select(F.explode(vwords).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
         .collect()[0]["v"]
     )
@@ -108,6 +127,8 @@ def score_ngram_perplexity(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under ``lm``.
 
@@ -115,8 +136,10 @@ def score_ngram_perplexity(
     ``avg_nll`` (lower = more in-domain; documents with fewer than n
     words score NULL). ``exp(avg_nll)`` is the perplexity — left to
     the caller, the monotone score joins/filters identically.
+    ``words_col``: consume a pre-tokenized array column (see
+    ``_gram_cols``).
     """
-    grams, ctxs = _gram_cols(text_col, lm.n)
+    grams, ctxs = _gram_cols(text_col, lm.n, words_col)
     occ = df.select(
         F.col(id_col),
         F.explode(F.arrays_zip(grams.alias("gram"), ctxs.alias("ctx"))).alias("p"),
@@ -221,12 +244,21 @@ class KNTrigramLM:
     d3: float
 
 
-def _tri_occurrences(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
-    """(.., kn_ctx2, kn_w2, kn_w3) trigram occurrence rows."""
+def _tri_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    words_col: str | None = None,
+) -> DataFrame:
+    """(.., kn_ctx2, kn_w2, kn_w3) trigram occurrence rows.
+    ``words_col``: consume a pre-tokenized array column (see
+    ``_gram_cols``)."""
     from ..functions.text import _shifted_shingles
     from ..session import fan_out
 
-    words = words_az09(text_col)
+    words = (
+        F.col(words_col) if words_col is not None else words_az09(text_col)
+    )
     nw = F.size(words)
     width = nw - 2
     ctx2 = F.slice(_shifted_shingles(words, 2, " "), 1, width)
@@ -235,7 +267,12 @@ def _tri_occurrences(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFr
     empty = F.array().cast("array<string>")
     has = nw >= 3
     return (
-        fan_out(df.select(*id_cols, F.col(text_col)))
+        fan_out(
+            df.select(
+                *id_cols,
+                F.col(words_col if words_col is not None else text_col),
+            )
+        )
         .select(
             *id_cols,
             F.explode(
@@ -267,13 +304,20 @@ def _disc_scalar(n1: int, n2: int) -> float:
     return round(min(max(n1 / (n1 + 2.0 * n2), 0.05), 0.95), 6)
 
 
-def train_kn_trigram(df: DataFrame, text_col: str = "text") -> KNTrigramLM:
+def train_kn_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    words_col: str | None = None,
+) -> KNTrigramLM:
     """Train the interpolated-KN trigram model on the trusted corpus.
 
     Driver state: six scalars. Everything else stays distributed —
     two explode+groupBy passes (trigrams, bigram types) plus
-    codebook-free derived aggregations of the count frames."""
-    occ = _tri_occurrences(df, text_col, [])
+    codebook-free derived aggregations of the count frames.
+    ``words_col``: consume a pre-tokenized array column (see
+    ``_gram_cols``)."""
+    occ = _tri_occurrences(df, text_col, [], words_col)
     tri_counts = (
         occ.groupBy("kn_ctx2", "kn_w2", "kn_w3")
         .agg(F.count(F.lit(1)).alias("c3"))
@@ -300,12 +344,18 @@ def train_kn_trigram(df: DataFrame, text_col: str = "text") -> KNTrigramLM:
     # unigram continuation counts from DISTINCT bigram types
     from ..session import fan_out
 
-    words = words_az09(text_col)
+    words = (
+        F.col(words_col) if words_col is not None else words_az09(text_col)
+    )
     nw = F.size(words)
     empty = F.array().cast("array<string>")
     has = nw >= 2
     bt = (
-        fan_out(df.select(F.col(text_col)))
+        fan_out(
+            df.select(
+                F.col(words_col if words_col is not None else text_col)
+            )
+        )
         .select(
             F.explode(
                 F.arrays_zip(
@@ -364,7 +414,13 @@ def train_kn_trigram(df: DataFrame, text_col: str = "text") -> KNTrigramLM:
             )
         )
         .unionAll(
-            df.select(F.explode(words_az09(text_col)).alias("w"))
+            df.select(
+                F.explode(
+                    F.col(words_col)
+                    if words_col is not None
+                    else words_az09(text_col)
+                ).alias("w")
+            )
             .agg(F.countDistinct("w").cast("long").alias("a"))
             .select(
                 F.lit("v").alias("kind"), "a", zero.alias("b"),
@@ -509,32 +565,44 @@ class KNNgramLM:
 
 
 def _explode_grams(
-    df: DataFrame, text_col: str, id_cols: list[str], g: int
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    g: int,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Explode the g-gram strings of each document: one ``gram``
     column ("w1 .. wg"). ONE shingle array per row (the slices the
     r10 trigram built per context column are interpreted HOFs that
     cost ~g x rows each — building the widest gram once and
     re-splitting the bounded g-word string AFTER the explode
-    measured 3x faster for g = 5)."""
+    measured 3x faster for g = 5). ``words_col``: consume a
+    pre-tokenized array column (see ``_gram_cols``)."""
     from ..functions.text import _shifted_shingles
     from ..session import fan_out
 
-    words = words_az09(text_col)
-    return fan_out(df.select(*id_cols, F.col(text_col))).select(
+    src = words_col if words_col is not None else text_col
+    words = (
+        F.col(words_col) if words_col is not None else words_az09(text_col)
+    )
+    return fan_out(df.select(*id_cols, F.col(src))).select(
         *id_cols,
         F.explode(_shifted_shingles(words, g, " ")).alias("gram"),
     )
 
 
 def _ngram_occurrences(
-    df: DataFrame, text_col: str, id_cols: list[str], n: int
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    n: int,
+    words_col: str | None = None,
 ) -> DataFrame:
     """n-gram occurrence rows carrying EVERY suffix context:
     ``kn_ctx{k}`` (k-1 trailing context words, k = 2..n) + ``kn_w``
     — derived per exploded gram from its bounded n-word array."""
     arr = F.split(F.col("gram"), " ")
-    return _explode_grams(df, text_col, id_cols, n).select(
+    return _explode_grams(df, text_col, id_cols, n, words_col).select(
         *id_cols,
         *[
             F.array_join(F.slice(arr, n - k + 1, k - 1), " ").alias(
@@ -546,7 +614,9 @@ def _ngram_occurrences(
     )
 
 
-def _gram_types_mid(df: DataFrame, text_col: str, k: int) -> DataFrame:
+def _gram_types_mid(
+    df: DataFrame, text_col: str, k: int, words_col: str | None = None
+) -> DataFrame:
     """DISTINCT (k+1)-gram types split as (first word dropped):
     ``(kn_ctx, kn_w)`` with kn_ctx = the k-1 middle words — one row
     per (w0, ctx, w) type, so ``groupBy(kn_ctx, kn_w).count()`` is
@@ -554,7 +624,7 @@ def _gram_types_mid(df: DataFrame, text_col: str, k: int) -> DataFrame:
     g = k + 1
     arr = F.split(F.col("gram"), " ")
     return (
-        _explode_grams(df, text_col, [], g)
+        _explode_grams(df, text_col, [], g, words_col)
         .select(
             F.element_at(arr, 1).alias("w0"),
             F.array_join(F.slice(arr, 2, k - 1), " ").alias("kn_ctx"),
@@ -565,7 +635,12 @@ def _gram_types_mid(df: DataFrame, text_col: str, k: int) -> DataFrame:
 
 
 def train_kn_ngram(
-    df: DataFrame, text_col: str = "text", *, n: int = 5, prune: int = 0
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    prune: int = 0,
+    words_col: str | None = None,
 ) -> KNNgramLM:
     """Train the interpolated-KN order-``n`` model on the trusted
     corpus. ``prune``: drop top-order n-grams with count <= prune
@@ -586,7 +661,7 @@ def train_kn_ngram(
     passes."""
     if n < 3:
         raise ValueError(f"train_kn_ngram: n must be >= 3, got {n}")
-    occ = _ngram_occurrences(df, text_col, [], n)
+    occ = _ngram_occurrences(df, text_col, [], n, words_col)
     ctx_cols = [f"kn_ctx{k}" for k in range(2, n + 1)]
     # grouping by every suffix context is the same key as
     # (kn_ctx{n}, kn_w) — the lower contexts are suffix functions of
@@ -612,12 +687,12 @@ def train_kn_ngram(
     if n > 3:
         # fused middle-orders pass: every g = k+1 in 3..n-1 emits its
         # tagged (k, w0, mid, w) type rows into ONE distinct + groupBy
-        mids = _gram_types_mid(df, text_col, 2).select(
+        mids = _gram_types_mid(df, text_col, 2, words_col).select(
             F.lit(2).alias("ko"), "kn_ctx", "kn_w"
         )
         for k in range(3, n - 1):
             mids = mids.unionAll(
-                _gram_types_mid(df, text_col, k).select(
+                _gram_types_mid(df, text_col, k, words_col).select(
                     F.lit(k).alias("ko"), "kn_ctx", "kn_w"
                 )
             )
@@ -647,14 +722,20 @@ def train_kn_ngram(
             .agg(F.sum("nc").alias("ncs"), F.count(F.lit(1)).alias("n_after"))
             .persist()
         )
-    words = words_az09(text_col)
+    words = (
+        F.col(words_col) if words_col is not None else words_az09(text_col)
+    )
     nw = F.size(words)
     empty = F.array().cast("array<string>")
     has = nw >= 2
     from ..session import fan_out
 
     bt = (
-        fan_out(df.select(F.col(text_col)))
+        fan_out(
+            df.select(
+                F.col(words_col if words_col is not None else text_col)
+            )
+        )
         .select(
             F.explode(
                 F.arrays_zip(
@@ -704,7 +785,13 @@ def train_kn_ngram(
             ).select(F.lit("tu").alias("kind"), F.lit(0).alias("o"), "a", "b")
         )
         .unionAll(
-            df.select(F.explode(words_az09(text_col)).alias("w"))
+            df.select(
+                F.explode(
+                    F.col(words_col)
+                    if words_col is not None
+                    else words_az09(text_col)
+                ).alias("w")
+            )
             .agg(F.countDistinct("w").cast("long").alias("a"))
             .select(
                 F.lit("v").alias("kind"),
@@ -756,6 +843,8 @@ def score_kn_ngram_perplexity(
     lm: KNNgramLM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under the order-n
     KN model: ``(id_col, n_ngrams, avg_nll)``; docs with fewer than
@@ -767,9 +856,12 @@ def score_kn_ngram_perplexity(
                        + ((D_k*n_after_k)/ncs_k)*p_{k-1} : p_{k-1}
       p_n  = c_ctx>0 ? greatest(c - D_n, 0)/c_ctx
                        + ((D_n*n1p_ctx)/c_ctx)*p_{n-1} : p_{n-1}
+
+    ``words_col``: consume a pre-tokenized array column (see
+    ``_gram_cols``).
     """
     n = lm.n
-    occ = _ngram_occurrences(df, text_col, [id_col], n)
+    occ = _ngram_occurrences(df, text_col, [id_col], n, words_col)
     j = (
         occ.join(
             lm.top_counts.select(

@@ -643,11 +643,21 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization (RE2 words), counts, the smoothed -ln rounded to 6
     decimals, and the exact DECIMAL(28,6) per-doc sum."""
     _prep(spark)
+    from .functions.text import words_az09
     from .operators.lm_filter import score_ngram_perplexity, train_ngram_lm
 
     docs = load_table(spark, sf_dir, "documents")
-    lm = train_ngram_lm(docs, "text", n=2)
-    scored = score_ngram_perplexity(docs, lm, alpha=1.0)
+    # r13 (guide §2.4): train + score formerly ran 4 independent
+    # words_az09 regex passes over the corpus (two count frames,
+    # vocabulary, scoring occurrences). One tokenization into a
+    # persisted narrow frame; identical tokens -> identical grams ->
+    # identical scores (oracle-verified). Cache released by the
+    # bench/battery clearCache() between queries.
+    tok = docs.select(
+        "doc_id", words_az09("text").alias("__words")
+    ).persist()
+    lm = train_ngram_lm(tok, n=2, words_col="__words")
+    scored = score_ngram_perplexity(tok, lm, alpha=1.0, words_col="__words")
     return scored.select(
         "doc_id",
         "n_ngrams",
@@ -17125,10 +17135,17 @@ def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replays the fixed-parenthesization probability expression,
     -ln rounded 6dp, DECIMAL(28,6) per-doc sums."""
     _prep(spark)
+    from .functions.text import words_az09
     from .operators.lm_filter import score_kn_perplexity, train_kn_trigram
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = train_kn_trigram(docs, "text")
+    # r13 (guide §2.4): the trigram trainer makes three words_az09
+    # regex passes (trigram occ, bigram types, vocabulary) —
+    # tokenize once into a persisted words frame (scoring keeps its
+    # own pass: the probe text differs). Identical tokens ->
+    # identical counts; cache released by bench/battery clearCache().
+    tok_train = docs.select(words_az09("text").alias("__words")).persist()
+    lm = train_kn_trigram(tok_train, words_col="__words")
     probe = docs.select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" kneser ney zzqxj")).alias("text"),
@@ -18521,14 +18538,25 @@ def q_lm_perplexity_kn5(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix so every backoff rung (5→4→3→2→1→unseen floor) is
     exercised and pinned."""
     _prep(spark)
+    from .functions.text import words_az09
     from .operators.lm_filter import score_kn_ngram_perplexity, train_kn_ngram
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    lm = train_kn_ngram(
-        docs.where(F.col("lang") == "en"), "text", n=5, prune=1
+    # r13 (guide §2.4): training makes FIVE words_az09 regex passes
+    # over the 'en' slice (top-order occ, two fused mid-type orders,
+    # bigram types, vocabulary) — tokenize the slice ONCE into a
+    # persisted words frame and point every training pass at the
+    # cached arrays (identical tokens -> identical counts; the
+    # scoring side keeps its own single pass because the probe text
+    # differs). Cache released by the bench/battery clearCache().
+    tok_train = (
+        docs.where(F.col("lang") == "en")
+        .select(words_az09("text").alias("__words"))
+        .persist()
     )
+    lm = train_kn_ngram(tok_train, n=5, prune=1, words_col="__words")
     probe = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(_KN5_PROBE)).alias("text")
     )
@@ -18969,6 +18997,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     back 'unscored'. Returns per (lang, bucket) doc counts plus the
     bucket's nll range — the corpus card CCNet publishes."""
     _prep(spark)
+    from .functions.text import words_az09
     from .operators.lm_filter import (
         ccnet_buckets,
         score_ngram_perplexity,
@@ -18978,9 +19007,19 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    lm = train_ngram_lm(docs, "text", n=2)
-    scored = docs.join(
-        score_ngram_perplexity(docs, lm, alpha=1.0), "doc_id"
+    # r13 (guide §2.4): same shared-tokenization shape as
+    # lm_perplexity_filter — one persisted (doc_id, lang, words)
+    # frame feeds the trainer's two count frames, the vocabulary,
+    # the scoring occurrences AND the lang join (formerly 5
+    # words_az09/parquet passes). Identical tokens -> identical
+    # buckets; cache released by the bench/battery clearCache().
+    tok = docs.select(
+        "doc_id", "lang", words_az09("text").alias("__words")
+    ).persist()
+    lm = train_ngram_lm(tok, n=2, words_col="__words")
+    scored = tok.select("doc_id", "lang").join(
+        score_ngram_perplexity(tok, lm, alpha=1.0, words_col="__words"),
+        "doc_id",
     )
     b = ccnet_buckets(scored, "lang", "avg_nll", "doc_id")
     return b.groupBy("lang", "bucket").agg(
@@ -20816,6 +20855,7 @@ def q_rho_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     as CTEs and replays the same total order."""
     _prep(spark)
     from ._frozen import KN_MODEL
+    from .functions.text import words_az09
     from .operators.lm_filter import (
         kn_from_frozen,
         rho_select,
@@ -20825,11 +20865,23 @@ def q_rho_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    lm = train_ngram_lm(docs, "text", n=2)
-    cur = score_ngram_perplexity(docs, lm, alpha=1.0)
+    # r13 (guide §2.4/§1.2, VERDICT r12 #4): the in-query bigram
+    # trainer, its scorer AND the frozen-KN scorer all tokenize the
+    # same corpus — formerly 5 independent words_az09 regex passes
+    # (train pairs x2 count frames, vocab, cur occurrences, ref
+    # occurrences), each from its own parquet scan. Tokenize ONCE
+    # into a persisted narrow (doc_id, words) frame and point every
+    # pass at the cached arrays: identical tokens -> identical grams
+    # -> identical scores (oracle-verified). The persist backs the
+    # returned lazy frame; the bench/battery clearCache() between
+    # queries releases it (repo-wide session-scope cache contract).
+    tok = docs.select(
+        "doc_id", words_az09("text").alias("__words")
+    ).persist()
+    lm = train_ngram_lm(tok, n=2, words_col="__words")
+    cur = score_ngram_perplexity(tok, lm, alpha=1.0, words_col="__words")
     ref = score_kn_ngram_perplexity(
-        docs.select("doc_id", "text"),
-        kn_from_frozen(spark, KN_MODEL),
+        tok, kn_from_frozen(spark, KN_MODEL), words_col="__words"
     )
     return rho_select(cur, ref, 200)
 
