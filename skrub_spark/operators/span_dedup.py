@@ -187,7 +187,6 @@ def dedup_token_spans(
     toks = df.select(
         F.col(id_col).alias("id"), tokens(content_col).alias("toks")
     )
-    keys = F.transform(F.col("toks"), lambda t: F.lower(t))
     from pyspark.sql import Window
 
     # shuffle 8-byte hashed window keys, not ~w*token_len strings —
@@ -198,14 +197,29 @@ def dedup_token_spans(
     # walks elements, equality is exact sequence equality) and
     # resolve first occurrences with ONE row_number window instead
     # of groupBy(min) + re-join (two shuffles of the same frame).
+    # r13 (guide §1.2 per-task work): the lowercased key array is
+    # materialized as a BOUND COLUMN before the per-window lambda —
+    # interpreted HOF lambdas re-evaluate their subexpression tree
+    # per element, so the former `transform(toks, lower)` inside the
+    # slice re-lowercased the WHOLE token array once per window
+    # (O(n_tokens·w + n_tokens²) per doc; measured 2.34 s -> 0.50 s
+    # on the sf0.1 window-key stage). `__k` is referenced three
+    # times here, which also keeps CollapseProject from inlining it
+    # back into the lambda (verified in the executed plan). Window
+    # hashes are BIT-IDENTICAL: same xxhash64 over the same string
+    # slices.
+    keyed = toks.select(
+        "id",
+        F.transform(F.col("toks"), lambda t: F.lower(t)).alias("__k"),
+    )
     win_keys = F.when(
-        F.size("toks") >= w,
+        F.size("__k") >= w,
         F.transform(
-            F.sequence(F.lit(0), F.size("toks") - F.lit(w)),
-            lambda i: F.xxhash64(F.slice(keys, i + 1, w)),
+            F.sequence(F.lit(0), F.size("__k") - F.lit(w)),
+            lambda i: F.xxhash64(F.slice(F.col("__k"), i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    wk = toks.select("id", F.posexplode(win_keys).alias("wpos", "wkey"))
+    wk = keyed.select("id", F.posexplode(win_keys).alias("wpos", "wkey"))
     dup = (
         wk.withColumn(
             "__rn",

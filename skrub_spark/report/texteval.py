@@ -34,18 +34,30 @@ from ..functions.text import words_az09
 def _gram_counts(
     df: DataFrame, text_col: str, id_col: str, n: int, side: str
 ) -> DataFrame:
-    """Per-(id, gram) occurrence counts of ``n``-grams."""
-    words = words_az09(text_col)
-    nw = F.size(words)
+    """Per-(id, gram) occurrence counts of ``n``-grams.
+
+    r13 (guide §1.2 per-task work): the words array is materialized
+    as a BOUND COLUMN in its own projection before the per-gram
+    lambda — interpreted HOF lambdas re-evaluate their subexpression
+    tree per element, so referencing the ``words_az09`` expression
+    inside the slice re-ran the full regex split once PER GRAM
+    (O(n_words²) regex work per row; same trap the span-dedup window
+    keys had). ``__w`` is referenced three times, which keeps
+    CollapseProject from inlining it back. Gram strings are
+    bit-identical (same slices, same join)."""
+    base = df.select(
+        F.col(id_col).alias("pid"), words_az09(text_col).alias("__w")
+    )
+    nw = F.size("__w")
     has = nw >= n
     gram = F.transform(
         F.sequence(F.lit(1), nw - (n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+        lambda i: F.array_join(F.slice(F.col("__w"), i, n), " "),
     )
     empty = F.array().cast("array<string>")
     return (
-        df.select(
-            F.col(id_col).alias("pid"),
+        base.select(
+            "pid",
             F.explode(F.when(has, gram).otherwise(empty)).alias("g"),
         )
         .groupBy("pid", "g")
