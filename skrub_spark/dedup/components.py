@@ -115,7 +115,14 @@ def connected_components(
     round 0 on failure; "reliable" uses ``DataFrame.checkpoint()``
     to the configured ``spark.sparkContext.setCheckpointDir`` (HDFS/
     object store), the fault-tolerant choice for the 100 TB cluster
-    run (r6, VERDICT r5 #4)."""
+    run (r6, VERDICT r5 #4).
+
+    Cache contract (r13, VERDICT r12 #7): the narrow projected pair
+    frame is persisted and BACKS THE RETURNED lazy frame (its
+    singleton branch), so it cannot be released in-function. In a
+    long-lived session call ``spark.catalog.clearCache()`` (or
+    ``df.unpersist()`` the input projection) after the last consumer
+    — the bench/battery do this between queries."""
     if checkpoint not in ("local", "reliable"):
         raise ValueError(
             f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"

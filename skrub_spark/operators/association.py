@@ -57,6 +57,12 @@ def association_rules(
     ``lift = N·pair / (count(a)·count(b))`` with N = number of
     distinct baskets — all exact-integer single divisions,
     6dp-rounded.
+
+    Cache contract (r13, VERDICT r12 #7): the distinct basket frame
+    is persisted and backs the RETURNED lazy frame, so it cannot be
+    released in-function. In a long-lived session call
+    ``spark.catalog.clearCache()`` after the last consumer — the
+    bench/battery do this between queries.
     """
     ms = int(min_support_count)
     # persisted: THREE consumers (the basket count, the item

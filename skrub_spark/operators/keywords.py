@@ -105,7 +105,13 @@ def more_like_this(
     DECIMAL(18,6); dots and squared norms are exact DECIMAL sums,
     combined into the cosine by fixed-order IEEE ops and rounded to
     6dp — rankings replay bit-identically in the DuckDB oracle
-    (``more_like_this``), ties broken by candidate id."""
+    (``more_like_this``), ties broken by candidate id.
+
+    Cache contract (r13, VERDICT r12 #7): the tf, weight and norm
+    frames are persisted and back the RETURNED lazy frame, so they
+    cannot be released in-function. In a long-lived session call
+    ``spark.catalog.clearCache()`` after the last consumer — the
+    bench/battery do this between queries."""
     spark = docs.sparkSession
     if isinstance(probe_ids, DataFrame):
         probes = probe_ids.select(F.col(probe_ids.columns[0]).alias("__pid"))

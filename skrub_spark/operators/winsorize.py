@@ -179,6 +179,23 @@ def quantile_discretize_multi(
                 "through the stacked decimal cast — use "
                 "quantile_discretize per column instead"
             )
+        if dt.startswith("decimal"):
+            # r13 (ADVICE r12): enforce the docstring's exactness
+            # precondition instead of silently rounding/overflowing —
+            # the stacked decimal(38,6) cast is exact only when
+            # scale <= 6 and the integer part fits 32 digits.
+            from pyspark.sql.types import DecimalType
+
+            dtyp = df.schema[c].dataType
+            assert isinstance(dtyp, DecimalType)
+            if dtyp.scale > 6 or dtyp.precision - dtyp.scale > 32:
+                raise ValueError(
+                    f"quantile_discretize_multi: column {c!r} has "
+                    f"type {dt}; the stacked decimal(38,6) cast is "
+                    "exact only for scale <= 6 and precision-scale "
+                    "<= 32 — use quantile_discretize per column "
+                    "instead"
+                )
     stacked = df.select(
         F.explode(
             F.array(

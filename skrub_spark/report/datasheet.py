@@ -54,7 +54,13 @@ def corpus_datasheet(
     eval_modulus: int = 97,
 ) -> DataFrame:
     """The datasheet's numeric core: ``(section, metric, value)``
-    rows (value is a double — exact counts or 6dp ratios)."""
+    rows (value is a double — exact counts or 6dp ratios).
+
+    Cache contract (r13, VERDICT r12 #7): the tokenized base frame
+    is persisted and backs the RETURNED lazy frame, so it cannot be
+    released in-function. In a long-lived session call
+    ``spark.catalog.clearCache()`` after the last consumer — the
+    bench/battery do this between queries."""
     from pyspark import StorageLevel
 
     # persisted: every datasheet section aggregates this frame, and

@@ -1200,3 +1200,97 @@ def test_skipgram_doc_partitioned_joins(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "PartitionBy: []" not in plan
+
+
+def test_query_quantization_matches_spark_rounding(spark):
+    """r13 (ADVICE r12): topk_cosine_quantized quantizes the query on
+    the DRIVER, relying on Decimal(repr(x)) + ROUND_HALF_UP
+    reproducing Spark's round(double) (BigDecimal.valueOf, HALF_UP).
+    Pin the cross-language invariant over a sweep that includes
+    exact .5 boundaries, negatives, non-representable fractions and
+    s == 0 dims: driver-computed codes must equal
+    quantize_embeddings' JVM output dim for dim."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from skrub_spark.similarity.quantize import quantize_embeddings
+
+    # lo=0, hi=255 => code = round(x): x = n + 0.5 hits exact ties;
+    # negative lo exercises d < 0; lo=hi exercises the s == 0 branch;
+    # 0.1-style values exercise shortest-repr rounding.
+    lo = [0.0, 0.0, 0.0, -2.0, -2.0, 3.5, 0.0, 0.0, -1.0]
+    hi = [255.0, 255.0, 255.0, 2.0, 2.0, 3.5, 255.0, 255.0, 254.0]
+    vec = [
+        0.5,          # exact tie at code 0.5 -> 1 (HALF_UP)
+        41.5,         # exact tie -> 42
+        41.49999999999999,  # just below the tie
+        -1.999,       # negative range
+        1.7,          # (1.7+2)*255/4 -> non-representable fraction
+        123.0,        # s == 0 dim -> code 0
+        -3.0,         # clamps to 0
+        300.0,        # clamps to 255
+        126.5,        # tie after shift: (126.5+1)*255/255 = 127.5 -> 128
+    ]
+    quant = {"lo": lo, "hi": hi}
+
+    def _round_half_up(t: float) -> int:
+        return int(
+            decimal.Decimal(repr(t)).to_integral_value(
+                rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    driver_codes = []
+    for x, lo_i, hi_i in zip(vec, lo, hi):
+        s = float(hi_i) - float(lo_i)
+        if s == 0.0:
+            driver_codes.append(0)
+        else:
+            d = float(x) - float(lo_i)
+            driver_codes.append(min(255, max(0, _round_half_up(d * 255.0 / s))))
+
+    df = spark.createDataFrame([(vec,)], "embedding array<double>")
+    spark_codes = list(
+        quantize_embeddings(df, quant).select("codes").first()["codes"]
+    )
+    assert spark_codes == driver_codes
+
+
+def test_operator_persists_release_with_clearCache(spark, sf_dir):
+    """r13 (VERDICT r12 #7): operators whose persisted frames back
+    their RETURNED lazy result (more_like_this w/norms,
+    association_rules b, connected_components pairs) document a
+    session-scope cache contract — spark.catalog.clearCache() after
+    the last consumer releases every cached block. Assert the
+    contract actually does: after materializing each operator and
+    clearing, no RDD reports cached partitions."""
+    from pyspark.sql import functions as F
+
+    from skrub_spark.dedup.components import connected_components
+    from skrub_spark.operators.association import association_rules
+    from skrub_spark.operators.keywords import more_like_this
+    from skrub_spark.sources import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    more_like_this(docs, [1, 2], top_k=3).collect()
+    baskets = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("b"), F.col("o_orderpriority").alias("i")
+    )
+    association_rules(baskets, "b", "i").collect()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 5)], "id_a long, id_b long"
+    )
+    connected_components(pairs).collect()
+
+    def cached_rdds():
+        return [
+            r
+            for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if r.numCachedPartitions() > 0
+        ]
+
+    assert len(cached_rdds()) > 0  # the persists are live pre-clear
+    spark.catalog.clearCache()
+    assert cached_rdds() == []

@@ -87,23 +87,35 @@ def main() -> None:
             jobsec = 0.0
             nstages = 0
             ntasks = 0
+            n_skipped_ts = 0
             for j in jobs:
+                # r13 (ADVICE r12): parse the REST timestamps with a
+                # real format instead of fixed-offset slices (the old
+                # [20:23] slice fed 'GMT' to float() on format drift
+                # and the bare except silently undercounted job_s).
+                # Skipped jobs are now counted and reported.
                 try:
-                    st = time.strptime(
-                        j["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S"
+                    from datetime import datetime
+
+                    def _ts(s):
+                        return datetime.strptime(
+                            s.replace("GMT", "").strip(),
+                            "%Y-%m-%dT%H:%M:%S.%f",
+                        ).timestamp()
+
+                    jobsec += _ts(j["completionTime"]) - _ts(
+                        j["submissionTime"]
                     )
-                    en = time.strptime(
-                        j["completionTime"][:19], "%Y-%m-%dT%H:%M:%S"
-                    )
-                    ms_s = float(j["submissionTime"][20:23] or 0)
-                    ms_e = float(j["completionTime"][20:23] or 0)
-                    jobsec += (
-                        time.mktime(en) + ms_e / 1000
-                    ) - (time.mktime(st) + ms_s / 1000)
                 except (KeyError, ValueError):
-                    pass
+                    n_skipped_ts += 1
                 nstages += len(j.get("stageIds", []))
                 ntasks += j.get("numTasks", 0)
+            if n_skipped_ts:
+                print(
+                    f"# {name}: {n_skipped_ts}/{njobs} jobs skipped in "
+                    "job_s (unparseable timestamps)",
+                    file=sys.stderr,
+                )
             rec = {
                 "name": name,
                 "wall_s": round(wall, 3),
