@@ -31,6 +31,36 @@ _DEFAULTS = {
 }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_exchange_no_aqe(spark):
+    """Disable AQE for actions whose ONLY exchange is provably tiny
+    (a scalar/argmax aggregate, a k x dim codebook groupBy).
+
+    AQE re-optimizes at every exchange materialization, which turns
+    each such action into 2-3 scheduled jobs; on a bounded exchange
+    there is nothing to adapt — no partitions to coalesce, no skew
+    to split — at ANY data scale, so the extra jobs are pure
+    overhead (measured r13: the greedy k-center loop's per-center
+    argmax actions run ~2x faster without it at BOTH 32 and 8
+    cores; guide §1.2 step 3). Scope it ONLY around such actions:
+    data-sized exchanges (graph rounds, dedup shuffles) keep AQE.
+
+    The SQL conf is session-scoped and restored on exit; callers
+    submitting concurrent jobs from other threads during the scope
+    would also plan without AQE (the engine's query paths are
+    sequential)."""
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Round-robin repartition ``df`` up to ``min_partitions``
     (default ``sparkContext.defaultParallelism``) when its scan

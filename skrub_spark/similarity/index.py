@@ -190,21 +190,28 @@ def lloyd_refine(
     previous centroid. Real centroids turn the sampled-pick Voronoi
     cells into a proper k-means partition, which is what IVF probe
     quality depends on at scale (VERDICT r4 #5)."""
+    from ..session import bounded_exchange_no_aqe
+
     C = np.asarray(cents, dtype="float64")
-    for _ in range(max(0, n_iter)):
-        rows = (
-            df.select(
-                _cell_udf(C)(F.col(vec_col)).alias("__cell"),
-                F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    # r13 (guide §1.2 step 3): the only exchange per iteration is the
+    # (cell, dim) mean groupBy — bounded by n_cells x dim rows after
+    # map-side combine at ANY corpus size, so AQE's per-exchange
+    # re-optimization jobs are pure overhead here.
+    with bounded_exchange_no_aqe(df.sparkSession):
+        for _ in range(max(0, n_iter)):
+            rows = (
+                df.select(
+                    _cell_udf(C)(F.col(vec_col)).alias("__cell"),
+                    F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+                )
+                .groupBy("__cell", "__pos")
+                .agg(F.avg("__x").alias("m"))
+                .collect()
             )
-            .groupBy("__cell", "__pos")
-            .agg(F.avg("__x").alias("m"))
-            .collect()
-        )
-        nxt = C.copy()
-        for r in rows:
-            nxt[r["__cell"], r["__pos"]] = r["m"]
-        C = nxt
+            nxt = C.copy()
+            for r in rows:
+                nxt[r["__cell"], r["__pos"]] = r["m"]
+            C = nxt
     return C
 
 

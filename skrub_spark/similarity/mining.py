@@ -206,75 +206,84 @@ def kcenter_select(
             ),
         ).alias("__v"),
     ).persist()
-    if seed_id is None:
-        # ONE job instead of two (min-id scan + seed-row fetch): ids
-        # are unique, so min(struct(id, vec)) IS the min-id row and
-        # the vector rides along in the struct.
-        seed_row = q.agg(F.min(F.struct("__id", "__v"))).first()[0]
-        if seed_row is None:
-            raise ValueError("kcenter_select: empty input frame")
-    else:
-        seed_row = q.where(F.col("__id") == seed_id).first()
-        if seed_row is None:
-            raise ValueError(
-                f"kcenter_select: seed id {seed_id!r} not found"
-            )
-    chosen = [(int(seed_row["__id"]), list(seed_row["__v"]), None)]
+    # r13 (guide §1.2 step 3, VERDICT r12 #6): every exchange in
+    # the selection loop aggregates to ONE row (seed min-struct,
+    # per-center argmax), so AQE's per-exchange re-optimization
+    # jobs are pure overhead at any scale — measured ~2x on the
+    # kcenter_coreset query at both 32 and 8 cores (A/B committed
+    # in OPTIMIZATION_r13.md).
+    from ..session import bounded_exchange_no_aqe
 
-    def _d2(center_vec):
-        # explicit per-dimension terms (dim is bounded) instead of a
-        # zip_with/aggregate lambda pair — interpreted HOFs over a
-        # literal array measured ~3x slower per pass. Built as ONE
-        # parsed expr string: the python-composed 64-term loop cost
-        # ~1-3 s of py4j driver chatter PER CENTER (~8-10 s per
-        # k=8 call, measured r12-opt) vs ~1 ms parsed; the parsed
-        # tree is the identical left-folded integer sum.
-        terms = " + ".join(
-            f"(element_at(__v, {i + 1}) - {int(x)}L) * "
-            f"(element_at(__v, {i + 1}) - {int(x)}L)"
-            for i, x in enumerate(center_vec)
-        )
-        return F.expr(f"CAST({terms} AS BIGINT)")
-
-    # ONE job per iteration: the frame carries (id, vector, min-d2),
-    # so each round is a map-only least() update, and the argmax
-    # aggregate both populates the new cache and returns the next
-    # center WITH its vector (array field rides in the max-struct —
-    # (m, -id) is unique, so the array never decides the ordering).
-    def _argmax(frame):
-        return frame.agg(
-            F.max(
-                F.struct(
-                    F.col("__m"),
-                    (-F.col("__id")).alias("__n"),
-                    F.col("__v"),
+    with bounded_exchange_no_aqe(spark):
+        if seed_id is None:
+            # ONE job instead of two (min-id scan + seed-row fetch): ids
+            # are unique, so min(struct(id, vec)) IS the min-id row and
+            # the vector rides along in the struct.
+            seed_row = q.agg(F.min(F.struct("__id", "__v"))).first()[0]
+            if seed_row is None:
+                raise ValueError("kcenter_select: empty input frame")
+        else:
+            seed_row = q.where(F.col("__id") == seed_id).first()
+            if seed_row is None:
+                raise ValueError(
+                    f"kcenter_select: seed id {seed_id!r} not found"
                 )
-            )
-        ).first()[0]
+        chosen = [(int(seed_row["__id"]), list(seed_row["__v"]), None)]
 
-    mind = q.select("__id", "__v", _d2(chosen[0][1]).alias("__m")).persist()
-    top = _argmax(mind)
-    for _ in range(int(k) - 1):
-        if top is None:
-            break
-        # max min-distance 0 means every remaining point coincides
-        # with a chosen center (k exceeds the distinct vectors, or
-        # duplicates dominate) — stop rather than re-select a chosen
-        # id into the coreset (ADVICE r11)
-        if int(top["__m"]) == 0:
-            break
-        nid, nvec = -int(top["__n"]), list(top["__v"])
-        chosen.append((nid, nvec, int(top["__m"])))
-        if len(chosen) >= int(k):
-            break
-        nxt = mind.select(
-            "__id", "__v", F.least(F.col("__m"), _d2(nvec)).alias("__m")
-        ).persist()
-        top = _argmax(nxt)
+        def _d2(center_vec):
+            # explicit per-dimension terms (dim is bounded) instead of a
+            # zip_with/aggregate lambda pair — interpreted HOFs over a
+            # literal array measured ~3x slower per pass. Built as ONE
+            # parsed expr string: the python-composed 64-term loop cost
+            # ~1-3 s of py4j driver chatter PER CENTER (~8-10 s per
+            # k=8 call, measured r12-opt) vs ~1 ms parsed; the parsed
+            # tree is the identical left-folded integer sum.
+            terms = " + ".join(
+                f"(element_at(__v, {i + 1}) - {int(x)}L) * "
+                f"(element_at(__v, {i + 1}) - {int(x)}L)"
+                for i, x in enumerate(center_vec)
+            )
+            return F.expr(f"CAST({terms} AS BIGINT)")
+
+        # ONE job per iteration: the frame carries (id, vector, min-d2),
+        # so each round is a map-only least() update, and the argmax
+        # aggregate both populates the new cache and returns the next
+        # center WITH its vector (array field rides in the max-struct —
+        # (m, -id) is unique, so the array never decides the ordering).
+        def _argmax(frame):
+            return frame.agg(
+                F.max(
+                    F.struct(
+                        F.col("__m"),
+                        (-F.col("__id")).alias("__n"),
+                        F.col("__v"),
+                    )
+                )
+            ).first()[0]
+
+        mind = q.select("__id", "__v", _d2(chosen[0][1]).alias("__m")).persist()
+        top = _argmax(mind)
+        for _ in range(int(k) - 1):
+            if top is None:
+                break
+            # max min-distance 0 means every remaining point coincides
+            # with a chosen center (k exceeds the distinct vectors, or
+            # duplicates dominate) — stop rather than re-select a chosen
+            # id into the coreset (ADVICE r11)
+            if int(top["__m"]) == 0:
+                break
+            nid, nvec = -int(top["__n"]), list(top["__v"])
+            chosen.append((nid, nvec, int(top["__m"])))
+            if len(chosen) >= int(k):
+                break
+            nxt = mind.select(
+                "__id", "__v", F.least(F.col("__m"), _d2(nvec)).alias("__m")
+            ).persist()
+            top = _argmax(nxt)
+            mind.unpersist()
+            mind = nxt
         mind.unpersist()
-        mind = nxt
-    mind.unpersist()
-    q.unpersist()
+        q.unpersist()
     out = spark.createDataFrame(
         [(i + 1, cid, m) for i, (cid, _, m) in enumerate(chosen)],
         "rank int, id long, mind2 long",
